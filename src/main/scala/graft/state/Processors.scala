@@ -1,0 +1,63 @@
+package graft.state
+
+import graft.ast.ProcessOp
+import graft.compile.{Env, KFrame}
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The low-level Processor/Transformer API (`:processor-supplier`
+  * `eval.clj:310-323`, `:transformer-supplier` `eval.clj:325-338`): arbitrary
+  * keyed, stateful, record-at-a-time logic. The reference hands the user a
+  * context atom + state stores; here the state handle is an opaque byte
+  * array per key (the user brings their own codec), which maps 1:1 onto
+  * Spark's GroupState in streaming and a per-key fold in batch.
+  *
+  * Records within a key are processed in event-time order in batch (Kafka
+  * processes in offset order per partition; event-time order is the batch
+  * replay equivalent).
+  */
+object Processors {
+
+  def run(p: ProcessOp, env: Env): KFrame = {
+    val f = graft.compile.Compiler.compile(p.up, env)
+    val keyNames = f.keys
+    val keySchema = StructType(keyNames.map(f.df.schema(_)))
+    val kEnc = Encoders.row(keySchema)
+    val oEnc = Encoders.row(p.outSchema)
+    val toKey = (row: Row) => Row.fromSeq(keyNames.map(row.getAs[Any]))
+    val ts = f.eventTime
+    val (init, process) = (p.init, p.process)
+    val grouped = f.df.groupByKey(toKey)(kEnc)
+    val out =
+      if (!env.isStreaming)
+        grouped.flatMapGroups { (_: Row, it: Iterator[Row]) =>
+          val rows = ts match {
+            case Some(t) => it.toArray.sortBy(r =>
+              Option(r.getAs[java.sql.Timestamp](t)).map(_.getTime).getOrElse(Long.MinValue))
+            case None => it.toArray
+          }
+          var state = init()
+          rows.iterator.flatMap { r =>
+            val (ns, emitted) = process(state, r)
+            state = ns
+            emitted.toSeq // materialize before state moves on
+          }
+        }(oEnc)
+      else
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (_: Row, it: Iterator[Row], gs: GroupState[Array[Byte]]) =>
+            var state = gs.getOption.getOrElse(init())
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            it.foreach { r =>
+              val (ns, emitted) = process(state, r)
+              state = ns
+              buf ++= emitted
+            }
+            gs.update(state)
+            buf.iterator
+        }(Encoders.BINARY, oEnc)
+    KFrame(out.toDF(), keyNames, None)
+  }
+}
