@@ -71,7 +71,7 @@ object dsl {
     /** `:join-global` / `:left-join-global` (`eval_test.clj:428-431,452-455`):
       * lookup join on a derived foreign key against a broadcast table.
       */
-    def joinGlobal(right: GlobalTableSource, derivedKey: Seq[Column],
+    def joinGlobal(right: KNode, derivedKey: Seq[Column],
                    how: JoinHow = JoinHow.Inner,
                    projection: Seq[Column] = Nil): JoinOp =
       JoinOp(n, right, how, derivedKey = derivedKey, projection = projection,

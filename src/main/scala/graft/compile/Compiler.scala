@@ -107,7 +107,10 @@ object Compiler {
         case None => topics
       }
       require(names.nonEmpty, s"no topics match $pattern")
-      val df = names.map(t => decode(env.load(t), consumed)).reduce(_ unionByName _)
+      // Pattern subscriptions may span topics with differing decoded schemas
+      // (Kafka merges them as raw records); absent columns become null.
+      val df = names.map(t => decode(env.load(t), consumed))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
       KFrame(df, consumed.keys, consumed.eventTime)
 
     case TableSource(topic, consumed, orderBy, _) =>
@@ -263,11 +266,11 @@ object Compiler {
     }
   }
 
-  private def windowColumn(w: WindowSpec, ts: String): Column = w match {
+  private def windowColumn(w: WindowSpec, ts: String): Column = (w match {
     case WindowSpec.Tumbling(d) => window(col(ts), d)
     case WindowSpec.Hopping(d, a) => window(col(ts), d, a)
     case WindowSpec.Session(g) => session_window(col(ts), g)
-  }
+  }).as("window")
 
   private def aggregate(grouped: KNode, aggs: Seq[Column],
                         win: Option[WindowSpec], mat: Option[Materialized],
@@ -368,9 +371,8 @@ object Compiler {
         val rw = if (env.isStreaming) renamed.withWatermark(rts, after) else renamed
         val band = col(rts) >= col(lts) - expr(s"INTERVAL $before") &&
                    col(rts) <= col(lts) + expr(s"INTERVAL $after")
-        lw.join(rw, lkeys.map(k => (k, k)).foldLeft(band) {
-          case (c, (k, _)) => lw.col(k) === rw.col(k) && c
-        }, how).drop(rw.col(lkeys.head)) // dedup first key col
+        val cond = lkeys.map(k => lw.col(k) === rw.col(k)).foldLeft(band)(_ && _)
+        lkeys.foldLeft(lw.join(rw, cond, how))((d, k) => d.drop(rw.col(k)))
     }
     val out = if (j.projection.nonEmpty) joined.select(j.projection: _*) else joined
     KFrame(out, lf.keys, lf.eventTime, lf.isTable && rf0.isTable)

@@ -1,0 +1,519 @@
+package graft.queries
+
+import graft.ast._
+import graft.ast.dsl._
+import graft.compile.{Compiler, ParquetEnv}
+import graft.serde.Serdes
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The SURVEY §2 operator inventory, one DuckDB-oracle-checkable query per
+  * operator, each built through the graft DSL + compiler (so the correctness
+  * gate exercises the actual engine, not ad-hoc DataFrame code).
+  *
+  * Determinism rules (driver hashes values with columns sorted by name):
+  *  - every query ends in a total ORDER BY on a unique column set;
+  *  - names aliased identically in Spark and SQL;
+  *  - double aggregates rounded to ≥2 decimals (fp summation order);
+  *  - integer sums CAST to BIGINT in DuckDB (its sum(BIGINT) is HUGEINT);
+  *  - raw event timestamps CAST to microsecond TIMESTAMP in DuckDB (fixture
+  *    is TIMESTAMP_NS; Spark floors to micros).
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events as a KStream: key=user_id, event-time=ts. */
+  private val eventsConsumed =
+    Consumed(keys = Seq("user_id"), eventTime = Some("ts"))
+
+  private def run(node: KNode)(spark: SparkSession, dir: String): DataFrame =
+    Compiler.compile(node, new ParquetEnv(spark, dir)).df
+
+  // ------------------------------------------------------------------ //
+  val queries: Map[String, Q] = Map(
+    // ---- sources (§2.1) ----
+    "src_stream" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .sort(col("event_id")))(s, d)
+    },
+    // pattern subscription: topics matching /^(nation|region)$/ merged.
+    "src_stream_pattern" -> { (s, d) =>
+      run(
+        streamPattern("nation|region")
+          .select(coalesce(col("n_name"), col("r_name")).as("name"))
+          .sort(col("name")))(s, d)
+    },
+    "src_table" -> { (s, d) =>
+      run(
+        table("events", eventsConsumed, orderBy = Some("event_id"))
+          .select(col("user_id"), col("event_type"), col("value"))
+          .sort(col("user_id")))(s, d)
+    },
+    "src_global_table" -> { (s, d) =>
+      run(
+        globalTable("nation", Consumed(keys = Seq("n_nationkey")))
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .sort(col("n_nationkey")))(s, d)
+    },
+
+    // ---- stateless (§2.2) ----
+    "op_filter" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .filter(col("value") > 100)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_filter_not" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .filterNot(col("value") > 100)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_map" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .map(keys = Seq((col("user_id") % 100).cast("long").as("k")),
+               values = Seq(round(col("value") * 0.1, 3).as("v"), col("event_id")))
+          .select(col("k"), col("v"), col("event_id"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_map_values" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .mapValues(upper(col("event_type")).as("etype"), col("event_id"))
+          .select(col("event_id"), col("user_id"), col("etype"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_flat_map" -> { (s, d) =>
+      // each record → 2 re-keyed records (tag a/b), the (k,v)→seq[(k',v')] shape
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .flatMap(
+            array(
+              struct(col("user_id").as("k"), lit("a").as("tag"),
+                     col("value").as("v"), col("event_id")),
+              struct(col("user_id").as("k"), lit("b").as("tag"),
+                     round(col("value") * 2, 2).as("v"), col("event_id"))),
+            keys = Seq("k"))
+          .select(col("k"), col("tag"), col("v"), col("event_id"))
+          .sort(col("event_id"), col("tag")))(s, d)
+    },
+    "op_flat_map_values" -> { (s, d) =>
+      run(
+        stream(Seq("documents"), Consumed(keys = Seq("doc_id")))
+          .flatMapValues(split(col("text"), " "), as = "word")
+          .filter(col("word") =!= "")
+          .sort(col("doc_id"), col("word")))(s, d)
+    },
+    "op_select_key" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .selectKey(col("event_type").as("k"))
+          .select(col("k"), col("event_id"), col("value"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_branch" -> { (s, d) =>
+      // branch 1 of [value>150, value>50, true]: first-match-wins
+      val branches = stream(Seq("events"), eventsConsumed)
+        .branch(col("value") > 150, col("value") > 50, lit(true))
+      run(
+        branches(1)
+          .select(col("event_id"), col("value"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_merge" -> { (s, d) =>
+      val ev = stream(Seq("events"), eventsConsumed)
+      run(
+        ev.filter(col("event_type") === "click")
+          .merge(ev.filter(col("event_type") === "purchase"))
+          .select(col("event_id"), col("event_type"))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_to_stream" -> { (s, d) =>
+      // table → changelog stream → re-key by value field → count:
+      // "how many users' latest event is of each type"
+      run(
+        table("events", eventsConsumed, orderBy = Some("event_id"))
+          .toStream(col("event_type"))
+          .groupByKey
+          .count(as = "n_users")
+          .sort(col("event_type")))(s, d)
+    },
+    "op_peek" -> { (s, d) =>
+      val seen = s.sparkContext.longAccumulator("peeked")
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .select(col("event_id"), col("event_type"))
+          .peek(_ => seen.add(1))
+          .sort(col("event_id")))(s, d)
+    },
+    "op_serde_json" -> { (s, d) =>
+      // value serde: decode the JSON props column, aggregate a field
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .mapValues(Serdes.json(propsSchema).decode(col("props"))
+                       .getField("k").as("k"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("k")).cast("long").as("sum_k"))
+          .sort(col("user_id")))(s, d)
+    },
+
+    // ---- grouping & aggregation (§2.3) ----
+    "agg_count" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .groupBy(col("event_type"))
+          .count(as = "n")
+          .sort(col("event_type")))(s, d)
+    },
+    "agg_count_windowed" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .groupByKey
+          .windowedBy(WindowSpec.Tumbling("1 hour"))
+          .count(as = "n")
+          .select(col("window_start"), col("user_id"), col("n"))
+          .sort(col("window_start"), col("user_id")))(s, d)
+    },
+    "agg_count_hopping" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .selectKey(col("event_type"))
+          .groupByKey
+          .windowedBy(WindowSpec.Hopping("1 day", "12 hours"))
+          .count(as = "n")
+          .select(col("window_start"), col("event_type"), col("n"))
+          .sort(col("window_start"), col("event_type")))(s, d)
+    },
+    "agg_reduce" -> { (s, d) =>
+      // typed per-key reduce kernel ((v1,v2)→v, eval.clj:280-283)
+      // summation in integer cents: associative, so the nondeterministic
+      // reduce order cannot shift a rounding boundary vs the oracle
+      val node = ReduceOp(
+        stream(Seq("events"), eventsConsumed)
+          .mapValues(round(col("value") * 100).cast("long").as("value_c"))
+          .groupByKey,
+        reducer = (a: Row, b: Row) => Row(a.getLong(0) + b.getLong(0)))
+      run(SortOp(SelectOp(node,
+        Seq(col("user_id"), round(col("value_c") / 100.0, 2).as("value"))),
+        Seq(col("user_id"))))(s, d)
+    },
+    "agg_aggregate" -> { (s, d) =>
+      // typed initializer/aggregator/merger kernel (eval.clj:265-278)
+      val node = AggregateOp[(Long, Long, Double)](
+        stream(Seq("events"), eventsConsumed)
+          .mapValues(col("value")).groupByKey,
+        initializer = () => (0L, 0L, Double.MinValue),
+        aggregator = (b, r) => {
+          val v = r.getAs[Double]("value")
+          (b._1 + 1, b._2 + math.round(v * 100), math.max(b._3, v))
+        },
+        merger = (x, y) => (x._1 + y._1, x._2 + y._2, math.max(x._3, y._3)),
+        finisher = b => Row(b._1, b._2, b._3),
+        outSchema = StructType(Seq(
+          StructField("n", LongType), StructField("sum_c", LongType),
+          StructField("max_v", DoubleType))))
+      run(SortOp(SelectOp(node,
+        Seq(col("user_id"), col("n"),
+            round(col("sum_c") / 100.0, 2).as("sum_v"), col("max_v"))),
+        Seq(col("user_id"))))(s, d)
+    },
+    "agg_session" -> { (s, d) =>
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .groupByKey
+          .windowedBy(WindowSpec.Session("30 minutes"))
+          .count(as = "n")
+          .select(col("window_start").as("session_start"), col("user_id"), col("n"))
+          .sort(col("user_id"), col("session_start")))(s, d)
+    },
+
+    // ---- joins (§2.4) ----
+    "join_table_table" -> { (s, d) =>
+      // KTable ⋈ KTable on primary key: customers ⋈ per-customer order agg
+      val custs = table("customer", Consumed(keys = Seq("c_custkey")))
+      val orderAgg = stream(Seq("orders"), Consumed(keys = Seq("o_custkey")))
+        .groupByKey
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+               .as("total"))
+      run(
+        custs.join(orderAgg,
+            projection = Seq(col("c_custkey"), col("c_name"),
+                             col("n_orders"), col("total")))
+          .sort(col("c_custkey")))(s, d)
+    },
+    "join_left" -> { (s, d) =>
+      val custs = table("customer", Consumed(keys = Seq("c_custkey")))
+      val orderAgg = stream(Seq("orders"), Consumed(keys = Seq("o_custkey")))
+        .groupByKey
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+               .as("total"))
+      run(
+        custs.leftJoin(orderAgg,
+            projection = Seq(col("c_custkey"), col("c_name"),
+                             coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+                             round(coalesce(col("total"), lit(0.0)), 2).as("total")))
+          .sort(col("c_custkey")))(s, d)
+    },
+    "join_outer" -> { (s, d) =>
+      // full outer of two per-nation aggregates
+      val nc = stream(Seq("customer"), Consumed())
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .count(as = "n_cust")
+      val ns = stream(Seq("supplier"), Consumed())
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .count(as = "n_supp")
+      run(
+        nc.outerJoin(ns,
+            projection = Seq(col("nationkey"),
+                             coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+                             coalesce(col("n_supp"), lit(0L)).as("n_supp")))
+          .sort(col("nationkey")))(s, d)
+    },
+    "join_stream_table" -> { (s, d) =>
+      // stream enriched with table state for its key
+      val ev = stream(Seq("events"), eventsConsumed)
+      val custs = table("customer", Consumed(keys = Seq("c_custkey")))
+      run(
+        ev.join(custs,
+            projection = Seq(col("event_id"), col("user_id"), col("c_name"),
+                             col("value")))
+          .sort(col("event_id")))(s, d)
+    },
+    "join_global" -> { (s, d) =>
+      // stream ⋈ GlobalKTable on a derived foreign key → broadcast lookup
+      val li = stream(Seq("lineitem"), Consumed(keys = Seq("l_orderkey")))
+      val parts = globalTable("part", Consumed(keys = Seq("p_partkey")))
+      run(
+        li.joinGlobal(parts, derivedKey = Seq(col("l_partkey")),
+            projection = Seq(col("l_orderkey"), col("l_linenumber"),
+                             col("p_name"), col("p_retailprice")))
+          .sort(col("l_orderkey"), col("l_linenumber")))(s, d)
+    },
+    "join_stream_stream_window" -> { (s, d) =>
+      // stream-stream equi-join within a time band (JoinWindows analog):
+      // lineitems shipped within 60 days of their order date
+      val orders = stream(Seq("orders"),
+        Consumed(keys = Seq("o_orderkey"), eventTime = Some("o_orderdate")))
+      val li = stream(Seq("lineitem"),
+        Consumed(keys = Seq("l_orderkey"), eventTime = Some("l_shipdate")))
+      run(
+        orders.join(li, window = Some(JoinWindow("0 seconds", "60 days")),
+            projection = Seq(col("o_orderkey"), col("l_linenumber"),
+                             col("l_quantity"), col("o_orderstatus")))
+          .sort(col("o_orderkey"), col("l_linenumber")))(s, d)
+    },
+
+    // ---- headline analytics (bench anchors; SURVEY §2.9 superset) ----
+    "q1_pricing" -> { (s, d) =>
+      run(
+        stream(Seq("lineitem"), Consumed())
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
+              .as("sum_qty"),
+            round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+              .as("sum_base_price"),
+            round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")) / 100.0, 2).as("sum_disc_price"),
+            round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")) * 100).cast("long")) / 100.0, 2)
+              .as("sum_charge"),
+            round(sum(round(col("l_quantity") * 1000000).cast("long")) / 1e6
+              / count(lit(1)), 4).as("avg_qty"),
+            round(sum(round(col("l_extendedprice") * 1000000).cast("long")) / 1e6
+              / count(lit(1)), 4).as("avg_price"),
+            round(sum(round(col("l_discount") * 1000000).cast("long")) / 1e6
+              / count(lit(1)), 6).as("avg_disc"),
+            count(lit(1)).cast("long").as("count_order"))
+          .sort(col("l_returnflag"), col("l_linestatus")))(s, d)
+    },
+    "q3_revenue" -> { (s, d) =>
+      val li = stream(Seq("lineitem"),
+        Consumed(keys = Seq("l_orderkey"), eventTime = Some("l_shipdate")))
+      val orders = table("orders", Consumed(keys = Seq("o_orderkey")))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val custs = globalTable("customer", Consumed(keys = Seq("c_custkey")))
+        .filter(col("c_mktsegment") === "BUILDING")
+      run(
+        li.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .join(orders)
+          .joinGlobal(custs, derivedKey = Seq(col("o_custkey")))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                 * 100).cast("long")) / 100.0, 2).as("revenue"))
+          .sort(col("l_orderkey")))(s, d)
+    }
+  )
+
+  // ------------------------------------------------------------------ //
+  val oracle: Map[String, String] = Map(
+    "src_stream" ->
+      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""",
+    "src_stream_pattern" ->
+      """SELECT name FROM (SELECT n_name AS name FROM nation UNION ALL SELECT r_name FROM region) ORDER BY name""",
+    "src_table" ->
+      """SELECT user_id, arg_max(event_type, event_id) AS event_type,
+         arg_max(value, event_id) AS value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "src_global_table" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "op_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE value > 100 ORDER BY event_id""",
+    "op_filter_not" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE NOT (value > 100) ORDER BY event_id""",
+    "op_map" ->
+      """SELECT CAST(user_id % 100 AS BIGINT) AS k, round(value * 0.1, 3) AS v,
+         event_id FROM events ORDER BY event_id""",
+    "op_map_values" ->
+      """SELECT event_id, user_id, upper(event_type) AS etype FROM events
+         ORDER BY event_id""",
+    "op_flat_map" ->
+      """SELECT k, tag, v, event_id FROM (
+           SELECT user_id AS k, 'a' AS tag, value AS v, event_id FROM events
+           UNION ALL
+           SELECT user_id, 'b', round(value * 2, 2), event_id FROM events)
+         ORDER BY event_id, tag""",
+    "op_flat_map_values" ->
+      """SELECT doc_id, word FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' ORDER BY doc_id, word""",
+    "op_select_key" ->
+      """SELECT event_type AS k, event_id, value FROM events ORDER BY event_id""",
+    "op_branch" ->
+      """SELECT event_id, value FROM events
+         WHERE NOT (value > 150) AND value > 50 ORDER BY event_id""",
+    "op_merge" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+         ORDER BY event_id""",
+    "op_to_stream" ->
+      """SELECT event_type, count(*) AS n_users FROM (
+           SELECT user_id, arg_max(event_type, event_id) AS event_type
+           FROM events GROUP BY user_id)
+         GROUP BY event_type ORDER BY event_type""",
+    "op_peek" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
+    "op_serde_json" ->
+      """SELECT user_id, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_count" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+         ORDER BY event_type""",
+    "agg_count_windowed" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         user_id, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "agg_count_hopping" ->
+      """WITH slots AS (SELECT unnest([0, 1]) AS s)
+         SELECT CAST(date_trunc('day', ts) - INTERVAL 12 HOUR * s
+                     + INTERVAL 12 HOUR * CAST(extract(hour FROM ts) >= 12 AS INT) AS TIMESTAMP)
+                AS window_start,
+                event_type, count(*) AS n
+         FROM events, slots
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "agg_reduce" ->
+      """SELECT user_id, round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+         AS value FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_aggregate" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_v,
+         max(value) AS max_v
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         flags AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flags)
+         SELECT min(ts) AS session_start, user_id, count(*) AS n
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "join_table_table" ->
+      """SELECT c.c_custkey, c.c_name, o.n_orders, o.total
+         FROM customer c
+         JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                      round(sum(o_totalprice), 2) AS total
+               FROM orders GROUP BY o_custkey) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c.c_custkey""".replace(
+           "round(sum(o_totalprice), 2)",
+           "round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)"),
+    "join_left" ->
+      """SELECT c.c_custkey, c.c_name,
+         CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+         round(coalesce(o.total, 0), 2) AS total
+         FROM customer c
+         LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+                           round(sum(o_totalprice), 2) AS total
+                    FROM orders GROUP BY o_custkey) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c.c_custkey""".replace(
+           "round(sum(o_totalprice), 2)",
+           "round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)"),
+    "join_outer" ->
+      """SELECT coalesce(c.k, s.k) AS nationkey,
+         CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+         CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+         FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+           ON c.k = s.k
+         ORDER BY nationkey""",
+    "join_stream_table" ->
+      """SELECT e.event_id, e.user_id, c.c_name, e.value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
+    "join_global" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "join_stream_stream_window" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+         FROM orders o JOIN lineitem l
+           ON o.o_orderkey = l.l_orderkey
+          AND l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+         ORDER BY o.o_orderkey, l.l_linenumber""",
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,
+         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+         round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+         round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
+         round(sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1e6 / count(*), 4) AS avg_qty,
+         round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1e6 / count(*), 4) AS avg_price,
+         round(sum(CAST(round(l_discount * 1000000) AS BIGINT)) / 1e6 / count(*), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_revenue" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+         round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
+         FROM customer c, orders o, lineitem l
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND c.c_custkey = o.o_custkey
+           AND l.l_orderkey = o.o_orderkey
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           AND l.l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l.l_orderkey, o.o_orderdate
+         ORDER BY l.l_orderkey"""
+  )
+}
