@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (BASELINE.json north-star). Two tiers:
+  *  - brute-force cosine top-k: the exactness baseline — a broadcast join of
+  *    the (small) query set against the corpus, one pass, no shuffle of the
+  *    corpus, then a per-query top-k window.
+  *  - LSH-bucketed top-k: the 100 TB path — corpus bucketed once by
+  *    random-hyperplane signature (cheap expressions), queries probe only
+  *    matching buckets (multi-probe by flipping bits), candidates ranked
+  *    exactly. Corpus shuffle is by 32-bit bucket id, not by vector.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double>/array<float> columns, in
+    * double. Sequential left-to-right fold → deterministic, engine-portable.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** Random-hyperplane signature (an int bucket id): bit j = sign of
+    * <v, h_j> with h_j derived deterministically from `seed`. Hyperplane
+    * components are folded in as literals → whole expression, no UDF.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Int): Column = {
+    val rnd = new scala.util.Random(seed)
+    val vd = vec.cast("array<double>")
+    val bits = (0 until planes).map { j =>
+      val h = Array.fill(64)(rnd.nextGaussian())
+      val dot = aggregate(
+        zip_with(vd, array(h.map(x => lit(x)): _*),
+                 (x, y) => x * y),
+        lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast("int")
+  }
+
+  /** Exact brute-force cosine top-k: `queries` must be small (it is
+    * broadcast). Returns (query_id, neighbor_id, cos, rank) with rank 1..k
+    * per query, deterministic tie-break by neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+                                     col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qv"), col("cv")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: corpus bucketed by hyperplane
+    * signature; each query probes its own bucket plus all 1-bit-flip
+    * neighbors (multi-probe), then candidates are ranked exactly. Recall is
+    * tunable via planes/probes; cost per query is O(bucket size), not O(n).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, vecCol: String = "embedding",
+              idCol: String = "vec_id", seed: Int = 42): DataFrame = {
+    val bucketed = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneSignature(col(vecCol), planes, seed).as("bucket"))
+    // query probes: own signature + each 1-bit flip
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+                     hyperplaneSignature(col(vecCol), planes, seed).as("sig"))
+        .select(col("query_id"), col("qv"),
+          explode(array(col("sig") +: (0 until planes).map(i =>
+            col("sig").bitwiseXOR(lit(1 << i))): _*)).as("bucket")))
+    bucketed.join(probes, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qv"), col("cv")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure Column
+  * expressions (codegen'd, pushdown-friendly) — no UDFs in these paths.
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies for the n-gram-heuristic language identifier.
+    * Deliberately tiny and deterministic: production systems plug in real
+    * profiles; the operator shape (score-per-language argmax) is the point.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " nicht "),
+    "en" -> Seq(" the ", " and ", " of ", " to "),
+    "es" -> Seq(" el ", " los ", " que ", " y "),
+    "fr" -> Seq(" le ", " les ", " et ", " une "),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  /** Occurrences of `needle` in `haystack` via length arithmetic (portable
+    * across engines, no regex dialects).
+    */
+  def countOccurrences(haystack: Column, needle: String): Column =
+    ((length(haystack) - length(replace(haystack, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** Heuristic language ID: argmax over marker-hit counts; ties and
+    * zero-evidence fall back to the alphabetically-first candidate ("und"
+    * when no marker hits at all).
+    */
+  def langId(textCol: Column): Column = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
+    val scores = langMarkers.map { case (lang, markers) =>
+      val score = markers.map(m => countOccurrences(padded, m)).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = aggregate(array(scores: _*),
+      struct(lit(-1).as("score"), lit("").as("lang")),
+      (acc, s) => when(s.getField("score") > acc.getField("score"), s)
+                    .otherwise(acc))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** Quality features: token count, mean token length, stopword ratio,
+    * non-alphanumeric character ratio, and a composite score in [0,1] —
+    * the length/punct/stopword heuristics gate from C4-style pipelines.
+    */
+  def qualityFeatures(textCol: Column): Column = {
+    val t = toks(textCol)
+    val nTok = size(t).cast("double")
+    val meanLen = aggregate(t, lit(0.0), (a, w) => a + length(w)) /
+      greatest(nTok, lit(1.0))
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val stopHits = aggregate(t, lit(0.0),
+      (a, w) => a + when(lower(w).isin(stop.map(x => x: Any): _*), 1.0).otherwise(0.0))
+    val stopRatio = stopHits / greatest(nTok, lit(1.0))
+    val nonAlnum = (length(textCol) -
+      length(regexp_replace(textCol, lit("[^A-Za-z0-9 ]"), lit("")))).cast("double") /
+      greatest(length(textCol).cast("double"), lit(1.0))
+    val score =
+      when(nTok < 5, 0.0).otherwise(
+        lit(1.0)
+          * when(meanLen.between(3, 12), 1.0).otherwise(0.5)
+          * when(stopRatio.between(0.01, 0.5), 1.0).otherwise(0.7)
+          * when(nonAlnum < 0.2, 1.0).otherwise(0.5))
+    struct(nTok.cast("long").as("n_tokens"),
+           round(meanLen, 4).as("mean_token_len"),
+           round(stopRatio, 4).as("stopword_ratio"),
+           round(nonAlnum, 4).as("non_alnum_ratio"),
+           round(score, 4).as("quality"))
+  }
+
+  /** Whitespace token count (exact) — the cheap budget estimator. */
+  def tokenCount(textCol: Column): Column = size(toks(textCol)).cast("long")
+
+  /** BPE-ish subword count estimate: words are charged ceil(len/4) pieces —
+    * the "~4 chars per token" rule — as a pure expression.
+    */
+  def subwordEstimate(textCol: Column): Column =
+    aggregate(toks(textCol), lit(0L),
+      (a, w) => a + ceil(length(w) / lit(4.0)).cast("long"))
+
+  /** Winnowing-style document fingerprint: k-gram rolling hashes, minimum
+    * per sliding window of w — the classic MOSS selection. Returns the
+    * distinct fingerprint array (sorted, deterministic).
+    */
+  def fingerprints(textCol: Column, k: Int = 5, w: Int = 4): Column = {
+    val grams = Dedup.shingles(textCol, k)
+    val hs = transform(grams, g => xxhash64(g))
+    val n = size(hs)
+    val mins = when(n <= w, array(array_min(hs))).otherwise(
+      transform(sequence(lit(0), n - w),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
+}
