@@ -117,8 +117,18 @@ object Compiler {
       val df = decode(env.load(topic), consumed)
       val keys = consumed.keys
       require(keys.nonEmpty, s"table $topic needs key columns (Consumed.keys)")
-      KFrame(compact(df, keys, orderBy.orElse(consumed.eventTime)), keys,
-             consumed.eventTime, isTable = true)
+      val ord = orderBy.orElse(consumed.eventTime)
+      if (env.isStreaming) {
+        // Changelog compaction as a chainable upsert kernel (SURVEY §7.5
+        // risk #1: update-mode aggregates can't feed further stateful ops).
+        val raw = KFrame(df, keys, consumed.eventTime, isTable = true)
+        val compacted = ord match {
+          case Some(o) => graft.state.TableKernels.latestPerKey(raw, o)
+          case None => df.dropDuplicates(keys)
+        }
+        KFrame(compacted, keys, consumed.eventTime, isTable = true)
+      } else
+        KFrame(compact(df, keys, ord), keys, consumed.eventTime, isTable = true)
 
     case GlobalTableSource(topic, consumed, _) =>
       val df = decode(env.load(topic), consumed)
@@ -333,6 +343,20 @@ object Compiler {
     val lf = compile(j.left, env)
     val rf0 = compile(j.right, env)
     val how = j.how.toString
+
+    // Streaming KTable ⋈ KTable: two changelogs cannot equi-join directly in
+    // Spark — route through the co-grouped state kernel (SURVEY §2.4).
+    if (env.isStreaming && lf.isTable && rf0.isTable && !j.broadcastRight &&
+        j.derivedKey.isEmpty && j.window.isEmpty) {
+      val howName = j.how match {
+        case JoinHow.Inner => "inner"
+        case JoinHow.Left => "left"
+        case JoinHow.Outer => "outer"
+      }
+      val joined = graft.state.TableKernels.tableTableJoin(lf, rf0, howName)
+      val out = if (j.projection.nonEmpty) joined.select(j.projection: _*) else joined
+      return KFrame(out, lf.keys, None, isTable = true)
+    }
 
     // Derived-key lookup joins (`:join-global`): compute the foreign key on
     // the left, then equi-join it to the right's key.

@@ -1,0 +1,113 @@
+package graft.state
+
+import graft.compile.KFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** KTable (changelog) kernels for streaming mode — SURVEY §7.5 risk #1:
+  * Spark update-mode aggregates cannot feed further stateful operators, so
+  * KTable semantics run as flatMapGroupsWithState kernels that emit upsert
+  * rows in Append mode (chainable). Tombstones (null-valued records, SURVEY
+  * §2.10) delete state and emit a null-value row downstream.
+  */
+object TableKernels {
+
+  /** Latest-value-per-key over a keyed record stream — the `:table` source
+    * semantics (`eval.clj:72`): each input batch updates per-key state with
+    * the record of highest `orderCol` (the Kafka-offset analog); changed
+    * keys re-emit their full row.
+    */
+  def latestPerKey(f: KFrame, orderCol: String): DataFrame = {
+    val keyNames = f.keys
+    val schema = f.df.schema
+    val keySchema = StructType(keyNames.map(schema(_)))
+    val ordIdx = schema.fieldIndex(orderCol)
+    val kEnc = Encoders.row(keySchema)
+    val oEnc = Encoders.row(schema)
+    val toKey = (row: Row) => Row.fromSeq(keyNames.map(row.getAs[Any]))
+    def ord(r: Row): Comparable[Any] =
+      r.get(ordIdx).asInstanceOf[Comparable[Any]]
+    // Append mode: emissions are upsert *events* on the changelog — and
+    // only Append-mode FMGWS operators may chain (table → table-join → ...).
+    f.df.groupByKey(toKey)(kEnc)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Row, it: Iterator[Row], state: GroupState[Row]) =>
+          val best = (state.getOption.iterator ++ it)
+            .reduce((a, b) => if (ord(a).compareTo(ord(b)) >= 0) a else b)
+          val changed = !state.getOption.contains(best)
+          state.update(best)
+          if (changed) Iterator.single(best) else Iterator.empty
+      }(oEnc, oEnc)
+      .toDF()
+  }
+
+  /** KTable ⋈ KTable on primary key (SURVEY §2.4, the hardest mapping):
+    * union the two changelogs tagged by side, hold latest-left/latest-right
+    * per key in state, emit the joined row whenever either side updates.
+    * Emission honors inner/left/full-outer null semantics.
+    */
+  def tableTableJoin(lf: KFrame, rf: KFrame, how: String): DataFrame = {
+    require(lf.keys.size == rf.keys.size, "join key arity mismatch")
+    val spark = lf.df.sparkSession
+    val keyNames = lf.keys
+    val keySchema = StructType(keyNames.map(lf.df.schema(_)))
+    val lVals = lf.valueCols
+    val lStruct = StructType(lVals.map(lf.df.schema(_)))
+    val rKeyed0 = rf.keys.zip(keyNames).foldLeft(rf.df) {
+      case (d, (rk, lk)) => if (rk == lk) d else d.withColumnRenamed(rk, lk)
+    }
+    // right value columns clashing with left (or keys) get a _r suffix —
+    // same disambiguation as the batch join path
+    val taken = (keyNames ++ lVals).toSet
+    val rVals0 = rf.valueCols
+    val rKeyed = rVals0.foldLeft(rKeyed0)((d, c) =>
+      if (taken.contains(c)) d.withColumnRenamed(c, s"${c}_r") else d)
+    val rVals = rVals0.map(c => if (taken.contains(c)) s"${c}_r" else c)
+    val rStruct = StructType(rVals.map(rKeyed.schema(_)))
+
+    val lTagged = lf.df.select(
+      keyNames.map(lf.df.col) :+ lit(0).as("__side") :+
+      struct(lVals.map(lf.df.col): _*).as("__l") :+
+      lit(null).cast(rStruct).as("__r"): _*)
+    val rTagged = rKeyed.select(
+      keyNames.map(rKeyed.col) :+ lit(1).as("__side") :+
+      lit(null).cast(lStruct).as("__l") :+
+      struct(rVals.map(rKeyed.col): _*).as("__r"): _*)
+    val unioned = lTagged.unionByName(rTagged)
+
+    val outSchema = StructType(keySchema ++ lStruct ++ rStruct)
+    val kEnc = Encoders.row(keySchema)
+    val oEnc = Encoders.row(outSchema)
+    val sEnc = Encoders.kryo[Array[Row]] // state: [latestLeft, latestRight]
+    val nKeys = keyNames.size
+    val toKey = (row: Row) => Row.fromSeq((0 until nKeys).map(row.get))
+
+    val emit = (k: Row, l: Option[Row], r: Option[Row]) => {
+      val lSeq = l.map(_.toSeq).getOrElse(Seq.fill(lStruct.size)(null))
+      val rSeq = r.map(_.toSeq).getOrElse(Seq.fill(rStruct.size)(null))
+      Row.fromSeq(k.toSeq ++ lSeq ++ rSeq)
+    }
+    val joined = unioned.groupByKey(toKey)(kEnc)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Row, it: Iterator[Row], state: GroupState[Array[Row]]) =>
+          var Array(l, r) = state.getOption.getOrElse(Array[Row](null, null))
+          var changed = false
+          it.foreach { row =>
+            if (row.getInt(nKeys) == 0) { l = row.getStruct(nKeys + 1); changed = true }
+            else { r = row.getStruct(nKeys + 2); changed = true }
+          }
+          state.update(Array(l, r))
+          val ok = how match {
+            case "inner" => l != null && r != null
+            case "left" => l != null
+            case _ => l != null || r != null
+          }
+          if (changed && ok)
+            Iterator.single(emit(k, Option(l), Option(r)))
+          else Iterator.empty
+      }(sEnc, oEnc)
+    joined.toDF(outSchema.fieldNames: _*)
+  }
+}

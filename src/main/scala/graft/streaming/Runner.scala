@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.ast._
+import graft.compile.{Compiler, Env}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Execution entry points — the analog of the reference's `streams` +
+  * `.start` (`src/cddr/ksml/core.clj:39-41`, `README.md:70-73`): compile a
+  * topology and launch it as a StreamingQuery. The reference's StreamsConfig
+  * map (`anomaly_detection.clj:45-51`) maps onto [[StreamsCfg]]:
+  * application.id → queryName + checkpoint dir, commit.interval.ms →
+  * trigger interval, cache.max.bytes.buffering≈0 → Update mode emission.
+  */
+object Runner {
+
+  final case class StreamsCfg(
+      queryName: String = "graft",
+      checkpointLocation: Option[String] = None,
+      triggerMs: Long = 500L, // reference example commit.interval: 500 ms
+      outputMode: String = "update"
+  )
+
+  /** Compile against a (streaming) env — `ksml*` analog (`core.clj:18-23`). */
+  def build(node: KNode, env: Env): DataFrame = Compiler.compile(node, env).df
+
+  /** Compile + start — `streams` + `.start` analog. */
+  def start(node: KNode, env: Env, sink: SinkSpec,
+            cfg: StreamsCfg = StreamsCfg()): StreamingQuery = {
+    val df = build(node, env)
+    val w0 = df.writeStream
+      .queryName(cfg.queryName)
+      .outputMode(cfg.outputMode)
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+    val w1 = cfg.checkpointLocation.fold(w0)(p => w0.option("checkpointLocation", p))
+    configureSink(w1, sink).start()
+  }
+
+  private def configureSink(w: DataStreamWriter[Row],
+                            sink: SinkSpec): DataStreamWriter[Row] = sink match {
+    case SinkSpec.To(topic, "kafka") =>
+      // `:to!` (README.md:66-68): value must already be encoded by the
+      // sink-side serde (see graft.serde.Serdes / KafkaTopics.encodeFor)
+      w.format("kafka").option("topic", topic)
+    case SinkSpec.To(path, fmt) => w.format(fmt).option("path", path)
+    case SinkSpec.Print => w.format("console") // `:print!`
+    case SinkSpec.Memory(name) => w.format("memory").queryName(name)
+    case SinkSpec.Foreach(action) => // `:foreach` terminal side effect
+      // executed distributed, per record, on the executors (never collect)
+      w.foreachBatch((batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.foreach(action(_)))
+  }
+}

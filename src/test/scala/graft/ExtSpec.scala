@@ -1,0 +1,125 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the LLM-pipeline operators, mixing the driver
+  * fixtures with tiny crafted frames for edge semantics.
+  */
+class ExtSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val crafted = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(crafted).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash finds an injected near-duplicate and verifies jaccard") {
+    val base = docs.limit(50)
+    val dup = base.where(col("doc_id") === base.select(min("doc_id")).head.getLong(0))
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        // near-dup: append two words to an existing doc
+        concat(col("text"), lit(" extra tail")).as("text"))
+    val corpus = base.select("doc_id", "text").unionByName(dup)
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id").collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_b") >= 1000000 &&
+                             r.getAs[Double]("jaccard") > 0.8))
+    val surv = Dedup.survivors(corpus,
+      Dedup.minhashPairs(corpus, "text", "doc_id"), "doc_id")
+    assert(surv.where(col("doc_id") >= 1000000).count() == 0) // dup dropped
+  }
+
+  test("simhash hamming-0 on identical docs, banding finds them") {
+    val crafted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(crafted, "text", "doc_id").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L &&
+           pairs.head.getAs[Long]("id_b") == 2L &&
+           pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("ngram jaccard confirms injected duplicate above threshold") {
+    val base = docs.limit(50).select("doc_id", "text")
+    val dup = base.limit(1)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val pairs = Dedup.ngramJaccardPairs(base.unionByName(dup), "text", "doc_id")
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_b") >= 1000000 &&
+                             r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("brute-force topk: neighbors ranked by cosine, self excluded") {
+    val res = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 5)
+    val rows = res.orderBy("rank").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Long]("neighbor_id") != 0L))
+    val sims = rows.map(_.getAs[Double]("cos"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lsh topk returns a subset consistent with brute force scores") {
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 10)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    val approx = Similarity.lshTopK(emb, emb.where(col("vec_id") === 0), 10)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    // every approx hit must carry the exact cosine score
+    approx.foreach { case (id, c) =>
+      bf.get(id).foreach(exact => assert(math.abs(exact - c) < 1e-12))
+    }
+    assert(approx.nonEmpty)
+  }
+
+  test("language id votes on marker words") {
+    val crafted = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y los perros que viven"),
+      (3L, "qwzx vbnm asdf")).toDF("doc_id", "text")
+    val out = crafted.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("token counts: whitespace exact and subword estimate") {
+    val crafted = Seq((1L, "one two three"), (2L, "extraordinarily long")).toDF("doc_id", "text")
+    val out = crafted.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordEstimate(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 4L))) // one=1, two=1, three=ceil(5/4)=2
+    assert(out(2L) == ((2L, 5L))) // ceil(15/4)=4 + ceil(4/4)=1
+  }
+
+  test("fingerprints are stable and content-sensitive") {
+    val crafted = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+                      (3L, "a b c d e f g h i k")).toDF("doc_id", "text")
+    val fps = crafted.select(col("doc_id"),
+      TextAnalysis.fingerprints(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("multimodal pipeline: decode metadata, resize bound, frame count") {
+    val media = Multimodal.asMedia(docs.limit(20))
+    val decoded = Multimodal.decode(media)
+    val resized = Multimodal.resize(decoded, 64)
+    val metas = resized.select("meta.width", "meta.height", "meta.n_bytes").collect()
+    assert(metas.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
+    assert(metas.forall(_.getLong(2) > 0))
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.count() >= 20) // at least one frame per media
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(_.getSeq[Float](1).length == 16))
+  }
+}
