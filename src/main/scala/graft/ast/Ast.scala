@@ -141,7 +141,12 @@ final case class TableSource(
     topic: String,
     consumed: Consumed = Consumed(),
     orderBy: Option[String] = None,
-    materialized: Option[Materialized] = None
+    materialized: Option[Materialized] = None,
+    /** The source is already latest-per-key (a primary-key snapshot):
+      * skip the compaction shuffle — the analog of Kafka Streams'
+      * source-KTable reuse under topology.optimization.
+      */
+    unique: Boolean = false
 ) extends KNode
 
 /** GlobalKTable: fully replicated lookup table (`eval.clj:73`) → broadcast
@@ -150,7 +155,8 @@ final case class TableSource(
 final case class GlobalTableSource(
     topic: String,
     consumed: Consumed = Consumed(),
-    materialized: Option[Materialized] = None
+    materialized: Option[Materialized] = None,
+    unique: Boolean = false
 ) extends KNode
 
 // ---------------------------------------------------------------------------

@@ -20,12 +20,14 @@ object dsl {
 
   def table(topic: String, consumed: Consumed = Consumed(),
             orderBy: Option[String] = None,
-            materialized: Option[Materialized] = None): TableSource =
-    TableSource(topic, consumed, orderBy, materialized)
+            materialized: Option[Materialized] = None,
+            unique: Boolean = false): TableSource =
+    TableSource(topic, consumed, orderBy, materialized, unique)
 
   def globalTable(topic: String, consumed: Consumed = Consumed(),
-                  materialized: Option[Materialized] = None): GlobalTableSource =
-    GlobalTableSource(topic, consumed, materialized)
+                  materialized: Option[Materialized] = None,
+                  unique: Boolean = false): GlobalTableSource =
+    GlobalTableSource(topic, consumed, materialized, unique)
 
   def merge(first: KNode, rest: KNode*): MergeOp = MergeOp(first +: rest)
 

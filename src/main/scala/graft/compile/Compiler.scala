@@ -113,12 +113,15 @@ object Compiler {
         .reduce(_.unionByName(_, allowMissingColumns = true))
       KFrame(df, consumed.keys, consumed.eventTime)
 
-    case TableSource(topic, consumed, orderBy, _) =>
+    case TableSource(topic, consumed, orderBy, _, unique) =>
       val df = decode(env.load(topic), consumed)
       val keys = consumed.keys
       require(keys.nonEmpty, s"table $topic needs key columns (Consumed.keys)")
       val ord = orderBy.orElse(consumed.eventTime)
-      if (env.isStreaming) {
+      if (unique && !env.isStreaming)
+        // primary-key snapshot: no compaction shuffle needed
+        KFrame(df, keys, consumed.eventTime, isTable = true)
+      else if (env.isStreaming) {
         // Changelog compaction as a chainable upsert kernel (SURVEY §7.5
         // risk #1: update-mode aggregates can't feed further stateful ops).
         val raw = KFrame(df, keys, consumed.eventTime, isTable = true)
@@ -130,14 +133,15 @@ object Compiler {
       } else
         KFrame(compact(df, keys, ord), keys, consumed.eventTime, isTable = true)
 
-    case GlobalTableSource(topic, consumed, _) =>
+    case GlobalTableSource(topic, consumed, _, unique) =>
       val df = decode(env.load(topic), consumed)
       val keys = consumed.keys
       require(keys.nonEmpty, s"global table $topic needs key columns")
-      // Fully-replicated lookup side (`eval.clj:73`) → broadcast hint; the
-      // compaction is a no-op when the batch table is already keyed 1:1.
-      KFrame(broadcast(compact(df, keys, consumed.eventTime)), keys,
-             consumed.eventTime, isTable = true)
+      // Fully-replicated lookup side (`eval.clj:73`) → broadcast hint;
+      // unique sources skip the compaction shuffle before the broadcast.
+      val compacted =
+        if (unique) df else compact(df, keys, consumed.eventTime)
+      KFrame(broadcast(compacted), keys, consumed.eventTime, isTable = true)
 
     // ---- stateless -----------------------------------------------------
     case FilterOp(up, pred, negate) =>

@@ -55,7 +55,7 @@ object CoreQueries {
     },
     "src_global_table" -> { (s, d) =>
       run(
-        globalTable("nation", Consumed(keys = Seq("n_nationkey")))
+        globalTable("nation", Consumed(keys = Seq("n_nationkey")), unique = true)
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .sort(col("n_nationkey")))(s, d)
     },
@@ -238,7 +238,8 @@ object CoreQueries {
     // ---- joins (§2.4) ----
     "join_table_table" -> { (s, d) =>
       // KTable ⋈ KTable on primary key: customers ⋈ per-customer order agg
-      val custs = table("customer", Consumed(keys = Seq("c_custkey")))
+      val custs = table("customer", Consumed(keys = Seq("c_custkey")),
+                        unique = true)
       val orderAgg = stream(Seq("orders"), Consumed(keys = Seq("o_custkey")))
         .groupByKey
         .agg(count(lit(1)).cast("long").as("n_orders"),
@@ -251,7 +252,8 @@ object CoreQueries {
           .sort(col("c_custkey")))(s, d)
     },
     "join_left" -> { (s, d) =>
-      val custs = table("customer", Consumed(keys = Seq("c_custkey")))
+      val custs = table("customer", Consumed(keys = Seq("c_custkey")),
+                        unique = true)
       val orderAgg = stream(Seq("orders"), Consumed(keys = Seq("o_custkey")))
         .groupByKey
         .agg(count(lit(1)).cast("long").as("n_orders"),
@@ -282,7 +284,8 @@ object CoreQueries {
     "join_stream_table" -> { (s, d) =>
       // stream enriched with table state for its key
       val ev = stream(Seq("events"), eventsConsumed)
-      val custs = table("customer", Consumed(keys = Seq("c_custkey")))
+      val custs = table("customer", Consumed(keys = Seq("c_custkey")),
+                        unique = true)
       run(
         ev.join(custs,
             projection = Seq(col("event_id"), col("user_id"), col("c_name"),
@@ -292,7 +295,8 @@ object CoreQueries {
     "join_global" -> { (s, d) =>
       // stream ⋈ GlobalKTable on a derived foreign key → broadcast lookup
       val li = stream(Seq("lineitem"), Consumed(keys = Seq("l_orderkey")))
-      val parts = globalTable("part", Consumed(keys = Seq("p_partkey")))
+      val parts = globalTable("part", Consumed(keys = Seq("p_partkey")),
+                              unique = true)
       run(
         li.joinGlobal(parts, derivedKey = Seq(col("l_partkey")),
             projection = Seq(col("l_orderkey"), col("l_linenumber"),
@@ -341,9 +345,11 @@ object CoreQueries {
     "q3_revenue" -> { (s, d) =>
       val li = stream(Seq("lineitem"),
         Consumed(keys = Seq("l_orderkey"), eventTime = Some("l_shipdate")))
-      val orders = table("orders", Consumed(keys = Seq("o_orderkey")))
+      val orders = table("orders", Consumed(keys = Seq("o_orderkey")),
+                         unique = true)
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val custs = globalTable("customer", Consumed(keys = Seq("c_custkey")))
+      val custs = globalTable("customer", Consumed(keys = Seq("c_custkey")),
+                              unique = true)
         .filter(col("c_mktsegment") === "BUILDING")
       run(
         li.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
