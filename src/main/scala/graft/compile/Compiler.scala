@@ -98,7 +98,11 @@ final class StreamEnv(val spark: SparkSession, streams: Map[String, DataFrame])
   */
 object Compiler {
 
-  def compile(node: KNode, env: Env): KFrame = node match {
+  /** Public entry: normalize (filter fusion, merge flattening) then fold. */
+  def compile(node: KNode, env: Env): KFrame =
+    compile0(Normalizer.normalize(node), env)
+
+  private[graft] def compile0(node: KNode, env: Env): KFrame = node match {
 
     // ---- sources -------------------------------------------------------
     case StreamSource(topics, pattern, consumed) =>
@@ -258,6 +262,19 @@ object Compiler {
       c.keySerde.foreach(s => out = out.withColumn("key", s.decode(col("key"))))
     if (df.columns.contains("value"))
       c.valueSerde.foreach(s => out = out.withColumn("value", s.decode(col("value"))))
+    // Invalid-event-time policies (`:timestamp-extractor`, eval.clj:92-93):
+    // invalid ≡ null event time. The default (FailOnInvalid) leaves the
+    // column untouched so event-time predicates still push down to the scan;
+    // nulls then surface naturally in stateful ops.
+    c.eventTime.filter(out.columns.contains).foreach { ts =>
+      c.timestampPolicy match {
+        case TimestampPolicy.LogAndSkipOnInvalid =>
+          out = out.filter(col(ts).isNotNull)
+        case TimestampPolicy.WallclockOnInvalid =>
+          out = out.withColumn(ts, coalesce(col(ts), current_timestamp()))
+        case TimestampPolicy.FailOnInvalid => ()
+      }
+    }
     out
   }
 
