@@ -1,0 +1,75 @@
+package graft
+
+import graft.ast._
+import graft.ast.dsl._
+import graft.compile.{Compiler, Normalizer, ParquetEnv}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based operator laws (SURVEY §5d): branch totality, merge
+  * additivity, filter-fusion equivalence, reduce≡declarative-agg for
+  * monoids — randomized over predicate thresholds and key mappings.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private def env = new ParquetEnv(spark, sfDir)
+  private lazy val events = env.load("events")
+  private lazy val total = events.count()
+  private val consumed = Consumed(keys = Seq("user_id"), eventTime = Some("ts"))
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(5)
+    .withWorkers(1)
+
+  private def holds(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("branch partitions the stream for any predicate thresholds") {
+    holds(Prop.forAll(Gen.choose(0.0, 200.0), Gen.choose(0.0, 200.0)) {
+      (t1: Double, t2: Double) =>
+        val branches = stream(Seq("events"), consumed)
+          .branch(col("value") > t1, col("value") > t2, lit(true))
+        val counts = branches.map(b => Compiler.compile(b, env).df.count())
+        counts.sum == total && counts.forall(_ >= 0)
+    })
+  }
+
+  test("merge is additive on counts for any predicate split") {
+    holds(Prop.forAll(Gen.choose(0.0, 200.0)) { t: Double =>
+      val ev = stream(Seq("events"), consumed)
+      val a = ev.filter(col("value") > t)
+      val b = ev.filterNot(col("value") > t)
+      Compiler.compile(a.merge(b), env).df.count() == total
+    })
+  }
+
+  test("normalized filter chain is equivalent to the fused conjunction") {
+    holds(Prop.forAll(Gen.choose(0.0, 150.0), Gen.choose(50.0, 200.0)) {
+      (lo: Double, hi: Double) =>
+        val chain = stream(Seq("events"), consumed)
+          .filter(col("value") > lo).filter(col("value") < hi)
+        val fusedCount = Compiler.compile(chain, env).df.count()
+        fusedCount ==
+          events.where(col("value") > lo && col("value") < hi).count()
+    })
+  }
+
+  test("typed reduce equals declarative sum for any re-keying modulus") {
+    holds(Prop.forAll(Gen.choose(2, 23)) { m: Int =>
+      val node = ReduceOp(
+        stream(Seq("events"), consumed)
+          .map(keys = Seq((col("user_id") % m).as("k")),
+               values = Seq(round(col("value") * 100).cast("long").as("c")))
+          .groupByKey,
+        reducer = (a: Row, b: Row) => Row(a.getLong(0) + b.getLong(0)))
+      val got = Compiler.compile(node, env).df
+      val expected = events
+        .groupBy((col("user_id") % m).as("k"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      got.except(expected).isEmpty && expected.except(got).isEmpty
+    })
+  }
+}
