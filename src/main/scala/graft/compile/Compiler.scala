@@ -330,7 +330,7 @@ object Compiler {
         })
         f.df.withWatermark(f.eventTime.get, delay)
       } else f.df
-    win match {
+    val result = win match {
       case None =>
         val out = watermarked.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
         val keyNames = out.columns.take(keyCols.size).toSeq
@@ -348,6 +348,13 @@ object Compiler {
           out.columns.toSeq.tail.map(out.col): _*)
         KFrame(flat, "window_start" +: keyNames, None, isTable = true)
     }
+    // Named materialization (`Materialized.as`, eval.clj:169-173): register
+    // the state view for interactive queries (graft.iq). Batch registers a
+    // temp view; streaming queryable state goes through a memory sink
+    // (Runner + SinkSpec.Memory).
+    if (!env.isStreaming)
+      mat.flatMap(_.name).foreach(n => result.df.createOrReplaceTempView(n))
+    result
   }
 
   /** Join compilation (SURVEY §2.4). All reference joins are equi-joins on

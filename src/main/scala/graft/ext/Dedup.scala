@@ -29,6 +29,16 @@ object Dedup {
       .groupBy(xxhash64(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).cast("long").as("n_copies"))
 
+  /** Streaming exact dedup: keep the first record per key within the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — state is bounded
+    * by the delay, unlike plain dropDuplicates whose state grows forever).
+    * The streaming face of [[exact]] for live ingestion pipelines.
+    */
+  def exactStream(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Word-shingle array (k consecutive tokens joined), the unit of Jaccard
     * similarity for minhash / n-gram dedup.
     */

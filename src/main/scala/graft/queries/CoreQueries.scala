@@ -235,6 +235,50 @@ object CoreQueries {
           .sort(col("user_id"), col("session_start")))(s, d)
     },
 
+    "op_process" -> { (s, d) =>
+      // Processor API (`:process!` eval_test.clj:421-425): running max per
+      // user, emitting on every increase — arbitrary stateful per-record
+      // logic with an opaque state handle, processed in event-time order
+      val node = ProcessOp(
+        stream(Seq("events"), eventsConsumed).mapValues(col("value")),
+        init = () => Array[Byte](),
+        process = (state, row) => {
+          val prev = if (state.isEmpty) Double.MinValue
+            else java.nio.ByteBuffer.wrap(state).getDouble
+          val v = row.getAs[Double]("value")
+          if (v > prev)
+            (java.nio.ByteBuffer.allocate(8).putDouble(v).array(),
+             Iterator.single(Row(row.getAs[Long]("user_id"), v)))
+          else (state, Iterator.empty)
+        },
+        outSchema = StructType(Seq(StructField("user_id", LongType),
+                                   StructField("vmax", DoubleType))))
+      run(SortOp(node, Seq(col("user_id"), col("vmax"))))(s, d)
+    },
+    "agg_topk" -> { (s, d) =>
+      // analytic-window superset (SURVEY §2.9): top-3 orders per customer
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      run(stream(Seq("orders"), Consumed(keys = Seq("o_custkey"))))(s, d)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk").cast("long").as("rk"),
+                col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    },
+    "agg_salted" -> { (s, d) =>
+      // skew-safe two-phase salted aggregation == plain aggregation result
+      graft.ext.Skew.saltedSum(
+          s.read.parquet(s"$d/lineitem.parquet")
+            .select(col("l_returnflag"),
+                    round(col("l_quantity") * 100).cast("long").as("qc")),
+          keys = Seq("l_returnflag"), valueCol = "qc", salts = 16)
+        .select(col("l_returnflag"),
+                round(col("sum_qc") / 100.0, 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ---- joins (§2.4) ----
     "join_table_table" -> { (s, d) =>
       // KTable ⋈ KTable on primary key: customers ⋈ per-customer order agg
@@ -451,6 +495,26 @@ object CoreQueries {
            FROM flags)
          SELECT min(ts) AS session_start, user_id, count(*) AS n
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "op_process" ->
+      """WITH x AS (SELECT user_id, value,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prevmax
+         FROM events)
+         SELECT user_id, value AS vmax FROM x
+         WHERE prevmax IS NULL OR value > prevmax
+         ORDER BY user_id, vmax""",
+    "agg_topk" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "agg_salted" ->
+      """SELECT l_returnflag,
+         round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "join_table_table" ->
       """SELECT c.c_custkey, c.c_name, o.n_orders, o.total
          FROM customer c

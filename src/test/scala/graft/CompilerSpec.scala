@@ -181,6 +181,19 @@ class CompilerSpec extends SparkSpecBase {
     assert(wall.df.where(col("ts").isNull).count() == 0)
   }
 
+  test("materialized name registers a queryable store (IQ parity)") {
+    val node = CountOp(
+      stream(Seq("events"), consumed).groupBy(col("event_type")),
+      as = "n",
+      materialized = Some(Materialized(name = Some("type_counts"))))
+    Compiler.compile(node, env)
+    val viaIq = graft.iq.InteractiveQueries.lookup(
+      spark, "type_counts", "event_type", "click")
+    assert(viaIq.length == 1)
+    assert(viaIq.head.getAs[Long]("n") ==
+      events.where(col("event_type") === "click").count())
+  }
+
   test("repartition applies the requested partitioning") {
     val f = Compiler.compile(
       stream(Seq("events"), consumed)

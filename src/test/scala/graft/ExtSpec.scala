@@ -110,6 +110,17 @@ class ExtSpec extends SparkSpecBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("salted aggregation equals plain aggregation") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val salted = graft.ext.Skew.saltedSum(
+      li.select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc")),
+      keys = Seq("l_returnflag"), valueCol = "qc")
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qc"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("multimodal pipeline: decode metadata, resize bound, frame count") {
     val media = Multimodal.asMedia(docs.limit(20))
     val decoded = Multimodal.decode(media)

@@ -144,6 +144,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.getAs[String]("rv") == "R5")
   }
 
+  test("streaming exact dedup keeps first record per key within watermark") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = graft.ext.Dedup.exactStream(
+      ms.toDF().toDF("doc_id", "ts", "text"),
+      keys = Seq("doc_id"), tsCol = "ts", watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      ms.addData((1L, ts(3), "a-dup2"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dd").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(rows.find(_.getLong(0) == 1L).get.getString(2) == "a")
+  }
+
   test("runner starts a topology with the memory sink (streams analog)") {
     val ms = MemoryStream[(Long, String)]
     ms.addData((1L, "x"))
