@@ -162,21 +162,30 @@ object Dedup {
                    maxBits: Int = 3): DataFrame = {
     val chunks = maxBits + 1
     val width = 64 / chunks
-    // explode + 64 codegen'd sum lanes (map-side combined), as in
-    // minhashPairs: one token hash per token, bit b tested by literal shift
+    // explode + codegen'd sum lanes (map-side combined), as in minhashPairs:
+    // one token hash per token, bit b tested by literal shift. Each lane
+    // packs four 16-bit counters (bits 4j..4j+3) — 16 aggregate buffers
+    // instead of 64 keeps Janino compilation off the critical path; the
+    // sign test is branch-free (2·Σbit > n). Token count per doc is capped
+    // at 65535 so packed fields cannot overflow.
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
     val counts = docs
       .select(col(idCol).as("id"),
-        explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
+        explode(slice(toks, lit(1), lit(65535))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
       .groupBy("id")
-      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
-                 .otherwise(-1L)).as("c0"),
-           (1 until 64).map(b =>
-             sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-                   .otherwise(-1L)).as(s"c$b")): _*)
+      .agg(count(lit(1)).as("n"),
+           (0 until 16).map { j =>
+             val packed = (0 until 4).map { i =>
+               shiftleft(shiftright(col("h"), 4 * j + i).bitwiseAND(1), 16 * i)
+             }.reduce(_ bitwiseOR _)
+             sum(packed).as(s"p$j")
+           }: _*)
     val sig = counts.select(col("id"),
       (0 until 64).map { b =>
-        when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L)
+        val field = shiftright(col(s"p${b / 4}"), 16 * (b % 4))
+          .bitwiseAND(0xffffL)
+        when(field * 2 > col("n"), lit(1L << b)).otherwise(0L)
       }.reduce(_ bitwiseOR _).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: banding + 2 verify joins
     val banded = sig.select(col("id"), col("sig"),

@@ -17,16 +17,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between two array<double>/array<float> columns, in
-    * double. Sequential left-to-right fold → deterministic, engine-portable.
+    * double — a native codegen'd Catalyst expression (one fused loop per
+    * row; see graft.functions.CosineSimilarity). Sequential left-to-right
+    * accumulation → deterministic, engine-portable.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Random-hyperplane signature (an int bucket id): bit j = sign of
     * <v, h_j> with h_j derived deterministically from `seed`. Hyperplane
@@ -37,10 +34,8 @@ object Similarity {
     val vd = vec.cast("array<double>")
     val bits = (0 until planes).map { j =>
       val h = Array.fill(64)(rnd.nextGaussian())
-      val dot = aggregate(
-        zip_with(vd, array(h.map(x => lit(x)): _*),
-                 (x, y) => x * y),
-        lit(0.0), _ + _)
+      val dot = graft.functions.VectorFunctions.dot_product(
+        vd, array(h.map(x => lit(x)): _*))
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast("int")
