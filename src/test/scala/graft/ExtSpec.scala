@@ -110,6 +110,25 @@ class ExtSpec extends SparkSpecBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("fn-pair serde round-trips (the :serde-from / EDN-serde analog)") {
+    import graft.serde.Serdes
+    // custom wire codec: big-endian long bytes
+    val codec = Serdes.fromFn[Long](
+      deserialize = bs => java.nio.ByteBuffer.wrap(bs).getLong,
+      serialize = v => java.nio.ByteBuffer.allocate(8).putLong(v).array())
+    val df = Seq(1L, -42L, Long.MaxValue).toDF("v")
+    val round = df.select(codec.decode(codec.encode(col("v"))).as("v"))
+    assert(round.collect().map(_.getLong(0)).toSet == Set(1L, -42L, Long.MaxValue))
+    // JSON serde round-trip (rich-data analog)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val js = Serdes.json(schema)
+    val jdf = Seq(7L).toDF("k").select(struct(col("k")).as("s"))
+    val back = jdf.select(js.decode(js.encode(col("s"))).getField("k").as("k"))
+    assert(back.head.getLong(0) == 7L)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val salted = graft.ext.Skew.saltedSum(
