@@ -291,6 +291,21 @@ final case class AggregateOp[B](
     materialized: Option[Materialized] = None
 ) extends KNode
 
+/** Session-windowed `:aggregate` with arbitrary user functions — the
+  * `:merger` path (`eval.clj:275-278` + session stores `eval.clj:220,224`).
+  * Runs on the custom session kernel (graft.state.SessionKernels) because
+  * Spark's `session_window` only composes with declarative aggregates.
+  */
+final case class SessionAggregateOp[B](
+    grouped: KNode,
+    gap: String,
+    initializer: () => B,
+    aggregator: (B, Row) => B,
+    merger: (B, B) => B,
+    finisher: B => Row,
+    outSchema: org.apache.spark.sql.types.StructType
+) extends KNode
+
 // ---------------------------------------------------------------------------
 // Joins (§2.4: eval.clj:133-144; all equi-joins on the record key)
 // ---------------------------------------------------------------------------

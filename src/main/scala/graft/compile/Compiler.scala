@@ -246,6 +246,7 @@ object Compiler {
 
     case r: ReduceOp => graft.state.UserAggregates.reduce(r, env)
     case a: AggregateOp[_] => graft.state.UserAggregates.aggregate(a, env)
+    case s: SessionAggregateOp[_] => graft.state.SessionKernels.run(s, env)
     case p: ProcessOp => graft.state.Processors.run(p, env)
 
     // ---- joins ---------------------------------------------------------

@@ -51,6 +51,7 @@ object Normalizer {
     case n: AggOp => n.copy(grouped = f(n.grouped))
     case n: ReduceOp => n.copy(grouped = f(n.grouped))
     case n: AggregateOp[_] => n.copy(grouped = f(n.grouped))
+    case n: SessionAggregateOp[_] => n.copy(grouped = f(n.grouped))
     case n: ProcessOp => n.copy(up = f(n.up))
     case n: JoinOp => n.copy(left = f(n.left), right = f(n.right))
   }

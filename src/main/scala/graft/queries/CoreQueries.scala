@@ -235,6 +235,24 @@ object CoreQueries {
           .sort(col("user_id"), col("session_start")))(s, d)
     },
 
+    "agg_session_user" -> { (s, d) =>
+      // session windows over ARBITRARY user fns (custom kernel + :merger):
+      // per-user sessions carrying (count, sum-of-cents)
+      val node = SessionAggregateOp[(Long, Long)](
+        stream(Seq("events"), eventsConsumed).mapValues(col("value")).groupByKey,
+        gap = "30 minutes",
+        initializer = () => (0L, 0L),
+        aggregator = (b, r) =>
+          (b._1 + 1, b._2 + math.round(r.getAs[Double]("value") * 100)),
+        merger = (x, y) => (x._1 + y._1, x._2 + y._2),
+        finisher = b => Row(b._1, b._2),
+        outSchema = StructType(Seq(StructField("n", LongType),
+                                   StructField("sum_c", LongType))))
+      run(SortOp(SelectOp(node,
+        Seq(col("user_id"), col("session_start"), col("session_end"),
+            col("n"), round(col("sum_c") / 100.0, 2).as("sum_v"))),
+        Seq(col("user_id"), col("session_start"))))(s, d)
+    },
     "op_process" -> { (s, d) =>
       // Processor API (`:process!` eval_test.clj:421-425): running max per
       // user, emitting on every increase — arbitrary stateful per-record
@@ -495,6 +513,23 @@ object CoreQueries {
            FROM flags)
          SELECT min(ts) AS session_start, user_id, count(*) AS n
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "agg_session_user" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         flags AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flags)
+         SELECT user_id, min(ts) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_v
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "op_process" ->
       """WITH x AS (SELECT user_id, value,
            max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -34,7 +34,8 @@ object Processors {
         grouped.flatMapGroups { (_: Row, it: Iterator[Row]) =>
           val rows = ts match {
             case Some(t) => it.toArray.sortBy(r =>
-              Option(r.getAs[java.sql.Timestamp](t)).map(_.getTime).getOrElse(Long.MinValue))
+              Option(r.getAs[java.sql.Timestamp](t))
+                .map(SessionKernels.toMicros).getOrElse(Long.MinValue))
             case None => it.toArray
           }
           var state = init()

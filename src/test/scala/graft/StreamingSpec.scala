@@ -144,6 +144,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.getAs[String]("rv") == "R5")
   }
 
+  test("session kernel merges bridged sessions via the user merger") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val env = new StreamEnv(spark, Map("ev" -> ms.toDF().toDF("u", "ts", "v")))
+    val node = SessionAggregateOp[Long](
+      stream(Seq("ev"), Consumed(keys = Seq("u"), eventTime = Some("ts")))
+        .groupByKey,
+      gap = "1 minute",
+      initializer = () => 0L,
+      aggregator = (b, _) => b + 1,
+      merger = (x, y) => x + y, // exercised only when sessions fuse
+      finisher = b => Row(b),
+      outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    try {
+      ms.addData(("u1", ts(0), 1.0), ("u1", ts(100), 1.0)) // 2 sessions
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 2)
+      ms.addData(("u1", ts(50), 1.0)) // bridges both → single merged session
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sess").orderBy(col("n").desc).head
+    assert(last.getAs[Long]("n") == 3) // merger combined 1+1+1
+    assert(last.getAs[java.sql.Timestamp]("session_start") == ts(0))
+  }
+
   test("streaming exact dedup keeps first record per key within watermark") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
