@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the latest right row of the same key with
+  * `rightTs <= leftTs` — the point-in-time lookup every feature/training
+  * pipeline needs (label leakage guard). Not in the reference (its joins are
+  * key-equality only, SURVEY §2.4); Spark lacks it natively.
+  *
+  * Implementation follows the custom-operator preference ladder at its first
+  * rung — composition of built-ins: tag and union both sides, one
+  * shuffle+sort per key, carry the most recent right row forward with
+  * `last(_, ignoreNulls)` over the event-time order, keep left rows. Cost is
+  * a single exchange on the key (same as any keyed join) regardless of how
+  * asymmetric the sides are — no range-explosion, no per-row probes; skew on
+  * the key is AQE's to handle like any other shuffle.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (each row gets the as-of match)
+    * @param right     reference side (rows valid from their timestamp on)
+    * @param keys      equi-join key column names (present in both sides)
+    * @param leftTs    left event-time column
+    * @param rightTs   right event-time column
+    * @param rightVals right columns to carry (renamed as given)
+    * Ties (`leftTs == rightTs`) match, like DuckDB/kdb as-of semantics.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String,
+           rightVals: Map[String, String]): DataFrame = {
+    val lTagged = left.select(
+      keys.map(col) ++
+      Seq(col(leftTs).as("__ts"), lit(1).as("__isLeft")) ++
+      left.columns.filterNot(c => keys.contains(c)).map(col) ++
+      rightVals.values.toSeq.map(n => lit(null).as(s"__r_$n")): _*)
+    val rTagged = right.select(
+      keys.map(col) ++
+      Seq(col(rightTs).as("__ts"), lit(0).as("__isLeft")) ++
+      left.columns.filterNot(c => keys.contains(c))
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rightVals.map { case (src, dst) => col(src).as(s"__r_$dst") }.toSeq: _*)
+    // right sorts before left at equal (key, ts) → ties match the left row
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__isLeft"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.values.foldLeft(lTagged.unionByName(rTagged)) {
+      (d, n) => d.withColumn(s"__c_$n", last(col(s"__r_$n"), ignoreNulls = true).over(w))
+    }
+    carried
+      .where(col("__isLeft") === 1)
+      .select(
+        keys.map(col) ++
+        Seq(col("__ts").as(leftTs)) ++
+        left.columns.filterNot(c => keys.contains(c) || c == leftTs).map(col) ++
+        rightVals.values.toSeq.map(n => col(s"__c_$n").as(n)): _*)
+  }
+}

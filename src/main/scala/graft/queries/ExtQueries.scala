@@ -47,6 +47,22 @@ object ExtQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     },
 
+    "join_asof" -> { (s, d) =>
+      // point-in-time join: each click paired with the user's most recent
+      // prior (or simultaneous) purchase
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ext.AsOfJoin.asOf(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Map("event_id" -> "purchase_id", "value" -> "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+                col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- similarity search ----
     "sim_topk" -> { (s, d) =>
       val e = emb(s, d)
@@ -143,6 +159,16 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "join_asof" ->
+      """SELECT l.event_id, l.user_id,
+           r.event_id AS purchase_id, r.value AS purchase_value
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",

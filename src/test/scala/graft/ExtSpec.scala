@@ -110,6 +110,24 @@ class ExtSpec extends SparkSpecBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("as-of join: latest prior match, tie matches, no-match is null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L),
+      (2L, ts("2024-01-01 09:00:00"), 200L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 900L), // tie with lid=100 → matches
+      (1L, ts("2024-01-01 11:00:00"), 901L)).toDF("k", "ts", "rid")
+    val out = graft.ext.AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+        Map("rid" -> "rid"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("rid"))).toMap
+    assert(out == Map(100L -> Some(900L), // equal ts matches
+                      101L -> Some(901L), // latest prior wins
+                      200L -> None))      // no right row for key 2
+  }
+
   test("fn-pair serde round-trips (the :serde-from / EDN-serde analog)") {
     import graft.serde.Serdes
     // custom wire codec: big-endian long bytes
