@@ -340,8 +340,13 @@ final case class JoinOp(
 // ---------------------------------------------------------------------------
 sealed trait SinkSpec extends Serializable
 object SinkSpec {
-  /** `:to!` — write to a topic (streaming: kafka/parquet path; batch: path). */
-  final case class To(topic: String, format: String = "parquet") extends SinkSpec
+  /** `:to!` — write to a topic (streaming: kafka/parquet path; batch: path).
+    * `partitionBy` lays out file sinks by column — the output-partitioning
+    * control a 100 TB pipeline needs (Kafka sinks ignore it; use
+    * `Repartitioned.partitionExpr` for the producer-partitioner analog).
+    */
+  final case class To(topic: String, format: String = "parquet",
+                      partitionBy: Seq[String] = Nil) extends SinkSpec
   /** `:print!` — console sink. */
   case object Print extends SinkSpec
   /** In-memory queryable sink (interactive queries, ring.clj analog). */

@@ -285,6 +285,24 @@ object CoreQueries {
                 col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rk"))
     },
+    "agg_distinct" -> { (s, d) =>
+      // exact distinct cardinality per group (§2.9 superset)
+      run(
+        stream(Seq("events"), eventsConsumed)
+          .groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).cast("long").as("n_users"),
+               count(lit(1)).cast("long").as("n"))
+          .sort(col("event_type")))(s, d)
+    },
+    "agg_approx_distinct" -> { (s, d) =>
+      // HLL sketch cardinality — the 100 TB path (no exact-distinct shuffle
+      // explosion); implementation-specific so rows-only vs the oracle
+      run(
+        stream(Seq("lineitem"), Consumed())
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .sort(col("l_returnflag")))(s, d)
+    },
     "agg_salted" -> { (s, d) =>
       // skew-safe two-phase salted aggregation == plain aggregation result
       graft.ext.Skew.saltedSum(
@@ -546,6 +564,9 @@ object CoreQueries {
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
                FROM orders)
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "agg_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_salted" ->
       """SELECT l_returnflag,
          round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty

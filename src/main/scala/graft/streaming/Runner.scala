@@ -39,11 +39,13 @@ object Runner {
 
   private def configureSink(w: DataStreamWriter[Row],
                             sink: SinkSpec): DataStreamWriter[Row] = sink match {
-    case SinkSpec.To(topic, "kafka") =>
+    case SinkSpec.To(topic, "kafka", _) =>
       // `:to!` (README.md:66-68): value must already be encoded by the
       // sink-side serde (see graft.serde.Serdes / KafkaTopics.encodeFor)
       w.format("kafka").option("topic", topic)
-    case SinkSpec.To(path, fmt) => w.format(fmt).option("path", path)
+    case SinkSpec.To(path, fmt, partitionBy) =>
+      val base = w.format(fmt).option("path", path)
+      if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base
     case SinkSpec.Print => w.format("console") // `:print!`
     case SinkSpec.Memory(name) => w.format("memory").queryName(name)
     case SinkSpec.Foreach(action) => // `:foreach` terminal side effect
