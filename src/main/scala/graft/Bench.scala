@@ -27,9 +27,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // streaming micro-bench: replay the events fixture through the
+    // MemoryStream-backed env into the windowed-count topology (the
+    // anomaly-detection shape) and time ingest → final state
+    val streamingSecs =
+      try {
+        val t0 = System.nanoTime()
+        StreamingBench.windowedCount(spark, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    val all = results :+ ("streaming_windowed_count" -> streamingSecs)
+    val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = all.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

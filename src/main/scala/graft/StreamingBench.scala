@@ -1,0 +1,50 @@
+package graft
+
+import graft.ast._
+import graft.ast.dsl._
+import graft.compile.{Compiler, StreamEnv}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput probe: replay the events fixture through a
+  * MemoryStream-backed env into the windowed-count topology (the
+  * anomaly-detection shape) in a few micro-batches, driving it to
+  * completion. Measures end-to-end stateful-streaming cost at the bench
+  * scale factor — the per-record path Kafka Streams would take.
+  */
+object StreamingBench {
+
+  def windowedCount(spark: SparkSession, sfDir: String): Long = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // fixture ts is TIMESTAMP(NANOS); replay needs typed rows on the driver
+    val rows = events
+      .select(col("user_id"),
+        expr("timestamp_micros(CAST(ts AS LONG) DIV 1000)").as("ts"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .collect()
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env = new StreamEnv(spark,
+      Map("events" -> ms.toDF().toDF("user_id", "ts", "event_type")))
+    val topo = stream(Seq("events"),
+        Consumed(keys = Seq("user_id"), eventTime = Some("ts")))
+      .filter(col("event_type") === "click")
+      .groupByKey
+      .windowedBy(WindowSpec.Tumbling("1 hour"))
+      .count(as = "clicks")
+    val name = s"bench_wc_${System.nanoTime()}"
+    val q = Compiler.compile(topo, env).df.writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { batch =>
+        ms.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      spark.table(name).count()
+    } finally q.stop()
+  }
+}

@@ -285,6 +285,14 @@ object CoreQueries {
                 col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rk"))
     },
+    "agg_rollup" -> { (s, d) =>
+      // grouping-sets superset (§2.9): rollup with subtotal + grand total
+      run(stream(Seq("lineitem"), Consumed()))(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    },
     "agg_distinct" -> { (s, d) =>
       // exact distinct cardinality per group (§2.9 superset)
       run(
@@ -564,6 +572,10 @@ object CoreQueries {
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
                FROM orders)
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "agg_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
