@@ -150,7 +150,18 @@ object Compiler {
     // ---- stateless -----------------------------------------------------
     case FilterOp(up, pred, negate) =>
       val f = compile(up, env)
-      f.copy(df = f.df.filter(if (negate) !pred else pred))
+      val p = if (negate) !pred else pred
+      if (env.isStreaming && f.isTable) {
+        // KTable filter semantics (SURVEY §2.2/§2.10): a non-matching
+        // UPDATE must tombstone the key downstream, not merely disappear —
+        // emit the row with null value columns (the changelog delete form).
+        val out = f.df.select(
+          (f.keys ++ f.eventTime).map(f.df.col) ++
+          f.valueCols.map(c =>
+            when(p, f.df.col(c))
+              .otherwise(lit(null).cast(f.df.schema(c).dataType)).as(c)): _*)
+        f.copy(df = out)
+      } else f.copy(df = f.df.filter(p))
 
     case MapValuesOp(up, values) =>
       val f = compile(up, env)

@@ -144,6 +144,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.getAs[String]("rv") == "R5")
   }
 
+  test("KTable filter tombstones non-matching updates (null value row)") {
+    val ms = MemoryStream[(Long, String, Long)]
+    val env = new StreamEnv(spark, Map("tbl" -> ms.toDF().toDF("k", "v", "off")))
+    val node = table("tbl", Consumed(keys = Seq("k")), orderBy = Some("off"))
+      .filter(col("v") =!= "bad")
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("tomb").outputMode("append").start()
+    try {
+      ms.addData((1L, "good", 1L))
+      q.processAllAvailable()
+      ms.addData((1L, "bad", 2L)) // update fails the predicate → tombstone
+      q.processAllAvailable()
+    } finally q.stop()
+    // tombstone rows carry null value columns (off is a value column too)
+    val rows = spark.table("tomb").orderBy(col("off").asc_nulls_last).collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("v") == "good")
+    assert(rows.last.isNullAt(rows.last.fieldIndex("v"))) // delete marker
+  }
+
   test("session kernel merges bridged sessions via the user merger") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
