@@ -81,11 +81,16 @@ final class ParquetEnv(val spark: SparkSession, dir: String) extends Env {
 
 /** Streaming env over pre-built streaming DataFrames (MemoryStream-backed in
   * tests; Kafka readers in production — see graft.streaming.KafkaTopics).
+  * `statics` serves GlobalKTable-style lookup topics as batch frames — the
+  * stream-static join side (re-read per micro-batch, broadcastable), which
+  * is exactly the GlobalKTable replication model (SURVEY §1.1).
   */
-final class StreamEnv(val spark: SparkSession, streams: Map[String, DataFrame])
+final class StreamEnv(val spark: SparkSession, streams: Map[String, DataFrame],
+                      statics: Map[String, DataFrame] = Map.empty)
     extends Env {
-  def load(topic: String): DataFrame = streams(topic)
-  def topicNames: Seq[String] = streams.keys.toSeq.sorted
+  def load(topic: String): DataFrame =
+    streams.getOrElse(topic, statics(topic))
+  def topicNames: Seq[String] = (streams.keySet ++ statics.keySet).toSeq.sorted
   def isStreaming: Boolean = true
 }
 

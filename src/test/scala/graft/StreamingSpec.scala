@@ -144,6 +144,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.getAs[String]("rv") == "R5")
   }
 
+  test("stream joined against a static global table (broadcast enrichment)") {
+    val ms = MemoryStream[(Long, Double)]
+    ms.addData((0L, 1.5), (1L, 2.5), (999999L, 9.9)) // last has no dim row
+    val dims = spark.read.parquet(s"$sfDir/customer.parquet")
+    val env = new StreamEnv(spark,
+      streams = Map("ev" -> ms.toDF().toDF("user_id", "value")),
+      statics = Map("customer" -> dims))
+    val node = stream(Seq("ev"), Consumed(keys = Seq("user_id")))
+      .joinGlobal(globalTable("customer", Consumed(keys = Seq("c_custkey")),
+                              unique = true),
+        derivedKey = Seq(col("user_id")),
+        projection = Seq(col("user_id"), col("value"), col("c_name")))
+    runToMemory(node, env, "enriched", mode = "append")
+    val rows = spark.table("enriched").collect()
+    assert(rows.length == 2) // inner join drops the unmatched user
+    assert(rows.forall(_.getAs[String]("c_name") != null))
+  }
+
   test("KTable filter tombstones non-matching updates (null value row)") {
     val ms = MemoryStream[(Long, String, Long)]
     val env = new StreamEnv(spark, Map("tbl" -> ms.toDF().toDF("k", "v", "off")))
