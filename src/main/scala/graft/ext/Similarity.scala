@@ -62,6 +62,53 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path: a coarse k-means quantizer (nlist cells) partitions the corpus;
+    * each query probes its `nprobe` nearest cells and ranks only those
+    * candidates exactly. At 100 TB the cell assignment is a narrow map, the
+    * trained centroids are driver-small and broadcast, and per-query cost is
+    * O(corpus/nlist · nprobe) instead of O(corpus).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 3,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("features", toVec(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+    val centers: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    // nprobe nearest cells per query, computed against the (tiny) centroid
+    // table on the executors via a closure — the IVF probe step
+    val probeCells = udf { (q: Seq[Float]) =>
+      centers.map { case (i, c) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length) {
+          val diff = q(j) - c(j); d += diff * diff; j += 1
+        }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val probed = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("cell", explode(probeCells(col("qv")))))
+    assigned.join(probed, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: corpus bucketed by hyperplane
     * signature; each query probes its own bucket plus all 1-bit-flip
     * neighbors (multi-probe), then candidates are ranked exactly. Recall is

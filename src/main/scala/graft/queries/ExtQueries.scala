@@ -71,6 +71,13 @@ object ExtQueries {
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "sim_ann_ivf" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "sim_ann_lsh" -> { (s, d) =>
       val e = emb(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), k = 10)

@@ -79,6 +79,18 @@ class ExtSpec extends SparkSpecBase {
     assert(approx.nonEmpty)
   }
 
+  test("ivf topk probes cells and carries exact cosine scores") {
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 10)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, emb.where(col("vec_id") === 0), 10,
+        nlist = 8, nprobe = 3)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    ivf.foreach { case (id, c) =>
+      bf.get(id).foreach(exact => assert(math.abs(exact - c) < 1e-12))
+    }
+  }
+
   test("language id votes on marker words") {
     val crafted = Seq(
       (1L, "the cat and the dog of the house"),
