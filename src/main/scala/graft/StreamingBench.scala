@@ -40,7 +40,7 @@ object StreamingBench {
     val q = Compiler.compile(topo, env).df.writeStream
       .format("memory").queryName(name).outputMode("update").start()
     try {
-      rows.grouped(math.max(1, rows.length / 4)).foreach { batch =>
+      rows.grouped(math.max(1, rows.length / 2)).foreach { batch =>
         ms.addData(batch.toSeq)
         q.processAllAvailable()
       }
