@@ -113,10 +113,9 @@ object Dedup {
       .groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      // custom Generator: streams the n² in-bucket pairs lazily instead of
+      // materializing nested struct arrays (graftfn.OrderedPairs)
+      .select(graft.functions.VectorFunctions.ordered_pairs(col("ids")))
       .distinct()
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */

@@ -108,6 +108,45 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Ordered-pair generator: from an array [a,b,c] emits rows (a,b), (a,c),
+  * (b,c) — the in-bucket candidate-pair expansion of LSH dedup. As a
+  * Generator it streams pairs lazily instead of materializing the n²
+  * structs the `explode(flatten(transform(transform(...))))` formulation
+  * allocates (those HOFs are also interpreted, not codegen'd).
+  */
+case class OrderedPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private lazy val elementType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other =>
+      throw new IllegalArgumentException(s"ordered_pairs needs an array, got $other")
+  }
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", elementType),
+      org.apache.spark.sql.types.StructField("id_b", elementType)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) Iterator.empty
+    else {
+      val data = arr.asInstanceOf[ArrayData]
+      val n = data.numElements()
+      for {
+        i <- Iterator.range(0, n)
+        j <- Iterator.range(i + 1, n)
+      } yield InternalRow(data.get(i, elementType), data.get(j, elementType))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column face of [[CosineSimilarity]]; casts are inserted by the
     * analyzer (array<float> → array<double>).
@@ -119,6 +158,10 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Generator column: select(ordered_pairs(col)) explodes ordered pairs. */
+  def ordered_pairs(arr: Column): Column =
+    ExpressionUtils.column(OrderedPairs(ExpressionUtils.expression(arr)))
 
   /** SQL registration (`SELECT cosine_sim(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
