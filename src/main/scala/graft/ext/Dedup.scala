@@ -42,14 +42,8 @@ object Dedup {
   /** Word-shingle array (k consecutive tokens joined), the unit of Jaccard
     * similarity for minhash / n-gram dedup.
     */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = filter(split(textCol, " "), t => t =!= "")
-    when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shingles(textCol: Column, k: Int): Column =
+    graft.functions.VectorFunctions.word_shingles(textCol, k)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the shingle set. Single traversal of the shingle

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * topic, partition, offset, timestamp) and serdes applied as decode
   * expressions (`Consumed.with...`, eval.clj:176-180).
   *
-  * Not exercised by the driver fixtures (no broker in the container) but the
-  * construction path is the production entry: the same topology compiles
-  * against [[graft.compile.ParquetEnv]] for batch backfill and against this
-  * env for live streams.
+  * Not exercised by the driver fixtures (no broker — and no
+  * spark-sql-kafka connector jar — in this container; the connector ships
+  * with production Spark distros). The construction path is the production
+  * entry: the same topology compiles against [[graft.compile.ParquetEnv]]
+  * for batch backfill and against this env for live streams.
   */
 final class KafkaEnv(
     val spark: SparkSession,

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector hot paths (SURVEY §7.4 ladder:
   * compose built-ins → custom `Expression` → custom plan). The higher-order
@@ -147,6 +148,49 @@ case class OrderedPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** Word k-shingles in one pass: split on spaces, join each k-window with a
+  * space, dedupe preserving first occurrence. Same output as the
+  * `array_distinct(transform(sequence, slice+concat_ws))` HOF chain but in
+  * a single tight loop per row — the HOF chain walks an interpreted
+  * expression tree per element and dominates dedup signature cost.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split(' ').filter(_.nonEmpty)
+    val out =
+      if (toks.length < k) Array(toks.mkString(" "))
+      else {
+        val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
+        var i = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (i <= toks.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column face of [[CosineSimilarity]]; casts are inserted by the
     * analyzer (array<float> → array<double>).
@@ -162,6 +206,10 @@ object VectorFunctions {
   /** Generator column: select(ordered_pairs(col)) explodes ordered pairs. */
   def ordered_pairs(arr: Column): Column =
     ExpressionUtils.column(OrderedPairs(ExpressionUtils.expression(arr)))
+
+  /** Single-pass word k-shingles (see [[WordShingles]]). */
+  def word_shingles(text: Column, k: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), k))
 
   /** SQL registration (`SELECT cosine_sim(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
