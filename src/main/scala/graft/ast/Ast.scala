@@ -365,5 +365,10 @@ final case class ProcessOp(
     up: KNode,
     init: () => Array[Byte],
     process: (Array[Byte], Row) => (Array[Byte], Iterator[Row]),
-    outSchema: org.apache.spark.sql.types.StructType
+    outSchema: org.apache.spark.sql.types.StructType,
+    /** Per-key state TTL (streaming): idle keys are evicted after this
+      * interval — the `lruMap` store approximation (SURVEY §2.6: LRU
+      * capacity bounds map to time bounds in Spark's state model).
+      */
+    stateTtl: Option[String] = None
 ) extends KNode

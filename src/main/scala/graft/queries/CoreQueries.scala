@@ -111,6 +111,17 @@ object CoreQueries {
           .filter(col("word") =!= "")
           .sort(col("doc_id"), col("word")))(s, d)
     },
+    "wordcount" -> { (s, d) =>
+      // the reference's flagship example (README.md:59-73): tokenize →
+      // re-key by word → count
+      run(
+        stream(Seq("documents"), Consumed(keys = Seq("doc_id")))
+          .flatMapValues(split(col("text"), " "), as = "word")
+          .filter(col("word") =!= "")
+          .groupBy(col("word"))
+          .count(as = "n")
+          .sort(col("word")))(s, d)
+    },
     "op_select_key" -> { (s, d) =>
       run(
         stream(Seq("events"), eventsConsumed)
@@ -484,6 +495,10 @@ object CoreQueries {
       """SELECT doc_id, word FROM (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' ORDER BY doc_id, word""",
+    "wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY word""",
     "op_select_key" ->
       """SELECT event_type AS k, event_id, value FROM events ORDER BY event_id""",
     "op_branch" ->

@@ -45,20 +45,31 @@ object Processors {
             emitted.toSeq // materialize before state moves on
           }
         }(oEnc)
-      else
-        grouped.flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      else {
+        val ttl = p.stateTtl
+        val timeoutKind =
+          if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+          else GroupStateTimeout.NoTimeout
+        grouped.flatMapGroupsWithState(OutputMode.Append, timeoutKind) {
           (_: Row, it: Iterator[Row], gs: GroupState[Array[Byte]]) =>
-            var state = gs.getOption.getOrElse(init())
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-            it.foreach { r =>
-              val (ns, emitted) = process(state, r)
-              state = ns
-              buf ++= emitted
+            if (gs.hasTimedOut) {
+              // lruMap approximation: evict idle key state (SURVEY §2.6)
+              gs.remove()
+              Iterator.empty
+            } else {
+              var state = gs.getOption.getOrElse(init())
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+              it.foreach { r =>
+                val (ns, emitted) = process(state, r)
+                state = ns
+                buf ++= emitted
+              }
+              gs.update(state)
+              ttl.foreach(gs.setTimeoutDuration)
+              buf.iterator
             }
-            gs.update(state)
-            buf.iterator
         }(Encoders.BINARY, oEnc)
+      }
     KFrame(out.toDF(), keyNames, None)
   }
 }
