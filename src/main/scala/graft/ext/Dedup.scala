@@ -208,7 +208,10 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: posting + 2 verify joins
-    val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    // posting keys are 8-byte shingle hashes, not the strings — the inverted
+    // index shuffle carries (hash, id) only (what matters at 100 TB)
+    val posting = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("shingle"))
     // candidates must share ≥ minShared rare shingles: a Jaccard-0.8 pair
     // shares ~80% of its (dozens of) shingles so recall is unaffected, while
     // coincidental single-shingle collisions — the bulk of the candidate
