@@ -427,7 +427,10 @@ object Compiler {
     val joined = j.window match {
       case None =>
         val r = if (j.broadcastRight) broadcast(renamed) else renamed
-        lext.join(r, lkeys, how)
+        // derived-key columns are internal — drop them after the join so
+        // chained lookup joins don't collide on the __fk names
+        val jd = lext.join(r, lkeys, how)
+        if (j.derivedKey.nonEmpty) jd.drop(lkeys: _*) else jd
       case Some(JoinWindow(before, after)) =>
         // Stream-stream band join: keys equal AND r.ts ∈ [l.ts - before,
         // l.ts + after] (`JoinWindows` semantics). Needs distinct ts names.

@@ -296,6 +296,39 @@ object CoreQueries {
                 col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rk"))
     },
+    "agg_cube" -> { (s, d) =>
+      run(stream(Seq("events"), eventsConsumed))(s, d)
+        .cube(col("event_type"), (col("user_id") % 3).cast("long").as("ubucket"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("event_type").asc_nulls_first,
+                 col("ubucket").asc_nulls_first)
+    },
+    "q5_region_revenue" -> { (s, d) =>
+      // TPC-H Q5 shape: revenue per nation through the full dimension chain
+      // lineitem ⋈ orders ⋈ customer ⋈ supplier? (simplified: customer
+      // nation) ⋈ nation ⋈ region, region filtered — a 4-way join tree with
+      // broadcast dimensions, built through the DSL
+      val li = stream(Seq("lineitem"), Consumed(keys = Seq("l_orderkey")))
+      val orders = table("orders", Consumed(keys = Seq("o_orderkey")),
+                         unique = true)
+      val custs = globalTable("customer", Consumed(keys = Seq("c_custkey")),
+                              unique = true)
+      val nation = globalTable("nation", Consumed(keys = Seq("n_nationkey")),
+                               unique = true)
+      val region = globalTable("region", Consumed(keys = Seq("r_regionkey")),
+                               unique = true)
+      run(
+        li.join(orders)
+          .joinGlobal(custs, derivedKey = Seq(col("o_custkey")))
+          .joinGlobal(nation, derivedKey = Seq(col("c_nationkey")))
+          .joinGlobal(region, derivedKey = Seq(col("n_regionkey")))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                 * 100).cast("long")) / 100.0, 2).as("revenue"),
+               count(lit(1)).cast("long").as("n_items"))
+          .sort(col("n_name")))(s, d)
+    },
     "agg_rollup" -> { (s, d) =>
       // grouping-sets superset (§2.9): rollup with subtotal + grand total
       run(stream(Seq("lineitem"), Consumed()))(s, d)
@@ -587,6 +620,21 @@ object CoreQueries {
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
                FROM orders)
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "agg_cube" ->
+      """SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ubucket, count(*) AS n
+         FROM events GROUP BY CUBE (event_type, CAST(user_id % 3 AS BIGINT))
+         ORDER BY event_type ASC NULLS FIRST, ubucket ASC NULLS FIRST""",
+    "q5_region_revenue" ->
+      """SELECT n.n_name,
+         round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem l, orders o, customer c, nation n, region r
+         WHERE l.l_orderkey = o.o_orderkey
+           AND o.o_custkey = c.c_custkey
+           AND c.c_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey
+           AND r.r_name = 'ASIA'
+         GROUP BY n.n_name ORDER BY n.n_name""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

@@ -122,6 +122,39 @@ class ExtSpec extends SparkSpecBase {
     assert(fps(1L) != fps(3L))
   }
 
+  test("custom expressions match their built-in/HOF formulations") {
+    // WordShingles ≡ array_distinct(transform(sequence, slice+concat_ws))
+    val d = docs.limit(50)
+    val hof = {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val diff = d.select(col("doc_id"),
+        graft.functions.VectorFunctions.word_shingles(col("text"), 3).as("a"),
+        hof.as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(diff == 0)
+    // CosineSimilarity ≡ aggregate/zip_with fold, bit-identical
+    val e = emb.limit(50)
+    val ad = col("embedding").cast("array<double>")
+    val hofCos = aggregate(zip_with(ad, ad, (x, y) => x * y), lit(0.0), _ + _) /
+      (sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _)) *
+       sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _)))
+    val cosDiff = e.select(
+        graft.functions.VectorFunctions.cosine_sim(ad, ad).as("a"),
+        hofCos.as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(cosDiff == 0)
+    // OrderedPairs emits exactly n-choose-2 ordered pairs
+    val pairs = Seq(Tuple1(Seq(3L, 1L, 2L))).toDF("ids")
+      .select(graft.functions.VectorFunctions.ordered_pairs(array_sort(col("ids"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("as-of join: latest prior match, tie matches, no-match is null") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
