@@ -77,6 +77,15 @@ object TextAnalysis {
            round(score, 4).as("quality"))
   }
 
+  /** Character n-grams of the text (positional, with repeats) — the raw
+    * material of n-gram language profiles. Short texts yield the text
+    * itself.
+    */
+  def charNgrams(textCol: Column, n: Int): Column =
+    when(length(textCol) < n, array(textCol))
+      .otherwise(transform(sequence(lit(1), length(textCol) - (n - 1)),
+        i => textCol.substr(i, lit(n))))
+
   /** Whitespace token count (exact) — the cheap budget estimator. */
   def tokenCount(textCol: Column): Column = size(toks(textCol)).cast("long")
 

@@ -111,6 +111,22 @@ object ExtQueries {
              sum(col("n_sub")).cast("long").as("total_subwords"))
         .orderBy(col("lang"))
     },
+    "text_ngram_freq" -> { (s, d) =>
+      // top character trigrams per labeled language — the n-gram profile
+      // table language identifiers train on
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs(s, d)
+        .select(col("lang"),
+          explode(TextAnalysis.charNgrams(col("text"), 3)).as("gram"))
+        .groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      grams
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("gram"))))
+        .where(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("gram"), col("n"))
+        .orderBy(col("lang"), col("rk"))
+    },
     "text_fingerprint" -> { (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -193,6 +209,19 @@ object ExtQueries {
                 round(cos, 6) AS cos
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "text_langid" -> langScoreSql,
+    "text_ngram_freq" ->
+      """WITH g AS (SELECT lang,
+           unnest(list_transform(range(length(text) - 2),
+                                 i -> substr(text, CAST(i + 1 AS INT), 3))) AS gram
+           FROM documents WHERE length(text) >= 3
+           UNION ALL
+           SELECT lang, text AS gram FROM documents WHERE length(text) < 3),
+         c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram),
+         r AS (SELECT lang, gram, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+               FROM c)
+         SELECT lang, CAST(rk AS BIGINT) AS rk, gram, CAST(n AS BIGINT) AS n
+         FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks
