@@ -45,17 +45,6 @@ object Dedup {
   def shingles(textCol: Column, k: Int): Column =
     graft.functions.VectorFunctions.word_shingles(textCol, k)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. Single traversal of the shingle
-    * array (one aggregate carrying all lanes) — no shuffle, no re-scan per
-    * hash; signature is numHashes longs regardless of document size.
-    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    aggregate(shingleCol,
-      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (a, i) => least(a, xxhash64(s, i))))
-
   /** MinHash + LSH near-dup candidate pairs with exact Jaccard verification.
     * bands×rowsPerBand hashes; a pair collides if any band matches
     * (s-curve threshold ≈ (1/bands)^(1/rowsPerBand)).
@@ -131,55 +120,25 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
 
-  /** 64-bit SimHash over tokens: bit b of the signature is the sign of
-    * Σ_tokens (±1 by bit of a per-(token,b) seeded hash). One traversal of
-    * the token array carrying all 64 counters — no shuffle, no re-scan.
+  /** 60-bit SimHash over whitespace tokens — native single-pass expression
+    * (graftfn.SimHash60, engine-portable md5-derived token hash). Replaces
+    * round 1's explode + packed-lane aggregate: no shuffle at all for the
+    * signature, and the portable hash makes dedup output oracle-checkable.
     */
-  def simhash(textCol: Column): Column = {
-    val toks = filter(split(textCol, " "), t => t =!= "")
-    val counts = aggregate(toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a + xxhash64(t, b).bitwiseAND(2L) - 1L))
-    (0 until 64).map { b =>
-      when(element_at(counts, b + 1) > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
-  }
+  def simhash(textCol: Column): Column =
+    graft.functions.VectorFunctions.simhash60(textCol)
 
   /** SimHash near-dups: hamming(sig_a, sig_b) ≤ maxBits. Pigeonhole banding:
-    * split the 64-bit signature into maxBits+1 chunks — any pair within
-    * maxBits differing bits shares at least one identical chunk. Join only
-    * within chunk buckets, verify with bit_count(xor).
+    * split the 60-bit signature into maxBits+1 chunks — any pair within
+    * maxBits differing bits shares at least one identical chunk (recall 1 by
+    * construction, so output ≡ brute-force hamming). Join only within chunk
+    * buckets, verify with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxBits: Int = 3): DataFrame = {
     val chunks = maxBits + 1
-    val width = 64 / chunks
-    // explode + codegen'd sum lanes (map-side combined), as in minhashPairs:
-    // one token hash per token, bit b tested by literal shift. Each lane
-    // packs four 16-bit counters (bits 4j..4j+3) — 16 aggregate buffers
-    // instead of 64 keeps Janino compilation off the critical path; the
-    // sign test is branch-free (2·Σbit > n). Token count per doc is capped
-    // at 65535 so packed fields cannot overflow.
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val counts = docs
-      .select(col(idCol).as("id"),
-        explode(slice(toks, lit(1), lit(65535))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n"),
-           (0 until 16).map { j =>
-             val packed = (0 until 4).map { i =>
-               shiftleft(shiftright(col("h"), 4 * j + i).bitwiseAND(1), 16 * i)
-             }.reduce(_ bitwiseOR _)
-             sum(packed).as(s"p$j")
-           }: _*)
-    val sig = counts.select(col("id"),
-      (0 until 64).map { b =>
-        val field = shiftright(col(s"p${b / 4}"), 16 * (b % 4))
-          .bitwiseAND(0xffffL)
-        when(field * 2 > col("n"), lit(1L << b)).otherwise(0L)
-      }.reduce(_ bitwiseOR _).as("sig"))
+    val width = 60 / chunks
+    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: banding + 2 verify joins
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { c =>

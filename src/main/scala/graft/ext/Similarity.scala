@@ -72,18 +72,41 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 3,
               vecCol: String = "embedding", idCol: String = "vec_id",
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxTrain: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import org.apache.spark.ml.linalg.Vectors
+    val corpusSel = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Quantizer training is bounded: fit on a capped sample (the centroids
+    // are driver-small either way, and k-means quality saturates long before
+    // the full corpus). Round 1 fit on every vector — an ML job over the
+    // whole 100 TB corpus. The count() is a parquet-metadata read, cheap.
+    val n = corpusSel.count()
+    val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val train = corpusSel.sample(withReplacement = false, frac, seed)
       .withColumn("features", toVec(col("cv")))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+      .setFeaturesCol("features").fit(train)
     val centers: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    // Cell assignment over the full corpus is a narrow map against the
+    // broadcast-small centroid array — no ML vector conversion, no second
+    // featurization pass (round 1 ran toVec + model.transform corpus-wide).
+    val nearestCell = udf { (v: Seq[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < centers.length) {
+        val c = centers(i)._2
+        var d = 0.0; var j = 0
+        while (j < c.length) {
+          val diff = v(j) - c(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = centers(i)._1 }
+        i += 1
+      }
+      best
+    }
+    val assigned = corpusSel.withColumn("cell", nearestCell(col("cv")))
     // nprobe nearest cells per query, computed against the (tiny) centroid
     // table on the executors via a closure — the IVF probe step
     val probeCells = udf { (q: Seq[Float]) =>

@@ -79,12 +79,12 @@ object TextAnalysis {
 
   /** Character n-grams of the text (positional, with repeats) — the raw
     * material of n-gram language profiles. Short texts yield the text
-    * itself.
+    * itself. Native single-loop expression (graftfn.CharNgrams); the
+    * equivalent `transform(sequence, substr)` HOF chain is interpreted and
+    * was round 1's slowest query.
     */
   def charNgrams(textCol: Column, n: Int): Column =
-    when(length(textCol) < n, array(textCol))
-      .otherwise(transform(sequence(lit(1), length(textCol) - (n - 1)),
-        i => textCol.substr(i, lit(n))))
+    graft.functions.VectorFunctions.char_ngrams(textCol, n)
 
   /** Whitespace token count (exact) — the cheap budget estimator. */
   def tokenCount(textCol: Column): Column = size(toks(textCol)).cast("long")
@@ -96,17 +96,13 @@ object TextAnalysis {
     aggregate(toks(textCol), lit(0L),
       (a, w) => a + ceil(length(w) / lit(4.0)).cast("long"))
 
-  /** Winnowing-style document fingerprint: k-gram rolling hashes, minimum
-    * per sliding window of w — the classic MOSS selection. Returns the
-    * distinct fingerprint array (sorted, deterministic).
+  /** Winnowing-style document fingerprint: positional word k-shingles,
+    * engine-portable 60-bit hashes, minimum per sliding window of w — the
+    * classic MOSS selection. Returns the distinct fingerprint array (sorted,
+    * deterministic). Native single-pass expression
+    * (graftfn.WinnowFingerprint); the md5-derived hash makes the output
+    * DuckDB-oracle checkable, unlike round 1's xxhash64 form.
     */
-  def fingerprints(textCol: Column, k: Int = 5, w: Int = 4): Column = {
-    val grams = Dedup.shingles(textCol, k)
-    val hs = transform(grams, g => xxhash64(g))
-    val n = size(hs)
-    val mins = when(n <= w, array(array_min(hs))).otherwise(
-      transform(sequence(lit(0), n - w),
-        i => array_min(slice(hs, i + 1, lit(w)))))
-    array_sort(array_distinct(mins))
-  }
+  def fingerprints(textCol: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.VectorFunctions.winnow_fingerprint(textCol, k, w)
 }

@@ -25,8 +25,14 @@ object ExtQueries {
         .orderBy(col("keep_id"))
     },
     "dedup_minhash" -> { (s, d) =>
+      // bands=16 × rowsPerBand=1: candidate on ANY single-minhash agreement,
+      // so P(miss | jaccard ≥ 0.7) ≤ 0.3^16 ≈ 4e-9 — recall 1 in practice,
+      // which is what lets the brute-force exact-Jaccard DuckDB oracle
+      // hash-match (precision is exact either way: candidates are verified).
       val dd = docs(s, d)
-      Dedup.survivors(dd, Dedup.minhashPairs(dd, "text", "doc_id"), "doc_id")
+      Dedup.survivors(dd,
+        Dedup.minhashPairs(dd, "text", "doc_id", bands = 16, rowsPerBand = 1),
+        "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     "dedup_simhash" -> { (s, d) =>
@@ -152,10 +158,19 @@ object ExtQueries {
         .orderBy(col("media_id"))
     },
     "mm_features" -> { (s, d) =>
-      Multimodal.extractFeatures(Multimodal.asMedia(docs(s, d)))
-        .select(col("media_id"), size(col("features")).as("dim"),
-                round(aggregate(col("features").cast("array<double>"),
-                  lit(0.0), (a, x) => a + x * x), 6).as("sq_norm"))
+      // exact-integer projection of the feature vector: features are
+      // cnt_bucket/n_bytes in float32, so round(f * n_bytes) recovers the
+      // raw histogram counts exactly (counts ≤ n ≤ 2^24) — the checksum
+      // Σ cnt² is integer-exact and DuckDB-oracle checkable, unlike a
+      // float sq_norm whose rounding could straddle a decimal boundary.
+      val media = Multimodal.asMedia(docs(s, d))
+      val feats = Multimodal.extractFeatures(media)
+      val nb = media.select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      feats.join(nb, Seq("media_id"))
+        .select(col("media_id"), size(col("features")).cast("int").as("dim"),
+          aggregate(col("features"), lit(0L), (a, x) =>
+            a + pow(round(x * col("n_bytes")), 2).cast("long")).as("sum_sq"))
         .orderBy(col("media_id"))
     }
   )
@@ -181,7 +196,118 @@ object ExtQueries {
         FROM mx ORDER BY doc_id"""
   }
 
+  /** Brute-force all-pairs exact-Jaccard survivors over word k-shingle sets
+    * — the oracle for the LSH dedup paths, valid because their banding
+    * params give recall ~1 at gate scale (validated empirically at
+    * sf0.01/0.1) and candidate verification makes precision exact. The
+    * least/greatest length-ratio prefilter is exactness-preserving:
+    * |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|).
+    */
+  private def jaccardSurvivorsSql(k: Int, threshold: Double): String = {
+    val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+       sh AS (SELECT doc_id,
+           CASE WHEN len(toks) < $k THEN [coalesce(array_to_string(toks, ' '), '')]
+                ELSE list_distinct(list_transform(range(len(toks) - ${k - 1}),
+                       i -> $grams)) END AS sh
+           FROM t),
+       p AS (SELECT b.doc_id AS id_b FROM sh a, sh b
+             WHERE a.doc_id < b.doc_id
+               AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+                   / greatest(len(a.sh), len(b.sh)) >= $threshold
+               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   >= $threshold)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT id_b FROM p) ORDER BY doc_id"""
+  }
+
+  /** Exact mirror of graftfn.SimHash60 + pigeonhole dedup: the md5-derived
+    * 60-bit token hash is computed identically in DuckDB
+    * (CAST('0x' || substr(md5(t),1,15) AS BIGINT)), and pigeonhole banding
+    * has recall 1 by construction, so this oracle is exact, not
+    * brute-force-equivalent-by-luck.
+    */
+  private val simhashSurvivorsSql: String = {
+    val maxBits = 3
+    val sums = (0 until 60).map(b =>
+      s"sum(((h >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val sigExpr = (0 until 60).map(b =>
+      s"(CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       h AS (SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM u),
+       s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       sig0 AS (SELECT doc_id, $sigExpr AS sig FROM s),
+       sig AS (SELECT d.doc_id, coalesce(sig0.sig, 0) AS sig
+               FROM documents d LEFT JOIN sig0 ON d.doc_id = sig0.doc_id),
+       p AS (SELECT b.doc_id AS id_b FROM sig a, sig b
+             WHERE a.doc_id < b.doc_id
+               AND bit_count(xor(a.sig, b.sig)) <= $maxBits)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT id_b FROM p) ORDER BY doc_id"""
+  }
+
+  /** Exact mirror of graftfn.WinnowFingerprint (k=5, w=4): positional word
+    * 5-shingles, portable 60-bit hash, sliding-window-of-4 minima, distinct
+    * sorted.
+    */
+  private val fingerprintSql: String = {
+    val (k, w) = (5, 4)
+    val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+       g AS (SELECT doc_id,
+           CASE WHEN len(toks) < $k THEN [coalesce(array_to_string(toks, ' '), '')]
+                ELSE list_transform(range(len(toks) - ${k - 1}), i -> $grams)
+           END AS grams FROM t),
+       h AS (SELECT doc_id, list_transform(grams,
+             g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS hs FROM g),
+       m AS (SELECT doc_id,
+           CASE WHEN len(hs) <= $w THEN [list_min(hs)]
+                ELSE list_transform(range(len(hs) - ${w - 1}),
+                       i -> list_min(hs[i+1:i+$w])) END AS mins FROM h),
+       f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fp FROM m)
+       SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, fp[1] AS fp_min
+       FROM f ORDER BY doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
+    "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
+    "dedup_simhash" -> simhashSurvivorsSql,
+    "text_fingerprint" -> fingerprintSql,
+    "dedup_embedding" ->
+      """WITH p AS (SELECT b.vec_id AS id_b FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.95)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""",
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload
+           FROM documents),
+         b AS (SELECT media_id, hex(payload) AS hx,
+               octet_length(payload) AS n FROM m),
+         by AS (SELECT media_id,
+               CAST(('0x' || substr(hx, CAST(2 * unnest(range(n)) + 1 AS INT), 2))
+                    AS INT) AS byte
+               FROM b),
+         c AS (SELECT media_id, byte // 16 AS bucket, count(*) AS cnt
+               FROM by GROUP BY media_id, bucket),
+         s AS (SELECT media_id, CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+               FROM c GROUP BY media_id)
+         SELECT m.media_id, CAST(16 AS INT) AS dim,
+                coalesce(s.sum_sq, 0) AS sum_sq
+         FROM m LEFT JOIN s ON m.media_id = s.media_id
+         ORDER BY m.media_id""",
     "join_asof" ->
       """SELECT l.event_id, l.user_id,
            r.event_id AS purchase_id, r.value AS purchase_value

@@ -191,6 +191,197 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Engine-portable 60-bit hash: the top 15 hex digits of md5, i.e.
+  * big-endian(first 8 md5 bytes) >>> 4. DuckDB computes the identical value
+  * as `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`, which is what makes
+  * simhash signatures and winnowing fingerprints oracle-checkable across
+  * engines (xxhash64 is Spark-only). Always non-negative (60 < 63 bits).
+  */
+private[graftfn] object PortableHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def h60(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(bytes, offset, len)
+    val dig = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def h60(s: UTF8String): Long = {
+    val b = s.getBytes
+    h60(b, 0, b.length)
+  }
+
+  /** UTF-8 byte length of the character starting at a lead byte. */
+  def charLen(lead: Byte): Int = {
+    val b = lead & 0xff
+    if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4
+  }
+}
+
+/** Positional character n-grams in one pass: text "abcd", n=3 →
+  * ["abc","bcd"]; texts shorter than n yield the text itself. Same output as
+  * the `transform(sequence(1, length-n+1), i -> substr(i, n))` HOF chain
+  * (codepoint positions, repeats kept) but in a single byte-offset loop per
+  * row — the HOF chain walks an interpreted expression tree per gram and
+  * was the slowest query of round 1 (text_ngram_freq, 11 s).
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // codepoint start offsets, computed once (substr-per-gram is O(L) each)
+    var chars = 0
+    var off = 0
+    val offsets = new Array[Int](bytes.length + 1)
+    while (off < bytes.length) {
+      offsets(chars) = off
+      off += PortableHash.charLen(bytes(off))
+      chars += 1
+    }
+    offsets(chars) = bytes.length
+    val out: Array[Any] =
+      if (chars < n) Array(s)
+      else {
+        val grams = new Array[Any](chars - n + 1)
+        var i = 0
+        while (i <= chars - n) {
+          grams(i) = UTF8String.fromBytes(
+            bytes, offsets(i), offsets(i + n) - offsets(i))
+          i += 1
+        }
+        grams
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over whitespace tokens, single pass: for each non-empty
+  * token t, h = PortableHash.h60(t); bit b of h votes ±1 on signature bit b;
+  * signature bit b is set iff the vote sum is positive. Replaces round 1's
+  * explode + packed-16-lane aggregate (one shuffle + Janino-heavy codegen)
+  * with a narrow per-row kernel — and, because the token hash is the
+  * engine-portable md5 form, the whole dedup output is DuckDB-oracle
+  * checkable (exact, since pigeonhole banding has recall 1 by construction).
+  */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i <= bytes.length) {
+      // token = maximal run of non-space bytes (0x20 never occurs inside a
+      // multi-byte UTF-8 sequence, so byte-level splitting is codepoint-safe)
+      val start = i
+      while (i < bytes.length && bytes(i) != ' '.toByte) i += 1
+      if (i > start) {
+        val h = PortableHash.h60(bytes, start, i - start)
+        var b = 0
+        while (b < 60) {
+          counts(b) += (((h >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprints (the MOSS selection) in one pass:
+  * positional word k-shingles → portable 60-bit hash each → minimum per
+  * sliding window of w → distinct, sorted ascending. Fewer than k tokens
+  * hash the whole text; at most w shingles yield the single global minimum.
+  * Positional shingles (repeats kept) are the textbook winnowing input; the
+  * portable hash makes the output DuckDB-oracle checkable.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && w >= 1, s"winnow_fingerprint needs k,w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split(' ').filter(_.nonEmpty)
+    val hs: Array[Long] =
+      if (toks.length < k) {
+        val joined = toks.mkString(" ").getBytes("UTF-8")
+        Array(PortableHash.h60(joined, 0, joined.length))
+      } else {
+        val out = new Array[Long](toks.length - k + 1)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val b = sb.toString.getBytes("UTF-8")
+          out(i) = PortableHash.h60(b, 0, b.length)
+          i += 1
+        }
+        out
+      }
+    val mins =
+      if (hs.length <= w) Array(hs.min)
+      else {
+        val m = new Array[Long](hs.length - w + 1)
+        var i = 0
+        while (i <= hs.length - w) {
+          var mn = Long.MaxValue
+          var j = i
+          while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
+          m(i) = mn
+          i += 1
+        }
+        m
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins.distinct.sorted)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column face of [[CosineSimilarity]]; casts are inserted by the
     * analyzer (array<float> → array<double>).
@@ -210,6 +401,18 @@ object VectorFunctions {
   /** Single-pass word k-shingles (see [[WordShingles]]). */
   def word_shingles(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), k))
+
+  /** Positional character n-grams (see [[CharNgrams]]). */
+  def char_ngrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(text), n))
+
+  /** 60-bit portable SimHash (see [[SimHash60]]). */
+  def simhash60(text: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
+
+  /** Winnowing fingerprints (see [[WinnowFingerprint]]). */
+  def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), k, w))
 
   /** SQL registration (`SELECT cosine_sim(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
