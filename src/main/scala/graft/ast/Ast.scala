@@ -62,6 +62,12 @@ object TimestampPolicy {
   case object FailOnInvalid extends TimestampPolicy
   case object LogAndSkipOnInvalid extends TimestampPolicy
   case object WallclockOnInvalid extends TimestampPolicy
+  /** Kafka's `UsePartitionTimeOnInvalidTimestamp`: an invalid (null) event
+    * time takes the partition time — the highest valid timestamp observed so
+    * far in that partition; records before any valid timestamp stay invalid
+    * (Kafka throws there; we pass the null through to surface in state ops).
+    */
+  case object PartitionTimeOnInvalid extends TimestampPolicy
 }
 
 /** State-store / materialization config (`Materialized` `eval.clj:169-173,

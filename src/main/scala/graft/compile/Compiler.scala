@@ -148,6 +148,17 @@ object Compiler {
       require(keys.nonEmpty, s"global table $topic needs key columns")
       // Fully-replicated lookup side (`eval.clj:73`) → broadcast hint;
       // unique sources skip the compaction shuffle before the broadcast.
+      // Size guard: a mislabeled big table must fail with a clear message,
+      // not an executor OOM mid-broadcast. The count is parquet-metadata
+      // cheap on the raw source (an upper bound on the compacted size).
+      val maxRows =
+        env.spark.conf.getOption("graft.globalTable.maxRows")
+          .map(_.toLong).getOrElse(10000000L)
+      val n = if (df.isStreaming) -1L else df.count()
+      require(n <= maxRows,
+        s"global table '$topic' has $n rows, over the broadcast guard of " +
+        s"$maxRows (graft.globalTable.maxRows). GlobalKTables are fully " +
+        s"replicated to every executor — use :table + a keyed join instead.")
       val compacted =
         if (unique) df else compact(df, keys, consumed.eventTime)
       KFrame(broadcast(compacted), keys, consumed.eventTime, isTable = true)
@@ -289,6 +300,25 @@ object Compiler {
           out = out.filter(col(ts).isNotNull)
         case TimestampPolicy.WallclockOnInvalid =>
           out = out.withColumn(ts, coalesce(col(ts), current_timestamp()))
+        case TimestampPolicy.PartitionTimeOnInvalid =>
+          // partition time = highest valid timestamp seen so far in this
+          // partition (Kafka's UsePartitionTimeOnInvalidTimestamp); a narrow
+          // per-partition scan, no shuffle.
+          val schema = out.schema
+          val idx = schema.fieldIndex(ts)
+          implicit val enc = Encoders.row(schema)
+          out = out.mapPartitions { it =>
+            var partTime: java.sql.Timestamp = null
+            it.map { r =>
+              val t = r.getAs[java.sql.Timestamp](idx)
+              if (t != null) {
+                if (partTime == null || t.after(partTime)) partTime = t
+                r
+              } else if (partTime != null)
+                Row.fromSeq(r.toSeq.updated(idx, partTime))
+              else r
+            }
+          }
         case TimestampPolicy.FailOnInvalid => ()
       }
     }
@@ -403,6 +433,24 @@ object Compiler {
       return KFrame(out, lf.keys, None, isTable = true)
     }
 
+    // Streaming KStream ⋈ KTable: a plain equi-join against the compaction
+    // kernel's changelog would enrich each stream record with EVERY
+    // historical upsert of its key, not the current value — route through
+    // the latest-value state kernel instead (Kafka's point-in-time lookup).
+    if (env.isStreaming && !lf.isTable && rf0.isTable && !j.broadcastRight &&
+        j.derivedKey.isEmpty && j.window.isEmpty) {
+      val howName = j.how match {
+        case JoinHow.Inner => "inner"
+        case JoinHow.Left => "left"
+        case JoinHow.Outer =>
+          throw new IllegalArgumentException(
+            "stream-table joins are inner or left (Kafka defines no outer)")
+      }
+      val joined = graft.state.TableKernels.streamTableJoin(lf, rf0, howName)
+      val out = if (j.projection.nonEmpty) joined.select(j.projection: _*) else joined
+      return KFrame(out, lf.keys, lf.eventTime, isTable = false)
+    }
+
     // Derived-key lookup joins (`:join-global`): compute the foreign key on
     // the left, then equi-join it to the right's key.
     val (lext, lkeys) =
@@ -444,7 +492,14 @@ object Compiler {
         val band = col(rts) >= col(lts) - expr(s"INTERVAL $before") &&
                    col(rts) <= col(lts) + expr(s"INTERVAL $after")
         val cond = lkeys.map(k => lw.col(k) === rw.col(k)).foldLeft(band)(_ && _)
-        lkeys.foldLeft(lw.join(rw, cond, how))((d, k) => d.drop(rw.col(k)))
+        // Coalesce the key columns rather than dropping the right side's:
+        // an OUTER band join's right-only rows would otherwise lose their
+        // key (left's is null there). Equivalent for inner/left.
+        val j0 = lw.join(rw, cond, how)
+        j0.select(
+          lkeys.map(k => coalesce(lw.col(k), rw.col(k)).as(k)) ++
+          lw.columns.toSeq.filterNot(lkeys.contains).map(lw.col) ++
+          rw.columns.toSeq.filterNot(lkeys.contains).map(rw.col): _*)
     }
     val out = if (j.projection.nonEmpty) joined.select(j.projection: _*) else joined
     KFrame(out, lf.keys, lf.eventTime, lf.isTable && rf0.isTable)

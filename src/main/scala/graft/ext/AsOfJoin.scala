@@ -30,30 +30,36 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightVals: Map[String, String]): DataFrame = {
-    val lTagged = left.select(
-      keys.map(col) ++
-      Seq(col(leftTs).as("__ts"), lit(1).as("__isLeft")) ++
-      left.columns.filterNot(c => keys.contains(c)).map(col) ++
-      rightVals.values.toSeq.map(n => lit(null).as(s"__r_$n")): _*)
+    // All right values travel as ONE packed struct carried by a single
+    // last(ignoreNulls) — the matched row's values stay atomic, so a right
+    // column that is legitimately NULL is not backfilled from an older row
+    // (it would be, with per-column last()), matching ASOF oracle semantics.
     val rTagged = right.select(
       keys.map(col) ++
       Seq(col(rightTs).as("__ts"), lit(0).as("__isLeft")) ++
       left.columns.filterNot(c => keys.contains(c))
-        .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      rightVals.map { case (src, dst) => col(src).as(s"__r_$dst") }.toSeq: _*)
-    // right sorts before left at equal (key, ts) → ties match the left row
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(rightVals.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+        .as("__rpack"): _*)
+    val packType = rTagged.schema("__rpack").dataType
+    val lTagged = left.select(
+      keys.map(col) ++
+      Seq(col(leftTs).as("__ts"), lit(1).as("__isLeft")) ++
+      left.columns.filterNot(c => keys.contains(c)).map(col) :+
+      lit(null).cast(packType).as("__rpack"): _*)
+    // right sorts before left at equal (key, ts) → ties match the left row;
+    // __rpack as the final key makes the winner among equal-ts right rows
+    // deterministic (struct order = lexicographic by field).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__isLeft"))
+      .orderBy(col("__ts"), col("__isLeft"), col("__rpack"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.values.foldLeft(lTagged.unionByName(rTagged)) {
-      (d, n) => d.withColumn(s"__c_$n", last(col(s"__r_$n"), ignoreNulls = true).over(w))
-    }
-    carried
+    lTagged.unionByName(rTagged)
+      .withColumn("__c", last(col("__rpack"), ignoreNulls = true).over(w))
       .where(col("__isLeft") === 1)
       .select(
         keys.map(col) ++
         Seq(col("__ts").as(leftTs)) ++
         left.columns.filterNot(c => keys.contains(c) || c == leftTs).map(col) ++
-        rightVals.values.toSeq.map(n => col(s"__c_$n").as(n)): _*)
+        rightVals.values.toSeq.map(n => col(s"__c.$n").as(n)): _*)
   }
 }

@@ -449,6 +449,43 @@ object CoreQueries {
           .sort(col("o_orderkey"), col("l_linenumber")))(s, d)
     },
 
+    "join_stream_stream_left" -> { (s, d) =>
+      // left band join (`eval_test.clj:457-469`): every order, lineitem
+      // columns null when nothing shipped within the window
+      val orders = stream(Seq("orders"),
+        Consumed(keys = Seq("o_orderkey"), eventTime = Some("o_orderdate")))
+      val li = stream(Seq("lineitem"),
+        Consumed(keys = Seq("l_orderkey"), eventTime = Some("l_shipdate")))
+      run(
+        orders.join(li, how = JoinHow.Left,
+            window = Some(JoinWindow("0 seconds", "60 days")),
+            projection = Seq(col("o_orderkey"), col("l_linenumber"),
+                             col("l_quantity"), col("l_shipdate"),
+                             col("o_orderstatus")))
+          // fixture lineitem is not (orderkey, linenumber)-unique — the
+          // full quad is the smallest total order
+          .sort(col("o_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_shipdate")))(s, d)
+    },
+    "join_stream_stream_outer" -> { (s, d) =>
+      // full-outer band join (`eval_test.clj:487-493`): unmatched orders AND
+      // unmatched lineitems survive with nulls on the other side
+      val orders = stream(Seq("orders"),
+        Consumed(keys = Seq("o_orderkey"), eventTime = Some("o_orderdate")))
+      val li = stream(Seq("lineitem"),
+        Consumed(keys = Seq("l_orderkey"), eventTime = Some("l_shipdate")))
+      run(
+        orders.join(li, how = JoinHow.Outer,
+            window = Some(JoinWindow("0 seconds", "60 days")),
+            projection = Seq(col("o_orderkey"), col("l_linenumber"),
+                             col("l_quantity"), col("l_shipdate"),
+                             col("o_orderstatus")))
+          // fixture lineitem is not (orderkey, linenumber)-unique — the
+          // full quad is the smallest total order
+          .sort(col("o_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_shipdate")))(s, d)
+    },
+
     // ---- headline analytics (bench anchors; SURVEY §2.9 superset) ----
     "q1_pricing" -> { (s, d) =>
       run(
@@ -691,6 +728,24 @@ object CoreQueries {
           AND l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
          ORDER BY o.o_orderkey, l.l_linenumber""",
+    "join_stream_stream_left" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, l.l_shipdate,
+                o.o_orderstatus
+         FROM orders o LEFT JOIN lineitem l
+           ON o.o_orderkey = l.l_orderkey
+          AND l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+         ORDER BY o.o_orderkey, l.l_linenumber NULLS FIRST,
+                  l.l_quantity NULLS FIRST, l.l_shipdate NULLS FIRST""",
+    "join_stream_stream_outer" ->
+      """SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+                l.l_linenumber, l.l_quantity, l.l_shipdate, o.o_orderstatus
+         FROM orders o FULL JOIN lineitem l
+           ON o.o_orderkey = l.l_orderkey
+          AND l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+         ORDER BY o_orderkey, l.l_linenumber NULLS FIRST,
+                  l.l_quantity NULLS FIRST, l.l_shipdate NULLS FIRST""",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty,

@@ -28,24 +28,26 @@ object Processors {
     val toKey = (row: Row) => Row.fromSeq(keyNames.map(row.getAs[Any]))
     val ts = f.eventTime
     val (init, process) = (p.init, p.process)
-    val grouped = f.df.groupByKey(toKey)(kEnc)
     val out =
-      if (!env.isStreaming)
-        grouped.flatMapGroups { (_: Row, it: Iterator[Row]) =>
-          val rows = ts match {
-            case Some(t) => it.toArray.sortBy(r =>
-              Option(r.getAs[java.sql.Timestamp](t))
-                .map(SessionKernels.toMicros).getOrElse(Long.MinValue))
-            case None => it.toArray
-          }
-          var state = init()
-          rows.iterator.flatMap { r =>
-            val (ns, emitted) = process(state, r)
-            state = ns
-            emitted.toSeq // materialize before state moves on
-          }
+      if (!env.isStreaming) {
+        // Secondary sort (event time, then all remaining orderable columns
+        // as a deterministic tiebreak — the offset-order analog): the fold
+        // streams over each key's ordered rows; no per-key materialization.
+        import org.apache.spark.sql.functions.col
+        val orderCols =
+          ts.toSeq.map(col) ++
+          SecondarySort.tiebreakCols(f.df, keyNames, ts.toSeq)
+        SecondarySort.foldSortedGroups(f.df, keyNames, orderCols) {
+          (_: Row, rows: Iterator[Row]) =>
+            var state = init()
+            rows.flatMap { r =>
+              val (ns, emitted) = process(state, r)
+              state = ns
+              emitted.toSeq // materialize before state moves on
+            }
         }(oEnc)
-      else {
+      } else {
+        val grouped = f.df.groupByKey(toKey)(kEnc)
         val ttl = p.stateTtl
         val timeoutKind =
           if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout

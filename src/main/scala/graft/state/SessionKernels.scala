@@ -86,19 +86,23 @@ object SessionKernels extends Serializable {
       (merged :: rest).sortBy(_.start)
     }
 
-    val grouped = f.df.groupByKey(toKey)(kEnc)
     val out =
-      if (!env.isStreaming)
-        grouped.flatMapGroups { (k: Row, it: Iterator[Row]) =>
-          val rows = it.toArray.sortBy(r =>
-            toMicros(r.getAs[java.sql.Timestamp](tsIdx)))
-          val sessions = rows.foldLeft(List.empty[Session]) { (acc, r) =>
-            insert(acc, toMicros(r.getAs[java.sql.Timestamp](tsIdx)), r)
-          }
-          sessions.iterator.map(s => emitRow(k, s))
+      if (!env.isStreaming) {
+        // Secondary sort: per-key rows arrive in (event time, tiebreak)
+        // order and fold streamingly — state is the open-session list
+        // (bounded by session count), never the key's row history.
+        import org.apache.spark.sql.functions.col
+        val orderCols =
+          col(ts) +: SecondarySort.tiebreakCols(f.df, keyNames, Seq(ts))
+        SecondarySort.foldSortedGroups(f.df, keyNames, orderCols) {
+          (k: Row, rows: Iterator[Row]) =>
+            val sessions = rows.foldLeft(List.empty[Session]) { (acc, r) =>
+              insert(acc, toMicros(r.getAs[java.sql.Timestamp](tsIdx)), r)
+            }
+            sessions.iterator.map(s => emitRow(k, s))
         }(oEnc)
-      else
-        grouped.flatMapGroupsWithState(
+      } else
+        f.df.groupByKey(toKey)(kEnc).flatMapGroupsWithState(
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (k: Row, it: Iterator[Row], state: GroupState[SessionList]) =>
             var sessions = state.getOption.map(_.sessions).getOrElse(Nil)

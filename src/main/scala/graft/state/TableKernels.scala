@@ -110,4 +110,74 @@ object TableKernels {
       }(sEnc, oEnc)
     joined.toDF(outSchema.fieldNames: _*)
   }
+
+  /** KStream ⋈ KTable enrichment in streaming mode: Kafka's point-in-time
+    * lookup of the table's CURRENT value per stream record. A plain equi-join
+    * against the table changelog would match every historical upsert of the
+    * key (round 1's latent bug, fixed here): instead, union both sides
+    * tagged, hold the latest table value per key in state, and emit one
+    * enriched row per stream record. Within a micro-batch, table updates
+    * apply before stream rows (documented divergence: Kafka interleaves by
+    * timestamp; Spark batches give no intra-batch order). A table record
+    * whose value columns are all null is a tombstone → deletes state.
+    * `how` ∈ inner | left (Kafka defines no outer stream-table join).
+    */
+  def streamTableJoin(sf: KFrame, rf: KFrame, how: String): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"stream-table join supports inner|left, got $how")
+    require(sf.keys.size == rf.keys.size, "join key arity mismatch")
+    val keyNames = sf.keys
+    val keySchema = StructType(keyNames.map(sf.df.schema(_)))
+    // stream payload = event time + value columns (keys travel separately)
+    val sVals = sf.eventTime.toSeq ++ sf.valueCols
+    val sStruct = StructType(sVals.map(sf.df.schema(_)))
+    val rKeyed0 = rf.keys.zip(keyNames).foldLeft(rf.df) {
+      case (d, (rk, lk)) => if (rk == lk) d else d.withColumnRenamed(rk, lk)
+    }
+    val taken = (keyNames ++ sVals).toSet
+    val rVals0 = rf.valueCols
+    val rKeyed = rVals0.foldLeft(rKeyed0)((d, c) =>
+      if (taken.contains(c)) d.withColumnRenamed(c, s"${c}_r") else d)
+    val rVals = rVals0.map(c => if (taken.contains(c)) s"${c}_r" else c)
+    val rStruct = StructType(rVals.map(rKeyed.schema(_)))
+
+    val sTagged = sf.df.select(
+      keyNames.map(sf.df.col) :+ lit(0).as("__side") :+
+      struct(sVals.map(sf.df.col): _*).as("__s") :+
+      lit(null).cast(rStruct).as("__r"): _*)
+    val rTagged = rKeyed.select(
+      keyNames.map(rKeyed.col) :+ lit(1).as("__side") :+
+      lit(null).cast(sStruct).as("__s") :+
+      struct(rVals.map(rKeyed.col): _*).as("__r"): _*)
+    val unioned = sTagged.unionByName(rTagged)
+
+    val outSchema = StructType(keySchema ++ sStruct ++ rStruct)
+    val kEnc = Encoders.row(keySchema)
+    val oEnc = Encoders.row(outSchema)
+    val sEnc = Encoders.kryo[Row] // state: latest table value struct
+    val nKeys = keyNames.size
+    val toKey = (row: Row) => Row.fromSeq((0 until nKeys).map(row.get))
+
+    val joined = unioned.groupByKey(toKey)(kEnc)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Row, it: Iterator[Row], state: GroupState[Row]) =>
+          var table = state.getOption.orNull
+          val streamRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+          it.foreach { row =>
+            if (row.getInt(nKeys) == 1) {
+              val v = row.getStruct(nKeys + 2)
+              // tombstone = all value columns null → delete
+              table = if (v == null || v.toSeq.forall(_ == null)) null else v
+            } else streamRows += row.getStruct(nKeys + 1)
+          }
+          if (table != null) state.update(table) else state.remove()
+          val t = table
+          streamRows.iterator.collect {
+            case s if t != null || how == "left" =>
+              Row.fromSeq(k.toSeq ++ s.toSeq ++
+                (if (t != null) t.toSeq else Seq.fill(rStruct.size)(null)))
+          }
+      }(sEnc, oEnc)
+    joined.toDF(outSchema.fieldNames: _*)
+  }
 }

@@ -113,8 +113,11 @@ class ExtSpec extends SparkSpecBase {
   }
 
   test("fingerprints are stable and content-sensitive") {
+    // doc 3 shares no shingle with doc 1 — a one-token tail change is not
+    // guaranteed to move a window minimum (winnowing samples ~1/w grams)
     val crafted = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
-                      (3L, "a b c d e f g h i k")).toDF("doc_id", "text")
+                      (3L, "entirely different words appear in this other document")
+                     ).toDF("doc_id", "text")
     val fps = crafted.select(col("doc_id"),
       TextAnalysis.fingerprints(col("text")).as("fp")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -153,6 +156,60 @@ class ExtSpec extends SparkSpecBase {
       .select(graft.functions.VectorFunctions.ordered_pairs(array_sort(col("ids"))))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("char_ngrams ≡ transform(sequence, substr) HOF, incl. multibyte text") {
+    val hof = when(length(col("text")) < 3, array(col("text")))
+      .otherwise(transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+    val d = docs.limit(100).select(col("doc_id"), col("text"))
+      .unionByName(Seq((9000001L, "的是了"), (9000002L, "ab"),
+        (9000003L, "日本語のテキスト abc")).toDF("doc_id", "text"))
+    val diff = d.select(
+        graft.functions.VectorFunctions.char_ngrams(col("text"), 3).as("a"),
+        hof.as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(diff == 0)
+  }
+
+  test("simhash60 matches the portable md5-derived token hash") {
+    // single-token text: every counter is +1/-1 by bit of h60(token), so the
+    // signature IS the hash — and DuckDB computes the same value as
+    // CAST('0x' || substr(md5('hello'),1,15) AS BIGINT) = 419982666956583591
+    val out = Seq(Tuple1("hello")).toDF("text")
+      .select(graft.functions.VectorFunctions.simhash60(col("text")).as("sig"))
+      .head.getLong(0)
+    assert(out == 419982666956583591L)
+    // order-insensitive under token permutation (bag-of-words votes)
+    val a = Seq(Tuple1("x y z w v u t s")).toDF("text")
+      .select(Dedup.simhash(col("text")).as("s")).head.getLong(0)
+    val b = Seq(Tuple1("s t u v w x y z")).toDF("text")
+      .select(Dedup.simhash(col("text")).as("s")).head.getLong(0)
+    assert(a == b)
+    // empty text → empty signature
+    val e = Seq(Tuple1("")).toDF("text")
+      .select(Dedup.simhash(col("text")).as("s")).head.getLong(0)
+    assert(e == 0L)
+  }
+
+  test("winnow_fingerprint: whole-text gram under k tokens, h60 value") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val dig = md.digest(s.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (dig(i) & 0xffL))
+      v >>> 4
+    }
+    // 3 tokens < k=5 → single gram = whole text; n=1 ≤ w → [h60(text)]
+    val fp = Seq(Tuple1("a b c")).toDF("text")
+      .select(TextAnalysis.fingerprints(col("text")).as("fp"))
+      .head.getSeq[Long](0)
+    assert(fp == Seq(h60("a b c")))
+    // 6 tokens, k=5 → grams "a b c d e","b c d e f"; n=2 ≤ w=4 → [min]
+    val fp2 = Seq(Tuple1("a b c d e f")).toDF("text")
+      .select(TextAnalysis.fingerprints(col("text")).as("fp"))
+      .head.getSeq[Long](0)
+    assert(fp2 == Seq(math.min(h60("a b c d e"), h60("b c d e f"))))
   }
 
   test("as-of join: latest prior match, tie matches, no-match is null") {

@@ -1,0 +1,180 @@
+package graft
+
+import graft.ast._
+import graft.ast.dsl._
+import graft.compile.{Compiler, Env, StreamEnv}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-2 hardening specs: broadcast size guard, the 4th timestamp policy,
+  * as-of join null atomicity, skew-safe batch kernels, the streaming
+  * stream⋈table state kernel, and stream-stream left/outer band joins.
+  */
+class Round2Spec extends SparkSpecBase {
+
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def batchEnv(frames: Map[String, DataFrame]): Env = new Env {
+    def spark: SparkSession = Round2Spec.this.spark
+    def load(topic: String): DataFrame = frames(topic)
+    def topicNames: Seq[String] = frames.keySet.toSeq.sorted
+    def isStreaming: Boolean = false
+  }
+
+  test("global table over the broadcast guard fails with a clear message") {
+    spark.conf.set("graft.globalTable.maxRows", "10")
+    try {
+      val env = new graft.compile.ParquetEnv(spark, sfDir)
+      val e = intercept[IllegalArgumentException] {
+        Compiler.compile(
+          globalTable("customer", Consumed(keys = Seq("c_custkey")),
+            unique = true), env)
+      }
+      assert(e.getMessage.contains("broadcast guard"))
+      assert(e.getMessage.contains("customer"))
+      // under the limit still compiles (region has 5 rows)
+      spark.conf.set("graft.globalTable.maxRows", "100")
+      val ok = Compiler.compile(
+        globalTable("region", Consumed(keys = Seq("r_regionkey")),
+          unique = true), env)
+      assert(ok.df.count() == 5)
+    } finally spark.conf.unset("graft.globalTable.maxRows")
+  }
+
+  test("PartitionTimeOnInvalid backfills nulls with the running partition max") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, None),                            // → 10:00
+      (3L, Some(ts("2024-01-01 11:00:00"))),
+      (4L, None)                             // → 11:00
+    ).toDF("id", "ts").coalesce(1)
+    val env = batchEnv(Map("t" -> df))
+    val out = Compiler.compile(
+      stream(Seq("t"), Consumed(keys = Seq("id"), eventTime = Some("ts"),
+        timestampPolicy = TimestampPolicy.PartitionTimeOnInvalid)), env)
+      .df.orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.sql.Timestamp]("ts")).toMap
+    assert(out(2L) == ts("2024-01-01 10:00:00"))
+    assert(out(4L) == ts("2024-01-01 11:00:00"))
+    assert(out(1L) == ts("2024-01-01 10:00:00"))
+    // leading invalid rows (no partition time yet) pass through as null
+    val df2 = Seq((1L, None: Option[java.sql.Timestamp]),
+                  (2L, Some(ts("2024-01-01 09:00:00")))).toDF("id", "ts")
+      .coalesce(1)
+    val out2 = Compiler.compile(
+      stream(Seq("t"), Consumed(keys = Seq("id"), eventTime = Some("ts"),
+        timestampPolicy = TimestampPolicy.PartitionTimeOnInvalid)),
+      batchEnv(Map("t" -> df2)))
+      .df.orderBy("id").collect()
+    assert(out2(0).isNullAt(1))
+  }
+
+  test("as-of join carries the matched row atomically: real NULLs survive") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 10L)).toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(5L), Option("old")),
+      (1L, ts("2024-01-01 11:00:00"), None: Option[Long], Option("new"))
+    ).toDF("k", "ts", "rv", "tag")
+    val out = graft.ext.AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+      Map("rv" -> "rv", "tag" -> "tag")).collect()
+    assert(out.length == 1)
+    // the 11:00 row is the as-of match; its rv is genuinely NULL and must
+    // NOT be backfilled from the older 10:00 row
+    assert(out.head.getAs[String]("tag") == "new")
+    assert(out.head.isNullAt(out.head.fieldIndex("rv")))
+  }
+
+  test("batch ProcessOp on a skewed key: ordered streaming fold, no OOM path") {
+    val n = 200000
+    val hot = (1 to n).map(i => (1L, (n - i).toLong, i.toLong)) // ts descending
+    val cold = Seq((2L, 0L, 1L))
+    val df = (hot ++ cold).toDF("k", "seq", "payload")
+      .withColumn("ts", timestamp_seconds(col("seq")))
+      .drop("seq")
+      .repartition(8) // scramble physical order; the kernel must re-sort
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("running",
+        org.apache.spark.sql.types.LongType)))
+    // state = running count; emit only every 50000th record per key
+    val node = ProcessOp(
+      stream(Seq("t"), Consumed(keys = Seq("k"), eventTime = Some("ts"))),
+      init = () => Array[Byte](0, 0, 0, 0),
+      process = (st, r) => {
+        val c = java.nio.ByteBuffer.wrap(st).getInt + 1
+        val ns = java.nio.ByteBuffer.allocate(4).putInt(c).array()
+        val out: Iterator[Row] = if (c % 50000 == 0)
+          Iterator.single(Row(r.getAs[Long]("k"), c.toLong)) else Iterator.empty
+        (ns, out)
+      },
+      outSchema = outSchema)
+    val out = Compiler.compile(node, batchEnv(Map("t" -> df)))
+      .df.orderBy("k", "running").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 50000L), (1L, 100000L), (1L, 150000L), (1L, 200000L)))
+  }
+
+  test("streaming stream⋈table joins the CURRENT value, not the changelog") {
+    val sms = MemoryStream[(Long, Long)]
+    val tms = MemoryStream[(Long, String, Long)]
+    val env = new StreamEnv(spark, Map(
+      "clicks" -> sms.toDF().toDF("k", "click_id"),
+      "profile" -> tms.toDF().toDF("k", "name", "off")))
+    val node = stream(Seq("clicks"), Consumed(keys = Seq("k")))
+      .join(table("profile", Consumed(keys = Seq("k")), orderBy = Some("off")))
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("st_join").outputMode("append").start()
+    try {
+      tms.addData((1L, "v1", 1L))
+      tms.addData((1L, "v2", 2L)) // two historical upserts BEFORE any click
+      q.processAllAvailable()
+      sms.addData((1L, 100L))
+      q.processAllAvailable()
+      // exactly ONE enriched row (current value v2) — the round-1 equi-join
+      // against the changelog would have emitted one per historical upsert
+      val rows = spark.table("st_join").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("name") == "v2")
+      // inner join: a click for an unknown key emits nothing
+      sms.addData((9L, 101L))
+      q.processAllAvailable()
+      assert(spark.table("st_join").count() == 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream left band join emits null-padded rows past watermark") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lms = MemoryStream[(Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env = new StreamEnv(spark, Map(
+      "l" -> lms.toDF().toDF("k", "ts"),
+      "r" -> rms.toDF().toDF("k", "rts", "tag")))
+    val node = stream(Seq("l"), Consumed(keys = Seq("k"), eventTime = Some("ts")))
+      .join(stream(Seq("r"), Consumed(keys = Seq("k"), eventTime = Some("rts"))),
+        how = JoinHow.Left,
+        window = Some(JoinWindow("10 seconds", "10 seconds")))
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("ss_left").outputMode("append").start()
+    try {
+      lms.addData((1L, ts("2024-01-01 10:00:00"))) // will match
+      lms.addData((2L, ts("2024-01-01 10:00:00"))) // never matches
+      rms.addData((1L, ts("2024-01-01 10:00:05"), "hit"))
+      q.processAllAvailable()
+      // advance both watermarks far past the band so the unmatched left
+      // row can be finalized and emitted with nulls
+      lms.addData((99L, ts("2024-01-01 12:00:00")))
+      rms.addData((99L, ts("2024-01-01 12:00:00"), "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_left").collect()
+      val k1 = rows.filter(_.getLong(0) == 1L)
+      val k2 = rows.filter(_.getLong(0) == 2L)
+      assert(k1.length == 1 && k1.head.getAs[String]("tag") == "hit")
+      assert(k2.length == 1 && k2.head.isNullAt(k2.head.fieldIndex("tag")))
+    } finally q.stop()
+  }
+}
