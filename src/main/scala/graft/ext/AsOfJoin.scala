@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * `last(_, ignoreNulls)` over the event-time order, keep left rows. Cost is
   * a single exchange on the key (same as any keyed join) regardless of how
   * asymmetric the sides are — no range-explosion, no per-row probes; skew on
-  * the key is AQE's to handle like any other shuffle.
+  * the key is AQE's to handle like any other shuffle — EXCEPT inside the
+  * window function, which gets one partition per key: a celebrity key
+  * serializes its whole history in one task. For that case, pre-bucket by
+  * (key, time-range) — run this join per coarse time bucket with the
+  * right side's latest row per (key, bucket) unioned into the next bucket
+  * as a seed row — before falling back to this single-window form.
   */
 object AsOfJoin {
 

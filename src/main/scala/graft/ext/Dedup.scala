@@ -51,19 +51,24 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                   k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                    threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Materialized once: reused by the signature build and both verify
-    // joins (Spark recomputes lineage per use otherwise). The 100 TB analog
-    // is persisting the signature table before the bucket join.
+    // Shingle sets travel as xxhash64 longs from here on: the persisted
+    // working set, the signature explode, and the verify joins all carry
+    // 8-byte hashes instead of shingle strings (set sizes are unchanged —
+    // shingles are distinct, and 64-bit collisions within a ~10²-element
+    // set are negligible). Materialized once: reused by the signature build
+    // and both verify joins (Spark recomputes lineage per use otherwise).
     val shDf = docs.select(col(idCol).as("id"),
-                           shingles(col(textCol), k).as("sh"))
+                           transform(shingles(col(textCol), k),
+                                     s => xxhash64(s)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Signature via explode + hash-aggregate: min() lanes are whole-stage
     // codegen'd, and map-side partial aggregation collapses each doc to one
     // signature row before any shuffle — at 100 TB the exchange carries
-    // numHashes longs per doc, never the shingles.
+    // numHashes longs per doc, never the shingles. Lane i re-seeds the base
+    // shingle hash (xxhash64 of a long with seed i).
     val sig = shDf.select(col("id"), explode(col("sh")).as("s"))
       .groupBy("id")
       .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
@@ -101,7 +106,9 @@ object Dedup {
       .select(graft.functions.VectorFunctions.ordered_pairs(col("ids")))
       .distinct()
 
-  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  /** Exact-Jaccard verification of candidate pairs against shingle sets
+    * (hashed: `sh` is an array of 64-bit shingle hashes).
+    */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
     cand
@@ -165,12 +172,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, maxDf: Long = 50, minShared: Long = 2,
                         threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    // shingle sets as 64-bit hashes throughout (see minhashPairs): the
+    // persisted working set, the posting explode, and the verify joins all
+    // carry longs, never shingle strings
+    val sh = docs.select(col(idCol).as("id"),
+                         transform(shingles(col(textCol), k),
+                                   s => xxhash64(s)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: posting + 2 verify joins
-    // posting keys are 8-byte shingle hashes, not the strings — the inverted
-    // index shuffle carries (hash, id) only (what matters at 100 TB)
-    val posting = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("shingle"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
     // candidates must share ≥ minShared rare shingles: a Jaccard-0.8 pair
     // shares ~80% of its (dozens of) shingles so recall is unaffected, while
     // coincidental single-shingle collisions — the bulk of the candidate
@@ -179,10 +188,10 @@ object Dedup {
       .groupBy("shingle")
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxDf))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-                  y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // lazy in-bucket pair expansion via the OrderedPairs Generator (the
+      // nested transform/flatten/explode HOF chain is interpreted)
+      .select(graft.functions.VectorFunctions.ordered_pairs(col("ids")))
+      .groupBy(col("id_a"), col("id_b"))
       .count()
       .where(col("count") >= minShared)
       .select(col("id_a"), col("id_b"))

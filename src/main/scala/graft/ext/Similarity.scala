@@ -85,8 +85,10 @@ object Similarity {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val train = corpusSel.sample(withReplacement = false, frac, seed)
       .withColumn("features", toVec(col("cv")))
+    // random init: k-means|| init runs several extra Spark jobs for a
+    // quantizer whose cells only need to be roughly balanced
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
+      .setInitMode("random").setFeaturesCol("features").fit(train)
     val centers: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     // Cell assignment over the full corpus is a narrow map against the

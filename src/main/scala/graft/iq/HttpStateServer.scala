@@ -18,9 +18,24 @@ import org.apache.spark.sql.functions.col
   */
 object HttpStateServer {
 
-  /** Start on `port` (0 = ephemeral); returns the server and bound port. */
-  def start(spark: SparkSession, port: Int = 0): (HttpServer, Int) = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** Minimal JSON string escaper for error bodies (quotes, backslashes,
+    * control chars) — exception messages interpolate URL-controlled names.
+    */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Start on `port` (0 = ephemeral); returns the server and bound port.
+    * Binds loopback by default — the server exposes every Spark table/temp
+    * view unauthenticated; front it with your own auth to serve remotely.
+    */
+  def start(spark: SparkSession, port: Int = 0,
+            bindAddress: String = "127.0.0.1"): (HttpServer, Int) = {
+    val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
     server.createContext("/store", (exchange: HttpExchange) => {
       val response =
         try {
@@ -35,7 +50,8 @@ object HttpStateServer {
           }
           (200, df.toJSON.collect().mkString("[", ",", "]"))
         } catch {
-          case e: Exception => (404, s"""{"error":"${e.getMessage}"}""")
+          case e: Exception =>
+            (404, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
         }
       val bytes = response._2.getBytes("UTF-8")
       exchange.getResponseHeaders.set("Content-Type", "application/json")

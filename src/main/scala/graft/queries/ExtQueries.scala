@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north-star): dedup,
-  * similarity search, text analysis, multimodal plumbing. Queries without an
-  * oracle entry use hash functions DuckDB does not share (xxhash64-based
-  * signatures) or are approximate by design → driver's rows-only check.
+  * similarity search, text analysis, multimodal plumbing. Dedup queries are
+  * oracle-checked against brute-force DuckDB ground truth (exact Jaccard /
+  * cosine / hamming over the portable md5-derived hash); only the
+  * approximate-by-design queries (`agg_approx_distinct`, `sim_ann_ivf`,
+  * `sim_ann_lsh`) remain rows-only.
   */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -25,14 +27,12 @@ object ExtQueries {
         .orderBy(col("keep_id"))
     },
     "dedup_minhash" -> { (s, d) =>
-      // bands=16 × rowsPerBand=1: candidate on ANY single-minhash agreement,
-      // so P(miss | jaccard ≥ 0.7) ≤ 0.3^16 ≈ 4e-9 — recall 1 in practice,
-      // which is what lets the brute-force exact-Jaccard DuckDB oracle
-      // hash-match (precision is exact either way: candidates are verified).
+      // default banding 16×2: P(miss | jaccard ≥ 0.7) = (1-0.49)^16 ≈ 2e-5
+      // → recall 1 in practice (validated against the brute-force oracle at
+      // sf0.01/0.1), while false candidates from low-jaccard pairs stay
+      // rare (per-band collision j² vs j for single-row bands).
       val dd = docs(s, d)
-      Dedup.survivors(dd,
-        Dedup.minhashPairs(dd, "text", "doc_id", bands = 16, rowsPerBand = 1),
-        "doc_id")
+      Dedup.survivors(dd, Dedup.minhashPairs(dd, "text", "doc_id"), "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     "dedup_simhash" -> { (s, d) =>

@@ -19,7 +19,10 @@ object Runner {
       queryName: String = "graft",
       checkpointLocation: Option[String] = None,
       triggerMs: Long = 500L, // reference example commit.interval: 500 ms
-      outputMode: String = "update"
+      outputMode: String = "update",
+      // bootstrap.servers analog (`core.clj:45`): required by kafka sinks
+      // (format("kafka") refuses to start without it)
+      bootstrapServers: Option[String] = None
   )
 
   /** Compile against a (streaming) env — `ksml*` analog (`core.clj:18-23`). */
@@ -34,15 +37,19 @@ object Runner {
       .outputMode(cfg.outputMode)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
     val w1 = cfg.checkpointLocation.fold(w0)(p => w0.option("checkpointLocation", p))
-    configureSink(w1, sink).start()
+    configureSink(w1, sink, cfg).start()
   }
 
-  private def configureSink(w: DataStreamWriter[Row],
-                            sink: SinkSpec): DataStreamWriter[Row] = sink match {
+  private def configureSink(w: DataStreamWriter[Row], sink: SinkSpec,
+                            cfg: StreamsCfg): DataStreamWriter[Row] = sink match {
     case SinkSpec.To(topic, "kafka", _) =>
       // `:to!` (README.md:66-68): value must already be encoded by the
       // sink-side serde (see graft.serde.Serdes / KafkaTopics.encodeFor)
-      w.format("kafka").option("topic", topic)
+      val servers = cfg.bootstrapServers.getOrElse(throw new IllegalArgumentException(
+        "kafka sink needs StreamsCfg.bootstrapServers (kafka.bootstrap.servers)"))
+      w.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
     case SinkSpec.To(path, fmt, partitionBy) =>
       val base = w.format(fmt).option("path", path)
       if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base

@@ -420,6 +420,14 @@ object VectorFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", exprs =>
+        CharNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs =>
+        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }
 

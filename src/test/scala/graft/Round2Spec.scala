@@ -147,6 +147,69 @@ class Round2Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("anomaly-detection golden: full topology via Runner, checkpoint recovery") {
+    // the reference's complete example (anomaly_detection.clj:29-43):
+    // stream → group-by-key → 1-minute windowed count → to-stream →
+    // filter(count > 3) → to! — run through Runner with a checkpoint, kill
+    // the query, restart from the checkpoint, and verify no loss and no
+    // duplicates across the restart (file sink is exactly-once).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    val env = new StreamEnv(spark, Map("clicks" -> ms.toDF().toDF("user", "ts")))
+    val node = stream(Seq("clicks"),
+        Consumed(keys = Seq("user"), eventTime = Some("ts")))
+      .groupByKey
+      .windowedBy(WindowSpec.Tumbling("1 minute"))
+      .count(as = "clicks")
+      .toStream
+      .filter(col("clicks") > 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anomaly").toString
+    val cfg = graft.streaming.Runner.StreamsCfg(
+      queryName = "anomaly", checkpointLocation = Some(s"$dir/ckpt"),
+      outputMode = "append")
+    val sink = SinkSpec.To(s"$dir/out", "parquet")
+
+    val q1 = graft.streaming.Runner.start(node, env, sink, cfg)
+    try {
+      ms.addData(("u1", ts("2024-01-01 10:00:05")), ("u1", ts("2024-01-01 10:00:15")),
+                 ("u1", ts("2024-01-01 10:00:25")), ("u1", ts("2024-01-01 10:00:35")),
+                 ("u2", ts("2024-01-01 10:00:45"))) // u2: only 1 click → no anomaly
+      q1.processAllAvailable()
+      ms.addData(("wm", ts("2024-01-01 10:05:00"))) // advance watermark past window
+      q1.processAllAvailable()
+      ms.addData(("wm", ts("2024-01-01 10:06:00"))) // extra batch to flush append
+      q1.processAllAvailable()
+    } finally q1.stop() // kill
+
+    val q2 = graft.streaming.Runner.start(node, env, sink, cfg) // recover
+    try {
+      ms.addData(("u3", ts("2024-01-01 10:10:05")), ("u3", ts("2024-01-01 10:10:15")),
+                 ("u3", ts("2024-01-01 10:10:25")), ("u3", ts("2024-01-01 10:10:35")))
+      q2.processAllAvailable()
+      ms.addData(("wm", ts("2024-01-01 10:15:00")))
+      q2.processAllAvailable()
+      ms.addData(("wm", ts("2024-01-01 10:16:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("user", "clicks").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // exactly once each, across the kill/restart boundary
+    assert(rows.sorted.toSeq == Seq("u1" -> 4L, "u3" -> 4L))
+  }
+
+  test("print! sink (console) starts and processes a batch") {
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "a"))
+    val env = new StreamEnv(spark, Map("t" -> ms.toDF().toDF("k", "v")))
+    val q = graft.streaming.Runner.start(
+      stream(Seq("t"), Consumed(keys = Seq("k"))), env, SinkSpec.Print,
+      graft.streaming.Runner.StreamsCfg(queryName = "print_smoke",
+        outputMode = "append"))
+    try q.processAllAvailable() finally q.stop()
+  }
+
   test("stream-stream left band join emits null-padded rows past watermark") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val lms = MemoryStream[(Long, java.sql.Timestamp)]
