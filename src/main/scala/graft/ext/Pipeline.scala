@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators every large-scale training-data pipeline
+  * needs around the dedup/quality core: deterministic dataset splits,
+  * per-source capping, and text normalization. All pure Column expressions
+  * (codegen'd, no UDFs) and engine-portable, so each is DuckDB-oracle
+  * checkable.
+  *
+  * At 100 TB: splits and normalization are narrow maps (no shuffle);
+  * capPerKey shuffles once on the cap key like any windowed ranking —
+  * skewed sources are the classic top-N-per-group problem, bounded here by
+  * the cap itself (partial ranking never materializes more than the
+  * group's rows, and AQE splits oversized partitions).
+  */
+object Pipeline {
+
+  /** Engine-portable 60-bit hash of a column's string form: the top 15 hex
+    * digits of md5, as a non-negative BIGINT. DuckDB computes the identical
+    * value: CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15) AS BIGINT).
+    * Salting: pass concat(x, lit(":salt")) — any string expression works.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic train/val/test split by id hash: stable across runs,
+    * machines, and engines (no RNG, no zipWithIndex). `fractions` are
+    * cumulative-bucket widths over 1e6 buckets; rows hash into the first
+    * label whose cumulative range contains them.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val buckets = 1000000L
+    val h = pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+                 lit(buckets))
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail.map(f =>
+      math.round(f * buckets))
+    val expr0 = fractions.zip(cums).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((label, _), cum)) =>
+        when(h < cum, lit(label)).otherwise(acc)
+      }
+    df.withColumn("split", expr0)
+  }
+
+  /** Keep at most `n` rows per key, by `orderCol` ascending (ties broken by
+    * the order column set) — the per-domain / per-source cap that keeps a
+    * crawl from being dominated by one site.
+    */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], n: Int,
+                orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Text normalization for training corpora: lowercase, collapse runs of
+    * whitespace to single spaces, trim. Portable regex subset (identical
+    * semantics in Java regex and RE2/DuckDB).
+    */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(lower(textCol), "[ \\t\\n\\r]+", " "))
+
+  /** PII redaction: mask email addresses and long digit runs (phone/account
+    * numbers). Pattern subset chosen to behave identically in Java regex
+    * and RE2.
+    */
+  def redactPii(textCol: Column): Column = {
+    val noEmail = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,31 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus management ----
+    "ds_split" -> { (s, d) =>
+      // deterministic 80/10/10 split by id hash — stable across engines
+      Pipeline.splitByHash(docs(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    },
+    "ds_cap_per_key" -> { (s, d) =>
+      // at most 3 docs per language (the per-source crawl cap)
+      Pipeline.capPerKey(docs(s, d), Seq("lang"), 3, Seq(col("doc_id")))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    "text_normalize" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          Pipeline.redactPii(Pipeline.normalize(col("text"))).as("norm"))
+        .select(col("doc_id"), col("norm"),
+                length(col("norm")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal plumbing ----
     "mm_decode" -> { (s, d) =>
       Multimodal.resize(Multimodal.decode(Multimodal.asMedia(docs(s, d))), 256)
@@ -280,6 +305,34 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ds_split" ->
+      """WITH h AS (SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 AS b
+           FROM documents),
+         s AS (SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+           FROM h)
+         SELECT split, CAST(count(*) AS BIGINT) AS n,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM s GROUP BY split ORDER BY split""",
+    "ds_cap_per_key" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY lang, doc_id""",
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS norm
+           FROM documents)
+         SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars
+         FROM n ORDER BY doc_id""",
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
     "dedup_simhash" -> simhashSurvivorsSql,

@@ -212,6 +212,45 @@ class ExtSpec extends SparkSpecBase {
     assert(fp2 == Seq(math.min(h60("a b c d e"), h60("b c d e f"))))
   }
 
+  test("splitByHash is deterministic, exhaustive, and near the fractions") {
+    import graft.ext.Pipeline
+    val split = Pipeline.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count()) // every row gets exactly one label
+    assert(counts("train").toDouble / total > 0.6) // near 0.8 at small n
+    // deterministic: same assignment on recompute
+    val again = Pipeline.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).isEmpty)
+    // salting moves rows between splits
+    val salted = Pipeline.splitByHash(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = ":v2")
+    assert(split.select("doc_id", "split").except(
+      salted.select("doc_id", "split")).count() > 0)
+  }
+
+  test("capPerKey keeps the first n per key in order") {
+    import graft.ext.Pipeline
+    val crafted = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "k")
+    val capped = Pipeline.capPerKey(crafted, Seq("k"), 2, Seq(col("id")))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(capped == Set(("a", 1L), ("a", 2L), ("b", 4L)))
+  }
+
+  test("normalize + redactPii: whitespace collapse, email and number masks") {
+    import graft.ext.Pipeline
+    val out = Seq(Tuple1("  Hello\t\tWORLD  mail me at Bob.Smith+x@example.com or 12345678  "))
+      .toDF("text")
+      .select(Pipeline.redactPii(Pipeline.normalize(col("text"))).as("n"))
+      .head.getString(0)
+    assert(out == "hello world mail me at <EMAIL> or <NUM>")
+  }
+
   test("as-of join: latest prior match, tie matches, no-match is null") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
