@@ -76,4 +76,29 @@ object Pipeline {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+", "<EMAIL>")
     regexp_replace(noEmail, "[0-9]{7,}", "<NUM>")
   }
+
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word k-shingles it shares with an evaluation set — documents at or
+    * over `minShared` should be dropped from training data (eval leakage).
+    *
+    * The eval side is collapsed to its distinct shingle set and the join is
+    * broadcast (eval benchmarks are tiny next to a 100 TB corpus); the
+    * corpus side explodes to (id, shingle) pairs — a narrow map off the
+    * scan — and aggregates back with map-side combine. Returns
+    * (idCol, shared_ngrams) for flagged documents only.
+    */
+  def contamination(corpus: DataFrame, eval: DataFrame,
+                    textCol: String, idCol: String,
+                    k: Int = 5, minShared: Long = 1): DataFrame = {
+    def sh(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(graft.functions.VectorFunctions.word_shingles(
+          col(textCol), k)).as("s"): _*)
+    val evalShingles = broadcast(sh(eval).select(col("s")).distinct())
+    sh(corpus, col(idCol))
+      .join(evalShingles, Seq("s")) // broadcast hash join, no corpus shuffle
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("s")).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
 }

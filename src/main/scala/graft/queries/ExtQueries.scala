@@ -167,6 +167,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
+    "ds_decontaminate" -> { (s, d) =>
+      // eval-leakage scan: docs sharing ≥2 distinct 5-gram shingles with
+      // the "benchmark" slice (doc_id < 10); the eval docs flag themselves
+      val dd = docs(s, d)
+      Pipeline.contamination(dd, dd.where(col("doc_id") < 10),
+          "text", "doc_id", k = 5, minShared = 2)
+        .select(col("doc_id"), col("shared_ngrams"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal plumbing ----
     "mm_decode" -> { (s, d) =>
       Multimodal.resize(Multimodal.decode(Multimodal.asMedia(docs(s, d))), 256)
@@ -333,6 +343,24 @@ object ExtQueries {
            FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars
          FROM n ORDER BY doc_id""",
+    "ds_decontaminate" -> {
+      val k = 5
+      val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < $k THEN [coalesce(array_to_string(toks, ' '), '')]
+                  ELSE list_distinct(list_transform(range(len(toks) - ${k - 1}),
+                         i -> $grams)) END AS sh
+             FROM t),
+         ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 10),
+         c AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+         SELECT c.doc_id, CAST(count(DISTINCT c.s) AS BIGINT) AS shared_ngrams
+         FROM c JOIN ev ON c.s = ev.s
+         GROUP BY c.doc_id HAVING count(DISTINCT c.s) >= 2
+         ORDER BY c.doc_id"""
+    },
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
     "dedup_simhash" -> simhashSurvivorsSql,

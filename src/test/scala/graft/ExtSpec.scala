@@ -251,6 +251,19 @@ class ExtSpec extends SparkSpecBase {
     assert(out == "hello world mail me at <EMAIL> or <NUM>")
   }
 
+  test("contamination flags eval overlap and ignores clean docs") {
+    import graft.ext.Pipeline
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),   // contains eval
+      (2L, "totally unrelated words in this training document example here"),
+      (3L, "prefix words then alpha beta gamma delta epsilon tail tokens")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Pipeline.contamination(corpus, eval, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L) && out.contains(3L) && !out.contains(2L))
+  }
+
   test("as-of join: latest prior match, tie matches, no-match is null") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
