@@ -198,16 +198,27 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
-  /** Embedding near-dup: random-hyperplane LSH buckets (deterministic seed),
-    * cosine verification within buckets only.
+  /** Embedding near-dup: banded random-hyperplane LSH (deterministic
+    * seeds), cosine verification within buckets only. Multiple independent
+    * tables fix the single-table recall gap: one 12-plane table catches a
+    * θ-apart pair w.p. (1-θ/π)^12 (~28% at cos 0.95); with T tables a pair
+    * is a candidate if ANY table collides — miss = (1-(1-θ/π)^p)^T, and
+    * near-identical dups (θ→0) are caught w.p. →1. Precision stays exact
+    * (candidates are cosine-verified), so extra tables only cost bucket
+    * rows — (id, table, bucket) triples, never vectors.
     */
   def embeddingPairs(emb: DataFrame, vecCol: String = "embedding",
                      idCol: String = "vec_id", planes: Int = 12,
-                     threshold: Double = 0.95): DataFrame = {
-    val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes, seed = 42)
-    val sig = emb.select(col(idCol).as("id"), sigCol.as("bucket"))
+                     tables: Int = 4, threshold: Double = 0.95): DataFrame = {
+    val sig = emb.select(col(idCol).as("id") +:
+      (0 until tables).map(t =>
+        Similarity.hyperplaneSignature(col(vecCol), planes, seed = 42 + t)
+          .as(s"b$t")): _*)
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cand = bucketPairs(sig, Seq("bucket"))
+    val cand = bucketPairs(banded, Seq("table", "bucket"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

@@ -58,6 +58,17 @@ class ExtSpec extends SparkSpecBase {
                              r.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("embedding LSH dedup finds an injected duplicate vector") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dup = base.where(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val pairs = graft.ext.Dedup.embeddingPairs(base.unionByName(dup))
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 0L &&
+                             r.getAs[Long]("id_b") == 1000000L &&
+                             r.getAs[Double]("cos") > 0.999))
+  }
+
   test("brute-force topk: neighbors ranked by cosine, self excluded") {
     val res = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 5)
     val rows = res.orderBy("rank").collect()
