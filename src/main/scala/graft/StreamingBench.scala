@@ -37,6 +37,11 @@ object StreamingBench {
       .windowedBy(WindowSpec.Tumbling("1 hour"))
       .count(as = "clicks")
     val name = s"bench_wc_${System.nanoTime()}"
+    // Stateful micro-batches pay per (partition × batch) state-store
+    // overhead; 8 partitions is plenty for the probe's state volume and
+    // measures the per-record path, not file bookkeeping. Restored after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = Compiler.compile(topo, env).df.writeStream
       .format("memory").queryName(name).outputMode("update").start()
     try {
@@ -45,6 +50,9 @@ object StreamingBench {
         q.processAllAvailable()
       }
       spark.table(name).count()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 }

@@ -199,6 +199,15 @@ class Round2Spec extends SparkSpecBase {
     assert(rows.sorted.toSeq == Seq("u1" -> 4L, "u3" -> 4L))
   }
 
+  test("approx_count_distinct stays within HLL error of the exact count") {
+    // the rows-only gate query's semantic backstop: 5% default rsd → the
+    // estimate on the events fixture must sit well within 3σ of exact
+    val ev = new graft.compile.ParquetEnv(spark, sfDir).load("events")
+    val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
   test("print! sink (console) starts and processes a batch") {
     val ms = MemoryStream[(Long, String)]
     ms.addData((1L, "a"))
