@@ -249,4 +249,33 @@ class Round2Spec extends SparkSpecBase {
       assert(k2.length == 1 && k2.head.isNullAt(k2.head.fieldIndex("tag")))
     } finally q.stop()
   }
+
+  test("stream-stream outer band join keeps right-only rows past watermark") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lms = MemoryStream[(Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env = new StreamEnv(spark, Map(
+      "l" -> lms.toDF().toDF("k", "ts"),
+      "r" -> rms.toDF().toDF("k", "rts", "tag")))
+    val node = stream(Seq("l"), Consumed(keys = Seq("k"), eventTime = Some("ts")))
+      .join(stream(Seq("r"), Consumed(keys = Seq("k"), eventTime = Some("rts"))),
+        how = JoinHow.Outer,
+        window = Some(JoinWindow("10 seconds", "10 seconds")))
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("ss_outer").outputMode("append").start()
+    try {
+      lms.addData((1L, ts("2024-01-01 10:00:00"))) // matches
+      rms.addData((1L, ts("2024-01-01 10:00:05"), "hit"))
+      rms.addData((3L, ts("2024-01-01 10:00:00"), "right_only")) // no left
+      q.processAllAvailable()
+      lms.addData((99L, ts("2024-01-01 12:00:00"))) // advance watermarks
+      rms.addData((99L, ts("2024-01-01 12:00:00"), "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer").collect()
+      val k3 = rows.filter(_.getLong(0) == 3L) // key survives via coalesce
+      assert(k3.length == 1 && k3.head.getAs[String]("tag") == "right_only")
+      assert(k3.head.isNullAt(k3.head.fieldIndex("ts"))) // left side null
+      assert(rows.filter(_.getLong(0) == 1L).head.getAs[String]("tag") == "hit")
+    } finally q.stop()
+  }
 }
