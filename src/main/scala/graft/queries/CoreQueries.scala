@@ -433,7 +433,10 @@ object CoreQueries {
         li.joinGlobal(parts, derivedKey = Seq(col("l_partkey")),
             projection = Seq(col("l_orderkey"), col("l_linenumber"),
                              col("p_name"), col("p_retailprice")))
-          .sort(col("l_orderkey"), col("l_linenumber")))(s, d)
+          // (okey, linenumber) is not unique in the fixture → p_name breaks
+          // the tie deterministically (duplicate rows are then identical)
+          .sort(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+                col("p_retailprice")))(s, d)
     },
     "join_stream_stream_window" -> { (s, d) =>
       // stream-stream equi-join within a time band (JoinWindows analog):
@@ -445,8 +448,12 @@ object CoreQueries {
       run(
         orders.join(li, window = Some(JoinWindow("0 seconds", "60 days")),
             projection = Seq(col("o_orderkey"), col("l_linenumber"),
-                             col("l_quantity"), col("o_orderstatus")))
-          .sort(col("o_orderkey"), col("l_linenumber")))(s, d)
+                             col("l_quantity"), col("l_shipdate"),
+                             col("o_orderstatus")))
+          // fixture lineitem is not (orderkey, linenumber)-unique — sort the
+          // full quad or tie order is engine luck
+          .sort(col("o_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_shipdate")))(s, d)
     },
 
     "join_stream_stream_left" -> { (s, d) =>
@@ -720,14 +727,15 @@ object CoreQueries {
     "join_global" ->
       """SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-         ORDER BY l.l_orderkey, l.l_linenumber""",
+         ORDER BY l.l_orderkey, l.l_linenumber, p.p_name, p.p_retailprice""",
     "join_stream_stream_window" ->
-      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, l.l_shipdate,
+                o.o_orderstatus
          FROM orders o JOIN lineitem l
            ON o.o_orderkey = l.l_orderkey
           AND l.l_shipdate >= o.o_orderdate
           AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
-         ORDER BY o.o_orderkey, l.l_linenumber""",
+         ORDER BY o.o_orderkey, l.l_linenumber, l.l_quantity, l.l_shipdate""",
     "join_stream_stream_left" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, l.l_shipdate,
                 o.o_orderstatus
