@@ -275,6 +275,18 @@ class ExtSpec extends SparkSpecBase {
     assert(out.contains(1L) && out.contains(3L) && !out.contains(2L))
   }
 
+  test("SQL registry exposes the native expressions") {
+    graft.functions.VectorFunctions.register(spark)
+    assert(spark.sql("SELECT simhash60('hello') AS h").head.getLong(0)
+      == 419982666956583591L)
+    assert(spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .head.getDouble(0) == 1.0)
+    assert(spark.sql("SELECT char_ngrams('abcd', 3) AS g")
+      .head.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .head.getSeq[String](0) == Seq("a b c", "b c d"))
+  }
+
   test("as-of join: latest prior match, tie matches, no-match is null") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val left = Seq(
