@@ -199,6 +199,33 @@ class Round2Spec extends SparkSpecBase {
     assert(rows.sorted.toSeq == Seq("u1" -> 4L, "u3" -> 4L))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.ext.Bucketing
+    val ev = new graft.compile.ParquetEnv(spark, sfDir).load("events")
+      .select("event_id", "user_id", "value")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name")
+    Bucketing.writeBucketed(ev, "ev_bkt", Seq("user_id"), 4)
+    Bucketing.writeBucketed(
+      cust.withColumnRenamed("c_custkey", "user_id"), "cust_bkt",
+      Seq("user_id"), 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = Bucketing.readBucketed(spark, "ev_bkt")
+        .join(Bucketing.readBucketed(spark, "cust_bkt"), Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: a sort-merge join with NO re-shuffle of either side
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS ev_bkt")
+      spark.sql("DROP TABLE IF EXISTS cust_bkt")
+    }
+  }
+
   test("approx_count_distinct stays within HLL error of the exact count") {
     // the rows-only gate query's semantic backstop: 5% default rsd → the
     // estimate on the events fixture must sit well within 3σ of exact
