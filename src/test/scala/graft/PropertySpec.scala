@@ -72,4 +72,30 @@ class PropertySpec extends SparkSpecBase {
       got.except(expected).isEmpty && expected.except(got).isEmpty
     })
   }
+
+  test("normalize is idempotent for any text") {
+    import graft.ext.Pipeline
+    holds(Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("  "), Gen.const("\t"), Gen.const("\n"),
+      Gen.const("MiXeD Case"))).map(_.mkString)) { s: String =>
+      val df = spark.createDataFrame(Seq(Tuple1(s))).toDF("text")
+      val once = df.select(Pipeline.normalize(col("text"))).head.getString(0)
+      val twice = df.select(Pipeline.normalize(Pipeline.normalize(col("text"))))
+        .head.getString(0)
+      once == twice
+    })
+  }
+
+  test("splitByHash partitions exhaustively for any two-way fraction") {
+    import graft.ext.Pipeline
+    val docs = env.load("documents").limit(100)
+    val n = docs.count()
+    holds(Prop.forAll(Gen.choose(0.1, 0.9)) { f: Double =>
+      val split = Pipeline.splitByHash(docs, "doc_id",
+        Seq("a" -> f, "b" -> (1.0 - f)))
+      val counts = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.values.sum == n && counts.keySet.subsetOf(Set("a", "b"))
+    })
+  }
 }
