@@ -199,6 +199,30 @@ class Round2Spec extends SparkSpecBase {
     assert(rows.sorted.toSeq == Seq("u1" -> 4L, "u3" -> 4L))
   }
 
+  test("pure-expression pipeline ops run unchanged on a stream") {
+    // langId/quality/splitByHash/normalize are Column expressions, so the
+    // same code enriches a live stream — the batch/stream duality the
+    // engine promises for the LLM-pipeline layer, not just the DSL core
+    import graft.ext.{Pipeline, TextAnalysis}
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "the cat and the dog of the house"),
+               (2L, "el gato y los perros que viven"))
+    val enriched = Pipeline.splitByHash(
+      ms.toDF().toDF("doc_id", "text")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("norm", Pipeline.normalize(col("text")))
+        .withColumn("quality", TextAnalysis.qualityFeatures(col("text"))("quality")),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+    val q = enriched.writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("enrich_stream").orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("lang_pred") == "en")
+    assert(rows(1).getAs[String]("lang_pred") == "es")
+    assert(rows.forall(r => Set("train", "val")(r.getAs[String]("split"))))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.ext.Bucketing
     val ev = new graft.compile.ParquetEnv(spark, sfDir).load("events")
