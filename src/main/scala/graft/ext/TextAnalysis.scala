@@ -96,6 +96,15 @@ object TextAnalysis {
     aggregate(toks(textCol), lit(0L),
       (a, w) => a + ceil(length(w) / lit(4.0)).cast("long"))
 
+  /** GPT-style pre-tokenizer count: alternating letter runs / digit runs /
+    * punctuation runs, each with an optional leading space — the regex
+    * segmentation BPE vocabularies are trained over (minus the lookahead
+    * forms RE2 lacks, so the same pattern runs identically in DuckDB).
+    */
+  val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+  def bpeTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(bpePattern), lit(0))).cast("long")
+
   /** Winnowing-style document fingerprint: positional word k-shingles,
     * engine-portable 60-bit hashes, minimum per sliding window of w — the
     * classic MOSS selection. Returns the distinct fingerprint array (sorted,

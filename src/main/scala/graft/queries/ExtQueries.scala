@@ -133,6 +133,15 @@ object ExtQueries {
         .select(col("lang"), col("rk").cast("long").as("rk"), col("gram"), col("n"))
         .orderBy(col("lang"), col("rk"))
     },
+    "text_tokens_bpe" -> { (s, d) =>
+      // regex pre-tokenizer budget per language (the BPE segmentation
+      // count, vs text_tokens' whitespace + len/4 estimates)
+      docs(s, d)
+        .select(col("lang"), TextAnalysis.bpeTokenCount(col("text")).as("n"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("total_bpe_tokens"))
+        .orderBy(col("lang"))
+    },
     "text_fingerprint" -> { (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -361,6 +370,11 @@ object ExtQueries {
          GROUP BY c.doc_id HAVING count(DISTINCT c.s) >= 2
          ORDER BY c.doc_id"""
     },
+    "text_tokens_bpe" ->
+      s"""SELECT lang,
+         CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')))
+           AS BIGINT) AS total_bpe_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
     "dedup_simhash" -> simhashSurvivorsSql,

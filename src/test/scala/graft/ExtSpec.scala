@@ -262,6 +262,14 @@ class ExtSpec extends SparkSpecBase {
     assert(out == "hello world mail me at <EMAIL> or <NUM>")
   }
 
+  test("bpe pre-tokenizer counts letter/digit/punct runs with leading space") {
+    val out = Seq(Tuple1("Hello world, 2024 here!")).toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .head.getLong(0)
+    // "Hello" " world" "," " 2024" " here" "!" → 6
+    assert(out == 6L)
+  }
+
   test("contamination flags eval overlap and ignores clean docs") {
     import graft.ext.Pipeline
     val corpus = Seq(
