@@ -22,15 +22,29 @@ object Runner {
       outputMode: String = "update",
       // bootstrap.servers analog (`core.clj:45`): required by kafka sinks
       // (format("kafka") refuses to start without it)
-      bootstrapServers: Option[String] = None
+      bootstrapServers: Option[String] = None,
+      // `Stores` factory analog (`eval.clj:216-226`): Persistent* →
+      // RocksDB state store. Spark scopes the provider to the session at
+      // query start, so this is per-topology-launch, not per-store —
+      // the documented §2.6 divergence, now honored rather than ignored.
+      store: StoreKind = StoreKind.Default
   )
 
   /** Compile against a (streaming) env — `ksml*` analog (`core.clj:18-23`). */
   def build(node: KNode, env: Env): DataFrame = Compiler.compile(node, env).df
 
+  private val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Compile + start — `streams` + `.start` analog. */
   def start(node: KNode, env: Env, sink: SinkSpec,
             cfg: StreamsCfg = StreamsCfg()): StreamingQuery = {
+    cfg.store match {
+      case StoreKind.Persistent =>
+        env.spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", rocksDbProvider)
+      case StoreKind.InMemory | StoreKind.Default | StoreKind.LruMap => ()
+    }
     val df = build(node, env)
     val w0 = df.writeStream
       .queryName(cfg.queryName)

@@ -259,6 +259,35 @@ class Round2Spec extends SparkSpecBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("StoreKind.Persistent runs the topology on the RocksDB state store") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(String, java.sql.Timestamp)]
+    ms.addData(("u1", ts("2024-01-01 10:00:05")), ("u1", ts("2024-01-01 10:00:15")),
+               ("u2", ts("2024-01-01 10:00:25")))
+    val env = new StreamEnv(spark, Map("clicks" -> ms.toDF().toDF("user", "ts")))
+    val node = stream(Seq("clicks"),
+        Consumed(keys = Seq("user"), eventTime = Some("ts")))
+      .groupByKey.count(as = "n")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val q = graft.streaming.Runner.start(node, env, SinkSpec.Memory("rocks_counts"),
+      graft.streaming.Runner.StreamsCfg(queryName = "rocks_counts",
+        store = StoreKind.Persistent))
+    try {
+      q.processAllAvailable()
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      val m = spark.table("rocks_counts").groupBy("user").agg(max("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("u1" -> 2L, "u2" -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("print! sink (console) starts and processes a batch") {
     val ms = MemoryStream[(Long, String)]
     ms.addData((1L, "a"))
