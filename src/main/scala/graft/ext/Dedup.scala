@@ -107,13 +107,17 @@ object Dedup {
       .distinct()
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets
-    * (hashed: `sh` is an array of 64-bit shingle hashes).
+    * (hashed: `sh` is an array of 64-bit shingle hashes). The length-ratio
+    * prefilter is exactness-preserving — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
+    * — and skips the O(|A|+|B|) intersect for size-mismatched candidates.
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+             greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
