@@ -165,6 +165,54 @@ object Dedup {
       .where(col("hamming") <= maxBits)
   }
 
+  /** Streaming SimHash near-dup detection — the ingest-time face of
+    * [[simhashPairs]]: per pigeonhole bucket, a state kernel holds the most
+    * recent `maxPerBucket` (id, signature) entries; each arriving document
+    * is checked against its bucket's state and emits (id_a, id_b, hamming)
+    * pairs with hamming ≤ maxBits. Cross-bucket duplicate emissions are
+    * collapsed by a dropDuplicates stage. State is bounded per bucket
+    * (newest-first eviction), so a hot bucket cannot grow without limit;
+    * the same code runs in batch mode (single-batch kernel semantics).
+    * Requires a numeric id column.
+    */
+  def simhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
+                         maxBits: Int = 3, maxPerBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = maxBits + 1
+    val width = 60 / chunks
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), simhash(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until chunks).map { c =>
+          shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
+        }: _*)))
+      .toDF("id", "sig", "chunk", "bits")
+      .as[(Long, Long, Int, Long)]
+    val paired = banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          it.foreach { case (id, sg, _, _) =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != id) {
+                val ham = java.lang.Long.bitCount(sg ^ osig)
+                if (ham <= maxBits)
+                  out += ((math.min(id, oid), math.max(id, oid), ham))
+              }
+            }
+            seen = ((id, sg) :: seen).take(maxPerBucket)
+          }
+          state.update(seen)
+          out.iterator
+      }
+    paired.toDF("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+  }
+
   /** N-gram Jaccard dedup via a stop-shingle-capped inverted index: each
     * shingle whose document frequency is ≤ maxDf buckets its documents;
     * pairs sharing any such rare shingle are candidates (near-identical

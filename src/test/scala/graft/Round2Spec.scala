@@ -259,6 +259,26 @@ class Round2Spec extends SparkSpecBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("streaming simhash dedup flags a duplicate arriving in a later batch") {
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.simhashPairsStream(stream, "text", "doc_id")
+    val q = pairs.writeStream.format("memory").queryName("stream_dups")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "alpha beta gamma delta epsilon zeta"),
+                 (2L, "completely unrelated content in this one here"))
+      q.processAllAvailable()
+      assert(spark.table("stream_dups").count() == 0)
+      // duplicate of doc 1 arrives in a LATER batch → cross-batch state hit
+      ms.addData((3L, "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val dups = spark.table("stream_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(dups.toSeq == Seq((1L, 3L, 0)))
+    } finally q.stop()
+  }
+
   test("StoreKind.Persistent runs the topology on the RocksDB state store") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ms = MemoryStream[(String, java.sql.Timestamp)]
