@@ -86,6 +86,16 @@ object TextAnalysis {
   def charNgrams(textCol: Column, n: Int): Column =
     graft.functions.VectorFunctions.char_ngrams(textCol, n)
 
+  /** Token repetition ratio (Gopher-style quality signal):
+    * 1 - |distinct tokens| / |tokens|; 0 for empty text. High values mean
+    * boilerplate/spam repetition.
+    */
+  def repetitionRatio(textCol: Column): Column = {
+    val t = toks(textCol)
+    lit(1.0) - size(array_distinct(t)).cast("double") /
+      greatest(size(t).cast("double"), lit(1.0))
+  }
+
   /** Whitespace token count (exact) — the cheap budget estimator. */
   def tokenCount(textCol: Column): Column = size(toks(textCol)).cast("long")
 

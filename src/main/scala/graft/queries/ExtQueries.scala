@@ -133,6 +133,21 @@ object ExtQueries {
         .select(col("lang"), col("rk").cast("long").as("rk"), col("gram"), col("n"))
         .orderBy(col("lang"), col("rk"))
     },
+    "text_repetition" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.repetitionRatio(col("text")), 4).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    "text_len_quantiles" -> { (s, d) =>
+      // exact interpolated length quantiles per language (§2.9 superset —
+      // Spark percentile ≡ DuckDB quantile_cont)
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(percentile(length(col("text")), lit(0.5)).as("p50"),
+             percentile(length(col("text")), lit(0.9)).as("p90"))
+        .orderBy(col("lang"))
+    },
     "text_tokens_bpe" -> { (s, d) =>
       // regex pre-tokenizer budget per language (the BPE segmentation
       // count, vs text_tokens' whitespace + len/4 estimates)
@@ -370,6 +385,18 @@ object ExtQueries {
          GROUP BY c.doc_id HAVING count(DISTINCT c.s) >= 2
          ORDER BY c.doc_id"""
     },
+    "text_repetition" ->
+      """SELECT doc_id,
+         round(1.0 - CAST(len(list_distinct(list_filter(string_split(text, ' '),
+             x -> x <> ''))) AS DOUBLE)
+           / greatest(CAST(len(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS DOUBLE), 1.0), 4) AS rep_ratio
+         FROM documents ORDER BY doc_id""",
+    "text_len_quantiles" ->
+      """SELECT lang,
+         quantile_cont(length(text), 0.5) AS p50,
+         quantile_cont(length(text), 0.9) AS p90
+         FROM documents GROUP BY lang ORDER BY lang""",
     "text_tokens_bpe" ->
       s"""SELECT lang,
          CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')))
