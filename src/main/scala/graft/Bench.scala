@@ -28,10 +28,17 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
+    // The dedup operators persist(MEMORY_AND_DISK) working sets that outlive
+    // their query; drop everything cached by warm-up, and again after each
+    // timed query (outside its timer), so cached blocks never accumulate
+    // across the run and skew later queries' memory headroom.
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> secs
     }
     // streaming micro-bench: replay the events fixture through the
     // MemoryStream-backed env into the windowed-count topology (the

@@ -149,18 +149,23 @@ object Compiler {
       // Fully-replicated lookup side (`eval.clj:73`) → broadcast hint;
       // unique sources skip the compaction shuffle before the broadcast.
       // Size guard: a mislabeled big table must fail with a clear message,
-      // not an executor OOM mid-broadcast. The count is parquet-metadata
-      // cheap on the raw source (an upper bound on the compacted size).
+      // not an executor OOM mid-broadcast. Counts the COMPACTED frame (an
+      // upsert-heavy changelog can compact far below its raw row count) and
+      // bounds the action with limit(maxRows+1) so a non-parquet source
+      // never pays a full scan at compile time — the count stops as soon as
+      // the limit is hit.
+      val compacted =
+        if (unique) df else compact(df, keys, consumed.eventTime)
       val maxRows =
         env.spark.conf.getOption("graft.globalTable.maxRows")
           .map(_.toLong).getOrElse(10000000L)
-      val n = if (df.isStreaming) -1L else df.count()
+      val lim = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+      val n = if (df.isStreaming) -1L else compacted.limit(lim).count()
       require(n <= maxRows,
-        s"global table '$topic' has $n rows, over the broadcast guard of " +
-        s"$maxRows (graft.globalTable.maxRows). GlobalKTables are fully " +
-        s"replicated to every executor — use :table + a keyed join instead.")
-      val compacted =
-        if (unique) df else compact(df, keys, consumed.eventTime)
+        s"global table '$topic' has more than $maxRows compacted rows, over " +
+        s"the broadcast guard (graft.globalTable.maxRows). GlobalKTables are " +
+        s"fully replicated to every executor — use :table + a keyed join " +
+        s"instead.")
       KFrame(broadcast(compacted), keys, consumed.eventTime, isTable = true)
 
     // ---- stateless -----------------------------------------------------
@@ -304,6 +309,13 @@ object Compiler {
           // partition time = highest valid timestamp seen so far in this
           // partition (Kafka's UsePartitionTimeOnInvalidTimestamp); a narrow
           // per-partition scan, no shuffle.
+          // Determinism caveat: "partition" here is a Spark partition, not a
+          // Kafka partition — backfilled values depend on the physical
+          // partitioning and intra-partition row order, and in streaming the
+          // running max resets every micro-batch. Deterministic results need
+          // per-source-partition, ordered input (one file per Kafka
+          // partition, offset order — what a Kafka-backed source provides);
+          // on arbitrary repartitioned input the backfill is best-effort.
           val schema = out.schema
           val idx = schema.fieldIndex(ts)
           implicit val enc = Encoders.row(schema)

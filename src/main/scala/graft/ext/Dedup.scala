@@ -58,11 +58,12 @@ object Dedup {
     // working set, the signature explode, and the verify joins all carry
     // 8-byte hashes instead of shingle strings (set sizes are unchanged —
     // shingles are distinct, and 64-bit collisions within a ~10²-element
-    // set are negligible). Materialized once: reused by the signature build
-    // and both verify joins (Spark recomputes lineage per use otherwise).
+    // set are negligible). Built sorted+distinct in ONE native pass
+    // (WordShingleHashes) so verification can run the fused sorted-merge
+    // Jaccard. Materialized once: reused by the signature build and both
+    // verify joins (Spark recomputes lineage per use otherwise).
     val shDf = docs.select(col(idCol).as("id"),
-                           transform(shingles(col(textCol), k),
-                                     s => xxhash64(s)).as("sh"))
+      graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Signature via explode + hash-aggregate: min() lanes are whole-stage
     // codegen'd, and map-side partial aggregation collapses each doc to one
@@ -107,9 +108,12 @@ object Dedup {
       .distinct()
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets
-    * (hashed: `sh` is an array of 64-bit shingle hashes). The length-ratio
-    * prefilter is exactness-preserving — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)
-    * — and skips the O(|A|+|B|) intersect for size-mismatched candidates.
+    * (hashed: `sh` is a SORTED DISTINCT array of 64-bit shingle hashes —
+    * WordShingleHashes' output contract). The length-ratio prefilter is
+    * exactness-preserving — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|) — and skips
+    * the merge for size-mismatched candidates; surviving pairs run the
+    * fused codegen'd sorted-merge Jaccard (no hash tables, no intersection
+    * array materialized — this is the per-pair hot loop).
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
@@ -119,8 +123,8 @@ object Dedup {
       .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
              greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        graft.functions.VectorFunctions.sorted_jaccard(
+          col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
 
   /** Survivors after near-dup removal: every doc except the larger id of
@@ -169,10 +173,18 @@ object Dedup {
     * [[simhashPairs]]: per pigeonhole bucket, a state kernel holds the most
     * recent `maxPerBucket` (id, signature) entries; each arriving document
     * is checked against its bucket's state and emits (id_a, id_b, hamming)
-    * pairs with hamming ≤ maxBits. Cross-bucket duplicate emissions are
-    * collapsed by a dropDuplicates stage. State is bounded per bucket
-    * (newest-first eviction), so a hot bucket cannot grow without limit;
-    * the same code runs in batch mode (single-batch kernel semantics).
+    * pairs with hamming ≤ maxBits.
+    *
+    * Cross-bucket dedup happens INSIDE the kernel: a matching pair shares
+    * one identical chunk per ≤ maxBits differing bits (pigeonhole), and
+    * every bucket the pair shares sees both signatures — so each bucket can
+    * locally compute the pair's LOWEST matching chunk and only the bucket
+    * at that chunk emits. No second stateful stage exists, which is the
+    * point: round 2 collapsed duplicates with a trailing
+    * `dropDuplicates(id_a, id_b)` whose state kept every pair ever emitted
+    * (unbounded on an infinite stream). Total state is now exactly the
+    * bounded per-bucket lists (newest-first eviction, ≤ maxPerBucket each).
+    * The same code runs in batch mode (single-batch kernel semantics).
     * Requires a numeric id column.
     */
   def simhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
@@ -183,25 +195,37 @@ object Dedup {
     import spark.implicits._
     val chunks = maxBits + 1
     val width = 60 / chunks
+    val mask = (1L << width) - 1
+    // lowest chunk index on which the two signatures agree (≥ 0 whenever
+    // hamming ≤ maxBits, by pigeonhole over the chunks = maxBits+1 slices)
+    def firstMatchingChunk(a: Long, b: Long): Int = {
+      var c = 0
+      while (c < chunks) {
+        if (((a >>> (c * width)) & mask) == ((b >>> (c * width)) & mask)) return c
+        c += 1
+      }
+      -1
+    }
     val banded = docs
       .select(col(idCol).cast("long").as("id"), simhash(col(textCol)).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(array((0 until chunks).map { c =>
-          shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
+          shiftright(col("sig"), c * width).bitwiseAND(lit(mask))
         }: _*)))
       .toDF("id", "sig", "chunk", "bits")
       .as[(Long, Long, Int, Long)]
     val paired = banded.groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Long), it: Iterator[(Long, Long, Int, Long)],
+        (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)],
          state: GroupState[List[(Long, Long)]]) =>
+          val thisChunk = key._1
           var seen = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
           it.foreach { case (id, sg, _, _) =>
             seen.foreach { case (oid, osig) =>
               if (oid != id) {
                 val ham = java.lang.Long.bitCount(sg ^ osig)
-                if (ham <= maxBits)
+                if (ham <= maxBits && firstMatchingChunk(sg, osig) == thisChunk)
                   out += ((math.min(id, oid), math.max(id, oid), ham))
               }
             }
@@ -210,7 +234,7 @@ object Dedup {
           state.update(seen)
           out.iterator
       }
-    paired.toDF("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+    paired.toDF("id_a", "id_b", "hamming")
   }
 
   /** N-gram Jaccard dedup via a stop-shingle-capped inverted index: each
@@ -224,12 +248,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, maxDf: Long = 50, minShared: Long = 2,
                         threshold: Double = 0.8): DataFrame = {
-    // shingle sets as 64-bit hashes throughout (see minhashPairs): the
-    // persisted working set, the posting explode, and the verify joins all
-    // carry longs, never shingle strings
+    // shingle sets as sorted distinct 64-bit hashes throughout (see
+    // minhashPairs): the persisted working set, the posting explode, and
+    // the verify joins all carry longs, never shingle strings
     val sh = docs.select(col(idCol).as("id"),
-                         transform(shingles(col(textCol), k),
-                                   s => xxhash64(s)).as("sh"))
+      graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: posting + 2 verify joins
     val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
     // candidates must share ≥ minShared rare shingles: a Jaccard-0.8 pair

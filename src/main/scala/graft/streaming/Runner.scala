@@ -35,23 +35,38 @@ object Runner {
 
   private val rocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
 
-  /** Compile + start — `streams` + `.start` analog. */
+  /** Compile + start — `streams` + `.start` analog.
+    *
+    * State-store provider scoping: Spark reads `providerClass` once, at
+    * query start, so the conf only needs to hold the right value across the
+    * `.start()` call. Persistent pins RocksDB for this launch; every other
+    * StoreKind explicitly clears the key (so a prior Persistent launch
+    * can't leak its provider into this topology); and the previous session
+    * value is restored afterwards either way — two topologies started from
+    * the same session each get exactly the store they asked for.
+    */
   def start(node: KNode, env: Env, sink: SinkSpec,
             cfg: StreamsCfg = StreamsCfg()): StreamingQuery = {
+    val prevProvider = env.spark.conf.getOption(providerKey)
     cfg.store match {
-      case StoreKind.Persistent =>
-        env.spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", rocksDbProvider)
-      case StoreKind.InMemory | StoreKind.Default | StoreKind.LruMap => ()
+      case StoreKind.Persistent => env.spark.conf.set(providerKey, rocksDbProvider)
+      case StoreKind.InMemory | StoreKind.Default | StoreKind.LruMap =>
+        env.spark.conf.unset(providerKey)
     }
-    val df = build(node, env)
-    val w0 = df.writeStream
-      .queryName(cfg.queryName)
-      .outputMode(cfg.outputMode)
-      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-    val w1 = cfg.checkpointLocation.fold(w0)(p => w0.option("checkpointLocation", p))
-    configureSink(w1, sink, cfg).start()
+    try {
+      val df = build(node, env)
+      val w0 = df.writeStream
+        .queryName(cfg.queryName)
+        .outputMode(cfg.outputMode)
+        .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      val w1 = cfg.checkpointLocation.fold(w0)(p => w0.option("checkpointLocation", p))
+      configureSink(w1, sink, cfg).start()
+    } finally prevProvider match {
+      case Some(p) => env.spark.conf.set(providerKey, p)
+      case None => env.spark.conf.unset(providerKey)
+    }
   }
 
   private def configureSink(w: DataStreamWriter[Row], sink: SinkSpec,

@@ -382,6 +382,125 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Hashed word k-shingle SET in one pass: tokenize on spaces, hash each
+  * k-window with xxhash64 (seed 42 — identical to Spark's `xxhash64`
+  * function on the shingle string), return the distinct hashes sorted
+  * ascending. Replaces the `array_sort(transform(word_shingles(text, k),
+  * xxhash64))` chain (two interpreted HOF walks per row) and produces
+  * exactly the representation [[SortedJaccard]] wants, so the dedup verify
+  * path never materializes shingle strings at all.
+  */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1, s"word_shingle_hashes needs k >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  private def xx64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split(' ').filter(_.nonEmpty)
+    val hs: Array[Long] =
+      if (toks.length < k) Array(xx64(toks.mkString(" ")))
+      else {
+        val out = new Array[Long](toks.length - k + 1)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i <= toks.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = xx64(sb.toString)
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hs)
+    // dedup in place (duplicates are adjacent after the sort)
+    var n = 0
+    var i = 0
+    while (i < hs.length) {
+      if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard over two SORTED DISTINCT long arrays in one fused merge:
+  * |A∩B| / (|A|+|B|-|A∩B|). Replaces the
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` pair, which builds
+  * two hash tables and two result arrays per candidate pair — this is the
+  * per-PAIR hot loop of dedup verification (quadratic in bucket size), so
+  * it is whole-stage-codegen'd. Inputs MUST be sorted ascending and
+  * duplicate-free ([[WordShingleHashes]] guarantees both).
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+        ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $inter++; $i++; $j++; }
+         |}
+         |int $union = $na + $nb - $inter;
+         |${ev.value} = ($union == 0) ? 1.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column face of [[CosineSimilarity]]; casts are inserted by the
     * analyzer (array<float> → array<double>).
@@ -414,6 +533,17 @@ object VectorFunctions {
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), k, w))
 
+  /** Sorted distinct xxhash64 word-shingle set (see [[WordShingleHashes]]). */
+  def word_shingle_hashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), k))
+
+  /** Fused exact Jaccard over sorted distinct long arrays (see
+    * [[SortedJaccard]]).
+    */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** SQL registration (`SELECT cosine_sim(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -428,6 +558,11 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs =>
         WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingle_hashes", exprs =>
+        WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_jaccard", exprs => SortedJaccard(exprs(0), exprs(1)), "scala_udf")
   }
 }
 

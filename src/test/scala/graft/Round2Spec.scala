@@ -279,8 +279,9 @@ class Round2Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("StoreKind.Persistent runs the topology on the RocksDB state store") {
+  test("StoreKind.Persistent runs on RocksDB and is scoped to its own query") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val ms = MemoryStream[(String, java.sql.Timestamp)]
     ms.addData(("u1", ts("2024-01-01 10:00:05")), ("u1", ts("2024-01-01 10:00:15")),
                ("u2", ts("2024-01-01 10:00:25")))
@@ -288,24 +289,35 @@ class Round2Spec extends SparkSpecBase {
     val node = stream(Seq("clicks"),
         Consumed(keys = Seq("user"), eventTime = Some("ts")))
       .groupByKey.count(as = "n")
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prev = spark.conf.getOption(providerKey)
     val q = graft.streaming.Runner.start(node, env, SinkSpec.Memory("rocks_counts"),
       graft.streaming.Runner.StreamsCfg(queryName = "rocks_counts",
         store = StoreKind.Persistent))
     try {
       q.processAllAvailable()
-      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-        .contains("RocksDB"))
+      // provider is observed from the running query's state-store metrics,
+      // not the session conf — the conf is restored right after start()
+      val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+      assert(metrics.toString.contains("rocksdb"), metrics.toString)
+      assert(spark.conf.getOption(providerKey) == prev) // no session leak
       val m = spark.table("rocks_counts").groupBy("user").agg(max("n").as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(m == Map("u1" -> 2L, "u2" -> 1L))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+
+      // a SECOND topology launched with the default store in the SAME
+      // session must NOT inherit RocksDB (the round-2 leak)
+      val ms2 = MemoryStream[(String, java.sql.Timestamp)]
+      ms2.addData(("u9", ts("2024-01-01 10:00:05")))
+      val env2 = new StreamEnv(spark, Map("clicks" -> ms2.toDF().toDF("user", "ts")))
+      val q2 = graft.streaming.Runner.start(node, env2,
+        SinkSpec.Memory("default_counts"),
+        graft.streaming.Runner.StreamsCfg(queryName = "default_counts"))
+      try {
+        q2.processAllAvailable()
+        val m2 = q2.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(!m2.toString.contains("rocksdb"), m2.toString)
+      } finally q2.stop()
+    } finally q.stop()
   }
 
   test("print! sink (console) starts and processes a batch") {
