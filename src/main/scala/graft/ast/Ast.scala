@@ -309,7 +309,10 @@ final case class SessionAggregateOp[B](
     aggregator: (B, Row) => B,
     merger: (B, B) => B,
     finisher: B => Row,
-    outSchema: org.apache.spark.sql.types.StructType
+    outSchema: org.apache.spark.sql.types.StructType,
+    // `:withRetention` (eval.clj:208): in streaming mode, sets the input
+    // watermark and evicts sessions older than it from kernel state
+    retention: Option[String] = None
 ) extends KNode
 
 // ---------------------------------------------------------------------------

@@ -101,24 +101,72 @@ object SessionKernels extends Serializable {
             }
             sessions.iterator.map(s => emitRow(k, s))
         }(oEnc)
-      } else
-        f.df.groupByKey(toKey)(kEnc).flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (k: Row, it: Iterator[Row], state: GroupState[SessionList]) =>
-            var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+      } else {
+        // State = array<struct<start,end,buf>> — an explicit struct row
+        // (UnsafeRow in the store, schema visible in the checkpoint); only
+        // the opaque user accumulator is a binary payload (see OpaqueState).
+        //
+        // `:withRetention` maps to watermark + eviction: a session whose
+        // end ≤ watermark can never be extended (no event older than the
+        // watermark arrives), so it leaves state; once every session of a
+        // key closes, an event-time timeout removes the key entirely.
+        // Without retention the reference's default session store also
+        // retains forever by configuration — but state here would grow with
+        // key count, so declare retention for unbounded-key streams.
+        val sessStruct = StructType(Seq(
+          StructField("start", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("end", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("buf", org.apache.spark.sql.types.BinaryType, nullable = false)))
+        val stateSchema = StructType(Seq(StructField("sessions",
+          org.apache.spark.sql.types.ArrayType(sessStruct, containsNull = false),
+          nullable = false)))
+        val sEnc = Encoders.row(stateSchema)
+        def encode(ss: List[Session]): Row =
+          Row(ss.map(s => Row(s.start, s.end, OpaqueState.ser(s.buf))))
+        def decode(r: Row): List[Session] = r.getSeq[Row](0).iterator
+          .map(s => Session(s.getLong(0), s.getLong(1),
+            OpaqueState.deser(s.getAs[Array[Byte]](2))))
+          .toList
+        val withRetention = op.retention.isDefined
+        val input = op.retention match {
+          case Some(ret) => f.df.withWatermark(ts, ret)
+          case None => f.df
+        }
+        val timeout =
+          if (withRetention) GroupStateTimeout.EventTimeTimeout
+          else GroupStateTimeout.NoTimeout
+        input.groupByKey(toKey)(kEnc).flatMapGroupsWithState(
+          OutputMode.Append, timeout) {
+          (k: Row, it: Iterator[Row], state: GroupState[Row]) =>
+            var sessions = state.getOption.map(decode).getOrElse(Nil)
             val before = sessions.toSet
             it.foreach { r =>
               sessions = insert(sessions,
                 toMicros(r.getAs[java.sql.Timestamp](tsIdx)), r)
             }
-            state.update(SessionList(sessions))
-            sessions.iterator.filterNot(before).map(s => emitRow(k, s))
-        }(Encoders.javaSerialization[SessionList], oEnc)
+            // snapshot emissions BEFORE eviction: a session updated in this
+            // batch emits its latest state even if it closes immediately
+            val emitted = sessions.iterator.filterNot(before)
+              .map(s => emitRow(k, s)).toList
+            if (withRetention) {
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              val open = sessions.filter(_.end > wmUs)
+              if (open.isEmpty) state.remove()
+              else {
+                state.update(encode(open))
+                // fire once the watermark passes the last open session's end
+                val maxEndMs = open.map(s => (s.end + 999L) / 1000L).max
+                state.setTimeoutTimestamp(
+                  math.max(maxEndMs, state.getCurrentWatermarkMs() + 1L))
+              }
+            } else state.update(encode(sessions))
+            emitted.iterator
+        }(sEnc, oEnc)
+      }
     KFrame(out.toDF(), keyNames, None, isTable = true)
   }
 
   /** One open session: [start, end) with end = lastEventTime + gap. */
   final case class Session(start: Long, end: Long, buf: Any)
       extends Serializable
-  final case class SessionList(sessions: List[Session]) extends Serializable
 }

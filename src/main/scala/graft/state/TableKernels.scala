@@ -80,7 +80,14 @@ object TableKernels {
     val outSchema = StructType(keySchema ++ lStruct ++ rStruct)
     val kEnc = Encoders.row(keySchema)
     val oEnc = Encoders.row(outSchema)
-    val sEnc = Encoders.kryo[Array[Row]] // state: [latestLeft, latestRight]
+    // state = (latestLeft, latestRight) as an explicit struct row: UnsafeRow
+    // state (smaller + faster than an opaque kryo blob) whose schema is
+    // visible in the checkpoint — long-lived checkpoints survive code
+    // changes that a serialized-class format would break on
+    val stateSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("l", lStruct),
+      org.apache.spark.sql.types.StructField("r", rStruct)))
+    val sEnc = Encoders.row(stateSchema)
     val nKeys = keyNames.size
     val toKey = (row: Row) => Row.fromSeq((0 until nKeys).map(row.get))
 
@@ -91,14 +98,16 @@ object TableKernels {
     }
     val joined = unioned.groupByKey(toKey)(kEnc)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (k: Row, it: Iterator[Row], state: GroupState[Array[Row]]) =>
-          var Array(l, r) = state.getOption.getOrElse(Array[Row](null, null))
+        (k: Row, it: Iterator[Row], state: GroupState[Row]) =>
+          val st = state.getOption.orNull
+          var l = if (st == null) null else st.getAs[Row](0)
+          var r = if (st == null) null else st.getAs[Row](1)
           var changed = false
           it.foreach { row =>
             if (row.getInt(nKeys) == 0) { l = row.getStruct(nKeys + 1); changed = true }
             else { r = row.getStruct(nKeys + 2); changed = true }
           }
-          state.update(Array(l, r))
+          state.update(Row(l, r))
           val ok = how match {
             case "inner" => l != null && r != null
             case "left" => l != null
@@ -154,7 +163,7 @@ object TableKernels {
     val outSchema = StructType(keySchema ++ sStruct ++ rStruct)
     val kEnc = Encoders.row(keySchema)
     val oEnc = Encoders.row(outSchema)
-    val sEnc = Encoders.kryo[Row] // state: latest table value struct
+    val sEnc = Encoders.row(rStruct) // state: latest table value, struct row
     val nKeys = keyNames.size
     val toKey = (row: Row) => Row.fromSeq((0 until nKeys).map(row.get))
 

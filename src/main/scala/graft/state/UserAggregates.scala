@@ -76,20 +76,47 @@ object UserAggregates {
           Row.fromSeq(k.toSeq ++ finish(b).toSeq)
         }(oEnc)
       else {
-        // Streaming: state holds B via java serialization (opaque user type).
-        val sEnc = Encoders.javaSerialization[SerB]
+        // Streaming: state is a struct row with ONE binary field holding the
+        // serialized user accumulator. The state store sees a plain UnsafeRow
+        // (schema visible in the checkpoint, no kryo/java class baked into
+        // the encoder); only the opaque payload itself is user-serialized —
+        // the same property Kafka Streams' aggregate store has, where B
+        // round-trips through the aggregate-value serde.
+        val sEnc = Encoders.row(OpaqueState.schema)
         grouped.flatMapGroupsWithState(
           OutputMode.Update, GroupStateTimeout.NoTimeout) {
-          (k: Row, it: Iterator[Row], state: GroupState[SerB]) =>
-            val b0 = state.getOption.map(_.b.asInstanceOf[B]).getOrElse(init())
+          (k: Row, it: Iterator[Row], state: GroupState[Row]) =>
+            val b0 = state.getOption
+              .map(r => OpaqueState.deser(r.getAs[Array[Byte]](0)).asInstanceOf[B])
+              .getOrElse(init())
             val b = it.foldLeft(b0)(step)
-            state.update(SerB(b))
+            state.update(Row(OpaqueState.ser(b)))
             Iterator.single(Row.fromSeq(k.toSeq ++ finish(b).toSeq))
         }(sEnc, oEnc)
       }
     KFrame(out.toDF(), keyNames, None, isTable = true)
   }
+}
 
-  /** Serializable box for opaque user aggregation state. */
-  final case class SerB(b: Any) extends Serializable
+/** Serialization for opaque user accumulators inside struct-row state:
+  * the state-store row format stays UnsafeRow; the user payload is one
+  * binary column.
+  */
+private[state] object OpaqueState {
+  val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "b", org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  def ser(b: Any): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b); oos.close()
+    bos.toByteArray
+  }
+
+  def deser(bytes: Array[Byte]): Any = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject() finally ois.close()
+  }
 }

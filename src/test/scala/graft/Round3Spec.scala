@@ -1,5 +1,9 @@
 package graft
 
+import graft.ast._
+import graft.ast.dsl._
+import graft.compile.{Compiler, StreamEnv}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -62,6 +66,44 @@ class Round3Spec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1)))
       assert(rows.length == rows.distinct.length, s"double emission: ${rows.toSeq}")
       assert(rows.contains((1L, 3L)), s"missed the exact dup: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("session retention evicts closed sessions; late records are dropped") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val env = new StreamEnv(spark, Map("ev" -> ms.toDF().toDF("u", "ts", "v")))
+    val node = SessionAggregateOp[Long](
+      stream(Seq("ev"), Consumed(keys = Seq("u"), eventTime = Some("ts")))
+        .groupByKey,
+      gap = "1 minute",
+      initializer = () => 0L,
+      aggregator = (b, _) => b + 1,
+      merger = (x, y) => x + y,
+      finisher = b => Row(b),
+      outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))),
+      retention = Some("2 minutes"))
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("sess_ret").outputMode("append").start()
+    try {
+      ms.addData(("u1", ts(0), 1.0), ("u2", ts(10), 1.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2)
+      // watermark jumps to 600-120 = 480s AFTER this batch commits
+      ms.addData(("u3", ts(600), 1.0))
+      q.processAllAvailable()
+      // u1/u2 sessions ended at 60/70s ≤ wm 480s → evicted; a record past
+      // retention is dropped by the watermark before it reaches the kernel
+      ms.addData(("u3", ts(610), 1.0), ("u1", ts(30), 1.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1, s"only u3's open session may remain, got $stateRows")
+      val perUser = spark.table("sess_ret").groupBy("u").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perUser("u1") == 1, s"late u1 record must not re-open: $perUser")
     } finally q.stop()
   }
 
