@@ -46,17 +46,20 @@ object Bench {
     // streaming micro-bench: replay the events fixture through the
     // MemoryStream-backed env into the windowed-count topology (the
     // anomaly-detection shape) and time ingest → final state
-    val streamingSecs =
-      try {
-        val t0 = System.nanoTime()
-        StreamingBench.windowedCount(spark, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+    // 10×-replayed corpus; the timer inside covers ingest only, so the
+    // rows/s figure measures the engine rather than fixture loading or
+    // micro-batch scheduling (VERDICT r2 #8)
+    val (streamRows, streamingSecs) =
+      try StreamingBench.windowedCount(spark, sfDir)
+      catch { case _: Throwable => (0L, -1.0) }
+    val rowsPerSec =
+      if (streamingSecs > 0) streamRows / streamingSecs else -1.0
     val all = results :+ ("streaming_windowed_count" -> streamingSecs)
     val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""streaming_rows":$streamRows,"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
     // line in "[info] ". The forked run now passes stdout through bare
     // (build.sbt: run/outputStrategy=StdoutOutput); also persist to a

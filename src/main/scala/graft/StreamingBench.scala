@@ -12,10 +12,19 @@ import org.apache.spark.sql.functions._
   * anomaly-detection shape) in a few micro-batches, driving it to
   * completion. Measures end-to-end stateful-streaming cost at the bench
   * scale factor — the per-record path Kafka Streams would take.
+  *
+  * The fixture is replayed `replicas`× with the user-id key space shifted
+  * per replica, so both row volume AND state volume scale ~10× over the
+  * raw fixture — large enough that the measured figure is engine
+  * throughput, not micro-batch scheduling latency. Returns
+  * (rowsIngested, ingestSeconds): the timer covers addData → final state
+  * only (fixture load/collect excluded), so rows/s is comparable across
+  * rounds.
   */
 object StreamingBench {
 
-  def windowedCount(spark: SparkSession, sfDir: String): Long = {
+  def windowedCount(spark: SparkSession, sfDir: String,
+                    replicas: Int = 10, batches: Int = 8): (Long, Double) = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,6 +36,13 @@ object StreamingBench {
         col("event_type"))
       .as[(Long, java.sql.Timestamp, String)]
       .collect()
+    // disjoint user-id ranges per replica: state (one row per user×window)
+    // grows with the replay, not just the row count
+    val replayed: Array[(Long, java.sql.Timestamp, String)] =
+      Array.tabulate(rows.length * replicas) { i =>
+        val (u, t, e) = rows(i % rows.length)
+        (u + (i / rows.length).toLong * 1000000000L, t, e)
+      }
     val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
     val env = new StreamEnv(spark,
       Map("events" -> ms.toDF().toDF("user_id", "ts", "event_type")))
@@ -45,11 +61,13 @@ object StreamingBench {
     val q = Compiler.compile(topo, env).df.writeStream
       .format("memory").queryName(name).outputMode("update").start()
     try {
-      rows.grouped(math.max(1, rows.length / 2)).foreach { batch =>
+      val t0 = System.nanoTime()
+      replayed.grouped(math.max(1, replayed.length / batches)).foreach { batch =>
         ms.addData(batch.toSeq)
         q.processAllAvailable()
       }
       spark.table(name).count()
+      (replayed.length.toLong, (System.nanoTime() - t0) / 1e9)
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
