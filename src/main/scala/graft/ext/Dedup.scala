@@ -65,18 +65,13 @@ object Dedup {
     val shDf = docs.select(col(idCol).as("id"),
       graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Signature via explode + hash-aggregate: min() lanes are whole-stage
-    // codegen'd, and map-side partial aggregation collapses each doc to one
-    // signature row before any shuffle — at 100 TB the exchange carries
-    // numHashes longs per doc, never the shingles. Lane i re-seeds the base
-    // shingle hash (xxhash64 of a long with seed i).
-    val sig = shDf.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id")
-      .agg(min(xxhash64(col("s"), lit(0))).as("m0"),
-           (1 until numHashes).map(i =>
-             min(xxhash64(col("s"), lit(i))).as(s"m$i")): _*)
-      .select(col("id"),
-              array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Whole signature in one native pass (MinHashLanes): no explode, no
+    // aggregation buffers, no exchange — each doc's 32 lanes are computed
+    // where its shingle set already sits. (Round 2 exploded the set and ran
+    // 32 min(xxhash64) lanes through a hash aggregate; map-side combine
+    // kept the shuffle small but the agg machinery dominated the operator.)
+    val sig = shDf.select(col("id"),
+      graft.functions.VectorFunctions.minhash_lanes(col("sh"), numHashes).as("sig"))
     // one row per (doc, band): band key = hash of that band's slice
     val banded = sig.select(
       col("id"),

@@ -444,6 +444,58 @@ case class WordShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** All minhash lanes in ONE pass over the hashed shingle set: lane i =
+  * min over elements x of mix(x·A_i + B_i), with (A_i, B_i) drawn from a
+  * fixed seeded RNG and a murmur-style finalizer for high-bit uniformity.
+  * Replaces the explode + 32×min(xxhash64) hash-aggregate signature build:
+  * same O(|set|·lanes) hash evaluations, but in a tight per-row loop with
+  * no explode iteration, no aggregation buffers, and no exchange at all —
+  * the signature never leaves its input partition. The hash family is
+  * 2-universal-with-mixing, plenty for LSH banding (band-miss probability
+  * is set by the banding parameters, not the family, for uniform hashes).
+  */
+case class MinHashLanes(child: Expression, lanes: Int, seed: Long = 42L)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(lanes >= 1, s"minhash_lanes needs lanes >= 1, got $lanes")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_lanes"
+
+  // odd multipliers + offsets, fixed by (seed, lane) → deterministic plans
+  @transient private lazy val abs: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(lanes)(rnd.nextLong() | 1L)
+    val b = Array.fill(lanes)(rnd.nextLong())
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (as, bs) = abs
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](lanes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var l = 0
+      while (l < lanes) {
+        var z = x * as(l) + bs(l)
+        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 29
+        if (z < out(l)) out(l) = z
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Exact Jaccard over two SORTED DISTINCT long arrays in one fused merge:
   * |A∩B| / (|A|+|B|-|A∩B|). Replaces the
   * `size(array_intersect(a,b)) / size(array_union(a,b))` pair, which builds
@@ -536,6 +588,10 @@ object VectorFunctions {
   /** Sorted distinct xxhash64 word-shingle set (see [[WordShingleHashes]]). */
   def word_shingle_hashes(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), k))
+
+  /** Whole minhash signature in one pass (see [[MinHashLanes]]). */
+  def minhash_lanes(hashes: Column, lanes: Int): Column =
+    ExpressionUtils.column(MinHashLanes(ExpressionUtils.expression(hashes), lanes))
 
   /** Fused exact Jaccard over sorted distinct long arrays (see
     * [[SortedJaccard]]).
