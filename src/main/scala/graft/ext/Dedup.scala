@@ -232,6 +232,84 @@ object Dedup {
     paired.toDF("id_a", "id_b", "hamming")
   }
 
+  /** Streaming MinHash near-dup detection — the ingest-time face of
+    * [[minhashPairs]], completing the streaming dedup family (exact /
+    * simhash / minhash). Per LSH band bucket, a state kernel holds the most
+    * recent `maxPerBucket` (id, signature) entries; an arriving document is
+    * compared against its bucket's state and emits
+    * (id_a, id_b, est_jaccard) for pairs whose signature agreement is
+    * ≥ `minEst` (est_jaccard = matching lanes / total lanes — the unbiased
+    * MinHash estimate; batch mode verifies exactly instead, but the exact
+    * sets are long gone by the time a stream pair collides).
+    *
+    * Cross-bucket dedup happens in-kernel, as in [[simhashPairsStream]]:
+    * every shared bucket sees both signatures, so each bucket locally
+    * computes the pair's LOWEST matching band and only that band's bucket
+    * emits. Total state = the bounded per-bucket lists; no second stateful
+    * stage. Requires a numeric id column.
+    */
+  def minhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+                         minEst: Double = 0.5,
+                         maxPerBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val numHashes = bands * rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // lowest band on which the two signatures fully agree (≥ 0 for any pair
+    // sharing a bucket, since sharing a bucket IS agreeing on that band)
+    def firstMatchingBand(a: Seq[Long], b: Seq[Long]): Int = {
+      var band = 0
+      while (band < bands) {
+        var l = band * rowsPerBand
+        val end = l + rowsPerBand
+        while (l < end && a(l) == b(l)) l += 1
+        if (l == end) return band
+        band += 1
+      }
+      -1
+    }
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0; var l = 0
+      while (l < numHashes) { if (a(l) == b(l)) eq += 1; l += 1 }
+      eq.toDouble / numHashes
+    }
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.VectorFunctions.minhash_lanes(
+        graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k),
+        numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+                    x => x.cast("string"))), lit(b))
+      }: _*)))
+      .toDF("id", "sig", "band", "band_key")
+      .as[(Long, Seq[Long], Int, Long)]
+    val paired = banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[(Long, Seq[Long], Int, Long)],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          val thisBand = key._1
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          it.foreach { case (id, sg, _, _) =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != id && firstMatchingBand(sg, osig) == thisBand) {
+                val est = estJaccard(sg, osig)
+                if (est >= minEst)
+                  out += ((math.min(id, oid), math.max(id, oid), est))
+              }
+            }
+            seen = ((id, sg) :: seen).take(maxPerBucket)
+          }
+          state.update(seen)
+          out.iterator
+      }
+    paired.toDF("id_a", "id_b", "est_jaccard")
+  }
+
   /** N-gram Jaccard dedup via a PREFIX-FILTERED inverted index (the
     * AllPairs/PPJoin candidate scheme): each shingle set is already sorted
     * in a global order (ascending hash — [[WordShingleHashes]]' contract),

@@ -7,10 +7,13 @@ object TimeStreaming {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to 2).foreach { i =>
-      val t0 = System.nanoTime()
-      graft.StreamingBench.windowedCount(spark, "/root/testdata/sf0.1")
-      println(f"streaming run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val reps = args.headOption.map(_.toInt).getOrElse(2)
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    (1 to reps).foreach { i =>
+      val (rows, secs) = graft.StreamingBench.windowedCount(
+        spark, "/root/testdata/sf0.1", batches = batches)
+      println(f"streaming run $i (batches=$batches): $secs%.2f s, " +
+        f"${rows / secs}%.0f rows/s")
     }
     spark.stop()
   }

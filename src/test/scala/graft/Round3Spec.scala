@@ -69,6 +69,28 @@ class Round3Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming minhash kernel: cross-batch dup once, bounded state") {
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.minhashPairsStream(stream, "text", "doc_id")
+    val q = pairs.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "entirely different words appear in this document text"))
+      q.processAllAvailable()
+      assert(spark.table("mh_stream").count() == 0)
+      // identical doc in a LATER batch: collides in all 16 bands — the
+      // in-kernel first-matching-band dedup must emit exactly once
+      ms.addData((3L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val rows = spark.table("mh_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 3L, 1.0)), rows.toSeq.toString)
+      assert(q.lastProgress.stateOperators.length == 1)
+    } finally q.stop()
+  }
+
   test("session retention evicts closed sessions; late records are dropped") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
