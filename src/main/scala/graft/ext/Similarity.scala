@@ -85,9 +85,12 @@ object Similarity {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val train = corpusSel.sample(withReplacement = false, frac, seed)
       .withColumn("features", toVec(col("cv")))
-    // random init: k-means|| init runs several extra Spark jobs for a
-    // quantizer whose cells only need to be roughly balanced
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    // random init + few iterations: k-means|| init and long refinement both
+    // run extra Spark jobs (2+ per iteration) for a coarse quantizer whose
+    // cells only need to be roughly balanced — probe/rank correctness never
+    // depends on centroid quality, only recall-at-nprobe does, and that
+    // saturates within a handful of iterations
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setInitMode("random").setFeaturesCol("features").fit(train)
     val centers: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
