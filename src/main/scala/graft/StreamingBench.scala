@@ -56,18 +56,26 @@ object StreamingBench {
     // Stateful micro-batches pay per (partition × batch) state-store
     // overhead; 8 partitions is plenty for the probe's state volume and
     // measures the per-record path, not file bookkeeping. Restored after.
+    // noop sink: a memory sink would collect every updated (user, window)
+    // row to the driver each batch (~input volume in total) and dominate
+    // the measurement; real deployments write to Kafka/parquet, so the
+    // engine-side cost is the honest figure.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     val q = Compiler.compile(topo, env).df.writeStream
-      .format("memory").queryName(name).outputMode("update").start()
+      .format("noop").queryName(name).outputMode("update").start()
     try {
       val t0 = System.nanoTime()
+      var ingested = 0L
       replayed.grouped(math.max(1, replayed.length / batches)).foreach { batch =>
         ms.addData(batch.toSeq)
         q.processAllAvailable()
       }
-      spark.table(name).count()
-      (replayed.length.toLong, (System.nanoTime() - t0) / 1e9)
+      ingested = q.recentProgress.map(_.numInputRows).sum
+      require(ingested == replayed.length,
+        s"probe lost rows: $ingested of ${replayed.length}")
+      (ingested, (System.nanoTime() - t0) / 1e9)
     } finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
