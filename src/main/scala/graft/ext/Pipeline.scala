@@ -47,6 +47,33 @@ object Pipeline {
     df.withColumn("split", expr0)
   }
 
+  /** Deterministic mixture sampling: downsample each source to its target
+    * fraction (the data-mixture step every pretraining pipeline runs —
+    * "keep 100% of books, 30% of web, 5% of logs"). A row survives iff
+    * pmod(h60(id:salt), 1e6) < frac(source)·1e6 — pure narrow map, no
+    * shuffle, no RNG state; reproducible across runs, engines, and
+    * partitionings, and a superset-corpus rerun keeps a SUBSET property
+    * per id (the same ids survive). Sources absent from `fractions` keep
+    * `defaultFraction`.
+    */
+  def sampleByMixture(df: DataFrame, sourceCol: String, idCol: String,
+                      fractions: Map[String, Double],
+                      defaultFraction: Double = 1.0,
+                      salt: String = ""): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f =>
+      f >= 0 && f <= 1), "fractions must be in [0, 1]")
+    val buckets = 1000000L
+    val h = pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+                 lit(buckets))
+    val thresh = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultFraction * buckets))) {
+        case (acc, (src, f)) =>
+          when(col(sourceCol) === src, lit(math.round(f * buckets)))
+            .otherwise(acc)
+      }
+    df.where(h < thresh)
+  }
+
   /** Keep at most `n` rows per key, by `orderCol` ascending (ties broken by
     * the order column set) — the per-domain / per-source cap that keeps a
     * crawl from being dominated by one site.

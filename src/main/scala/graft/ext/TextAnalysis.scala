@@ -124,4 +124,47 @@ object TextAnalysis {
     */
   def fingerprints(textCol: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.VectorFunctions.winnow_fingerprint(textCol, k, w)
+
+  /** Ordered word bigrams, repeats kept (unlike the shingle SET ops —
+    * frequency statistics need every occurrence). Docs under 2 tokens
+    * yield an empty array.
+    */
+  def bigrams(textCol: Column): Column = {
+    val t = toks(textCol)
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-LM familiarity: per doc, integer statistics of how often its
+    * word bigrams occur across the whole corpus — the cheap stand-in for a
+    * KenLM-style quality filter (gibberish and boilerplate-free rare text
+    * score low; templated/duplicated text scores high). Integer-valued by
+    * design so the signal is deterministic and engine-portable (log-prob
+    * sums differ in last-ulp across libm implementations).
+    *
+    * Returns (id, n_bigrams, familiarity = Σ corpus-count of each bigram
+    * occurrence, n_known = occurrences with corpus count ≥ minCount).
+    * Docs with < 2 tokens have no bigrams and are absent.
+    *
+    * At 100 TB: bigrams shuffle as xxhash64 longs (never strings); the
+    * count aggregation map-side combines; the working set is persisted
+    * once and reused by the count build and the scoring join.
+    */
+  def bigramFamiliarity(docs: DataFrame, textCol: String, idCol: String,
+                        minCount: Long = 2): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(bigrams(col(textCol))).as("bigram"))
+      .select(col("id"), xxhash64(col("bigram")).as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = hashed.groupBy("bh").agg(count(lit(1)).as("c"))
+    hashed.join(counts, Seq("bh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           sum(col("c")).cast("long").as("familiarity"),
+           sum(when(col("c") >= minCount, 1L).otherwise(0L))
+             .cast("long").as("n_known"))
+  }
 }

@@ -183,6 +183,21 @@ object ExtQueries {
              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     },
+    "ds_mixture" -> { (s, d) =>
+      // deterministic data-mixture sampling: keep 50% of en, 25% of de,
+      // all of everything else — by portable id hash, reproducible
+      Pipeline.sampleByMixture(docs(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    },
+    "text_familiarity" -> { (s, d) =>
+      TextAnalysis.bigramFamiliarity(docs(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+                col("familiarity"), col("n_known"))
+        .orderBy(col("doc_id"))
+    },
     "ds_cap_per_key" -> { (s, d) =>
       // at most 3 docs per language (the per-source crawl cap)
       Pipeline.capPerKey(docs(s, d), Seq("lang"), 3, Seq(col("doc_id")))
@@ -396,6 +411,32 @@ object ExtQueries {
          SELECT split, CAST(count(*) AS BIGINT) AS n,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM s GROUP BY split ORDER BY split""",
+    "ds_mixture" ->
+      """WITH h AS (SELECT lang, doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 AS b
+           FROM documents),
+         k AS (SELECT lang, doc_id FROM h
+               WHERE b < CASE lang WHEN 'en' THEN 500000
+                                   WHEN 'de' THEN 250000
+                                   ELSE 1000000 END)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+         FROM k GROUP BY lang ORDER BY lang""",
+    "text_familiarity" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(len(toks) - 1),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(c.c) AS BIGINT) AS familiarity,
+                CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_known
+         FROM bg JOIN c USING (bigram)
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
     "ds_cap_per_key" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,

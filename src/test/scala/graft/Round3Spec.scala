@@ -162,6 +162,37 @@ class Round3Spec extends SparkSpecBase {
     assert(rows.head.getAs[Double]("score") == 0.25)
   }
 
+  test("sampleByMixture: deterministic, nested across fractions, exact at 0/1") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def ids(f: Map[String, Double]) =
+      graft.ext.Pipeline.sampleByMixture(docs, "lang", "doc_id", f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val total = docs.count()
+    assert(ids(Map("en" -> 1.0)).size == total) // keep-all is exact
+    val noEn = graft.ext.Pipeline.sampleByMixture(
+      docs, "lang", "doc_id", Map("en" -> 0.0))
+    assert(noEn.where(col("lang") === "en").count() == 0) // drop-all is exact
+    // the same ids survive on a rerun, and a tighter fraction keeps a
+    // strict SUBSET of a looser one (hash-threshold nesting)
+    val half = ids(Map("en" -> 0.5))
+    assert(half == ids(Map("en" -> 0.5)))
+    val quarter = ids(Map("en" -> 0.25))
+    assert(quarter.subsetOf(half))
+    assert(quarter.size < half.size)
+  }
+
+  test("bigramFamiliarity computes corpus-count statistics per doc") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // corpus bigram counts: "a b"→3, "b a"→1, "b c"→1
+    val out = graft.ext.TextAnalysis.bigramFamiliarity(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 7L, 2L)),  // a b, b a, a b → 3+1+3, two occurrences known
+      2L -> ((2L, 4L, 1L)))) // a b, b c → 3+1; doc 3 has no bigrams
+  }
+
   test("word_shingle_hashes = sorted distinct xxhash64 of word_shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
     val mismatch = docs.select(
