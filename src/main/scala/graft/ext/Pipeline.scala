@@ -87,6 +87,59 @@ object Pipeline {
       .drop("__rk")
   }
 
+  /** Sequence packing for training batches: concatenate documents in id
+    * order and assign each its byte/token span — (start offset, first bin,
+    * last bin) against a fixed `budget`-token bin width. The global
+    * cumulative sum is computed WITHOUT a single-partition window (the
+    * naive `Window.orderBy(id)` collapses 100 TB onto one task): range-
+    * partition by id, per-partition sorted prefix sums, then an exclusive
+    * scan of the per-partition totals (a driver-side array of
+    * #partitions longs) broadcast back as offsets. The result is
+    * partitioning-independent — each doc's offset is exactly the token
+    * count of all lower-id docs.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), tokenCol.cast("long").as("tok"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+      // pin the (sampled) range boundaries: the totals pass and the offset
+      // pass must see the identical partitioning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidTotals = base
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = (pidTotals.keySet + (-1)).max + 1
+    val offsets = new Array[Long](math.max(nParts, 0) + 1)
+    (0 until nParts).foreach { p =>
+      offsets(p + 1) = offsets(p) + pidTotals.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(Seq(
+      base.schema("id"),
+      StructField("tok", LongType, nullable = false),
+      StructField("start", LongType, nullable = false),
+      StructField("first_bin", LongType, nullable = false),
+      StructField("last_bin", LongType, nullable = false)))
+    implicit val enc = Encoders.row(outSchema)
+    base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = bc.value(pid)
+      it.map { r =>
+        val tok = r.getLong(1)
+        val start = cum
+        cum += tok
+        val span = math.max(tok, 1L)
+        Row(r.get(0), tok, start, start / budget, (start + span - 1) / budget)
+      }
+    }.toDF()
+  }
+
   /** Text normalization for training corpora: lowercase, collapse runs of
     * whitespace to single spaces, trim. Portable regex subset (identical
     * semantics in Java regex and RE2/DuckDB).

@@ -198,6 +198,15 @@ object ExtQueries {
                 col("familiarity"), col("n_known"))
         .orderBy(col("doc_id"))
     },
+    "ds_pack" -> { (s, d) =>
+      // sequence packing into 1024-token bins via the distributed
+      // prefix-sum (no single-partition global window)
+      Pipeline.packSequences(docs(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 1024)
+        .select(col("id").as("doc_id"), col("tok"), col("start"),
+                col("first_bin"), col("last_bin"))
+        .orderBy(col("doc_id"))
+    },
     "ds_cap_per_key" -> { (s, d) =>
       // at most 3 docs per language (the per-source crawl cap)
       Pipeline.capPerKey(docs(s, d), Seq("lang"), 3, Seq(col("doc_id")))
@@ -437,6 +446,20 @@ object ExtQueries {
                   AS n_known
          FROM bg JOIN c USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "ds_pack" ->
+      """WITH c AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS tok
+           FROM documents),
+         s AS (SELECT doc_id, tok,
+           COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM c)
+         SELECT doc_id, tok, CAST(start AS BIGINT) AS start,
+                CAST(start // 1024 AS BIGINT) AS first_bin,
+                CAST((start + greatest(tok, 1) - 1) // 1024 AS BIGINT)
+                  AS last_bin
+         FROM s ORDER BY doc_id""",
     "ds_cap_per_key" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id,

@@ -181,6 +181,32 @@ class Round3Spec extends SparkSpecBase {
     assert(quarter.size < half.size)
   }
 
+  test("packSequences: exact global offsets without a global window") {
+    // crafted: budget 10, token counts 4/4/4/9 in id order
+    // starts 0,4,8,12 → bins (0,0) (0,0) (0,1: spans 8..11) (1,2: 12..20)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 9L))
+      .toDF("doc_id", "n")
+      .repartition(3) // arbitrary input partitioning must not matter
+    val out = graft.ext.Pipeline.packSequences(docs, "doc_id", col("n"), 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 4L, 0L, 0L),
+                            (3L, 8L, 0L, 1L), (4L, 12L, 1L, 2L)))
+    // offsets equal the sum of all lower-id token counts on real data too
+    val dd = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val packed = graft.ext.Pipeline.packSequences(
+      dd, "doc_id", graft.ext.TextAnalysis.tokenCount(col("text")), 512L)
+    val viaWindow = dd.select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("tok"))
+      .withColumn("start", coalesce(sum(col("tok")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val mismatch = packed.select(col("id").as("doc_id"), col("start"))
+      .join(viaWindow.select(col("doc_id"), col("start").as("want")), Seq("doc_id"))
+      .where(col("start") =!= col("want")).count()
+    assert(mismatch == 0)
+  }
+
   test("bigramFamiliarity computes corpus-count statistics per doc") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
       .toDF("doc_id", "text")
