@@ -154,10 +154,12 @@ object TextAnalysis {
     */
   def bigramFamiliarity(docs: DataFrame, textCol: String, idCol: String,
                         minCount: Long = 2): DataFrame = {
+    // native one-pass bigram hashing (WordBigramHashes): the HOF chain in
+    // [[bigrams]] walks interpreted nodes per bigram and dominated the op
     val hashed = docs
       .select(col(idCol).as("id"),
-        explode(bigrams(col(textCol))).as("bigram"))
-      .select(col("id"), xxhash64(col("bigram")).as("bh"))
+        explode(graft.functions.VectorFunctions.word_bigram_hashes(
+          col(textCol))).as("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = hashed.groupBy("bh").agg(count(lit(1)).as("c"))
     hashed.join(counts, Seq("bh"))

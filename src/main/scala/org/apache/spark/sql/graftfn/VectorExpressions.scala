@@ -444,6 +444,49 @@ case class WordShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Hashed word bigram SEQUENCE in one pass: tokenize on spaces, xxhash64
+  * (seed 42 ≡ Spark's `xxhash64`) each adjacent pair joined by a space —
+  * repeats and order KEPT (frequency statistics need every occurrence,
+  * unlike the shingle-SET ops). Texts under 2 tokens yield an empty array.
+  * Replaces the `transform(sequence(...), i -> concat_ws(element_at...))`
+  * HOF chain, which walks ~4 interpreted expression nodes per bigram and
+  * dominated the familiarity operator.
+  */
+case class WordBigramHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_bigram_hashes"
+
+  private def xx64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split(' ').filter(_.nonEmpty)
+    val n = math.max(toks.length - 1, 0)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = xx64(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All minhash lanes in ONE pass over the hashed shingle set: lane i =
   * min over elements x of mix(x·A_i + B_i), with (A_i, B_i) drawn from a
   * fixed seeded RNG and a murmur-style finalizer for high-bit uniformity.
@@ -592,6 +635,10 @@ object VectorFunctions {
   /** Whole minhash signature in one pass (see [[MinHashLanes]]). */
   def minhash_lanes(hashes: Column, lanes: Int): Column =
     ExpressionUtils.column(MinHashLanes(ExpressionUtils.expression(hashes), lanes))
+
+  /** Hashed ordered word bigrams, repeats kept (see [[WordBigramHashes]]). */
+  def word_bigram_hashes(text: Column): Column =
+    ExpressionUtils.column(WordBigramHashes(ExpressionUtils.expression(text)))
 
   /** Fused exact Jaccard over sorted distinct long arrays (see
     * [[SortedJaccard]]).

@@ -219,6 +219,17 @@ class Round3Spec extends SparkSpecBase {
       2L -> ((2L, 4L, 1L)))) // a b, b c → 3+1; doc 3 has no bigrams
   }
 
+  test("word_bigram_hashes = xxhash64 over the HOF bigram chain") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val mismatch = docs.select(
+        graft.functions.VectorFunctions.word_bigram_hashes(col("text")).as("fused"),
+        transform(graft.ext.TextAnalysis.bigrams(col("text")),
+                  b => xxhash64(b)).as("chain"))
+      .where(col("fused") =!= col("chain"))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("word_shingle_hashes = sorted distinct xxhash64 of word_shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
     val mismatch = docs.select(
