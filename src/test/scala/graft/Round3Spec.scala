@@ -242,6 +242,34 @@ class Round3Spec extends SparkSpecBase {
     assert(mismatch == 0)
   }
 
+  test("native text expressions agree with HOF chains on edge-case inputs") {
+    // inputs the fixture never produces: empty, whitespace-only, single
+    // token, runs of spaces, multibyte (CJK/emoji/combining), very long
+    val edge = Seq("", " ", "   ", "one", "a b", "a  b   c", "tab\tnot split",
+      "日本 語 テスト", "emoji 🙂 mixé Ωmega", "a " * 500 + "end",
+      "x") .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = edge.toDF("id", "text")
+    val sh = df.select(
+        graft.functions.VectorFunctions.word_shingle_hashes(col("text"), 3).as("fused"),
+        array_sort(array_distinct(transform(
+          graft.functions.VectorFunctions.word_shingles(col("text"), 3),
+          s => xxhash64(s)))).as("chain"))
+      .where(col("fused") =!= col("chain")).count()
+    assert(sh == 0, "word_shingle_hashes edge mismatch")
+    val bg = df.select(
+        graft.functions.VectorFunctions.word_bigram_hashes(col("text")).as("fused"),
+        transform(graft.ext.TextAnalysis.bigrams(col("text")),
+                  b => xxhash64(b)).as("chain"))
+      .where(col("fused") =!= col("chain")).count()
+    assert(bg == 0, "word_bigram_hashes edge mismatch")
+    // minhash lanes: deterministic across evaluations and length == lanes
+    val mh = df.select(graft.functions.VectorFunctions.minhash_lanes(
+        graft.functions.VectorFunctions.word_shingle_hashes(col("text"), 3),
+        32).as("sig"))
+      .where(size(col("sig")) =!= 32).count()
+    assert(mh == 0, "minhash_lanes must always emit exactly 32 lanes")
+  }
+
   test("sorted_jaccard = size(intersect)/size(union) on shingle-hash sets") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
       .select(col("doc_id"),
