@@ -666,6 +666,11 @@ object VectorFunctions {
         WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_jaccard", exprs => SortedJaccard(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_lanes", exprs =>
+        MinHashLanes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigram_hashes", exprs => WordBigramHashes(exprs(0)), "scala_udf")
   }
 }
 
