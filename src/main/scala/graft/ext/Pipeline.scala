@@ -114,8 +114,10 @@ object Pipeline {
       .groupBy(spark_partition_id().as("__pid"))
       .agg(sum(col("tok")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = (pidTotals.keySet + (-1)).max + 1
-    val offsets = new Array[Long](math.max(nParts, 0) + 1)
+    // size by the ACTUAL partition count, not the highest pid with data —
+    // empty partitions still evaluate offsets(pid) eagerly in mapPartitions
+    val nParts = base.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts + 1)
     (0 until nParts).foreach { p =>
       offsets(p + 1) = offsets(p) + pidTotals.getOrElse(p, 0L)
     }

@@ -205,6 +205,12 @@ class Round3Spec extends SparkSpecBase {
       .join(viaWindow.select(col("doc_id"), col("start").as("want")), Seq("doc_id"))
       .where(col("start") =!= col("want")).count()
     assert(mismatch == 0)
+    // fewer distinct ids than shuffle partitions → empty range partitions,
+    // whose tasks still read their offset eagerly (regression: OOB index)
+    val tiny = Seq((1L, 3L), (2L, 5L)).toDF("doc_id", "n")
+    val t = graft.ext.Pipeline.packSequences(tiny, "doc_id", col("n"), 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(t.toSeq == Seq((1L, 0L), (2L, 3L)))
   }
 
   test("bigramFamiliarity computes corpus-count statistics per doc") {
