@@ -350,6 +350,52 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Connected components over near-dup pairs — the clustering step a real
+    * dedup pipeline runs between pair detection and survivor selection:
+    * near-duplication chains (A~B, B~C with A≁C), and keeping one doc per
+    * PAIR over-deletes chains while min-per-CLUSTER keeps exactly one
+    * representative. Distributed min-label propagation: every node starts
+    * labeled with itself; each iteration takes the min of its own and its
+    * neighbors' labels; converges in diameter(cluster) iterations — small
+    * for dup clusters (chains of a few docs), and `maxIters` bounds the
+    * pathological case. Each iteration is one join + one min-aggregate on
+    * (node, label) longs — no adjacency lists materialize, so the shape
+    * survives 100 TB corpora with billions of tiny clusters.
+    *
+    * Returns (id, cluster_id = min id reachable); only ids appearing in
+    * `pairs` are returned (singletons cluster as themselves trivially).
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding near-dup: banded random-hyperplane LSH (deterministic
     * seeds), cosine verification within buckets only. Multiple independent
     * tables fix the single-table recall gap: one 12-plane table catches a

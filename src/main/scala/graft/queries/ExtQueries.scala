@@ -183,6 +183,18 @@ object ExtQueries {
              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     },
+    "dedup_clusters" -> { (s, d) =>
+      // near-dup clustering: connected components over the exact-verified
+      // Jaccard pairs (chains dedupe as one cluster, not pairwise)
+      val dd = docs(s, d)
+      val pairs = Dedup.ngramJaccardPairs(dd, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+             max(col("id")).as("max_id"))
+        .orderBy(col("cluster_id"))
+    },
     "ds_mixture" -> { (s, d) =>
       // deterministic data-mixture sampling: keep 50% of en, 25% of de,
       // all of everything else — by portable id hash, reproducible
@@ -313,9 +325,12 @@ object ExtQueries {
     * least/greatest length-ratio prefilter is exactness-preserving:
     * |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|).
     */
-  private def jaccardSurvivorsSql(k: Int, threshold: Double): String = {
+  /** Brute-force exact-Jaccard pair CTEs (t, sh, pr with id_a < id_b) —
+    * shared by the survivors oracle and the clustering oracle.
+    */
+  private def jaccardPairsCte(k: Int, threshold: Double): String = {
     val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    s"""WITH t AS (SELECT doc_id,
+    s"""t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
        sh AS (SELECT doc_id,
@@ -323,16 +338,36 @@ object ExtQueries {
                 ELSE list_distinct(list_transform(range(len(toks) - ${k - 1}),
                        i -> $grams)) END AS sh
            FROM t),
-       p AS (SELECT b.doc_id AS id_b FROM sh a, sh b
+       pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
              WHERE a.doc_id < b.doc_id
                AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
                    / greatest(len(a.sh), len(b.sh)) >= $threshold
                AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                   >= $threshold)
-       SELECT doc_id FROM documents
-       WHERE doc_id NOT IN (SELECT id_b FROM p) ORDER BY doc_id"""
+                   >= $threshold)"""
   }
+
+  private def jaccardSurvivorsSql(k: Int, threshold: Double): String =
+    s"""WITH ${jaccardPairsCte(k, threshold)}
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT id_b FROM pr) ORDER BY doc_id"""
+
+  /** Connected components over the brute-force pairs: recursive transitive
+    * closure (fine at oracle scale — dup clusters are tiny), cluster label
+    * = min reachable id.
+    */
+  private def jaccardClustersSql(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(k, threshold)},
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+       reach AS (SELECT src, dst FROM e
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src)
+       SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+              max(id) AS max_id
+       FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
 
   /** Exact mirror of graftfn.SimHash60 + pigeonhole dedup: the md5-derived
     * 60-bit token hash is computed identically in DuckDB
@@ -513,6 +548,7 @@ object ExtQueries {
          FROM documents GROUP BY lang ORDER BY lang""",
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
+    "dedup_clusters" -> jaccardClustersSql(k = 3, threshold = 0.8),
     "dedup_simhash" -> simhashSurvivorsSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_embedding" ->

@@ -213,6 +213,17 @@ class Round3Spec extends SparkSpecBase {
     assert(t.toSeq == Seq((1L, 0L), (2L, 3L)))
   }
 
+  test("clusters: chains collapse to one component, min-id label") {
+    // chain 1-2-3 (1≁3 directly), separate pair 5-6, plus 8-2 joining late:
+    // everything reachable gets the cluster min
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 2L))
+      .toDF("id_a", "id_b")
+    val out = graft.ext.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L,
+                      5L -> 5L, 6L -> 5L))
+  }
+
   test("bigramFamiliarity computes corpus-count statistics per doc") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
       .toDF("doc_id", "text")
