@@ -374,6 +374,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var persisted = labels // the currently-cached frame backing `labels`
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -381,15 +382,17 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("nmin"))
+      // carry the old label through, so the convergence check is a filter
+      // on the (persisted) next frame rather than a second join per round
       val next = labels.join(nbMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .where(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("lbl") =!= col("old")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     edges.unpersist()
