@@ -367,36 +367,107 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var persisted = labels // the currently-cached frame backing `labels`
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlbl")).as("nmin"))
-      // carry the old label through, so the convergence check is a filter
-      // on the (persisted) next frame rather than a second join per round
-      val next = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          col("lbl").as("old"))
+    // Size the loop's shuffles from the measured edge count: the edge set
+    // is the dup-pair graph — orders of magnitude smaller than the corpus —
+    // and the iteration cost is dominated by per-stage task overhead when
+    // the session-wide partition count (sized for corpus scans) is applied
+    // to a few thousand edge rows. ~500k edges per partition, capped at
+    // the session default so a 100 TB pair graph still fans out fully.
+    val nEdges = edges.count() // also materializes the persist
+    val defaultPar =
+      spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(200)
+    val loopPar = math.max(1L, math.min(defaultPar.toLong, nEdges / 500000L + 1L)).toInt
+    val prevPar = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopPar)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.where(col("lbl") =!= col("old")).count()
-      persisted.unpersist()
-      persisted = next
-      labels = next.select(col("id"), col("lbl"))
-      iter += 1
+      var persisted = labels // the currently-cached frame backing `labels`
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        val nbMin = edges
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nlbl")).as("nmin"))
+        // carry the old label through, so the convergence check is a filter
+        // on the (persisted) next frame rather than a second join per round
+        val next = labels.join(nbMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+            col("lbl").as("old"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.where(col("lbl") =!= col("old")).count()
+        persisted.unpersist()
+        persisted = next
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("id"), col("lbl").as("cluster_id"))
+    } finally {
+      // every loop shuffle has executed (each iteration ends in a count on
+      // the persisted frame), so restoring the session conf here cannot
+      // retroactively re-plan them; the returned frame reads the persist
+      prevPar match {
+        case Some(p) => spark.conf.set("spark.sql.shuffle.partitions", p)
+        case None    => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
     }
-    edges.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** End-to-end near-dup removal: given the corpus and its near-dup pairs
+    * (from any of the pair generators above), cluster the pairs, keep ONE
+    * representative per cluster, and return the surviving corpus rows.
+    * `prefer` ranks candidates within a cluster (e.g. longest text, best
+    * quality score); ties and the default fall back to the smallest id, so
+    * selection is always deterministic.
+    *
+    * Scale shape: the window ranks only CLUSTERED docs (the inner join with
+    * the label frame — a small slice of a 100 TB corpus, proportional to
+    * the dup rate), never the whole corpus; the untouched majority flows
+    * through a single left-anti hash join on the 8-byte id. Label frames
+    * are small relative to the corpus, so AQE turns both joins into
+    * broadcasts when they fit.
+    */
+  def canonicalize(corpus: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id",
+                   prefer: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusters(pairs).withColumnRenamed("id", idCol)
+    val order = prefer :+ col(idCol).asc
+    val reps = corpus.join(labels, Seq(idCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(order: _*)))
+      .where(col("__rn") === 1)
+      .drop("__rn", "cluster_id")
+    val untouched = corpus.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+    untouched.unionByName(reps)
+  }
+
+  /** Incremental exact dedup for a live ingestion pipeline: keep rows of
+    * `incoming` whose normalized text is not already in `corpus`, and
+    * deduplicate within the batch itself (smallest id wins). The corpus
+    * side reduces to a distinct 8-byte hash set before the join — the
+    * 100 TB corpus contributes hashes, never documents, and the anti join
+    * shuffles only (hash, id) pairs from the small incoming batch.
+    */
+  def incrementalExact(incoming: DataFrame, corpus: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val seen = corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+    val inBatch = incoming.withColumn("__h", xxhash64(col(textCol)))
+    val batchReps = inBatch
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    inBatch.join(batchReps, Seq("__h", idCol))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
   }
 
   /** Embedding near-dup: banded random-hyperplane LSH (deterministic

@@ -169,4 +169,26 @@ object TextAnalysis {
            sum(when(col("c") >= minCount, 1L).otherwise(0L))
              .cast("long").as("n_known"))
   }
+
+  /** Gopher-style duplicate-n-gram signal (the "rep-2gram" rule): per doc,
+    * the occurrence count of its most frequent bigram and its distinct
+    * bigram count. Boilerplate and keyword-stuffed spam have a dominant
+    * repeated bigram; natural prose does not. Integer-valued for
+    * deterministic cross-engine comparison; docs with < 2 tokens have no
+    * bigrams and are absent.
+    *
+    * Shuffle rows are (id, 8-byte bigram hash) via the native one-pass
+    * WordBigramHashes expression; both aggregations map-side combine, so
+    * the 100 TB shape is two partial-agg shuffles on longs.
+    */
+  def topBigramStats(docs: DataFrame, textCol: String,
+                     idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.VectorFunctions.word_bigram_hashes(
+          col(textCol))).as("bh"))
+      .groupBy(col("id"), col("bh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_distinct_bigrams"),
+           max(col("c")).cast("long").as("top_bigram_count"))
 }

@@ -53,6 +53,24 @@ object ExtQueries {
              Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
     },
+    "dedup_corpus" -> { (s, d) =>
+      // the full dedup pipeline in one operator: pair detection →
+      // clustering → keep the longest doc per cluster (ties → smallest id)
+      val dd = docs(s, d)
+      Dedup.canonicalize(dd, Dedup.ngramJaccardPairs(dd, "text", "doc_id"),
+          "doc_id", prefer = Seq(length(col("text")).desc))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    "dedup_incremental" -> { (s, d) =>
+      // live-ingest dedup: odd ids arrive as the new batch, even ids are
+      // the already-ingested corpus; in-batch dups collapse to min id
+      val dd = docs(s, d)
+      Dedup.incrementalExact(dd.where(pmod(col("doc_id"), lit(2)) === 1),
+                             dd.where(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
 
     "join_asof" -> { (s, d) =>
       // point-in-time join: each click paired with the user's most recent
@@ -203,6 +221,12 @@ object ExtQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))
+    },
+    "text_rep_bigram" -> { (s, d) =>
+      TextAnalysis.topBigramStats(docs(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_distinct_bigrams"),
+                col("top_bigram_count"))
+        .orderBy(col("doc_id"))
     },
     "text_familiarity" -> { (s, d) =>
       TextAnalysis.bigramFamiliarity(docs(s, d), "text", "doc_id")
@@ -369,6 +393,27 @@ object ExtQueries {
               max(id) AS max_id
        FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
 
+  /** Canonicalization over the clusters: keep the longest doc (ties →
+    * smallest id) per cluster; docs outside any cluster all survive.
+    */
+  private def jaccardCanonicalSql(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(k, threshold)},
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+       reach AS (SELECT src, dst FROM e
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src),
+       m AS (SELECT d.doc_id, l.cluster_id,
+             row_number() OVER (PARTITION BY l.cluster_id
+               ORDER BY length(d.text) DESC, d.doc_id) AS rn
+             FROM documents d JOIN lab l ON d.doc_id = l.id)
+       SELECT doc_id, lang, n_chars FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM lab)
+          OR doc_id IN (SELECT doc_id FROM m WHERE rn = 1)
+       ORDER BY doc_id"""
+
   /** Exact mirror of graftfn.SimHash60 + pigeonhole dedup: the md5-derived
     * 60-bit token hash is computed identically in DuckDB
     * (CAST('0x' || substr(md5(t),1,15) AS BIGINT)), and pigeonhole banding
@@ -466,6 +511,18 @@ object ExtQueries {
                                    ELSE 1000000 END)
          SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
          FROM k GROUP BY lang ORDER BY lang""",
+    "text_rep_bigram" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(len(toks) - 1),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+                CAST(max(c) AS BIGINT) AS top_bigram_count
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "text_familiarity" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -549,6 +606,16 @@ object ExtQueries {
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
     "dedup_clusters" -> jaccardClustersSql(k = 3, threshold = 0.8),
+    "dedup_corpus" -> jaccardCanonicalSql(k = 3, threshold = 0.8),
+    "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id, text, n_chars FROM documents
+           WHERE doc_id % 2 = 1),
+         keep AS (SELECT min(doc_id) AS doc_id FROM inc GROUP BY text)
+         SELECT i.doc_id, i.n_chars FROM inc i
+         JOIN keep k ON i.doc_id = k.doc_id
+         WHERE i.text NOT IN
+           (SELECT text FROM documents WHERE doc_id % 2 = 0)
+         ORDER BY i.doc_id""",
     "dedup_simhash" -> simhashSurvivorsSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_embedding" ->

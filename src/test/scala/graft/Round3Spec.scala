@@ -224,6 +224,55 @@ class Round3Spec extends SparkSpecBase {
                       5L -> 5L, 6L -> 5L))
   }
 
+  test("canonicalize keeps one preferred representative per cluster") {
+    // cluster {1,2,3} (chain), cluster {5,6}; 4 untouched. Preference =
+    // longest text: doc 2 wins its cluster, doc 6 wins the pair; ties on
+    // length fall back to smallest id (docs 5/6 equal → 5... make 6 longer)
+    val corpus = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaa"),
+      (4L, "untouched"), (5L, "bb"), (6L, "bbb")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.ext.Dedup.canonicalize(corpus, pairs, "doc_id",
+        prefer = Seq(length(col("text")).desc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+
+    // default preference = smallest id (the pure survivor rule)
+    val keptDefault = graft.ext.Dedup.canonicalize(corpus, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDefault == Set(1L, 4L, 5L))
+  }
+
+  test("incrementalExact: batch vs corpus anti-dedup plus in-batch collapse") {
+    val corpus = Seq((10L, "seen before"), (11L, "also seen"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "seen before"),   // dup of corpus → dropped
+      (21L, "brand new"),     // first of an in-batch dup pair → kept
+      (22L, "brand new"),     // in-batch dup, larger id → dropped
+      (23L, "unique")         // kept
+    ).toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.incrementalExact(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 23L))
+  }
+
+  test("topBigramStats: dominant-bigram count and distinct bigrams per doc") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),  // bigrams: 3× "spam spam"
+      (2L, "a b a b a"),            // "a b"×2, "b a"×2
+      (3L, "one"),                  // < 2 tokens → absent
+      (4L, "w x y z")               // 3 distinct bigrams, each once
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.topBigramStats(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 3L)),
+      2L -> ((2L, 2L)),
+      4L -> ((3L, 1L))))
+  }
+
   test("bigramFamiliarity computes corpus-count statistics per doc") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
       .toDF("doc_id", "text")
