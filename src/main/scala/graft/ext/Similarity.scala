@@ -137,6 +137,78 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Scalar-quantized (SQ8) top-k — the compressed-scan ANN tier: each
+    * corpus vector is encoded once as 8-bit codes against per-dimension
+    * [min, max] ranges (4× smaller than float32, 8× smaller than the
+    * float64 scan width), candidates are ranked by cosine over the
+    * dequantized codes, and only the per-query `shortlist` best are
+    * re-ranked with exact vectors fetched by id. At 100 TB the scan reads
+    * the code table instead of the vectors — the win is IO/memory, not
+    * FLOPs — and the exact re-rank touches `queries × shortlist` rows.
+    *
+    * `shortlist <= 0` re-ranks every candidate: exact brute force routed
+    * through the identical encode → dequantize → re-rank plan (the
+    * correctness-gate mode, hash-matching the brute-force oracle; same
+    * pattern as IVF nprobe = nlist and LSH probeAll).
+    *
+    * The quantization grid comes from a per-dimension min/max aggregation —
+    * one map-side-combined shuffle of (dim, x) pairs, then driver-side
+    * literals, so encode/decode are pure codegen'd expressions.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 0, vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val stats = corpus.select(posexplode(vd).as(Seq("j", "x")))
+      .groupBy("j").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val dim = stats.size
+    val lo = (0 until dim).map(j => stats(j)._1).toArray
+    // constant dimensions quantize to code 0 with step 0 (recon = lo)
+    val step = (0 until dim).map { j =>
+      val (l, h) = stats(j); if (h > l) (h - l) / 256.0 else 0.0
+    }.toArray
+    val loLit = array(lo.map(lit): _*)
+    val stepLit = array(step.map(lit): _*)
+    val codes = transform(vd, (x, j) => {
+      val l = element_at(loLit, j + 1)
+      val st = element_at(stepLit, j + 1)
+      when(st === 0.0, lit(0))
+        .otherwise(least(lit(255.0), greatest(lit(0.0), floor((x - l) / st)))
+          .cast("int"))
+    })
+    def recon(codeCol: Column): Column =
+      transform(codeCol, (c, j) =>
+        element_at(loLit, j + 1) +
+          (c.cast("double") + 0.5) * element_at(stepLit, j + 1))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), vd.as("qv")))
+    // the compressed scan: only (id, codes) flows into scoring
+    val approx = corpus.select(col(idCol).as("neighbor_id"), codes.as("code"))
+      .crossJoin(qb)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qv"), recon(col("code"))).as("acos"))
+    val keep = if (shortlist > 0) shortlist else Int.MaxValue
+    val short = approx
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("acos").desc, col("neighbor_id"))))
+      .where(col("srank") <= keep)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: fetch true vectors by id for the shortlist only
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"), vd.as("cv")),
+            Seq("neighbor_id"))
+      .join(qb, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: corpus bucketed by hyperplane
     * signature; each query probes its own bucket plus all 1-bit-flip
     * neighbors (multi-probe), then candidates are ranked exactly. Recall is

@@ -116,6 +116,14 @@ object ExtQueries {
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "sim_ann_sq" -> { (s, d) =>
+      // shortlist <= 0 → exact re-rank of every candidate (gate mode)
+      val e = emb(s, d)
+      Similarity.sqTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
 
     // ---- text analysis ----
     "text_langid" -> { (s, d) =>
@@ -317,6 +325,11 @@ object ExtQueries {
     "sim_ann_lsh_probe" -> { (s, d) =>
       val e = emb(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+    "sim_ann_sq_probe" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.sqTopK(e, e.where(col("vec_id") < 5), k = 10, shortlist = 50)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }
   )
@@ -659,6 +672,7 @@ object ExtQueries {
     // exact-recall parameterizations of the ANN plans ≡ brute force
     "sim_ann_ivf" -> simBruteSql,
     "sim_ann_lsh" -> simBruteSql,
+    "sim_ann_sq" -> simBruteSql,
     "text_langid" -> langScoreSql,
     "text_ngram_freq" ->
       """WITH g AS (SELECT lang,

@@ -102,6 +102,21 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("sq topk: quantized shortlist recalls the exact top-k, scores exact") {
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 10)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    // shortlist 50 out of the corpus: 8-bit reconstruction error is far
+    // below the cosine gaps between rank 10 and rank 50, so recall is full
+    val sq = Similarity.sqTopK(emb, emb.where(col("vec_id") === 0), 10,
+        shortlist = 50)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(sq.length == 10)
+    assert(sq.map(_._1).toSet == bf.keySet)
+    sq.foreach { case (id, c) =>
+      assert(math.abs(bf(id) - c) < 1e-12) // re-rank uses EXACT vectors
+    }
+  }
+
   test("language id votes on marker words") {
     val crafted = Seq(
       (1L, "the cat and the dog of the house"),
