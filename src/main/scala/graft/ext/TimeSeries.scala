@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event streams: regular resampling with gap
+  * fill, and rolling aggregates over the regularized series — the shape
+  * feature pipelines need before feeding fixed-rate models (a raw event
+  * table has no row for a quiet hour; the model needs the zero).
+  */
+object TimeSeries {
+
+  /** Per-key counts resampled onto a regular `bucketSeconds` grid, with
+    * missing buckets between each key's first and last event filled with
+    * zero. Returns (key, bucket_start seconds-since-epoch, n).
+    *
+    * Scale shape: one map-side-combined count shuffle on (key, bucket),
+    * then a per-key min/max agg (tiny) whose `sequence` explode generates
+    * the grid — grid rows never exceed span/bucket per key, and only
+    * (key, long) pairs shuffle. The left join filling the gaps is
+    * key+bucket equi-join, AQE-broadcastable when the observed counts are
+    * sparse.
+    */
+  def resampleCounts(events: DataFrame, keyCol: String, tsCol: String,
+                     bucketSeconds: Long): DataFrame = {
+    val bucket = floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
+    val counts = events
+      .groupBy(col(keyCol).as("key"), bucket.as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val grid = counts.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    grid.join(counts, Seq("key", "bucket"), "left")
+      .select(col("key"),
+              (col("bucket") * bucketSeconds).as("bucket_start"),
+              coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Rolling sum of the last `window` buckets (current included) over an
+    * already-regular series — integer-valued, so results are deterministic
+    * and engine-portable (a rolling MEAN would differ in last-ulp float
+    * division order). Partitions by key: each key's series sorts
+    * independently, so the shuffle is one hash exchange, and skew equals
+    * the longest single series, not the corpus.
+    */
+  def rollingSum(series: DataFrame, keyCol: String, orderCol: String,
+                 valCol: String, window: Int): Column =
+    sum(col(valCol)).over(
+      Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+        .rowsBetween(-(window - 1), 0))
+}

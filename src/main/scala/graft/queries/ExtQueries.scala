@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,30 @@ object ExtQueries {
                              dd.where(pmod(col("doc_id"), lit(2)) === 0))
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- time series ----
+    "ts_resample" -> { (s, d) =>
+      // hourly per-user activity grid with gap fill + 3-hour rolling sum:
+      // quiet hours appear as explicit zeros (what a fixed-rate model needs)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(ev, "user_id", "ts", 3600L)
+      grid.select(col("key").as("user_id"), col("bucket_start"), col("n"),
+          TimeSeries.rollingSum(grid, "key", "bucket_start", "n", 3)
+            .cast("long").as("n_roll3"))
+        .where(col("user_id") < 40) // bounded verify output; full grid in bench
+        .orderBy(col("user_id"), col("bucket_start"))
+    },
+    "ev_json_props" -> { (s, d) =>
+      // semi-structured payload extraction: JSON props → typed column → agg
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("k")).cast("long").as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     },
 
     "join_asof" -> { (s, d) =>
@@ -655,6 +679,29 @@ object ExtQueries {
                 coalesce(s.sum_sq, 0) AS sum_sq
          FROM m LEFT JOIN s ON m.media_id = s.media_id
          ORDER BY m.media_id""",
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events WHERE user_id < 40),
+         c AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY user_id, bucket),
+         s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY user_id),
+         g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.user_id, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.user_id = c.user_id AND g.bucket = c.bucket)
+         SELECT user_id, bucket * 3600 AS bucket_start, n,
+                CAST(sum(n) OVER (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_roll3
+         FROM f ORDER BY user_id, bucket_start""",
+    "ev_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "join_asof" ->
       """SELECT l.event_id, l.user_id,
            r.event_id AS purchase_id, r.value AS purchase_value

@@ -273,6 +273,32 @@ class Round3Spec extends SparkSpecBase {
       4L -> ((3L, 1L))))
   }
 
+  test("resampleCounts gap-fills quiet buckets; rollingSum spans them") {
+    // user 1: events in buckets 0, 2 (bucket 1 is quiet → explicit zero);
+    // user 2: single event (one-bucket grid, no fill)
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:45")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:02:10")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"))
+    ).toDF("user_id", "ts")
+    val grid = graft.ext.TimeSeries.resampleCounts(ev, "user_id", "ts", 60L)
+    val out = grid
+      .select(col("key"), col("bucket_start"), col("n"),
+        graft.ext.TimeSeries.rollingSum(grid, "key", "bucket_start", "n", 3)
+          .cast("long").as("roll"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val b2 = java.sql.Timestamp.valueOf("2024-01-01 05:00:00").getTime / 1000
+    assert(out.toSeq == Seq(
+      (1L, base, 2L, 2L),        // bucket 0: two events
+      (1L, base + 60, 0L, 2L),   // gap-filled zero; rolling still sees 2
+      (1L, base + 120, 1L, 3L),  // bucket 2: rolling = 2+0+1
+      (2L, b2, 1L, 1L)))
+  }
+
   test("bigramFamiliarity computes corpus-count statistics per doc") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
       .toDF("doc_id", "text")
