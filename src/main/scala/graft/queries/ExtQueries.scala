@@ -77,11 +77,15 @@ object ExtQueries {
       // hourly per-user activity grid with gap fill + 3-hour rolling sum:
       // quiet hours appear as explicit zeros (what a fixed-rate model needs)
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
-      val grid = TimeSeries.resampleCounts(ev, "user_id", "ts", 3600L)
+      // bounded verify output: per-key grids are independent, so filtering
+      // at the source is identical to filtering the result — and reaches
+      // the parquet scan as a pushed predicate (a post-grid filter sits
+      // above the Window alias and never pushes past it)
+      val grid = TimeSeries.resampleCounts(
+        ev.where(col("user_id") < 40), "user_id", "ts", 3600L)
       grid.select(col("key").as("user_id"), col("bucket_start"), col("n"),
           TimeSeries.rollingSum(grid, "key", "bucket_start", "n", 3)
             .cast("long").as("n_roll3"))
-        .where(col("user_id") < 40) // bounded verify output; full grid in bench
         .orderBy(col("user_id"), col("bucket_start"))
     },
     "ev_json_props" -> { (s, d) =>
