@@ -30,4 +30,31 @@ object Bucketing {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write `df` as directory-partitioned parquet laid out for 100 TB
+    * consumers: one directory per `partitionCols` value (readers touching
+    * one partition never list the rest), rows within each file sorted by
+    * `sortCols` so parquet row-group min/max statistics prune point and
+    * range predicates inside the partition, and files capped at
+    * `maxRecordsPerFile` so a skewed partition value still yields
+    * parallel-readable, memory-bounded files instead of one giant file.
+    *
+    * The repartition on the partition columns puts each output partition
+    * value on one task (no N-files-per-task explosion: without it, every
+    * one of the shuffle's tasks writes a file into every partition
+    * directory); sortWithinPartitions then orders rows inside each task's
+    * files without a global sort.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String], sortCols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

@@ -273,6 +273,41 @@ class Round3Spec extends SparkSpecBase {
       4L -> ((3L, 1L))))
   }
 
+  test("writePartitioned: pruned directories, capped sorted files") {
+    val ev = new graft.compile.ParquetEnv(spark, sfDir).load("events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val out = java.nio.file.Files.createTempDirectory("wp").toString
+    graft.ext.Bucketing.writePartitioned(ev, out,
+      partitionCols = Seq("event_type"), sortCols = Seq("user_id"),
+      maxRecordsPerFile = 500L)
+
+    // one directory per event_type value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_type=")).sorted
+    val types = ev.select("event_type").distinct()
+      .collect().map(r => s"event_type=${r.getString(0)}").sorted
+    assert(dirs.toSeq == types.toSeq)
+
+    // file cap respected, and rows inside each file sorted by user_id
+    val files = dirs.flatMap(dn => new java.io.File(s"$out/$dn").listFiles()
+      .filter(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("user_id").collect().map(_.getLong(0))
+      assert(rows.length <= 500, s"${f.getName}: ${rows.length} rows > cap")
+      assert(rows.sameElements(rows.sorted), s"${f.getName} not sorted")
+    }
+
+    // read-back with a partition predicate prunes to one directory
+    val back = spark.read.parquet(out).where(col("event_type") === "click")
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      "partition predicate must prune directories, not filter rows")
+    assert(back.count() ==
+      ev.where(col("event_type") === "click").count())
+  }
+
   test("resampleCounts gap-fills quiet buckets; rollingSum spans them") {
     // user 1: events in buckets 0, 2 (bucket 1 is quiet → explicit zero);
     // user 2: single event (one-bucket grid, no fill)
