@@ -1,0 +1,88 @@
+package graft.examples
+
+import graft.ext.{Dedup, Pipeline, TextAnalysis, Bucketing}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end LLM training-data preparation, composed from the library's
+  * operators — the workflow the ext package exists for, runnable as one
+  * pipeline: normalize → language/quality gate → near-dup removal (pair
+  * detection → clustering → canonicalize) → benchmark decontamination →
+  * deterministic split → token-budget packing → partitioned layout.
+  * Every stage is a declarative DataFrame transform; nothing collects to
+  * the driver, so the same program is the 100 TB program.
+  *
+  * Usage: sbt "runMain graft.examples.DataPrep [sfDir] [outDir]".
+  */
+object DataPrep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("dataprep").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"raw docs: ${raw.count()}")
+
+    // 1. normalize + PII redaction, language ID, quality features
+    val normalized = raw.select(
+      col("doc_id"), col("lang"), col("source"),
+      Pipeline.redactPii(Pipeline.normalize(col("text"))).as("text"))
+    val scored = normalized
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("q", TextAnalysis.qualityFeatures(col("text")))
+      .withColumn("rep", TextAnalysis.repetitionRatio(col("text")))
+
+    // 2. gate on quality: enough tokens, low repetition
+    val kept = scored
+      .where(col("q.n_tokens") >= 5 && col("rep") < 0.9)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+              col("q.n_tokens").as("n_tokens"))
+    println(s"after quality gate: ${kept.count()}")
+
+    // 3. near-dup removal: exact first (cheap), then MinHash clusters,
+    //    keeping the longest representative of each near-dup cluster
+    val exactSurvivors = kept.join(
+      Dedup.exact(kept, "text", "doc_id")
+        .select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashPairs(exactSurvivors, "text", "doc_id")
+    val deduped = Dedup.canonicalize(exactSurvivors, pairs, "doc_id",
+      prefer = Seq(length(col("text")).desc))
+    println(s"after dedup: ${deduped.count()}")
+
+    // 4. benchmark decontamination: drop docs sharing 5-gram shingles
+    //    with the held-out eval slice (here: doc_id < 10 stands in)
+    val eval = deduped.where(col("doc_id") < 10)
+    val contaminated = Pipeline.contamination(
+      deduped, eval, "text", "doc_id", k = 5, minShared = 2)
+      .where(col("doc_id") >= 10) // the eval slice flags itself; keep it out
+      .select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .where(col("doc_id") >= 10)
+    println(s"after decontamination: ${clean.count()}")
+
+    // 5. deterministic split + token-budget packing of the train slice
+    val split = Pipeline.splitByHash(clean, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val packed = Pipeline.packSequences(
+      split.where(col("split") === "train"), "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 1024)
+    println(s"train sequences packed into ${
+      packed.agg(max(col("last_bin"))).collect()(0).getLong(0) + 1} bins")
+
+    // 6. partitioned layout for the trainer: one directory per split,
+    //    sorted by doc_id inside files
+    Bucketing.writePartitioned(split, outDir,
+      partitionCols = Seq("split"), sortCols = Seq("doc_id"))
+    println(s"wrote ${spark.read.parquet(outDir).count()} docs to $outDir")
+
+    spark.stop()
+  }
+}
