@@ -209,6 +209,131 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Product-quantized (PQ) top-k — the deep-compression ANN tier (Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011): vectors split into `m` subspaces, each encoded as the id of its
+    * nearest per-subspace centroid, so a D-dim float32 vector becomes `m`
+    * small codes (64-dim → 8 bytes at m=8: 32× smaller than float32).
+    * Ranking uses asymmetric distance: the query precomputes one
+    * dot-product and one norm table per subspace (m × ks entries), and a
+    * candidate's score is m table lookups — no vector arithmetic in the
+    * scan. The per-query `shortlist` best are then re-ranked on exact
+    * vectors fetched by id.
+    *
+    * Codebook training is a deterministic driver-side Lloyd's fit on a
+    * capped sample (quantizer quality saturates far below corpus size;
+    * faiss trains in-process the same way). The codebooks are
+    * executor-broadcast closures; encode is one narrow map.
+    *
+    * `shortlist <= 0` re-ranks every candidate — exact brute force through
+    * the identical encode → ADC → re-rank plan (the correctness-gate mode;
+    * same pattern as IVF nprobe = nlist, LSH probeAll, SQ shortlist-all).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 0, m: Int = 8, ks: Int = 256,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             seed: Long = 42L, maxTrain: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+                             col(vecCol).cast("array<double>").as("cv"))
+    // --- train: driver-side k-means per subspace on a capped sample ---
+    val n = vecs.count()
+    val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
+    val sample = vecs.select("cv").sample(withReplacement = false, frac, seed)
+      .as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val rnd = new scala.util.Random(seed)
+    // codebooks(mi)(c) = centroid c of subspace mi
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      var cents = Array.fill(ks)(pts(rnd.nextInt(pts.length)).clone())
+      var it = 0
+      while (it < 10) {
+        val sums = Array.fill(ks)(new Array[Double](sub))
+        val cnts = new Array[Int](ks)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < ks) {
+            var d = 0.0; var j = 0
+            while (j < sub) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < sub) { sums(best)(j) += p(j); j += 1 }
+          cnts(best) += 1
+        }
+        cents = Array.tabulate(ks)(c =>
+          if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c))
+        it += 1
+      }
+      cents
+    }
+    // --- encode: one narrow map; (id, m-byte code) is all that shuffles ---
+    val encode = udf { (v: Seq[Double]) =>
+      Array.tabulate(m) { mi =>
+        val cb = codebooks(mi); val off = mi * sub
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var j = 0
+          while (j < sub) { val t = v(off + j) - cb(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    // --- query-side ADC tables: dot(q_m, cent) and |cent|² per entry ---
+    val centNorm2: Array[Array[Double]] = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val lutOf = udf { (q: Seq[Double]) =>
+      Array.tabulate(m, ks) { (mi, c) =>
+        val cb = codebooks(mi)(c); val off = mi * sub
+        var d = 0.0; var j = 0
+        while (j < sub) { d += q(off + j) * cb(j); j += 1 }
+        d
+      }.map(_.toSeq).toSeq
+    }
+    val qNorm = udf { (q: Seq[Double]) => math.sqrt(q.map(x => x * x).sum) }
+    val adc = udf { (lut: Seq[Seq[Double]], qn: Double, code: Seq[Int]) =>
+      var dot = 0.0; var n2 = 0.0; var mi = 0
+      while (mi < code.length) {
+        dot += lut(mi)(code(mi)); n2 += centNorm2(mi)(code(mi)); mi += 1
+      }
+      val denom = qn * math.sqrt(n2)
+      if (denom > 0) dot / denom else 0.0
+    }
+    val qb = broadcast(
+      queries.select(col(idCol).as("query_id"),
+                     col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("lut", lutOf(col("qv")))
+        .withColumn("qn", qNorm(col("qv"))))
+    val approx = vecs.select(col("neighbor_id"), encode(col("cv")).as("code"))
+      .crossJoin(qb)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              adc(col("lut"), col("qn"), col("code")).as("acos"))
+    val keep = if (shortlist > 0) shortlist else Int.MaxValue
+    val short = approx
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("acos").desc, col("neighbor_id"))))
+      .where(col("srank") <= keep)
+      .select("query_id", "neighbor_id")
+    short
+      .join(vecs, Seq("neighbor_id"))
+      .join(qb.select(col("query_id"), col("qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: corpus bucketed by hyperplane
     * signature; each query probes its own bucket plus all 1-bit-flip
     * neighbors (multi-probe), then candidates are ranked exactly. Recall is

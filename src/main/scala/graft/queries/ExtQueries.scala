@@ -152,6 +152,14 @@ object ExtQueries {
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "sim_ann_pq" -> { (s, d) =>
+      // shortlist <= 0 → exact re-rank of every candidate (gate mode)
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
 
     // ---- text analysis ----
     "text_langid" -> { (s, d) =>
@@ -358,6 +366,11 @@ object ExtQueries {
     "sim_ann_sq_probe" -> { (s, d) =>
       val e = emb(s, d)
       Similarity.sqTopK(e, e.where(col("vec_id") < 5), k = 10, shortlist = 50)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+    "sim_ann_pq_probe" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10, shortlist = 50)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }
   )
@@ -724,6 +737,7 @@ object ExtQueries {
     "sim_ann_ivf" -> simBruteSql,
     "sim_ann_lsh" -> simBruteSql,
     "sim_ann_sq" -> simBruteSql,
+    "sim_ann_pq" -> simBruteSql,
     "text_langid" -> langScoreSql,
     "text_ngram_freq" ->
       """WITH g AS (SELECT lang,

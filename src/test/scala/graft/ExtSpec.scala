@@ -117,6 +117,22 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("pq topk: ADC shortlist recalls most of the exact top-k, scores exact") {
+    val bf = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 10)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    val pq = Similarity.pqTopK(emb, emb.where(col("vec_id") === 0), 10,
+        shortlist = 50)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    assert(pq.length == 10)
+    // PQ reconstruction is coarser than SQ8: require ≥ 8/10 recall at a
+    // 50-candidate shortlist rather than exactness
+    val recall = pq.map(_._1).count(bf.contains)
+    assert(recall >= 8, s"recall $recall/10 too low")
+    pq.foreach { case (id, c) =>
+      bf.get(id).foreach(exact => assert(math.abs(exact - c) < 1e-12))
+    }
+  }
+
   test("language id votes on marker words") {
     val crafted = Seq(
       (1L, "the cat and the dog of the house"),
