@@ -98,4 +98,68 @@ class PropertySpec extends SparkSpecBase {
       counts.values.sum == n && counts.keySet.subsetOf(Set("a", "b"))
     })
   }
+
+  test("canonicalize keeps exactly one doc per cluster for any pair graph") {
+    import spark.implicits._
+    // random undirected pair graphs over 20 ids: survivors = singleton
+    // docs + one representative per connected component, for ANY graph
+    val pairGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(1L, 20L), Gen.choose(1L, 20L))).map(
+        _.filter { case (a, b) => a != b })
+    holds(Prop.forAll(pairGen) { ps: List[(Long, Long)] =>
+      val corpus = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val pairs = ps.toDF("id_a", "id_b")
+      val kept = graft.ext.Dedup.canonicalize(corpus, pairs, "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // expected: union-find over the pairs, keep each component's min
+      val parent = scala.collection.mutable.Map((1L to 20L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      ps.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1L to 20L).filter(i => find(i) == i).toSet
+      kept == expected
+    })
+  }
+
+  test("incrementalExact output is disjoint from the corpus for any batch") {
+    import spark.implicits._
+    val batchGen = Gen.listOfN(12, Gen.zip(
+      Gen.choose(100L, 200L), Gen.oneOf("x", "y", "z", "w", "seen")))
+    holds(Prop.forAll(batchGen) { rows: List[(Long, String)] =>
+      val corpus = Seq((1L, "seen")).toDF("doc_id", "text")
+      val incoming = rows.toDF("doc_id", "text")
+      val kept = graft.ext.Dedup.incrementalExact(incoming, corpus)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // no corpus text survives, and surviving texts are unique
+      kept.forall(_._2 != "seen") &&
+        kept.map(_._2).distinct.length == kept.length &&
+        kept.forall { case (id, t) =>
+          // each survivor is the min id of its text within the batch
+          id == rows.filter(_._2 == t).map(_._1).min
+        }
+    })
+  }
+
+  test("resampleCounts grid is gap-free and mass-preserving for any events") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(15, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0L, 5000L)))
+    holds(Prop.forAll(evGen) { rows: List[(Long, Long)] =>
+      val ev = rows.map { case (u, s) =>
+        (u, new java.sql.Timestamp(s * 1000L)) }.toDF("user_id", "ts")
+      val grid = graft.ext.TimeSeries.resampleCounts(ev, "user_id", "ts", 60L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val byKey = grid.groupBy(_._1)
+      // total mass preserved, and each key's buckets are consecutive
+      grid.map(_._3).sum == rows.length &&
+        byKey.forall { case (_, g) =>
+          val b = g.map(_._2).sorted
+          b.zip(b.tail).forall { case (x, y) => y - x == 60L }
+        }
+    })
+  }
 }
