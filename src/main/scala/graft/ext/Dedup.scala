@@ -470,6 +470,42 @@ object Dedup {
       .drop("__h")
   }
 
+  /** SemDeDup-style clustered embedding dedup: k-means-cluster the corpus
+    * embeddings (deterministic driver-side fit on a capped sample, one
+    * narrow assignment map), generate candidate pairs only WITHIN each
+    * cluster, and cosine-verify exactly. Complements [[embeddingPairs]]:
+    * LSH candidate cost is per-table bucket collisions; clustering makes
+    * candidate cost Σ|cell|² with |cell| ≈ n/k, the economical shape when
+    * near-dups are semantically concentrated (the SemDeDup observation).
+    * Precision is exact (cosine-verified); recall misses only pairs split
+    * across cells — `nclusters = 1` closes that (exact all-pairs through
+    * the identical plan, the correctness-gate mode).
+    */
+  def semanticPairs(emb: DataFrame, vecCol: String = "embedding",
+                    idCol: String = "vec_id", nclusters: Int = 16,
+                    threshold: Double = 0.95, seed: Long = 42L,
+                    maxTrain: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).as("id"),
+                          col(vecCol).cast("array<double>").as("v"))
+    val n = vecs.count()
+    val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
+    val sample = vecs.select("v").sample(withReplacement = false, frac, seed)
+      .as[Seq[Double]].collect().map(_.toArray)
+    val cents = Similarity.lloydFit(sample, nclusters,
+      new scala.util.Random(seed))
+    val cell = udf(Similarity.nearestOf(cents) _)
+    val assigned = vecs.select(col("id"), cell(col("v")).as("cell"))
+    val cand = bucketPairs(assigned, Seq("cell"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Embedding near-dup: banded random-hyperplane LSH (deterministic
     * seeds), cosine verification within buckets only. Multiple independent
     * tables fix the single-table recall gap: one 12-plane table catches a

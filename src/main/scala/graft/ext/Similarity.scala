@@ -25,6 +25,57 @@ object Similarity {
     graft.functions.VectorFunctions.cosine_sim(
       a.cast("array<double>"), b.cast("array<double>"))
 
+  /** Deterministic driver-side Lloyd's k-means (seeded init from sample
+    * points, fixed iteration budget) — the quantizer-training primitive
+    * shared by the PQ codebooks and semantic clustering. Quantizer quality
+    * saturates far below corpus size, so training on a collected sample is
+    * the standard scale pattern (faiss does the same in-process); only
+    * assignment runs distributed.
+    */
+  private[ext] def lloydFit(pts: Array[Array[Double]], k: Int,
+                            rnd: scala.util.Random,
+                            iters: Int = 10): Array[Array[Double]] = {
+    require(pts.nonEmpty, "k-means training sample is empty")
+    val dim = pts.head.length
+    var cents = Array.fill(k)(pts(rnd.nextInt(pts.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c))
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment as a serializable closure (broadcast-small
+    * centroid array, one narrow map over the corpus).
+    */
+  private[ext] def nearestOf(centers: Array[Array[Double]])(v: Seq[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centers.length) {
+      val ct = centers(c)
+      var d = 0.0; var j = 0
+      while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Random-hyperplane signature (an int bucket id): bit j = sign of
     * <v, h_j> with h_j derived deterministically from `seed`. Hyperplane
     * components are folded in as literals → whole expression, no UDF.
@@ -249,29 +300,8 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     // codebooks(mi)(c) = centroid c of subspace mi
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
-      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
-      var cents = Array.fill(ks)(pts(rnd.nextInt(pts.length)).clone())
-      var it = 0
-      while (it < 10) {
-        val sums = Array.fill(ks)(new Array[Double](sub))
-        val cnts = new Array[Int](ks)
-        pts.foreach { p =>
-          var best = 0; var bd = Double.MaxValue; var c = 0
-          while (c < ks) {
-            var d = 0.0; var j = 0
-            while (j < sub) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          var j = 0
-          while (j < sub) { sums(best)(j) += p(j); j += 1 }
-          cnts(best) += 1
-        }
-        cents = Array.tabulate(ks)(c =>
-          if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c))
-        it += 1
-      }
-      cents
+      lloydFit(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)), ks, rnd)
     }
     // --- encode: one narrow map; (id, m-byte code) is all that shuffles ---
     val encode = udf { (v: Seq[Double]) =>

@@ -53,6 +53,16 @@ object ExtQueries {
              Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
     },
+    "dedup_semantic" -> { (s, d) =>
+      // gate mode: nclusters = 1 → exact all-pairs through the clustered
+      // plan; the id bound keeps the quadratic exact mode affordable at
+      // bench scale (the probe below runs the full corpus, 16 cells)
+      val e = emb(s, d).where(col("vec_id") < 1000)
+      e.join(Dedup.semanticPairs(e, nclusters = 1)
+               .select(col("id_b").as("vec_id")).distinct(),
+             Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
     "dedup_corpus" -> { (s, d) =>
       // the full dedup pipeline in one operator: pair detection →
       // clustering → keep the longest doc per cluster (ties → smallest id)
@@ -372,6 +382,14 @@ object ExtQueries {
       val e = emb(s, d)
       Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10, shortlist = 50)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+    "dedup_semantic_probe" -> { (s, d) =>
+      // full corpus, 16 cells: the SemDeDup shape the gate mode verifies
+      val e = emb(s, d)
+      e.join(Dedup.semanticPairs(e, nclusters = 16)
+               .select(col("id_b").as("vec_id")).distinct(),
+             Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
     }
   )
 
@@ -678,6 +696,14 @@ object ExtQueries {
              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])) >= 0.95)
          SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""",
+    "dedup_semantic" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+         p AS (SELECT b.vec_id AS id_b FROM e a, e b
+           WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.95)
+         SELECT vec_id FROM e
          WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""",
     "mm_features" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload

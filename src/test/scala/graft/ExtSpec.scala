@@ -69,6 +69,21 @@ class ExtSpec extends SparkSpecBase {
                              r.getAs[Double]("cos") > 0.999))
   }
 
+  test("semantic (clustered) dedup finds an injected duplicate vector") {
+    // identical vectors always share a k-means cell, so the within-cell
+    // pair generation cannot miss exact duplicates at any nclusters
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dup = base.where(col("vec_id") === 7)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val pairs = graft.ext.Dedup.semanticPairs(
+      base.unionByName(dup), nclusters = 8).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 7L &&
+                             r.getAs[Long]("id_b") == 1000007L &&
+                             r.getAs[Double]("cos") > 0.999))
+    // precision is exact: every emitted pair is cosine-verified
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.95))
+  }
+
   test("brute-force topk: neighbors ranked by cosine, self excluded") {
     val res = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") === 0), 5)
     val rows = res.orderBy("rank").collect()
