@@ -468,6 +468,10 @@ object Dedup {
     inBatch.join(batchReps, Seq("__h", idCol))
       .join(seen, Seq("__h"), "left_anti")
       .drop("__h")
+      // a batch can carry byte-identical duplicate rows; the join back to
+      // the representative (hash, id) matches every copy, so collapse them
+      // — one distinct over batch-sized survivors, not the corpus
+      .distinct()
   }
 
   /** SemDeDup-style clustered embedding dedup: k-means-cluster the corpus
