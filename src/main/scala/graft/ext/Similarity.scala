@@ -65,11 +65,12 @@ object Similarity {
     * centroid array, one narrow map over the corpus).
     */
   private[ext] def nearestOf(centers: Array[Array[Double]])(v: Seq[Double]): Int = {
+    val a = v.toArray // bulk-copy: generic Seq apply boxes every access
     var best = 0; var bd = Double.MaxValue; var c = 0
     while (c < centers.length) {
       val ct = centers(c)
       var d = 0.0; var j = 0
-      while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      while (j < ct.length) { val t = a(j) - ct(j); d += t * t; j += 1 }
       if (d < bd) { bd = d; best = c }
       c += 1
     }
@@ -283,7 +284,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              shortlist: Int = 0, m: Int = 8, ks: Int = 256,
              vecCol: String = "embedding", idCol: String = "vec_id",
-             seed: Long = 42L, maxTrain: Int = 10000): DataFrame = {
+             seed: Long = 42L, maxTrain: Int = 2000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
@@ -299,18 +300,26 @@ object Similarity {
     val sub = dim / m
     val rnd = new scala.util.Random(seed)
     // codebooks(mi)(c) = centroid c of subspace mi
+    // 6 iterations on a 2k sample: codebook distortion plateaus early, and
+    // this is per-invocation driver time (a production pipeline would fit
+    // once and reuse; here every query call retrains)
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
       lloydFit(sample.map(v =>
-        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)), ks, rnd)
+        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)), ks, rnd,
+        iters = 6)
     }
-    // --- encode: one narrow map; (id, m-byte code) is all that shuffles ---
+    // --- encode: one narrow map; (id, m-byte code) is all that shuffles.
+    // Bulk-copy the column value to a primitive array first: the generic
+    // Seq apply boxes every access, and the argmin loop reads m·ks·sub
+    // elements per row — boxed, that was ~10× slower than the arithmetic.
     val encode = udf { (v: Seq[Double]) =>
+      val a = v.toArray
       Array.tabulate(m) { mi =>
         val cb = codebooks(mi); val off = mi * sub
         var best = 0; var bd = Double.MaxValue; var c = 0
         while (c < cb.length) {
           var d = 0.0; var j = 0
-          while (j < sub) { val t = v(off + j) - cb(c)(j); d += t * t; j += 1 }
+          while (j < sub) { val t = a(off + j) - cb(c)(j); d += t * t; j += 1 }
           if (d < bd) { bd = d; best = c }
           c += 1
         }
@@ -320,10 +329,11 @@ object Similarity {
     // --- query-side ADC tables: dot(q_m, cent) and |cent|² per entry ---
     val centNorm2: Array[Array[Double]] = codebooks.map(_.map(c => c.map(x => x * x).sum))
     val lutOf = udf { (q: Seq[Double]) =>
+      val a = q.toArray
       Array.tabulate(m, ks) { (mi, c) =>
         val cb = codebooks(mi)(c); val off = mi * sub
         var d = 0.0; var j = 0
-        while (j < sub) { d += q(off + j) * cb(j); j += 1 }
+        while (j < sub) { d += a(off + j) * cb(j); j += 1 }
         d
       }.map(_.toSeq).toSeq
     }
