@@ -366,10 +366,13 @@ object Dedup {
     * `pairs` are returned (singletons cluster as themselves trivially).
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20,
+               maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+                             col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"),
+                          col(idA).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Size the loop's shuffles from the measured edge count: the edge set
@@ -379,6 +382,37 @@ object Dedup {
     // to a few thousand edge rows. ~500k edges per partition, capped at
     // the session default so a 100 TB pair graph still fans out fully.
     val nEdges = edges.count() // also materializes the persist
+    // Hybrid execution: below `maxDriverEdges` the whole graph fits on the
+    // driver comfortably (5M edges ≈ 80 MB of longs) and a single
+    // union-find pass replaces O(diameter) shuffle rounds — the pair graph
+    // is the heavy-hitter tail of the corpus, usually minuscule even when
+    // the corpus is 100 TB. Past the threshold the distributed min-label
+    // loop below takes over, so the operator never depends on the graph
+    // fitting anywhere. Both paths produce identical labels
+    // (cluster_id = min member id; spec-checked against each other).
+    if (nEdges <= maxDriverEdges) {
+      val e = edges.select(col("src"), col("dst")).collect()
+      edges.unpersist()
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id keeps labels = component minimum
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val labels = parent.keys.map(id => (id, find(id))).toSeq
+      import spark.implicits._
+      return labels.toDF("id", "cluster_id")
+    }
     val defaultPar =
       spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(200)
     val loopPar = math.max(1L, math.min(defaultPar.toLong, nEdges / 500000L + 1L)).toInt
@@ -472,6 +506,58 @@ object Dedup {
       // the representative (hash, id) matches every copy, so collapse them
       // — one distinct over batch-sized survivors, not the corpus
       .distinct()
+  }
+
+  /** Span-level exact dedup — the line/paragraph dedup of C4-style
+    * pipelines, at this corpus's granularity: split each document into
+    * consecutive `spanWords`-word chunks, count each chunk's document
+    * frequency corpus-wide, remove chunks present in more than `maxDocFreq`
+    * documents (boilerplate: headers, footers, license blocks), and
+    * reassemble the remaining chunks in their original order. Returns
+    * (id, clean_text, n_spans_kept) for EVERY input document — a fully
+    * boilerplate document survives with empty text, so the operator is a
+    * per-document rewrite, not a filter.
+    *
+    * At 100 TB: the frequency count shuffles (60-bit span hash, id) pairs
+    * with partial aggregation — never span text; the frequent-span set is
+    * the heavy-hitter tail (tiny by construction, df > maxDocFreq) and
+    * broadcasts into a left-anti join, so the corpus never shuffles for
+    * filtering; only the rebuild groups by document id. The engine-portable
+    * md5-derived hash keeps the output DuckDB-oracle-checkable.
+    */
+  def dedupSpans(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", spanWords: Int = 8,
+                 maxDocFreq: Long = 2): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val t = filter(split(col(textCol), " "), x => x =!= "")
+    val nSpans = ceil(size(t).cast("double") / spanWords).cast("int")
+    val spanArr = when(size(t) > 0,
+      transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(t, i * spanWords + 1, lit(spanWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val spans = docs
+      .select(col(idCol).as("id"), posexplode(spanArr))
+      .toDF("id", "pos", "span")
+      .withColumn("h", Pipeline.portableHash60(col("span")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: freq count + rebuild
+    val frequent = spans
+      .groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("h"))
+    val kept = spans.join(broadcast(frequent), Seq("h"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"),
+        count(lit(1)).cast("long").as("n_spans_kept"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+              coalesce(col("clean_text"), lit("")).as("clean_text"),
+              coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
   /** SemDeDup-style clustered embedding dedup: k-means-cluster the corpus

@@ -142,6 +142,52 @@ object Pipeline {
     }.toDF()
   }
 
+  /** Token-budget selection: per key (source/domain), take documents in
+    * `orderCols` order (highest-value first — quality score, length,
+    * recency) until the running token total exceeds `budget`; the rest are
+    * cut. The mixture step when targets are TOKEN counts, not fractions —
+    * "2B tokens of web, 500M of code" — returning every kept row plus its
+    * `cum_tokens` position.
+    *
+    * At 100 TB: one shuffle on the key (the windowed-ranking shape, like
+    * capPerKey). A skewed source pays a full per-key sort even though the
+    * budget keeps only a prefix — when one key dominates, pre-filter with
+    * an approximate score threshold (percentile_approx at budget/total
+    * tokens) so the sort sees a small multiple of the kept prefix, then
+    * apply this operator exactly.
+    */
+  def selectToBudget(df: DataFrame, keyCol: String, tokenCol: Column,
+                     budget: Long, orderCols: Seq[Column]): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  /** Leakage-safe dataset split: near-duplicate documents must land in the
+    * SAME train/val/test split, or held-out evaluation leaks through
+    * paraphrases the model saw in training. Documents are hashed by their
+    * near-dup CLUSTER representative (from [[Dedup.clusters]] over any
+    * pair detector's output) instead of their own id; unclustered
+    * documents hash by their own id as usual.
+    *
+    * At 100 TB: the cluster map covers only documents with a near-dup
+    * (a small fraction of the corpus) — it broadcasts into the left join,
+    * and the split itself stays the narrow hash map of [[splitByHash]].
+    */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     fractions: Seq[(String, Double)],
+                     salt: String = ""): DataFrame = {
+    val cl = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    val withRep = docs
+      .join(broadcast(cl), Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
+    splitByHash(withRep, "__rep", fractions, salt)
+      .drop("__rep", "cluster_id")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse runs of
     * whitespace to single spaces, trim. Portable regex subset (identical
     * semantics in Java regex and RE2/DuckDB).

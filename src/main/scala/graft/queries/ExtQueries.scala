@@ -311,6 +311,42 @@ object ExtQueries {
                 length(col("norm")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     },
+    "text_c4_filter" -> { (s, d) =>
+      // the C4/Gopher rule battery; thresholds chosen so each rule both
+      // passes and fails on the corpus (minWords=20, stop≥0.02, rep≤0.6)
+      docs(s, d)
+        .select(col("doc_id"), TextAnalysis.c4Rules(col("text")).as("c4"))
+        .select(col("doc_id"), col("c4.n_words"), col("c4.mean_word_len"),
+                col("c4.stop_ratio"), col("c4.rep_ratio"),
+                col("c4.max_word_len"), col("c4.keep"))
+        .orderBy(col("doc_id"))
+    },
+    "dedup_spans" -> { (s, d) =>
+      // C4-style boilerplate-span removal: 8-word chunks present in > 2
+      // docs are cut from every document; text is rebuilt in order
+      Dedup.dedupSpans(docs(s, d), "text", "doc_id",
+                       spanWords = 8, maxDocFreq = 2)
+        .orderBy(col("doc_id"))
+    },
+    "ds_token_budget" -> { (s, d) =>
+      // keep each source's longest docs up to a 1000-token budget
+      // (deterministic order: n_chars desc, doc_id asc)
+      Pipeline.selectToBudget(docs(s, d), "source",
+          TextAnalysis.tokenCount(col("text")), budget = 1000L,
+          orderCols = Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("source"), col("doc_id"), col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    "ds_split_safe" -> { (s, d) =>
+      // leakage-safe 80/10/10: near-dup docs (ngram-jaccard pairs) land in
+      // the same split via their cluster representative's hash
+      val dd = docs(s, d)
+      Pipeline.splitByCluster(dd,
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
 
     "ds_decontaminate" -> { (s, d) =>
       // eval-leakage scan: docs sharing ≥2 distinct 5-gram shingles with
@@ -640,6 +676,80 @@ object ExtQueries {
            FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars
          FROM n ORDER BY doc_id""",
+    "text_c4_filter" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+             / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(len(list_filter(toks, w -> lower(w) IN
+               ('the','a','and','of','to','in','is','it'))) * 1.0
+             / greatest(len(toks), 1), 4) AS stop_ratio,
+           round(1.0 - len(list_distinct(toks)) * 1.0
+             / greatest(len(toks), 1), 4) AS rep_ratio,
+           CAST(list_max(list_transform(toks, w -> length(w))) AS BIGINT)
+             AS max_word_len
+           FROM t)
+         SELECT doc_id, n_words, mean_word_len, stop_ratio, rep_ratio,
+                max_word_len,
+                (n_words BETWEEN 20 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND stop_ratio >= 0.02 AND rep_ratio <= 0.6
+                AND max_word_len <= 20 AS keep
+         FROM f ORDER BY doc_id""",
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         sp AS (SELECT doc_id,
+           unnest(list_transform(range(CAST(ceil(len(toks)/8.0) AS BIGINT)),
+             i -> struct_pack(pos := i,
+                    span := array_to_string(toks[i*8+1 : i*8+8], ' ')))) AS s
+           FROM t),
+         spans AS (SELECT doc_id, s.pos AS pos, s.span AS span,
+           CAST('0x' || substr(md5(s.span), 1, 15) AS BIGINT) AS h FROM sp),
+         freq AS (SELECT h FROM spans GROUP BY h
+                  HAVING count(DISTINCT doc_id) > 2),
+         kept AS (SELECT doc_id, pos, span FROM spans
+                  WHERE h NOT IN (SELECT h FROM freq))
+         SELECT d.doc_id,
+           coalesce(string_agg(k.span, ' ' ORDER BY k.pos), '') AS clean_text,
+           CAST(count(k.pos) AS BIGINT) AS n_spans_kept
+         FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "ds_token_budget" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS tok
+           FROM documents),
+         s AS (SELECT source, doc_id,
+           sum(tok) OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM c)
+         SELECT source, doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM s WHERE cum_tokens <= 1000 ORDER BY source, doc_id""",
+    "ds_split_safe" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
+         e AS (SELECT id_a AS src, id_b AS dst FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach AS (SELECT src, dst FROM e
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+         rep AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS r
+                 FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         h AS (SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 AS b
+           FROM rep)
+         SELECT doc_id,
+           CASE WHEN b < 800000 THEN 'train'
+                WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
     "ds_decontaminate" -> {
       val k = 5
       val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")

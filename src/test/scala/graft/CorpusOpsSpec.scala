@@ -1,0 +1,123 @@
+package graft
+
+import graft.ext.{Dedup, Pipeline, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus-management operators: C4 rule filter, span-level
+  * boilerplate dedup, token-budget selection, leakage-safe splits.
+  */
+class CorpusOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("c4Rules: each rule fails on its crafted offender, passes the good doc") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ") + " the a of"
+    val tooShort = "just a few words here"
+    val noStop = (1 to 30).map(i => s"token$i").mkString(" ")
+    val repeated = (("spam spam " * 20).trim + " the a")
+    val longWord = good + " " + ("x" * 30)
+    val df = Seq(
+      (1L, good), (2L, tooShort), (3L, noStop), (4L, repeated), (5L, longWord)
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.c4Rules(col("text")).as("c4"))
+      .select(col("doc_id"), col("c4.*"))
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(!rows(2L).getAs[Boolean]("keep")) // n_words < 20
+    assert(rows(2L).getAs[Long]("n_words") == 5)
+    assert(!rows(3L).getAs[Boolean]("keep")) // stop_ratio = 0
+    assert(rows(3L).getAs[Double]("stop_ratio") == 0.0)
+    assert(!rows(4L).getAs[Boolean]("keep")) // rep_ratio too high
+    assert(rows(4L).getAs[Double]("rep_ratio") > 0.6)
+    assert(!rows(5L).getAs[Boolean]("keep")) // 30-char word
+    assert(rows(5L).getAs[Long]("max_word_len") == 30)
+  }
+
+  test("dedupSpans cuts corpus-frequent spans, keeps order, rewrites all docs") {
+    val boiler = "this site uses cookies accept to continue reading"  // 9 words → spans (8) + (1)
+    val spanWords = 4
+    // "this site uses cookies" + "accept to continue reading" as 4-word spans
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"$boiler iota kappa lambda mu"),
+      (4L, boiler), // entirely boilerplate
+      (5L, "completely unique text with no shared spans at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "text", "doc_id",
+        spanWords = spanWords, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 5, "every input doc must appear in the output")
+    // the two boilerplate spans appear in 4 docs > maxDocFreq=2 → cut;
+    // the 4-word unique tails survive intact
+    assert(out(1L)._1 == "alpha beta gamma delta")
+    assert(out(2L)._1 == "epsilon zeta eta theta")
+    assert(out(3L)._1 == "iota kappa lambda mu")
+    assert(out(4L) == (("", 0L)), "all-boilerplate doc survives empty")
+    assert(out(5L)._1 == "completely unique text with no shared spans at all")
+    assert(out(5L)._2 == 3) // 11 words → ceil(11/4) = 3 spans, all kept
+  }
+
+  test("dedupSpans keeps interior order when a middle span is cut") {
+    val shared = "one two three four"
+    val docs = Seq(
+      (1L, s"aa bb cc dd $shared ee ff gg hh"),
+      (2L, s"ii jj kk ll $shared mm nn oo pp"),
+      (3L, s"qq rr ss tt $shared uu vv ww xx")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "text", "doc_id",
+        spanWords = 4, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "aa bb cc dd ee ff gg hh")
+    assert(out(2L) == "ii jj kk ll mm nn oo pp")
+  }
+
+  test("selectToBudget keeps the per-key prefix within the token budget") {
+    val df = Seq(
+      ("web", 1L, 400L), ("web", 2L, 300L), ("web", 3L, 300L), ("web", 4L, 100L),
+      ("code", 5L, 900L), ("code", 6L, 200L)
+    ).toDF("source", "doc_id", "tok")
+    val kept = Pipeline.selectToBudget(df, "source", col("tok"),
+        budget = 1000L, orderCols = Seq(col("tok").desc, col("doc_id")))
+      .select(col("doc_id"), col("cum_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // web: 400 (d1) + 300 (d2) + 300 (d3) = 1000 ≤ budget; d4 would exceed
+    assert(kept.keySet == Set(1L, 2L, 3L, 5L))
+    assert(kept(3L) == 1000L)
+    assert(kept(5L) == 900L) // code: 900, then 900+200 > 1000 cuts d6
+  }
+
+  test("clusters: driver union-find and distributed propagation agree") {
+    // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
+                    (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = m(Dedup.clusters(pairs)) // small graph → union-find path
+    val dist = m(Dedup.clusters(pairs, maxDriverEdges = 0L)) // force loop
+    assert(driver == dist)
+    assert(driver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                         7L -> 7L, 8L -> 7L, 9L -> 7L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("splitByCluster lands near-dup chains in one split, covers all docs") {
+    val docs = (1L to 200L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    // 1-2-3 is one transitive cluster; 10-11 another
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Pipeline.splitByCluster(docs, pairs, "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200, "split must cover every document exactly once")
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      "a transitive near-dup chain must share one split")
+    assert(out(10L) == out(11L))
+    // cluster members hash by the representative (min id): identical to
+    // what splitByHash assigns the representative itself
+    val solo = Pipeline.splitByHash(docs, "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) == solo(1L))
+    assert(out(42L) == solo(42L), "unclustered docs split as usual")
+  }
+}
