@@ -560,6 +560,42 @@ object Dedup {
               coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
+  /** Bloom-filter incremental dedup — the 100 TB face of
+    * [[incrementalExact]]. When the already-ingested corpus is too large
+    * for its distinct hash set to broadcast (an anti-join would shuffle
+    * the batch against a corpus-sized build side), fold the corpus's text
+    * hashes into a driver-aggregated Bloom filter once — `expectedItems`
+    * at `fpp` costs ~1.2·n·ln(1/fpp)/ln²2 bits, e.g. ~1.8 GB for 10⁹ docs
+    * at 0.1% — broadcast it, and probe per incoming document (a narrow
+    * map, no shuffle of either side).
+    *
+    * Trade-off, stated plainly: no false negatives (every true duplicate
+    * IS dropped), but a false-positive rate ≤ fpp of NEW documents is
+    * wrongly dropped. That loss budget is the standard corpus-ingest
+    * bargain; when exactness matters, route the survivors through
+    * [[incrementalExact]] against only the Bloom-positive corpus shard.
+    * In-batch duplicates collapse to the smallest id exactly as in
+    * [[incrementalExact]].
+    */
+  def incrementalExactBloom(incoming: DataFrame, corpus: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id",
+                            expectedItems: Long = 1000000L,
+                            fpp: Double = 0.001): DataFrame = {
+    val spark = incoming.sparkSession
+    val bloom = corpus.stat.bloomFilter(xxhash64(col(textCol)),
+      expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val seen = udf((h: Long) => bc.value.mightContainLong(h))
+    val inBatch = incoming.withColumn("__h", xxhash64(col(textCol)))
+    val batchReps = inBatch
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    inBatch.join(batchReps, Seq("__h", idCol))
+      .where(!seen(col("__h")))
+      .drop("__h")
+      .distinct() // byte-identical duplicate rows, as in incrementalExact
+  }
+
   /** SemDeDup-style clustered embedding dedup: k-means-cluster the corpus
     * embeddings (deterministic driver-side fit on a capped sample, one
     * narrow assignment map), generate candidate pairs only WITHIN each

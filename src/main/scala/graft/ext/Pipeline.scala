@@ -87,6 +87,21 @@ object Pipeline {
       .drop("__rk")
   }
 
+  /** Deterministic exact-size stratified sample: exactly `n` rows per key
+    * (fewer if the stratum is smaller), chosen by the engine-portable hash
+    * of the id — "random" in distribution yet stable across runs, engines,
+    * and partitionings, with none of `sample()`'s approximate row counts.
+    * The per-stratum eval-set / inspection-sample builder.
+    *
+    * At 100 TB: the windowed-ranking shape of [[capPerKey]] — one shuffle
+    * on the stratum key; the hash order costs one extra expression column.
+    */
+  def sampleExactPerKey(df: DataFrame, keyCols: Seq[String], n: Int,
+                        idCol: String, salt: String = ""): DataFrame =
+    capPerKey(df, keyCols, n,
+      Seq(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+          col(idCol)))
+
   /** Sequence packing for training batches: concatenate documents in id
     * order and assign each its byte/token span — (start offset, first bin,
     * last bin) against a fixed `budget`-token bin width. The global

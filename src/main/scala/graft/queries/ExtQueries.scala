@@ -337,6 +337,13 @@ object ExtQueries {
         .select(col("source"), col("doc_id"), col("cum_tokens"))
         .orderBy(col("source"), col("doc_id"))
     },
+    "ds_sample_stratified" -> { (s, d) =>
+      // exactly 5 docs per language, hash-ordered: deterministic across
+      // runs/engines/partitionings, uniform in distribution
+      Pipeline.sampleExactPerKey(docs(s, d), Seq("lang"), 5, "doc_id")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
     "ds_split_safe" -> { (s, d) =>
       // leakage-safe 80/10/10: near-dup docs (ngram-jaccard pairs) land in
       // the same split via their cluster representative's hash
@@ -426,6 +433,15 @@ object ExtQueries {
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")
         .select(col("vec_id"))
+    },
+    "dedup_incremental_bloom_probe" -> { (s, d) =>
+      // the no-broadcast-set ingest path (spec-checked against the exact
+      // operator; Bloom bits aren't DuckDB-mirrorable, so bench-only)
+      val dd = docs(s, d)
+      Dedup.incrementalExactBloom(
+        dd.where(pmod(col("doc_id"), lit(2)) === 1),
+        dd.where(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id"))
     }
   )
 
@@ -731,6 +747,13 @@ object ExtQueries {
            FROM c)
          SELECT source, doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM s WHERE cum_tokens <= 1000 ORDER BY source, doc_id""",
+    "ds_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY lang, doc_id""",
     "ds_split_safe" ->
       s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
          e AS (SELECT id_a AS src, id_b AS dst FROM pr

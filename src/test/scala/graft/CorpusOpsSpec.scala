@@ -86,6 +86,47 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(kept(5L) == 900L) // code: 900, then 900+200 > 1000 cuts d6
   }
 
+  test("incrementalExactBloom: drops every true dup, rarely drops new docs") {
+    val corpus = (0L until 400L).map(i => (i, s"corpus document number $i"))
+      .toDF("doc_id", "text")
+    val dups = (0L until 100L).map(i => (1000L + i, s"corpus document number $i"))
+    val fresh = (0L until 300L).map(i => (2000L + i, s"brand new text $i"))
+    val incoming = (dups ++ fresh).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactBloom(incoming, corpus,
+        expectedItems = 1000L, fpp = 0.001)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.intersect((1000L until 1100L).toSet).isEmpty,
+      "Bloom filters have no false negatives: every true dup must be dropped")
+    val freshKept = out.count(_ >= 2000L)
+    assert(freshKept >= 295, s"false-positive drops must be rare, kept $freshKept/300")
+    // subset of the exact operator's survivors (bloom only ever drops MORE)
+    val exact = Dedup.incrementalExact(incoming, corpus)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(exact))
+  }
+
+  test("sampleExactPerKey: exact n per stratum, deterministic, salt-sensitive") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s1 = Pipeline.sampleExactPerKey(df, Seq("lang"), 3, "doc_id")
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = Pipeline.sampleExactPerKey(df.repartition(7), Seq("lang"), 3, "doc_id")
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2, "sample must not depend on physical partitioning")
+    val perKey = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    val langSizes = df.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, sz) =>
+      assert(perKey.getOrElse(lang, 0) == math.min(3L, sz),
+        s"stratum $lang: want min(3, $sz)")
+    }
+    val salted = Pipeline.sampleExactPerKey(df, Seq("lang"), 3, "doc_id", salt = "x")
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted != s1, "salt must draw a different sample")
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
