@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence (funnel) analysis — the windowFunnel of
+  * ClickHouse / the MATCH_RECOGNIZE subset every product-analytics
+  * pipeline runs: per user, the deepest prefix of `steps` reachable by
+  * events in non-decreasing time order with the WHOLE chain inside a
+  * `withinSeconds` window measured from the chain's FIRST event.
+  *
+  * Depth d means: ∃ events e₁…e_d with types steps(0..d-1),
+  * ts₁ ≤ … ≤ ts_d and ts_d − ts₁ ≤ within. Users with at least one
+  * step-typed event appear in the output (depth can still be 0 when the
+  * first step type never occurs).
+  *
+  * At 100 TB: one shuffle on the user key; per-user events collect into a
+  * sorted array scanned once by an O(n·k) codegen'd HOF — state per user
+  * is its own (step-typed) event list, the same bound a Kafka Streams /
+  * Flink CEP operator holds, and the type filter cuts the collected rows
+  * to the funnel's alphabet before the shuffle.
+  */
+object Funnel {
+
+  def windowFunnel(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   withinSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "repeated step types are ambiguous under simultaneous-update semantics")
+    val k = steps.size
+    val withinUs = withinSeconds * 1000000L
+    // step index lookup as a chained CASE (codegen'd; steps are few)
+    val stepIdx = steps.zipWithIndex.tail
+      .foldLeft(when(col(typeCol) === steps.head, 0)) {
+        case (acc, (t, i)) => acc.when(col(typeCol) === t, i)
+      }
+    val seqd = events
+      .where(col(typeCol).isin(steps.map(x => x: Any): _*))
+      .select(col(userCol).as("user"),
+        struct(unix_micros(col(tsCol)).as("ts"), stepIdx.as("step")).as("e"))
+      .groupBy(col("user"))
+      .agg(array_sort(collect_list(col("e"))).as("seq"))
+    // acc(j) = LATEST chain-start ts over valid chains of depth j+1 in the
+    // scanned prefix (achieved depths form a prefix, so depth = # non-null
+    // entries). Latest start dominates: an event extends some depth-j
+    // chain iff it extends the one with the maximal start (window is
+    // measured from the chain's first event), so this is the exact DP,
+    // not a greedy. transform() reads the PRE-event acc for every level
+    // simultaneously, so one event advances at most one level — an event
+    // can't serve as two consecutive steps of the same chain.
+    val scanned = aggregate(
+      col("seq"),
+      array_repeat(lit(null).cast("long"), k),
+      (acc, e) => {
+        val ts = e.getField("ts"); val st = e.getField("step")
+        transform(acc, (best, j) => {
+          val chainStart = when(j === 0, ts).otherwise(element_at(acc, j))
+          when(st === j && chainStart.isNotNull &&
+               ts - chainStart <= withinUs,
+            greatest(best, chainStart)).otherwise(best)
+        })
+      },
+      acc => size(filter(acc, x => x.isNotNull)))
+    seqd.select(col("user"), scanned.cast("long").as("depth"))
+  }
+}

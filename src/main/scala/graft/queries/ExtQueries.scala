@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis, TimeSeries}
+import graft.ext.{Dedup, Funnel, Multimodal, Pipeline, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -336,6 +336,14 @@ object ExtQueries {
           orderCols = Seq(col("n_chars").desc, col("doc_id")))
         .select(col("source"), col("doc_id"), col("cum_tokens"))
         .orderBy(col("source"), col("doc_id"))
+    },
+    "ev_funnel" -> { (s, d) =>
+      // view → click → purchase within 24h, chain window from first event
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.windowFunnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        .select(col("user").as("user_id"), col("depth"))
+        .orderBy(col("user_id"))
     },
     "ds_sample_stratified" -> { (s, d) =>
       // exactly 5 docs per language, hash-ordered: deterministic across
@@ -747,6 +755,29 @@ object ExtQueries {
            FROM c)
          SELECT source, doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM s WHERE cum_tokens <= 1000 ORDER BY source, doc_id""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM e),
+         d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+         d2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b
+                  ON b.user_id = a.user_id
+                WHERE a.event_type = 'view' AND b.event_type = 'click'
+                  AND b.us >= a.us AND b.us - a.us <= 86400000000),
+         d3 AS (SELECT DISTINCT a.user_id FROM e a
+                JOIN e b ON b.user_id = a.user_id
+                JOIN e c ON c.user_id = a.user_id
+                WHERE a.event_type = 'view' AND b.event_type = 'click'
+                  AND c.event_type = 'purchase'
+                  AND b.us >= a.us AND c.us >= b.us
+                  AND c.us - a.us <= 86400000000)
+         SELECT u.user_id,
+           CAST(CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                     WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                     WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                     ELSE 0 END AS BIGINT) AS depth
+         FROM u ORDER BY user_id""",
     "ds_sample_stratified" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -127,6 +127,50 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(salted != s1, "salt must draw a different sample")
   }
 
+  test("windowFunnel: exact DP — later chain starts must not be shadowed") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // the earliest-start greedy fails here: chain A@5,B@6,C@12 fits the
+    // 10s window but A@0's chain does not — depth must still be 3
+    val ev = Seq(
+      (1L, ts(0), "A"), (1L, ts(1), "B"), (1L, ts(5), "A"),
+      (1L, ts(6), "B"), (1L, ts(12), "C"),
+      (2L, ts(0), "A"), (2L, ts(1), "B"), (2L, ts(30), "C"), // C too late
+      (3L, ts(0), "B"), (3L, ts(1), "C"), // no A at all → depth 0
+      (4L, ts(7), "A") // depth 1
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ext.Funnel.windowFunnel(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"), withinSeconds = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("windowFunnel matches the brute-force reference on random traces") {
+    val rnd = new scala.util.Random(7)
+    val types = Vector("A", "B", "C", "X")
+    val rows = for (u <- 1L to 40L; _ <- 1 to 25) yield
+      (u, new java.sql.Timestamp(rnd.nextInt(2000) * 1000L),
+       types(rnd.nextInt(types.length)))
+    val steps = Seq("A", "B", "C"); val within = 300L
+    val out = graft.ext.Funnel.windowFunnel(rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, within)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // O(n³) reference: literal existential semantics
+    val byUser = rows.filter(r => steps.contains(r._3)).groupBy(_._1)
+    byUser.foreach { case (u, evs) =>
+      val e = evs.map(r => (r._2.getTime / 1000L, steps.indexOf(r._3))).sorted
+      def chainFrom(i: Int, depth: Int, start: Long): Int =
+        if (depth == steps.size) depth
+        else (i until e.size).collectFirst {
+          case j if e(j)._2 == depth && e(j)._1 - start <= within =>
+            chainFrom(j + 1, depth + 1, start)
+        }.getOrElse(depth)
+      val ref = e.indices.collect {
+        case i if e(i)._2 == 0 => chainFrom(i + 1, 1, e(i)._1)
+      }.foldLeft(0)(math.max)
+      assert(out(u) == ref.toLong, s"user $u: got ${out(u)}, want $ref")
+    }
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
