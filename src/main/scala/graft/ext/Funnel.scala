@@ -64,4 +64,33 @@ object Funnel {
       acc => size(filter(acc, x => x.isNotNull)))
     seqd.select(col("user"), scanned.cast("long").as("depth"))
   }
+
+  /** Cohort retention: group users by their first-activity bucket (the
+    * cohort) and count, per cohort, how many were active again exactly
+    * `offset` buckets later, for each requested offset — the classic
+    * D1/D7/D30 retention matrix.
+    *
+    * At 100 TB: (user, bucket) pairs reduce via distinct with partial
+    * aggregation straight off the scan; the cohort map joins back on the
+    * user key (one shuffle, both sides already user-keyed); the final
+    * rollup is a map-side-combined count per cohort. No windows, no
+    * broadcasts, nothing driver-side.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       bucketSeconds: Long = 86400L,
+                       offsets: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1")
+    val days = events
+      .select(col(userCol).as("user"),
+        floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long").as("bucket"))
+      .distinct()
+    val cohorts = days.groupBy(col("user")).agg(min(col("bucket")).as("cohort"))
+    val retained = offsets.map(o =>
+      count_distinct(when(col("bucket") === col("cohort") + o, col("user")))
+        .as(s"retained_$o"))
+    val aggs = count_distinct(col("user")).as("n_users") +: retained
+    days.join(cohorts, Seq("user"))
+      .groupBy(col("cohort"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -345,6 +345,12 @@ object ExtQueries {
         .select(col("user").as("user_id"), col("depth"))
         .orderBy(col("user_id"))
     },
+    "ev_retention" -> { (s, d) =>
+      // daily cohorts with D1/D7 retention over the events month
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.retentionCohorts(ev, "user_id", "ts")
+        .orderBy(col("cohort"))
+    },
     "ds_sample_stratified" -> { (s, d) =>
       // exactly 5 docs per language, hash-ordered: deterministic across
       // runs/engines/partitionings, uniform in distribution
@@ -778,6 +784,22 @@ object ExtQueries {
                      WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
                      ELSE 0 END AS BIGINT) AS depth
          FROM u ORDER BY user_id""",
+    "ev_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket
+           FROM events),
+         cohorts AS (SELECT user_id, min(bucket) AS cohort
+                     FROM days GROUP BY user_id)
+         SELECT c.cohort,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN d.bucket = c.cohort + 1
+                                    THEN d.user_id END) AS BIGINT)
+             AS retained_1,
+           CAST(count(DISTINCT CASE WHEN d.bucket = c.cohort + 7
+                                    THEN d.user_id END) AS BIGINT)
+             AS retained_7
+         FROM days d JOIN cohorts c USING (user_id)
+         GROUP BY c.cohort ORDER BY c.cohort""",
     "ds_sample_stratified" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

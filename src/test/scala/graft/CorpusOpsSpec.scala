@@ -171,6 +171,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("retentionCohorts: D1/D7 counts on a crafted activity matrix") {
+    def at(day: Long, h: Int = 3) =
+      new java.sql.Timestamp((day * 86400L + h * 3600L) * 1000L)
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(7)),   // cohort 0, D1 ✓ D7 ✓
+      (2L, at(0)), (2L, at(2)),                // cohort 0, neither
+      (3L, at(0)), (3L, at(1)),                // cohort 0, D1 ✓
+      (4L, at(5)), (4L, at(12)),               // cohort 5, D7 ✓
+      (5L, at(5))                              // cohort 5, neither
+    ).map { case (u, t) => (u, t, "click") }
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ext.Funnel.retentionCohorts(ev, "user_id", "ts")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(0L -> ((3L, 2L, 1L)), 5L -> ((2L, 0L, 1L))))
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
