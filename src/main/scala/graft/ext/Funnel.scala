@@ -65,6 +65,51 @@ object Funnel {
     seqd.select(col("user"), scanned.cast("long").as("depth"))
   }
 
+  /** Streaming windowFunnel — the ingest-time face of [[windowFunnel]].
+    * Per user, a state kernel holds exactly the DP vector (k chain-start
+    * timestamps, one per depth) — state is k longs per user FOREVER, the
+    * smallest possible funnel state, no event buffering. Each micro-batch
+    * sorts its per-user slice by event time and folds it through the same
+    * max-start DP; a row (user, depth) is emitted whenever the user's
+    * reached depth grows. Exact under per-user in-order arrival (what a
+    * user-keyed Kafka topic provides); cross-batch chains work because the
+    * DP vector carries over. Late (out-of-order) events may under-count —
+    * the documented trade of keeping zero event history.
+    */
+  def windowFunnelStream(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, steps: Seq[String],
+                         withinSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.size
+    val withinUs = withinSeconds * 1000000L
+    val stepOf = steps.zipWithIndex.toMap
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .where(col(typeCol).isin(steps.map(x => x: Any): _*))
+      .select(col(userCol).cast("long").as("user"),
+              unix_micros(col(tsCol)).as("ts"), col(typeCol).as("t"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[Seq[Long]]) =>
+          // Long.MinValue = depth not reached (null-free state row)
+          val acc = state.getOption.getOrElse(Seq.fill(k)(Long.MinValue)).toArray
+          val before = acc.count(_ != Long.MinValue)
+          it.toArray.sortBy(e => (e._2, stepOf(e._3))).foreach { case (_, ts, t) =>
+            val j = stepOf(t)
+            val chainStart = if (j == 0) ts else acc(j - 1)
+            if (chainStart != Long.MinValue && ts - chainStart <= withinUs)
+              acc(j) = math.max(acc(j), chainStart)
+          }
+          state.update(acc.toSeq)
+          val after = acc.count(_ != Long.MinValue)
+          if (after > before) Iterator((user, after.toLong)) else Iterator.empty
+      }.toDF("user", "depth")
+  }
+
   /** Cohort retention: group users by their first-activity bucket (the
     * cohort) and count, per cohort, how many were active again exactly
     * `offset` buckets later, for each requested offset — the classic

@@ -189,6 +189,38 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out == Map(0L -> ((3L, 2L, 1L)), 5L -> ((2L, 0L, 1L))))
   }
 
+  test("windowFunnelStream: cross-batch chains, k-long state, depth emissions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.ext.Funnel.windowFunnelStream(
+      ms.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("A", "B", "C"), withinSeconds = 10L)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(0), "A"), (1L, ts(1), "B"), (2L, ts(0), "B"))
+      q.processAllAvailable()
+      // user 1 reaches depth 2 in one batch (one row, the latest depth);
+      // user 2 has no A → no emission
+      assert(spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+      // the chain completes ACROSS batches from carried DP state
+      ms.addData((1L, ts(8), "C"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (1L, 3L)))
+      // no further emission when depth does not grow
+      ms.addData((1L, ts(9), "C"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() == 2)
+      // state is exactly one row per user seen — k longs each, no buffering
+      val st = q.lastProgress.stateOperators
+      assert(st.map(_.numRowsTotal).sum == 2)
+    } finally q.stop()
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
