@@ -560,6 +560,52 @@ object Dedup {
               coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
+  /** Incremental NEAR-dup detection: which documents of an incoming batch
+    * are ≥ `threshold` Jaccard-similar to SOME document of the
+    * already-ingested corpus — the ingest-time companion of
+    * [[minhashPairs]], completing the incremental family (exact / Bloom /
+    * near-dup). Returns (incoming id, corpus id, jaccard) pairs.
+    *
+    * At 100 TB: the corpus contributes one (band_key, id) row per band —
+    * its banded LSH index, buildable once and reusable across batches —
+    * and the small batch's banded rows join against it on the band key.
+    * Only candidate ids (batch-bounded) pull shingle sets for the fused
+    * sorted-merge Jaccard verify, so corpus text never shuffles for
+    * non-colliding documents. Banding is recall-1-in-practice at the
+    * default 16×2 (P(miss | j ≥ 0.7) ≈ 2e-5), and the verify is exact.
+    */
+  def incrementalMinhash(incoming: DataFrame, corpus: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
+                         threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame) = sh
+      .select(col("id"),
+        graft.functions.VectorFunctions.minhash_lanes(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+                      x => x.cast("string"))), lit(b))
+        }: _*)).as("band_key"))
+    val shIn = prep(incoming); val shCo = prep(corpus)
+    val cand = banded(shIn).toDF("id_a", "band_key")
+      .join(banded(shCo).toDF("id_b", "band_key"), Seq("band_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(shIn.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shCo.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+             greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.sorted_jaccard(
+          col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Bloom-filter incremental dedup — the 100 TB face of
     * [[incrementalExact]]. When the already-ingested corpus is too large
     * for its distinct hash set to broadcast (an anti-join would shuffle

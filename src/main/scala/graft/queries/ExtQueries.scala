@@ -337,6 +337,15 @@ object ExtQueries {
         .select(col("source"), col("doc_id"), col("cum_tokens"))
         .orderBy(col("source"), col("doc_id"))
     },
+    "dedup_incremental_near" -> { (s, d) =>
+      // ingest-time near-dup: odd ids arrive, even ids are the corpus
+      val dd = docs(s, d)
+      Dedup.incrementalMinhash(
+          dd.where(pmod(col("doc_id"), lit(2)) === 1),
+          dd.where(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "ev_funnel" -> { (s, d) =>
       // view → click → purchase within 24h, chain window from first event
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -761,6 +770,25 @@ object ExtQueries {
            FROM c)
          SELECT source, doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM s WHERE cum_tokens <= 1000 ORDER BY source, doc_id""",
+    "dedup_incremental_near" -> {
+      val grams = (1 to 3).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [coalesce(array_to_string(toks, ' '), '')]
+                ELSE list_distinct(list_transform(range(len(toks) - 2),
+                       i -> $grams)) END AS sh
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
+         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+               / greatest(len(a.sh), len(b.sh)) >= 0.7
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.7
+         ORDER BY id_a, id_b"""
+    },
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
            FROM events

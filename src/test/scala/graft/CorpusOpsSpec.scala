@@ -105,6 +105,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out.subsetOf(exact))
   }
 
+  test("incrementalMinhash finds batch-vs-corpus near-dups only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((0L, base), (2L, "a completely unrelated corpus document"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base + " ok"),                        // near-dup of corpus doc 0
+      (3L, "novel incoming content with fresh words"),
+      (5L, base + " ok")                         // in-batch dup of 1 — NOT reported
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(incoming, corpus)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 0L), (5L, 0L)),
+      "both near-dup arrivals flag against the corpus; in-batch pairs and " +
+      s"novel docs stay silent — got $out")
+  }
+
   test("sampleExactPerKey: exact n per stratum, deterministic, salt-sensitive") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
     val s1 = Pipeline.sampleExactPerKey(df, Seq("lang"), 3, "doc_id")
