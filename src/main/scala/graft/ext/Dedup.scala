@@ -381,7 +381,6 @@ object Dedup {
     // the session-wide partition count (sized for corpus scans) is applied
     // to a few thousand edge rows. ~500k edges per partition, capped at
     // the session default so a 100 TB pair graph still fans out fully.
-    val nEdges = edges.count() // also materializes the persist
     // Hybrid execution: below `maxDriverEdges` the whole graph fits on the
     // driver comfortably (5M edges ≈ 80 MB of longs) and a single
     // union-find pass replaces O(diameter) shuffle rounds — the pair graph
@@ -390,8 +389,13 @@ object Dedup {
     // loop below takes over, so the operator never depends on the graph
     // fitting anywhere. Both paths produce identical labels
     // (cluster_id = min member id; spec-checked against each other).
-    if (nEdges <= maxDriverEdges) {
-      val e = edges.select(col("src"), col("dst")).collect()
+    // The limit guard makes the probe ONE action: it returns at most
+    // maxDriverEdges+1 rows, so an over-threshold graph costs a bounded
+    // collect before falling through to the distributed loop (which then
+    // counts the persisted frame it would have materialized anyway).
+    val probe = maxDriverEdges.min(Int.MaxValue - 1L).toInt
+    val e = edges.limit(probe + 1).collect()
+    if (e.length <= maxDriverEdges) {
       edges.unpersist()
       val parent = new scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -413,6 +417,7 @@ object Dedup {
       import spark.implicits._
       return labels.toDF("id", "cluster_id")
     }
+    val nEdges = edges.count() // exact size; materializes the persist fully
     val defaultPar =
       spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(200)
     val loopPar = math.max(1L, math.min(defaultPar.toLong, nEdges / 500000L + 1L)).toInt
