@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end LLM training-data preparation, composed from the library's
   * operators — the workflow the ext package exists for, runnable as one
-  * pipeline: normalize → language/quality gate → near-dup removal (pair
-  * detection → clustering → canonicalize) → benchmark decontamination →
-  * deterministic split → token-budget packing → partitioned layout.
+  * pipeline: normalize → C4 rule gate → boilerplate-span removal →
+  * near-dup removal (pair detection → clustering → canonicalize) →
+  * benchmark decontamination → leakage-safe split → per-source token
+  * budget → token-budget packing → partitioned layout.
   * Every stage is a declarative DataFrame transform; nothing collects to
   * the driver, so the same program is the 100 TB program.
   *
@@ -39,17 +40,28 @@ object DataPrep {
       .withColumn("q", TextAnalysis.qualityFeatures(col("text")))
       .withColumn("rep", TextAnalysis.repetitionRatio(col("text")))
 
-    // 2. gate on quality: enough tokens, low repetition
+    // 2. gate on quality: the C4/Gopher rule battery plus the coarse
+    //    features (loose bounds at this fixture's scale)
     val kept = scored
-      .where(col("q.n_tokens") >= 5 && col("rep") < 0.9)
+      .withColumn("c4", TextAnalysis.c4Rules(col("text"),
+        minWords = 5, minStopRatio = 0.0, maxRepetition = 0.9))
+      .where(col("q.n_tokens") >= 5 && col("rep") < 0.9 && col("c4.keep"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
               col("q.n_tokens").as("n_tokens"))
     println(s"after quality gate: ${kept.count()}")
 
-    // 3. near-dup removal: exact first (cheap), then MinHash clusters,
+    // 3. corpus-frequent span removal (C4 line dedup at this corpus's
+    //    granularity): boilerplate chunks shared by many docs are cut
+    val despanned = kept.drop("text").join(
+      Dedup.dedupSpans(kept, "text", "doc_id", spanWords = 8, maxDocFreq = 4)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      Seq("doc_id"))
+      .where(col("text") =!= "")
+
+    // 4. near-dup removal: exact first (cheap), then MinHash clusters,
     //    keeping the longest representative of each near-dup cluster
-    val exactSurvivors = kept.join(
-      Dedup.exact(kept, "text", "doc_id")
+    val exactSurvivors = despanned.join(
+      Dedup.exact(despanned, "text", "doc_id")
         .select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val pairs = Dedup.minhashPairs(exactSurvivors, "text", "doc_id")
@@ -57,7 +69,7 @@ object DataPrep {
       prefer = Seq(length(col("text")).desc))
     println(s"after dedup: ${deduped.count()}")
 
-    // 4. benchmark decontamination: drop docs sharing 5-gram shingles
+    // 5. benchmark decontamination: drop docs sharing 5-gram shingles
     //    with the held-out eval slice (here: doc_id < 10 stands in)
     val eval = deduped.where(col("doc_id") < 10)
     val contaminated = Pipeline.contamination(
@@ -68,16 +80,21 @@ object DataPrep {
       .where(col("doc_id") >= 10)
     println(s"after decontamination: ${clean.count()}")
 
-    // 5. deterministic split + token-budget packing of the train slice
-    val split = Pipeline.splitByHash(clean, "doc_id",
+    // 6. leakage-safe split (near-dup cluster members share a split) +
+    //    per-source token budget + token-budget packing of the train slice
+    val split = Pipeline.splitByCluster(clean, pairs, "doc_id",
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val budgeted = Pipeline.selectToBudget(
+      split.where(col("split") === "train"), "source",
+      TextAnalysis.tokenCount(col("text")), budget = 100000L,
+      orderCols = Seq(col("n_tokens").desc, col("doc_id")))
     val packed = Pipeline.packSequences(
-      split.where(col("split") === "train"), "doc_id",
+      budgeted, "doc_id",
       TextAnalysis.tokenCount(col("text")), budget = 1024)
     println(s"train sequences packed into ${
       packed.agg(max(col("last_bin"))).collect()(0).getLong(0) + 1} bins")
 
-    // 6. partitioned layout for the trainer: one directory per split,
+    // 7. partitioned layout for the trainer: one directory per split,
     //    sorted by doc_id inside files
     Bucketing.writePartitioned(split, outDir,
       partitionCols = Seq("split"), sortCols = Seq("doc_id"))
