@@ -144,6 +144,59 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("selectToBudget is monotone in the budget and respects the cutoff") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(1L, 100L), Gen.choose(10L, 400L)))
+    holds(Prop.forAll(gen, Gen.choose(100L, 600L)) {
+      (rows: List[(String, Long, Long)], budget: Long) =>
+        val df = rows.zipWithIndex
+          .map { case ((s, _, t), i) => (s, i.toLong, t) }
+          .toDF("source", "doc_id", "tok")
+        def kept(b: Long) = graft.ext.Pipeline.selectToBudget(
+            df, "source", col("tok"), b, Seq(col("tok").desc, col("doc_id")))
+          .select(col("doc_id"), col("cum_tokens")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val small = kept(budget); val big = kept(budget * 2)
+        small.keySet.subsetOf(big.keySet) &&   // larger budget only adds
+          small.values.forall(_ <= budget) &&  // cutoff respected
+          big.values.forall(_ <= budget * 2)
+    })
+  }
+
+  test("windowFunnel depth is monotone in the window length") {
+    import spark.implicits._
+    val gen = Gen.listOfN(24, Gen.zip(Gen.choose(1L, 4L),
+      Gen.choose(0L, 120L), Gen.oneOf("A", "B", "C")))
+    holds(Prop.forAll(gen, Gen.choose(5L, 40L)) {
+      (rows: List[(Long, Long, String)], within: Long) =>
+        val ev = rows.map { case (u, s, t) =>
+          (u, new java.sql.Timestamp(s * 1000L), t) }
+          .toDF("user_id", "ts", "event_type")
+        def depths(w: Long) = graft.ext.Funnel.windowFunnel(
+            ev, "user_id", "ts", "event_type", Seq("A", "B", "C"), w)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val narrow = depths(within); val wide = depths(within * 3)
+        narrow.forall { case (u, d) => wide(u) >= d }
+    })
+  }
+
+  test("splitByCluster covers every doc once and respects cluster atomicity") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
+      .map(_.filter { case (a, b) => a != b })
+    holds(Prop.forAll(edgeGen) { edges: List[(Long, Long)] =>
+      val docs = (1L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val out = graft.ext.Pipeline.splitByCluster(docs,
+          (if (edges.nonEmpty) edges else List((1L, 2L))).toDF("id_a", "id_b"),
+          "doc_id", Seq("train" -> 0.5, "test" -> 0.5))
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.size == 30 &&
+        edges.forall { case (a, b) => out(a) == out(b) }
+    })
+  }
+
   test("resampleCounts grid is gap-free and mass-preserving for any events") {
     import spark.implicits._
     val evGen = Gen.listOfN(15, Gen.zip(
