@@ -238,6 +238,46 @@ class CorpusOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming ingest golden: normalize → C4 gate → dedup, kill/recover") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // NOT epoch 0: the initial watermark is 0, and dedup-within-watermark
+    // classifies epoch-0 event times as late (numRowsDroppedByWatermark)
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val good = (1 to 25).map(i => s"word$i").mkString(" ") + " the a of it"
+    val spammy = ("spam " * 40).trim // fails the repetition rule
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def start() = {
+      val cleaned = ms.toDF().toDF("doc_id", "ts", "text")
+        .withColumn("text",
+          graft.ext.Pipeline.redactPii(graft.ext.Pipeline.normalize(col("text"))))
+        .withColumn("c4", graft.ext.TextAnalysis.c4Rules(col("text")))
+        .where(col("c4.keep")).drop("c4")
+      graft.ext.Dedup.exactStream(cleaned, Seq("text"), "ts", "10 minutes")
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try {
+      ms.addData((1L, ts(0), good), (2L, ts(1), spammy))
+      q1.processAllAvailable()
+    } finally q1.stop() // kill mid-stream
+    val q2 = start() // recover: dedup state must survive the checkpoint
+    try {
+      // same text again (well within the watermark) + one novel doc;
+      // normalize makes the uppercase variant byte-identical first
+      ms.addData((3L, ts(60), good.toUpperCase), (4L, ts(61),
+        (1 to 25).map(i => s"fresh$i").mkString(" ") + " the a of it"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 4L),
+      s"spam gated, duplicate suppressed across restart — got $rows")
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
