@@ -79,6 +79,46 @@ final class ParquetEnv(val spark: SparkSession, dir: String) extends Env {
   def isStreaming: Boolean = false
 }
 
+/** Batch env over a directory of `<topic>.<format>` files in any
+  * DataFrameReader format — `json` (JSONL, the interchange format real
+  * corpora arrive in), `csv`, `text`, `orc`, … Pass explicit schemas for
+  * production reads: inference scans the data once before the real job,
+  * an acceptable cost in exploration only.
+  */
+final class FileEnv(val spark: SparkSession, dir: String,
+                    format: String = "json",
+                    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
+                    options: Map[String, String] = Map.empty) extends Env {
+  def load(topic: String): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schemas.get(topic).fold(r)(s => r.schema(s)).load(s"$dir/$topic.$format")
+  }
+  def topicNames: Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(s".$format")).map(_.stripSuffix(s".$format")).sorted
+  }
+  def isStreaming: Boolean = false
+}
+
+/** Streaming env over file-drop directories (one directory per topic —
+  * the standard "land files, stream them" ingest): `readStream` tails each
+  * directory for new files. Schemas are REQUIRED — a streaming source
+  * cannot infer. At scale, cap per-batch intake with
+  * `options("maxFilesPerTrigger" -> …)` so a backlog replays in bounded
+  * micro-batches instead of one giant one.
+  */
+final class FileStreamEnv(val spark: SparkSession, dir: String,
+                          schemas: Map[String, org.apache.spark.sql.types.StructType],
+                          format: String = "json",
+                          options: Map[String, String] = Map.empty) extends Env {
+  def load(topic: String): DataFrame =
+    spark.readStream.format(format).options(options)
+      .schema(schemas(topic)).load(s"$dir/$topic")
+  def topicNames: Seq[String] = schemas.keys.toSeq.sorted
+  def isStreaming: Boolean = true
+}
+
 /** Streaming env over pre-built streaming DataFrames (MemoryStream-backed in
   * tests; Kafka readers in production — see graft.streaming.KafkaTopics).
   * `statics` serves GlobalKTable-style lookup topics as batch frames — the

@@ -278,6 +278,54 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"spam gated, duplicate suppressed across restart — got $rows")
   }
 
+  test("FileEnv: a JSONL corpus drives the same topology as parquet") {
+    import graft.ast._, graft.ast.dsl._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha beta alpha"}""",
+      """{"doc_id": 2, "text": "beta gamma"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val topo = stream(Seq("docs"), Consumed(keys = Seq("doc_id")))
+      .flatMapValues(split(col("text"), " "), as = "word")
+      .groupBy(col("word")).count(as = "n")
+    val env = new graft.compile.FileEnv(spark, dir)
+    assert(env.topicNames == Seq("docs"))
+    val out = graft.compile.Compiler.compile(topo, env).df
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
+  test("FileStreamEnv: file-drop ingest streams new files as they land") {
+    import graft.ast._, graft.ast.dsl._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drop").toString
+    new java.io.File(s"$dir/docs").mkdirs()
+    def drop(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs/$name"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val env = new graft.compile.FileStreamEnv(spark, dir,
+      Map("docs" -> schema))
+    val topo = stream(Seq("docs"), Consumed(keys = Seq("doc_id")))
+      .flatMapValues(split(col("text"), " "), as = "word")
+      .groupBy(col("word")).count(as = "n")
+    drop("a.json", Seq("""{"doc_id": 1, "text": "alpha beta"}"""))
+    val q = graft.compile.Compiler.compile(topo, env).df
+      .writeStream.format("memory").queryName("file_drop")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def counts = spark.table("file_drop").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("alpha" -> 1L, "beta" -> 1L))
+      drop("b.json", Seq("""{"doc_id": 2, "text": "alpha gamma"}"""))
+      q.processAllAvailable()
+      assert(counts == Map("alpha" -> 2L, "beta" -> 1L, "gamma" -> 1L))
+    } finally q.stop()
+  }
+
   test("clusters: driver union-find and distributed propagation agree") {
     // chain 1-2-3-4, triangle 7-8-9 with an extra chord, singleton pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (8L, 9L),
