@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Fresh-JVM check that `spark.sql.extensions=graft.GraftExtensions`
+  * resolves every native function by name in SQL (the cluster-install
+  * path; the in-suite specs cover the per-session register() path).
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT simhash60('alpha beta') AS sh,
+                sorted_jaccard(word_shingle_hashes('a b c', 2),
+                               word_shingle_hashes('a b c', 2)) AS j,
+                cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                size(minhash_lanes(word_shingle_hashes('a b c d', 2), 8)) AS m,
+                size(char_ngrams('abcd', 2)) AS n,
+                size(winnow_fingerprint('a b c d e f g h', 2, 3)) AS w
+      """).head
+    require(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
+            r.getInt(3) == 8 && r.getInt(4) == 3 && !r.isNullAt(0) &&
+            r.getInt(5) > 0,
+      s"extension-resolved functions misbehaved: $r")
+    println(s"extensions OK: $r")
+    spark.stop()
+  }
+}
