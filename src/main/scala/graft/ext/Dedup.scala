@@ -525,10 +525,11 @@ object Dedup {
     *
     * At 100 TB: the frequency count shuffles (60-bit span hash, id) pairs
     * with partial aggregation — never span text; the frequent-span set is
-    * the heavy-hitter tail (tiny by construction, df > maxDocFreq) and
-    * broadcasts into a left-anti join, so the corpus never shuffles for
-    * filtering; only the rebuild groups by document id. The engine-portable
-    * md5-derived hash keeps the output DuckDB-oracle-checkable.
+    * the heavy-hitter tail (tiny in practice, df > maxDocFreq), so
+    * size-based planning broadcasts the anti join and the corpus never
+    * shuffles for filtering; only the rebuild groups by document id. The
+    * engine-portable md5-derived hash keeps the output
+    * DuckDB-oracle-checkable.
     */
   def dedupSpans(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", spanWords: Int = 8,
@@ -550,7 +551,12 @@ object Dedup {
       .agg(count_distinct(col("id")).as("df"))
       .where(col("df") > maxDocFreq)
       .select(col("h"))
-    val kept = spans.join(broadcast(frequent), Seq("h"), "left_anti")
+    // No broadcast HINT: the frequent-span set is usually the tiny
+    // heavy-hitter tail and size-based planning broadcasts it on its own,
+    // but df > maxDocFreq does not HARD-bound it — a pathologically
+    // duplicated corpus falls back to a shuffled anti join instead of
+    // OOMing the driver on a forced broadcast.
+    val kept = spans.join(frequent, Seq("h"), "left_anti")
     val rebuilt = kept
       .groupBy(col("id"))
       .agg(

@@ -189,15 +189,21 @@ object Pipeline {
     * documents hash by their own id as usual.
     *
     * At 100 TB: the cluster map covers only documents with a near-dup
-    * (a small fraction of the corpus) — it broadcasts into the left join,
-    * and the split itself stays the narrow hash map of [[splitByHash]].
+    * (a small fraction of the corpus) — size-based planning broadcasts the
+    * left join, and the split itself stays the narrow hash map of
+    * [[splitByHash]].
     */
   def splitByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
                      fractions: Seq[(String, Double)],
                      salt: String = ""): DataFrame = {
+    // No broadcast HINT: the cluster map covers only documents with a
+    // near-dup — normally a small fraction that size-based planning
+    // broadcasts anyway — but it is not hard-bounded, and a massively
+    // duplicated corpus should shuffle-join rather than force a
+    // corpus-scale broadcast.
     val cl = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
     val withRep = docs
-      .join(broadcast(cl), Seq(idCol), "left")
+      .join(cl, Seq(idCol), "left")
       .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
     splitByHash(withRep, "__rep", fractions, salt)
       .drop("__rep", "cluster_id")
