@@ -303,6 +303,18 @@ object CoreQueries {
         .orderBy(col("event_type").asc_nulls_first,
                  col("ubucket").asc_nulls_first)
     },
+    "agg_pivot" -> { (s, d) =>
+      // pivot superset (§2.9): one column per l_linestatus value. Values
+      // passed EXPLICITLY — the discover-values overload runs a distinct
+      // scan of the whole input before planning (a full extra pass at
+      // 100 TB); a pinned value list also fixes the output schema.
+      run(stream(Seq("lineitem"), Consumed()))(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    },
     "q5_region_revenue" -> { (s, d) =>
       // TPC-H Q5 shape: revenue per nation through the full dimension chain
       // lineitem ⋈ orders ⋈ customer ⋈ supplier? (simplified: customer
@@ -668,6 +680,15 @@ object CoreQueries {
       """SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ubucket, count(*) AS n
          FROM events GROUP BY CUBE (event_type, CAST(user_id % 3 AS BIGINT))
          ORDER BY event_type ASC NULLS FIRST, ubucket ASC NULLS FIRST""",
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'F'
+               THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT)
+           AS qty_f,
+         CAST(sum(CASE WHEN l_linestatus = 'O'
+               THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT)
+           AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q5_region_revenue" ->
       """SELECT n.n_name,
          round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue,

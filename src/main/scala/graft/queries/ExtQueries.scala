@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Funnel, Multimodal, Pipeline, Similarity, TextAnalysis, TimeSeries}
+import graft.ext.{Dedup, Funnel, IntervalJoin, Layout, Multimodal, Pipeline, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -124,6 +124,59 @@ object ExtQueries {
         .select(col("event_id"), col("user_id"), col("purchase_id"),
                 col("purchase_value"))
         .orderBy(col("event_id"))
+    },
+
+    "join_interval" -> { (s, d) =>
+      // range join as a binned equi-join (no BroadcastNestedLoopJoin):
+      // for each q=50 lineitem's [shipdate, shipdate + linenumber*5d]
+      // window, the orders dated inside it. 14-day bins ≈ the typical
+      // window length → explode factor ≤ 3.
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val intervals = li.where(col("l_quantity") === 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("long").as("win_start"),
+          (col("l_shipdate").cast("timestamp").cast("long") +
+            col("l_linenumber").cast("long") * lit(5L * 86400)).as("win_end"))
+      val points = o.select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("p"))
+      IntervalJoin.pointInInterval(points, intervals,
+          "p", "win_start", "win_end", binWidth = 14L * 86400)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             min(col("o_orderkey")).as("first_okey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    "join_interval_overlap" -> { (s, d) =>
+      // interval×interval overlap join per supplier; each overlapping pair
+      // emits from its first shared bin only (exactly once, no dedup stage)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      def ivals(q: Int, p: String) = li.where(col("l_quantity") === q)
+        .select(col("l_suppkey"), col("l_orderkey").as(s"${p}_okey"),
+          col("l_linenumber").as(s"${p}_ln"),
+          col("l_shipdate").cast("timestamp").cast("long").as(s"${p}_start"),
+          (col("l_shipdate").cast("timestamp").cast("long") +
+            col("l_linenumber").cast("long") * lit(5L * 86400)).as(s"${p}_end"))
+      IntervalJoin.intervalOverlap(ivals(50, "a"), ivals(49, "b"),
+          "a_start", "a_end", "b_start", "b_end",
+          binWidth = 14L * 86400, keys = Seq("l_suppkey"))
+        .select(col("a_okey"), col("a_ln"), col("b_okey"), col("b_ln"),
+          (least(col("a_end"), col("b_end")) -
+           greatest(col("a_start"), col("b_start"))).as("overlap_secs"))
+        .orderBy(col("a_okey"), col("a_ln"), col("b_okey"), col("b_ln"))
+    },
+    "ds_zorder" -> { (s, d) =>
+      // Morton key over a 1024×1024 (partkey, suppkey) grid; per-tile
+      // stats prove the interleave (the write path is spec-checked —
+      // file bounding boxes shrink vs a single-column sort)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      li.select(Layout.zorderKey(
+            Seq(pmod(col("l_partkey"), lit(1024L)),
+                pmod(col("l_suppkey"), lit(1024L))), 10).as("z"))
+        .groupBy(shiftright(col("z"), 12).as("tile"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy(col("tile"))
     },
 
     // ---- similarity search ----
@@ -634,7 +687,48 @@ object ExtQueries {
               round(cos, 6) AS cos
        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** DuckDB mirror of [[graft.ext.Layout.zorderKey]]: the same bit
+    * interleave as explicit shift/mask arithmetic (disjoint bits → `+`).
+    */
+  private val zorderSql: String = {
+    val terms = (0 until 10).flatMap(b => Seq(
+      s"(((x >> $b) & 1) << ${2 * b})",
+      s"(((y >> $b) & 1) << ${2 * b + 1})"))
+    s"""WITH g AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+           FROM lineitem),
+       z AS (SELECT ${terms.mkString(" + ")} AS z FROM g)
+       SELECT z >> 12 AS tile, CAST(count(*) AS BIGINT) AS n,
+              min(z) AS min_z, max(z) AS max_z
+       FROM z GROUP BY tile ORDER BY tile"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "join_interval" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o.o_orderkey) AS first_okey
+         FROM lineitem l JOIN orders o
+           ON epoch(o.o_orderdate) BETWEEN epoch(l.l_shipdate)
+              AND epoch(l.l_shipdate) + l.l_linenumber * 5 * 86400
+         WHERE l.l_quantity = 50
+         GROUP BY l.l_orderkey, l.l_linenumber
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "join_interval_overlap" ->
+      """WITH a AS (SELECT l_suppkey, l_orderkey AS a_okey,
+             l_linenumber AS a_ln, epoch(l_shipdate) AS s,
+             epoch(l_shipdate) + l_linenumber * 5 * 86400 AS e
+           FROM lineitem WHERE l_quantity = 50),
+         b AS (SELECT l_suppkey, l_orderkey AS b_okey,
+             l_linenumber AS b_ln, epoch(l_shipdate) AS s,
+             epoch(l_shipdate) + l_linenumber * 5 * 86400 AS e
+           FROM lineitem WHERE l_quantity = 49)
+         SELECT a.a_okey, a.a_ln, b.b_okey, b.b_ln,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+             AS overlap_secs
+         FROM a JOIN b ON a.l_suppkey = b.l_suppkey
+           AND a.s <= b.e AND b.s <= a.e
+         ORDER BY a.a_okey, a.a_ln, b.b_okey, b.b_ln""",
+    "ds_zorder" -> zorderSql,
     "ds_split" ->
       """WITH h AS (SELECT doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
