@@ -369,10 +369,15 @@ object Dedup {
                maxIters: Int = 20,
                maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idA).cast("long").as("src"),
-                             col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"),
-                          col(idA).cast("long").as("dst")))
+    // Symmetrize with ONE pass over `pairs`: a union of two selects would
+    // execute the pair-detection subtree (LSH banding + verify — the
+    // expensive part) twice, once per branch. The explode is narrow and
+    // feeds the same distinct.
+    val edges = pairs.select(explode(array(
+        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))
+      )).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Size the loop's shuffles from the measured edge count: the edge set
