@@ -216,6 +216,45 @@ object TextAnalysis {
              .cast("long").as("n_known"))
   }
 
+  /** TF-IDF keyword extraction: the top-`k` terms of each document by
+    * `tf × ln(N/df)`, the standard corpus-weighted relevance score (topic
+    * signals, index keywords, quality features). `minDf` drops hapax
+    * noise before the join. Ranking and output use the score ROUNDED to 4
+    * decimals (ties → term asc) so the ordering is reproducible across
+    * engines — `ln` is not bit-specified IEEE, raw doubles are.
+    *
+    * Shuffle shape at 100 TB: ONE token-volume (id, term) partial-agg
+    * shuffle builds tf, persisted and shared by the df aggregation and the
+    * score join (plan-spec-checked: the explode runs once — column pruning
+    * rewrites the df branch into a distinct, so ReuseExchange alone would
+    * NOT dedupe it). df aggregates by term with map-side combine, so a
+    * celebrity term ("the") stays a partial-agg shuffle, never one window
+    * partition; the document count N broadcasts as a single row; the final
+    * top-k window shuffles one row per distinct (doc, term). No collects,
+    * no vocabulary on the driver.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5, minDf: Long = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val n = docs.select(count(lit(1)).as("__n"))
+    tf.join(df_, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))))
+      .where(col("rk") <= k)
+      .select(col("id"), col("rk").cast("long").as("rk"),
+              col("term"), col("score"))
+  }
+
   /** Gopher-style duplicate-n-gram signal (the "rep-2gram" rule): per doc,
     * the occurrence count of its most frequent bigram and its distinct
     * bigram count. Boilerplate and keyword-stuffed spam have a dominant

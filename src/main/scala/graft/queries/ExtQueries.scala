@@ -289,6 +289,12 @@ object ExtQueries {
         .agg(sum(col("n")).cast("long").as("total_bpe_tokens"))
         .orderBy(col("lang"))
     },
+    "text_tfidf" -> { (s, d) =>
+      // top-3 corpus-weighted keywords per doc; hapax terms dropped
+      TextAnalysis.tfidfTopTerms(docs(s, d), "text", "doc_id", k = 3, minDf = 2)
+        .select(col("id").as("doc_id"), col("rk"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
     "text_fingerprint" -> { (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
@@ -996,6 +1002,25 @@ object ExtQueries {
          WHERE i.text NOT IN
            (SELECT text FROM documents WHERE doc_id % 2 = 0)
          ORDER BY i.doc_id""",
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM u GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                 HAVING count(*) >= 2),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 4) AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rk
+               FROM sc)
+         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     "dedup_simhash" -> simhashSurvivorsSql,
     "text_fingerprint" -> fingerprintSql,
     "dedup_embedding" ->

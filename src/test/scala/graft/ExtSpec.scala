@@ -169,6 +169,37 @@ class ExtSpec extends SparkSpecBase {
     assert(out(2L) == ((2L, 5L))) // ceil(15/4)=4 + ceil(4/4)=1
   }
 
+  test("tfidf top terms: crafted scores, minDf drop, tie-break, one tf shuffle") {
+    // 4 docs, N=4. "apple" df=2 → idf=ln(2); "zebra"/"quartz" df=1 → hapax,
+    // dropped at minDf=2. "the" df=4 → idf=0, score 0 (ranks below).
+    val crafted = Seq(
+      (1L, "the apple apple zebra"),
+      (2L, "the apple"),
+      (3L, "the banana banana quartz"),
+      (4L, "the banana")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(crafted, "text", "doc_id",
+        k = 2, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    val ln2 = math.round(math.log(2) * 1e4) / 1e4
+    assert(out((1L, 1L)) == (("apple", 2 * math.log(2) match {
+      case s => math.round(s * 1e4) / 1e4 })))
+    assert(out((1L, 2L)) == (("the", 0.0))) // idf=ln(1)=0, tie-broken by term
+    assert(out((2L, 1L)) == (("apple", ln2)))
+    assert(out((3L, 1L)) == (("banana", 2 * math.log(2) match {
+      case s => math.round(s * 1e4) / 1e4 })))
+    assert(!out.values.exists(v => v._1 == "zebra" || v._1 == "quartz"),
+      "hapax terms must be dropped by minDf")
+    // the tf frame must feed both the df aggregation and the score join
+    // from ONE computation (persisted) — the token explode appears once
+    val plan = TextAnalysis.tfidfTopTerms(crafted, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads >= 2,
+      s"df and the score join must both read the persisted tf frame " +
+      s"(found $cacheReads InMemoryTableScans):\n$plan")
+  }
+
   test("fingerprints are stable and content-sensitive") {
     // doc 3 shares no shingle with doc 1 — a one-token tail change is not
     // guaranteed to move a window minimum (winnowing samples ~1/w grams)
