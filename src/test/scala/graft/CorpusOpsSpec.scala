@@ -296,6 +296,21 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(out == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
   }
 
+  test("FileEnv: an ORC corpus drives the same topology as parquet") {
+    import graft.ast._, graft.ast.dsl._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.orc(s"$dir/docs.orc")
+    val topo = stream(Seq("docs"), Consumed(keys = Seq("doc_id")))
+      .flatMapValues(split(col("text"), " "), as = "word")
+      .groupBy(col("word")).count(as = "n")
+    val env = new graft.compile.FileEnv(spark, dir, format = "orc")
+    assert(env.topicNames == Seq("docs"))
+    val out = graft.compile.Compiler.compile(topo, env).df
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
   test("FileStreamEnv: file-drop ingest streams new files as they land") {
     import graft.ast._, graft.ast.dsl._
     import org.apache.spark.sql.types._

@@ -80,6 +80,32 @@ class IntervalLayoutSpec extends SparkSpecBase {
     assert(binned.count() > 0, "fixture query must be non-trivial")
   }
 
+  test("pointInInterval enriches a STREAM against static intervals") {
+    // the campaign-window enrichment shape: events stream in, the interval
+    // table is static — the bin join compiles to a stream-static equi-join
+    // (per-batch broadcastable), which a raw theta-join condition would not
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val intervals = Seq((100L, 0L, 9L), (200L, 20L, 39L)).toDF("iid", "s", "e")
+    val ms = MemoryStream[(Long, Long)]
+    val points = ms.toDF().toDF("pid", "p")
+    val q = IntervalJoin.pointInInterval(points, intervals, "p", "s", "e",
+        binWidth = 10L)
+      .select(col("pid"), col("iid"))
+      .writeStream.format("memory").queryName("stream_interval")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 5L), (2L, 15L), (3L, 25L))
+      q.processAllAvailable()
+      ms.addData((4L, 39L), (5L, 40L))
+      q.processAllAvailable()
+      val got = spark.table("stream_interval").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (3L, 200L), (4L, 200L)),
+        s"point 2 (gap) and point 5 (past end) must not match — got $got")
+    } finally q.stop()
+  }
+
   // -------------------- z-order layout -------------------- //
 
   /** Reference Morton encode (bit-by-bit, the textbook formulation). */
