@@ -128,16 +128,18 @@ object ExtQueries {
 
     "join_interval" -> { (s, d) =>
       // range join as a binned equi-join (no BroadcastNestedLoopJoin):
-      // for each q=50 lineitem's [shipdate, shipdate + linenumber*5d]
-      // window, the orders dated inside it. 14-day bins ≈ the typical
-      // window length → explode factor ≤ 3.
+      // for each q=50 lineitem's [shipdate, shipdate + linenumber*2d]
+      // window, the orders dated inside it. 14-day bins ≥ the longest
+      // window → explode factor ≤ 2. Window lengths chosen so the match
+      // count (≈ |intervals| × window × order-rate) stays bench-lean:
+      // both sides grow with sf, so matches grow ~quadratically.
       val li = s.read.parquet(s"$d/lineitem.parquet")
       val o = s.read.parquet(s"$d/orders.parquet")
       val intervals = li.where(col("l_quantity") === 50)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_shipdate").cast("timestamp").cast("long").as("win_start"),
           (col("l_shipdate").cast("timestamp").cast("long") +
-            col("l_linenumber").cast("long") * lit(5L * 86400)).as("win_end"))
+            col("l_linenumber").cast("long") * lit(2L * 86400)).as("win_end"))
       val points = o.select(col("o_orderkey"),
         col("o_orderdate").cast("timestamp").cast("long").as("p"))
       IntervalJoin.pointInInterval(points, intervals,
@@ -156,7 +158,7 @@ object ExtQueries {
           col("l_linenumber").as(s"${p}_ln"),
           col("l_shipdate").cast("timestamp").cast("long").as(s"${p}_start"),
           (col("l_shipdate").cast("timestamp").cast("long") +
-            col("l_linenumber").cast("long") * lit(5L * 86400)).as(s"${p}_end"))
+            col("l_linenumber").cast("long") * lit(2L * 86400)).as(s"${p}_end"))
       IntervalJoin.intervalOverlap(ivals(50, "a"), ivals(49, "b"),
           "a_start", "a_end", "b_start", "b_end",
           binWidth = 14L * 86400, keys = Seq("l_suppkey"))
@@ -715,18 +717,18 @@ object ExtQueries {
            min(o.o_orderkey) AS first_okey
          FROM lineitem l JOIN orders o
            ON epoch(o.o_orderdate) BETWEEN epoch(l.l_shipdate)
-              AND epoch(l.l_shipdate) + l.l_linenumber * 5 * 86400
+              AND epoch(l.l_shipdate) + l.l_linenumber * 2 * 86400
          WHERE l.l_quantity = 50
          GROUP BY l.l_orderkey, l.l_linenumber
          ORDER BY l.l_orderkey, l.l_linenumber""",
     "join_interval_overlap" ->
       """WITH a AS (SELECT l_suppkey, l_orderkey AS a_okey,
              l_linenumber AS a_ln, epoch(l_shipdate) AS s,
-             epoch(l_shipdate) + l_linenumber * 5 * 86400 AS e
+             epoch(l_shipdate) + l_linenumber * 2 * 86400 AS e
            FROM lineitem WHERE l_quantity = 50),
          b AS (SELECT l_suppkey, l_orderkey AS b_okey,
              l_linenumber AS b_ln, epoch(l_shipdate) AS s,
-             epoch(l_shipdate) + l_linenumber * 5 * 86400 AS e
+             epoch(l_shipdate) + l_linenumber * 2 * 86400 AS e
            FROM lineitem WHERE l_quantity = 49)
          SELECT a.a_okey, a.a_ln, b.b_okey, b.b_ln,
            CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)

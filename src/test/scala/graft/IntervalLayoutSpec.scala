@@ -66,7 +66,7 @@ class IntervalLayoutSpec extends SparkSpecBase {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("timestamp").cast("long").as("s"),
         (col("l_shipdate").cast("timestamp").cast("long") +
-          col("l_linenumber").cast("long") * lit(5L * 86400)).as("e"))
+          col("l_linenumber").cast("long") * lit(2L * 86400)).as("e"))
     val points = o.select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("p"))
     val binned = IntervalJoin.pointInInterval(points, intervals, "p", "s", "e",
         binWidth = 14L * 86400)
