@@ -215,4 +215,56 @@ class PropertySpec extends SparkSpecBase {
         }
     })
   }
+
+  test("pointInInterval ≡ brute-force theta join for any bin width") {
+    import spark.implicits._
+    val genIval = Gen.listOfN(12, for {
+      s <- Gen.choose(-100L, 100L); len <- Gen.choose(0L, 60L)
+    } yield (s, s + len))
+    val genPts = Gen.listOfN(40, Gen.choose(-120L, 200L))
+    holds(Prop.forAll(genIval, genPts, Gen.choose(1L, 80L)) {
+      (ivals, pts, w) =>
+        val iv = ivals.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+          .toDF("iid", "s", "e")
+        val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("pid", "p")
+        val got = graft.ext.IntervalJoin
+          .pointInInterval(p, iv, "p", "s", "e", w)
+          .select(col("iid"), col("pid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val brute = iv.crossJoin(p)
+          .where(col("p").between(col("s"), col("e")))
+          .select(col("iid"), col("pid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.length == got.toSet.size && got.toSet == brute
+    })
+  }
+
+  test("zorderKey round-trips: de-interleaving recovers every dimension") {
+    import spark.implicits._
+    val genDims = Gen.choose(1, 4)
+    holds(Prop.forAll(genDims, Gen.listOfN(30, Gen.choose(0L, (1L << 12) - 1))) {
+      (nDims, vals) =>
+        val bits = 12
+        val rows = vals.grouped(nDims).filter(_.size == nDims).toSeq
+        rows.nonEmpty && {
+          val df = rows.map(g => Tuple1(g)).toDF("dims")
+          val dims = (0 until nDims)
+            .map(i => element_at(col("dims"), i + 1))
+          val zs = df.select(col("dims"),
+              graft.ext.Layout.zorderKey(dims, bits).as("z"))
+            .collect()
+          zs.forall { r =>
+            val ds = r.getSeq[Long](0)
+            val z = r.getLong(1)
+            (0 until nDims).forall { i =>
+              val recovered = (0 until bits).foldLeft(0L) { (acc, b) =>
+                acc | (((z >> (b * nDims + i)) & 1L) << b)
+              }
+              recovered == ds(i)
+            }
+          }
+        }
+    })
+  }
 }
