@@ -74,6 +74,24 @@ object Pipeline {
     df.where(h < thresh)
   }
 
+  /** Deterministic per-ROW weighted sampling: each row survives with
+    * probability `weight` (clamped to [0, 1]) — quality-weighted
+    * subsampling, "keep documents in proportion to their quality score",
+    * the per-row generalization of [[sampleByMixture]]'s per-source
+    * constants. Same hash-threshold construction: survive iff
+    * pmod(h60(id:salt), 1e6) < round(weight·1e6). Pure narrow map — no
+    * shuffle, no RNG state — reproducible across runs/engines/
+    * partitionings, and MONOTONE per id: raising a row's weight can only
+    * keep it (the hash draw is fixed by the id), so threshold sweeps nest.
+    */
+  def sampleByWeight(df: DataFrame, weight: Column, idCol: String,
+                     salt: String = ""): DataFrame = {
+    val buckets = 1000000L
+    val h = pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+                 lit(buckets))
+    df.where(h < round(greatest(lit(0.0), least(weight, lit(1.0))) * buckets))
+  }
+
   /** Keep at most `n` rows per key, by `orderCol` ascending (ties broken by
     * the order column set) — the per-domain / per-source cap that keeps a
     * crawl from being dominated by one site.

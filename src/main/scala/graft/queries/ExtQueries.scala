@@ -421,6 +421,17 @@ object ExtQueries {
       Funnel.retentionCohorts(ev, "user_id", "ts")
         .orderBy(col("cohort"))
     },
+    "ds_sample_weighted" -> { (s, d) =>
+      // quality-weighted subsample: longer docs more likely to survive
+      // (weight = n_chars/1000 clamped to 1), deterministic by id hash
+      Pipeline.sampleByWeight(docs(s, d),
+          least(col("n_chars").cast("double") / lit(1000.0), lit(1.0)),
+          "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
     "ds_sample_stratified" -> { (s, d) =>
       // exactly 5 docs per language, hash-ordered: deterministic across
       // runs/engines/partitionings, uniform in distribution
@@ -930,6 +941,16 @@ object ExtQueries {
              AS retained_7
          FROM days d JOIN cohorts c USING (user_id)
          GROUP BY c.cohort ORDER BY c.cohort""",
+    "ds_sample_weighted" ->
+      """WITH h AS (SELECT lang, doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 AS b,
+           least(n_chars / 1000.0, 1.0) AS w
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM h WHERE b < round(w * 1000000)
+         GROUP BY lang ORDER BY lang""",
     "ds_sample_stratified" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Semantic checks for the LLM-pipeline operators, mixing the driver
@@ -319,6 +319,26 @@ class ExtSpec extends SparkSpecBase {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = ":v2")
     assert(split.select("doc_id", "split").except(
       salted.select("doc_id", "split")).count() > 0)
+  }
+
+  test("sampleByWeight: endpoints exact, rate near weight, sweeps nest") {
+    val df = (1L to 2000L).map(i => (i, (i % 10) / 10.0)).toDF("doc_id", "w")
+    def kept(w: org.apache.spark.sql.Column): Set[Long] =
+      Pipeline.sampleByWeight(df, w, "doc_id")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept(lit(1.0)).size == 2000, "weight 1 keeps everything")
+    assert(kept(lit(0.0)).isEmpty, "weight 0 keeps nothing")
+    assert(kept(lit(1.5)).size == 2000 && kept(lit(-3.0)).isEmpty, "clamped")
+    val k30 = kept(lit(0.3)); val k60 = kept(lit(0.6))
+    assert(k30.subsetOf(k60), "monotone: raising the weight only adds rows")
+    assert(math.abs(k30.size - 600) < 60 && math.abs(k60.size - 1200) < 90,
+      s"rates near the weights, got ${k30.size}, ${k60.size}")
+    // per-row weights: a row's survival depends on its own weight only
+    val byOwn = Pipeline.sampleByWeight(df, col("w"), "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(byOwn.forall(i => (i % 10) != 0), "w=0 rows can never survive")
+    assert((1L to 2000L).filter(_ % 10 == 9).count(byOwn) > 150,
+      "w=0.9 rows mostly survive")
   }
 
   test("capPerKey keeps the first n per key in order") {
