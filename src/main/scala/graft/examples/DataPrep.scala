@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ext.{Dedup, Pipeline, TextAnalysis, Bucketing}
+import graft.ext.{Bucketing, Dedup, Layout, Pipeline, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * operators — the workflow the ext package exists for, runnable as one
   * pipeline: normalize → C4 rule gate → boilerplate-span removal →
   * near-dup removal (pair detection → clustering → canonicalize) →
-  * benchmark decontamination → leakage-safe split → per-source token
-  * budget → token-budget packing → partitioned layout.
+  * benchmark decontamination → quality-weighted subsample → leakage-safe
+  * split → per-source token budget → token-budget packing → TF-IDF
+  * keyword index → partitioned + Z-ordered layout.
   * Every stage is a declarative DataFrame transform; nothing collects to
   * the driver, so the same program is the 100 TB program.
   *
@@ -80,9 +81,14 @@ object DataPrep {
       .where(col("doc_id") >= 10)
     println(s"after decontamination: ${clean.count()}")
 
-    // 6. leakage-safe split (near-dup cluster members share a split) +
-    //    per-source token budget + token-budget packing of the train slice
-    val split = Pipeline.splitByCluster(clean, pairs, "doc_id",
+    // 6. quality-weighted subsample (longer docs more likely kept — stand-in
+    //    for a model quality score), then leakage-safe split (near-dup
+    //    cluster members share a split) + per-source token budget +
+    //    token-budget packing of the train slice
+    val weighted = Pipeline.sampleByWeight(clean,
+      least(col("n_tokens").cast("double") / lit(20.0), lit(1.0)), "doc_id")
+    println(s"after weighted subsample: ${weighted.count()}")
+    val split = Pipeline.splitByCluster(weighted, pairs, "doc_id",
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val budgeted = Pipeline.selectToBudget(
       split.where(col("split") === "train"), "source",
@@ -94,11 +100,23 @@ object DataPrep {
     println(s"train sequences packed into ${
       packed.agg(max(col("last_bin"))).collect()(0).getLong(0) + 1} bins")
 
-    // 7. partitioned layout for the trainer: one directory per split,
-    //    sorted by doc_id inside files
+    // 7. per-doc keyword index (TF-IDF top terms) for inspection/search
+    val keywords = TextAnalysis.tfidfTopTerms(split, "text", "doc_id",
+      k = 3, minDf = 2)
+    println(s"keyword index rows: ${keywords.count()}")
+
+    // 8. partitioned layout for the trainer: one directory per split,
+    //    sorted by doc_id inside files — plus a Z-ordered copy clustered
+    //    on (lang-bucket, length-bucket) so scans filtered on EITHER
+    //    dimension prune files
     Bucketing.writePartitioned(split, outDir,
       partitionCols = Seq("split"), sortCols = Seq("doc_id"))
-    println(s"wrote ${spark.read.parquet(outDir).count()} docs to $outDir")
+    Layout.writeZOrdered(
+      split.withColumn("lang_b", pmod(xxhash64(col("lang")), lit(64L)))
+           .withColumn("len_b", least(length(col("text")) / lit(16), lit(63L))),
+      Seq(col("lang_b"), col("len_b")), bits = 6, s"$outDir-z", numFiles = 4)
+    println(s"wrote ${spark.read.parquet(outDir).count()} docs to $outDir " +
+      s"(+ z-ordered copy at $outDir-z)")
 
     spark.stop()
   }
