@@ -303,6 +303,26 @@ object CoreQueries {
         .orderBy(col("event_type").asc_nulls_first,
                  col("ubucket").asc_nulls_first)
     },
+    "set_intersect" -> { (s, d) =>
+      // set-op superset (§2.9): users who BOTH clicked and purchased.
+      // intersect is a distinct semi-form — one shuffle per side on the
+      // full key, partial-agg'd, no driver sets.
+      val ev = run(stream(Seq("events"), eventsConsumed))(s, d)
+      ev.where(col("event_type") === "click").select(col("user_id"))
+        .intersect(
+          ev.where(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+    "set_except" -> { (s, d) =>
+      // users with a purchase over 100 but none over 180 (nested-set
+      // difference — non-empty by construction, unlike view∖purchase:
+      // every fixture user does everything)
+      val ev = run(stream(Seq("events"), eventsConsumed))(s, d)
+        .where(col("event_type") === "purchase")
+      ev.where(col("value") > 100).select(col("user_id"))
+        .except(ev.where(col("value") > 180).select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
     "agg_pivot" -> { (s, d) =>
       // pivot superset (§2.9): one column per l_linestatus value. Values
       // passed EXPLICITLY — the discover-values overload runs a distinct
@@ -680,6 +700,18 @@ object CoreQueries {
       """SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ubucket, count(*) AS n
          FROM events GROUP BY CUBE (event_type, CAST(user_id % 3 AS BIGINT))
          ORDER BY event_type ASC NULLS FIRST, ubucket ASC NULLS FIRST""",
+    "set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "set_except" ->
+      """SELECT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 100
+         EXCEPT
+         SELECT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 180
+         ORDER BY user_id""",
     "agg_pivot" ->
       """SELECT l_returnflag,
          CAST(sum(CASE WHEN l_linestatus = 'F'
