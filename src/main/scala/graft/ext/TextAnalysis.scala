@@ -216,6 +216,29 @@ object TextAnalysis {
              .cast("long").as("n_known"))
   }
 
+  /** Per-document character-distribution entropy — the classic
+    * gibberish/compression-quality signal: natural prose sits near the
+    * language's ~4-bit/char entropy, repeated-character spam near 0,
+    * random bytes near ln(alphabet). Computed as
+    * `H = ln(n) − Σ cᵢ·ln(cᵢ) / n` over per-char counts, ROUNDED to 4
+    * decimals (ln is not bit-specified; same determinism rule as tf-idf).
+    *
+    * Shuffle shape at 100 TB: (id, char) rows partial-agg to at most
+    * |alphabet| rows per doc before the exchange, then one per-doc
+    * aggregate — both map-side combined. A native single-pass expression
+    * (256-slot histogram, the CharNgrams pattern) is the headroom if this
+    * ever dominates a profile; the two-shuffle form needs no new codegen.
+    */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(charNgrams(col(textCol), 1)).as("ch"))
+      .groupBy(col("id"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_distinct_chars"),
+           round(log(sum(col("c"))) -
+             sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
+
   /** TF-IDF keyword extraction: the top-`k` terms of each document by
     * `tf × ln(N/df)`, the standard corpus-weighted relevance score (topic
     * signals, index keywords, quality features). `minDf` drops hapax

@@ -291,6 +291,12 @@ object ExtQueries {
         .agg(sum(col("n")).cast("long").as("total_bpe_tokens"))
         .orderBy(col("lang"))
     },
+    "text_entropy" -> { (s, d) =>
+      TextAnalysis.charEntropy(docs(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_distinct_chars"),
+                col("entropy"))
+        .orderBy(col("doc_id"))
+    },
     "text_tfidf" -> { (s, d) =>
       // top-3 corpus-weighted keywords per doc; hapax terms dropped
       TextAnalysis.tfidfTopTerms(docs(s, d), "text", "doc_id", k = 3, minDf = 2)
@@ -1025,6 +1031,14 @@ object ExtQueries {
          WHERE i.text NOT IN
            (SELECT text FROM documents WHERE doc_id % 2 = 0)
          ORDER BY i.doc_id""",
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         c AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+               FROM ch GROUP BY doc_id, ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "text_tfidf" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks

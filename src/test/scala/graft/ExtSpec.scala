@@ -169,6 +169,18 @@ class ExtSpec extends SparkSpecBase {
     assert(out(2L) == ((2L, 5L))) // ceil(15/4)=4 + ceil(4/4)=1
   }
 
+  test("charEntropy: 0 for one symbol, ln(k) for uniform k symbols") {
+    val crafted = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(crafted, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(out(1L) == ((1L, 0.0)), "single repeated char has zero entropy")
+    assert(out(2L) == ((2L, r4(math.log(2)))))
+    assert(out(3L) == ((4L, r4(math.log(4)))))
+  }
+
   test("tfidf top terms: crafted scores, minDf drop, tie-break, one tf shuffle") {
     // 4 docs, N=4. "apple" df=2 → idf=ln(2); "zebra"/"quartz" df=1 → hapax,
     // dropped at minDf=2. "the" df=4 → idf=0, score 0 (ranks below).
