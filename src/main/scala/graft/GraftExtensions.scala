@@ -21,20 +21,43 @@ import org.apache.spark.sql.graftfn._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Int]
+  /** Fold a SQL argument that must be a compile-time integer (n-gram size,
+    * lane count, window). Accepts any foldable integral expression — so
+    * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and
+    * `char_ngrams(t, 1+2)` all resolve — and raises a clear analysis-time
+    * error for columns, NULLs, and non-integral literals, instead of the
+    * former bare `asInstanceOf[Int]` ClassCastException.
+    */
+  private def intArg(fn: String, e: Expression): Int = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $what: ${e.sql}")
+    if (!e.foldable) fail("a non-constant expression")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l >= Int.MinValue && l <= Int.MaxValue) l.intValue()
+        else fail("an out-of-range BIGINT")
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte  => b.intValue()
+      case null               => fail("NULL")
+      case other              => fail(s"a ${other.getClass.getSimpleName}")
+    }
+  }
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es(0))),
-    "char_ngrams" -> (es => CharNgrams(es(0), intArg(es(1)))),
-    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1)))),
-    "word_shingle_hashes" -> (es => WordShingleHashes(es(0), intArg(es(1)))),
+    "char_ngrams" -> (es => CharNgrams(es(0), intArg("char_ngrams", es(1)))),
+    "word_shingles" -> (es => WordShingles(es(0), intArg("word_shingles", es(1)))),
+    "word_shingle_hashes" -> (es =>
+      WordShingleHashes(es(0), intArg("word_shingle_hashes", es(1)))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
-    "minhash_lanes" -> (es => MinHashLanes(es(0), intArg(es(1)))),
+    "minhash_lanes" -> (es => MinHashLanes(es(0), intArg("minhash_lanes", es(1)))),
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),
     "winnow_fingerprint" -> (es =>
-      WinnowFingerprint(es(0), intArg(es(1)), intArg(es(2)))),
+      WinnowFingerprint(es(0), intArg("winnow_fingerprint", es(1)),
+        intArg("winnow_fingerprint", es(2)))),
     "ordered_pairs" -> (es => OrderedPairs(es(0)))
   )
 

@@ -365,17 +365,55 @@ object Dedup {
     * Returns (id, cluster_id = min id reachable); only ids appearing in
     * `pairs` are returned (singletons cluster as themselves trivially).
     */
+  /** Ordering over collected (external-representation) id values, used by
+    * the driver union-find path of [[clusters]] so "min id wins" matches
+    * Catalyst's `min`/`least` on the same column type. Fails fast on id
+    * types with no natural order instead of mislabeling.
+    */
+  private def externalIdOrdering(
+      dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue())
+      case _: DecimalType =>
+        Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal])
+      case StringType =>
+        Ordering.by((x: Any) => x.asInstanceOf[String])
+      case DateType =>
+        Ordering.by((x: Any) => x.asInstanceOf[java.sql.Date].getTime)
+      case TimestampType | TimestampNTZType =>
+        // java.sql.Timestamp / java.time.LocalDateTime — both Comparable
+        new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+        }
+      case other => throw new IllegalArgumentException(
+        s"clusters: unsupported id type $other — ids must be numeric, " +
+        "string, date, or timestamp")
+    }
+  }
+
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIters: Int = 20,
                maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Id-type generic: labels keep the input id type (long ids stay long,
+    // string doc ids stay strings — no silent null-cast). Both the
+    // distributed min-label loop (Catalyst `least`/`min` order any atomic
+    // type) and the driver union-find (external-value Ordering below) are
+    // type-agnostic; the only requirement is that the two id columns share
+    // a type, which the struct-array coercion enforces at analysis time.
+    val idType = pairs.schema(pairs.schema.fieldIndex(idA)).dataType
     // Symmetrize with ONE pass over `pairs`: a union of two selects would
     // execute the pair-detection subtree (LSH banding + verify — the
     // expensive part) twice, once per branch. The explode is narrow and
     // feeds the same distinct.
     val edges = pairs.select(explode(array(
-        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
-        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst"))
       )).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
@@ -402,8 +440,13 @@ object Dedup {
     val e = edges.limit(probe + 1).collect()
     if (e.length <= maxDriverEdges) {
       edges.unpersist()
-      val parent = new scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
+      // Ordering over EXTERNAL (collected) values of the id column — the
+      // union-by-min invariant needs "smaller id wins" for whatever type
+      // the caller keyed documents by. Unsupported types fail fast here
+      // rather than emitting garbage labels.
+      implicit val ord: Ordering[Any] = externalIdOrdering(idType)
+      val parent = new scala.collection.mutable.HashMap[Any, Any]()
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x // path compression
@@ -411,16 +454,21 @@ object Dedup {
         r
       }
       e.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (a, b) = (row.get(0), row.get(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // union by min id keeps labels = component minimum
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
         }
         parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
       }
-      val labels = parent.keys.map(id => (id, find(id))).toSeq
-      import spark.implicits._
-      return labels.toDF("id", "cluster_id")
+      val rows = parent.keys.map(id =>
+        org.apache.spark.sql.Row(id, find(id))).toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 500000 + 1)),
+        schema)
     }
     val nEdges = edges.count() // exact size; materializes the persist fully
     val defaultPar =
@@ -638,15 +686,27 @@ object Dedup {
     * [[incrementalExact]] against only the Bloom-positive corpus shard.
     * In-batch duplicates collapse to the smallest id exactly as in
     * [[incrementalExact]].
+    *
+    * `expectedItems` sizes the filter; when not supplied (≤ 0) it is
+    * derived from `corpus.count()` — one extra cheap job, vs the silent
+    * failure mode of a fixed default: an undersized filter saturates and
+    * the REAL false-positive rate climbs far above `fpp`, dropping
+    * genuinely new documents without any error. Callers who know the
+    * corpus cardinality (e.g. from the previous ingest round's bookkeeping)
+    * pass it explicitly and skip the count.
     */
   def incrementalExactBloom(incoming: DataFrame, corpus: DataFrame,
                             textCol: String = "text",
                             idCol: String = "doc_id",
-                            expectedItems: Long = 1000000L,
+                            expectedItems: Long = -1L,
                             fpp: Double = 0.001): DataFrame = {
     val spark = incoming.sparkSession
+    val sized =
+      if (expectedItems > 0L) expectedItems
+      // floor of 1000 keeps the filter sane on tiny/empty corpora
+      else math.max(1000L, corpus.count())
     val bloom = corpus.stat.bloomFilter(xxhash64(col(textCol)),
-      expectedItems, fpp)
+      sized, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val seen = udf((h: Long) => bc.value.mightContainLong(h))
     val inBatch = incoming.withColumn("__h", xxhash64(col(textCol)))

@@ -80,33 +80,47 @@ object Funnel {
                          typeCol: String, steps: Seq[String],
                          withinSeconds: Long): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(steps.nonEmpty, "funnel needs at least one step")
     val k = steps.size
     val withinUs = withinSeconds * 1000000L
     val stepOf = steps.zipWithIndex.toMap
     val spark = events.sparkSession
     import spark.implicits._
+    // Id-type generic, matching batch [[windowFunnel]]: the user column
+    // keeps its native type end-to-end (a long cast here silently turned
+    // every non-numeric id into null — one merged funnel per corpus). The
+    // group key is the value's string form (injective within any one
+    // column type), the emitted row carries the original value.
+    val userType = events.schema(events.schema.fieldIndex(userCol)).dataType
     val typed = events
       .where(col(typeCol).isin(steps.map(x => x: Any): _*))
-      .select(col(userCol).cast("long").as("user"),
+      .select(col(userCol).as("user"),
               unix_micros(col(tsCol)).as("ts"), col(typeCol).as("t"))
-      .as[(Long, Long, String)]
-    typed.groupByKey(_._1)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(StructType(Seq(
+        StructField("user", userType),
+        StructField("depth", LongType, nullable = false))))
+    typed.groupByKey(r => String.valueOf(r.get(0)))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, String)],
-         state: GroupState[Seq[Long]]) =>
+        (_: String, it: Iterator[Row], state: GroupState[Seq[Long]]) =>
+          val rows = it.toArray // non-empty: NoTimeout ⇒ data-driven calls only
+          val userVal = rows.head.get(0)
           // Long.MinValue = depth not reached (null-free state row)
           val acc = state.getOption.getOrElse(Seq.fill(k)(Long.MinValue)).toArray
           val before = acc.count(_ != Long.MinValue)
-          it.toArray.sortBy(e => (e._2, stepOf(e._3))).foreach { case (_, ts, t) =>
-            val j = stepOf(t)
+          rows.sortBy(r => (r.getLong(1), stepOf(r.getString(2)))).foreach { r =>
+            val ts = r.getLong(1)
+            val j = stepOf(r.getString(2))
             val chainStart = if (j == 0) ts else acc(j - 1)
             if (chainStart != Long.MinValue && ts - chainStart <= withinUs)
               acc(j) = math.max(acc(j), chainStart)
           }
           state.update(acc.toSeq)
           val after = acc.count(_ != Long.MinValue)
-          if (after > before) Iterator((user, after.toLong)) else Iterator.empty
+          if (after > before) Iterator(Row(userVal, after.toLong))
+          else Iterator.empty
       }.toDF("user", "depth")
   }
 

@@ -647,6 +647,29 @@ object VectorFunctions {
     ExpressionUtils.column(SortedJaccard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Fold a SQL argument that must be a compile-time integer (n-gram size,
+    * lane count, window). Accepts any foldable integral expression — so
+    * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and
+    * `char_ngrams(t, 1+2)` all resolve — and raises a clear analysis-time
+    * error for columns, NULLs, and non-integral literals, instead of a
+    * bare ClassCastException from `eval().asInstanceOf[Int]`.
+    */
+  def foldableInt(fn: String, e: Expression): Int = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $what: ${e.sql}")
+    if (!e.foldable) fail("a non-constant expression")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l >= Int.MinValue && l <= Int.MaxValue) l.intValue()
+        else fail("an out-of-range BIGINT")
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte  => b.intValue()
+      case null               => fail("NULL")
+      case other              => fail(s"a ${other.getClass.getSimpleName}")
+    }
+  }
+
   /** SQL registration (`SELECT cosine_sim(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -657,18 +680,19 @@ object VectorFunctions {
       "simhash60", exprs => SimHash60(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", exprs =>
-        CharNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        CharNgrams(exprs(0), foldableInt("char_ngrams", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs =>
-        WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        WordShingles(exprs(0), foldableInt("word_shingles", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingle_hashes", exprs =>
-        WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        WordShingleHashes(exprs(0),
+          foldableInt("word_shingle_hashes", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_jaccard", exprs => SortedJaccard(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_lanes", exprs =>
-        MinHashLanes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        MinHashLanes(exprs(0), foldableInt("minhash_lanes", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_bigram_hashes", exprs => WordBigramHashes(exprs(0)), "scala_udf")
   }
