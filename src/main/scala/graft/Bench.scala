@@ -6,11 +6,38 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line with
   * per-query and total wall seconds. Driver runs this per round →
   * BENCH_r{N}.json.
+  *
+  * Measurement protocol (round-3 verdict #1: a single-shot nanoTime per
+  * query in a 97-query session recorded 3-7× phantom regressions —
+  * q3_revenue recorded 6.68 s vs 1.3-1.7 s standalone): each query now
+  * runs THREE times in-session, cache cleared between runs, and the
+  * reported per-query number is the MEDIAN — robust to one GC pause or
+  * codegen-cache miss landing inside a run. All three samples are
+  * persisted under "samples" so outliers stay auditable.
+  *
+  * Reported-set split (verdict #2): the `sim_ann_*` gate queries run
+  * their plans in exact-recall mode (nprobe = nlist / probeAll /
+  * shortlist-all) — brute-force-equivalent BY CONSTRUCTION, so timing
+  * them as headline perf numbers misrepresents the ANN design. They are
+  * timed and recorded under "gate_queries" but EXCLUDED from the total;
+  * the `*_probe` variants with realistic approximate parameters are the
+  * perf rows.
   */
 object Bench {
+
+  /** Exact-recall gate modes of approximate operators: correctness-gate
+    * plumbing, not performance-representative (each has a `_probe` twin
+    * in the perf set with realistic parameters).
+    */
+  private val gateModeQueries =
+    Set("sim_ann_ivf", "sim_ann_lsh", "sim_ann_sq", "sim_ann_pq")
+
+  private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,8 +51,6 @@ object Bench {
     // compilation and first-call classloading (the cold floor was ~1-8s per
     // wide-agg query; generated-class caching makes the sf bench reflect
     // execution). Warm-up time is excluded from the reported metric.
-    // gate queries + bench-only ANN variants (approximate parameters; the
-    // gate runs the same plans in exact-recall mode)
     val timed = SparkEntry.queries ++ graft.queries.ExtQueries.benchOnly
     timed.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
@@ -33,32 +58,47 @@ object Bench {
     }
     // The dedup operators persist(MEMORY_AND_DISK) working sets that outlive
     // their query; drop everything cached by warm-up, and again after each
-    // timed query (outside its timer), so cached blocks never accumulate
+    // timed run (outside its timer), so cached blocks never accumulate
     // across the run and skew later queries' memory headroom.
     spark.catalog.clearCache()
-    val results = timed.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> secs
-    }
+    val samples: Seq[(String, Seq[Double])] =
+      timed.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val secs = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          secs
+        }
+        name -> runs
+      }
+    val medians = samples.map { case (n, xs) => n -> median3(xs) }
+    val (gate, perf) = medians.partition(kv => gateModeQueries(kv._1))
     // streaming micro-bench: replay the events fixture through the
     // MemoryStream-backed env into the windowed-count topology (the
-    // anomaly-detection shape) and time ingest → final state
+    // anomaly-detection shape) and time ingest → final state.
     // 10×-replayed corpus; the timer inside covers ingest only, so the
     // rows/s figure measures the engine rather than fixture loading or
-    // micro-batch scheduling (VERDICT r2 #8)
+    // micro-batch scheduling (VERDICT r2 #8). Streaming runs once: its
+    // 990k-row replay is its own aggregate measurement, not a one-shot
+    // query timing.
     val (streamRows, streamingSecs) =
       try StreamingBench.windowedCount(spark, sfDir)
       catch { case _: Throwable => (0L, -1.0) }
     val rowsPerSec =
       if (streamingSecs > 0) streamRows / streamingSecs else -1.0
-    val all = results :+ ("streaming_windowed_count" -> streamingSecs)
-    val qs = all.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    val perfAll = perf :+ ("streaming_windowed_count" -> streamingSecs)
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+    val samplesJson = samples.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.map(x => f"$x%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = perfAll.map(_._2).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""queries":${jmap(perfAll)},"gate_queries":${jmap(gate)},""" +
+      f""""samples":$samplesJson,"reps":$reps,""" +
       f""""streaming_rows":$streamRows,"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
     // line in "[info] ". The forked run now passes stdout through bare

@@ -19,6 +19,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  private def parseIntervalMs(interval: String): Long =
+    graft.Intervals.toMillis(interval)
+
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * One hash-shuffle; at 100 TB, hash first (xxhash64) so the shuffle key is
     * 8 bytes, not the document: here we group by the hash and carry min(id).
@@ -181,9 +184,22 @@ object Dedup {
     * bounded per-bucket lists (newest-first eviction, ≤ maxPerBucket each).
     * The same code runs in batch mode (single-batch kernel semantics).
     * Requires a numeric id column.
+    *
+    * State lifecycle: per-bucket lists are size-capped (`maxPerBucket`),
+    * but on an infinite stream the NUMBER of buckets grows with distinct
+    * chunk values ≈ corpus size × chunks. `tsCol` + `retention` bound
+    * that: the input gets `withWatermark(tsCol, retention)` and a bucket
+    * idle past the retention (no arrival newer than watermark − retention)
+    * is evicted via event-time timeout — the same pattern as the session
+    * kernel's `:withRetention`. Trade, stated plainly: a pair whose two
+    * docs arrive more than `retention` apart is missed (the old doc's
+    * buckets are gone), which is the same recall caveat `maxPerBucket`
+    * already carries for hot buckets.
     */
   def simhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
-                         maxBits: Int = 3, maxPerBucket: Int = 1000): DataFrame = {
+                         maxBits: Int = 3, maxPerBucket: Int = 1000,
+                         tsCol: Option[String] = None,
+                         retention: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.streaming.GroupState
     val spark = docs.sparkSession
@@ -201,33 +217,61 @@ object Dedup {
       }
       -1
     }
-    val banded = docs
-      .select(col(idCol).cast("long").as("id"), simhash(col(textCol)).as("sig"))
-      .select(col("id"), col("sig"),
+    val withRet = retention.isDefined
+    require(!withRet || tsCol.isDefined,
+      "retention needs tsCol (the event-time column the watermark tracks)")
+    val retMs = retention.map(parseIntervalMs).getOrElse(0L)
+    val input = (tsCol, retention) match {
+      case (Some(t), Some(r)) => docs.withWatermark(t, r)
+      case _ => docs
+    }
+    // Carry the RAW watermarked column (an alias of the attribute keeps
+    // the watermark metadata; any expression over it — unix_millis, cast —
+    // strips it and EventTimeTimeout analysis then rejects the plan).
+    val tsRaw = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val isStreaming = docs.isStreaming
+    val banded = input
+      .select(col(idCol).cast("long").as("id"), simhash(col(textCol)).as("sig"),
+              tsRaw.as("ts"))
+      .select(col("id"), col("sig"), col("ts"),
         posexplode(array((0 until chunks).map { c =>
           shiftright(col("sig"), c * width).bitwiseAND(lit(mask))
         }: _*)))
-      .toDF("id", "sig", "chunk", "bits")
-      .as[(Long, Long, Int, Long)]
-    val paired = banded.groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)],
+      .toDF("id", "sig", "ts", "chunk", "bits")
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+    val timeout =
+      if (withRet) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val paired = banded.groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: (Int, Long), it: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
          state: GroupState[List[(Long, Long)]]) =>
-          val thisChunk = key._1
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          it.foreach { case (id, sg, _, _) =>
-            seen.foreach { case (oid, osig) =>
-              if (oid != id) {
-                val ham = java.lang.Long.bitCount(sg ^ osig)
-                if (ham <= maxBits && firstMatchingChunk(sg, osig) == thisChunk)
-                  out += ((math.min(id, oid), math.max(id, oid), ham))
+          if (state.hasTimedOut) { // bucket idle past retention
+            state.remove()
+            Iterator.empty
+          } else {
+            val thisChunk = key._1
+            var seen = state.getOption.getOrElse(Nil)
+            var maxTs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            it.foreach { case (id, sg, ts, _, _) =>
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              seen.foreach { case (oid, osig) =>
+                if (oid != id) {
+                  val ham = java.lang.Long.bitCount(sg ^ osig)
+                  if (ham <= maxBits && firstMatchingChunk(sg, osig) == thisChunk)
+                    out += ((math.min(id, oid), math.max(id, oid), ham))
+                }
               }
+              seen = ((id, sg) :: seen).take(maxPerBucket)
             }
-            seen = ((id, sg) :: seen).take(maxPerBucket)
+            state.update(seen)
+            if (withRet && isStreaming)
+              // evict when the watermark passes last-arrival + retention
+              state.setTimeoutTimestamp(math.max(
+                maxTs + retMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
     paired.toDF("id_a", "id_b", "hamming")
   }
@@ -247,11 +291,18 @@ object Dedup {
     * computes the pair's LOWEST matching band and only that band's bucket
     * emits. Total state = the bounded per-bucket lists; no second stateful
     * stage. Requires a numeric id column.
+    *
+    * `tsCol` + `retention` bound the bucket COUNT exactly as in
+    * [[simhashPairsStream]]: watermark + event-time timeout evict buckets
+    * idle past retention (pairs arriving further apart than retention are
+    * missed — the documented trade).
     */
   def minhashPairsStream(docs: DataFrame, textCol: String, idCol: String,
                          k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                          minEst: Double = 0.5,
-                         maxPerBucket: Int = 1000): DataFrame = {
+                         maxPerBucket: Int = 1000,
+                         tsCol: Option[String] = None,
+                         retention: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.streaming.GroupState
     val numHashes = bands * rowsPerBand
@@ -275,37 +326,63 @@ object Dedup {
       while (l < numHashes) { if (a(l) == b(l)) eq += 1; l += 1 }
       eq.toDouble / numHashes
     }
-    val sig = docs.select(col(idCol).cast("long").as("id"),
+    val withRet = retention.isDefined
+    require(!withRet || tsCol.isDefined,
+      "retention needs tsCol (the event-time column the watermark tracks)")
+    val retMs = retention.map(parseIntervalMs).getOrElse(0L)
+    val input = (tsCol, retention) match {
+      case (Some(t), Some(r)) => docs.withWatermark(t, r)
+      case _ => docs
+    }
+    // raw watermarked column: see simhashPairsStream for why no expression
+    val tsRaw = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val isStreaming = docs.isStreaming
+    val sig = input.select(col(idCol).cast("long").as("id"),
       graft.functions.VectorFunctions.minhash_lanes(
         graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k),
-        numHashes).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
+        numHashes).as("sig"),
+      tsRaw.as("ts"))
+    val banded = sig.select(col("id"), col("sig"), col("ts"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
                     x => x.cast("string"))), lit(b))
       }: _*)))
-      .toDF("id", "sig", "band", "band_key")
-      .as[(Long, Seq[Long], Int, Long)]
-    val paired = banded.groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), it: Iterator[(Long, Seq[Long], Int, Long)],
+      .toDF("id", "sig", "ts", "band", "band_key")
+      .as[(Long, Seq[Long], java.sql.Timestamp, Int, Long)]
+    val timeout =
+      if (withRet) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val paired = banded.groupByKey(r => (r._4, r._5))
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: (Int, Long),
+         it: Iterator[(Long, Seq[Long], java.sql.Timestamp, Int, Long)],
          state: GroupState[List[(Long, Seq[Long])]]) =>
-          val thisBand = key._1
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          it.foreach { case (id, sg, _, _) =>
-            seen.foreach { case (oid, osig) =>
-              if (oid != id && firstMatchingBand(sg, osig) == thisBand) {
-                val est = estJaccard(sg, osig)
-                if (est >= minEst)
-                  out += ((math.min(id, oid), math.max(id, oid), est))
+          if (state.hasTimedOut) { // bucket idle past retention
+            state.remove()
+            Iterator.empty
+          } else {
+            val thisBand = key._1
+            var seen = state.getOption.getOrElse(Nil)
+            var maxTs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            it.foreach { case (id, sg, ts, _, _) =>
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              seen.foreach { case (oid, osig) =>
+                if (oid != id && firstMatchingBand(sg, osig) == thisBand) {
+                  val est = estJaccard(sg, osig)
+                  if (est >= minEst)
+                    out += ((math.min(id, oid), math.max(id, oid), est))
+                }
               }
+              seen = ((id, sg) :: seen).take(maxPerBucket)
             }
-            seen = ((id, sg) :: seen).take(maxPerBucket)
+            state.update(seen)
+            if (withRet && isStreaming)
+              state.setTimeoutTimestamp(math.max(
+                maxTs + retMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
     paired.toDF("id_a", "id_b", "est_jaccard")
   }

@@ -114,51 +114,65 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Trained coarse quantizer for [[ivfTopK]]: `centers(cell)` is the cell's
+    * centroid. Driver-small (nlist × dim doubles), serializable into task
+    * closures — fit ONCE per corpus with [[fitIvf]] and reuse across every
+    * query batch; a production pipeline never retrains per query.
+    */
+  case class IvfModel(centers: Array[Array[Double]]) {
+    def nlist: Int = centers.length
+  }
+
+  /** Train the IVF coarse quantizer: collect a capped sample (quantizer
+    * quality saturates far below corpus size — faiss trains in-process the
+    * same way) and run the deterministic driver-side Lloyd fit. Exactly two
+    * Spark jobs (count + sample-collect); earlier rounds ran a Spark ML
+    * KMeans fit (2+ jobs per iteration) on every invocation, which the
+    * round-3 review measured at ~half of `sim_ann_ivf_probe`'s wall time.
+    */
+  def fitIvf(corpus: DataFrame, nlist: Int = 16,
+             vecCol: String = "embedding", seed: Long = 42L,
+             maxTrain: Long = 20000L): IvfModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("cv"))
+    val n = vecs.count()
+    val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
+    val sample = vecs.sample(withReplacement = false, frac, seed)
+      .as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "IVF training sample is empty")
+    IvfModel(lloydFit(sample, nlist, new scala.util.Random(seed), iters = 5))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other standard ANN scale
     * path: a coarse k-means quantizer (nlist cells) partitions the corpus;
     * each query probes its `nprobe` nearest cells and ranks only those
     * candidates exactly. At 100 TB the cell assignment is a narrow map, the
     * trained centroids are driver-small and broadcast, and per-query cost is
     * O(corpus/nlist · nprobe) instead of O(corpus).
+    *
+    * This overload takes a pre-trained [[IvfModel]] so repeated query
+    * batches share one fit; [[fitIvf]] is the training step.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 3,
-              vecCol: String = "embedding", idCol: String = "vec_id",
-              seed: Long = 42L, maxTrain: Long = 100000L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
+              model: IvfModel, nprobe: Int,
+              vecCol: String, idCol: String): DataFrame = {
+    val centers = model.centers
+    val nprobeEff = math.min(nprobe, centers.length)
     val corpusSel = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // Quantizer training is bounded: fit on a capped sample (the centroids
-    // are driver-small either way, and k-means quality saturates long before
-    // the full corpus). Round 1 fit on every vector — an ML job over the
-    // whole 100 TB corpus. The count() is a parquet-metadata read, cheap.
-    val n = corpusSel.count()
-    val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val train = corpusSel.sample(withReplacement = false, frac, seed)
-      .withColumn("features", toVec(col("cv")))
-    // random init + few iterations: k-means|| init and long refinement both
-    // run extra Spark jobs (2+ per iteration) for a coarse quantizer whose
-    // cells only need to be roughly balanced — probe/rank correctness never
-    // depends on centroid quality, only recall-at-nprobe does, and that
-    // saturates within a handful of iterations
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setInitMode("random").setFeaturesCol("features").fit(train)
-    val centers: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     // Cell assignment over the full corpus is a narrow map against the
-    // broadcast-small centroid array — no ML vector conversion, no second
-    // featurization pass (round 1 ran toVec + model.transform corpus-wide).
+    // broadcast-small centroid array — no ML vector conversion, no
+    // featurization pass.
     val nearestCell = udf { (v: Seq[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var i = 0
       while (i < centers.length) {
-        val c = centers(i)._2
+        val c = centers(i)
         var d = 0.0; var j = 0
         while (j < c.length) {
           val diff = v(j) - c(j); d += diff * diff; j += 1
         }
-        if (d < bestD) { bestD = d; best = centers(i)._1 }
+        if (d < bestD) { bestD = d; best = i }
         i += 1
       }
       best
@@ -167,14 +181,14 @@ object Similarity {
     // nprobe nearest cells per query, computed against the (tiny) centroid
     // table on the executors via a closure — the IVF probe step
     val probeCells = udf { (q: Seq[Float]) =>
-      centers.map { case (i, c) =>
+      centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0
         var j = 0
         while (j < c.length) {
           val diff = q(j) - c(j); d += diff * diff; j += 1
         }
         (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
+      }.sortBy(_._2).take(nprobeEff).map(_._1)
     }
     val probed = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -188,6 +202,16 @@ object Similarity {
           .orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
   }
+
+  /** Fit-and-query convenience form (one-shot callers). Repeated query
+    * batches should [[fitIvf]] once and use the model overload.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 3,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              seed: Long = 42L, maxTrain: Long = 20000L): DataFrame =
+    ivfTopK(corpus, queries, k,
+      fitIvf(corpus, nlist, vecCol, seed, maxTrain), nprobe, vecCol, idCol)
 
   /** Scalar-quantized (SQ8) top-k — the compressed-scan ANN tier: each
     * corpus vector is encoded once as 8-bit codes against per-dimension
@@ -207,9 +231,16 @@ object Similarity {
     * one map-side-combined shuffle of (dim, x) pairs, then driver-side
     * literals, so encode/decode are pure codegen'd expressions.
     */
-  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             shortlist: Int = 0, vecCol: String = "embedding",
-             idCol: String = "vec_id"): DataFrame = {
+  /** Trained SQ8 quantization grid: per-dimension [lo, lo+256·step) ranges.
+    * Fit once per corpus with [[fitSq]] (one min/max aggregation) and reuse
+    * — the grid is dim-sized driver data.
+    */
+  case class SqModel(lo: Array[Double], step: Array[Double])
+
+  /** Train the SQ8 grid: one map-side-combined min/max aggregation over
+    * (dim, x) pairs, then driver-side literals.
+    */
+  def fitSq(corpus: DataFrame, vecCol: String = "embedding"): SqModel = {
     val vd = col(vecCol).cast("array<double>")
     val stats = corpus.select(posexplode(vd).as(Seq("j", "x")))
       .groupBy("j").agg(min("x").as("lo"), max("x").as("hi"))
@@ -221,6 +252,24 @@ object Similarity {
     val step = (0 until dim).map { j =>
       val (l, h) = stats(j); if (h > l) (h - l) / 256.0 else 0.0
     }.toArray
+    SqModel(lo, step)
+  }
+
+  /** Fit-and-query convenience form; repeated query batches should
+    * [[fitSq]] once and use the model overload.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 0, vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame =
+    sqTopK(corpus, queries, k, fitSq(corpus, vecCol), shortlist, vecCol, idCol)
+
+  /** Pre-trained-grid overload of the SQ8 compressed scan. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             model: SqModel, shortlist: Int, vecCol: String,
+             idCol: String): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val lo = model.lo
+    val step = model.step
     val loLit = array(lo.map(lit): _*)
     val stepLit = array(step.map(lit): _*)
     val codes = transform(vd, (x, j) => {
@@ -281,33 +330,62 @@ object Similarity {
     * the identical encode → ADC → re-rank plan (the correctness-gate mode;
     * same pattern as IVF nprobe = nlist, LSH probeAll, SQ shortlist-all).
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             shortlist: Int = 0, m: Int = 8, ks: Int = 256,
-             vecCol: String = "embedding", idCol: String = "vec_id",
-             seed: Long = 42L, maxTrain: Int = 2000): DataFrame = {
+  /** Trained PQ codebooks: `codebooks(mi)(c)` = centroid c of subspace mi.
+    * Fit once per corpus with [[fitPq]] (m × ks × dim/m doubles — driver-
+    * small) and reuse across query batches.
+    */
+  case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ks: Int = codebooks.head.length
+    def sub: Int = codebooks.head.head.length
+  }
+
+  /** Train the PQ codebooks: driver-side per-subspace Lloyd fit on a
+    * capped collected sample (two Spark jobs total). 6 iterations on a 2k
+    * sample: codebook distortion plateaus early.
+    */
+  def fitPq(corpus: DataFrame, m: Int = 8, ks: Int = 256,
+            vecCol: String = "embedding", seed: Long = 42L,
+            maxTrain: Int = 2000): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(idCol).as("neighbor_id"),
-                             col(vecCol).cast("array<double>").as("cv"))
-    // --- train: driver-side k-means per subspace on a capped sample ---
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("cv"))
     val n = vecs.count()
     val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
-    val sample = vecs.select("cv").sample(withReplacement = false, frac, seed)
+    val sample = vecs.sample(withReplacement = false, frac, seed)
       .as[Seq[Double]].collect().map(_.toArray)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val rnd = new scala.util.Random(seed)
-    // codebooks(mi)(c) = centroid c of subspace mi
-    // 6 iterations on a 2k sample: codebook distortion plateaus early, and
-    // this is per-invocation driver time (a production pipeline would fit
-    // once and reuse; here every query call retrains)
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+    PqModel(Array.tabulate(m) { mi =>
       lloydFit(sample.map(v =>
         java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)), ks, rnd,
         iters = 6)
-    }
+    })
+  }
+
+  /** Fit-and-query convenience form; repeated query batches should
+    * [[fitPq]] once and use the model overload.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 0, m: Int = 8, ks: Int = 256,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             seed: Long = 42L, maxTrain: Int = 2000): DataFrame =
+    pqTopK(corpus, queries, k,
+      fitPq(corpus, m, ks, vecCol, seed, maxTrain), shortlist, vecCol, idCol)
+
+  /** Pre-trained-codebook overload of the PQ ADC scan. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             model: PqModel, shortlist: Int, vecCol: String,
+             idCol: String): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+                             col(vecCol).cast("array<double>").as("cv"))
+    val codebooks = model.codebooks
+    val m = model.m
+    val ks = model.ks
+    val sub = model.sub
     // --- encode: one narrow map; (id, m-byte code) is all that shuffles.
     // Bulk-copy the column value to a primitive array first: the generic
     // Seq apply boxes every access, and the argmin loop reads m·ks·sub

@@ -92,6 +92,70 @@ class Round4Spec extends SparkSpecBase {
       s"error must name the function: ${e2.getMessage}")
   }
 
+  // ---- VERDICT #4: streaming near-dup kernels evict idle buckets ----
+
+  test("simhashPairsStream: retention evicts idle buckets, pairs still emit") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = ms.toDF().toDF("doc_id", "ts", "text")
+    val pairs = graft.ext.Dedup.simhashPairsStream(
+      stream, "text", "doc_id",
+      tsCol = Some("ts"), retention = Some("10 seconds"))
+    val q = pairs.writeStream.format("memory").queryName("ret_dups")
+      .outputMode("append").start()
+    try {
+      // two near-identical docs in-window: the pair emits exactly once
+      // NOT epoch 0: the initial watermark is 0 and epoch-0 event times
+      // classify as late in stateful operators
+      ms.addData((1L, ts(100), "alpha beta gamma delta"),
+                 (2L, ts(101), "alpha beta gamma delta"))
+      q.processAllAvailable()
+      assert(spark.table("ret_dups").count() == 1)
+      val rows0 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows0 > 0, "buckets must be in state while fresh")
+      // advance the watermark far past retention with unrelated text;
+      // two batches: one moves the watermark, the next applies timeouts
+      ms.addData((50L, ts(1000), "zeta eta theta iota unrelated"))
+      q.processAllAvailable()
+      ms.addData((51L, ts(1001), "kappa lambda mu nu unrelated"))
+      q.processAllAvailable()
+      val rowsAfter = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rowsAfter < rows0 + 8,
+        s"idle buckets must be evicted: before=$rows0 after=$rowsAfter")
+      // the original doc-1/doc-2 buckets (ts ~100s, watermark ~990s) are gone
+      assert(spark.table("ret_dups").count() == 1, "no spurious emissions")
+    } finally q.stop()
+  }
+
+  test("minhashPairsStream: retention bounds bucket count across batches") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = ms.toDF().toDF("doc_id", "ts", "text")
+    val pairs = graft.ext.Dedup.minhashPairsStream(
+      stream, "text", "doc_id",
+      tsCol = Some("ts"), retention = Some("10 seconds"))
+    val q = pairs.writeStream.format("memory").queryName("ret_mh")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(100), "the quick brown fox jumps over the lazy dog"),
+                 (2L, ts(101), "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(spark.table("ret_mh").count() == 1) // one pair, once
+      val rows0 = q.lastProgress.stateOperators.head.numRowsTotal
+      ms.addData((60L, ts(2000), "completely different words entirely here"))
+      q.processAllAvailable()
+      ms.addData((61L, ts(2001), "other fully distinct vocabulary again"))
+      q.processAllAvailable()
+      val rowsAfter = q.lastProgress.stateOperators.head.numRowsTotal
+      // doc-1/doc-2's 16 shared band buckets were idle > retention →
+      // evicted; state is only the two fresh docs' ~16 buckets each
+      // (without eviction: 16 shared + 16 + 16 = 48)
+      assert(rowsAfter < rows0 + 32,
+        s"idle buckets must be evicted: before=$rows0 after=$rowsAfter")
+      assert(rowsAfter <= 32, s"state must be only fresh buckets: $rowsAfter")
+    } finally q.stop()
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
