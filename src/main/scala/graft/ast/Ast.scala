@@ -339,7 +339,12 @@ final case class JoinOp(
     window: Option[JoinWindow] = None,
     derivedKey: Seq[Column] = Nil,
     projection: Seq[Column] = Nil,
-    broadcastRight: Boolean = false
+    broadcastRight: Boolean = false,
+    /** `:withRetention` on the join's state store (Kafka windowed/TTL
+      * store analog, `eval.clj:208`): streaming table-table and
+      * stream-table kernels evict keys idle past this interval.
+      */
+    retention: Option[String] = None
 ) extends KNode
 
 // ---------------------------------------------------------------------------

@@ -31,6 +31,14 @@ object dsl {
 
   def merge(first: KNode, rest: KNode*): MergeOp = MergeOp(first +: rest)
 
+  implicit final class JoinOps(private val j: JoinOp) extends AnyVal {
+    /** `:withRetention` (`eval.clj:208`) on a join's state store: evict
+      * keys idle past the interval in the streaming join kernels.
+      */
+    def withRetention(interval: String): JoinOp =
+      j.copy(retention = Some(interval))
+  }
+
   implicit final class NodeOps(private val n: KNode) extends AnyVal {
     // --- stateless (§2.2)
     def filter(pred: Column): FilterOp = FilterOp(n, pred)

@@ -162,7 +162,7 @@ object Compiler {
         .reduce(_.unionByName(_, allowMissingColumns = true))
       KFrame(df, consumed.keys, consumed.eventTime)
 
-    case TableSource(topic, consumed, orderBy, _, unique) =>
+    case TableSource(topic, consumed, orderBy, mat, unique) =>
       val df = decode(env.load(topic), consumed)
       val keys = consumed.keys
       require(keys.nonEmpty, s"table $topic needs key columns (Consumed.keys)")
@@ -173,9 +173,12 @@ object Compiler {
       else if (env.isStreaming) {
         // Changelog compaction as a chainable upsert kernel (SURVEY §7.5
         // risk #1: update-mode aggregates can't feed further stateful ops).
+        // `:withRetention` (Materialized.retention, eval.clj:208) → the
+        // kernel evicts keys idle past the interval (Kafka store TTL analog).
         val raw = KFrame(df, keys, consumed.eventTime, isTable = true)
         val compacted = ord match {
-          case Some(o) => graft.state.TableKernels.latestPerKey(raw, o)
+          case Some(o) => graft.state.TableKernels.latestPerKey(
+            raw, o, mat.flatMap(_.retention))
           case None => df.dropDuplicates(keys)
         }
         KFrame(compacted, keys, consumed.eventTime, isTable = true)
@@ -480,7 +483,8 @@ object Compiler {
         case JoinHow.Left => "left"
         case JoinHow.Outer => "outer"
       }
-      val joined = graft.state.TableKernels.tableTableJoin(lf, rf0, howName)
+      val joined = graft.state.TableKernels.tableTableJoin(
+        lf, rf0, howName, j.retention)
       val out = if (j.projection.nonEmpty) joined.select(j.projection: _*) else joined
       return KFrame(out, lf.keys, None, isTable = true)
     }
@@ -498,7 +502,8 @@ object Compiler {
           throw new IllegalArgumentException(
             "stream-table joins are inner or left (Kafka defines no outer)")
       }
-      val joined = graft.state.TableKernels.streamTableJoin(lf, rf0, howName)
+      val joined = graft.state.TableKernels.streamTableJoin(
+        lf, rf0, howName, j.retention)
       val out = if (j.projection.nonEmpty) joined.select(j.projection: _*) else joined
       return KFrame(out, lf.keys, lf.eventTime, isTable = false)
     }

@@ -156,6 +156,90 @@ class Round4Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ---- VERDICT #5: :withRetention through the table kernels ----
+
+  test("stream⋈table retention: key evicted when idle, rejoins on re-upsert") {
+    import graft.ast._
+    import graft.ast.dsl._
+    import graft.compile.{Compiler, StreamEnv}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val sms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val tms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env = new StreamEnv(spark, Map(
+      "clicks" -> sms.toDF().toDF("k", "ts", "click_id"),
+      "profile" -> tms.toDF().toDF("k", "pts", "name")))
+    val node = stream(Seq("clicks"),
+        Consumed(keys = Seq("k"), eventTime = Some("ts")))
+      .leftJoin(table("profile",
+        Consumed(keys = Seq("k"), eventTime = Some("pts")),
+        orderBy = Some("pts")))
+      .withRetention("10 seconds")
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("st_ret").outputMode("append").start()
+    try {
+      def named(r: Row) = (r.getAs[Long]("k"), r.getAs[String]("name"))
+      tms.addData((1L, ts(100), "v1"))
+      q.processAllAvailable()
+      sms.addData((1L, ts(101), 1001L))
+      q.processAllAvailable()
+      assert(spark.table("st_ret").collect().map(named).toSet ==
+        Set((1L, "v1")), "in-window click enriches with current value")
+      // advance both sides' watermarks far past retention (fresh keys),
+      // then one more batch so the passed watermark applies the timeouts
+      sms.addData((99L, ts(1000), 9000L)); tms.addData((98L, ts(1000), "x"))
+      q.processAllAvailable()
+      sms.addData((99L, ts(1001), 9001L)); tms.addData((98L, ts(1001), "x"))
+      q.processAllAvailable()
+      // k=1 was idle past retention → evicted: a new click left-joins NULL
+      sms.addData((1L, ts(1002), 1002L))
+      q.processAllAvailable()
+      val afterEvict = spark.table("st_ret").collect().map(named).toSet
+      assert(afterEvict.contains((1L, null)),
+        s"evicted key must enrich as null: $afterEvict")
+      // re-upsert the profile → the key rejoins with the fresh value
+      tms.addData((1L, ts(1003), "v2"))
+      q.processAllAvailable()
+      sms.addData((1L, ts(1004), 1003L))
+      q.processAllAvailable()
+      assert(spark.table("st_ret").collect().map(named).toSet
+        .contains((1L, "v2")), "re-upserted key joins again")
+    } finally q.stop()
+  }
+
+  test("table source retention: latestPerKey evicts idle keys from state") {
+    import graft.ast._
+    import graft.ast.dsl._
+    import graft.compile.{Compiler, StreamEnv}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val tms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env = new StreamEnv(spark,
+      Map("profile" -> tms.toDF().toDF("k", "pts", "name")))
+    val node = table("profile",
+      Consumed(keys = Seq("k"), eventTime = Some("pts")),
+      orderBy = Some("pts"),
+      materialized = Some(Materialized(retention = Some("10 seconds"))))
+    val q = Compiler.compile(node, env).df.writeStream
+      .format("memory").queryName("tbl_ret").outputMode("append").start()
+    try {
+      tms.addData((1L, ts(100), "v1"), (2L, ts(100), "w1"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2)
+      // push the watermark past retention, then apply timeouts
+      tms.addData((50L, ts(1000), "x"))
+      q.processAllAvailable()
+      tms.addData((51L, ts(1001), "y"))
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows <= 2, s"idle keys 1,2 must be evicted, state=$rows")
+      // an evicted key re-enters as new (upsert re-emits)
+      tms.addData((1L, ts(1002), "v9"))
+      q.processAllAvailable()
+      val emitted = spark.table("tbl_ret").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name")))
+      assert(emitted.count(_ == (1L, "v9")) == 1)
+    } finally q.stop()
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
