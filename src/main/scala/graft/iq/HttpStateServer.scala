@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions.col
   * surface (`handler` routing + HTTP serving, `ring.clj:20-53`) on the JDK
   * http server (no extra dependencies). Routes:
   *
-  *   GET /store/{name}              → all rows of the store, JSON array
-  *   GET /store/{name}/{col}/{key}  → point lookup, JSON array
+  *   GET /store/{name}[?limit=N]    → rows of the store, JSON array
+  *                                     (default cap 1000; a full-store GET
+  *                                     on a large materialization must not
+  *                                     collect unbounded rows to the driver)
+  *   GET /store/{name}/{col}/{key}[?limit=N] → point lookup, JSON array
   *
   * Single-driver Spark owns all state, so the reference's shard-owner
   * forwarding collapses to local serving; multi-driver deployments plug
@@ -48,7 +51,17 @@ object HttpStateServer {
             case _ => throw new IllegalArgumentException(
               "use /store/{name} or /store/{name}/{col}/{key}")
           }
-          (200, df.toJSON.collect().mkString("[", ",", "]"))
+          // Bounded collect: ?limit=N (default 1000) caps the rows any
+          // route ships to the driver — a full-store GET on a large
+          // materialization was an unbounded toJSON.collect().
+          val limit = Option(exchange.getRequestURI.getQuery)
+            .flatMap(_.split("&").collectFirst {
+              case p if p.startsWith("limit=") =>
+                p.stripPrefix("limit=").toInt
+            })
+            .getOrElse(1000)
+          require(limit > 0, s"limit must be positive, got $limit")
+          (200, df.limit(limit).toJSON.collect().mkString("[", ",", "]"))
         } catch {
           case e: Exception =>
             (404, s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
