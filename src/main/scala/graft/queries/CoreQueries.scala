@@ -175,6 +175,22 @@ object CoreQueries {
           .agg(sum(col("k")).cast("long").as("sum_k"))
           .sort(col("user_id")))(s, d)
     },
+    "op_serde_avro" -> { (s, d) =>
+      // Avro value serde: encode each nation row's value columns to Avro
+      // binary, decode back, and emit the decoded fields — the full wire
+      // round-trip must be byte-faithful against the plain-scan oracle.
+      val sch = StructType(Seq(
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      val serde = Serdes.avro(sch)
+      run(
+        stream(Seq("nation"), Consumed(keys = Seq("n_nationkey")))
+          .mapValues(serde.decode(serde.encode(
+            struct(col("n_name"), col("n_regionkey")))).as("v"))
+          .mapValues(col("v.n_name").as("n_name"),
+                     col("v.n_regionkey").as("n_regionkey"))
+          .sort(col("n_nationkey")))(s, d)
+    },
 
     // ---- grouping & aggregation (§2.3) ----
     "agg_count" -> { (s, d) =>
@@ -628,6 +644,9 @@ object CoreQueries {
     "op_serde_json" ->
       """SELECT user_id, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "op_serde_avro" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
     "agg_count" ->
       """SELECT event_type, count(*) AS n FROM events GROUP BY event_type
          ORDER BY event_type""",

@@ -48,6 +48,18 @@ object Serdes {
     decode = c => c.cast(dt),
     encode = c => c.cast("binary"))
 
+  /** Avro binary serde with declared schema — the production wire format
+    * (`from_avro`/`to_avro` shape). The spark-avro MODULE is not vendored
+    * here, but Avro core ships with Spark, so this rides the native
+    * expressions in org.apache.spark.sql.graftfn.AvroExpressions
+    * (CatalystDataToAvro/AvroDataToCatalyst pattern). Nullable fields map
+    * to union(null, T); supported lanes: boolean, int, long, float,
+    * double, string, binary, timestamp, date, arrays, nested structs.
+    */
+  def avro(schema: StructType): SerdeSpec = SerdeSpec("avro",
+    decode = c => org.apache.spark.sql.graftfn.AvroFunctions.from_avro(c, schema),
+    encode = c => org.apache.spark.sql.graftfn.AvroFunctions.to_avro(c, schema))
+
   /** `[:serde-from [:serializer f] [:deserializer f]]` — arbitrary user
     * codec as a UDF pair (`eval.clj:290-308`). Non-codegen; prefer the
     * expression serdes above on hot paths (SURVEY §7.5 item 5).

@@ -289,6 +289,54 @@ class Round4Spec extends SparkSpecBase {
     assert(gate.count() == both.length)
   }
 
+  // ---- VERDICT #8: Avro serde (native expressions over Avro core) ----
+
+  test("avro serde round-trips all supported lanes, incl nested + nulls") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("s", StringType),
+      StructField("l", LongType),
+      StructField("i", IntegerType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("bin", BinaryType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("nested", StructType(Seq(
+        StructField("x", StringType), StructField("y", DoubleType))))))
+    val serde = graft.serde.Serdes.avro(sch)
+    val df = Seq(
+      ("héllo", 1L, 2, 3.5, true, Array[Byte](1, 2, 3), Seq(1L, 2L),
+        ("in", 0.25)),
+      (null.asInstanceOf[String], Long.MinValue, -1, -0.0, false,
+        Array.empty[Byte], Seq.empty[Long], ("x", Double.NaN))
+    ).toDF("s", "l", "i", "d", "b", "bin", "arr", "nested")
+    val packed = df.select(struct(df.columns.map(col): _*).as("v"))
+    val round = packed.select(serde.decode(serde.encode(col("v"))).as("v"))
+      .select(col("v.*"))
+    def render(r: Row): String = r.toSeq.map {
+      case b: Array[Byte] => b.toSeq.toString
+      case v => String.valueOf(v)
+    }.mkString(",")
+    val a = df.collect().map(render).sorted
+    val b = round.collect().map(render).sorted
+    assert(a.sameElements(b), s"\nwant ${a.mkString("|")}\ngot  ${b.mkString("|")}")
+    // null struct (nullable wire union at the top level)
+    val withNull = Seq(Tuple1("k")).toDF("k")
+      .select(lit(null).cast(sch).as("v"))
+      .select(serde.decode(serde.encode(col("v"))).as("v"))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
+  test("avro gate query round-trips the nation table byte-faithfully") {
+    val out = graft.SparkEntry.queries("op_serde_avro")(spark, sfDir)
+    val plain = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+    assert(out.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(out.collect().map(_.toString).toSeq ==
+      plain.collect().map(_.toString).toSeq)
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
