@@ -78,7 +78,8 @@ object Funnel {
     */
   def windowFunnelStream(events: DataFrame, userCol: String, tsCol: String,
                          typeCol: String, steps: Seq[String],
-                         withinSeconds: Long): DataFrame = {
+                         withinSeconds: Long,
+                         retention: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -93,34 +94,62 @@ object Funnel {
     // every non-numeric id into null — one merged funnel per corpus). The
     // group key is the value's string form (injective within any one
     // column type), the emitted row carries the original value.
+    //
+    // State is k longs per user FOREVER by default; `retention` bounds it
+    // for unbounded-user streams (watermark + event-time timeout evicting
+    // users idle past the interval — an evicted user restarts the funnel).
     val userType = events.schema(events.schema.fieldIndex(userCol)).dataType
-    val typed = events
+    val withRet = retention.isDefined && events.isStreaming
+    val input = if (withRet)
+      events.withWatermark(tsCol, retention.get) else events
+    val retMs = retention.map(graft.Intervals.toMillis).getOrElse(0L)
+    val typed = input
       .where(col(typeCol).isin(steps.map(x => x: Any): _*))
-      .select(col(userCol).as("user"),
-              unix_micros(col(tsCol)).as("ts"), col(typeCol).as("t"))
+      // the RAW ts attribute keeps the watermark metadata EventTimeTimeout
+      // analysis requires (an expression like unix_micros strips it);
+      // micros are derived in the kernel instead
+      .select(col(userCol).as("user"), col(tsCol).as("ts"),
+              col(typeCol).as("t"))
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(StructType(Seq(
         StructField("user", userType),
         StructField("depth", LongType, nullable = false))))
+    val timeout =
+      if (withRet) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed.groupByKey(r => String.valueOf(r.get(0)))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (_: String, it: Iterator[Row], state: GroupState[Seq[Long]]) =>
-          val rows = it.toArray // non-empty: NoTimeout ⇒ data-driven calls only
-          val userVal = rows.head.get(0)
-          // Long.MinValue = depth not reached (null-free state row)
-          val acc = state.getOption.getOrElse(Seq.fill(k)(Long.MinValue)).toArray
-          val before = acc.count(_ != Long.MinValue)
-          rows.sortBy(r => (r.getLong(1), stepOf(r.getString(2)))).foreach { r =>
-            val ts = r.getLong(1)
-            val j = stepOf(r.getString(2))
-            val chainStart = if (j == 0) ts else acc(j - 1)
-            if (chainStart != Long.MinValue && ts - chainStart <= withinUs)
-              acc(j) = math.max(acc(j), chainStart)
+          if (state.hasTimedOut) { // user idle past retention → evict
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toArray // non-empty: data-driven invocation
+            val userVal = rows.head.get(0)
+            // Long.MinValue = depth not reached (null-free state row)
+            val acc = state.getOption.getOrElse(Seq.fill(k)(Long.MinValue)).toArray
+            val before = acc.count(_ != Long.MinValue)
+            rows.map(r => (toMicros(r.getAs[java.sql.Timestamp](1)),
+                           stepOf(r.getString(2))))
+              .sorted.foreach { case (ts, j) =>
+                val chainStart = if (j == 0) ts else acc(j - 1)
+                if (chainStart != Long.MinValue && ts - chainStart <= withinUs)
+                  acc(j) = math.max(acc(j), chainStart)
+              }
+            state.update(acc.toSeq)
+            if (withRet) {
+              val maxTsMs = rows.iterator
+                .map(r => r.getAs[java.sql.Timestamp](1).getTime)
+                .foldLeft(Long.MinValue)(math.max)
+              state.setTimeoutTimestamp(math.max(
+                maxTsMs + retMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            val after = acc.count(_ != Long.MinValue)
+            if (after > before) Iterator(Row(userVal, after.toLong))
+            else Iterator.empty
           }
-          state.update(acc.toSeq)
-          val after = acc.count(_ != Long.MinValue)
-          if (after > before) Iterator(Row(userVal, after.toLong))
-          else Iterator.empty
       }.toDF("user", "depth")
   }
 

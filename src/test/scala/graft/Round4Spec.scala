@@ -337,6 +337,37 @@ class Round4Spec extends SparkSpecBase {
       plain.collect().map(_.toString).toSeq)
   }
 
+  test("windowFunnelStream retention: idle user evicted, restarts funnel") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.ext.Funnel.windowFunnelStream(
+      ms.toDF().toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("A", "B"), withinSeconds = 10000L,
+      retention = Some("10 seconds"))
+    val q = out.writeStream.format("memory").queryName("funnel_ret")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(100), "A"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
+      // advance the watermark, then apply timeouts
+      ms.addData((50L, ts(1000), "A"))
+      q.processAllAvailable()
+      ms.addData((51L, ts(1001), "A"))
+      q.processAllAvailable()
+      val rows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(rows <= 2, s"user 1 must be evicted, state=$rows")
+      // evicted user restarts: a lone B does NOT chain off the pre-eviction
+      // A even though it is within the (huge) chain window
+      ms.addData((1L, ts(1002), "B"))
+      q.processAllAvailable()
+      val emitted = spark.table("funnel_ret").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!emitted.contains((1L, 2L)),
+        s"chain must not survive eviction: $emitted")
+    } finally q.stop()
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
