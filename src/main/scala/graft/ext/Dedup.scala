@@ -809,18 +809,20 @@ object Dedup {
   def semanticPairs(emb: DataFrame, vecCol: String = "embedding",
                     idCol: String = "vec_id", nclusters: Int = 16,
                     threshold: Double = 0.95, seed: Long = 42L,
-                    maxTrain: Int = 10000): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+                    maxTrain: Int = 10000): DataFrame =
+    semanticPairs(emb,
+      Similarity.fitIvf(emb, nclusters, vecCol, seed, maxTrain.toLong),
+      vecCol, idCol, threshold)
+
+  /** Pre-trained-centroid overload (fit once with [[Similarity.fitIvf]],
+    * reuse across batches — same fit-once shape as the ANN quantizers).
+    */
+  def semanticPairs(emb: DataFrame, model: Similarity.IvfModel,
+                    vecCol: String, idCol: String,
+                    threshold: Double): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"),
                           col(vecCol).cast("array<double>").as("v"))
-    val n = vecs.count()
-    val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
-    val sample = vecs.select("v").sample(withReplacement = false, frac, seed)
-      .as[Seq[Double]].collect().map(_.toArray)
-    val cents = Similarity.lloydFit(sample, nclusters,
-      new scala.util.Random(seed))
-    val cell = udf(Similarity.nearestOf(cents) _)
+    val cell = udf(Similarity.nearestOf(model.centers) _)
     val assigned = vecs.select(col("id"), cell(col("v")).as("cell"))
     val cand = bucketPairs(assigned, Seq("cell"))
     cand

@@ -551,9 +551,11 @@ object ExtQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "dedup_semantic_probe" -> { (s, d) =>
-      // full corpus, 16 cells: the SemDeDup shape the gate mode verifies
+      // full corpus, 16 cells: the SemDeDup shape the gate mode verifies;
+      // memoized fit-once centroids (the production shape)
       val e = emb(s, d)
-      e.join(Dedup.semanticPairs(e, nclusters = 16)
+      e.join(Dedup.semanticPairs(e, ivfModel(s, d, nlist = 16),
+               "embedding", "vec_id", threshold = 0.95)
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")
         .select(col("vec_id"))

@@ -240,6 +240,39 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("avro serde round-trips arbitrary rows (strings, longs, doubles, arrays)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("s", StringType),
+      StructField("l", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = false),
+      StructField("arr", ArrayType(LongType, containsNull = false))))
+    val serde = graft.serde.Serdes.avro(sch)
+    // unicode strings (incl. surrogate-pair emoji), full-range longs,
+    // special doubles, variable-length arrays
+    val genRow = for {
+      s <- Gen.oneOf(Gen.asciiPrintableStr, Gen.const("héllo 世界 🚀"),
+                     Gen.const(""))
+      l <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      d <- Gen.oneOf(Gen.chooseNum(-1e18, 1e18),
+                     Gen.oneOf(0.0, -0.0, Double.NaN,
+                               Double.PositiveInfinity, Double.MinValue))
+      arr <- Gen.listOfN(3, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield (s, l, d, arr)
+    holds(Prop.forAll(Gen.listOfN(8, genRow)) { rows =>
+      rows.nonEmpty && {
+        val df = rows.toDF("s", "l", "d", "arr")
+        val round = df
+          .select(serde.decode(serde.encode(
+            struct(col("s"), col("l"), col("d"), col("arr")))).as("v"))
+          .select(col("v.*"))
+        df.collect().map(_.toString).sorted
+          .sameElements(round.collect().map(_.toString).sorted)
+      }
+    })
+  }
+
   test("zorderKey round-trips: de-interleaving recovers every dimension") {
     import spark.implicits._
     val genDims = Gen.choose(1, 4)
