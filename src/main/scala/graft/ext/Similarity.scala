@@ -77,6 +77,49 @@ object Similarity {
     best
   }
 
+  /** Nearest-centroid cell assignment over a corpus — the corpus-
+    * partitioning face of the coarse quantizer (semantic sharding, cell
+    * statistics, SemDeDup prep). One narrow map against the broadcast-
+    * small centroid closure; ties break to the lowest cell id, matching
+    * a deterministic argmin. Returns (idCol, cell).
+    */
+  def assignCells(corpus: DataFrame, model: IvfModel,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val cell = udf { (v: Seq[Double]) => nearestOf(model.centers)(v) }
+    corpus.select(col(idCol),
+      cell(col(vecCol).cast("array<double>")).as("cell"))
+  }
+
+  /** Project each embedding onto a small basis (k row vectors):
+    * out[i] = <v, basis_i>. The dimensionality-reduction primitive —
+    * random projection (Johnson-Lindenstrauss) when the basis is seeded
+    * Gaussian rows, PCA when it's learned components; either way the
+    * basis is driver-small, folded into the plan as literals, and the
+    * projection is a narrow map of k codegen'd dot products (native
+    * DotProduct expression) — no shuffle, no UDF. Returns (idCol,
+    * projected array<double>).
+    */
+  def projectOnBasis(corpus: DataFrame, basis: Seq[Array[Double]],
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    require(basis.nonEmpty, "projection basis is empty")
+    val vd = col(vecCol).cast("array<double>")
+    val comps = basis.map(b =>
+      graft.functions.VectorFunctions.dot_product(
+        vd, array(b.map(lit): _*)))
+    corpus.select(col(idCol), array(comps: _*).as("projected"))
+  }
+
+  /** Seeded Gaussian random-projection basis (k × dim), the JL transform's
+    * standard construction — deterministic from `seed`, so projections are
+    * reproducible across runs and engines.
+    */
+  def gaussianBasis(k: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(Array.fill(dim)(rnd.nextGaussian() / math.sqrt(k)))
+  }
+
   /** Random-hyperplane signature (an int bucket id): bit j = sign of
     * <v, h_j> with h_j derived deterministically from `seed`. Hyperplane
     * components are folded in as literals → whole expression, no UDF.

@@ -247,6 +247,39 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "sim_kmeans_assign" -> { (s, d) =>
+      // nearest-centroid assignment with DECLARED centroids (the first 4
+      // corpus vectors) — deterministic and DuckDB-mirrorable, so the
+      // clustering primitive itself is oracle-checked, not only the
+      // operators built on it. Ties break to the lowest cell id on both
+      // engines; distances are exact doubles on both.
+      val e = emb(s, d)
+      val cents = e.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.assignCells(e, Similarity.IvfModel(cents))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    },
+
+    "sim_project" -> { (s, d) =>
+      // basis projection (the dimensionality-reduction primitive): project
+      // every embedding onto the first 4 corpus vectors — deterministic
+      // and oracle-mirrorable (DuckDB list_dot_product); the production
+      // form passes a gaussianBasis (JL random projection) instead, same
+      // plan. Components rounded to absorb nothing: both engines
+      // accumulate sequentially in double, but ROUND keeps the comparison
+      // robust to representation.
+      val e = emb(s, d)
+      val basis = e.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      Similarity.projectOnBasis(e, basis)
+        .select(col("vec_id") +: (0 until 4).map(i =>
+          round(element_at(col("projected"), i + 1), 6).as(s"p$i")): _*)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- text analysis ----
     "text_langid" -> { (s, d) =>
       docs(s, d)
@@ -1155,6 +1188,26 @@ object ExtQueries {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "sim_topk" -> simBruteSql,
     // exact-recall parameterizations of the ANN plans ≡ brute force
+    "sim_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 4),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                    FROM embeddings)
+         SELECT v.vec_id,
+                (SELECT c.cid FROM c
+                 ORDER BY list_distance(v.ev, c.cv) ASC, c.cid LIMIT 1) AS cell
+         FROM v ORDER BY v.vec_id""",
+    "sim_project" ->
+      """WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+                    FROM embeddings WHERE vec_id < 4),
+              v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                    FROM embeddings)
+         SELECT v.vec_id,
+                ROUND(list_dot_product(v.ev, (SELECT bv FROM b WHERE bid = 0)), 6) AS p0,
+                ROUND(list_dot_product(v.ev, (SELECT bv FROM b WHERE bid = 1)), 6) AS p1,
+                ROUND(list_dot_product(v.ev, (SELECT bv FROM b WHERE bid = 2)), 6) AS p2,
+                ROUND(list_dot_product(v.ev, (SELECT bv FROM b WHERE bid = 3)), 6) AS p3
+         FROM v ORDER BY v.vec_id""",
     "sim_ann_ivf" -> simBruteSql,
     "sim_ann_lsh" -> simBruteSql,
     "sim_ann_sq" -> simBruteSql,

@@ -368,6 +368,44 @@ class Round4Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("assignCells matches a brute-force argmin over the centroids") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = e.where(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val got = graft.ext.Similarity
+      .assignCells(e, graft.ext.Similarity.IvfModel(cents))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    vecs.foreach { case (id, v) =>
+      val want = cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.min._2
+      assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
+    }
+  }
+
+  test("projectOnBasis: components are exact dot products; JL shape holds") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.values.head.length
+    val basis = graft.ext.Similarity.gaussianBasis(k = 8, dim = dim)
+    val got = graft.ext.Similarity.projectOnBasis(e, basis)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.values.forall(_.size == 8))
+    // each component equals the driver-side dot product exactly
+    // (sequential double accumulation on both sides)
+    got.foreach { case (id, proj) =>
+      val v = vecs(id)
+      basis.zipWithIndex.foreach { case (b, i) =>
+        val want = b.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        assert(proj(i) == want, s"vec $id comp $i: ${proj(i)} != $want")
+      }
+    }
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
