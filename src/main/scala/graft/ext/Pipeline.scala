@@ -231,6 +231,37 @@ object Pipeline {
     * whitespace to single spaces, trim. Portable regex subset (identical
     * semantics in Java regex and RE2/DuckDB).
     */
+  /** Overlapping fixed-width character chunks — the context-window prep
+    * step of a training/RAG pipeline (long documents split into
+    * `chunkChars` windows advancing by `chunkChars - overlapChars`, so
+    * consecutive chunks share `overlapChars` characters and no content
+    * falls on a hard boundary). Returns (idCol, chunk_idx, chunk_text),
+    * one row per chunk, chunk_idx 0-based.
+    *
+    * At 100 TB this is a pure narrow flatMap — sequence + substr inside
+    * one codegen'd generator projection, no shuffle, no UDF; output rows
+    * are ~chunk-sized regardless of document length, so downstream
+    * partitions stay balanced even on heavy-tailed corpora.
+    */
+  def chunkByChars(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   chunkChars: Int = 512, overlapChars: Int = 64): DataFrame = {
+    require(overlapChars >= 0 && chunkChars > overlapChars,
+      s"need 0 <= overlap ($overlapChars) < chunk size ($chunkChars)")
+    val stride = chunkChars - overlapChars
+    // n = max(1, ceil((len - overlap) / stride)): every chunk advances a
+    // full stride; the last starts while > overlap chars remain, so no
+    // suffix is orphaned and a short doc yields exactly one chunk
+    val nc = greatest(lit(1L),
+      ceil((length(col(textCol)) - lit(overlapChars)).cast("double") / stride)
+        .cast("long"))
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nc - 1), i =>
+          substr(col(textCol), (i * stride + 1).cast("int"),
+                 lit(chunkChars)))))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+  }
+
   def normalize(textCol: Column): Column =
     trim(regexp_replace(lower(textCol), "[ \\t\\n\\r]+", " "))
 

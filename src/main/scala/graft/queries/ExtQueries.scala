@@ -388,6 +388,13 @@ object ExtQueries {
              max(col("id")).as("max_id"))
         .orderBy(col("cluster_id"))
     },
+    "ds_chunk" -> { (s, d) =>
+      // overlapping char-window chunking (512/64): training context prep
+      Pipeline.chunkByChars(docs(s, d), chunkChars = 512, overlapChars = 64)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+                col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
     "ds_mixture" -> { (s, d) =>
       // deterministic data-mixture sampling: keep 50% of en, 25% of de,
       // all of everything else — by portable id hash, reproducible
@@ -1188,6 +1195,15 @@ object ExtQueries {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "sim_topk" -> simBruteSql,
     // exact-recall parameterizations of the ANN plans ≡ brute force
+    "ds_chunk" ->
+      """WITH n AS (SELECT doc_id, text,
+                greatest(1, CAST(ceil((length(text) - 64) / 448.0) AS BIGINT)) AS nc
+              FROM documents),
+              s AS (SELECT unnest(range(0, (SELECT CAST(max(nc) AS BIGINT) FROM n))) AS i)
+         SELECT n.doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+                substr(n.text, CAST(s.i * 448 + 1 AS INT), 512) AS chunk_text
+         FROM n, s WHERE s.i < n.nc
+         ORDER BY n.doc_id, s.i""",
     "sim_kmeans_assign" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                     FROM embeddings WHERE vec_id < 4),

@@ -406,6 +406,30 @@ class Round4Spec extends SparkSpecBase {
     }
   }
 
+  test("chunkByChars: overlap, full coverage, short-doc single chunk") {
+    val docs = Seq(
+      (1L, "a" * 1000),   // 3 chunks at 512/64 (stride 448)
+      (2L, "short text"), // 1 chunk
+      (3L, "b" * 512)     // exactly one window
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Pipeline.chunkByChars(docs, chunkChars = 512,
+        overlapChars = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+    assert(out(1L).length == 3) // ceil((1000-64)/448) = 3
+    assert(out(2L).length == 1 && out(2L).head._3 == "short text")
+    assert(out(3L).length == 1 && out(3L).head._3.length == 512)
+    // consecutive chunks overlap by exactly overlapChars
+    val c1 = out(1L).sortBy(_._2).map(_._3)
+    assert(c1(0).length == 512 && c1(1).length == 512)
+    assert(c1(0).takeRight(64) == c1(1).take(64))
+    // coverage: reassembling via stride recovers the document
+    val doc = c1.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c else c.drop(64)
+    }.mkString
+    assert(doc == "a" * 1000)
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
