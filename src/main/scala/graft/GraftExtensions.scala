@@ -44,7 +44,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** Fold a SQL argument that must be a literal schema DDL string (the
+    * spark-avro module's SQL face takes a schema string the same way).
+    */
+  private def schemaArg(fn: String, e: Expression): org.apache.spark.sql.types.StructType = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a literal schema DDL string, got: ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        org.apache.spark.sql.types.StructType.fromDDL(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal schema DDL string, got: $other")
+    }
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // Avro wire serde, schema as a DDL string literal:
+    //   SELECT from_avro(bytes, 'name STRING, x BIGINT') ...
+    "from_avro" -> (es => AvroDecode(es(0), schemaArg("from_avro", es(1)))),
+    "to_avro" -> (es => AvroEncode(es(0), schemaArg("to_avro", es(1)))),
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es(0))),

@@ -22,11 +22,14 @@ object ExtensionsCheck {
                 cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
                 size(minhash_lanes(word_shingle_hashes('a b c d', 2), 8)) AS m,
                 size(char_ngrams('abcd', 2)) AS n,
-                size(winnow_fingerprint('a b c d e f g h', 2, 3)) AS w
+                size(winnow_fingerprint('a b c d e f g h', 2, 3)) AS w,
+                from_avro(to_avro(struct('v' AS s, 9 AS x),
+                                  's STRING, x INT'),
+                          's STRING, x INT').x AS ax
       """).head
     require(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
             r.getInt(3) == 8 && r.getInt(4) == 3 && !r.isNullAt(0) &&
-            r.getInt(5) > 0,
+            r.getInt(5) > 0 && r.getInt(6) == 9,
       s"extension-resolved functions misbehaved: $r")
     println(s"extensions OK: $r")
     spark.stop()

@@ -695,6 +695,26 @@ object VectorFunctions {
         MinHashLanes(exprs(0), foldableInt("minhash_lanes", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_bigram_hashes", exprs => WordBigramHashes(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "from_avro", exprs =>
+        AvroDecode(exprs(0), foldableSchema("from_avro", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "to_avro", exprs =>
+        AvroEncode(exprs(0), foldableSchema("to_avro", exprs(1))), "scala_udf")
+  }
+
+  /** Fold a SQL argument that must be a literal schema DDL string (the
+    * spark-avro module's SQL face takes schema strings the same way).
+    */
+  def foldableSchema(fn: String, e: Expression): org.apache.spark.sql.types.StructType = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a literal schema DDL string, got: ${e.sql}")
+    e.eval() match {
+      case s: UTF8String =>
+        org.apache.spark.sql.types.StructType.fromDDL(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal schema DDL string, got: $other")
+    }
   }
 }
 

@@ -430,6 +430,23 @@ class Round4Spec extends SparkSpecBase {
     assert(doc == "a" * 1000)
   }
 
+  test("SQL from_avro/to_avro round-trip with a DDL schema literal") {
+    graft.functions.VectorFunctions.register(spark)
+    Seq(("alpha", 7L), ("beta", -1L)).toDF("name", "x")
+      .createOrReplaceTempView("r4_avro_sql")
+    val out = spark.sql(
+      """SELECT v.name, v.x FROM (
+           SELECT from_avro(to_avro(struct(name, x), 'name STRING, x BIGINT'),
+                            'name STRING, x BIGINT') AS v
+           FROM r4_avro_sql) ORDER BY v.name""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("alpha", 7L), ("beta", -1L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT to_avro(struct(name), name) FROM r4_avro_sql").collect()
+    }
+    assert(err.getMessage.contains("to_avro"))
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
