@@ -100,10 +100,46 @@ object DataPrep {
     println(s"train sequences packed into ${
       packed.agg(max(col("last_bin"))).collect()(0).getLong(0) + 1} bins")
 
+    // 6.5 context-window prep: long train docs split into overlapping
+    //     character chunks (the RAG/pretraining window shape) — a narrow
+    //     flatMap, so chunk volume scales with text size, not doc count
+    val chunks = Pipeline.chunkByChars(
+      split.where(col("split") === "train"), chunkChars = 256,
+      overlapChars = 32)
+    println(s"train chunks: ${chunks.count()}")
+
     // 7. per-doc keyword index (TF-IDF top terms) for inspection/search
     val keywords = TextAnalysis.tfidfTopTerms(split, "text", "doc_id",
       k = 3, minDf = 2)
     println(s"keyword index rows: ${keywords.count()}")
+
+    // 7.5 embedding-side prep: random-project embeddings to 8 dims (the
+    //     JL transform — k codegen'd dot products, no shuffle) and
+    //     partition the corpus into semantic cells with a fit-once
+    //     coarse quantizer (two jobs to train, a narrow map to assign)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val projected = graft.ext.Similarity.projectOnBasis(
+      emb, graft.ext.Similarity.gaussianBasis(k = 8, dim = dim))
+    val cells = graft.ext.Similarity.assignCells(
+      emb, graft.ext.Similarity.fitIvf(emb, nlist = 8))
+    println(s"projected ${projected.count()} embeddings to 8 dims; " +
+      s"cells: ${cells.groupBy("cell").count().count()} non-empty")
+
+    // 7.6 wire-format export: the train slice Avro-encoded per record
+    //     (the serde a Kafka producer would apply), written alongside the
+    //     parquet layout for downstream consumers
+    val avroSerde = graft.serde.Serdes.avro(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType))))
+    split.where(col("split") === "train")
+      .select(col("doc_id"),
+        avroSerde.encode(struct(col("text"), col("n_tokens"))).as("value"))
+      .write.mode("overwrite").parquet(s"$outDir-avro")
+    println(s"avro-encoded train records at $outDir-avro")
 
     // 8. partitioned layout for the trainer: one directory per split,
     //    sorted by doc_id inside files — plus a Z-ordered copy clustered
