@@ -447,6 +447,82 @@ class Round4Spec extends SparkSpecBase {
     assert(err.getMessage.contains("to_avro"))
   }
 
+  test("retention requires event time: clear analysis-time error") {
+    import graft.ast._
+    import graft.ast.dsl._
+    import graft.compile.{Compiler, StreamEnv}
+    val ms = MemoryStream[(Long, String)]
+    val env = new StreamEnv(spark,
+      Map("profile" -> ms.toDF().toDF("k", "name")))
+    val node = table("profile", Consumed(keys = Seq("k")),
+      orderBy = Some("name"),
+      materialized = Some(Materialized(retention = Some("10 seconds"))))
+    val err = intercept[IllegalArgumentException] {
+      Compiler.compile(node, env)
+    }
+    assert(err.getMessage.contains("event-time"),
+      s"must name the missing requirement: ${err.getMessage}")
+  }
+
+  test("stream⋈table retention state survives checkpoint kill/restart") {
+    import graft.ast._
+    import graft.ast.dsl._
+    import graft.compile.{Compiler, StreamEnv}
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("r4_ret_ckpt").toString
+    def topo(env: StreamEnv) = Compiler.compile(
+      stream(Seq("clicks"),
+          Consumed(keys = Seq("k"), eventTime = Some("ts")))
+        .leftJoin(table("profile",
+          Consumed(keys = Seq("k"), eventTime = Some("pts")),
+          orderBy = Some("pts")))
+        .withRetention("10 seconds"), env).df
+    // phase 1: seed the table state, then kill
+    val sms1 = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val tms1 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env1 = new StreamEnv(spark, Map(
+      "clicks" -> sms1.toDF().toDF("k", "ts", "click_id"),
+      "profile" -> tms1.toDF().toDF("k", "pts", "name")))
+    val q1 = topo(env1).writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      tms1.addData((1L, ts(100), "v1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: fresh sources, SAME checkpoint — the restored table state
+    // must still enrich, and the restored timeout clock must still evict
+    val sms2 = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val tms2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val env2 = new StreamEnv(spark, Map(
+      "clicks" -> sms2.toDF().toDF("k", "ts", "click_id"),
+      "profile" -> tms2.toDF().toDF("k", "pts", "name")))
+    val q2 = topo(env2).writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      sms2.addData((1L, ts(101), 1001L))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"))).toSet
+      assert(got == Set((1L, "v1")),
+        s"restored state must enrich post-restart: $got")
+      // the eviction clock survives too: push the watermark, key 1 goes
+      sms2.addData((99L, ts(1000), 9L)); tms2.addData((98L, ts(1000), "x"))
+      q2.processAllAvailable()
+      sms2.addData((99L, ts(1001), 10L)); tms2.addData((98L, ts(1001), "x"))
+      q2.processAllAvailable()
+      sms2.addData((1L, ts(1002), 1002L))
+      q2.processAllAvailable()
+      val after = spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"))).toSet
+      assert(after.contains((1L, null)),
+        s"eviction must fire across the restart boundary: $after")
+    } finally q2.stop()
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
