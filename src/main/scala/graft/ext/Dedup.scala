@@ -22,6 +22,17 @@ object Dedup {
   private def parseIntervalMs(interval: String): Long =
     graft.Intervals.toMillis(interval)
 
+  /** Event-time cell → epoch millis, tolerant of TIMESTAMP and
+    * TIMESTAMP_NTZ external types (the fixtures carry both).
+    */
+  private def tsMillis(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case d: java.time.LocalDateTime =>
+      d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case i: java.time.Instant => i.toEpochMilli
+    case _ => Long.MinValue
+  }
+
   /** Exact dedup: group identical normalized text, keep the smallest id.
     * One hash-shuffle; at 100 TB, hash first (xxhash64) so the shuffle key is
     * 8 bytes, not the document: here we group by the hash and carry min(id).
@@ -255,7 +266,7 @@ object Dedup {
             var maxTs = Long.MinValue
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
             it.foreach { case (id, sg, ts, _, _) =>
-              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              if (ts != null) maxTs = math.max(maxTs, tsMillis(ts))
               seen.foreach { case (oid, osig) =>
                 if (oid != id) {
                   val ham = java.lang.Long.bitCount(sg ^ osig)
@@ -367,7 +378,7 @@ object Dedup {
             var maxTs = Long.MinValue
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             it.foreach { case (id, sg, ts, _, _) =>
-              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              if (ts != null) maxTs = math.max(maxTs, tsMillis(ts))
               seen.foreach { case (oid, osig) =>
                 if (oid != id && firstMatchingBand(sg, osig) == thisBand) {
                   val est = estJaccard(sg, osig)

@@ -110,8 +110,17 @@ object Funnel {
       // micros are derived in the kernel instead
       .select(col(userCol).as("user"), col(tsCol).as("ts"),
               col(typeCol).as("t"))
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    // tolerant of TIMESTAMP and TIMESTAMP_NTZ external types
+    def toMicros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case other => throw new IllegalArgumentException(
+        s"windowFunnelStream: unsupported event-time value $other")
+    }
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       Encoders.row(StructType(Seq(
         StructField("user", userType),
@@ -131,8 +140,7 @@ object Funnel {
             // Long.MinValue = depth not reached (null-free state row)
             val acc = state.getOption.getOrElse(Seq.fill(k)(Long.MinValue)).toArray
             val before = acc.count(_ != Long.MinValue)
-            rows.map(r => (toMicros(r.getAs[java.sql.Timestamp](1)),
-                           stepOf(r.getString(2))))
+            rows.map(r => (toMicros(r.get(1)), stepOf(r.getString(2))))
               .sorted.foreach { case (ts, j) =>
                 val chainStart = if (j == 0) ts else acc(j - 1)
                 if (chainStart != Long.MinValue && ts - chainStart <= withinUs)
@@ -141,7 +149,7 @@ object Funnel {
             state.update(acc.toSeq)
             if (withRet) {
               val maxTsMs = rows.iterator
-                .map(r => r.getAs[java.sql.Timestamp](1).getTime)
+                .map(r => toMicros(r.get(1)) / 1000L)
                 .foldLeft(Long.MinValue)(math.max)
               state.setTimeoutTimestamp(math.max(
                 maxTsMs + retMs, state.getCurrentWatermarkMs() + 1L))
