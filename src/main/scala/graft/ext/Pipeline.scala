@@ -262,6 +262,29 @@ object Pipeline {
       .toDF(idCol, "chunk_idx", "chunk_text")
   }
 
+  /** Token-window sibling of [[chunkByChars]]: chunks of `chunkWords`
+    * whitespace tokens advancing by `chunkWords - overlapWords` — the
+    * form a tokenizer-aligned training pipeline uses (a char window can
+    * split mid-word; a token window cannot). Same narrow-flatMap shape:
+    * split once, slice per window, no shuffle.
+    */
+  def chunkByWords(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   chunkWords: Int = 128, overlapWords: Int = 16): DataFrame = {
+    require(overlapWords >= 0 && chunkWords > overlapWords,
+      s"need 0 <= overlap ($overlapWords) < chunk size ($chunkWords)")
+    val stride = chunkWords - overlapWords
+    val toks = split(col(textCol), " ")
+    val nc = greatest(lit(1L),
+      ceil((size(toks) - lit(overlapWords)).cast("double") / stride)
+        .cast("long"))
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), nc - 1), i =>
+          array_join(slice(toks, (i * stride + 1).cast("int"),
+                           lit(chunkWords)), " "))))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+  }
+
   def normalize(textCol: Column): Column =
     trim(regexp_replace(lower(textCol), "[ \\t\\n\\r]+", " "))
 

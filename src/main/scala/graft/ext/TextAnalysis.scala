@@ -123,6 +123,76 @@ object TextAnalysis {
            keep.as("keep"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    * the public MassiveText filter set), complementary to [[c4Rules]]:
+    * where C4 gates on token statistics, Gopher adds layout signals
+    * (bullet/ellipsis line ratios), symbol spam, and a required-stopword
+    * floor. Pure Column expression (single pass over the split arrays,
+    * codegen'd); emits the signals plus the keep verdict so pipelines can
+    * audit WHY a document was dropped — at 100 TB you cannot re-derive
+    * the reason post-hoc.
+    *
+    * Signals:
+    *  - `n_words`, `mean_word_len` (words = space-split non-empties)
+    *  - `symbol_ratio`: (#'#' + #'...') / n_words (symbol spam)
+    *  - `bullet_ratio`: fraction of non-empty lines starting with a
+    *    bullet (`-`, `*`, `•`) after left-trim
+    *  - `ellipsis_ratio`: fraction of non-empty lines ending in `...`
+    *    after right-trim
+    *  - `alpha_word_ratio`: fraction of words containing a letter
+    *  - `stop_hits`: how many of the 8 required stopwords appear
+    *
+    * keep = words∈[minWords,maxWords] ∧ meanWordLen∈[3,10] ∧
+    * symbolRatio≤0.1 ∧ bulletRatio≤0.9 ∧ ellipsisRatio≤0.3 ∧
+    * alphaWordRatio≥0.8 ∧ stopHits≥2 (the published thresholds).
+    */
+  def gopherRules(textCol: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3,
+                  minAlphaWordRatio: Double = 0.8,
+                  minStopHits: Int = 2): Column = {
+    val t = toks(textCol)
+    val n = size(t)
+    val nd = greatest(n.cast("double"), lit(1.0))
+    val lines = filter(split(textCol, "\n"), l => l =!= "")
+    val nl = greatest(size(lines).cast("double"), lit(1.0))
+    val meanWl = round(
+      aggregate(t, lit(0.0), (a, w) => a + length(w)) / nd, 4)
+    val symbolRatio = round(
+      (countOccurrences(textCol, "#") + countOccurrences(textCol, "..."))
+        .cast("double") / nd, 4)
+    val bulletRatio = round(size(filter(lines, l => {
+      val lt = ltrim(l)
+      lt.startsWith("-") || lt.startsWith("*") || lt.startsWith("•")
+    })).cast("double") / nl, 4)
+    val ellipsisRatio = round(size(filter(lines,
+      l => rtrim(l).endsWith("..."))).cast("double") / nl, 4)
+    val alphaRatio = round(size(filter(t,
+      w => w.rlike("[a-zA-Z]"))).cast("double") / nd, 4)
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val lowered = transform(t, w => lower(w))
+    val stopHits = required.map(s =>
+      when(array_contains(lowered, s), 1).otherwise(0)).reduce(_ + _)
+    val keep = n.between(minWords, maxWords) &&
+      meanWl.between(minMeanWordLen, maxMeanWordLen) &&
+      (symbolRatio <= maxSymbolRatio) &&
+      (bulletRatio <= maxBulletRatio) &&
+      (ellipsisRatio <= maxEllipsisRatio) &&
+      (alphaRatio >= minAlphaWordRatio) &&
+      (stopHits >= minStopHits)
+    struct(n.cast("long").as("n_words"),
+           meanWl.as("mean_word_len"),
+           symbolRatio.as("symbol_ratio"),
+           bulletRatio.as("bullet_ratio"),
+           ellipsisRatio.as("ellipsis_ratio"),
+           alphaRatio.as("alpha_word_ratio"),
+           stopHits.cast("long").as("stop_hits"),
+           keep.as("keep"))
+  }
+
   /** Character n-grams of the text (positional, with repeats) — the raw
     * material of n-gram language profiles. Short texts yield the text
     * itself. Native single-loop expression (graftfn.CharNgrams); the

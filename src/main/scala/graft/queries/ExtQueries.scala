@@ -395,6 +395,13 @@ object ExtQueries {
                 col("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
+    "ds_chunk_words" -> { (s, d) =>
+      // token-window chunking (128/16): tokenizer-aligned context prep
+      Pipeline.chunkByWords(docs(s, d), chunkWords = 128, overlapWords = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+                col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
     "ds_mixture" -> { (s, d) =>
       // deterministic data-mixture sampling: keep 50% of en, 25% of de,
       // all of everything else — by portable id hash, reproducible
@@ -447,6 +454,19 @@ object ExtQueries {
         .select(col("doc_id"), col("c4.n_words"), col("c4.mean_word_len"),
                 col("c4.stop_ratio"), col("c4.rep_ratio"),
                 col("c4.max_word_len"), col("c4.keep"))
+        .orderBy(col("doc_id"))
+    },
+    "text_gopher_filter" -> { (s, d) =>
+      // Gopher/MassiveText layout+symbol rule battery (complementary to
+      // the C4 battery): word-count and stop-hit rules discriminate on
+      // this corpus; the layout ratios (bullet/ellipsis/symbol) are
+      // exercised by the spec's synthetic docs
+      docs(s, d)
+        .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+                col("g.symbol_ratio"), col("g.bullet_ratio"),
+                col("g.ellipsis_ratio"), col("g.alpha_word_ratio"),
+                col("g.stop_hits"), col("g.keep"))
         .orderBy(col("doc_id"))
     },
     "dedup_spans" -> { (s, d) =>
@@ -942,6 +962,39 @@ object ExtQueries {
            CAST(count(k.pos) AS BIGINT) AS n_spans_kept
          FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+           FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(toks, w -> length(w))) * 1.0
+             / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) // 3)
+                 * 1.0 / greatest(len(toks), 1), 4) AS symbol_ratio,
+           round(len(list_filter(lns, l ->
+               starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+               OR starts_with(ltrim(l), '•'))) * 1.0
+             / greatest(len(lns), 1), 4) AS bullet_ratio,
+           round(len(list_filter(lns, l -> ends_with(rtrim(l), '...')))
+                 * 1.0 / greatest(len(lns), 1), 4) AS ellipsis_ratio,
+           round(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+                 * 1.0 / greatest(len(toks), 1), 4) AS alpha_word_ratio,
+           CAST(len(list_filter(['the','be','to','of','and','that','have',
+                                 'with'], s -> list_contains(
+                 list_transform(toks, w -> lower(w)), s))) AS BIGINT)
+             AS stop_hits
+           FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+                ellipsis_ratio, alpha_word_ratio, stop_hits,
+                (n_words BETWEEN 50 AND 100000)
+                AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2 AS keep
+         FROM f ORDER BY doc_id""",
     "ds_token_budget" ->
       """WITH c AS (SELECT source, doc_id, n_chars,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1195,6 +1248,18 @@ object ExtQueries {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "sim_topk" -> simBruteSql,
     // exact-recall parameterizations of the ANN plans ≡ brute force
+    "ds_chunk_words" ->
+      """WITH n AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+              m AS (SELECT doc_id, toks,
+                greatest(1, CAST(ceil((len(toks) - 16) / 112.0) AS BIGINT)) AS nc
+              FROM n),
+              s AS (SELECT unnest(range(0, (SELECT CAST(max(nc) AS BIGINT) FROM m))) AS i)
+         SELECT m.doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+                array_to_string(list_slice(m.toks, CAST(s.i*112+1 AS BIGINT),
+                                           CAST(s.i*112+128 AS BIGINT)), ' ') AS chunk_text
+         FROM m, s WHERE s.i < m.nc
+         ORDER BY m.doc_id, s.i""",
     "ds_chunk" ->
       """WITH n AS (SELECT doc_id, text,
                 greatest(1, CAST(ceil((length(text) - 64) / 448.0) AS BIGINT)) AS nc

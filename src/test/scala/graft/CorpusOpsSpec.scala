@@ -32,6 +32,38 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(rows(5L).getAs[Long]("max_word_len") == 30)
   }
 
+  test("gopherRules: layout/symbol rules fire on crafted offenders") {
+    // 60 words with the/of/and present → passes every rule
+    val good = (1 to 57).map(i => s"word$i").mkString(" ") + " the of and"
+    // >90% of lines bullet-led
+    val bullets = (1 to 20).map(i => s"- item$i point$i detail$i")
+      .mkString("\n") + "\nplain the of and " +
+      (1 to 40).map(i => s"w$i").mkString(" ")
+    // >30% of lines end in ellipsis
+    val trailing = (1 to 10).map(i => s"teaser$i cut off here...")
+      .mkString("\n") + "\n" + good
+    // symbol spam: one '#' per word
+    val hashy = (1 to 57).map(i => s"#tag$i").mkString(" ") + " the of and"
+    // words are digit-runs → alpha_word_ratio ≈ 0
+    val numeric = (1 to 57).map(i => s"${i}00${i}").mkString(" ") + " the of and"
+    val df = Seq(
+      (1L, good), (2L, bullets), (3L, trailing), (4L, hashy), (5L, numeric)
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+    val rows = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"))
+    assert(!rows(2L).getAs[Boolean]("keep")) // bullet_ratio 20/21 > 0.9
+    assert(rows(2L).getAs[Double]("bullet_ratio") > 0.9)
+    assert(!rows(3L).getAs[Boolean]("keep")) // ellipsis_ratio 10/11 > 0.3
+    assert(rows(3L).getAs[Double]("ellipsis_ratio") > 0.3)
+    assert(!rows(4L).getAs[Boolean]("keep")) // symbol_ratio 57/60 > 0.1
+    assert(rows(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!rows(5L).getAs[Boolean]("keep")) // alpha_word_ratio 3/60 < 0.8
+    assert(rows(5L).getAs[Double]("alpha_word_ratio") < 0.8)
+    assert(rows(5L).getAs[Long]("stop_hits") == 3L)
+  }
+
   test("dedupSpans cuts corpus-frequent spans, keeps order, rewrites all docs") {
     val boiler = "this site uses cookies accept to continue reading"  // 9 words → spans (8) + (1)
     val spanWords = 4
