@@ -153,39 +153,21 @@ case class OrderedPairs(child: Expression)
   * `array_distinct(transform(sequence, slice+concat_ws))` HOF chain but in
   * a single tight loop per row — the HOF chain walks an interpreted
   * expression tree per element and dominates dedup signature cost.
+  * Codegen emits a direct static call into [[Kernels]] (no interpreted
+  * eval dispatch, no row boxing — the CodegenFallback cost this replaced).
   */
 case class WordShingles(child: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split(' ').filter(_.nonEmpty)
-    val out =
-      if (toks.length < k) Array(toks.mkString(" "))
-      else {
-        val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
-        var i = 0
-        val sb = new java.lang.StringBuilder(64)
-        while (i <= toks.length - k) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          seen.add(sb.toString)
-          i += 1
-        }
-        seen.toArray(new Array[String](seen.size))
-      }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.wordShingles($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -226,23 +208,51 @@ private[graftfn] object PortableHash {
   }
 }
 
-/** Positional character n-grams in one pass: text "abcd", n=3 →
-  * ["abc","bcd"]; texts shorter than n yield the text itself. Same output as
-  * the `transform(sequence(1, length-n+1), i -> substr(i, n))` HOF chain
-  * (codepoint positions, repeats kept) but in a single byte-offset loop per
-  * row — the HOF chain walks an interpreted expression tree per gram and
-  * was the slowest query of round 1 (text_ngram_freq, 11 s).
+/** Static per-row kernels shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths of the string/signature expressions. The
+  * generated code calls these directly — `Kernels.simhash60(value)` — so
+  * the expressions participate in whole-stage codegen: the child value
+  * arrives as a raw `UTF8String`/`ArrayData` from the UnsafeRow with
+  * inline null checks, instead of CodegenFallback's per-row interpreted
+  * `eval()` dispatch. The kernel body runs identical bytecode either way,
+  * keeping oracle results bit-identical.
   */
-case class CharNgrams(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+object Kernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "char_ngrams"
+  private def xx64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+  }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  def wordShingles(input: UTF8String, k: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    val out =
+      if (toks.length < k) Array(toks.mkString(" "))
+      else {
+        val seen = new java.util.LinkedHashSet[String]((toks.length - k + 1) * 2)
+        var i = 0
+        val sb = new java.lang.StringBuilder(64)
+        while (i <= toks.length - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    new GenericArrayData(
+      out.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // codepoint start offsets, computed once (substr-per-gram is O(L) each)
     var chars = 0
@@ -266,30 +276,11 @@ case class CharNgrams(child: Expression, n: Int)
         }
         grams
       }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 60-bit SimHash over whitespace tokens, single pass: for each non-empty
-  * token t, h = PortableHash.h60(t); bit b of h votes ±1 on signature bit b;
-  * signature bit b is set iff the vote sum is positive. Replaces round 1's
-  * explode + packed-16-lane aggregate (one shuffle + Janino-heavy codegen)
-  * with a narrow per-row kernel — and, because the token hash is the
-  * engine-portable md5 form, the whole dedup output is DuckDB-oracle
-  * checkable (exact, since pigeonhole banding has recall 1 by construction).
-  */
-case class SimHash60(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "simhash60"
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  def simhash60(input: UTF8String): Long = {
+    val bytes = input.getBytes
     val counts = new Array[Int](60)
     var i = 0
     while (i <= bytes.length) {
@@ -316,29 +307,8 @@ case class SimHash60(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Winnowing document fingerprints (the MOSS selection) in one pass:
-  * positional word k-shingles → portable 60-bit hash each → minimum per
-  * sliding window of w → distinct, sorted ascending. Fewer than k tokens
-  * hash the whole text; at most w shingles yield the single global minimum.
-  * Positional shingles (repeats kept) are the textbook winnowing input; the
-  * portable hash makes the output DuckDB-oracle checkable.
-  */
-case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(k >= 1 && w >= 1, s"winnow_fingerprint needs k,w >= 1, got k=$k w=$w")
-
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
-  override def prettyName: String = "winnow_fingerprint"
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split(' ').filter(_.nonEmpty)
+  def winnowFingerprint(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
     val hs: Array[Long] =
       if (toks.length < k) {
         val joined = toks.mkString(" ").getBytes("UTF-8")
@@ -375,40 +345,11 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
         }
         m
       }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins.distinct.sorted)
+    new GenericArrayData(mins.distinct.sorted)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Hashed word k-shingle SET in one pass: tokenize on spaces, hash each
-  * k-window with xxhash64 (seed 42 — identical to Spark's `xxhash64`
-  * function on the shingle string), return the distinct hashes sorted
-  * ascending. Replaces the `array_sort(transform(word_shingles(text, k),
-  * xxhash64))` chain (two interpreted HOF walks per row) and produces
-  * exactly the representation [[SortedJaccard]] wants, so the dedup verify
-  * path never materializes shingle strings at all.
-  */
-case class WordShingleHashes(child: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(k >= 1, s"word_shingle_hashes needs k >= 1, got $k")
-
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
-  override def prettyName: String = "word_shingle_hashes"
-
-  private def xx64(s: String): Long = {
-    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        b.length, 42L)
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split(' ').filter(_.nonEmpty)
+  def wordShingleHashes(input: UTF8String, k: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
     val hs: Array[Long] =
       if (toks.length < k) Array(xx64(toks.mkString(" ")))
       else {
@@ -436,9 +377,145 @@ case class WordShingleHashes(child: Expression, k: Int)
       if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(hs, n))
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
+
+  def wordBigramHashes(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    val n = math.max(toks.length - 1, 0)
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = xx64(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhashLanes(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val lanes = as.length
+    val n = arr.numElements()
+    val out = new Array[Long](lanes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var l = 0
+      while (l < lanes) {
+        var z = x * as(l) + bs(l)
+        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 29
+        if (z < out(l)) out(l) = z
+        l += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Positional character n-grams in one pass: text "abcd", n=3 →
+  * ["abc","bcd"]; texts shorter than n yield the text itself. Same output as
+  * the `transform(sequence(1, length-n+1), i -> substr(i, n))` HOF chain
+  * (codepoint positions, repeats kept) but in a single byte-offset loop per
+  * row — the HOF chain walks an interpreted expression tree per gram and
+  * was the slowest query of round 1 (text_ngram_freq, 11 s).
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over whitespace tokens, single pass: for each non-empty
+  * token t, h = PortableHash.h60(t); bit b of h votes ±1 on signature bit b;
+  * signature bit b is set iff the vote sum is positive. Replaces round 1's
+  * explode + packed-16-lane aggregate (one shuffle + Janino-heavy codegen)
+  * with a narrow per-row kernel — and, because the token hash is the
+  * engine-portable md5 form, the whole dedup output is DuckDB-oracle
+  * checkable (exact, since pigeonhole banding has recall 1 by construction).
+  */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.simhash60($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprints (the MOSS selection) in one pass:
+  * positional word k-shingles → portable 60-bit hash each → minimum per
+  * sliding window of w → distinct, sorted ascending. Fewer than k tokens
+  * hash the whole text; at most w shingles yield the single global minimum.
+  * Positional shingles (repeats kept) are the textbook winnowing input; the
+  * portable hash makes the output DuckDB-oracle checkable.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_fingerprint needs k,w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.winnowFingerprint(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = " +
+        s"org.apache.spark.sql.graftfn.Kernels.winnowFingerprint($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed word k-shingle SET in one pass: tokenize on spaces, hash each
+  * k-window with xxhash64 (seed 42 — identical to Spark's `xxhash64`
+  * function on the shingle string), return the distinct hashes sorted
+  * ascending. Replaces the `array_sort(transform(word_shingles(text, k),
+  * xxhash64))` chain (two interpreted HOF walks per row) and produces
+  * exactly the representation [[SortedJaccard]] wants, so the dedup verify
+  * path never materializes shingle strings at all.
+  */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"word_shingle_hashes needs k >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordShingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = " +
+        s"org.apache.spark.sql.graftfn.Kernels.wordShingleHashes($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -453,35 +530,18 @@ case class WordShingleHashes(child: Expression, k: Int)
   * dominated the familiarity operator.
   */
 case class WordBigramHashes(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "word_bigram_hashes"
 
-  private def xx64(s: String): Long = {
-    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        b.length, 42L)
-  }
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordBigramHashes(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .split(' ').filter(_.nonEmpty)
-    val n = math.max(toks.length - 1, 0)
-    val out = new Array[Long](n)
-    val sb = new java.lang.StringBuilder(48)
-    var i = 0
-    while (i < n) {
-      sb.setLength(0)
-      sb.append(toks(i)).append(' ').append(toks(i + 1))
-      out(i) = xx64(sb.toString)
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.wordBigramHashes($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -498,8 +558,7 @@ case class WordBigramHashes(child: Expression)
   * is set by the banding parameters, not the family, for uniform hashes).
   */
 case class MinHashLanes(child: Expression, lanes: Int, seed: Long = 42L)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(lanes >= 1, s"minhash_lanes needs lanes >= 1, got $lanes")
 
   override def dataType: DataType =
@@ -514,25 +573,17 @@ case class MinHashLanes(child: Expression, lanes: Int, seed: Long = 42L)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val (as, bs) = abs
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val out = new Array[Long](lanes)
-    java.util.Arrays.fill(out, Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val x = arr.getLong(i)
-      var l = 0
-      while (l < lanes) {
-        var z = x * as(l) + bs(l)
-        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 29
-        if (z < out(l)) out(l) = z
-        l += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashLanes(input.asInstanceOf[ArrayData], abs._1, abs._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the lane coefficients ride along as reference objects — computed once
+    // at plan time, not per row, and stable across codegen cache hits
+    val asRef = ctx.addReferenceObj("minhashAs", abs._1, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", abs._2, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.minhashLanes(" +
+        s"$c, $asRef, $bsRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

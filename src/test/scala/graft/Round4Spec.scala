@@ -523,6 +523,37 @@ class Round4Spec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  // ---- signature kernels participate in whole-stage codegen ----
+
+  test("signature expressions codegen as direct Kernels calls (no fallback)") {
+    import graft.functions.VectorFunctions._
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate a
+    // projection over LocalRelation eagerly in the driver (no codegen at all)
+    val df = spark.range(2)
+      .select(col("id"),
+              concat(lit("a b c d e f g h "), col("id").cast("string")).as("text"))
+      .select(col("id"), simhash60(col("text")).as("sh"),
+              word_shingle_hashes(col("text"), 3).as("ws"),
+              char_ngrams(col("text"), 3).as("cg"),
+              word_bigram_hashes(col("text")).as("bg"),
+              word_shingles(col("text"), 2).as("sg"),
+              winnow_fingerprint(col("text"), 2, 3).as("wf"))
+      .select(minhash_lanes(col("ws"), 8).as("mh"), col("*"))
+    val gen = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    for (kernel <- Seq("Kernels.simhash60", "Kernels.wordShingleHashes",
+                       "Kernels.charNgrams", "Kernels.wordBigramHashes",
+                       "Kernels.wordShingles", "Kernels.winnowFingerprint",
+                       "Kernels.minhashLanes"))
+      assert(gen.contains(kernel),
+        s"$kernel missing from generated code — expression fell out of codegen")
+    // and the generated code actually compiles and runs (Janino failures
+    // would silently fall back to interpreted eval)
+    val row = df.collect().head
+    assert(row.getSeq[Long](row.fieldIndex("mh")).length == 8)
+    assert(row.getSeq[String](row.fieldIndex("sg")).nonEmpty)
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
