@@ -402,6 +402,13 @@ object ExtQueries {
                 col("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
+    "ds_sample_exact" -> { (s, d) =>
+      // exact-n stratified sample: 3 docs per lang by portable id hash —
+      // deterministic across runs/engines/partitionings (the eval-set draw)
+      Pipeline.sampleExactPerKey(docs(s, d), Seq("lang"), 3, "doc_id")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
     "ds_mixture" -> { (s, d) =>
       // deterministic data-mixture sampling: keep 50% of en, 25% of de,
       // all of everything else — by portable id hash, reproducible
@@ -851,6 +858,15 @@ object ExtQueries {
          SELECT split, CAST(count(*) AS BIGINT) AS n,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM s GROUP BY split ORDER BY split""",
+    "ds_sample_exact" ->
+      """WITH h AS (SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT),
+             doc_id) AS rk
+           FROM documents)
+         SELECT lang, doc_id FROM h WHERE rk <= 3
+         ORDER BY lang, doc_id""",
     "ds_mixture" ->
       """WITH h AS (SELECT lang, doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
