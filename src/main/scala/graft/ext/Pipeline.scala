@@ -322,4 +322,42 @@ object Pipeline {
       .agg(count_distinct(col("s")).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
   }
+
+  /** Column profiling in ONE scan: per column — non-null count, distinct
+    * count, min and max (rendered as strings so heterogeneous column types
+    * stack into one result). The ingest-side sanity report a pipeline runs
+    * before committing a 100 TB batch: null spikes, cardinality collapse,
+    * and range drift all surface here.
+    *
+    * Plan shape: a single Aggregate carrying every per-column statistic at
+    * once — the multiple exact `count_distinct`s compile to one Expand
+    * (row-multiplying, factor ≈ #cols) feeding one partial-agged shuffle of
+    * counters, NOT #cols scans of the table. min/max are computed on the
+    * native type (so numerics order numerically) and cast to string after.
+    * The driver-side `stack` unpivot runs on the single aggregated row.
+    * For trillion-row profiling swap `count_distinct` for
+    * `approx_count_distinct` via `exact = false` — same single-scan plan,
+    * HLL sketches instead of Expand.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val nd: Column => Column =
+      if (exact) count_distinct(_) else approx_count_distinct(_)
+    val aggs = cols.flatMap { c =>
+      val qc = col(c)
+      Seq(count(qc).as(s"${c}__nn"), nd(qc).as(s"${c}__nd"),
+          min(qc).cast("string").as(s"${c}__mn"),
+          max(qc).cast("string").as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`").mkString(", ")
+    one.selectExpr(
+      "`__n` AS n_rows",
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_value, max_value)")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+              col("n_distinct"), col("min_value"), col("max_value"))
+  }
 }

@@ -369,4 +369,34 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_distinct_bigrams"),
            max(col("c")).cast("long").as("top_bigram_count"))
+
+  /** Cross-document duplicate-text fraction: for each document, the share
+    * of its distinct word k-shingles that also occur in at least one other
+    * document. The per-corpus histogram of this statistic is the standard
+    * "how much of my corpus is duplicated text" diagnostic that motivates
+    * span- and document-level dedup (the decision input, where `Dedup.*`
+    * are the actions).
+    *
+    * 100 TB shape: shuffle rows are (8-byte shingle hash, id) — the
+    * one-pass `word_shingle_hashes` signature expression, never shingle
+    * strings; document frequency is a map-side-combined count per hash;
+    * the join back to re-attach df is hash-partitioned on the same key the
+    * aggregation just produced (no second wide exchange of the big side);
+    * the final per-doc rollup partial-aggs again. Set sizes equal the
+    * string-shingle sets modulo 60-bit collisions (~1e-5 at 10⁸ shingles).
+    */
+  def dupShingleStats(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(graft.functions.VectorFunctions.word_shingle_hashes(
+        col(textCol), k)).as("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+           sum(when(col("df") > 1, 1L).otherwise(0L)).cast("long")
+             .as("n_dup_shingles"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+  }
 }

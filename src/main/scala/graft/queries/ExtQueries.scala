@@ -430,6 +430,20 @@ object ExtQueries {
                 col("familiarity"), col("n_known"))
         .orderBy(col("doc_id"))
     },
+    "text_dup_fraction" -> { (s, d) =>
+      // corpus duplication diagnostic: per-doc share of 3-shingles that
+      // appear in >= 2 documents (the decision input for span/doc dedup)
+      TextAnalysis.dupShingleStats(docs(s, d), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_shingles"),
+                col("n_dup_shingles"), col("dup_fraction"))
+        .orderBy(col("doc_id"))
+    },
+    "ds_profile" -> { (s, d) =>
+      // one-scan ingest profiling over every documents column
+      Pipeline.profile(docs(s, d),
+          Seq("doc_id", "lang", "source", "n_chars", "text"))
+        .orderBy(col("col_name"))
+    },
     "ds_pack" -> { (s, d) =>
       // sequence packing into 1024-token bins via the distributed
       // prefix-sum (no single-partition global window)
@@ -878,6 +892,34 @@ object ExtQueries {
                                    ELSE 1000000 END)
          SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
          FROM k GROUP BY lang ORDER BY lang""",
+    "text_dup_fraction" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(toks) < 3
+                THEN [coalesce(array_to_string(toks, ' '), '')]
+                ELSE list_distinct(list_transform(range(len(toks) - 2),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+           END AS sh FROM t),
+         u AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         fr AS (SELECT s, count(*) AS df FROM u GROUP BY s)
+         SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN fr.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_shingles,
+                round(CAST(sum(CASE WHEN fr.df > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS dup_fraction
+         FROM u JOIN fr USING (s)
+         GROUP BY u.doc_id ORDER BY u.doc_id""",
+    "ds_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_value,
+            CAST(max($c) AS VARCHAR) AS max_value FROM documents""")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
     "text_rep_bigram" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

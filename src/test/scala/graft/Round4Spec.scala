@@ -570,4 +570,40 @@ class Round4Spec extends SparkSpecBase {
     // with probability ~0.95; deterministic here (fixed hash seeds)
     assert(out.size >= 49, s"auto-sized filter dropped new docs: ${out.size}")
   }
+
+  // ---- corpus duplication diagnostic ----
+
+  test("dupShingleStats: shared, unique, and short-doc shingles") {
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}
+      (2L, "a b c x"), // shares "a b c" with doc 1
+      (3L, "q r")      // < k tokens → single joined shingle, unshared
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.dupShingleStats(docs, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)), got.toSeq)
+  }
+
+  // ---- one-scan column profiling ----
+
+  test("profile: nulls, distincts, numeric (not lexicographic) min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (9L, "x"), (10L, null), (10L, "y")
+    ).toDF("id", "s")
+    val got = graft.ext.Pipeline.profile(df, Seq("id", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      // numeric min/max: 9 < 10 numerically (lexicographic would flip it)
+      ("id", 3L, 3L, 2L, "9", "10"),
+      ("s", 3L, 2L, 2L, "x", "y")), got.toSeq)
+    // approx tier: same single-scan plan, HLL instead of Expand; counts
+    // exact at this cardinality
+    val approx = graft.ext.Pipeline.profile(df, Seq("id"), exact = false)
+      .collect().head
+    assert(approx.getLong(3) == 2L)
+  }
 }
