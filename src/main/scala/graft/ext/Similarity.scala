@@ -157,6 +157,54 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Diverse top-k via maximal marginal relevance (Carbonell & Goldstein
+    * 1998): greedily pick the candidate maximizing
+    * `lambda * cos(q, c) - (1 - lambda) * max_{s in selected} cos(c, s)`
+    * (rank 1 = pure relevance; ties -> smallest id). The standard
+    * re-ranker for building DIVERSE eval/few-shot sets, where plain top-k
+    * returns k near-duplicates of the same passage.
+    *
+    * Production shape at 100 TB: relevance ranking reduces the corpus to a
+    * per-query shortlist (here [[bruteForceTopK]]; swap in any ANN tier via
+    * [[mmrRerank]]), and the O(shortlist²) diversity pass runs INSIDE one
+    * task per query via the native [[graft.functions.VectorFunctions
+    * .mmr_select]] expression over a `collect_list` — bounded state
+    * (shortlist × dim doubles per query), no driver collect, id type
+    * passed through generically. The greedy result is a pure function of
+    * the candidate set, independent of collect order.
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int,
+                shortlist: Int = 25, lambda: Double = 0.7,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame =
+    mmrRerank(bruteForceTopK(corpus, queries, shortlist, vecCol, idCol),
+      corpus, k, lambda, vecCol, idCol)
+
+  /** MMR diversity pass over an existing shortlist — (query_id,
+    * neighbor_id, cos) from any ranking tier (brute force, LSH, IVF, PQ).
+    * The shortlist is broadcast back onto the corpus to fetch candidate
+    * vectors (corpus stays un-shuffled), then one `mmr_select` per query.
+    */
+  def mmrRerank(shortlist: DataFrame, corpus: DataFrame, k: Int,
+                lambda: Double = 0.7, vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val cand = corpus
+      .select(col(idCol).as("neighbor_id"),
+              col(vecCol).cast("array<double>").as("cv"))
+      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"),
+                                       col("cos"))),
+            Seq("neighbor_id"))
+    cand
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("cos"), col("neighbor_id"), col("cv")))
+        .as("cands"))
+      .select(col("query_id"),
+        explode(graft.functions.VectorFunctions.mmr_select(
+          col("cands"), k, lambda)).as("m"))
+      .select(col("query_id"), col("m.rank").as("rank"),
+              col("m.id").as("neighbor_id"), col("m.score").as("score"))
+  }
+
   /** Trained coarse quantizer for [[ivfTopK]]: `centers(cell)` is the cell's
     * centroid. Driver-small (nlist × dim doubles), serializable into task
     * closures — fit ONCE per corpus with [[fitIvf]] and reuse across every

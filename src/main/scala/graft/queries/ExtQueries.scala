@@ -208,6 +208,16 @@ object ExtQueries {
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "sim_mmr" -> { (s, d) =>
+      // diverse top-8 by maximal marginal relevance over a 25-candidate
+      // shortlist; the oracle unrolls the same greedy loop in SQL
+      val e = emb(s, d)
+      Similarity.mmrSelect(e, e.where(col("vec_id") < 5), k = 8,
+          shortlist = 25, lambda = 0.7)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     // Gate mode = exact-recall parameters: IVF probing every cell and LSH
     // probing every bucket are brute force routed through the ANN plan
     // (identical join/partition shape), so both hash-match the brute-force
@@ -804,6 +814,47 @@ object ExtQueries {
     * for both `sim_ann_*` gate queries (whose exact-recall parameters make
     * the ANN plans candidate-complete, hence ≡ brute force).
     */
+  /** Greedy MMR unrolled to k SQL steps (the loop bound is a compile-time
+    * literal, so the oracle needs no recursion): step 1 is argmax
+    * relevance; step i scores every unselected candidate with a correlated
+    * max-similarity subquery over the union of prior selections — exactly
+    * the incremental max the native expression maintains. `(1 - lam)`
+    * is written as the SQL expression, not a precomputed Scala double, so
+    * both engines evaluate the identical IEEE subtraction.
+    */
+  private def mmrSql(k: Int, shortlist: Int, lam: Double): String = {
+    val steps = (2 to k).map { i =>
+      s"""sc$i AS (SELECT s.query_id, s.id, s.v, s.rel,
+           $lam * s.rel - (1 - $lam) *
+             (SELECT max(list_cosine_similarity(s.v, u.v))
+              FROM selu${i - 1} u WHERE u.query_id = s.query_id) AS score
+           FROM short s
+           WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} u
+             WHERE u.query_id = s.query_id AND u.id = s.id)),
+         sel$i AS (SELECT query_id, id, v, rel, $i AS rank, score FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, id) AS r FROM sc$i) WHERE r = 1),
+         selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+       cand AS (SELECT q.query_id, e.vec_id AS id,
+           CAST(e.embedding AS DOUBLE[]) AS v,
+           list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS rel
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+       short AS (SELECT query_id, id, v, rel FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, id) AS rn FROM cand) WHERE rn <= $shortlist),
+       sel1 AS (SELECT query_id, id, v, rel, 1 AS rank, rel AS score FROM
+         (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, id) AS r FROM short) WHERE r = 1),
+       selu1 AS (SELECT * FROM sel1),
+       $steps
+       SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS neighbor_id,
+              round(score, 6) AS score
+       FROM selu$k ORDER BY query_id, rank"""
+  }
+
   private val simBruteSql: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id < 5),
@@ -1305,6 +1356,7 @@ object ExtQueries {
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
     "sim_topk" -> simBruteSql,
+    "sim_mmr" -> mmrSql(k = 8, shortlist = 25, lam = 0.7),
     // exact-recall parameterizations of the ANN plans ≡ brute force
     "ds_chunk_words" ->
       """WITH n AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -25,11 +25,15 @@ object ExtensionsCheck {
                 size(winnow_fingerprint('a b c d e f g h', 2, 3)) AS w,
                 from_avro(to_avro(struct('v' AS s, 9 AS x),
                                   's STRING, x INT'),
-                          's STRING, x INT').x AS ax
+                          's STRING, x INT').x AS ax,
+                mmr_select(array(
+                    struct(0.9D AS rel, 'a' AS id, array(1.0D, 0.0D) AS v),
+                    struct(0.5D AS rel, 'b' AS id, array(0.0D, 1.0D) AS v)),
+                  2, 0.7)[0].id AS mm
       """).head
     require(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
             r.getInt(3) == 8 && r.getInt(4) == 3 && !r.isNullAt(0) &&
-            r.getInt(5) > 0 && r.getInt(6) == 9,
+            r.getInt(5) > 0 && r.getInt(6) == 9 && r.getString(7) == "a",
       s"extension-resolved functions misbehaved: $r")
     println(s"extensions OK: $r")
     spark.stop()

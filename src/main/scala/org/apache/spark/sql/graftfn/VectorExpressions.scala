@@ -647,6 +647,136 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Greedy maximal-marginal-relevance selection over a collected candidate
+  * shortlist (Carbonell & Goldstein 1998): pick the most relevant candidate
+  * first, then repeatedly the argmax of
+  * `lambda * rel(c) - (1 - lambda) * max_{s in selected} cos(c, s)`
+  * (ties -> smallest id). Input is `array<struct<rel: double, id: T,
+  * vec: array<double>>>` — the shape `collect_list(struct(cos, id, vec))`
+  * produces after a top-k shortlist; output is
+  * `array<struct<rank: int, id: T, score: double>>`.
+  *
+  * The result is independent of the (nondeterministic) collect_list order:
+  * candidates are first sorted by (rel desc, id asc) with a generic
+  * interpreted ordering on the id type, and every argmax breaks ties on id
+  * — so the selection is a pure function of the candidate SET. The id type
+  * is passed through generically (no silent long casts). Runs once per
+  * QUERY (not per corpus row, n = shortlist size, O(n·k) cosines via an
+  * incrementally maintained max-similarity array), so interpreted eval is
+  * not a hot path and codegen is deliberately skipped.
+  */
+case class MmrSelect(child: Expression, k: Int, lambda: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1, s"mmr_select needs k >= 1, got $k")
+  require(lambda >= 0.0 && lambda <= 1.0,
+    s"mmr_select needs lambda in [0, 1], got $lambda")
+
+  import org.apache.spark.sql.types._
+
+  private def idType: DataType = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 3 => s.fields(1).dataType
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 3 &&
+          s.fields(0).dataType == DoubleType &&
+          s.fields(2).dataType.isInstanceOf[ArrayType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mmr_select expects array<struct<rel: double, id, " +
+            s"vec: array<double>>>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("id", idType),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "mmr_select"
+
+  @transient private lazy val idOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType).asInstanceOf[Ordering[Any]]
+
+  private def cos(x: Array[Double], y: Array[Double]): Double = {
+    // same sequential formula as CosineSimilarity (and DuckDB's
+    // list_cosine_similarity) — oracle comparisons stay exact
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rel = new Array[Double](n)
+    val ids = new Array[Any](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 3)
+      rel(i) = s.getDouble(0)
+      ids(i) = s.get(1, idType)
+      vecs(i) = s.getArray(2).toDoubleArray()
+      i += 1
+    }
+    // canonical order: rel desc, id asc — collect_list order is irrelevant
+    val order = Array.range(0, n).sortWith { (a, b) =>
+      if (rel(a) != rel(b)) rel(a) > rel(b) else idOrdering.lt(ids(a), ids(b))
+    }
+    val oml = 1.0 - lambda
+    val selected = new Array[Boolean](n)
+    // max cosine to any selected candidate, maintained incrementally
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = new Array[Any](math.min(k, n))
+    var picked = 0
+    while (picked < out.length) {
+      var best = -1
+      var bestScore = 0.0
+      var j = 0
+      while (j < n) {
+        val c = order(j)
+        if (!selected(c)) {
+          // rank 1 = pure relevance (no selected set to diverge from)
+          val sc = if (picked == 0) rel(c) else lambda * rel(c) - oml * maxSim(c)
+          // strict > : the rel-desc/id-asc scan order makes ties resolve
+          // to the smallest id at equal score
+          if (best < 0 || sc > bestScore ||
+              (sc == bestScore && idOrdering.lt(ids(c), ids(best)))) {
+            best = c; bestScore = sc
+          }
+        }
+        j += 1
+      }
+      selected(best) = true
+      out(picked) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](picked + 1, ids(best), bestScore))
+      var c = 0
+      while (c < n) {
+        if (!selected(c)) {
+          val s = cos(vecs(c), vecs(best))
+          if (s > maxSim(c)) maxSim(c) = s
+        }
+        c += 1
+      }
+      picked += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column face of [[CosineSimilarity]]; casts are inserted by the
     * analyzer (array<float> → array<double>).
@@ -698,6 +828,10 @@ object VectorFunctions {
     ExpressionUtils.column(SortedJaccard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Greedy MMR selection over a collected shortlist (see [[MmrSelect]]). */
+  def mmr_select(cands: Column, k: Int, lambda: Double): Column =
+    ExpressionUtils.column(MmrSelect(ExpressionUtils.expression(cands), k, lambda))
+
   /** Fold a SQL argument that must be a compile-time integer (n-gram size,
     * lane count, window). Accepts any foldable integral expression — so
     * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and
@@ -747,11 +881,33 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_bigram_hashes", exprs => WordBigramHashes(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mmr_select", exprs =>
+        MmrSelect(exprs(0), foldableInt("mmr_select", exprs(1)),
+          foldableDouble("mmr_select", exprs(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "from_avro", exprs =>
         AvroDecode(exprs(0), foldableSchema("from_avro", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "to_avro", exprs =>
         AvroEncode(exprs(0), foldableSchema("to_avro", exprs(1))), "scala_udf")
+  }
+
+  /** Fold a SQL argument that must be a compile-time double (mixture
+    * weight, MMR lambda). Integral literals widen.
+    */
+  def foldableDouble(fn: String, e: Expression): Double = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal numeric argument, got $what: ${e.sql}")
+    if (!e.foldable) fail("a non-constant expression")
+    e.eval() match {
+      case d: java.lang.Double  => d.doubleValue()
+      case f: java.lang.Float   => f.doubleValue()
+      case i: java.lang.Integer => i.doubleValue()
+      case l: java.lang.Long    => l.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case null                 => fail("NULL")
+      case other                => fail(s"a ${other.getClass.getSimpleName}")
+    }
   }
 
   /** Fold a SQL argument that must be a literal schema DDL string (the

@@ -571,6 +571,50 @@ class Round4Spec extends SparkSpecBase {
     assert(out.size >= 49, s"auto-sized filter dropped new docs: ${out.size}")
   }
 
+  // ---- MMR diverse selection ----
+
+  test("mmrSelect: greedy picks the diverse candidate over the redundant one") {
+    // 2-D fixture (a must NOT be parallel to q: if it were, cos(c, a) would
+    // equal rel(c) for every c and all step-2 scores would tie). a leads on
+    // relevance, b is a near-copy of a (cos(a,b) ~0.9999), c is moderately
+    // relevant but diverse. At lambda=0.2: score(b) ~0.2*0.992-0.8*0.9999
+    // = -0.601 < score(c) ~0.2*0.6-0.8*0.685 = -0.428 -> c ranks 2nd.
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f)),   // a: rel ~0.994
+      (11L, Array(0.89f, 0.11f)), // b: rel ~0.992, redundant with a
+      (12L, Array(0.6f, 0.8f))    // c: rel 0.6, diverse
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity
+      .mmrSelect(corpus, queries, k = 3, shortlist = 10, lambda = 0.2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 12L, 11L), s"selection order: $got")
+    // plain relevance top-3 would be (a, b, c) — MMR demoted the near-copy
+    val rel = graft.ext.Similarity
+      .bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(rel == Seq(10L, 11L, 12L), s"relevance order: $rel")
+  }
+
+  test("mmr_select: id types pass through; result collect-order independent") {
+    val corpus = Seq(
+      ("doc-a", Array(1.0f, 0.0f)), ("doc-b", Array(0.99f, 0.14f)),
+      ("doc-c", Array(0.0f, 1.0f)), ("doc-d", Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(("q", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame) = graft.ext.Similarity
+      .mmrSelect(c, queries, k = 3, shortlist = 10, lambda = 0.5,
+        idCol = "vec_id")
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    val base = run(corpus)
+    assert(base.map(_._2).head == "doc-a") // most relevant first
+    assert(base.map(_._2).toSet.size == 3)
+    // different physical ordering/partitioning → identical selection
+    assert(run(corpus.repartition(7).sortWithinPartitions("embedding")) ==
+      base)
+  }
+
   // ---- corpus duplication diagnostic ----
 
   test("dupShingleStats: shared, unique, and short-doc shingles") {
