@@ -32,6 +32,18 @@ object DataPrep {
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"raw docs: ${raw.count()}")
 
+    // 0. ingest sanity gate: one-scan profile — a real pipeline aborts the
+    //    batch here on a null spike or cardinality collapse; plus the
+    //    corpus duplication diagnostic that justifies the dedup stages
+    val prof = Pipeline.profile(raw, Seq("doc_id", "lang", "source", "text"))
+    require(prof.where(col("col_name") === "doc_id")
+      .select(col("n_nonnull") === col("n_rows") &&
+              col("n_distinct") === col("n_rows")).first().getBoolean(0),
+      "ingest gate: doc_id must be non-null and unique")
+    val dupFrac = TextAnalysis.dupShingleStats(raw, "text", "doc_id")
+      .agg(avg(col("dup_fraction"))).first().getDouble(0)
+    println(f"ingest profile OK; mean cross-doc dup fraction $dupFrac%.3f")
+
     // 1. normalize + PII redaction, language ID, quality features
     val normalized = raw.select(
       col("doc_id"), col("lang"), col("source"),
@@ -125,6 +137,12 @@ object DataPrep {
       emb, graft.ext.Similarity.fitIvf(emb, nlist = 8))
     println(s"projected ${projected.count()} embeddings to 8 dims; " +
       s"cells: ${cells.groupBy("cell").count().count()} non-empty")
+
+    // 7.55 diverse few-shot exemplars: MMR re-rank so the picked set is
+    //      not k paraphrases of the nearest neighbor (the eval/ICL draw)
+    val exemplars = graft.ext.Similarity.mmrSelect(
+      emb, emb.where(col("vec_id") < 2), k = 4, shortlist = 16, lambda = 0.7)
+    println(s"mmr exemplars: ${exemplars.count()} picks for 2 queries")
 
     // 7.6 wire-format export: the train slice Avro-encoded per record
     //     (the serde a Kafka producer would apply), written alongside the

@@ -120,6 +120,74 @@ object Pipeline {
       Seq(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
           col(idCol)))
 
+  /** Streaming face of [[sampleExactPerKey]]: maintain, per key, the n rows
+    * with the smallest (portable-hash, id) priority as an incrementally
+    * updated changelog. A hash-priority reservoir is order-independent —
+    * after any prefix of the stream, the sample equals the batch operator
+    * run on the same rows — which is what makes a *deterministic* exact-n
+    * sample possible on an infinite stream (classic reservoir sampling is
+    * arrival-order dependent and needs RNG state).
+    *
+    * Emissions are changelog events (`in_sample` true = the id entered the
+    * sample, false = it was displaced by a smaller priority). Displacement
+    * is permanent for a given id — the key's n-th-smallest threshold only
+    * ever decreases — so the live sample at any point is simply
+    * adds − evictions, no ordering needed.
+    *
+    * 100 TB shape: state is EXACTLY n (priority, id) pairs per key — no
+    * growth with stream length, no watermark required; one shuffle on the
+    * key columns, like every keyed stateful op.
+    */
+  def sampleExactPerKeyStream(df: DataFrame, keyCols: Seq[String], n: Int,
+                              idCol: String, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types._
+    require(n >= 1, s"sampleExactPerKeyStream needs n >= 1, got $n")
+    val pri = portableHash60(concat(col(idCol).cast("string"), lit(salt)))
+    val idType = df.schema(idCol).dataType
+    val prepared = df.select(
+      (keyCols.map(col) :+ col(idCol).as("__id") :+ pri.as("__pri")): _*)
+    val keySchema = StructType(keyCols.map(prepared.schema(_)))
+    val kEnc = Encoders.row(keySchema)
+    val rowEnc = Encoders.row(prepared.schema)
+    // state: the current sample, sorted by (priority, id)
+    val entrySchema = StructType(Seq(
+      StructField("pri", LongType), StructField("id", idType)))
+    val sEnc = Encoders.row(StructType(Seq(
+      StructField("entries", ArrayType(entrySchema)))))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField("id", idType), StructField("in_sample", BooleanType)))
+    val oEnc = Encoders.row(outSchema)
+    val nKeys = keyCols.length
+    implicit val entryOrd: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Long.compare(a.getLong(0), b.getLong(0))
+        if (c != 0) c
+        else a.get(1).asInstanceOf[Comparable[Any]].compareTo(b.get(1))
+      }
+    }
+    prepared
+      .groupByKey(r => Row.fromSeq(keyCols.indices.map(r.get)))(kEnc)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Row, it: Iterator[Row], state: GroupState[Row]) =>
+          val prev: Seq[Row] = state.getOption
+            .map(_.getSeq[Row](0)).getOrElse(Seq.empty)
+          val incoming = it.map(r =>
+            Row(r.getLong(nKeys + 1), r.get(nKeys))).toArray
+          val merged = (prev ++ incoming).distinct.sorted.take(n)
+          if (merged != prev) state.update(Row(merged))
+          val prevIds = prev.map(_.get(1)).toSet
+          val nowIds = merged.map(_.get(1)).toSet
+          val added = merged.iterator.filterNot(e => prevIds(e.get(1)))
+            .map(e => Row.fromSeq(key.toSeq :+ e.get(1) :+ true))
+          val evicted = prev.iterator.filterNot(e => nowIds(e.get(1)))
+            .map(e => Row.fromSeq(key.toSeq :+ e.get(1) :+ false))
+          added ++ evicted
+      }(sEnc, oEnc)
+      .toDF()
+  }
+
   /** Sequence packing for training batches: concatenate documents in id
     * order and assign each its byte/token span — (start offset, first bin,
     * last bin) against a fixed `budget`-token bin width. The global

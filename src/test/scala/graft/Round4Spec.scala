@@ -615,6 +615,35 @@ class Round4Spec extends SparkSpecBase {
       base)
   }
 
+  // ---- streaming exact-n sampling ----
+
+  test("sampleExactPerKeyStream changelog replays to the batch sample") {
+    // hash-priority reservoir: after ANY prefix, adds − evictions must
+    // equal the batch operator over the rows seen so far (order-free)
+    val all = (1 to 60).map(i => (if (i % 2 == 0) "en" else "de", i.toLong))
+    val ms = MemoryStream[(String, Long)]
+    val sampled = graft.ext.Pipeline.sampleExactPerKeyStream(
+      ms.toDF().toDF("lang", "doc_id"), Seq("lang"), 5, "doc_id")
+    val q = sampled.writeStream.format("memory").queryName("res_sample")
+      .outputMode("append").start()
+    try {
+      all.grouped(20).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val events = spark.table("res_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val live = events.collect { case (k, id, true) => (k, id) }.toSet --
+      events.collect { case (k, id, false) => (k, id) }.toSet
+    val batch = graft.ext.Pipeline.sampleExactPerKey(
+        all.toDF("lang", "doc_id"), Seq("lang"), 5, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(live == batch, s"live=$live batch=$batch")
+    assert(live.count(_._1 == "en") == 5 && live.count(_._1 == "de") == 5)
+    // every eviction was preceded by an add (changelog well-formed)
+    val added = events.collect { case (k, id, true) => (k, id) }.toSet
+    assert(events.collect { case (k, id, false) => (k, id) }
+      .forall(added.contains), "eviction without a prior add")
+  }
+
   // ---- corpus duplication diagnostic ----
 
   test("dupShingleStats: shared, unique, and short-doc shingles") {
