@@ -615,6 +615,42 @@ class Round4Spec extends SparkSpecBase {
       base)
   }
 
+  // ---- degenerate inputs: the operator families must not throw ----
+
+  test("empty and undersized inputs degrade gracefully across families") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // dedup: empty corpus → no pairs, no survivors, empty clusters
+    assert(graft.ext.Dedup.minhashPairs(noDocs, "text", "doc_id").count() == 0)
+    assert(graft.ext.Dedup.survivors(noDocs,
+      graft.ext.Dedup.ngramJaccardPairs(noDocs, "text", "doc_id"),
+      "doc_id").count() == 0)
+    // text analysis: empty corpus → empty stats
+    assert(graft.ext.TextAnalysis.dupShingleStats(noDocs, "text", "doc_id")
+      .count() == 0)
+    assert(graft.ext.TextAnalysis.tfidfTopTerms(noDocs, "text", "doc_id")
+      .count() == 0)
+    // profiling an empty frame: one row per column, zero counts, null bounds
+    val p = graft.ext.Pipeline.profile(noDocs, Seq("doc_id", "text"))
+      .orderBy("col_name").collect()
+    assert(p.length == 2 && p.forall(r =>
+      r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0 &&
+      r.isNullAt(4) && r.isNullAt(5)))
+    // sampling: n larger than any stratum returns the whole stratum
+    val tiny = Seq(("en", 1L), ("en", 2L)).toDF("lang", "doc_id")
+    assert(graft.ext.Pipeline.sampleExactPerKey(tiny, Seq("lang"), 10,
+      "doc_id").count() == 2)
+    // similarity: empty queries and k > candidates both stay well-formed
+    val few = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.ext.Similarity.bruteForceTopK(few, noVecs, k = 5)
+      .count() == 0)
+    val mm = graft.ext.Similarity.mmrSelect(few,
+      Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      k = 10, shortlist = 25)
+    assert(mm.count() == 2) // only 2 candidates exist; ranks 1..2
+  }
+
   // ---- streaming exact-n sampling ----
 
   test("sampleExactPerKeyStream changelog replays to the batch sample") {
