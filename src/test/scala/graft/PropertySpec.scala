@@ -300,4 +300,60 @@ class PropertySpec extends SparkSpecBase {
         }
     })
   }
+
+  test("MMR laws: rank-1 relevance, distinctness, permutation invariance") {
+    import spark.implicits._
+    // random small corpora of 2-D float vectors (angles guarantee no
+    // degenerate zero vectors); one query at a random angle
+    val genAngles = Gen.listOfN(8, Gen.choose(0.0, math.Pi * 2))
+    holds(Prop.forAll(genAngles, Gen.choose(0.0, math.Pi * 2),
+                      Gen.choose(0.1, 0.9)) {
+      (angles, qa, lam) =>
+        val corpus = angles.zipWithIndex.map { case (a, i) =>
+          (i.toLong + 10L, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+        }
+        val queries = Seq((1L, Array(math.cos(qa).toFloat,
+                                     math.sin(qa).toFloat)))
+        def run(c: Seq[(Long, Array[Float])]) = graft.ext.Similarity
+          .mmrSelect(c.toDF("vec_id", "embedding"),
+            queries.toDF("vec_id", "embedding"),
+            k = 4, shortlist = 8, lambda = lam)
+          .orderBy("rank")
+          .select("neighbor_id").as[Long].collect().toSeq
+        val picks = run(corpus)
+        val rel = graft.ext.Similarity.bruteForceTopK(
+            corpus.toDF("vec_id", "embedding"),
+            queries.toDF("vec_id", "embedding"), k = 1)
+          .select("neighbor_id").as[Long].head()
+        picks.length == 4 &&
+          picks.distinct.length == 4 &&         // k distinct picks
+          picks.head == rel &&                  // rank 1 = argmax relevance
+          run(scala.util.Random.shuffle(corpus)) == picks // set function
+    })
+  }
+
+  test("dupShingleStats: fraction bounds; disjoint texts share nothing") {
+    import spark.implicits._
+    // texts over disjoint token alphabets per doc → every shingle unique
+    val genN = Gen.choose(2, 6)
+    holds(Prop.forAll(genN, Gen.choose(3, 12)) { (nDocs, wordsPerDoc) =>
+      val docs = (0 until nDocs).map { d =>
+        (d.toLong, (0 until wordsPerDoc).map(w => s"w${d}_$w").mkString(" "))
+      }
+      val stats = graft.ext.TextAnalysis
+        .dupShingleStats(docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      stats.length == nDocs && stats.forall { case (n, dup, f) =>
+        n > 0 && dup == 0 && f == 0.0 // disjoint alphabets: nothing shared
+      } && {
+        // duplicating one doc makes its fraction exactly 1.0
+        val dup = docs ++ Seq((99L, docs.head._2))
+        graft.ext.TextAnalysis
+          .dupShingleStats(dup.toDF("doc_id", "text"), "text", "doc_id")
+          .where(col("id").isin(0L, 99L))
+          .collect().forall(_.getDouble(3) == 1.0)
+      }
+    })
+  }
 }
