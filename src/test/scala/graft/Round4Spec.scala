@@ -615,6 +615,48 @@ class Round4Spec extends SparkSpecBase {
       base)
   }
 
+  // ---- plan-shape guards for the round-4 operators' scale claims ----
+
+  test("profile plans exactly one scan; dup-stats and MMR shuffle narrowly") {
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e f", "de"))
+      .toDF("doc_id", "text", "lang")
+    // profile: the whole report from ONE pass over the input
+    val profPlan = graft.ext.Pipeline.profile(docs, Seq("doc_id", "lang"))
+      .queryExecution.executedPlan.toString
+    assert(!profPlan.contains("CartesianProduct"))
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+                   (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val parquetDir = java.nio.file.Files
+      .createTempDirectory("planguard").toString
+    docs.write.mode("overwrite").parquet(s"$parquetDir/docs")
+    val fileDocs = spark.read.parquet(s"$parquetDir/docs")
+    val prof = graft.ext.Pipeline.profile(fileDocs, Seq("doc_id", "lang", "text"))
+    prof.collect()
+    // count scans in the FINAL adaptive plan only (toString appends the
+    // initial plan as a second section, double-counting every node)
+    val finalPlan = prof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"profile must read the table once, saw $scans scans")
+    // dup-stats: shuffle keys are the 8-byte shingle hashes, never text
+    val dupPlan = graft.ext.TextAnalysis
+      .dupShingleStats(fileDocs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!dupPlan.contains("CartesianProduct") &&
+           !dupPlan.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange hashpartitioning\\(text".r
+      .findFirstIn(dupPlan).isEmpty, "corpus text must not be a shuffle key")
+    // MMR: diversity pass is a bounded collect_list aggregation (object
+    // hash agg), never a pairwise join of the corpus against itself
+    val mmrPlan = graft.ext.Similarity
+      .mmrRerank(graft.ext.Similarity.bruteForceTopK(vecs,
+        vecs.where(col("vec_id") === 1L), k = 2), vecs, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(mmrPlan.contains("ObjectHashAggregate"),
+      s"expected collect_list object agg in:\n$mmrPlan")
+    assert(mmrPlan.contains("mmr_select"))
+  }
+
   // ---- degenerate inputs: the operator families must not throw ----
 
   test("empty and undersized inputs degrade gracefully across families") {
