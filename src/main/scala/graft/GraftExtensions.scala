@@ -76,6 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "mmr_select" -> (es =>
       MmrSelect(es(0), intArg("mmr_select", es(1)),
         VectorFunctions.foldableDouble("mmr_select", es(2)))),
+    "bpe_encode" -> (es =>
+      BpeEncode(es(0), VectorFunctions.foldableMerges("bpe_encode", es(1)))),
     "winnow_fingerprint" -> (es =>
       WinnowFingerprint(es(0), intArg("winnow_fingerprint", es(1)),
         intArg("winnow_fingerprint", es(2)))),

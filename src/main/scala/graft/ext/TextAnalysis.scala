@@ -231,6 +231,21 @@ object TextAnalysis {
   def bpeTokenCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit(bpePattern), lit(0))).cast("long")
 
+  /** Full BPE tokenization against a ranked merge table (merges.txt
+    * convention: earlier pair = higher priority) — the EXACT per-document
+    * token count a trained vocabulary produces, where [[bpeTokenCount]]
+    * and [[subwordEstimate]] are budget approximations. A codegen'd
+    * single-pass expression (graftfn.BpeEncode); the merge table rides
+    * into the generated code as one shared HashMap, so at 100 TB the
+    * encode is a pure map over the scan, no join and no shuffle.
+    */
+  def bpeEncode(textCol: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.VectorFunctions.bpe_encode(textCol, merges)
+
+  def bpeTokenCountExact(textCol: Column,
+                         merges: Seq[(String, String)]): Column =
+    size(bpeEncode(textCol, merges)).cast("long")
+
   /** Winnowing-style document fingerprint: positional word k-shingles,
     * engine-portable 60-bit hashes, minimum per sliding window of w — the
     * classic MOSS selection. Returns the distinct fingerprint array (sorted,

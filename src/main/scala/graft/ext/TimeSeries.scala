@@ -49,4 +49,29 @@ object TimeSeries {
     sum(col(valCol)).over(
       Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
         .rowsBetween(-(window - 1), 0))
+
+  /** Volume-anomaly detection over a resampled series (the reference's
+    * flagship example domain, `examples/ksml/examples/anomaly_detection
+    * .clj`, as a batch diagnostic): z-score each key's bucket counts
+    * against that key's own mean/stddev and keep buckets `zMin` deviations
+    * or more above it. Gap-filled via [[resampleCounts]] first — a quiet
+    * hour is a zero that belongs in the baseline, not a missing row.
+    *
+    * Scale shape: resample's count shuffle, then per-key moments via one
+    * window pass (no second shuffle — the window partitions on the key the
+    * counts already hash by). Population stddev of integer counts keeps
+    * the z-scores engine-portable.
+    */
+  def anomalousWindows(events: DataFrame, keyCol: String, tsCol: String,
+                       bucketSeconds: Long, zMin: Double): DataFrame = {
+    val series = resampleCounts(events, keyCol, tsCol, bucketSeconds)
+    val byKey = Window.partitionBy(col("key"))
+    series
+      .withColumn("mu", avg(col("n")).over(byKey))
+      .withColumn("sigma", stddev_pop(col("n")).over(byKey))
+      .where(col("sigma") > 0 &&
+        (col("n") - col("mu")) / col("sigma") >= zMin)
+      .select(col("key"), col("bucket_start"), col("n"),
+              ((col("n") - col("mu")) / col("sigma")).as("z"))
+  }
 }

@@ -102,6 +102,17 @@ object ExtQueries {
     },
 
     // ---- time series ----
+    "ts_anomaly" -> { (s, d) =>
+      // the reference's flagship example domain (anomaly_detection.clj) as
+      // a batch diagnostic: hourly volume per event type, flag hours >= 2
+      // population-z above that type's own mean (z rounded for the oracle)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      TimeSeries.anomalousWindows(ev, "event_type", "ts",
+          bucketSeconds = 3600L, zMin = 2.0)
+        .select(col("key").as("event_type"), col("bucket_start"), col("n"),
+                round(col("z"), 4).as("z"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
     "ts_resample" -> { (s, d) =>
       // hourly per-user activity grid with gap fill + 3-hour rolling sum:
       // quiet hours appear as explicit zeros (what a fixed-rate model needs)
@@ -1319,6 +1330,26 @@ object ExtQueries {
                 coalesce(s.sum_sq, 0) AS sum_sq
          FROM m LEFT JOIN s ON m.media_id = s.media_id
          ORDER BY m.media_id""",
+    "ts_anomaly" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         z AS (SELECT event_type, bucket, n,
+                 avg(n) OVER (PARTITION BY event_type) AS mu,
+                 stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+               FROM f)
+         SELECT event_type, bucket * 3600 AS bucket_start, n,
+                round((n - mu) / sigma, 4) AS z
+         FROM z WHERE sigma > 0 AND (n - mu) / sigma >= 2.0
+         ORDER BY event_type, bucket_start""",
     "ts_resample" ->
       """WITH e AS (SELECT user_id,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket

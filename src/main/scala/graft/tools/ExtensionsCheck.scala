@@ -29,11 +29,15 @@ object ExtensionsCheck {
                 mmr_select(array(
                     struct(0.9D AS rel, 'a' AS id, array(1.0D, 0.0D) AS v),
                     struct(0.5D AS rel, 'b' AS id, array(0.0D, 1.0D) AS v)),
-                  2, 0.7)[0].id AS mm
+                  2, 0.7)[0].id AS mm,
+                bpe_encode('lower',
+                  array(struct('e','r'), struct('l','o'),
+                        struct('lo','w')))[0] AS bp
       """).head
     require(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
             r.getInt(3) == 8 && r.getInt(4) == 3 && !r.isNullAt(0) &&
-            r.getInt(5) > 0 && r.getInt(6) == 9 && r.getString(7) == "a",
+            r.getInt(5) > 0 && r.getInt(6) == 9 && r.getString(7) == "a" &&
+            r.getString(8) == "low",
       s"extension-resolved functions misbehaved: $r")
     println(s"extensions OK: $r")
     spark.stop()

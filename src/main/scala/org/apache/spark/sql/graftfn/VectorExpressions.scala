@@ -414,6 +414,58 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** GPT-style pre-tokenizer (mirrors TextAnalysis.bpePattern): alternating
+    * letter/digit/punctuation runs, each with an optional leading space.
+    */
+  private val bpePreTokenizer =
+    java.util.regex.Pattern.compile(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")
+
+  /** Byte-pair encoding of one text against a ranked merge table (Sennrich
+    * et al. 2016; the GPT-2 apply-side algorithm): pre-tokenize, split each
+    * pre-token into single-character symbols, then repeatedly merge the
+    * adjacent pair with the LOWEST rank until no adjacent pair is in the
+    * table. `ranks` keys are "left right". One pass per row, no
+    * allocation beyond the symbol buffer — the apply side of BPE is a pure
+    * map, so at 100 TB it rides the scan (the TRAINING side is the
+    * iterative global pair-count loop, out of scope here as everywhere).
+    */
+  def bpeEncode(input: UTF8String,
+                ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = bpePreTokenizer.matcher(input.toString)
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) {
+      val word = m.group()
+      syms.clear()
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        syms += word.substring(i, i + n)
+        i += n
+      }
+      var done = syms.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestAt = -1
+        var j = 0
+        while (j < syms.length - 1) {
+          val r = ranks.get(syms(j) + " " + syms(j + 1))
+          if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+          j += 1
+        }
+        if (bestAt < 0) done = true
+        else {
+          syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+          syms.remove(bestAt + 1)
+          done = syms.length < 2
+        }
+      }
+      syms.foreach(s => out += UTF8String.fromString(s))
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Positional character n-grams in one pass: text "abcd", n=3 →
@@ -647,6 +699,45 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Byte-pair encoding against a fixed ranked merge table (see
+  * [[Kernels.bpeEncode]]): `merges` in priority order, earlier = merged
+  * first, exactly the merges.txt convention (space-separated pair per
+  * line, rank = line number — which also means symbols containing the
+  * separator space, only reachable via explicit space merges, inherit that
+  * format's ambiguity). The table rides into generated code as a reference
+  * object: one HashMap probe per adjacent pair, no per-row rebuild.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(merges.nonEmpty, "bpe_encode needs a non-empty merge table")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      m.putIfAbsent(a + " " + b, Int.box(r))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bpeEncode(input.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+      "java.util.HashMap<String, Integer>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.bpeEncode($c, $ranksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Greedy maximal-marginal-relevance selection over a collected candidate
   * shortlist (Carbonell & Goldstein 1998): pick the most relevant candidate
   * first, then repeatedly the argmax of
@@ -832,6 +923,10 @@ object VectorFunctions {
   def mmr_select(cands: Column, k: Int, lambda: Double): Column =
     ExpressionUtils.column(MmrSelect(ExpressionUtils.expression(cands), k, lambda))
 
+  /** BPE tokens against a ranked merge table (see [[BpeEncode]]). */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(text), merges))
+
   /** Fold a SQL argument that must be a compile-time integer (n-gram size,
     * lane count, window). Accepts any foldable integral expression — so
     * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and
@@ -885,11 +980,35 @@ object VectorFunctions {
         MmrSelect(exprs(0), foldableInt("mmr_select", exprs(1)),
           foldableDouble("mmr_select", exprs(2))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode", exprs =>
+        BpeEncode(exprs(0), foldableMerges("bpe_encode", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "from_avro", exprs =>
         AvroDecode(exprs(0), foldableSchema("from_avro", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "to_avro", exprs =>
         AvroEncode(exprs(0), foldableSchema("to_avro", exprs(1))), "scala_udf")
+  }
+
+  /** Fold a SQL argument that must be a literal array of (left, right)
+    * string pairs — the merge-table shape:
+    * `bpe_encode(t, array(struct('l','o'), struct('lo','w')))`.
+    */
+  def foldableMerges(fn: String, e: Expression): Seq[(String, String)] = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal array<struct<string,string>> merge table, " +
+        s"got: ${e.sql}")
+    if (!e.foldable) fail()
+    (e.eval(), e.dataType) match {
+      case (arr: ArrayData, ArrayType(st: org.apache.spark.sql.types.StructType, _))
+          if st.length == 2 &&
+            st.fields.forall(_.dataType == StringType) =>
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+        }
+      case _ => fail()
+    }
   }
 
   /** Fold a SQL argument that must be a compile-time double (mixture

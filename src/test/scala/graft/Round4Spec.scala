@@ -554,6 +554,39 @@ class Round4Spec extends SparkSpecBase {
     assert(row.getSeq[String](row.fieldIndex("sg")).nonEmpty)
   }
 
+  // ---- full BPE against a ranked merge table ----
+
+  test("bpe_encode: merge priority, segmentation, codegen, SQL face") {
+    import graft.functions.VectorFunctions.bpe_encode
+    // ranks: (e,r)=0 merges before (l,o)=1 before (lo,w)=2
+    val merges = Seq("e" -> "r", "l" -> "o", "lo" -> "w")
+    val df = spark.range(1).select(lit("lower lowers ab12!").as("text"))
+      .select(bpe_encode(col("text"), merges).as("toks"))
+    val got = df.collect().head.getSeq[String](0)
+    // "lower" -> [low, er]; " lowers" -> [" ", low, er, s] (space symbol
+    // unmerged — no space merges in the table); " ab12!" segments into
+    // letter/digit/punct pre-tokens, none merged
+    assert(got == Seq("low", "er", " ", "low", "er", "s",
+                      " ", "a", "b", "1", "2", "!"), got)
+    // participates in whole-stage codegen via the static kernel
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      spark.range(2).select(bpe_encode(concat(lit("lower "),
+        col("id").cast("string")), merges).as("t"))
+        .queryExecution.executedPlan)
+    assert(gen.contains("Kernels.bpeEncode"),
+      "bpe_encode fell out of whole-stage codegen")
+    // SQL face: literal array(struct(...)) merge table
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = spark.sql("""SELECT bpe_encode('lower',
+      array(struct('e','r'), struct('l','o'), struct('lo','w'))) AS t""")
+      .head.getSeq[String](0)
+    assert(viaSql == Seq("low", "er"), viaSql)
+    // exact count operator face
+    val n = spark.range(1).select(graft.ext.TextAnalysis
+      .bpeTokenCountExact(lit("lower lowers"), merges)).head.getLong(0)
+    assert(n == 6L)
+  }
+
   // ---- ADVICE #2: Bloom incremental dedup auto-sizes from the corpus ----
 
   test("incrementalExactBloom: derives filter size from corpus when unset") {
