@@ -9,8 +9,11 @@ import org.apache.spark.sql.types._
   * frame-sample stages. The Spark-side machinery — schema contracts,
   * per-partition batch iteration (the Scala analog of `mapInPandas`
   * batches), partition sizing, column pruning before the heavy stage — is
-  * real and tested; the actual codecs are STUBBED with deterministic fakes
-  * (image/audio libraries are not in this container), each clearly marked.
+  * real and tested. One codec is REAL end-to-end: binary PPM (P6) decode +
+  * nearest-neighbor resize + re-encode in pure JVM ([[decodePpm]],
+  * [[transcodePpm]]); the remaining codecs are STUBBED with deterministic
+  * fakes (image/audio libraries are not in this container), each clearly
+  * marked, behind the same magic-byte dispatch a production decoder uses.
   *
   * At 100 TB: binary payloads never shuffle — decode/featurize are
   * narrow (mapPartitions) stages; only extracted features (fixed-width
@@ -32,11 +35,68 @@ object Multimodal {
     docs.select(col(idCol).as("media_id"),
                 encode(col(textCol), "UTF-8").as("payload"))
 
-  // ---- STUB codec ------------------------------------------------------
-  // A real deployment plugs libjpeg/ffmpeg here; the fake derives metadata
-  // and pixels deterministically from the payload so the pipeline is
-  // testable end-to-end (and oracle-expressible: width/height/channels are
-  // closed-form in n_bytes).
+  // ---- codecs ----------------------------------------------------------
+  // One REAL codec — binary PPM (P6), the image format a bare JVM can parse
+  // and re-encode with no native libraries — plus the deterministic STUB
+  // fake for everything else (libjpeg/ffmpeg are not in this container).
+  // The decode stage sniffs magic bytes like any production dispatcher.
+
+  /** Parse a binary-PPM (P6) payload: ASCII header (`P6`, width, height,
+    * maxval ≤ 255, '#' comments allowed) followed by raw RGB triplets.
+    * Returns (width, height, 3, pixels) or None if the payload is not a
+    * well-formed 8-bit P6 image.
+    */
+  private[ext] def decodePpm(payload: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      return None
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < payload.length &&
+             (Character.isWhitespace(payload(pos)) || payload(pos) == '#')) {
+        if (payload(pos) == '#')
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = -1
+      while (pos < payload.length &&
+             payload(pos) >= '0' && payload(pos) <= '9') {
+        v = math.max(v, 0) * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    pos += 1 // exactly one whitespace byte separates header and raster
+    val need = w.toLong * h * 3
+    if (pos + need > payload.length) None
+    else Some((w, h, 3,
+      java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt)))
+  }
+
+  /** Nearest-neighbor resize of a raw RGB raster to fit maxSide (never
+    * upscales). The real pixel path behind [[transcodePpm]].
+    */
+  private[ext] def resizeRgb(w: Int, h: Int, px: Array[Byte],
+                             maxSide: Int): (Int, Int, Array[Byte]) = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+    val nw = math.max(1, math.ceil(w * scale).toInt)
+    val nh = math.max(1, math.ceil(h * scale).toInt)
+    val out = new Array[Byte](nw * nh * 3)
+    var y = 0
+    while (y < nh) {
+      val sy = math.min(h - 1, (y / scale).toInt)
+      var x = 0
+      while (x < nw) {
+        val sx = math.min(w - 1, (x / scale).toInt)
+        System.arraycopy(px, (sy * w + sx) * 3, out, (y * nw + x) * 3, 3)
+        x += 1
+      }
+      y += 1
+    }
+    (nw, nh, out)
+  }
+
   private[ext] def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val n = payload.length
     val width = (n % 512) + 1
@@ -57,8 +117,39 @@ object Multimodal {
       // per-partition init happens here (codec context in the real impl)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val (w, h, c) = fakeDecode(bytes) // STUB: real codec goes here
+        // sniff magic bytes: P6 decodes for real; other formats hit the stub
+        val (w, h, c) = decodePpm(bytes) match {
+          case Some((pw, ph, pc, _)) => (pw, ph, pc)
+          case None => fakeDecode(bytes) // STUB: libjpeg/ffmpeg goes here
+        }
         Row.fromSeq(r.toSeq :+ Row(w, h, c, bytes.length.toLong))
+      }
+    }
+  }
+
+  /** REAL transcode for P6 payloads: decode, nearest-neighbor resize to
+    * fit `maxSide`, re-encode as P6. Non-PPM rows pass through unchanged
+    * (the dispatcher shape: route by format, never drop). Same narrow
+    * mapPartitions contract as [[decode]] — payloads never shuffle.
+    */
+  def transcodePpm(media: DataFrame, maxSide: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    val idx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(media.schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        decodePpm(bytes) match {
+          case Some((w, h, _, px)) =>
+            val (nw, nh, npx) = resizeRgb(w, h, px, maxSide)
+            val header = s"P6\n$nw $nh\n255\n"
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val out = new Array[Byte](header.length + npx.length)
+            System.arraycopy(header, 0, out, 0, header.length)
+            System.arraycopy(npx, 0, out, header.length, npx.length)
+            Row.fromSeq(r.toSeq.updated(idx, out))
+          case None => r
+        }
       }
     }
   }

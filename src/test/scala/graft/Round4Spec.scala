@@ -554,6 +554,40 @@ class Round4Spec extends SparkSpecBase {
     assert(row.getSeq[String](row.fieldIndex("sg")).nonEmpty)
   }
 
+  // ---- real PPM codec behind the multimodal dispatch ----
+
+  test("PPM decode + nearest-neighbor transcode are real; stub still routes") {
+    // 4x2 P6 with distinct per-pixel RGB triplets (pixel i = (3i,3i+1,3i+2))
+    val px = Array.tabulate(4 * 2 * 3)(_.toByte)
+    val header = "P6\n# crafted\n4 2\n255\n".getBytes("US-ASCII")
+    val ppm = header ++ px
+    val media = Seq((1L, ppm), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val meta = graft.ext.Multimodal.decode(media).orderBy("media_id")
+      .select("meta.width", "meta.height", "meta.channels").collect()
+    assert(meta(0).getInt(0) == 4 && meta(0).getInt(1) == 2 &&
+           meta(0).getInt(2) == 3, s"real PPM decode: ${meta(0)}")
+    // non-PPM payload routed to the deterministic stub (len 12 -> 13x1)
+    assert(meta(1).getInt(0) == 13 && meta(1).getInt(1) == 1)
+    // transcode fit-to-2: scale 0.5 -> 2x1; nearest-neighbor keeps source
+    // pixels (0,0) and (2,0) = triplets starting at byte 0 and 6
+    val out = graft.ext.Multimodal.transcodePpm(media, maxSide = 2)
+      .orderBy("media_id").collect()
+    val resized = out(0).getAs[Array[Byte]](1)
+    val expect = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      px.slice(0, 3) ++ px.slice(6, 9)
+    assert(java.util.Arrays.equals(resized, expect),
+      s"resized=${resized.toSeq} expect=${expect.toSeq}")
+    // decode of the transcoded payload agrees with its new header
+    val meta2 = graft.ext.Multimodal.decode(
+        Seq((1L, resized)).toDF("media_id", "payload"))
+      .select("meta.width", "meta.height").head
+    assert(meta2.getInt(0) == 2 && meta2.getInt(1) == 1)
+    // non-PPM rows pass through transcode untouched
+    assert(java.util.Arrays.equals(out(1).getAs[Array[Byte]](1),
+      "not an image".getBytes("UTF-8")))
+  }
+
   // ---- full BPE against a ranked merge table ----
 
   test("bpe_encode: merge priority, segmentation, codegen, SQL face") {
