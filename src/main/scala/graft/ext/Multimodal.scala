@@ -47,10 +47,19 @@ object Multimodal {
     * well-formed 8-bit P6 image.
     */
   private[ext] def decodePpm(payload: Array[Byte])
-      : Option[(Int, Int, Int, Array[Byte])] = {
-    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      : Option[(Int, Int, Int, Array[Byte])] =
+    parsePpmAt(payload, 0).map { case (w, h, px, _) => (w, h, 3, px) }
+
+  /** One P6 image starting at `start`: (width, height, pixels, end offset).
+    * The end offset is what lets [[samplePpmFrames]] walk a concatenated
+    * frame stream the way a container demuxer walks packets.
+    */
+  private[ext] def parsePpmAt(payload: Array[Byte], start: Int)
+      : Option[(Int, Int, Array[Byte], Int)] = {
+    if (start + 2 > payload.length ||
+        payload(start) != 'P' || payload(start + 1) != '6')
       return None
-    var pos = 2
+    var pos = start + 2
     def nextInt(): Int = {
       while (pos < payload.length &&
              (Character.isWhitespace(payload(pos)) || payload(pos) == '#')) {
@@ -70,8 +79,9 @@ object Multimodal {
     pos += 1 // exactly one whitespace byte separates header and raster
     val need = w.toLong * h * 3
     if (pos + need > payload.length) None
-    else Some((w, h, 3,
-      java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt)))
+    else Some((w, h,
+      java.util.Arrays.copyOfRange(payload, pos, pos + need.toInt),
+      pos + need.toInt))
   }
 
   /** Nearest-neighbor resize of a raw RGB raster to fit maxSide (never
@@ -219,6 +229,154 @@ object Multimodal {
         }
         val n = math.max(1, bytes.length).toFloat
         Row(r.getLong(idIdx), hist.map(_ / n).toSeq)
+      }
+    }
+  }
+
+  /** REAL frame sampling for concatenated-P6 "video" payloads (the
+    * motion-PPM/y4m-style stream: frames back to back, no container): walk
+    * the stream parsing each frame, emit every `stride`-th as a standalone
+    * P6 payload with its frame number. Non-PPM payloads yield no rows —
+    * they belong to [[sampleFrames]]'s byte-stride stub. Demonstrates the
+    * demuxer shape for real: seek is sequential parse, emission is a slice
+    * of the original buffer (no pixel copy).
+    */
+  def samplePpmFrames(media: DataFrame, stride: Int = 1,
+                      payloadCol: String = "payload"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        Iterator.unfold(0) { pos =>
+          parsePpmAt(bytes, pos).map { case (_, _, _, end) =>
+            ((pos, end), end)
+          }
+        }.zipWithIndex.collect { case ((s, e), fno) if fno % stride == 0 =>
+          Row(id, fno, java.util.Arrays.copyOfRange(bytes, s, e))
+        }
+      }
+    }
+  }
+
+  // ---- REAL audio lane: WAV (RIFF/PCM-16) ------------------------------
+
+  /** Parse a RIFF/WAVE payload with a PCM-16 `data` chunk: returns
+    * (sampleRate, channels, interleaved 16-bit samples) or None for
+    * anything that is not canonical 16-bit PCM (compressed codecs stay in
+    * stub territory). Chunk-walks like any RIFF reader — unknown chunks
+    * (LIST, fact, ...) are skipped, not errors.
+    */
+  private[ext] def decodeWav(payload: Array[Byte])
+      : Option[(Int, Int, Array[Short])] = {
+    def ascii(at: Int) = new String(payload, at, 4, "US-ASCII")
+    def le16(at: Int): Int =
+      (payload(at) & 0xff) | ((payload(at + 1) & 0xff) << 8)
+    def le32(at: Int): Int = le16(at) | (le16(at + 2) << 16)
+    if (payload.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    var data: Option[(Int, Int)] = None // (offset, byteLen)
+    while (pos + 8 <= payload.length) {
+      val id = ascii(pos); val size = le32(pos + 4)
+      if (id == "fmt " && size >= 16) {
+        fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12)))
+        bits = le16(pos + 22)
+      } else if (id == "data") {
+        data = Some((pos + 8, math.min(size, payload.length - pos - 8)))
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate)), Some((off, len)))
+          if bits == 16 && ch >= 1 && rate > 0 =>
+        val n = len / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((payload(off + 2 * i) & 0xff) |
+            (payload(off + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some((rate, ch, samples))
+      case _ => None
+    }
+  }
+
+  /** Decode stage for audio payloads: (media_id, sample_rate, channels,
+    * n_samples, duration_s) per decodable WAV row; non-WAV rows are
+    * dropped (the dispatcher would route them to their own codec). Narrow
+    * mapPartitions, payloads never shuffle — same contract as [[decode]].
+    */
+  def decodeAudio(media: DataFrame,
+                  payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_s", DoubleType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](pIdx)).map { case (rate, ch, s) =>
+          val perCh = s.length / ch
+          Row(r.getLong(idIdx), rate, ch, perCh.toLong,
+              perCh.toDouble / rate)
+        }
+      }
+    }
+  }
+
+  /** REAL audio features over PCM frames: per `frameSamples` window of the
+    * first channel — RMS energy (full-scale = 1.0) and zero-crossing rate
+    * (sign changes / (frame length − 1)), the two classic speech/music
+    * discriminators. One row in → n frame rows out, like [[sampleFrames]].
+    */
+  def audioFeatures(media: DataFrame, frameSamples: Int = 512,
+                    payloadCol: String = "payload"): DataFrame = {
+    require(frameSamples >= 2, s"frameSamples must be >= 2, got $frameSamples")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("zcr", DoubleType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        decodeWav(r.getAs[Array[Byte]](pIdx)).iterator.flatMap {
+          case (_, ch, s) =>
+            // first channel of the interleaved stream
+            val mono = Array.tabulate(s.length / ch)(i => s(i * ch))
+            mono.grouped(frameSamples).zipWithIndex
+              .filter(_._1.length == frameSamples)
+              .map { case (frame, fno) =>
+                var sq = 0.0; var flips = 0
+                var i = 0
+                while (i < frame.length) {
+                  val v = frame(i) / 32768.0
+                  sq += v * v
+                  if (i > 0 && (frame(i) < 0) != (frame(i - 1) < 0)) flips += 1
+                  i += 1
+                }
+                Row(id, fno, math.sqrt(sq / frame.length),
+                    flips.toDouble / (frame.length - 1))
+              }
+        }
       }
     }
   }

@@ -588,6 +588,68 @@ class Round4Spec extends SparkSpecBase {
       "not an image".getBytes("UTF-8")))
   }
 
+  // ---- real concatenated-P6 frame sampling ----
+
+  test("samplePpmFrames walks a concatenated-P6 stream like a demuxer") {
+    def frame(shade: Int): Array[Byte] =
+      "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+        Array.fill(6)(shade.toByte)
+    val video = (0 until 5).map(frame).reduce(_ ++ _)
+    val media = Seq((3L, video), (4L, "text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = graft.ext.Multimodal.samplePpmFrames(media, stride = 2)
+      .orderBy("frame_no").collect()
+    assert(got.map(_.getLong(0)).toSet == Set(3L)) // non-PPM yields no rows
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    // each emitted frame is a standalone decodable P6 with its own shade —
+    // checked through the public decode stage (width/height) and raw bytes
+    got.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](2)
+      val meta = graft.ext.Multimodal.decode(
+          Seq((0L, bytes)).toDF("media_id", "payload"))
+        .select("meta.width", "meta.height").head
+      assert(meta.getInt(0) == 2 && meta.getInt(1) == 1)
+      assert(bytes.drop("P6\n2 1\n255\n".length)
+        .forall(_ == r.getInt(1).toByte))
+    }
+  }
+
+  // ---- real WAV audio lane ----
+
+  test("WAV decode and RMS/ZCR features are real DSP on crafted PCM") {
+    // hand-built RIFF/WAVE: PCM-16 mono 8 kHz square wave, amplitude
+    // 16384 (= half scale), period 8 samples, 512 samples total
+    val n = 512
+    val samples = Array.tabulate(n)(i =>
+      if (i % 8 < 4) 16384.toShort else (-16384).toShort)
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    val media = Seq((7L, wav), (8L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val dec = graft.ext.Multimodal.decodeAudio(media).collect()
+    assert(dec.length == 1, "non-WAV rows must be dropped by the audio lane")
+    assert(dec.head.getLong(0) == 7L && dec.head.getInt(1) == 8000 &&
+           dec.head.getInt(2) == 1 && dec.head.getLong(3) == n &&
+           math.abs(dec.head.getDouble(4) - n / 8000.0) < 1e-9)
+    // square wave at half scale: RMS exactly 0.5; sign flips every 4
+    // samples -> 127 flips over 511 comparisons in one 512-sample frame
+    val feats = graft.ext.Multimodal.audioFeatures(media, frameSamples = 512)
+      .collect()
+    assert(feats.length == 1)
+    assert(math.abs(feats.head.getDouble(2) - 0.5) < 1e-12,
+      s"rms=${feats.head.getDouble(2)}")
+    assert(math.abs(feats.head.getDouble(3) - 127.0 / 511) < 1e-12,
+      s"zcr=${feats.head.getDouble(3)}")
+  }
+
   // ---- full BPE against a ranked merge table ----
 
   test("bpe_encode: merge priority, segmentation, codegen, SQL face") {
