@@ -92,6 +92,67 @@ object Pipeline {
     df.where(h < round(greatest(lit(0.0), least(weight, lit(1.0))) * buckets))
   }
 
+  /** Temperature-scaled mixture weights over a key (the multilingual /
+    * multi-domain mixing recipe: sampling probability ∝ mass^α, α ∈ (0,1]
+    * — α=1 keeps the natural distribution, α→0 approaches uniform,
+    * flattening head languages/domains without discarding the tail).
+    * Returns one row per key: (key, mass, p = natural share, q =
+    * temperature share). `mass` defaults to row count; pass a column
+    * (e.g. token counts) to weight by corpus mass instead.
+    *
+    * At 100 TB: ONE scan + one partial-agg shuffle on the key; the
+    * normalizing sums run as a global window over the #keys-row aggregate
+    * (languages/domains — dozens), so the single-partition window frame is
+    * tiny by construction (a crossJoin against `stats.agg(...)` would
+    * re-evaluate the aggregate's lineage and scan the corpus twice).
+    */
+  def mixtureWeights(df: DataFrame, keyCol: String, alpha: Double,
+                     mass: Column = lit(1L)): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    df.groupBy(col(keyCol))
+      .agg(sum(mass).cast("double").as("mass"))
+      .withColumn("qnum", pow(col("mass"), lit(alpha)))
+      .select(col(keyCol), col("mass"),
+              (col("mass") / sum(col("mass")).over(all)).as("p"),
+              (col("qnum") / sum(col("qnum")).over(all)).as("q"))
+  }
+
+  /** Deterministic temperature RESAMPLING to a target budget: per-key rate
+    * r_k = target · q_k / mass_k (q from [[mixtureWeights]]), then each row
+    * is replicated floor(r_k) times plus one more with probability
+    * frac(r_k) — so tail keys UPSAMPLE (epochs 0,1,… mark the copies, the
+    * "seen n times per training epoch" convention) and head keys
+    * downsample, landing the output within one row per key of target in
+    * expectation. The fractional survivor draw is the same portable
+    * hash-threshold as [[sampleByWeight]] (salted with the epoch so
+    * each copy draws independently): no RNG state, reproducible across
+    * runs, engines, and partitionings.
+    *
+    * At 100 TB: the rate table is one tiny broadcast join; replication is
+    * a narrow explode (output size = the budget, by construction — the
+    * explode cannot blow up past target + #keys rows).
+    */
+  def sampleToTemperature(df: DataFrame, keyCol: String, idCol: String,
+                          alpha: Double, target: Long,
+                          mass: Column = lit(1L),
+                          salt: String = ""): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val buckets = 1000000L
+    val rates = mixtureWeights(df, keyCol, alpha, mass)
+      .select(col(keyCol),
+              (lit(target.toDouble) * col("q") / col("mass")).as("rate"))
+    val h = pmod(portableHash60(concat(col(idCol).cast("string"), lit(":"),
+                 col("epoch").cast("string"), lit(salt))), lit(buckets))
+    df.join(broadcast(rates), Seq(keyCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0), ceil(col("rate")).cast("int") - 1)))
+      .where(col("epoch") < floor(col("rate")) ||
+             h < round((col("rate") - floor(col("rate"))) * buckets))
+      .drop("rate")
+  }
+
   /** Keep at most `n` rows per key, by `orderCol` ascending (ties broken by
     * the order column set) — the per-domain / per-source cap that keeps a
     * crawl from being dominated by one site.

@@ -439,6 +439,18 @@ object ExtQueries {
         .agg(count(lit(1)).cast("long").as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))
     },
+    "ds_mixture_temp" -> { (s, d) =>
+      // temperature-scaled resample (α=0.5) to a 400-row budget: head
+      // languages downsample, tail languages upsample with epoch-tagged
+      // copies — the multilingual mixing recipe, deterministic end to end
+      Pipeline.sampleToTemperature(docs(s, d), "lang", "doc_id",
+          alpha = 0.5, target = 400L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+             countDistinct(col("doc_id")).cast("long").as("n_docs"),
+             sum(col("epoch")).cast("long").as("epoch_mass"))
+        .orderBy(col("lang"))
+    },
     "text_rep_bigram" -> { (s, d) =>
       TextAnalysis.topBigramStats(docs(s, d), "text", "doc_id")
         .select(col("id").as("doc_id"), col("n_distinct_bigrams"),
@@ -953,6 +965,25 @@ object ExtQueries {
                                    WHEN 'de' THEN 250000
                                    ELSE 1000000 END)
          SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+         FROM k GROUP BY lang ORDER BY lang""",
+    "ds_mixture_temp" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                    FROM documents GROUP BY lang),
+         q AS (SELECT lang, n, pow(n, 0.5) AS qnum FROM n),
+         tot AS (SELECT sum(qnum) AS qden FROM q),
+         r AS (SELECT lang, (400.0 * (qnum / qden)) / n AS rate FROM q, tot),
+         x AS (SELECT d.doc_id, d.lang, r.rate,
+                 generate_series(0, CAST(ceil(r.rate) AS BIGINT) - 1) AS epochs
+               FROM documents d JOIN r USING (lang)),
+         e AS (SELECT doc_id, lang, rate, unnest(epochs) AS epoch FROM x),
+         k AS (SELECT doc_id, lang, epoch FROM e
+               WHERE epoch < floor(rate)
+                  OR (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)
+                     < round((rate - floor(rate)) * 1000000))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(sum(epoch) AS BIGINT) AS epoch_mass
          FROM k GROUP BY lang ORDER BY lang""",
     "text_dup_fraction" ->
       """WITH t AS (SELECT doc_id,

@@ -886,4 +886,54 @@ class Round4Spec extends SparkSpecBase {
       .collect().head
     assert(approx.getLong(3) == 2L)
   }
+
+  // ---- temperature-scaled mixture resampling ----
+
+  test("mixtureWeights: α=1 is the natural distribution, α<1 flattens") {
+    val df = (Seq.fill(81)("en") ++ Seq.fill(9)("fr") ++ Seq("zh"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+    def w(alpha: Double): Map[String, (Double, Double)] =
+      graft.ext.Pipeline.mixtureWeights(df, "lang", alpha).collect()
+        .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val nat = w(1.0)
+    nat.foreach { case (_, (p, q)) => assert(math.abs(p - q) < 1e-12) }
+    assert(math.abs(nat.values.map(_._2).sum - 1.0) < 1e-12)
+    val cool = w(0.5) // q ∝ sqrt(n): 81/9/1 → 9/3/1 ratios
+    assert(math.abs(cool("en")._2 / cool("zh")._2 - 9.0) < 1e-9)
+    assert(math.abs(cool("en")._2 / cool("fr")._2 - 3.0) < 1e-9)
+    // flattening: head share shrinks, tail share grows, natural p unchanged
+    assert(cool("en")._2 < nat("en")._2 && cool("zh")._2 > nat("zh")._2)
+    assert(math.abs(cool("en")._1 - 81.0 / 91) < 1e-12)
+  }
+
+  test("sampleToTemperature: deterministic epoch-tagged up/downsampling") {
+    val df = (Seq.fill(400)("en") ++ Seq.fill(40)("fr") ++ Seq.fill(10)("zh"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+    val out = graft.ext.Pipeline
+      .sampleToTemperature(df, "lang", "doc_id", alpha = 0.5, target = 300L)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // deterministic: a second run is bit-identical
+    val again = graft.ext.Pipeline
+      .sampleToTemperature(df, "lang", "doc_id", alpha = 0.5, target = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // (id, epoch) never repeats; every id came from the input
+    assert(rows.distinct.length == rows.length)
+    val byLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    // q ∝ sqrt(n): sqrt(400,40,10)=20,6.32,3.16 → rates ≈ 300·q/n =
+    // 0.508, 1.606, 3.212 — en downsamples, fr/zh upsample
+    assert(byLang("en") < 400, s"en must downsample, got ${byLang("en")}")
+    assert(byLang("fr") > 40 && byLang("zh") > 10,
+      s"tail langs must upsample: $byLang")
+    // every row replicates at least floor(rate) times: zh ≥ 3 epochs each
+    val zhEpochs = rows.filter(_._1 == "zh").groupBy(_._2).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(zhEpochs.size == 10 && zhEpochs.values.forall(es =>
+      es.take(3) == Seq(0, 1, 2)), s"zh epochs: $zhEpochs")
+    // budget lands close: expectation is exactly 300, tolerance for the
+    // per-row fractional draws (binomial noise, ~3σ ≈ 30 at these counts)
+    assert(math.abs(rows.length - 300) < 45, s"total ${rows.length}")
+  }
 }
