@@ -246,6 +246,44 @@ object TextAnalysis {
                          merges: Seq[(String, String)]): Column =
     size(bpeEncode(textCol, merges)).cast("long")
 
+  /** Model-based quality scoring: the inference side of a fastText-style
+    * linear classifier (Joulin et al. 2016) — `bias + Σ weight(token)`
+    * over an explicit token array, so callers choose the token space
+    * (whitespace words here; [[charNgrams]] / [[bpeEncode]] outputs
+    * compose). This is the classifier-filter stage pipelines run AFTER
+    * the heuristic rule batteries ([[c4Rules]], [[gopherRules]]):
+    * heuristics gate on surface statistics; a trained linear model gates
+    * on learned token evidence. Training is out of scope (the iterative
+    * global fit), as everywhere — pass the trained weights in.
+    *
+    * A codegen'd single-pass expression (graftfn.LinearScore): the weight
+    * table rides into generated code as one shared UTF8String-keyed
+    * HashMap, so at 100 TB inference is a pure map riding the scan — no
+    * join, no shuffle, no driver loop. Left-to-right summation makes the
+    * score a pure function of the token sequence (engine-reproducible).
+    */
+  def classifierScoreTokens(tokensCol: Column,
+                            weights: Seq[(String, Double)],
+                            bias: Double = 0.0): Column =
+    graft.functions.VectorFunctions.linear_score(tokensCol, weights, bias)
+
+  /** [[classifierScoreTokens]] over whitespace words of raw text. Uses
+    * the codegen'd `split` (NOT [[toks]]'s `filter` HOF, whose
+    * CodegenFallback would knock the projection out of whole-stage
+    * codegen); the kernel skips the empty split-padding tokens itself,
+    * so the score matches the filtered token set exactly.
+    */
+  def classifierScore(textCol: Column, weights: Seq[(String, Double)],
+                      bias: Double = 0.0): Column =
+    classifierScoreTokens(split(textCol, " "), weights, bias)
+
+  /** Sigmoid of [[classifierScore]] — the calibrated keep-probability of
+    * a binary logistic quality model (threshold at e.g. 0.5 to filter).
+    */
+  def classifierProb(textCol: Column, weights: Seq[(String, Double)],
+                     bias: Double = 0.0): Column =
+    lit(1.0) / (lit(1.0) + exp(-classifierScore(textCol, weights, bias)))
+
   /** Winnowing-style document fingerprint: positional word k-shingles,
     * engine-portable 60-bit hashes, minimum per sliding window of w — the
     * classic MOSS selection. Returns the distinct fingerprint array (sorted,

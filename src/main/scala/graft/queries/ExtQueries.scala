@@ -39,6 +39,14 @@ object ExtQueries {
   private def sqModel(s: SparkSession, d: String) =
     sqModels.computeIfAbsent(d, _ => Similarity.fitSq(emb(s, d)))
 
+  // the text_classifier gate's "trained" weight table: fixture vocabulary
+  // tokens with binary-exact weights (multiples of 1/64 — every partial
+  // sum is exactly representable, so Spark's fold and DuckDB's SUM agree
+  // bit-for-bit regardless of order); zzznope exercises the unknown path
+  private val classifierW = Seq("data" -> 0.5, "query" -> 0.25,
+    "fast" -> 0.375, "slow" -> -0.5, "the" -> -0.125, "scan" -> 0.0625,
+    "zzznope" -> 1.0)
+
   val queries: Map[String, Q] = Map(
     // ---- deduplication ----
     "dedup_exact" -> { (s, d) =>
@@ -450,6 +458,16 @@ object ExtQueries {
              countDistinct(col("doc_id")).cast("long").as("n_docs"),
              sum(col("epoch")).cast("long").as("epoch_mass"))
         .orderBy(col("lang"))
+    },
+    "text_classifier" -> { (s, d) =>
+      // model-based quality filter: fastText-style linear inference with a
+      // fixed trained-weight table (binary-exact 1/64 multiples, so the
+      // double sums are exact in any order → cross-engine hashable)
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.classifierScore(col("text"), classifierW,
+            bias = 0.03125).as("score"))
+        .withColumn("keep", col("score") > 0)
+        .orderBy(col("doc_id"))
     },
     "text_rep_bigram" -> { (s, d) =>
       TextAnalysis.topBigramStats(docs(s, d), "text", "doc_id")
@@ -1013,6 +1031,17 @@ object ExtQueries {
             CAST(max($c) AS VARCHAR) AS max_value FROM documents""")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
     },
+    "text_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS tok FROM documents),
+         w(tok, wt) AS (VALUES ('data', CAST(0.5 AS DOUBLE)),
+             ('query', 0.25), ('fast', 0.375), ('slow', -0.5),
+             ('the', -0.125), ('scan', 0.0625), ('zzznope', 1.0)),
+         m AS (SELECT t.doc_id, sum(w.wt) AS s
+               FROM t JOIN w USING (tok) GROUP BY t.doc_id)
+         SELECT d.doc_id, coalesce(m.s, 0.0) + 0.03125 AS score,
+                (coalesce(m.s, 0.0) + 0.03125) > 0 AS keep
+         FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
     "text_rep_bigram" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -466,6 +466,34 @@ object Kernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Linear-model inference over a token array (see [[LinearScore]]):
+    * `bias + Σ w(token)` with a strict left-to-right fold, so the
+    * summation order is a pure function of the token sequence (not of
+    * partitioning or map iteration) — reproducible across runs and
+    * engines. Unknown and EMPTY tokens contribute 0 — empty strings are
+    * split padding, not evidence, and skipping them here lets callers use
+    * the codegen'd `split()` directly (the `filter` HOF that would strip
+    * them is CodegenFallback and would knock the whole projection out of
+    * whole-stage codegen). One O(1) probe per token on `UTF8String` keys
+    * straight off the UnsafeRow — no String decode.
+    */
+  def linearScore(toks: ArrayData,
+                  w: java.util.HashMap[UTF8String, java.lang.Double],
+                  bias: Double): Double = {
+    var acc = bias
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        val v = w.get(t)
+        if (v != null) acc += v.doubleValue()
+      }
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Positional character n-grams in one pass: text "abcd", n=3 →
@@ -738,6 +766,62 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Linear-classifier inference over a token array: `bias + Σ w(token)`,
+  * the apply side of a fastText-style / logistic quality classifier
+  * (Joulin et al. 2016's scoring step — hashed-or-pruned vocabulary,
+  * linear decision function; TRAINING is out of scope here as
+  * everywhere). Token space is the caller's: whitespace words, char
+  * n-grams, or BPE symbols all compose ([[CharNgrams]], [[BpeEncode]]).
+  *
+  * The weight table rides into generated code as a reference object
+  * (`UTF8String`-keyed HashMap, one O(1) probe per token with no string
+  * decode), exactly the [[BpeEncode]] pattern — so at 100 TB inference is
+  * a pure map riding the scan inside whole-stage codegen: no join, no
+  * shuffle, no per-row table rebuild. Vocabularies past broadcast size
+  * belong in the explode + join formulation instead (the caller's choice;
+  * pruned quality-classifier vocabularies are MBs, not GBs).
+  */
+case class LinearScore(child: Expression, weights: Seq[(String, Double)],
+                       bias: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(weights.nonEmpty, "linear_score needs a non-empty weight table")
+  require(weights.forall(_._1.nonEmpty),
+    "linear_score weight tokens must be non-empty (empty tokens are " +
+      "treated as split padding and always score 0)")
+  require(java.lang.Double.isFinite(bias),
+    s"linear_score needs a finite bias, got $bias")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "linear_score"
+
+  @transient private lazy val table:
+      java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      weights.size * 2)
+    weights.foreach { case (t, w) =>
+      m.putIfAbsent(UTF8String.fromString(t), Double.box(w))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.linearScore(input.asInstanceOf[ArrayData], table, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("linearWeights", table,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Double>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".linearScore($c, $tableRef, ${bias}D);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Greedy maximal-marginal-relevance selection over a collected candidate
   * shortlist (Carbonell & Goldstein 1998): pick the most relevant candidate
   * first, then repeatedly the argmax of
@@ -927,6 +1011,12 @@ object VectorFunctions {
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(text), merges))
 
+  /** Linear-classifier score over a token array (see [[LinearScore]]). */
+  def linear_score(toks: Column, weights: Seq[(String, Double)],
+                   bias: Double = 0.0): Column =
+    ExpressionUtils.column(
+      LinearScore(ExpressionUtils.expression(toks), weights, bias))
+
   /** Fold a SQL argument that must be a compile-time integer (n-gram size,
     * lane count, window). Accepts any foldable integral expression — so
     * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and
@@ -983,6 +1073,10 @@ object VectorFunctions {
       "bpe_encode", exprs =>
         BpeEncode(exprs(0), foldableMerges("bpe_encode", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "linear_score", exprs =>
+        LinearScore(exprs(0), foldableWeights("linear_score", exprs(1)),
+          foldableDouble("linear_score", exprs(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "from_avro", exprs =>
         AvroDecode(exprs(0), foldableSchema("from_avro", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -1006,6 +1100,33 @@ object VectorFunctions {
         (0 until arr.numElements()).map { i =>
           val r = arr.getStruct(i, 2)
           (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+        }
+      case _ => fail()
+    }
+  }
+
+  /** Fold a SQL argument that must be a literal array of (token, weight)
+    * pairs — the classifier weight-table shape:
+    * `linear_score(t, array(struct('spam', -0.5), struct('the', 0.25)), 0.0)`.
+    */
+  def foldableWeights(fn: String, e: Expression): Seq[(String, Double)] = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal array<struct<string,double>> weight table, " +
+        s"got: ${e.sql}")
+    if (!e.foldable) fail()
+    (e.eval(), e.dataType) match {
+      case (arr: ArrayData, ArrayType(st: org.apache.spark.sql.types.StructType, _))
+          if st.length == 2 && st.fields(0).dataType == StringType &&
+            (st.fields(1).dataType == DoubleType ||
+              st.fields(1).dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 2)
+          val w = st.fields(1).dataType match {
+            case DoubleType => r.getDouble(1)
+            case d: org.apache.spark.sql.types.DecimalType =>
+              r.getDecimal(1, d.precision, d.scale).toDouble
+          }
+          (r.getUTF8String(0).toString, w)
         }
       case _ => fail()
     }

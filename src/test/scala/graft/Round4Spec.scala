@@ -936,4 +936,48 @@ class Round4Spec extends SparkSpecBase {
     // per-row fractional draws (binomial noise, ~3σ ≈ 30 at these counts)
     assert(math.abs(rows.length - 300) < 45, s"total ${rows.length}")
   }
+
+  // ---- fastText-style linear classifier inference ----
+
+  test("classifierScore: exact fold, unknowns, empty text, codegen, SQL face") {
+    import graft.ext.TextAnalysis
+    val w = Seq("good" -> 0.5, "bad" -> -0.75, "the" -> 0.0625)
+    val got = Seq((1L, "the good good nope"), (2L, "bad"), (3L, ""),
+                  (4L, "zz zz")).toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.classifierScore(col("text"), w, bias = 0.125).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.125 + 0.0625 + 0.5 + 0.5) // repeats each count
+    assert(got(2L) == 0.125 - 0.75)
+    assert(got(3L) == 0.125)                      // empty text -> bias only
+    assert(got(4L) == 0.125)                      // all-unknown -> bias only
+    // prob face: zero margin is exactly p = 0.5
+    val p = Seq("zz").toDF("text")
+      .select(TextAnalysis.classifierProb(col("text"), w)).head.getDouble(0)
+    assert(math.abs(p - 0.5) < 1e-12)
+    // participates in whole-stage codegen via the shared static kernel
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      spark.range(2).select(TextAnalysis.classifierScore(
+        concat(lit("good "), col("id").cast("string")), w).as("s"))
+        .queryExecution.executedPlan)
+    assert(gen.contains("Kernels.linearScore"),
+      "linear_score fell out of whole-stage codegen")
+    // SQL face: literal array(struct(token, weight)) — double and decimal
+    // literal tables both fold
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT linear_score(array('good', 'bad', 'zz'),
+           array(struct('good', CAST(0.5 AS DOUBLE)), struct('bad', -0.75)),
+           0.25) AS s""").head.getDouble(0)
+    assert(viaSql == 0.25 + 0.5 - 0.75)
+    val viaDec = spark.sql(
+      """SELECT linear_score(array('a', 'a'), array(struct('a', 0.5)), 0.0)
+           AS s""").head.getDouble(0)
+    assert(viaDec == 1.0)
+    // non-literal weight table is an analysis-time error, not a CCE
+    val err = intercept[Exception](spark.sql(
+      """SELECT linear_score(array('a'), array(struct(text, 0.5)), 0.0)
+         FROM VALUES ('a') AS t(text)""").collect())
+    assert(err.getMessage.contains("linear_score"), err.getMessage)
+  }
 }
