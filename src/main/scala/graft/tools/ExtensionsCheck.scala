@@ -32,12 +32,15 @@ object ExtensionsCheck {
                   2, 0.7)[0].id AS mm,
                 bpe_encode('lower',
                   array(struct('e','r'), struct('l','o'),
-                        struct('lo','w')))[0] AS bp
+                        struct('lo','w')))[0] AS bp,
+                linear_score(array('good', 'bad'),
+                  array(struct('good', CAST(0.5 AS DOUBLE)),
+                        struct('bad', -0.25)), 0.125) AS ls
       """).head
     require(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
             r.getInt(3) == 8 && r.getInt(4) == 3 && !r.isNullAt(0) &&
             r.getInt(5) > 0 && r.getInt(6) == 9 && r.getString(7) == "a" &&
-            r.getString(8) == "low",
+            r.getString(8) == "low" && r.getDouble(9) == 0.375,
       s"extension-resolved functions misbehaved: $r")
     println(s"extensions OK: $r")
     spark.stop()
