@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "linear_score" -> (es =>
       LinearScore(es(0), VectorFunctions.foldableWeights("linear_score", es(1)),
         VectorFunctions.foldableDouble("linear_score", es(2)))),
+    "linear_score_hashed" -> (es =>
+      LinearScoreHashed(es(0),
+        VectorFunctions.foldableDoubles("linear_score_hashed", es(1)),
+        VectorFunctions.foldableDouble("linear_score_hashed", es(2)))),
     "winnow_fingerprint" -> (es =>
       WinnowFingerprint(es(0), intArg("winnow_fingerprint", es(1)),
         intArg("winnow_fingerprint", es(2)))),

@@ -284,6 +284,18 @@ object TextAnalysis {
                      bias: Double = 0.0): Column =
     lit(1.0) / (lit(1.0) + exp(-classifierScore(textCol, weights, bias)))
 
+  /** Hashing-trick variant of [[classifierScore]] (Weinberger et al.
+    * 2009; fastText's bucket mechanism): each token contributes
+    * `bucketWeights(h60(token) mod buckets)` — no explicit vocabulary, so
+    * model memory is fixed at any vocab size; collisions are a training-
+    * time concern, not an inference-time one. The engine-portable
+    * md5-derived hash keeps hashed-model scores oracle-checkable.
+    */
+  def classifierScoreHashed(textCol: Column, bucketWeights: Seq[Double],
+                            bias: Double = 0.0): Column =
+    graft.functions.VectorFunctions.linear_score_hashed(
+      split(textCol, " "), bucketWeights, bias)
+
   /** Winnowing-style document fingerprint: positional word k-shingles,
     * engine-portable 60-bit hashes, minimum per sliding window of w — the
     * classic MOSS selection. Returns the distinct fingerprint array (sorted,

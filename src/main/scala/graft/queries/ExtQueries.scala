@@ -47,6 +47,12 @@ object ExtQueries {
     "fast" -> 0.375, "slow" -> -0.5, "the" -> -0.125, "scan" -> 0.0625,
     "zzznope" -> 1.0)
 
+  // 16 hashed-bucket weights for text_classifier_hashed, same 1/64-multiple
+  // exactness argument; the SQL oracle indexes the identical literal list
+  private val classifierBuckets = Seq(0.5, -0.25, 0.125, -0.5, 0.375,
+    -0.125, 0.0625, -0.375, 0.25, -0.0625, 0.4375, -0.4375, 0.1875,
+    -0.1875, 0.3125, -0.3125)
+
   val queries: Map[String, Q] = Map(
     // ---- deduplication ----
     "dedup_exact" -> { (s, d) =>
@@ -467,6 +473,14 @@ object ExtQueries {
           TextAnalysis.classifierScore(col("text"), classifierW,
             bias = 0.03125).as("score"))
         .withColumn("keep", col("score") > 0)
+        .orderBy(col("doc_id"))
+    },
+    "text_classifier_hashed" -> { (s, d) =>
+      // hashing-trick inference: 16 buckets over the portable 60-bit hash,
+      // every token votes — the fixed-memory form of the linear model
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.classifierScoreHashed(col("text"), classifierBuckets,
+            bias = -0.0625).as("score"))
         .orderBy(col("doc_id"))
     },
     "text_rep_bigram" -> { (s, d) =>
@@ -1041,6 +1055,19 @@ object ExtQueries {
                FROM t JOIN w USING (tok) GROUP BY t.doc_id)
          SELECT d.doc_id, coalesce(m.s, 0.0) + 0.03125 AS score,
                 (coalesce(m.s, 0.0) + 0.03125) > 0 AS keep
+         FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
+    "text_classifier_hashed" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS tok FROM documents),
+         b AS (SELECT doc_id,
+                 CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 16
+                   AS INTEGER) AS bucket FROM t),
+         w AS (SELECT [0.5, -0.25, 0.125, -0.5, 0.375, -0.125, 0.0625,
+                       -0.375, 0.25, -0.0625, 0.4375, -0.4375, 0.1875,
+                       -0.1875, 0.3125, -0.3125]::DOUBLE[] AS arr),
+         m AS (SELECT b.doc_id, sum(w.arr[b.bucket + 1]) AS s
+               FROM b, w GROUP BY b.doc_id)
+         SELECT d.doc_id, coalesce(m.s, 0.0) - 0.0625 AS score
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
     "text_rep_bigram" ->
       """WITH t AS (SELECT doc_id,

@@ -494,6 +494,28 @@ object Kernels {
     }
     acc
   }
+
+  /** Hashing-trick variant of [[linearScore]] (see [[LinearScoreHashed]]):
+    * every non-empty token contributes `w[h60(token) mod buckets]` — no
+    * explicit vocabulary, collision-tolerant, the mechanism that lets a
+    * linear text model keep a fixed memory footprint at any vocabulary
+    * size. The engine-portable md5-derived hash keeps the bucket
+    * assignment (and so the score) DuckDB-oracle-checkable.
+    */
+  def linearScoreHashed(toks: ArrayData, w: Array[Double],
+                        bias: Double): Double = {
+    var acc = bias
+    val m = w.length
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0)
+        acc += w((PortableHash.h60(t) % m).toInt) // h60 is non-negative
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Positional character n-grams in one pass: text "abcd", n=3 →
@@ -822,6 +844,46 @@ case class LinearScore(child: Expression, weights: Seq[(String, Double)],
     copy(child = newChild)
 }
 
+/** Hashing-trick linear inference (Weinberger et al. 2009; fastText's
+  * bucket mechanism): `bias + Σ w[h60(token) mod buckets]` over a token
+  * array — no explicit vocabulary, fixed memory at any vocab size,
+  * collisions tolerated by the model's training. The bucket-weight array
+  * rides into generated code as a `double[]` reference object; the
+  * engine-portable md5-derived hash ([[PortableHash]]) makes the bucket
+  * assignment reproducible in DuckDB, so hashed-model scores remain
+  * oracle-checkable. Same empty-token-skipping contract as
+  * [[LinearScore]].
+  */
+case class LinearScoreHashed(child: Expression, weights: Seq[Double],
+                             bias: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(weights.nonEmpty, "linear_score_hashed needs a non-empty bucket array")
+  require(weights.forall(java.lang.Double.isFinite) &&
+      java.lang.Double.isFinite(bias),
+    "linear_score_hashed needs finite bucket weights and bias")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "linear_score_hashed"
+
+  @transient private lazy val table: Array[Double] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.linearScoreHashed(input.asInstanceOf[ArrayData], table, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bucketWeights", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".linearScoreHashed($c, $tableRef, ${bias}D);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Greedy maximal-marginal-relevance selection over a collected candidate
   * shortlist (Carbonell & Goldstein 1998): pick the most relevant candidate
   * first, then repeatedly the argmax of
@@ -1017,6 +1079,12 @@ object VectorFunctions {
     ExpressionUtils.column(
       LinearScore(ExpressionUtils.expression(toks), weights, bias))
 
+  /** Hashing-trick linear score (see [[LinearScoreHashed]]). */
+  def linear_score_hashed(toks: Column, weights: Seq[Double],
+                          bias: Double = 0.0): Column =
+    ExpressionUtils.column(
+      LinearScoreHashed(ExpressionUtils.expression(toks), weights, bias))
+
   /** Fold a SQL argument that must be a compile-time integer (n-gram size,
     * lane count, window). Accepts any foldable integral expression — so
     * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and
@@ -1077,6 +1145,11 @@ object VectorFunctions {
         LinearScore(exprs(0), foldableWeights("linear_score", exprs(1)),
           foldableDouble("linear_score", exprs(2))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "linear_score_hashed", exprs =>
+        LinearScoreHashed(exprs(0),
+          foldableDoubles("linear_score_hashed", exprs(1)),
+          foldableDouble("linear_score_hashed", exprs(2))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "from_avro", exprs =>
         AvroDecode(exprs(0), foldableSchema("from_avro", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -1128,6 +1201,24 @@ object VectorFunctions {
           }
           (r.getUTF8String(0).toString, w)
         }
+      case _ => fail()
+    }
+  }
+
+  /** Fold a SQL argument that must be a literal array of numbers — the
+    * hashed-bucket weight shape: `linear_score_hashed(t, array(0.5, -0.25),
+    * 0.0)`. Decimal literals widen to double.
+    */
+  def foldableDoubles(fn: String, e: Expression): Seq[Double] = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal array of numbers, got: ${e.sql}")
+    if (!e.foldable) fail()
+    (e.eval(), e.dataType) match {
+      case (arr: ArrayData, ArrayType(DoubleType, _)) =>
+        arr.toDoubleArray().toSeq
+      case (arr: ArrayData, ArrayType(d: org.apache.spark.sql.types.DecimalType, _)) =>
+        (0 until arr.numElements())
+          .map(i => arr.getDecimal(i, d.precision, d.scale).toDouble)
       case _ => fail()
     }
   }

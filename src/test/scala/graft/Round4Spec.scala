@@ -980,4 +980,43 @@ class Round4Spec extends SparkSpecBase {
          FROM VALUES ('a') AS t(text)""").collect())
     assert(err.getMessage.contains("linear_score"), err.getMessage)
   }
+
+  test("classifierScoreHashed: kernel agrees with a composed HOF formulation") {
+    import graft.ext.{Pipeline, TextAnalysis}
+    val w = Seq(0.5, -0.25, 0.125, -0.5, 0.375, -0.125, 0.0625, -0.375)
+    val texts = Seq((1L, "alpha beta gamma alpha"), (2L, "  delta  "),
+                    (3L, ""), (4L, "x y z w v u t s r q p"))
+      .toDF("id", "text")
+    // independent formulation from existing primitives: explicit filtered
+    // tokens -> portableHash60 mod 8 -> literal-array lookup -> fold
+    val warr = array(w.map(lit): _*)
+    val composed = texts.select(col("id"), aggregate(
+      transform(filter(split(col("text"), " "), t => t =!= ""),
+        t => element_at(warr,
+          (pmod(Pipeline.portableHash60(t), lit(8)) + 1).cast("int"))),
+      lit(0.25), (acc, x) => acc + x).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kernel = texts.select(col("id"),
+        TextAnalysis.classifierScoreHashed(col("text"), w, bias = 0.25).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel == composed, s"kernel $kernel vs composed $composed")
+    assert(kernel(3L) == 0.25) // empty text -> bias
+    // stays in whole-stage codegen
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      spark.range(2).select(TextAnalysis.classifierScoreHashed(
+        concat(lit("tok "), col("id").cast("string")), w).as("s"))
+        .queryExecution.executedPlan)
+    assert(gen.contains("Kernels.linearScoreHashed"),
+      "linear_score_hashed fell out of whole-stage codegen")
+    // SQL face with a literal double array
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT linear_score_hashed(array('alpha', ''),
+           array(CAST(0.5 AS DOUBLE), -0.25), 0.125) AS s""").head.getDouble(0)
+    // expected bucket from the md5-derived 60-bit hash, recomputed here
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8"))
+    val h60 = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (dig(i) & 0xffL)) >>> 4
+    assert(viaSql == 0.125 + (if (h60 % 2 == 0) 0.5 else -0.25))
+  }
 }
