@@ -93,11 +93,21 @@ object DataPrep {
       .where(col("doc_id") >= 10)
     println(s"after decontamination: ${clean.count()}")
 
+    // 5.5 model-based quality gate: fastText-style linear inference (the
+    //     weights would come from a trained model — explicit-vocab form
+    //     here, the hashed form needs no vocab at all). A codegen'd pure
+    //     map riding the scan: no join, no shuffle.
+    val gated = clean.withColumn("clf_score",
+        TextAnalysis.classifierScore(col("text"),
+          Seq("data" -> 0.5, "query" -> 0.25, "slow" -> -0.5), bias = 0.125))
+      .where(col("clf_score") > -0.25)
+    println(s"after classifier gate: ${gated.count()}")
+
     // 6. quality-weighted subsample (longer docs more likely kept — stand-in
     //    for a model quality score), then leakage-safe split (near-dup
     //    cluster members share a split) + per-source token budget +
     //    token-budget packing of the train slice
-    val weighted = Pipeline.sampleByWeight(clean,
+    val weighted = Pipeline.sampleByWeight(gated,
       least(col("n_tokens").cast("double") / lit(20.0), lit(1.0)), "doc_id")
     println(s"after weighted subsample: ${weighted.count()}")
     val split = Pipeline.splitByCluster(weighted, pairs, "doc_id",
@@ -111,6 +121,15 @@ object DataPrep {
       TextAnalysis.tokenCount(col("text")), budget = 1024)
     println(s"train sequences packed into ${
       packed.agg(max(col("last_bin"))).collect()(0).getLong(0) + 1} bins")
+
+    // 6.9 temperature-flattened language mix of the train slice (α=0.5):
+    //     head languages downsample, tail languages upsample with
+    //     epoch-tagged copies — deterministic, budget-bounded output
+    val mixed = Pipeline.sampleToTemperature(
+      split.where(col("split") === "train"), "lang", "doc_id",
+      alpha = 0.5, target = 200L)
+    println(s"temperature mix: ${mixed.count()} rows, " +
+      s"max epoch ${mixed.agg(max(col("epoch"))).collect()(0).getInt(0)}")
 
     // 6.5 context-window prep: long train docs split into overlapping
     //     character chunks (the RAG/pretraining window shape) — a narrow
