@@ -1019,4 +1019,26 @@ class Round4Spec extends SparkSpecBase {
     val h60 = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (dig(i) & 0xffL)) >>> 4
     assert(viaSql == 0.125 + (if (h60 % 2 == 0) 0.5 else -0.25))
   }
+
+  test("classifierScore: streaming face scores identically to batch") {
+    import graft.ext.TextAnalysis
+    val w = Seq("good" -> 0.5, "bad" -> -0.75)
+    val texts = Seq((1L, "good good"), (2L, "bad x"), (3L, ""))
+    val score = TextAnalysis.classifierScore(col("text"), w, bias = 0.25)
+    val batch = texts.toDF("id", "text").select(col("id"), score.as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the classifier is a stateless narrow map, so it runs unmodified in
+    // a streaming projection — no watermark, no state
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "text").select(col("id"), score.as("s"))
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
