@@ -356,4 +356,31 @@ class PropertySpec extends SparkSpecBase {
       }
     })
   }
+
+  test("linear classifier kernels equal a driver-side reference fold") {
+    import graft.functions.VectorFunctions.{linear_score, linear_score_hashed}
+    // weights are 1/64 multiples, so every partial sum is exact and the
+    // equality below is == on doubles, not a tolerance check
+    val vocab = Seq("a", "b", "cd", "efg", "zz", "q1")
+    val tokGen = Gen.listOf(Gen.oneOf(vocab :+ ""))
+    val wGen = Gen.nonEmptyMap(
+      Gen.zip(Gen.oneOf(vocab), Gen.choose(-32, 32).map(_ / 64.0)))
+    val buckets = Seq(0.5, -0.25, 0.125, -0.5, 0.375, -0.125, 0.0625, -0.375)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL)) >>> 4
+    }
+    holds(Prop.forAll(tokGen, wGen) { (toks, w) =>
+      val arr = lit(toks.toArray)
+      val row = spark.range(1).select(
+        linear_score(arr, w.toSeq, bias = 0.125).as("s"),
+        linear_score_hashed(arr, buckets, bias = -0.25).as("sh")).head
+      val nonEmpty = toks.filter(_.nonEmpty)
+      row.getDouble(0) ==
+        0.125 + nonEmpty.map(t => w.getOrElse(t, 0.0)).sum &&
+      row.getDouble(1) ==
+        -0.25 + nonEmpty.map(t => buckets((h60(t) % buckets.size).toInt)).sum
+    })
+  }
 }
