@@ -139,6 +139,11 @@ object Pipeline {
                           mass: Column = lit(1L),
                           salt: String = ""): DataFrame = {
     require(target > 0, s"target must be positive, got $target")
+    // the output gains an `epoch` column and `rate` is used internally;
+    // silently replacing a caller's columns of those names would corrupt
+    // their data — fail fast instead
+    Seq("epoch", "rate").foreach(c => require(!df.columns.contains(c),
+      s"sampleToTemperature adds a '$c' column; rename the input's '$c' first"))
     val buckets = 1000000L
     val rates = mixtureWeights(df, keyCol, alpha, mass)
       .select(col(keyCol),
