@@ -30,11 +30,20 @@ object Pipeline {
     * cumulative-bucket widths over 1e6 buckets; rows hash into the first
     * label whose cumulative range contains them.
     */
+  /** Ops that add or consume working columns fail fast on a name
+    * collision instead of silently replacing or dropping caller data
+    * (`withColumn`/`drop` would, with no warning).
+    */
+  private def requireFresh(df: DataFrame, op: String, cols: String*): Unit =
+    cols.foreach(c => require(!df.columns.contains(c),
+      s"$op adds or consumes a '$c' column; rename the input's '$c' first"))
+
   def splitByHash(df: DataFrame, idCol: String,
                   fractions: Seq[(String, Double)],
                   salt: String = ""): DataFrame = {
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    requireFresh(df, "splitByHash", "split")
     val buckets = 1000000L
     val h = pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
                  lit(buckets))
@@ -139,11 +148,7 @@ object Pipeline {
                           mass: Column = lit(1L),
                           salt: String = ""): DataFrame = {
     require(target > 0, s"target must be positive, got $target")
-    // the output gains an `epoch` column and `rate` is used internally;
-    // silently replacing a caller's columns of those names would corrupt
-    // their data — fail fast instead
-    Seq("epoch", "rate").foreach(c => require(!df.columns.contains(c),
-      s"sampleToTemperature adds a '$c' column; rename the input's '$c' first"))
+    requireFresh(df, "sampleToTemperature", "epoch", "rate")
     val buckets = 1000000L
     val rates = mixtureWeights(df, keyCol, alpha, mass)
       .select(col(keyCol),
@@ -164,6 +169,7 @@ object Pipeline {
     */
   def capPerKey(df: DataFrame, keyCols: Seq[String], n: Int,
                 orderCols: Seq[Column]): DataFrame = {
+    requireFresh(df, "capPerKey", "__rk")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("__rk", row_number().over(w))
@@ -326,6 +332,7 @@ object Pipeline {
   def selectToBudget(df: DataFrame, keyCol: String, tokenCol: Column,
                      budget: Long, orderCols: Seq[Column]): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    requireFresh(df, "selectToBudget", "cum_tokens")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -353,6 +360,7 @@ object Pipeline {
     // broadcasts anyway — but it is not hard-bounded, and a massively
     // duplicated corpus should shuffle-join rather than force a
     // corpus-scale broadcast.
+    requireFresh(docs, "splitByCluster", "__rep", "cluster_id")
     val cl = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
     val withRep = docs
       .join(cl, Seq(idCol), "left")
