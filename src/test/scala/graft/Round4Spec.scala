@@ -1020,6 +1020,19 @@ class Round4Spec extends SparkSpecBase {
     assert(viaSql == 0.125 + (if (h60 % 2 == 0) 0.5 else -0.25))
   }
 
+  test("Pipeline ops refuse inputs whose columns they would clobber") {
+    val withSplit = Seq((1L, "a", "x")).toDF("doc_id", "split", "text")
+    val e1 = intercept[IllegalArgumentException](
+      graft.ext.Pipeline.splitByHash(withSplit, "doc_id",
+        Seq("train" -> 1.0)))
+    assert(e1.getMessage.contains("split"), e1.getMessage)
+    val withEpoch = Seq((1L, "en", 0)).toDF("doc_id", "lang", "epoch")
+    val e2 = intercept[IllegalArgumentException](
+      graft.ext.Pipeline.sampleToTemperature(withEpoch, "lang", "doc_id",
+        alpha = 0.5, target = 10L))
+    assert(e2.getMessage.contains("epoch"), e2.getMessage)
+  }
+
   test("classifierScore: streaming face scores identically to batch") {
     import graft.ext.TextAnalysis
     val w = Seq("good" -> 0.5, "bad" -> -0.75)
