@@ -907,6 +907,23 @@ class Round4Spec extends SparkSpecBase {
     assert(math.abs(cool("en")._1 - 81.0 / 91) < 1e-12)
   }
 
+  test("mixtureWeights: mass column weights by corpus mass, not row count") {
+    // equal row counts, 4:1 char mass — row-count weighting sees a
+    // balanced corpus, mass weighting must see the 4:1 skew
+    val df = Seq((1L, "en", 400L), (2L, "en", 400L),
+                 (3L, "fr", 100L), (4L, "fr", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val byRows = graft.ext.Pipeline.mixtureWeights(df, "lang", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(byRows("en") == 0.5 && byRows("fr") == 0.5)
+    val byMass = graft.ext.Pipeline
+      .mixtureWeights(df, "lang", 1.0, mass = col("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3)))
+      .toMap
+    assert(byMass("en") == (800.0, 0.8) && byMass("fr") == (200.0, 0.2),
+      byMass.toString)
+  }
+
   test("sampleToTemperature: deterministic epoch-tagged up/downsampling") {
     val df = (Seq.fill(400)("en") ++ Seq.fill(40)("fr") ++ Seq.fill(10)("zh"))
       .zipWithIndex.map { case (l, i) => (i.toLong, l) }
