@@ -786,6 +786,35 @@ class Round4Spec extends SparkSpecBase {
     assert(mmrPlan.contains("mmr_select"))
   }
 
+  test("plan shapes: classifier is shuffle-free; mixture is one broadcast join") {
+    val docs = Seq((1L, "a b", "en"), (2L, "c d", "de"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("planguard2").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val fileDocs = spark.read.parquet(s"$dir/docs")
+    // classifier inference: a pure map — zero exchanges, zero joins; the
+    // weight table must ride as a reference, never a join relation
+    val clfPlan = fileDocs.select(graft.ext.TextAnalysis
+        .classifierScore(col("text"), Seq("a" -> 0.5), bias = 0.0))
+      .queryExecution.executedPlan.toString
+    assert(!clfPlan.contains("Exchange") && !clfPlan.contains("Join"),
+      s"classifier must be shuffle/join-free:\n$clfPlan")
+    // temperature resample: the rate table joins BROADCAST (tiny #keys
+    // aggregate), never shuffling the corpus for the join; replication is
+    // a Generate (narrow explode), not any kind of self-join
+    val mixed = graft.ext.Pipeline.sampleToTemperature(
+      fileDocs, "lang", "doc_id", alpha = 0.5, target = 10L)
+    mixed.collect()
+    val mixPlan = mixed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"rate join must broadcast:\n$mixPlan")
+    assert(!mixPlan.contains("SortMergeJoin") &&
+           !mixPlan.contains("CartesianProduct"))
+    assert(mixPlan.contains("Generate explode"),
+      "replication must be a narrow explode")
+  }
+
   // ---- degenerate inputs: the operator families must not throw ----
 
   test("empty and undersized inputs degrade gracefully across families") {
