@@ -92,8 +92,8 @@ object Funnel {
     // Id-type generic, matching batch [[windowFunnel]]: the user column
     // keeps its native type end-to-end (a long cast here silently turned
     // every non-numeric id into null — one merged funnel per corpus). The
-    // group key is the value's string form (injective within any one
-    // column type), the emitted row carries the original value.
+    // group key is the native value wrapped in a single-field Row, so a
+    // null id stays distinct from the string "null".
     //
     // State is k longs per user FOREVER by default; `retention` bounds it
     // for unbounded-user streams (watermark + event-time timeout evicting
@@ -105,6 +105,9 @@ object Funnel {
     val retMs = retention.map(graft.Intervals.toMillis).getOrElse(0L)
     val typed = input
       .where(col(typeCol).isin(steps.map(x => x: Any): _*))
+      // a null event time cannot place a step in the funnel chain (and
+      // would poison the kernel's micros conversion) — drop at the scan
+      .where(col(tsCol).isNotNull)
       // the RAW ts attribute keeps the watermark metadata EventTimeTimeout
       // analysis requires (an expression like unix_micros strips it);
       // micros are derived in the kernel instead
@@ -128,9 +131,15 @@ object Funnel {
     val timeout =
       if (withRet) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    typed.groupByKey(r => String.valueOf(r.get(0)))
+    // key on the NATIVE user value wrapped in a single-field Row (the
+    // sampleExactPerKeyStream pattern): String.valueOf collapsed a null id
+    // and the literal string "null" into one merged funnel. Encoder passed
+    // explicitly — outEnc is the implicit Encoder[Row] for the output.
+    val keyEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(StructType(Seq(StructField("user", userType))))
+    typed.groupByKey(r => Row(r.get(0)))(keyEnc)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
-        (_: String, it: Iterator[Row], state: GroupState[Seq[Long]]) =>
+        (_: Row, it: Iterator[Row], state: GroupState[Seq[Long]]) =>
           if (state.hasTimedOut) { // user idle past retention → evict
             state.remove()
             Iterator.empty

@@ -288,11 +288,16 @@ object Multimodal {
     var data: Option[(Int, Int)] = None // (offset, byteLen)
     while (pos + 8 <= payload.length) {
       val id = ascii(pos); val size = le32(pos + 4)
+      // a negative or past-the-end chunk size is a malformed payload, not
+      // a skippable chunk: a negative size would stall the walk (pos += 0
+      // → infinite loop on an executor) and an oversized one would read
+      // out of bounds — non-canonical payloads return None, per contract
+      if (size < 0 || pos + 8 + size > payload.length) return None
       if (id == "fmt " && size >= 16) {
         fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12)))
         bits = le16(pos + 22)
       } else if (id == "data") {
-        data = Some((pos + 8, math.min(size, payload.length - pos - 8)))
+        data = Some((pos + 8, size))
       }
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }

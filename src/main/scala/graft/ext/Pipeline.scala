@@ -391,15 +391,18 @@ object Pipeline {
     require(overlapChars >= 0 && chunkChars > overlapChars,
       s"need 0 <= overlap ($overlapChars) < chunk size ($chunkChars)")
     val stride = chunkChars - overlapChars
+    // null text is treated as empty: length(null) would null the chunk
+    // count and posexplode zero rows — silently losing the doc id
+    val txt = coalesce(col(textCol), lit(""))
     // n = max(1, ceil((len - overlap) / stride)): every chunk advances a
     // full stride; the last starts while > overlap chars remain, so no
-    // suffix is orphaned and a short doc yields exactly one chunk
+    // suffix is orphaned and a short (or null) doc yields exactly one chunk
     val nc = greatest(lit(1L),
-      ceil((length(col(textCol)) - lit(overlapChars)).cast("double") / stride)
+      ceil((length(txt) - lit(overlapChars)).cast("double") / stride)
         .cast("long"))
     docs.select(col(idCol),
         posexplode(transform(sequence(lit(0L), nc - 1), i =>
-          substr(col(textCol), (i * stride + 1).cast("int"),
+          substr(txt, (i * stride + 1).cast("int"),
                  lit(chunkChars)))))
       .toDF(idCol, "chunk_idx", "chunk_text")
   }
@@ -416,7 +419,8 @@ object Pipeline {
     require(overlapWords >= 0 && chunkWords > overlapWords,
       s"need 0 <= overlap ($overlapWords) < chunk size ($chunkWords)")
     val stride = chunkWords - overlapWords
-    val toks = split(col(textCol), " ")
+    // null → empty, same contract as chunkByChars: one empty chunk
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     val nc = greatest(lit(1L),
       ceil((size(toks) - lit(overlapWords)).cast("double") / stride)
         .cast("long"))

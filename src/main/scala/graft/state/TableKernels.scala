@@ -128,8 +128,12 @@ object TableKernels {
     // EventTimeTimeout analysis rejects the plan). Null when no retention.
     val lTs = if (withRet) lDf.col(lf.eventTime.get).as("__ts")
               else lit(null).cast("timestamp").as("__ts")
-    val rTsName = rf.eventTime.map(t =>
-      if (taken.contains(t)) s"${t}_r" else t)
+    // the right event-time column's post-rename name: key columns were
+    // renamed to the LEFT key names (not suffixed), value columns clashing
+    // with taken got `_r` — mirror the renames actually applied above
+    val rKeyRename = rf.keys.zip(keyNames).toMap
+    val rTsName = rf.eventTime.map(t => rKeyRename.getOrElse(t,
+      if (taken.contains(t)) s"${t}_r" else t))
     val rTs = if (withRet) rKeyed.col(rTsName.get).as("__ts")
               else lit(null).cast("timestamp").as("__ts")
     val lTagged = lDf.select(
@@ -245,8 +249,11 @@ object TableKernels {
     // raw event-time attributes (see tableTableJoin for why no expression)
     val sTs = if (withRet) sDf.col(sf.eventTime.get).as("__ts")
               else lit(null).cast("timestamp").as("__ts")
-    val rTsName = rf.eventTime.map(t =>
-      if (taken.contains(t)) s"${t}_r" else t)
+    // same post-rename derivation as tableTableJoin: keys → left names,
+    // clashing values → `_r`
+    val rKeyRename = rf.keys.zip(keyNames).toMap
+    val rTsName = rf.eventTime.map(t => rKeyRename.getOrElse(t,
+      if (taken.contains(t)) s"${t}_r" else t))
     val rTs = if (withRet) rKeyed.col(rTsName.get).as("__ts")
               else lit(null).cast("timestamp").as("__ts")
     val sTagged = sDf.select(
