@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * frame-sample stages. The Spark-side machinery — schema contracts,
   * per-partition batch iteration (the Scala analog of `mapInPandas`
   * batches), partition sizing, column pruning before the heavy stage — is
-  * real and tested. One codec is REAL end-to-end: binary PPM (P6) decode +
+  * real and tested. REAL codecs end-to-end: binary PPM (P6) decode +
   * nearest-neighbor resize + re-encode in pure JVM ([[decodePpm]],
-  * [[transcodePpm]]); the remaining codecs are STUBBED with deterministic
-  * fakes (image/audio libraries are not in this container), each clearly
-  * marked, behind the same magic-byte dispatch a production decoder uses.
+  * [[transcodePpm]]), JPEG/PNG/BMP/GIF via the JDK's `javax.imageio`
+  * ([[imageStats]], [[transcodeImage]]), and RIFF/WAV PCM audio
+  * ([[decodeAudio]]). Only formats a bare JVM genuinely cannot decode
+  * (webp/heic, compressed audio, video containers) keep a deterministic
+  * stub, clearly marked, behind the same magic-byte dispatch a
+  * production decoder uses.
   *
   * At 100 TB: binary payloads never shuffle — decode/featurize are
   * narrow (mapPartitions) stages; only extracted features (fixed-width
@@ -114,6 +117,160 @@ object Multimodal {
     (width, height, 3)
   }
 
+  // ---- REAL mainstream image lane: JPEG/PNG/BMP/GIF via javax.imageio ---
+  // The JDK ships codecs for all four — no native libs needed. Same
+  // magic-byte dispatch as a production decoder; formats the JDK cannot
+  // decode (webp, heic, ...) still fall through to the honest stub.
+
+  /** Magic-byte sniff for the formats the JDK's ImageIO can decode.
+    * Returns the informal format name ("jpeg"|"png"|"bmp"|"gif") or None.
+    */
+  private[ext] def sniffImageFormat(p: Array[Byte]): Option[String] = {
+    def b(i: Int) = p(i) & 0xff
+    if (p.length >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff)
+      Some("jpeg")
+    else if (p.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+             b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a &&
+             b(7) == 0x0a)
+      Some("png")
+    else if (p.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      Some("bmp")
+    else if (p.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+             b(3) == '8')
+      Some("gif")
+    else None
+  }
+
+  /** Real decode through `javax.imageio`: None unless the magic bytes name
+    * a JDK-decodable format AND the payload parses. Sniff-first keeps
+    * arbitrary binary (the fake-media test corpora) off the ImageIO path.
+    */
+  private[ext] def readImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    sniffImageFormat(payload).flatMap { _ =>
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+    }
+
+  /** (width, height, channels) from a real ImageIO decode; channels = the
+    * raster's band count (3 RGB, 4 RGBA, 1 gray), from the actual header.
+    */
+  private[ext] def decodeImageIo(payload: Array[Byte])
+      : Option[(Int, Int, Int)] =
+    readImage(payload).map(img =>
+      (img.getWidth, img.getHeight, img.getRaster.getNumBands))
+
+  /** Encode a BufferedImage with the JDK writer for `format`. */
+  def encodeImage(img: java.awt.image.BufferedImage,
+                  format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, bos)
+    require(ok, s"no JDK ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Synthesize a real-image corpus from a doc table: one `format` image
+    * per row, dimensions and fill color derived deterministically from the
+    * id — so a DuckDB oracle can predict what a REAL decode must recover.
+    * width = id%30+2, height = id%19+2, fill RGB = (id*7, id*13, id*29)%256.
+    */
+  def synthesizeImages(docs: DataFrame, format: String = "png",
+                       idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    implicit val enc = Encoders.row(outSchema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 30).toInt + 2; val h = (id % 19).toInt + 2
+        val rgb = ((id * 7) % 256).toInt << 16 |
+                  ((id * 13) % 256).toInt << 8 | ((id * 29) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        Row(id, encodeImage(img, format))
+      }
+    }
+  }
+
+  /** Real-decode stats for image payloads: dimensions, channels, and the
+    * (0,0) pixel's RGB — the lossless-round-trip probe (PNG/BMP/GIF give
+    * back the exact fill color; JPEG is checked on dimensions only).
+    * Non-image rows are dropped, mirroring [[decodeAudio]]'s lane contract.
+    */
+  def imageStats(media: DataFrame,
+                 payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("r0", IntegerType),
+      StructField("g0", IntegerType),
+      StructField("b0", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        readImage(r.getAs[Array[Byte]](pIdx)).map { img =>
+          val px = img.getRGB(0, 0)
+          Row(r.getLong(idIdx), img.getWidth, img.getHeight,
+              img.getRaster.getNumBands,
+              (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        }
+      }
+    }
+  }
+
+  /** REAL transcode for JDK-decodable image payloads: decode, scale to fit
+    * `maxSide` (never upscales — same policy as [[resizeRgb]]), re-encode
+    * in the sniffed format. Non-image rows pass through unchanged, like
+    * [[transcodePpm]]. GIF re-encodes via an RGB frame (palette rebuilt by
+    * the writer).
+    */
+  def transcodeImage(media: DataFrame, maxSide: Int,
+                     payloadCol: String = "payload"): DataFrame = {
+    val idx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(media.schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = for {
+          fmt <- sniffImageFormat(bytes)
+          img <- readImage(bytes)
+        } yield {
+          val w = img.getWidth; val h = img.getHeight
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val nw = math.max(1, math.ceil(w * scale).toInt)
+          val nh = math.max(1, math.ceil(h * scale).toInt)
+          val dst = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          encodeImage(dst, fmt)
+        }
+        out match {
+          case Some(p) => Row.fromSeq(r.toSeq.updated(idx, p))
+          case None => r
+        }
+      }
+    }
+  }
+
   /** Decode stage: binary → metadata struct. mapPartitions so a real codec
     * amortizes per-partition init (model load, JNI context) exactly like a
     * `mapInPandas` batch fn would.
@@ -127,10 +284,13 @@ object Multimodal {
       // per-partition init happens here (codec context in the real impl)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        // sniff magic bytes: P6 decodes for real; other formats hit the stub
+        // sniff magic bytes: P6 and the JDK ImageIO formats (JPEG/PNG/
+        // BMP/GIF) decode for real; only genuinely undecodable formats
+        // (webp, video codecs, raw text) hit the stub
         val (w, h, c) = decodePpm(bytes) match {
           case Some((pw, ph, pc, _)) => (pw, ph, pc)
-          case None => fakeDecode(bytes) // STUB: libjpeg/ffmpeg goes here
+          case None => decodeImageIo(bytes).getOrElse(
+            fakeDecode(bytes)) // STUB: ffmpeg-class codecs go here
         }
         Row.fromSeq(r.toSeq :+ Row(w, h, c, bytes.length.toLong))
       }

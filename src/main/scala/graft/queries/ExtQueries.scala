@@ -642,6 +642,20 @@ object ExtQueries {
                 col("meta.n_bytes").as("n_bytes"))
         .orderBy(col("media_id"))
     },
+    // real JPEG lane: synthesize genuine JPEGs with id-derived dimensions,
+    // then recover them through an actual javax.imageio decode — the
+    // oracle predicts what the real header must contain
+    "mm_decode_jpeg" -> { (s, d) =>
+      Multimodal.imageStats(Multimodal.synthesizeImages(docs(s, d), "jpeg"))
+        .select(col("media_id"), col("width"), col("height"), col("channels"))
+        .orderBy(col("media_id"))
+    },
+    // real PNG lane, lossless: the decoded corner pixel must give back the
+    // exact id-derived fill color — a byte-faithful decode round-trip
+    "mm_decode_png" -> { (s, d) =>
+      Multimodal.imageStats(Multimodal.synthesizeImages(docs(s, d), "png"))
+        .orderBy(col("media_id"))
+    },
     "mm_frames" -> { (s, d) =>
       Multimodal.sampleFrames(Multimodal.asMedia(docs(s, d)))
         .groupBy(col("media_id"))
@@ -1582,6 +1596,21 @@ object ExtQueries {
     "mm_frames" ->
       """SELECT doc_id AS media_id,
          CAST(greatest(octet_length(encode(text)) // 64, 1) AS BIGINT) AS n_frames
+         FROM documents ORDER BY media_id""",
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS media_id,
+         CAST(doc_id % 30 + 2 AS INT) AS width,
+         CAST(doc_id % 19 + 2 AS INT) AS height,
+         CAST(3 AS INT) AS channels
+         FROM documents ORDER BY media_id""",
+    "mm_decode_png" ->
+      """SELECT doc_id AS media_id,
+         CAST(doc_id % 30 + 2 AS INT) AS width,
+         CAST(doc_id % 19 + 2 AS INT) AS height,
+         CAST(3 AS INT) AS channels,
+         CAST((doc_id * 7) % 256 AS INT) AS r0,
+         CAST((doc_id * 13) % 256 AS INT) AS g0,
+         CAST((doc_id * 29) % 256 AS INT) AS b0
          FROM documents ORDER BY media_id"""
   )
 }

@@ -159,6 +159,66 @@ class Round5Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ---- real JPEG/PNG lane via javax.imageio ----
+
+  test("imageStats: real PNG decode recovers exact dims and fill color") {
+    val docs = Seq(5L, 37L, 254L).toDF("doc_id")
+    val got = graft.ext.Multimodal.imageStats(
+        graft.ext.Multimodal.synthesizeImages(docs, "png"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3),
+         r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    for (id <- Seq(5L, 37L, 254L)) {
+      val want = ((id % 30).toInt + 2, (id % 19).toInt + 2, 3,
+        ((id * 7) % 256).toInt, ((id * 13) % 256).toInt,
+        ((id * 29) % 256).toInt)
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+  }
+
+  test("decode: JPEG/PNG/BMP payloads route to the real ImageIO lane") {
+    import graft.ext.Multimodal
+    val img = new java.awt.image.BufferedImage(
+      17, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val media = Seq(
+      (1L, Multimodal.encodeImage(img, "jpeg")),
+      (2L, Multimodal.encodeImage(img, "png")),
+      (3L, Multimodal.encodeImage(img, "bmp")),
+      (4L, "plain text payload".getBytes("UTF-8"))) // stub lane
+      .toDF("media_id", "payload")
+    val metas = Multimodal.decode(media)
+      .select(col("media_id"), col("meta.width"), col("meta.height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(metas(id) == (17, 9), s"id=$id got=${metas(id)}")
+    // the text payload keeps the deterministic stub's length-derived shape
+    assert(metas(4L) == (19, 1))
+  }
+
+  test("transcodeImage: decode→resize→re-encode→decode round-trip") {
+    import graft.ext.Multimodal
+    val img = new java.awt.image.BufferedImage(
+      100, 50, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 50).foreach(y => (0 until 100).foreach(x =>
+      img.setRGB(x, y, 0x336699)))
+    val media = Seq(
+      (1L, Multimodal.encodeImage(img, "png")),
+      (2L, Multimodal.encodeImage(img, "jpeg")),
+      (3L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.imageStats(Multimodal.transcodeImage(media, 10))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    // 100x50 fit into 10 -> 10x5; both formats re-encode decodably
+    assert(out(1L) == (10, 5, 3), s"png: ${out(1L)}")
+    assert(out(2L) == (10, 5, 3), s"jpeg: ${out(2L)}")
+    assert(!out.contains(3L), "non-image rows pass through, not decodable")
+    // small targets never upscale
+    val noUp = Multimodal.imageStats(Multimodal.transcodeImage(media, 500))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(noUp(1L) == (100, 50))
+  }
+
   // ---- ADVICE #5: chunkers keep null-text rows ----
 
   test("chunkByChars/chunkByWords: null text yields one empty chunk, id kept") {
