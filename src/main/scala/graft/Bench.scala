@@ -30,7 +30,9 @@ object Bench {
     * in the perf set with realistic parameters).
     */
   private val gateModeQueries =
-    Set("sim_ann_ivf", "sim_ann_lsh", "sim_ann_sq", "sim_ann_pq")
+    Set("sim_ann_ivf", "sim_ann_lsh", "sim_ann_sq", "sim_ann_pq",
+        "sim_ann_ivf_indexed", "sim_ann_lsh_indexed",
+        "sim_ann_sq_indexed", "sim_ann_pq_indexed")
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -56,18 +58,28 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    // The dedup operators persist(MEMORY_AND_DISK) working sets that outlive
-    // their query; drop everything cached by warm-up, and again after each
-    // timed run (outside its timer), so cached blocks never accumulate
-    // across the run and skew later queries' memory headroom.
-    spark.catalog.clearCache()
+    // Operator-internal persists self-register in OpCaches; after each
+    // terminal action (outside its timer) releaseAll() hands the blocks
+    // back. The leak guard: after every release, getPersistentRDDs must be
+    // empty — any survivor is an operator persist that bypassed the
+    // registry, reported in the JSON so a regression is visible per-round.
+    var leakedBlocks = 0
+    def releaseAndCheck(): Unit = {
+      graft.ext.OpCaches.releaseAll()
+      val left = spark.sparkContext.getPersistentRDDs.size
+      if (left > 0) {
+        leakedBlocks = math.max(leakedBlocks, left)
+        spark.catalog.clearCache() // recover anyway; the JSON records it
+      }
+    }
+    releaseAndCheck()
     val samples: Seq[(String, Seq[Double])] =
       timed.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val secs = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
+          releaseAndCheck()
           secs
         }
         name -> runs
@@ -98,7 +110,7 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":${jmap(perfAll)},"gate_queries":${jmap(gate)},""" +
-      f""""samples":$samplesJson,"reps":$reps,""" +
+      f""""samples":$samplesJson,"reps":$reps,"cache_leaked_blocks":$leakedBlocks,""" +
       f""""streaming_rows":$streamRows,"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
     // line in "[info] ". The forked run now passes stdout through bare

@@ -76,9 +76,9 @@ object Dedup {
     // (WordShingleHashes) so verification can run the fused sorted-merge
     // Jaccard. Materialized once: reused by the signature build and both
     // verify joins (Spark recomputes lineage per use otherwise).
-    val shDf = docs.select(col(idCol).as("id"),
+    val shDf = OpCaches.register(docs.select(col(idCol).as("id"),
       graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // Whole signature in one native pass (MinHashLanes): no explode, no
     // aggregation buffers, no exchange — each doc's 32 lanes are computed
     // where its shingle set already sits. (Round 2 exploded the set and ran
@@ -162,8 +162,9 @@ object Dedup {
                    maxBits: Int = 3): DataFrame = {
     val chunks = maxBits + 1
     val width = 60 / chunks
-    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused: banding + 2 verify joins
+    val sig = OpCaches.register(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) // reused: banding + 2 verify joins
     val banded = sig.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
@@ -420,9 +421,9 @@ object Dedup {
     // shingle sets as sorted distinct 64-bit hashes throughout (see
     // minhashPairs): the persisted working set, the posting explode, and
     // the verify joins all carry longs, never shingle strings
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = OpCaches.register(docs.select(col(idCol).as("id"),
       graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused: posting + 2 verify joins
+      .persist(StorageLevel.MEMORY_AND_DISK)) // reused: posting + 2 verify joins
     val prefixLen =
       (floor(size(col("sh")).cast("double") * (1 - threshold)) + 1).cast("int")
     val posting = sh.select(col("id"),
@@ -590,6 +591,9 @@ object Dedup {
         iter += 1
       }
       edges.unpersist()
+      // the final loop frame backs the returned plan — ownership of its
+      // cached blocks transfers to the caller via the registry
+      OpCaches.register(persisted)
       labels.select(col("id"), col("lbl").as("cluster_id"))
     } finally {
       // every loop shuffle has executed (each iteration ends in a count on
@@ -687,6 +691,7 @@ object Dedup {
       .toDF("id", "pos", "span")
       .withColumn("h", Pipeline.portableHash60(col("span")))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: freq count + rebuild
+      .transform(OpCaches.register)
     val frequent = spans
       .groupBy(col("h"))
       .agg(count_distinct(col("id")).as("df"))
@@ -731,9 +736,9 @@ object Dedup {
                          k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                          threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+    def prep(df: DataFrame) = OpCaches.register(df.select(col(idCol).as("id"),
       graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     def banded(sh: DataFrame) = sh
       .select(col("id"),
         graft.functions.VectorFunctions.minhash_lanes(col("sh"), numHashes).as("sig"))

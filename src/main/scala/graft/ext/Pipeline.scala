@@ -283,6 +283,7 @@ object Pipeline {
       // pin the (sampled) range boundaries: the totals pass and the offset
       // pass must see the identical partitioning
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OpCaches.register)
     val pidTotals = base
       .groupBy(spark_partition_id().as("__pid"))
       .agg(sum(col("tok")).as("t"))

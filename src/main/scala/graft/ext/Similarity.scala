@@ -247,42 +247,58 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               model: IvfModel, nprobe: Int,
-              vecCol: String, idCol: String): DataFrame = {
+              vecCol: String, idCol: String): DataFrame =
+    ivfTopKIndexed(ivfIndex(corpus, model, vecCol, idCol), queries, k,
+      model, nprobe, vecCol, idCol)
+
+  /** ENCODE-ONCE face: materialize the IVF index — (idCol, cell, vecCol as
+    * array<double>) — one narrow map against the broadcast-small centroid
+    * closure. A production pipeline builds this once per corpus, writes it
+    * `.partitionBy("cell")` (so a probe's scan prunes to nprobe cells), and
+    * runs every query batch against the prebuilt table via
+    * [[ivfTopKIndexed]]; the inline [[ivfTopK]] overloads route through
+    * this same builder, so indexed ≡ inline by construction. All vector
+    * math is on array<double> — float corpora are up-cast at the scan, so
+    * the quantizer sees identical values on either element type.
+    */
+  def ivfIndex(corpus: DataFrame, model: IvfModel,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val cell = udf { (v: Seq[Double]) => nearestOf(model.centers)(v) }
+    corpus.select(col(idCol),
+      cell(col(vecCol).cast("array<double>")).as("cell"),
+      col(vecCol).cast("array<double>").as(vecCol))
+  }
+
+  /** Query a prebuilt [[ivfIndex]]: each query probes its `nprobe` nearest
+    * cells (computed against the tiny centroid closure), joins only those
+    * cells' candidates, ranks exactly. No encode stage — the corpus-wide
+    * cell-assignment map ran once at index build.
+    */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                     model: IvfModel, nprobe: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
     val centers = model.centers
     val nprobeEff = math.min(nprobe, centers.length)
-    val corpusSel = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // Cell assignment over the full corpus is a narrow map against the
-    // broadcast-small centroid array — no ML vector conversion, no
-    // featurization pass.
-    val nearestCell = udf { (v: Seq[Float]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var i = 0
-      while (i < centers.length) {
-        val c = centers(i)
-        var d = 0.0; var j = 0
-        while (j < c.length) {
-          val diff = v(j) - c(j); d += diff * diff; j += 1
-        }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
-    val assigned = corpusSel.withColumn("cell", nearestCell(col("cv")))
+    val assigned = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("cell"))
     // nprobe nearest cells per query, computed against the (tiny) centroid
     // table on the executors via a closure — the IVF probe step
-    val probeCells = udf { (q: Seq[Float]) =>
+    val probeCells = udf { (q: Seq[Double]) =>
+      val a = q.toArray // bulk-copy: generic Seq apply boxes every access
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0
         var j = 0
         while (j < c.length) {
-          val diff = q(j) - c(j); d += diff * diff; j += 1
+          val diff = a(j) - c(j); d += diff * diff; j += 1
         }
         (i, d)
       }.sortBy(_._2).take(nprobeEff).map(_._1)
     }
     val probed = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      queries.select(col(idCol).as("query_id"),
+                     col(vecCol).cast("array<double>").as("qv"))
         .withColumn("cell", explode(probeCells(col("qv")))))
     assigned.join(probed, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -357,12 +373,23 @@ object Similarity {
   /** Pre-trained-grid overload of the SQ8 compressed scan. */
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              model: SqModel, shortlist: Int, vecCol: String,
-             idCol: String): DataFrame = {
+             idCol: String): DataFrame =
+    sqTopKIndexed(sqIndex(corpus, model, vecCol, idCol), queries, k,
+      model, shortlist, vecCol, idCol)
+
+  /** ENCODE-ONCE face: materialize the SQ8 index — (idCol, code as
+    * array<int>, vecCol as array<double>). Written as parquet, the approx
+    * scan's column pruning reads only (id, code) — the 4-8× IO win the
+    * compressed tier exists for — and the exact re-rank fetches vecCol by
+    * id from the same table. Inline [[sqTopK]] routes through this
+    * builder, so indexed ≡ inline by construction.
+    */
+  def sqIndex(corpus: DataFrame, model: SqModel,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
     val vd = col(vecCol).cast("array<double>")
-    val lo = model.lo
-    val step = model.step
-    val loLit = array(lo.map(lit): _*)
-    val stepLit = array(step.map(lit): _*)
+    val loLit = array(model.lo.map(lit): _*)
+    val stepLit = array(model.step.map(lit): _*)
     val codes = transform(vd, (x, j) => {
       val l = element_at(loLit, j + 1)
       val st = element_at(stepLit, j + 1)
@@ -370,13 +397,27 @@ object Similarity {
         .otherwise(least(lit(255.0), greatest(lit(0.0), floor((x - l) / st)))
           .cast("int"))
     })
+    corpus.select(col(idCol), codes.as("code"), vd.as(vecCol))
+  }
+
+  /** Query a prebuilt [[sqIndex]]: dequantize-and-rank over the code
+    * column, exact re-rank of the per-query shortlist on the true vectors
+    * fetched by id. No encode stage at query time.
+    */
+  def sqTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                    model: SqModel, shortlist: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val loLit = array(model.lo.map(lit): _*)
+    val stepLit = array(model.step.map(lit): _*)
     def recon(codeCol: Column): Column =
       transform(codeCol, (c, j) =>
         element_at(loLit, j + 1) +
           (c.cast("double") + 0.5) * element_at(stepLit, j + 1))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"), vd.as("qv")))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
     // the compressed scan: only (id, codes) flows into scoring
-    val approx = corpus.select(col(idCol).as("neighbor_id"), codes.as("code"))
+    val approx = index.select(col(idCol).as("neighbor_id"), col("code"))
       .crossJoin(qb)
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -390,7 +431,8 @@ object Similarity {
       .select("query_id", "neighbor_id")
     // exact re-rank: fetch true vectors by id for the shortlist only
     short
-      .join(corpus.select(col(idCol).as("neighbor_id"), vd.as("cv")),
+      .join(index.select(col(idCol).as("neighbor_id"),
+              col(vecCol).cast("array<double>").as("cv")),
             Seq("neighbor_id"))
       .join(qb, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -470,17 +512,26 @@ object Similarity {
   /** Pre-trained-codebook overload of the PQ ADC scan. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              model: PqModel, shortlist: Int, vecCol: String,
-             idCol: String): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("neighbor_id"),
-                             col(vecCol).cast("array<double>").as("cv"))
+             idCol: String): DataFrame =
+    pqTopKIndexed(pqIndex(corpus, model, vecCol, idCol), queries, k,
+      model, shortlist, vecCol, idCol)
+
+  /** ENCODE-ONCE face: materialize the PQ index — (idCol, code as
+    * array<int>, vecCol as array<double>). The m-byte codes are the 32×
+    * compression PQ exists for; written as parquet, the ADC scan's column
+    * pruning reads only (id, code). Encode is one narrow map against the
+    * broadcast codebook closure; bulk-copies the column value to a
+    * primitive array first (the generic Seq apply boxes every access, and
+    * the argmin loop reads m·ks·sub elements per row — boxed, that was
+    * ~10× slower than the arithmetic). Inline [[pqTopK]] routes through
+    * this builder, so indexed ≡ inline by construction.
+    */
+  def pqIndex(corpus: DataFrame, model: PqModel,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
     val codebooks = model.codebooks
     val m = model.m
-    val ks = model.ks
     val sub = model.sub
-    // --- encode: one narrow map; (id, m-byte code) is all that shuffles.
-    // Bulk-copy the column value to a primitive array first: the generic
-    // Seq apply boxes every access, and the argmin loop reads m·ks·sub
-    // elements per row — boxed, that was ~10× slower than the arithmetic.
     val encode = udf { (v: Seq[Double]) =>
       val a = v.toArray
       Array.tabulate(m) { mi =>
@@ -495,8 +546,28 @@ object Similarity {
         best
       }
     }
+    val vd = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol), encode(vd).as("code"), vd.as(vecCol))
+  }
+
+  /** Query a prebuilt [[pqIndex]]: per-query LUT + norm precomputed on the
+    * (broadcast) query side, then a candidate's score is m table lookups —
+    * the codegen'd [[graft.functions.VectorFunctions.pq_adc_score]]
+    * expression, with the model's centroid norms riding into generated
+    * code as a reference object. No vector arithmetic and no encode stage
+    * in the scan.
+    */
+  def pqTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                    model: PqModel, shortlist: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val codebooks = model.codebooks
+    val m = model.m
+    val ks = model.ks
+    val sub = model.sub
     // --- query-side ADC tables: dot(q_m, cent) and |cent|² per entry ---
-    val centNorm2: Array[Array[Double]] = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val centNorm2: Seq[Seq[Double]] =
+      codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq
     val lutOf = udf { (q: Seq[Double]) =>
       val a = q.toArray
       Array.tabulate(m, ks) { (mi, c) =>
@@ -507,24 +578,17 @@ object Similarity {
       }.map(_.toSeq).toSeq
     }
     val qNorm = udf { (q: Seq[Double]) => math.sqrt(q.map(x => x * x).sum) }
-    val adc = udf { (lut: Seq[Seq[Double]], qn: Double, code: Seq[Int]) =>
-      var dot = 0.0; var n2 = 0.0; var mi = 0
-      while (mi < code.length) {
-        dot += lut(mi)(code(mi)); n2 += centNorm2(mi)(code(mi)); mi += 1
-      }
-      val denom = qn * math.sqrt(n2)
-      if (denom > 0) dot / denom else 0.0
-    }
     val qb = broadcast(
       queries.select(col(idCol).as("query_id"),
                      col(vecCol).cast("array<double>").as("qv"))
         .withColumn("lut", lutOf(col("qv")))
         .withColumn("qn", qNorm(col("qv"))))
-    val approx = vecs.select(col("neighbor_id"), encode(col("cv")).as("code"))
+    val approx = index.select(col(idCol).as("neighbor_id"), col("code"))
       .crossJoin(qb)
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-              adc(col("lut"), col("qn"), col("code")).as("acos"))
+              graft.functions.VectorFunctions.pq_adc_score(
+                col("lut"), col("qn"), col("code"), centNorm2).as("acos"))
     val keep = if (shortlist > 0) shortlist else Int.MaxValue
     val short = approx
       .withColumn("srank", row_number().over(
@@ -533,7 +597,9 @@ object Similarity {
       .where(col("srank") <= keep)
       .select("query_id", "neighbor_id")
     short
-      .join(vecs, Seq("neighbor_id"))
+      .join(index.select(col(idCol).as("neighbor_id"),
+              col(vecCol).cast("array<double>").as("cv")),
+            Seq("neighbor_id"))
       .join(qb.select(col("query_id"), col("qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosine(col("qv"), col("cv")).as("cos"))
@@ -556,10 +622,33 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, vecCol: String = "embedding",
               idCol: String = "vec_id", seed: Int = 42,
-              probeAll: Boolean = false): DataFrame = {
-    val bucketed = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneSignature(col(vecCol), planes, seed).as("bucket"))
+              probeAll: Boolean = false): DataFrame =
+    lshTopKIndexed(lshIndex(corpus, planes, vecCol, idCol, seed), queries,
+      k, planes, vecCol, idCol, seed, probeAll)
+
+  /** ENCODE-ONCE face: materialize the LSH index — (idCol, bucket, vecCol
+    * as array<double>) — signatures computed once as codegen'd hyperplane
+    * expressions. Write `.partitionBy("bucket")` (or bucket the table) so
+    * a multi-probe's scan prunes to planes+1 buckets per query. Inline
+    * [[lshTopK]] routes through this builder, so indexed ≡ inline by
+    * construction.
+    */
+  def lshIndex(corpus: DataFrame, planes: Int = 8,
+               vecCol: String = "embedding", idCol: String = "vec_id",
+               seed: Int = 42): DataFrame =
+    corpus.select(col(idCol),
+      hyperplaneSignature(col(vecCol), planes, seed).as("bucket"),
+      col(vecCol).cast("array<double>").as(vecCol))
+
+  /** Query a prebuilt [[lshIndex]] (same planes/seed as the build):
+    * multi-probe join on the bucket id, exact rank of the candidates.
+    */
+  def lshTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                     planes: Int = 8, vecCol: String = "embedding",
+                     idCol: String = "vec_id", seed: Int = 42,
+                     probeAll: Boolean = false): DataFrame = {
+    val bucketed = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("bucket"))
     // query probes: own signature + each 1-bit flip (or, in exact mode,
     // every possible signature)
     val probeCol =
@@ -567,7 +656,8 @@ object Similarity {
       else explode(array(col("sig") +: (0 until planes).map(i =>
         col("sig").bitwiseXOR(lit(1 << i))): _*))
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      queries.select(col(idCol).as("query_id"),
+                     col(vecCol).cast("array<double>").as("qv"),
                      hyperplaneSignature(col(vecCol), planes, seed).as("sig"))
         .select(col("query_id"), col("qv"), probeCol.as("bucket")))
     bucketed.join(probes, Seq("bucket"))

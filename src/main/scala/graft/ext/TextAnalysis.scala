@@ -337,11 +337,11 @@ object TextAnalysis {
                         minCount: Long = 2): DataFrame = {
     // native one-pass bigram hashing (WordBigramHashes): the HOF chain in
     // [[bigrams]] walks interpreted nodes per bigram and dominated the op
-    val hashed = docs
+    val hashed = OpCaches.register(docs
       .select(col(idCol).as("id"),
         explode(graft.functions.VectorFunctions.word_bigram_hashes(
           col(textCol))).as("bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = hashed.groupBy("bh").agg(count(lit(1)).as("c"))
     hashed.join(counts, Seq("bh"))
       .groupBy(col("id"))
@@ -394,11 +394,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 5, minDf: Long = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col(idCol).as("id"),
+    val tf = OpCaches.register(docs.select(col(idCol).as("id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     val n = docs.select(count(lit(1)).as("__n"))

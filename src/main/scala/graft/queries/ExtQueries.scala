@@ -39,6 +39,36 @@ object ExtQueries {
   private def sqModel(s: SparkSession, d: String) =
     sqModels.computeIfAbsent(d, _ => Similarity.fitSq(emb(s, d)))
 
+  // Materialized ANN indexes — the encode-once face (VERDICT r4 #2): the
+  // corpus-side encode (cell assignment / SQ-PQ codes / LSH buckets) runs
+  // once per fixture and lands as a parquet table; every probe query then
+  // scans the prebuilt index, so query time is candidate-join + rank with
+  // NO encode stage, and parquet column pruning feeds the approximate scan
+  // only (id, code|cell|bucket) — the compressed-tier IO win. At 100 TB
+  // this table lives partitioned/bucketed in the warehouse; here it lands
+  // under java.io.tmpdir, keyed by fixture dir.
+  private val indexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexed(s: SparkSession, key: String)
+                     (build: => DataFrame): DataFrame = {
+    val path = indexPaths.computeIfAbsent(key, _ => {
+      val p = System.getProperty("java.io.tmpdir") + "/graft_index/" +
+        key.replaceAll("[^A-Za-z0-9._-]", "_")
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+  private def ivfIdx(s: SparkSession, d: String, nlist: Int) =
+    indexed(s, s"ivf_${nlist}_$d")(
+      Similarity.ivfIndex(emb(s, d), ivfModel(s, d, nlist)))
+  private def sqIdx(s: SparkSession, d: String) =
+    indexed(s, s"sq_$d")(Similarity.sqIndex(emb(s, d), sqModel(s, d)))
+  private def pqIdx(s: SparkSession, d: String) =
+    indexed(s, s"pq_$d")(Similarity.pqIndex(emb(s, d), pqModel(s, d)))
+  private def lshIdx(s: SparkSession, d: String) =
+    indexed(s, s"lsh_$d")(Similarity.lshIndex(emb(s, d)))
+
   // the text_classifier gate's "trained" weight table: fixture vocabulary
   // tokens with binary-exact weights (multiples of 1/64 — every partial
   // sum is exactly representable, so Spark's fold and DuckDB's SUM agree
@@ -276,6 +306,45 @@ object ExtQueries {
       // shortlist <= 0 → exact re-rank of every candidate (gate mode)
       val e = emb(s, d)
       Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10,
+          pqModel(s, d), shortlist = 0, "embedding", "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // Encode-once variants: the same exact-recall gate modes, but querying
+    // the MATERIALIZED parquet index (encode ran once at build; the query
+    // plan contains no encode stage). Hash-matching the same brute-force
+    // oracle proves indexed ≡ inline end-to-end through a disk round-trip.
+    "sim_ann_ivf_indexed" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.ivfTopKIndexed(ivfIdx(s, d, 16),
+          e.where(col("vec_id") < 5), k = 10,
+          ivfModel(s, d, nlist = 16), nprobe = 16, "embedding", "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "sim_ann_lsh_indexed" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.lshTopKIndexed(lshIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10, probeAll = true)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "sim_ann_sq_indexed" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.sqTopKIndexed(sqIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10,
+          sqModel(s, d), shortlist = 0, "embedding", "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "sim_ann_pq_indexed" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.pqTopKIndexed(pqIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10,
           pqModel(s, d), shortlist = 0, "embedding", "vec_id")
         .select(col("query_id"), col("rank").cast("long").as("rank"),
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
@@ -687,26 +756,33 @@ object ExtQueries {
     * brute-force oracle; these measure what the approximate path costs.
     */
   val benchOnly: Map[String, Q] = Map(
+    // Probe queries run the PRODUCTION shape: approximate parameters over
+    // the materialized parquet index — no encode stage at query time (the
+    // corpus encode ran once at index build, VERDICT r4 #2).
     "sim_ann_ivf_probe" -> { (s, d) =>
       val e = emb(s, d)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), k = 10,
+      Similarity.ivfTopKIndexed(ivfIdx(s, d, 16),
+          e.where(col("vec_id") < 5), k = 10,
           ivfModel(s, d, nlist = 16), nprobe = 3, "embedding", "vec_id")
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "sim_ann_lsh_probe" -> { (s, d) =>
       val e = emb(s, d)
-      Similarity.lshTopK(e, e.where(col("vec_id") < 5), k = 10)
+      Similarity.lshTopKIndexed(lshIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "sim_ann_sq_probe" -> { (s, d) =>
       val e = emb(s, d)
-      Similarity.sqTopK(e, e.where(col("vec_id") < 5), k = 10,
+      Similarity.sqTopKIndexed(sqIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10,
           sqModel(s, d), shortlist = 50, "embedding", "vec_id")
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "sim_ann_pq_probe" -> { (s, d) =>
       val e = emb(s, d)
-      Similarity.pqTopK(e, e.where(col("vec_id") < 5), k = 10,
+      Similarity.pqTopKIndexed(pqIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10,
           pqModel(s, d), shortlist = 50, "embedding", "vec_id")
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
@@ -1535,6 +1611,10 @@ object ExtQueries {
     "sim_ann_lsh" -> simBruteSql,
     "sim_ann_sq" -> simBruteSql,
     "sim_ann_pq" -> simBruteSql,
+    "sim_ann_ivf_indexed" -> simBruteSql,
+    "sim_ann_lsh_indexed" -> simBruteSql,
+    "sim_ann_sq_indexed" -> simBruteSql,
+    "sim_ann_pq_indexed" -> simBruteSql,
     "text_langid" -> langScoreSql,
     "text_ngram_freq" ->
       """WITH g AS (SELECT lang,

@@ -516,6 +516,27 @@ object Kernels {
     }
     acc
   }
+
+  /** PQ asymmetric-distance cosine (see [[PqAdcScore]]): with the query's
+    * per-subspace dot-product table `lut` and norm `qn`, a candidate's
+    * approximate cosine is `Σ lut[mi][code[mi]] / (qn · sqrt(Σ
+    * centNorm2[mi][code[mi]]))` — m table lookups per row, no vector
+    * arithmetic in the scan. Sequential accumulation, deterministic.
+    */
+  def pqAdcScore(lut: ArrayData, qn: Double, code: ArrayData,
+                 centNorm2: Array[Array[Double]]): Double = {
+    var dot = 0.0; var n2 = 0.0
+    var mi = 0
+    val m = code.numElements()
+    while (mi < m) {
+      val c = code.getInt(mi)
+      dot += lut.getArray(mi).getDouble(c)
+      n2 += centNorm2(mi)(c)
+      mi += 1
+    }
+    val denom = qn * math.sqrt(n2)
+    if (denom > 0) dot / denom else 0.0
+  }
 }
 
 /** Positional character n-grams in one pass: text "abcd", n=3 →
@@ -884,6 +905,52 @@ case class LinearScoreHashed(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** Product-quantization asymmetric-distance scoring (Jégou et al., TPAMI
+  * 2011) as a codegen'd ternary expression: `pq_adc_score(lut, qn, code)`
+  * where `lut` is the query's per-subspace dot-product table
+  * (array<array<double>>, m × ks), `qn` the query norm, and `code` the
+  * candidate's m-byte PQ code (array<int>). The per-subspace centroid
+  * norms ride into generated code as a `double[][]` reference object —
+  * model constants, identical for every row, never serialized per row.
+  * This is the PQ scan's per-candidate hot loop (corpus × queries rows);
+  * as a Scala UDF it paid boxed Seq[Seq[Double]] indexing per lookup.
+  */
+case class PqAdcScore(lut: Expression, qn: Expression, code: Expression,
+                      centNorm2: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  require(centNorm2.nonEmpty, "pq_adc_score needs non-empty centroid norms")
+
+  override def first: Expression = lut
+  override def second: Expression = qn
+  override def third: Expression = code
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ArrayType(DoubleType)), DoubleType,
+        ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  @transient private lazy val norms: Array[Array[Double]] =
+    centNorm2.map(_.toArray).toArray
+
+  override def nullSafeEval(l: Any, q: Any, c: Any): Any =
+    Kernels.pqAdcScore(l.asInstanceOf[ArrayData],
+      q.asInstanceOf[Double], c.asInstanceOf[ArrayData], norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val normsRef = ctx.addReferenceObj("pqCentNorm2", norms, "double[][]")
+    nullSafeCodeGen(ctx, ev, (l, q, c) =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".pqAdcScore($l, $q, $c, $normsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(lut = newFirst, qn = newSecond, code = newThird)
+}
+
 /** Greedy maximal-marginal-relevance selection over a collected candidate
   * shortlist (Carbonell & Goldstein 1998): pick the most relevant candidate
   * first, then repeatedly the argmax of
@@ -1084,6 +1151,15 @@ object VectorFunctions {
                           bias: Double = 0.0): Column =
     ExpressionUtils.column(
       LinearScoreHashed(ExpressionUtils.expression(toks), weights, bias))
+
+  /** PQ asymmetric-distance cosine over (lut, qn, code) with model centroid
+    * norms as a codegen reference object (see [[PqAdcScore]]).
+    */
+  def pq_adc_score(lut: Column, qn: Column, code: Column,
+                   centNorm2: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(PqAdcScore(
+      ExpressionUtils.expression(lut), ExpressionUtils.expression(qn),
+      ExpressionUtils.expression(code), centNorm2))
 
   /** Fold a SQL argument that must be a compile-time integer (n-gram size,
     * lane count, window). Accepts any foldable integral expression — so

@@ -234,4 +234,191 @@ class Round5Spec extends SparkSpecBase {
       assert(byDoc(2L).nonEmpty)
     }
   }
+
+  // ---- VERDICT r4 #2: encode-once ANN index faces ----
+
+  test("ANN index faces: parquet round-trip index ≡ inline, all four tiers") {
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val ivfM = Similarity.fitIvf(e, nlist = 8)
+    val sqM = Similarity.fitSq(e)
+    val pqM = Similarity.fitPq(e, m = 4, ks = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    def disk(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"),
+                round(col("cos"), 9).as("c")).collect().toSet
+    // APPROXIMATE parameters on purpose: the probe path is what the
+    // prebuilt index serves in production, and approximate candidate sets
+    // are the sensitive part (a schema/typing drift through parquet would
+    // change buckets/cells/codes and surface here).
+    val ivf = disk(Similarity.ivfIndex(e, ivfM), "ivf")
+    assert(rows(Similarity.ivfTopKIndexed(ivf, q, 10, ivfM, nprobe = 2)) ==
+           rows(Similarity.ivfTopK(e, q, 10, ivfM, 2, "embedding", "vec_id")))
+    val lsh = disk(Similarity.lshIndex(e), "lsh")
+    assert(rows(Similarity.lshTopKIndexed(lsh, q, 10)) ==
+           rows(Similarity.lshTopK(e, q, 10)))
+    val sq = disk(Similarity.sqIndex(e, sqM), "sq")
+    assert(rows(Similarity.sqTopKIndexed(sq, q, 10, sqM, shortlist = 20)) ==
+           rows(Similarity.sqTopK(e, q, 10, sqM, 20, "embedding", "vec_id")))
+    val pq = disk(Similarity.pqIndex(e, pqM), "pq")
+    assert(rows(Similarity.pqTopKIndexed(pq, q, 10, pqM, shortlist = 20)) ==
+           rows(Similarity.pqTopK(e, q, 10, pqM, 20, "embedding", "vec_id")))
+  }
+
+  // ---- VERDICT r4 #4: element-type-independent vector math ----
+
+  test("ANN tiers: float and double corpora, identical gate-mode results") {
+    import graft.ext.Similarity
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ed = raw.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    // float32 lane: quantize the SAME values to float so both corpora
+    // represent identical real numbers after the up-cast to double —
+    // any difference between lanes is then a typing bug, not rounding
+    val ef = ed.select(col("vec_id"),
+      col("embedding").cast("array<float>").cast("array<double>")
+        .cast("array<float>").as("embedding"))
+    val edq = ef.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val ivfM = Similarity.fitIvf(edq, nlist = 8)
+    val sqM = Similarity.fitSq(edq)
+    val pqM = Similarity.fitPq(edq, m = 4, ks = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"),
+                round(col("cos"), 9).as("c")).collect().toSet
+    def q(df: org.apache.spark.sql.DataFrame) = df.where(col("vec_id") < 5)
+    for ((name, run) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "ivf" -> (c => Similarity.ivfTopK(c, q(c), 10, ivfM, 8, "embedding", "vec_id")),
+      "lsh" -> (c => Similarity.lshTopK(c, q(c), 10, probeAll = true)),
+      "sq" -> (c => Similarity.sqTopK(c, q(c), 10, sqM, 0, "embedding", "vec_id")),
+      "pq" -> (c => Similarity.pqTopK(c, q(c), 10, pqM, 0, "embedding", "vec_id")),
+      "brute" -> (c => Similarity.bruteForceTopK(c, q(c), 10))
+    )) assert(rows(run(ef)) == rows(run(edq)),
+        s"$name: float corpus diverged from double corpus")
+  }
+
+  // ---- VERDICT r4 #5: PQ ADC scoring is a codegen'd kernel ----
+
+  test("pq_adc_score: codegen'd Kernels call, matches reference arithmetic") {
+    import graft.functions.VectorFunctions
+    val centNorm2 = Seq(Seq(1.0, 4.0), Seq(9.0, 16.0))
+    // spark.range source keeps the projection out of ConvertToLocalRelation
+    val df = spark.range(2).select(
+      VectorFunctions.pq_adc_score(
+        typedLit(Seq(Seq(0.5, 1.5), Seq(2.5, 3.5))),
+        lit(2.0),
+        array(col("id").cast("int"), lit(1).cast("int")),
+        centNorm2).as("s"),
+      col("id"))
+    val gen = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(gen.contains("Kernels.pqAdcScore"),
+      "pq_adc_score missing from generated code — fell out of codegen")
+    val got = df.collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+    // id=0: codes (0,1) → dot 0.5+3.5=4, n2 1+16=17, denom 2*sqrt(17)
+    // id=1: codes (1,1) → dot 1.5+3.5=5, n2 4+16=20, denom 2*sqrt(20)
+    assert(math.abs(got(0L) - 4.0 / (2.0 * math.sqrt(17))) < 1e-12)
+    assert(math.abs(got(1L) - 5.0 / (2.0 * math.sqrt(20))) < 1e-12)
+  }
+
+  // ---- VERDICT r4 #3: operator persists flow through OpCaches ----
+
+  test("OpCaches: every operator-internal persist releases; zero survivors") {
+    import graft.ext.{Dedup, OpCaches, Pipeline, TextAnalysis}
+    // isolate from earlier suites sharing the session
+    OpCaches.releaseAll()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    Dedup.minhashPairs(docs, "text", "doc_id").count()
+    Dedup.simhashPairs(docs, "text", "doc_id").count()
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id").count()
+    Dedup.dedupSpans(docs).count()
+    Dedup.incrementalMinhash(docs.where(col("doc_id") < 10), docs).count()
+    Dedup.clusters(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")).count()
+    TextAnalysis.bigramFamiliarity(docs, "text", "doc_id").count()
+    TextAnalysis.tfidfTopTerms(docs, "text", "doc_id").count()
+    Pipeline.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 512).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the operators to have cached working sets before release")
+    OpCaches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "an operator persist bypassed the OpCaches registry")
+  }
+
+  // ---- VERDICT r4 #6: TPC-H anchor plan shapes locked by spec ----
+
+  test("q1/q3/q5 plans: broadcast dims, no nested-loop join, no cartesian") {
+    val qs = graft.SparkEntry.queries
+    def plan(name: String) =
+      qs(name)(spark, sfDir).queryExecution.executedPlan.toString
+    for (name <- Seq("q1_pricing", "q3_revenue", "q5_region_revenue")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: BroadcastNestedLoopJoin in plan")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian in plan")
+    }
+    // q3: customer dimension broadcasts; q5: the 3-dim chain broadcasts
+    assert(plan("q3_revenue").contains("BroadcastHashJoin"),
+      "q3: no broadcast join for the customer dimension")
+    val q5 = plan("q5_region_revenue")
+    assert(q5.sliding("BroadcastHashJoin".length)
+             .count(_ == "BroadcastHashJoin") >= 3,
+      "q5: customer/nation/region dimension chain should broadcast-join")
+    // q1 is a single-agg scan: one group-by exchange plus the presentation
+    // sort's range exchange (over 4 grouped rows — free), and the
+    // aggregation must map-side combine before it shuffles
+    val q1 = plan("q1_pricing")
+    val q1Exchanges = "(?<!Reused)Exchange".r.findAllIn(q1).length
+    assert(q1Exchanges <= 2, s"q1: expected agg+sort shuffles only, got $q1Exchanges")
+    assert(q1.contains("partial_"), "q1: aggregation lost map-side combine")
+  }
+
+  // ---- VERDICT r4 #7: the full quality-filter battery streams ----
+
+  test("quality gate composite streams: keep set identical to batch") {
+    import graft.ext.TextAnalysis
+    val w = Seq("good" -> 1.5, "spam" -> -2.0)
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to find some good food for the long winter " +
+      "season with many friends that have come to visit from the north " +
+      "and they all share stories of the road under a bright evening " +
+      "sky be that as it may") // 54 words: passes both batteries
+    val texts = Seq(
+      (1L, good),
+      (2L, "spam spam spam spam"),                    // fails c4 minWords
+      (3L, good + " ###### ##### #### ### ## # ### ## # ## ###"), // symbol spam
+      (4L, ""))
+    def gate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"),
+      (TextAnalysis.c4Rules(col("text")).getField("keep") &&
+       TextAnalysis.gopherRules(col("text")).getField("keep") &&
+       (TextAnalysis.classifierScore(col("text"), w) > lit(0.0)))
+        .as("keep"))
+    val batch = gate(texts.toDF("id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch(1L), "fixture doc 1 must pass the full battery")
+    assert(!batch(2L) && !batch(3L) && !batch(4L))
+    val ms = MemoryStream[(Long, String)]
+    val q = gate(ms.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("quality_gate_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(texts.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(texts.drop(2): _*) // cross-batch: stateless gate, same result
+      q.processAllAvailable()
+      val streamed = spark.table("quality_gate_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
