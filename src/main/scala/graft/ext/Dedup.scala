@@ -735,26 +735,74 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id",
                          k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
                          threshold: Double = 0.7): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    def prep(df: DataFrame) = OpCaches.register(df.select(col(idCol).as("id"),
-      graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    def banded(sh: DataFrame) = sh
-      .select(col("id"),
+    val idx = OpCaches.register(
+      minhashIndex(corpus, textCol, idCol, k, bands * rowsPerBand)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    incrementalMinhashIndexed(incoming, idx, textCol, idCol, k,
+      bands, rowsPerBand, threshold)
+  }
+
+  /** ENCODE-ONCE face for near-dup ingest: the corpus minhash index — one
+    * row per document, (id, sh sorted-distinct shingle hashes, sig minhash
+    * lanes). The shingling + minhash pass over corpus TEXT (the expensive
+    * encode) runs exactly once; each ingest batch re-derives band keys from
+    * `sig` (narrow integer arithmetic, no text). At 100 TB this lands as a
+    * parquet/bucketed table and is reused across every batch; the inline
+    * [[incrementalMinhash]] routes through this same builder, so indexed ≡
+    * inline by construction. `numHashes` must equal the query-time
+    * bands×rowsPerBand — lane coefficients are lane-count-specific, so
+    * [[incrementalMinhashIndexed]] fails loud on a width mismatch rather
+    * than banding garbage.
+    */
+  def minhashIndex(corpus: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", k: Int = 3,
+                   numHashes: Int = 32): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
+      .select(col("id"), col("sh"),
         graft.functions.VectorFunctions.minhash_lanes(col("sh"), numHashes).as("sig"))
-      .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-                      x => x.cast("string"))), lit(b))
-        }: _*)).as("band_key"))
-    val shIn = prep(incoming); val shCo = prep(corpus)
-    val cand = banded(shIn).toDF("id_a", "band_key")
-      .join(banded(shCo).toDF("id_b", "band_key"), Seq("band_key"))
+
+  /** One (id, band_key) row per band, from a signature column. */
+  private def bandKeysFromSig(df: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame = {
+    // loud guard: banding a signature of the wrong lane count would emit
+    // well-formed but meaningless band keys (coefficients differ per lane
+    // count) — zero recall with no error. raise_error costs nothing on the
+    // happy path and names the mismatch on the broken one.
+    val guarded = when(size(col("sig")) =!= bands * rowsPerBand,
+      raise_error(concat(lit(s"minhash index width ${bands * rowsPerBand} required, got "),
+                         size(col("sig")).cast("string")))).otherwise(col("sig"))
+    df.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          transform(slice(guarded, b * rowsPerBand + 1, rowsPerBand),
+                    x => x.cast("string"))), lit(b))
+      }: _*)).as("band_key"))
+  }
+
+  /** Ingest a batch against a prebuilt [[minhashIndex]]: the batch is
+    * shingled + banded inline, the corpus side bands from its stored
+    * signatures (no text pass), candidates verify with the fused
+    * sorted-merge Jaccard against the stored shingle sets. Returns
+    * (incoming id, corpus id, jaccard), jaccard ≥ threshold.
+    */
+  def incrementalMinhashIndexed(incoming: DataFrame, index: DataFrame,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                k: Int = 3, bands: Int = 16,
+                                rowsPerBand: Int = 2,
+                                threshold: Double = 0.7): DataFrame = {
+    val shIn = OpCaches.register(
+      minhashIndex(incoming, textCol, idCol, k, bands * rowsPerBand)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val cand = bandKeysFromSig(shIn, bands, rowsPerBand).toDF("id_a", "band_key")
+      .join(bandKeysFromSig(index, bands, rowsPerBand).toDF("id_b", "band_key"),
+            Seq("band_key"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(shIn.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shCo.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(index.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
              greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
       .select(col("id_a"), col("id_b"),

