@@ -275,17 +275,13 @@ object Similarity {
     * cells' candidates, ranks exactly. No encode stage — the corpus-wide
     * cell-assignment map ran once at index build.
     */
-  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
-                     model: IvfModel, nprobe: Int,
-                     vecCol: String = "embedding",
-                     idCol: String = "vec_id"): DataFrame = {
+  /** The IVF probe step as a column: a query's `nprobe` nearest cell ids,
+    * computed against the (tiny) centroid closure on the executors.
+    */
+  private def probeCellsCol(model: IvfModel, nprobe: Int): Column => Column = {
     val centers = model.centers
     val nprobeEff = math.min(nprobe, centers.length)
-    val assigned = index.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"), col("cell"))
-    // nprobe nearest cells per query, computed against the (tiny) centroid
-    // table on the executors via a closure — the IVF probe step
-    val probeCells = udf { (q: Seq[Double]) =>
+    val probe = udf { (q: Seq[Double]) =>
       val a = q.toArray // bulk-copy: generic Seq apply boxes every access
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0
@@ -296,10 +292,46 @@ object Similarity {
         (i, d)
       }.sortBy(_._2).take(nprobeEff).map(_._1)
     }
+    qv => probe(qv.cast("array<double>"))
+  }
+
+  /** The distinct cells a query batch will probe — at most `nlist` ints
+    * regardless of corpus or batch size, so the collect is hard-bounded.
+    * This is the partition-pruning handle: see [[ivfTopKPruned]].
+    */
+  def ivfProbeCells(queries: DataFrame, model: IvfModel, nprobe: Int,
+                    vecCol: String = "embedding"): Array[Int] =
+    queries
+      .select(explode(probeCellsCol(model, nprobe)(col(vecCol))).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+
+  /** [[ivfTopKIndexed]] with the probed-cell set pushed into the index
+    * SCAN. With the index written `partitionBy("cell")`, the `isin` filter
+    * is a partition filter: the probe reads only the nprobe-cell subset of
+    * the files — at 100 TB and nprobe/nlist = 3/1024, ~0.3% of the index —
+    * instead of scanning everything and discarding at the join. Costs one
+    * bounded driver action (≤ nlist ints, see [[ivfProbeCells]]) to plan.
+    */
+  def ivfTopKPruned(index: DataFrame, queries: DataFrame, k: Int,
+                    model: IvfModel, nprobe: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val cells = ivfProbeCells(queries, model, nprobe, vecCol)
+    ivfTopKIndexed(index.where(col("cell").isin(cells.toSeq: _*)),
+      queries, k, model, nprobe, vecCol, idCol)
+  }
+
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                     model: IvfModel, nprobe: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val assigned = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("cell"))
     val probed = broadcast(
       queries.select(col(idCol).as("query_id"),
                      col(vecCol).cast("array<double>").as("qv"))
-        .withColumn("cell", explode(probeCells(col("qv")))))
+        .withColumn("cell",
+          explode(probeCellsCol(model, nprobe)(col("qv")))))
     assigned.join(probed, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -259,6 +259,23 @@ class Round5Spec extends SparkSpecBase {
     val ivf = disk(Similarity.ivfIndex(e, ivfM), "ivf")
     assert(rows(Similarity.ivfTopKIndexed(ivf, q, 10, ivfM, nprobe = 2)) ==
            rows(Similarity.ivfTopK(e, q, 10, ivfM, 2, "embedding", "vec_id")))
+    // pruned face over a cell-partitioned index: same rows, and the scan
+    // itself prunes — the probed-cell filter must reach PartitionFilters
+    // (reading 2-3 of 8 cell directories, not all of them)
+    Similarity.ivfIndex(e, ivfM).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$tmp/ivf_part")
+    val ivfPart = spark.read.parquet(s"$tmp/ivf_part")
+    val pruned = Similarity.ivfTopKPruned(ivfPart, q, 10, ivfM, nprobe = 2)
+    assert(rows(pruned) ==
+           rows(Similarity.ivfTopK(e, q, 10, ivfM, 2, "embedding", "vec_id")))
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [") &&
+           scan.replaceAll(".*PartitionFilters", "").contains("cell"),
+      s"probed-cell filter did not reach the partitioned scan: $scan")
+    val probedCells = Similarity.ivfProbeCells(q, ivfM, nprobe = 2)
+    assert(probedCells.length < ivfM.nlist,
+      "fixture queries should probe a strict subset of cells")
     val lsh = disk(Similarity.lshIndex(e), "lsh")
     assert(rows(Similarity.lshTopKIndexed(lsh, q, 10)) ==
            rows(Similarity.lshTopK(e, q, 10)))
