@@ -150,12 +150,31 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosine(col("qv"), col("cv")).as("cos"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k of (query_id, neighbor_id, scoreCol) rows via a
+    * BOUNDED partial aggregation (Spark's CollectTopK heap): each map task
+    * forwards at most k rows per query into the shuffle. The
+    * `row_number().over(partitionBy(query_id))` window this replaces
+    * shuffled the ENTIRE scored candidate set — queries × corpus rows for
+    * the brute/compressed scans — to the query's partition before
+    * discarding all but k; at 100 TB that shuffle IS the operator's cost.
+    * Ordering (score desc, neighbor_id asc) keeps ranks identical to the
+    * window form: the score negation is exact (IEEE negation, ±0.0
+    * included), so heap order ≡ window order, spec-checked. Returns
+    * (query_id, neighbor_id, scoreCol, rank), rank 1..k.
+    */
+  private[graft] def rankTopK(scored: DataFrame, k: Int,
+                            scoreCol: String = "cos"): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.VectorFunctions.collect_top_k(
+        struct((-col(scoreCol)).as("ns"), col("neighbor_id").as("nid")),
+        k, reverse = true).as("top"))
+      .select(col("query_id"), posexplode(array_sort(col("top"))))
+      .select(col("query_id"), col("col.nid").as("neighbor_id"),
+              (-col("col.ns")).as(scoreCol),
+              (col("pos") + 1).cast("int").as("rank"))
 
   /** Diverse top-k via maximal marginal relevance (Carbonell & Goldstein
     * 1998): greedily pick the candidate maximizing
@@ -332,14 +351,11 @@ object Similarity {
                      col(vecCol).cast("array<double>").as("qv"))
         .withColumn("cell",
           explode(probeCellsCol(model, nprobe)(col("qv")))))
-    assigned.join(probed, Seq("cell"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-              cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
+    rankTopK(
+      assigned.join(probed, Seq("cell"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("qv"), col("cv")).as("cos")), k)
   }
 
   /** Fit-and-query convenience form (one-shot callers). Repeated query
@@ -454,25 +470,21 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
               cosine(col("qv"), recon(col("code"))).as("acos"))
-    val keep = if (shortlist > 0) shortlist else Int.MaxValue
-    val short = approx
-      .withColumn("srank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("acos").desc, col("neighbor_id"))))
-      .where(col("srank") <= keep)
-      .select("query_id", "neighbor_id")
+    // shortlist <= 0 (exact gate mode) re-ranks every candidate: no
+    // ranking pass needed at all — the bounded heap only runs when it
+    // actually bounds something
+    val short =
+      (if (shortlist > 0) rankTopK(approx, shortlist, "acos") else approx)
+        .select("query_id", "neighbor_id")
     // exact re-rank: fetch true vectors by id for the shortlist only
-    short
-      .join(index.select(col(idCol).as("neighbor_id"),
-              col(vecCol).cast("array<double>").as("cv")),
-            Seq("neighbor_id"))
-      .join(qb, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-              cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
+    rankTopK(
+      short
+        .join(index.select(col(idCol).as("neighbor_id"),
+                col(vecCol).cast("array<double>").as("cv")),
+              Seq("neighbor_id"))
+        .join(qb, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("qv"), col("cv")).as("cos")), k)
   }
 
   /** Product-quantized (PQ) top-k — the deep-compression ANN tier (Jégou
@@ -621,24 +633,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
               graft.functions.VectorFunctions.pq_adc_score(
                 col("lut"), col("qn"), col("code"), centNorm2).as("acos"))
-    val keep = if (shortlist > 0) shortlist else Int.MaxValue
-    val short = approx
-      .withColumn("srank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("acos").desc, col("neighbor_id"))))
-      .where(col("srank") <= keep)
-      .select("query_id", "neighbor_id")
-    short
-      .join(index.select(col(idCol).as("neighbor_id"),
-              col(vecCol).cast("array<double>").as("cv")),
-            Seq("neighbor_id"))
-      .join(qb.select(col("query_id"), col("qv")), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-              cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
+    // shortlist <= 0 (exact gate mode) re-ranks every candidate — skip
+    // the ADC ranking pass entirely rather than heap the full set
+    val short =
+      (if (shortlist > 0) rankTopK(approx, shortlist, "acos") else approx)
+        .select("query_id", "neighbor_id")
+    rankTopK(
+      short
+        .join(index.select(col(idCol).as("neighbor_id"),
+                col(vecCol).cast("array<double>").as("cv")),
+              Seq("neighbor_id"))
+        .join(qb.select(col("query_id"), col("qv")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("qv"), col("cv")).as("cos")), k)
   }
 
   /** LSH-bucketed approximate top-k: corpus bucketed by hyperplane
@@ -692,14 +699,11 @@ object Similarity {
                      col(vecCol).cast("array<double>").as("qv"),
                      hyperplaneSignature(col(vecCol), planes, seed).as("sig"))
         .select(col("query_id"), col("qv"), probeCol.as("bucket")))
-    bucketed.join(probes, Seq("bucket"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-              cosine(col("qv"), col("cv")).as("cos"))
-      .distinct()
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
+    rankTopK(
+      bucketed.join(probes, Seq("bucket"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("qv"), col("cv")).as("cos"))
+        .distinct(), k)
   }
 }

@@ -393,7 +393,6 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
                     k: Int = 5, minDf: Long = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = OpCaches.register(docs.select(col(idCol).as("id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
@@ -402,15 +401,22 @@ object TextAnalysis {
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     val n = docs.select(count(lit(1)).as("__n"))
+    // bounded per-doc top-k (CollectTopK heap, partial-aggregated): the
+    // final shuffle carries ≤ k (score, term) pairs per doc per map task,
+    // not every scored (doc, term) row as the row_number window did.
+    // Ordering (score desc, term asc); double negation is exact, so ranks
+    // match the window form bit-for-bit.
     tf.join(df_, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))))
-      .where(col("rk") <= k)
-      .select(col("id"), col("rk").cast("long").as("rk"),
-              col("term"), col("score"))
+      .groupBy(col("id"))
+      .agg(graft.functions.VectorFunctions.collect_top_k(
+        struct((-col("score")).as("ns"), col("term").as("t")), k,
+        reverse = true).as("top"))
+      .select(col("id"), posexplode(array_sort(col("top"))))
+      .select(col("id"), (col("pos") + 1).cast("long").as("rk"),
+              col("col.t").as("term"), (-col("col.ns")).as("score"))
   }
 
   /** Gopher-style duplicate-n-gram signal (the "rep-2gram" rule): per doc,

@@ -1161,6 +1161,21 @@ object VectorFunctions {
       ExpressionUtils.expression(lut), ExpressionUtils.expression(qn),
       ExpressionUtils.expression(code), centNorm2))
 
+  /** Bounded per-group top-k (Spark's internal CollectTopK aggregate): a
+    * size-k heap per aggregation buffer, partial-aggregated — each map
+    * task forwards at most k rows PER GROUP into the shuffle, where a
+    * `row_number().over(partitionBy(key))` window shuffles EVERY scored
+    * row to its key's partition before discarding all but k. With
+    * `reverse = true` keeps the k smallest by `ord`'s natural (struct:
+    * lexicographic) ordering, else the k largest. Element order in the
+    * returned array is heap order — sort before reading ranks.
+    */
+  def collect_top_k(ord: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .GraftCollectTopK(ExpressionUtils.expression(ord), k, reverse)
+        .toAggregateExpression())
+
   /** Fold a SQL argument that must be a compile-time integer (n-gram size,
     * lane count, window). Accepts any foldable integral expression — so
     * `char_ngrams(t, 3)`, `char_ngrams(t, CAST(2 AS BIGINT))`, and

@@ -344,6 +344,38 @@ class Round5Spec extends SparkSpecBase {
         s"$name: float corpus diverged from double corpus")
   }
 
+  // ---- bounded per-query ranking replaces the row_number window ----
+
+  test("rankTopK: heap ranking ≡ window ranking; partial-aggregated plan") {
+    import graft.ext.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // adversarial scores: exact duplicates across neighbors (tie-break on
+    // id must decide), ±0.0, and negatives — 40 queries × 50 neighbors
+    val scored = spark.range(2000).select(
+      (col("id") % 40).as("query_id"),
+      (col("id") / 40).cast("long").as("neighbor_id"),
+      (when(col("id") % 7 === 0, lit(0.0))
+        .when(col("id") % 7 === 1, lit(-0.0))
+        .otherwise((col("id") % 13).cast("double") / 13.0 - 0.4)).as("cos"))
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaHeap = Similarity.rankTopK(scored, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaHeap == viaWindow)
+    // the plan must be a partial-aggregating heap, not a window: every
+    // map task forwards ≤ k rows per query into the shuffle
+    val plan = Similarity.rankTopK(scored, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "rankTopK fell back to a window")
+    assert(plan.contains("partial_collect_top_k") ||
+           plan.contains("partial_collecttopk"),
+      s"collect_top_k lost partial aggregation:\n$plan")
+  }
+
   // ---- VERDICT r4 #5: PQ ADC scoring is a codegen'd kernel ----
 
   test("pq_adc_score: codegen'd Kernels call, matches reference arithmetic") {
