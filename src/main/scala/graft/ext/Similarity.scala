@@ -368,6 +368,65 @@ object Similarity {
     ivfTopK(corpus, queries, k,
       fitIvf(corpus, nlist, vecCol, seed, maxTrain), nprobe, vecCol, idCol)
 
+  /** Corpus×corpus KNN JOIN over a prebuilt [[ivfIndex]] — the query side
+    * is LARGE (another corpus, or the corpus itself for semantic pair
+    * mining), so unlike every `*TopK` face nothing is broadcast: queries
+    * are cell-assigned with the same tiny centroid closure and the two
+    * sides meet in a SHUFFLE hash join on `cell`. Per-pair cost is one
+    * fused-loop cosine; per-query results reduce through the bounded
+    * CollectTopK heap ([[rankTopK]]), so the post-join shuffle carries at
+    * most k pairs per query per map task, never the full candidate set.
+    *
+    * At 100 TB this is THE shape for corpus-scale semantic dedup or
+    * retrieval pair mining: both sides shuffle once by 32-bit cell id
+    * (vectors move once), join parallelism = nlist × `salt`. Cells are
+    * Voronoi regions, so dense regions of embedding space become heavy
+    * cells; `salt > 1` splits each cell's corpus rows across `salt`
+    * sub-buckets (corpus side hashed by id, query side replicated ×salt)
+    * — the standard skew-salting trade of ×salt query duplication for
+    * even task sizes. AQE's skew-join split handles moderate skew without
+    * salting; salt when one cell dominates (e.g. near-duplicate-heavy
+    * corpora, exactly where this operator gets pointed).
+    *
+    * Each (query, neighbor) pair meets at most once — a corpus row lives
+    * in exactly one (cell, salt) bucket and a query probes distinct cells
+    * with all salt buckets — so no dedup pass is needed.
+    * `nprobe = nlist` is the exact gate mode (every pair scored), same
+    * pattern as the `*TopK` exact modes.
+    */
+  def ivfKnnJoin(index: DataFrame, queries: DataFrame, k: Int,
+                 model: IvfModel, nprobe: Int, salt: Int = 1,
+                 vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val assigned = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("cell"),
+      pmod(xxhash64(col(idCol)), lit(salt)).cast("int").as("__salt"))
+    val probed = queries
+      .select(col(idCol).as("query_id"),
+              col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell",
+        explode(probeCellsCol(model, nprobe)(col("qv"))))
+      .withColumn("__salt",
+        explode(sequence(lit(0), lit(salt - 1))))
+    rankTopK(
+      assigned.join(probed, Seq("cell", "__salt"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("qv"), col("cv")).as("cos")), k)
+  }
+
+  /** Semantic-pair mining self-join: every corpus row is a query against
+    * the rest of the corpus ([[ivfKnnJoin]] with queries = corpus). One
+    * cell-assignment pass builds the index side inline.
+    */
+  def knnSelfJoin(corpus: DataFrame, k: Int, model: IvfModel,
+                  nprobe: Int, salt: Int = 1,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame =
+    ivfKnnJoin(ivfIndex(corpus, model, vecCol, idCol), corpus, k,
+      model, nprobe, salt, vecCol, idCol)
+
   /** Scalar-quantized (SQ8) top-k — the compressed-scan ANN tier: each
     * corpus vector is encoded once as 8-bit codes against per-dimension
     * [min, max] ranges (4× smaller than float32, 8× smaller than the

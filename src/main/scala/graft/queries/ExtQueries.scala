@@ -327,6 +327,19 @@ object ExtQueries {
     // the MATERIALIZED parquet index (encode ran once at build; the query
     // plan contains no encode stage). Hash-matching the same brute-force
     // oracle proves indexed ≡ inline end-to-end through a disk round-trip.
+    // Corpus×corpus KNN self-join (semantic pair mining): every embedding
+    // queries the rest of the corpus. Gate mode nprobe = nlist ⇒ candidate-
+    // complete ⇒ hash-matches the brute-force self-join oracle; salt=2
+    // exercises the skew-salting path (results are salt-invariant,
+    // spec-checked). Unlike the *TopK faces nothing is broadcast — the two
+    // sides meet in a shuffle join on (cell, salt).
+    "sim_knn_join" -> { (s, d) =>
+      Similarity.knnSelfJoin(emb(s, d), k = 5,
+          ivfModel(s, d, nlist = 16), nprobe = 16, salt = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "sim_ann_ivf_indexed" -> { (s, d) =>
       val e = emb(s, d)
       Similarity.ivfTopKIndexed(ivfIdx(s, d, 16),
@@ -798,6 +811,13 @@ object ExtQueries {
       Similarity.pqTopKIndexed(pqIdx(s, d),
           e.where(col("vec_id") < 5), k = 10,
           pqModel(s, d), shortlist = 50, "embedding", "vec_id")
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+    "sim_knn_join_probe" -> { (s, d) =>
+      // production pair-mining shape: approximate probes over the
+      // materialized cell-partitioned index, corpus-as-queries
+      Similarity.ivfKnnJoin(ivfIdx(s, d, 16), emb(s, d), k = 5,
+          ivfModel(s, d, nlist = 16), nprobe = 3, salt = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "dedup_semantic_probe" -> { (s, d) =>
@@ -1629,6 +1649,20 @@ object ExtQueries {
     "sim_ann_lsh_indexed" -> simBruteSql,
     "sim_ann_sq_indexed" -> simBruteSql,
     "sim_ann_pq_indexed" -> simBruteSql,
+    // brute-force SELF-join ground truth: gate-mode (nprobe = nlist)
+    // candidate-completeness makes the salted shuffle KNN join ≡ this
+    "sim_knn_join" ->
+      """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+         ranked AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+             FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "text_langid" -> langScoreSql,
     "text_ngram_freq" ->
       """WITH g AS (SELECT lang,

@@ -494,4 +494,45 @@ class Round5Spec extends SparkSpecBase {
       assert(streamed == batch, s"streamed $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  // ---- corpus×corpus KNN join (semantic pair mining) ----
+
+  test("ivfKnnJoin: exact mode ≡ brute force; salt-invariant; shuffle join") {
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Similarity.fitIvf(e, nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"),
+                round(col("cos"), 9).as("c")).collect().toSet
+    // nprobe = nlist ⇒ every (query, neighbor) pair scored ⇒ ≡ brute force
+    // with the whole corpus as the query side
+    val brute = rows(Similarity.bruteForceTopK(e, e, k = 5))
+    val exact = Similarity.knnSelfJoin(e, k = 5, model, nprobe = 8)
+    assert(rows(exact) == brute, "exact-mode knn self-join != brute force")
+    // salting only re-buckets the corpus side; results must be identical
+    assert(rows(Similarity.knnSelfJoin(e, 5, model, 8, salt = 3)) == brute,
+      "salt=3 changed the result set")
+    // the query side must NOT broadcast (it is corpus-sized): with the
+    // auto-broadcast estimator off, the candidate meet is a shuffle join on
+    // (cell, __salt) — no BroadcastNestedLoop, no cartesian
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.knnSelfJoin(e, 5, model, 8, salt = 2)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"knn join fell back to an unbounded join shape:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+             plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on (cell, __salt):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // approximate probe: recall vs brute force is high at nprobe=3/8 on the
+    // clustered fixture, and every returned pair must be a real pair
+    val approx = rows(Similarity.knnSelfJoin(e, 5, model, nprobe = 3))
+    val bruteKeys = brute.map(r => (r.getLong(0), r.getLong(2)))
+    val approxKeys = approx.map(r => (r.getLong(0), r.getLong(2)))
+    val recall = approxKeys.count(bruteKeys.contains).toDouble / bruteKeys.size
+    assert(recall > 0.6, s"nprobe=3 recall collapsed: $recall")
+  }
 }
