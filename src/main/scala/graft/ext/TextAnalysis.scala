@@ -296,6 +296,91 @@ object TextAnalysis {
     graft.functions.VectorFunctions.linear_score_hashed(
       split(textCol, " "), bucketWeights, bias)
 
+  /** Weight grid for [[fitLinearHashed]]: weights live on multiples of
+    * 2^-16, residuals on multiples of 2^-8. With counts ≤ 2^10 tokens/doc
+    * and |w| ≤ clamp, every product and partial sum in the fit is exactly
+    * representable in a double, so aggregation order cannot change results.
+    */
+  private val WGrid = 65536.0 // 2^16
+  private val RGrid = 256.0   // 2^8
+
+  /** Round to the nearest 1/`grid` multiple, ties away from zero — the
+    * semantics both Spark's `round` (BigDecimal HALF_UP) and DuckDB's
+    * `round` (C `std::round`) apply, so quantization is engine-portable.
+    */
+  private def quantize(v: Double, grid: Double): Double =
+    new java.math.BigDecimal(v * grid)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / grid
+
+  /** TRAIN the hashing-trick linear model that [[classifierScoreHashed]]
+    * applies: full-batch gradient descent on squared loss over hashed
+    * token-count features — the data-parallel "parameter server on the
+    * driver" shape. Each iteration is ONE distributed pass: score every
+    * doc with the current weights (the same codegen'd kernel inference
+    * uses, riding the scan), quantize the residual `y - s`, and partial-
+    * aggregate per-bucket residual sums through a `buckets`-group shuffle;
+    * the driver holds only the B-double weight vector and applies
+    * `w += lr·g/n`, clamped to ±`clamp`. At 100 TB each iteration shuffles
+    * B × partitions partial rows — model size, not data size.
+    *
+    * Deterministic and ENGINE-PORTABLE by construction, not by luck: `lr`
+    * must be a power of two, weights stay on the 2^-16 grid, residuals are
+    * quantized to the 2^-8 grid, and every product/sum of grid values fits
+    * a double's 53-bit mantissa (needs Σ|r|·len < 2^45 token occurrences —
+    * far past any single training corpus shard), so floating-point
+    * rounding never occurs inside an aggregation and the fit is exactly
+    * reproducible by unrolled SQL in any engine with IEEE doubles
+    * (`text_classifier_train` hash-matches DuckDB). Squared loss rather
+    * than logistic keeps the arithmetic rational: `exp` is not correctly
+    * rounded and differs across engines' libm. Apply the trained weights
+    * with [[classifierScoreHashed]] / [[classifierProb]] (the sigmoid link
+    * at inference time is monotone, so thresholds transfer).
+    *
+    * The tokenized projection is persisted across iterations and released
+    * before returning (terminal actions are internal — no caller cache
+    * obligation).
+    */
+  def fitLinearHashed(docs: DataFrame, textCol: String, labelCol: Column,
+                      buckets: Int = 256, iters: Int = 8,
+                      lr: Double = 0.015625, clamp: Double = 8.0)
+      : Array[Double] = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"buckets must be in [1, 4096], got $buckets")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(lr > 0 && java.lang.Double.isFinite(lr) &&
+        (java.lang.Double.doubleToLongBits(lr) & 0xfffffffffffffL) == 0L,
+      s"lr must be a positive power of two (exact-arithmetic contract), got $lr")
+    require(clamp > 0 && clamp * WGrid == math.rint(clamp * WGrid),
+      s"clamp must sit on the 1/65536 weight grid, got $clamp")
+    val base = docs
+      .select(labelCol.cast("double").as("y"),
+              split(col(textCol), " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count().toDouble
+      require(n > 0, "fitLinearHashed needs a non-empty training corpus")
+      var w = Array.fill(buckets)(0.0)
+      for (_ <- 1 to iters) {
+        val s = graft.functions.VectorFunctions.linear_score_hashed(
+          col("toks"), w.toSeq, 0.0)
+        val grad = base
+          .select((round((col("y") - s) * RGrid) / RGrid).as("r"),
+                  explode(filter(col("toks"), t => t =!= "")).as("tok"))
+          .groupBy(pmod(Pipeline.portableHash60(col("tok")), lit(buckets))
+            .cast("int").as("bucket"))
+          .agg(sum(col("r")).as("g"))
+          .collect() // bounded: ≤ `buckets` rows
+        val g = Array.fill(buckets)(0.0)
+        grad.foreach(r => g(r.getInt(0)) = r.getDouble(1))
+        w = Array.tabulate(buckets) { b =>
+          val upd = w(b) + quantize(lr * g(b) / n, WGrid)
+          math.min(clamp, math.max(-clamp, upd))
+        }
+      }
+      w
+    } finally base.unpersist(blocking = false)
+  }
+
   /** Winnowing-style document fingerprint: positional word k-shingles,
     * engine-portable 60-bit hashes, minimum per sliding window of w — the
     * classic MOSS selection. Returns the distinct fingerprint array (sorted,

@@ -95,6 +95,68 @@ object ExtQueries {
     -0.125, 0.0625, -0.375, 0.25, -0.0625, 0.4375, -0.4375, 0.1875,
     -0.1875, 0.3125, -0.3125)
 
+  // DISTRIBUTED TRAINING gate: full-batch GD on hashed token counts,
+  // label = (lang = 'en'). fitLinearHashed's exact-arithmetic contract
+  // (power-of-two lr, 2^-16 weight grid, 2^-8 residual grid) makes the
+  // whole fit bit-reproducible by unrolled SQL — the oracle re-runs all
+  // iterations in DuckDB and the weight vectors hash-match. Memoized per
+  // fixture dir (deterministic, so memoization cannot change results).
+  // B=256 gives the hashed model enough capacity to isolate language-
+  // marker tokens; lr=2^-6 sits under the least-squares stability bound
+  // 2/λmax ≈ 2·buckets/len² for the fixture's ~60-token docs (2^-4
+  // diverges to the clamp, measured during tuning).
+  private val (trainBuckets, trainIters, trainLr, trainClamp) =
+    (256, 8, 0.015625, 8.0)
+  private val trainedWs =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def trainedW(s: SparkSession, d: String): Array[Double] =
+    trainedWs.computeIfAbsent(d, _ => TextAnalysis.fitLinearHashed(
+      docs(s, d), "text", when(col("lang") === "en", 1.0).otherwise(0.0),
+      trainBuckets, trainIters, trainLr, trainClamp))
+
+  /** The fit unrolled to SQL: iteration i scores docs with w{i-1} (sum of
+    * bucket weights over token occurrences ≡ Σ w·x — exact grid arithmetic,
+    * so grouping order is irrelevant), quantizes the residual to the 2^-8
+    * grid, partial-sums it per bucket, and applies the clamped quantized
+    * update — the same IEEE ops in the same order as the Scala driver loop.
+    * Every chained CTE is MATERIALIZED: each w{i} is referenced twice, so
+    * inlining would re-derive the whole prefix per reference (2^iters
+    * blowup — measured minutes vs 0.1 s at iters=8).
+    */
+  private def trainCtes(buckets: Int, iters: Int, lr: Double,
+                        clamp: Double): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT d.doc_id, d.y, coalesce(t.s, 0.0) AS s
+           FROM d LEFT JOIN (SELECT tok.doc_id, sum(w.w) AS s
+                             FROM tok JOIN $pw w ON w.b = tok.b
+                             GROUP BY tok.doc_id) t ON t.doc_id = d.doc_id),
+         r$i AS MATERIALIZED (SELECT doc_id,
+                 round((y - s) * 256.0) / 256.0 AS r FROM s$i),
+         g$i AS MATERIALIZED (SELECT tok.b, sum(r.r) AS g
+                 FROM tok JOIN r$i r ON r.doc_id = tok.doc_id
+                 GROUP BY tok.b),
+         w$i AS MATERIALIZED (SELECT w.b, least($clamp, greatest(-$clamp,
+                   w.w + round((($lr * coalesce(g.g, 0.0)) / n.n) * 65536.0)
+                         / 65536.0)) AS w
+                 FROM $pw w LEFT JOIN g$i g ON g.b = w.b CROSS JOIN n)"""
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+       tok AS MATERIALIZED (SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT)
+                % $buckets AS INT) AS b
+           FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok
+                 FROM documents) t),
+       n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n
+                          FROM documents),
+       bk AS (SELECT CAST(unnest(range($buckets)) AS INT) AS b),
+       w0 AS (SELECT b, 0.0 AS w FROM bk),
+       $iterCtes"""
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- deduplication ----
     "dedup_exact" -> { (s, d) =>
@@ -575,6 +637,22 @@ object ExtQueries {
       docs(s, d).select(col("doc_id"),
           TextAnalysis.classifierScoreHashed(col("text"), classifierBuckets,
             bias = -0.0625).as("score"))
+        .orderBy(col("doc_id"))
+    },
+    "text_classifier_train" -> { (s, d) =>
+      // the TRAINED weight vector itself: 4 distributed GD iterations,
+      // bit-reproduced by the unrolled-SQL oracle (see trainCtes)
+      val w = trainedW(s, d)
+      import s.implicits._
+      w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }.toSeq
+        .toDF("bucket", "w").orderBy("bucket")
+    },
+    "text_classifier_train_score" -> { (s, d) =>
+      // train → infer composition: the trained model applied by the same
+      // codegen'd inference kernel the fixed-weight gates use
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.classifierScoreHashed(col("text"),
+            trainedW(s, d).toSeq).as("score"))
         .orderBy(col("doc_id"))
     },
     "text_rep_bigram" -> { (s, d) =>
@@ -1193,6 +1271,17 @@ object ExtQueries {
                FROM b, w GROUP BY b.doc_id)
          SELECT d.doc_id, coalesce(m.s, 0.0) - 0.0625 AS score
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
+    "text_classifier_train" ->
+      s"""${trainCtes(trainBuckets, trainIters, trainLr, trainClamp)}
+         SELECT CAST(b AS BIGINT) AS bucket, w FROM w$trainIters
+         ORDER BY bucket""",
+    "text_classifier_train_score" ->
+      s"""${trainCtes(trainBuckets, trainIters, trainLr, trainClamp)}
+         SELECT d.doc_id, coalesce(t.s, 0.0) AS score
+         FROM d LEFT JOIN (SELECT tok.doc_id, sum(w.w) AS s
+                           FROM tok JOIN w$trainIters w ON w.b = tok.b
+                           GROUP BY tok.doc_id) t ON t.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "text_rep_bigram" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -535,4 +535,50 @@ class Round5Spec extends SparkSpecBase {
     val recall = approxKeys.count(bruteKeys.contains).toDouble / bruteKeys.size
     assert(recall > 0.6, s"nprobe=3 recall collapsed: $recall")
   }
+
+  // ---- distributed classifier training (exact full-batch GD) ----
+
+  test("fitLinearHashed: partition-invariant bit-exact fit; loss drops; separates") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+    val w = TextAnalysis.fitLinearHashed(docs, "text", label)
+    // the exact-arithmetic contract's observable: aggregation ORDER cannot
+    // change the fit — different partitionings give bit-identical weights
+    val w7 = TextAnalysis.fitLinearHashed(docs.repartition(7), "text", label)
+    val w1 = TextAnalysis.fitLinearHashed(docs.coalesce(1), "text", label)
+    assert(w.toSeq == w7.toSeq && w.toSeq == w1.toSeq,
+      "fit is partition-order dependent — exactness contract broken")
+    // every weight sits on the 2^-16 grid
+    assert(w.forall(x => x * 65536.0 == math.rint(x * 65536.0)),
+      "weights left the 1/65536 grid")
+    // training actually learns: squared loss below the all-zero model's,
+    // and the trained score separates the labeled classes
+    def mse(weights: Seq[Double]) = docs.select(
+        pow(label - TextAnalysis.classifierScoreHashed(col("text"), weights),
+            2).as("e"))
+      .agg(avg(col("e"))).head.getDouble(0)
+    val lossTrained = mse(w.toSeq)
+    val lossZero = mse(Seq.fill(w.length)(0.0))
+    assert(lossTrained < lossZero,
+      s"training did not reduce loss: $lossTrained vs zero-model $lossZero")
+    val sep = docs.select(label.as("y"),
+        TextAnalysis.classifierScoreHashed(col("text"), w.toSeq).as("s"))
+      .groupBy(col("y")).agg(avg(col("s")).as("m"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(sep(1.0) > sep(0.0),
+      s"trained scores do not separate classes: $sep")
+    // contract guards fire with named errors
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.fitLinearHashed(docs, "text", label, lr = 0.1)
+    }
+    assert(e1.getMessage.contains("power of two"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.fitLinearHashed(docs, "text", label, clamp = 0.30000001)
+    }
+    assert(e2.getMessage.contains("grid"))
+    // no cache residue: the tokenized projection is released internally
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "fitLinearHashed leaked its persisted training projection")
+  }
 }
