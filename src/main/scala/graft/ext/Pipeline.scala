@@ -163,6 +163,102 @@ object Pipeline {
       .drop("rate")
   }
 
+  /** Pure integer waterfill: distribute `budget` across `items` of
+    * `(key, weightPpm, avail)` proportionally to weight, capping each key
+    * at its available mass and redistributing the unused share of
+    * saturated keys to the rest — the standard budget-allocation loop of
+    * a data-mixing recipe ("fill 1T tokens at 60% web / 20% code / …" when
+    * some domain has fewer tokens than its share). All arithmetic is Long
+    * (floor division), so the result is exactly reproducible in any
+    * engine's integer SQL; each round saturates ≥ 1 key or finishes, so
+    * ≤ items.size rounds. Flooring may leave up to ~#keys tokens of the
+    * budget unassigned (documented, deterministic).
+    */
+  private[graft] def waterfill(items: Seq[(String, Long, Long)],
+                               budget: Long): Seq[(String, Long)] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(budget <= Long.MaxValue / 1000000L,
+      s"budget too large for exact ppm arithmetic, got $budget")
+    require(items.forall { case (_, w, a) => w >= 0 && a >= 0 },
+      "weights and avail masses must be >= 0")
+    val alloc = scala.collection.mutable.Map[String, Long]()
+    var pending = items
+    var rem = budget
+    while (pending.nonEmpty) {
+      val wsum = pending.map(_._2).sum
+      if (wsum == 0L) {
+        pending.foreach { case (k, _, _) => alloc(k) = 0L }
+        pending = Nil
+      } else {
+        val want = pending.map { case (k, w, a) => (k, w, a, rem * w / wsum) }
+        val (sat, unsat) = want.partition { case (_, _, a, wt) => a <= wt }
+        if (sat.nonEmpty) {
+          sat.foreach { case (k, _, a, _) => alloc(k) = a; rem -= a }
+          pending = unsat.map { case (k, w, a, _) => (k, w, a) }
+        } else {
+          want.foreach { case (k, _, _, wt) => alloc(k) = wt }
+          pending = Nil
+        }
+      }
+    }
+    items.map { case (k, _, _) => k -> alloc(k) }
+  }
+
+  /** Budget-driven mixture allocation over a key column: per-key available
+    * mass (Σ `mass`, e.g. token counts), then [[waterfill]]s `budget`
+    * across the keys in `weightsPpm` (parts-per-million, must sum to 1e6).
+    * Returns one row per weighted key: (key, avail, alloc, keep_ppm) where
+    * keep_ppm = alloc·1e6 / avail is the integer survival threshold
+    * [[sampleToBudget]] applies. Keys in the data but not in `weightsPpm`
+    * get nothing; weighted keys absent from the data get avail = 0.
+    *
+    * At 100 TB: one partial-agg shuffle to #keys rows, a #keys-row collect
+    * (domains/languages — dozens), and the driver loop — the allocation
+    * table is model-sized, never data-sized. ppm integers rather than
+    * double fractions keep every division a floor division, so the DuckDB
+    * oracle reproduces the allocation bit-for-bit (`ds_budget_alloc`).
+    */
+  def allocateBudget(df: DataFrame, keyCol: String,
+                     weightsPpm: Seq[(String, Long)], budget: Long,
+                     mass: Column = lit(1L)): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.map(_._2).sum == 1000000L,
+      s"weightsPpm must sum to 1000000, got ${weightsPpm.map(_._2).sum}")
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      "duplicate keys in weightsPpm")
+    val spark = df.sparkSession
+    val avail = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(sum(mass.cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val items = weightsPpm.map { case (k, w) =>
+      (k, w, math.max(0L, avail.getOrElse(k, 0L)))
+    }
+    val alloc = waterfill(items, budget).toMap
+    import spark.implicits._
+    items.map { case (k, _, a) =>
+      val al = alloc(k)
+      (k, a, al, if (a > 0) al * 1000000L / a else 0L)
+    }.toSeq.toDF(keyCol, "avail", "alloc", "keep_ppm")
+  }
+
+  /** Downsample to a token budget: rows of each weighted key survive at
+    * the integer ppm rate [[allocateBudget]] derived, by the same
+    * portable hash-threshold draw as [[sampleByMixture]] — so the kept
+    * mass per key lands at `alloc` in expectation, deterministically,
+    * with no RNG state. The allocation table broadcasts; the filter is a
+    * narrow map over the corpus scan.
+    */
+  def sampleToBudget(df: DataFrame, keyCol: String, idCol: String,
+                     weightsPpm: Seq[(String, Long)], budget: Long,
+                     mass: Column = lit(1L), salt: String = ""): DataFrame = {
+    requireFresh(df, "sampleToBudget", "avail", "alloc", "keep_ppm")
+    val rates = allocateBudget(df, keyCol, weightsPpm, budget, mass)
+    val h = pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+                 lit(1000000L))
+    df.join(broadcast(rates), Seq(keyCol))
+      .where(h < col("keep_ppm"))
+      .drop("avail", "alloc", "keep_ppm")
+  }
+
   /** Keep at most `n` rows per key, by `orderCol` ascending (ties broken by
     * the order column set) — the per-domain / per-source cap that keeps a
     * crawl from being dominated by one site.

@@ -157,6 +157,73 @@ object ExtQueries {
        $iterCtes"""
   }
 
+  // Budget-allocation gate: ppm weights (zh deliberately over-weighted at
+  // 60% so it saturates — its token share is ~20% — and the waterfill's
+  // redistribution actually exercises); budget = half the corpus's tokens,
+  // derived from the same mass expression both engines sum exactly.
+  private val budgetWeights: Seq[(String, Long)] = Seq(
+    "de" -> 100000L, "en" -> 100000L, "es" -> 100000L, "fr" -> 100000L,
+    "zh" -> 600000L)
+  private val budgetMass =
+    size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+  private def budgetOf(dd: DataFrame): Long =
+    dd.select(sum(budgetMass).as("t")).head.getLong(0) / 2L
+
+  /** [[graft.ext.Pipeline.waterfill]] unrolled to SQL: `weights.size`
+    * rounds of (remaining·w // wsum) wants over the pending keys,
+    * saturating keys capped at their avail, all in BIGINT floor division —
+    * bit-identical to the Scala loop. MATERIALIZED for the same chained-
+    * CTE reason as [[trainCtes]].
+    */
+  private def budgetCtes: String = {
+    val rounds = (1 to budgetWeights.size).map { i =>
+      val p = s"a${i - 1}"
+      s"""m$i AS MATERIALIZED (SELECT
+             (SELECT coalesce(sum(w), 0) FROM $p WHERE pending) AS wsum,
+             (SELECT bud FROM bud)
+               - (SELECT coalesce(sum(alloc), 0) FROM $p) AS rem),
+         t$i AS MATERIALIZED (SELECT a.k, a.w, a.avail, a.alloc, a.pending,
+             CASE WHEN a.pending AND m.wsum > 0
+                  THEN (m.rem * a.w) // m.wsum END AS want
+             FROM $p a CROSS JOIN m$i m),
+         s$i AS MATERIALIZED (SELECT
+             coalesce(bool_or(pending AND avail <= want), FALSE) AS anysat
+             FROM t$i),
+         a$i AS MATERIALIZED (SELECT t.k, t.w, t.avail,
+             CASE WHEN t.pending AND t.want IS NOT NULL
+                       AND t.avail <= t.want THEN t.avail
+                  WHEN t.pending AND t.want IS NOT NULL
+                       AND NOT s.anysat THEN t.want
+                  ELSE t.alloc END AS alloc,
+             CASE WHEN t.pending AND t.want IS NOT NULL
+                       AND (t.avail <= t.want OR NOT s.anysat) THEN FALSE
+                  ELSE t.pending END AS pending
+             FROM t$i t CROSS JOIN s$i s)"""
+    }.mkString(",\n")
+    val vals = budgetWeights.map { case (k, w) =>
+      s"('$k', CAST($w AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH wt(k, w) AS (VALUES $vals),
+       tk AS MATERIALIZED (SELECT lang,
+           CAST(sum(CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS BIGINT))
+                AS BIGINT) AS m
+           FROM documents GROUP BY lang),
+       av AS MATERIALIZED (SELECT wt.k, wt.w, coalesce(tk.m, 0) AS avail
+             FROM wt LEFT JOIN tk ON tk.lang = wt.k),
+       bud AS MATERIALIZED (SELECT
+           CAST(sum(CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS BIGINT)) // 2
+                AS BIGINT) AS bud
+           FROM documents),
+       a0 AS (SELECT k, w, avail, CAST(NULL AS BIGINT) AS alloc,
+              TRUE AS pending FROM av),
+       $rounds"""
+  }
+  private def budgetFinalPpm(t: String): String =
+    s"CASE WHEN $t.avail > 0 THEN (coalesce($t.alloc, 0) * 1000000) " +
+      s"// $t.avail ELSE 0 END"
+
   val queries: Map[String, Q] = Map(
     // ---- deduplication ----
     "dedup_exact" -> { (s, d) =>
@@ -620,6 +687,23 @@ object ExtQueries {
              countDistinct(col("doc_id")).cast("long").as("n_docs"),
              sum(col("epoch")).cast("long").as("epoch_mass"))
         .orderBy(col("lang"))
+    },
+    "ds_budget_alloc" -> { (s, d) =>
+      // waterfilled token-budget allocation: fill half the corpus's tokens
+      // at 60% zh / 10% each of the rest — zh has ~20% of the tokens, so
+      // it saturates and its unused share redistributes (integer ppm
+      // arithmetic; the oracle replays the waterfill rounds exactly)
+      val dd = docs(s, d)
+      Pipeline.allocateBudget(dd, "lang", budgetWeights,
+          budgetOf(dd), budgetMass)
+        .orderBy(col("lang"))
+    },
+    "ds_budget_sample" -> { (s, d) =>
+      val dd = docs(s, d)
+      Pipeline.sampleToBudget(dd, "lang", "doc_id", budgetWeights,
+          budgetOf(dd), budgetMass)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     },
     "text_classifier" -> { (s, d) =>
       // model-based quality filter: fastText-style linear inference with a
@@ -1271,6 +1355,22 @@ object ExtQueries {
                FROM b, w GROUP BY b.doc_id)
          SELECT d.doc_id, coalesce(m.s, 0.0) - 0.0625 AS score
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
+    "ds_budget_alloc" -> {
+      val last = s"a${budgetWeights.size}"
+      s"""$budgetCtes
+         SELECT k AS lang, avail, coalesce(alloc, 0) AS alloc,
+                ${budgetFinalPpm(last)} AS keep_ppm
+         FROM $last ORDER BY lang"""
+    },
+    "ds_budget_sample" -> {
+      val last = s"a${budgetWeights.size}"
+      s"""$budgetCtes
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN $last ON $last.k = d.lang
+         WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000 < ${budgetFinalPpm(last)}
+         ORDER BY d.doc_id"""
+    },
     "text_classifier_train" ->
       s"""${trainCtes(trainBuckets, trainIters, trainLr, trainClamp)}
          SELECT CAST(b AS BIGINT) AS bucket, w FROM w$trainIters

@@ -581,4 +581,56 @@ class Round5Spec extends SparkSpecBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "fitLinearHashed leaked its persisted training projection")
   }
+
+  // ---- waterfilled token-budget allocation ----
+
+  test("waterfill: caps, redistributes, terminates; sampleToBudget lands near alloc") {
+    import graft.ext.Pipeline
+    // hand-computed: budget 100, weights 50/30/20 ppm-style over avail
+    // 10/1000/1000 — key a saturates (want 50 > avail 10), its share
+    // redistributes 60/40 across b and c: b = 90*30/50 = 54, c = 36
+    def wf(items: Seq[(String, Long, Long)], budget: Long) =
+      Pipeline.waterfill(items, budget).toMap
+    val r = wf(Seq(("a", 500000L, 10L), ("b", 300000L, 1000L),
+                   ("c", 200000L, 1000L)), 100L)
+    assert(r == Map("a" -> 10L, "b" -> 54L, "c" -> 36L), s"got $r")
+    // budget exceeding total avail: everyone capped
+    val r2 = wf(Seq(("a", 500000L, 10L), ("b", 500000L, 20L)), 1000L)
+    assert(r2 == Map("a" -> 10L, "b" -> 20L), s"got $r2")
+    // zero-weight keys get nothing even with avail
+    val r3 = wf(Seq(("a", 1000000L, 50L), ("b", 0L, 999L)), 60L)
+    assert(r3 == Map("a" -> 50L, "b" -> 0L), s"got $r3")
+    // chained saturation: two rounds of redistribution
+    val r4 = wf(Seq(("a", 400000L, 5L), ("b", 400000L, 20L),
+                    ("c", 200000L, 1000L)), 100L)
+    // round 1: wants 40/40/20 → a caps at 5; round 2: rem 95, wants
+    // b: 95*4/6 = 63 > 20 → b caps; round 3: c gets 75*2/2 = 75
+    assert(r4 == Map("a" -> 5L, "b" -> 20L, "c" -> 75L), s"got $r4")
+    // end-to-end: sampled token mass per key lands near the allocation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mass = size(filter(split(col("text"), " "), t => t =!= ""))
+      .cast("long")
+    val weights = Seq("de" -> 100000L, "en" -> 100000L, "es" -> 100000L,
+                      "fr" -> 100000L, "zh" -> 600000L)
+    val total = docs.select(sum(mass)).head.getLong(0)
+    val alloc = Pipeline.allocateBudget(docs, "lang", weights, total / 2, mass)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(alloc("zh")._2 == alloc("zh")._1,
+      "zh must saturate at its available mass under a 60% share")
+    val kept = Pipeline.sampleToBudget(docs, "lang", "doc_id", weights,
+        total / 2, mass)
+      .groupBy("lang").agg(sum(mass).as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, (_, a)) <- alloc if a > 0) {
+      val got = kept.getOrElse(k, 0L)
+      assert(math.abs(got - a) <= math.max(200L, a / 3),
+        s"$k: kept token mass $got far from allocation $a")
+    }
+    // sampling is a pure function of ids: same rows on any partitioning
+    val n1 = Pipeline.sampleToBudget(docs, "lang", "doc_id", weights,
+        total / 2, mass).count()
+    val n2 = Pipeline.sampleToBudget(docs.repartition(7), "lang", "doc_id",
+        weights, total / 2, mass).count()
+    assert(n1 == n2, s"partitioning changed the sample: $n1 vs $n2")
+  }
 }
