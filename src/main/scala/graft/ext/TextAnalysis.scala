@@ -246,6 +246,61 @@ object TextAnalysis {
                          merges: Seq[(String, String)]): Column =
     size(bpeEncode(textCol, merges)).cast("long")
 
+  /** TRAIN a BPE merge table over a corpus (Sennrich et al. 2016) — the
+    * learn side of [[bpeEncode]]. Each round counts adjacent symbol pairs
+    * across the corpus's segmentations under the merges learned so far and
+    * adopts the most frequent pair (ties → lexicographically smallest, by
+    * Spark's UTF8 binary string order — deterministic across runs and
+    * partitionings, since pair counts are exact long sums).
+    *
+    * Distributed shape: the corpus reduces ONCE to a (pre-token, count)
+    * vocabulary table — all subsequent rounds run over the vocabulary,
+    * which is orders of magnitude smaller than the corpus and is persisted
+    * across rounds (released before returning). Per round: one vocabulary
+    * scan where the segmentation is re-derived by the codegen'd
+    * [[bpeEncode]] kernel with the current merge list (re-encoding from
+    * scratch ≡ replaying the training merges — the standard BPE
+    * equivalence; this keeps the loop STATELESS, no chained cached
+    * segmentation frames), a pair-explode, a partial-agg shuffle on the
+    * pair, and a bounded top-1 collect. At 100 TB the vocabulary for a
+    * web-scale corpus is ~100M rows — comfortably a Spark table, never
+    * driver state; the driver holds only the merge list.
+    *
+    * Stops early when no pair reaches `minCount` (vocabulary saturated).
+    */
+  def learnBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges must be in [1, 65536], got $numMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val words = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(bpePattern),
+                                         lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var done = false
+      while (!done && merges.size < numMerges) {
+        val seg = bpeEncode(col("w"), merges.toSeq)
+        val top = words
+          .select(col("c"), seg.as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("c"), explode(transform(
+              sequence(lit(0), size(col("syms")) - 2),
+              i => struct(element_at(col("syms"), i + 1).as("a"),
+                          element_at(col("syms"), i + 2).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect() // bounded: exactly one row
+        if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges.toList
+    } finally words.unpersist(blocking = false)
+  }
+
   /** Model-based quality scoring: the inference side of a fastText-style
     * linear classifier (Joulin et al. 2016) — `bias + Σ weight(token)`
     * over an explicit token array, so callers choose the token space

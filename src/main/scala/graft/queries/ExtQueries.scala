@@ -157,6 +157,12 @@ object ExtQueries {
        $iterCtes"""
   }
 
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def learnedBpe(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMerges.computeIfAbsent(d,
+      _ => TextAnalysis.learnBpe(docs(s, d), "text", numMerges = 30))
+
   // Budget-allocation gate: ppm weights (zh deliberately over-weighted at
   // 60% so it saturates — its token share is ~20% — and the waterfill's
   // redistribution actually exercises); budget = half the corpus's tokens,
@@ -687,6 +693,17 @@ object ExtQueries {
              countDistinct(col("doc_id")).cast("long").as("n_docs"),
              sum(col("epoch")).cast("long").as("epoch_mass"))
         .orderBy(col("lang"))
+    },
+    "text_bpe_learn" -> { (s, d) =>
+      // BPE tokenizer TRAINING: 30 merge rounds over the fixture corpus.
+      // No DuckDB oracle (each round's argmax feeds the next round's
+      // segmentation — not SQL-expressible); the driver records rows-only
+      // and the spec proves the fit against an in-memory reference
+      // implementation. Memoized per fixture (deterministic fit).
+      val m = learnedBpe(s, d)
+      import s.implicits._
+      m.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right").orderBy("rank")
     },
     "ds_budget_alloc" -> { (s, d) =>
       // waterfilled token-budget allocation: fill half the corpus's tokens

@@ -781,7 +781,9 @@ case class SortedJaccard(left: Expression, right: Expression)
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
-  require(merges.nonEmpty, "bpe_encode needs a non-empty merge table")
+  // an EMPTY merge table is legal: pure pre-tokenize + code-point
+  // segmentation — the state BPE training (TextAnalysis.learnBpe) starts
+  // from
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -633,4 +633,111 @@ class Round5Spec extends SparkSpecBase {
         weights, total / 2, mass).count()
     assert(n1 == n2, s"partitioning changed the sample: $n1 vs $n2")
   }
+
+  // ---- BPE merge learning vs an in-memory reference implementation ----
+
+  test("learnBpe: matches the classic in-memory trainer; compresses; stops dry") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    // reference trainer: same pre-tokenizer, same greedy lowest-rank
+    // encode as the kernel, same (count desc, pair asc) adoption rule.
+    // String order = UTF-8 BYTE order to mirror Spark's binary collation
+    // (≡ code-point order; Java String compareTo would diverge on
+    // supplementary planes).
+    def utf8Lt(x: String, y: String): Boolean = {
+      val (a, b) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    def encodeRef(word: String, ranks: Map[(String, String), Int])
+        : Vector[String] = {
+      var syms = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < word.length) {
+          val n = Character.charCount(word.codePointAt(i))
+          b += word.substring(i, i + n); i += n
+        }
+        b.result()
+      }
+      var done = syms.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var bestAt = -1
+        for (j <- 0 until syms.length - 1) {
+          ranks.get((syms(j), syms(j + 1))).foreach { r =>
+            if (r < bestRank) { bestRank = r; bestAt = j }
+          }
+        }
+        if (bestAt < 0) done = true
+        else {
+          syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+            syms.drop(bestAt + 2)
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+    def learnRef(wordCounts: Map[String, Long], numMerges: Int,
+                 minCount: Long): Seq[(String, String)] = {
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var done = false
+      while (!done && merges.size < numMerges) {
+        val ranks = merges.zipWithIndex.map { case (p, r) => p -> r }.toMap
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((w, c) <- wordCounts) {
+          val syms = encodeRef(w, ranks)
+          for (j <- 0 until syms.length - 1)
+            counts((syms(j), syms(j + 1))) =
+              counts.getOrElse((syms(j), syms(j + 1)), 0L) + c
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val best = counts.toSeq.sortWith { case ((p1, n1), (p2, n2)) =>
+            if (n1 != n2) n1 > n2
+            else if (p1._1 != p2._1) utf8Lt(p1._1, p2._1)
+            else utf8Lt(p1._2, p2._2)
+          }.head
+          if (best._2 < minCount) done = true else merges += best._1
+        }
+      }
+      merges.toList
+    }
+
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.bpePattern)
+    val wordCounts = docs.select(col("text")).collect()
+      .flatMap { r =>
+        val m = pat.matcher(r.getString(0))
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (m.find()) b += m.group()
+        b
+      }
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val expected = learnRef(wordCounts, numMerges = 20, minCount = 2L)
+    val got = TextAnalysis.learnBpe(docs, "text", numMerges = 20)
+    assert(got == expected,
+      s"distributed fit diverged from reference:\n got $got\n exp $expected")
+    assert(got.size == 20, "fixture corpus should support 20 merges")
+    // learned merges COMPRESS: strictly fewer symbols than char-level
+    val nMerged = docs.select(
+        sum(TextAnalysis.bpeTokenCountExact(col("text"), got))).head.getLong(0)
+    val nChars = docs.select(
+        sum(TextAnalysis.bpeTokenCountExact(col("text"), Nil))).head.getLong(0)
+    assert(nMerged < nChars,
+      s"learned merges failed to compress: $nMerged vs $nChars symbols")
+    // dry corpus stops early instead of looping
+    import spark.implicits._
+    val tiny = Seq("a b", "a b").toDF("text")
+    val tinyMerges = TextAnalysis.learnBpe(tiny, "text", numMerges = 50)
+    assert(tinyMerges.size < 50,
+      s"trainer did not stop on a saturated vocabulary: $tinyMerges")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "learnBpe leaked its persisted vocabulary")
+  }
 }
