@@ -77,11 +77,20 @@ object Bench {
     try graft.queries.ExtQueries.prebuildIndexes(spark, sfDir)
     catch { case _: Throwable => }
     releaseAndCheck()
+    // A failing query must be VISIBLE, not a silently-recorded
+    // time-to-failure (r5 lesson: a fixture type change broke one query
+    // and streaming for a full round of bench records before anyone saw
+    // an error). Failures print the cause and land in "failed" below.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val samples: Seq[(String, Seq[Double])] =
       timed.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              if (failed.add(name))
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
           val secs = (System.nanoTime() - t0) / 1e9
           releaseAndCheck()
           secs
@@ -100,7 +109,11 @@ object Bench {
     // query timing.
     val (streamRows, streamingSecs) =
       try StreamingBench.windowedCount(spark, sfDir)
-      catch { case _: Throwable => (0L, -1.0) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming FAILED: ${e.getMessage}")
+        failed.add("streaming_windowed_count")
+        (0L, -1.0)
+      }
     val rowsPerSec =
       if (streamingSecs > 0) streamRows / streamingSecs else -1.0
     val perfAll = perf :+ ("streaming_windowed_count" -> streamingSecs)
@@ -111,10 +124,12 @@ object Bench {
       "\"" + k + "\":[" + xs.map(x => f"$x%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = perfAll.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":${jmap(perfAll)},"gate_queries":${jmap(gate)},""" +
       f""""samples":$samplesJson,"reps":$reps,"cache_leaked_blocks":$leakedBlocks,""" +
+      f""""failed":$failedJson,""" +
       f""""streaming_rows":$streamRows,"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
     // line in "[info] ". The forked run now passes stdout through bare

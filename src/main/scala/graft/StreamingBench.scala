@@ -33,11 +33,16 @@ object StreamingBench {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    // fixture ts is TIMESTAMP(NANOS); replay needs typed rows on the driver
+    // type-driven ts conversion: fixtures have carried TIMESTAMP(NANOS)
+    // (reads as LONG under nanosAsLong) and micros TIMESTAMP_NTZ across
+    // rounds — handle both; replay needs typed LTZ rows on the driver
+    val tsAsLtz = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(CAST(ts AS LONG) DIV 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
     val rows = events
-      .select(col("user_id"),
-        expr("timestamp_micros(CAST(ts AS LONG) DIV 1000)").as("ts"),
-        col("event_type"))
+      .select(col("user_id"), tsAsLtz.as("ts"), col("event_type"))
       .as[(Long, java.sql.Timestamp, String)]
       .collect()
     // disjoint user-id ranges AND a forward time shift per replica: state

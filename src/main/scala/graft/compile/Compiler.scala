@@ -363,14 +363,19 @@ object Compiler {
           val idx = schema.fieldIndex(ts)
           implicit val enc = Encoders.row(schema)
           out = out.mapPartitions { it =>
-            var partTime: java.sql.Timestamp = null
+            // track the raw cell (java.sql.Timestamp OR LocalDateTime —
+            // fixtures carry both) so the backfilled value always matches
+            // the column's external type; compare on tolerant micros
+            var partRaw: Any = null
+            var partUs = Long.MinValue
             it.map { r =>
-              val t = r.getAs[java.sql.Timestamp](idx)
+              val t = r.get(idx)
               if (t != null) {
-                if (partTime == null || t.after(partTime)) partTime = t
+                val us = graft.state.SessionKernels.toMicrosAny(t)
+                if (partRaw == null || us > partUs) { partRaw = t; partUs = us }
                 r
-              } else if (partTime != null)
-                Row.fromSeq(r.toSeq.updated(idx, partTime))
+              } else if (partRaw != null)
+                Row.fromSeq(r.toSeq.updated(idx, partRaw))
               else r
             }
           }

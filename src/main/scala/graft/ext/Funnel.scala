@@ -38,7 +38,10 @@ object Funnel {
     val seqd = events
       .where(col(typeCol).isin(steps.map(x => x: Any): _*))
       .select(col(userCol).as("user"),
-        struct(unix_micros(col(tsCol)).as("ts"), stepIdx.as("step")).as("e"))
+        // cast first: unix_micros rejects TIMESTAMP_NTZ, and the round-5
+        // fixtures read as NTZ (UTC session ⇒ the cast is value-identity)
+        struct(unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+               stepIdx.as("step")).as("e"))
       .groupBy(col("user"))
       .agg(array_sort(collect_list(col("e"))).as("seq"))
     // acc(j) = LATEST chain-start ts over valid chains of depth j+1 in the

@@ -27,6 +27,25 @@ object SessionKernels extends Serializable {
     */
   private[state] def toMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Event-time cell → microseconds, tolerant of TIMESTAMP and
+    * TIMESTAMP_NTZ external types (parquet `isAdjustedToUTC=false` columns
+    * read as NTZ → `LocalDateTime` rows; the session timezone is UTC, so
+    * the NTZ wall-clock IS the instant — same convention as the DuckDB
+    * oracle's naive timestamps). The read happens on the row VALUE, never
+    * the plan, so watermark metadata on the column survives.
+    */
+  private[graft] def toMicrosAny(v: Any): Long = v match {
+    case t: java.sql.Timestamp => toMicros(t)
+    case d: java.time.LocalDateTime =>
+      val i = d.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => throw new IllegalArgumentException(
+      s"session event time must be a timestamp value, got " +
+        s"${if (other == null) "null" else other.getClass.getName}")
+  }
   private[state] def fromMicros(us: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -97,7 +116,7 @@ object SessionKernels extends Serializable {
         SecondarySort.foldSortedGroups(f.df, keyNames, orderCols) {
           (k: Row, rows: Iterator[Row]) =>
             val sessions = rows.foldLeft(List.empty[Session]) { (acc, r) =>
-              insert(acc, toMicros(r.getAs[java.sql.Timestamp](tsIdx)), r)
+              insert(acc, toMicrosAny(r.get(tsIdx)), r)
             }
             sessions.iterator.map(s => emitRow(k, s))
         }(oEnc)
@@ -142,7 +161,7 @@ object SessionKernels extends Serializable {
             val before = sessions.toSet
             it.foreach { r =>
               sessions = insert(sessions,
-                toMicros(r.getAs[java.sql.Timestamp](tsIdx)), r)
+                toMicrosAny(r.get(tsIdx)), r)
             }
             // snapshot emissions BEFORE eviction: a session updated in this
             // batch emits its latest state even if it closes immediately

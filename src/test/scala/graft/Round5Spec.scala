@@ -634,6 +634,41 @@ class Round5Spec extends SparkSpecBase {
     assert(n1 == n2, s"partitioning changed the sample: $n1 vs $n2")
   }
 
+  // ---- NTZ event-time tolerance (fixture ts type changed across rounds) ----
+
+  test("session kernel reads TIMESTAMP_NTZ event time (micros fixture) and LTZ alike") {
+    import graft.state.SessionKernels
+    // unit: all three external timestamp types map to the same micros
+    val us = 1723500000123456L
+    val sqlTs = new java.sql.Timestamp(us / 1000L)
+    sqlTs.setNanos(((us % 1000000L) * 1000L).toInt)
+    val inst = java.time.Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L)
+    val ldt = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+    assert(SessionKernels.toMicrosAny(sqlTs) == us)
+    assert(SessionKernels.toMicrosAny(ldt) == us)
+    assert(SessionKernels.toMicrosAny(inst) == us)
+    val bad = intercept[IllegalArgumentException] {
+      SessionKernels.toMicrosAny("not a time")
+    }
+    assert(bad.getMessage.contains("timestamp value"))
+    // end-to-end: the user-merger session gate query over the raw fixture
+    // (ts reads as TIMESTAMP_NTZ — LocalDateTime rows) must run and agree
+    // with the declarative session_window count per (user, session_start)
+    // output types differ on purpose (kernel emits LTZ; session_window
+    // passes NTZ through) — compare on tolerant micros, like the oracle's
+    // naive-UTC convention
+    def rows3(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n")).collect()
+      .map(r => (r.getLong(0), SessionKernels.toMicrosAny(r.get(1)),
+                 r.getLong(2))).toSet
+    val userSess = rows3("agg_session_user")
+    assert(userSess.nonEmpty, "session query returned nothing")
+    val builtin = rows3("agg_session")
+    assert(userSess == builtin,
+      "custom session kernel diverged from session_window on the fixture")
+  }
+
   // ---- BPE merge learning vs an in-memory reference implementation ----
 
   test("learnBpe: matches the classic in-memory trainer; compresses; stops dry") {
