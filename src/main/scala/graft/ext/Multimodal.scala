@@ -426,6 +426,55 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for a MAINSTREAM animated format: every `stride`-th
+    * frame of an animated GIF, decoded by the JDK ImageIO reader and
+    * re-encoded standalone as PNG — the video-keyframe-extraction shape
+    * over a format this container can actually decode. Non-GIF payloads
+    * yield no rows (sniff-first, like every real lane). Frames are the
+    * reader's RAW frames (a GIF frame may be a sub-rectangle under
+    * disposal composition — keyframe pipelines treat frames
+    * independently, so no compositing pass here; documented).
+    *
+    * Same 100 TB shape as [[samplePpmFrames]]: a narrow per-row flatMap,
+    * no shuffle; per-task memory is one decoded frame at a time.
+    */
+  def sampleGifFrames(media: DataFrame, stride: Int = 1,
+                      payloadCol: String = "payload"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val pIdx = media.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        if (!sniffImageFormat(bytes).contains("gif")) Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).iterator.map { i =>
+                Row(id, i, encodeImage(reader.read(i), "png"))
+              }.toVector.iterator // materialize before the reader closes
+            } catch {
+              case _: java.io.IOException => Iterator.empty
+            } finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+    }
+  }
+
   // ---- REAL audio lane: WAV (RIFF/PCM-16) ------------------------------
 
   /** Parse a RIFF/WAVE payload with a PCM-16 `data` chunk: returns

@@ -634,6 +634,48 @@ class Round5Spec extends SparkSpecBase {
     assert(n1 == n2, s"partitioning changed the sample: $n1 vs $n2")
   }
 
+  // ---- mainstream animated-format frame sampling (GIF via ImageIO) ----
+
+  test("sampleGifFrames: stride over a real animated GIF; non-GIF yields nothing") {
+    import graft.ext.Multimodal
+    import javax.imageio.ImageIO
+    // author a real 5-frame animated GIF with distinct solid fills
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff)
+    val frames = colors.map { c =>
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, 8, 6); g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    frames.foreach(f =>
+      w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val gif = bos.toByteArray
+    assert(new String(gif.take(4), "US-ASCII").startsWith("GIF8"))
+    import spark.implicits._
+    val media = Seq((1L, gif), (2L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.sampleGifFrames(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._2)
+    assert(out.map(o => (o._1, o._2)).toSeq == Seq((1L, 0), (1L, 2), (1L, 4)),
+      s"expected frames 0/2/4 of media 1, got ${out.map(o => (o._1, o._2)).toSeq}")
+    // each sampled frame is a standalone decodable image with the frame's
+    // dimensions and (palette-exact for solid fills) color
+    for (((_, fno, png), want) <- out.zip(Seq(colors(0), colors(2), colors(4)))) {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 6, s"frame $fno dims")
+      assert((img.getRGB(3, 3) & 0xffffff) == want,
+        f"frame $fno color: got ${img.getRGB(3, 3) & 0xffffff}%06x want $want%06x")
+    }
+  }
+
   // ---- NTZ event-time tolerance (fixture ts type changed across rounds) ----
 
   test("session kernel reads TIMESTAMP_NTZ event time (micros fixture) and LTZ alike") {
