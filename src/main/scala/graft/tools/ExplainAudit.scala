@@ -14,10 +14,12 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // resolve gate + bench-only names alike (TimeOne convention)
+    val all = graft.SparkEntry.queries ++ graft.queries.ExtQueries.benchOnly
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
-        .explain("formatted")
+      all(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
