@@ -163,6 +163,24 @@ object Pipeline {
       .drop("rate")
   }
 
+  /** Deterministic EPOCH SHUFFLE: a total pseudo-random training order,
+    * re-drawn per epoch — `ORDER BY h60(id:epoch:salt), id`. No RNG
+    * state: the order is a pure function of (id, epoch, salt), so it is
+    * identical across runs, partitionings, and engines, and two epochs
+    * give independent-looking orders. At 100 TB this is Spark's
+    * range-partitioned global sort (sampling pass + sorted write — the
+    * shape `writeZOrdered` also uses); a pipeline writes each epoch's
+    * order once and streams it sequentially.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   salt: String = ""): DataFrame = {
+    requireFresh(df, "epochShuffle", "shuffle_key")
+    df.withColumn("shuffle_key",
+        portableHash60(concat(col(idCol).cast("string"),
+                              lit(s":$epoch:$salt"))))
+      .orderBy(col("shuffle_key"), col(idCol))
+  }
+
   /** Pure integer waterfill: distribute `budget` across `items` of
     * `(key, weightPpm, avail)` proportionally to weight, capping each key
     * at its available mass and redistributing the unused share of

@@ -709,6 +709,13 @@ object ExtQueries {
       m.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
         .toDF("rank", "left", "right").orderBy("rank")
     },
+    "ds_epoch_shuffle" -> { (s, d) =>
+      // first 50 docs of epoch 1's deterministic training order — the
+      // sorted shuffle_key prefix proves the order itself hash-exactly
+      Pipeline.epochShuffle(docs(s, d), "doc_id", epoch = 1)
+        .select(col("doc_id"), col("shuffle_key"))
+        .limit(50)
+    },
     "ds_budget_alloc" -> { (s, d) =>
       // waterfilled token-budget allocation: fill half the corpus's tokens
       // at 60% zh / 10% each of the rest — zh has ~20% of the tokens, so
@@ -1376,6 +1383,12 @@ object ExtQueries {
                FROM b, w GROUP BY b.doc_id)
          SELECT d.doc_id, coalesce(m.s, 0.0) - 0.0625 AS score
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
+    "ds_epoch_shuffle" ->
+      """SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1:'), 1, 15)
+                AS BIGINT) AS shuffle_key
+         FROM documents
+         ORDER BY shuffle_key, doc_id LIMIT 50""",
     "ds_budget_alloc" -> {
       val last = s"a${budgetWeights.size}"
       s"""$budgetCtes

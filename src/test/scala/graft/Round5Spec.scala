@@ -711,6 +711,28 @@ class Round5Spec extends SparkSpecBase {
       "custom session kernel diverged from session_window on the fixture")
   }
 
+  // ---- deterministic epoch shuffle ----
+
+  test("epochShuffle: total deterministic order; epochs independent; partition-stable") {
+    import graft.ext.Pipeline
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Pipeline.epochShuffle(df, "doc_id", epoch)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val e1 = order(docs, 1)
+    assert(e1.size == docs.count() && e1.distinct.size == e1.size,
+      "shuffle must be a permutation of the corpus")
+    assert(e1 != e1.sorted, "epoch order should not be id order")
+    assert(order(docs, 2) != e1, "different epochs must re-draw the order")
+    assert(order(docs.repartition(7), 1) == e1,
+      "order must not depend on physical partitioning")
+    val clash = intercept[IllegalArgumentException] {
+      Pipeline.epochShuffle(docs.withColumn("shuffle_key", lit(1)),
+        "doc_id", 1)
+    }
+    assert(clash.getMessage.contains("shuffle_key"))
+  }
+
   // ---- BPE merge learning vs an in-memory reference implementation ----
 
   test("learnBpe: matches the classic in-memory trainer; compresses; stops dry") {
