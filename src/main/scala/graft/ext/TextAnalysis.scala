@@ -610,4 +610,117 @@ object TextAnalysis {
       .withColumn("dup_fraction",
         round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
   }
+
+  // --------------------------------------------------------------------
+  // Bigram language model: fit + perplexity (the CCNet-style LM filter)
+  // --------------------------------------------------------------------
+
+  /** Bigram language-model TRAINING: corpus bigram counts, the sufficient
+    * statistic of an add-k-smoothed bigram LM (the CCNet/KenLM-style
+    * perplexity filter's model, at order 2). `minCount` prunes the long
+    * tail for a broadcastable model; the default keeps everything so the
+    * fit is exactly the corpus statistic.
+    *
+    * 100 TB shape: one partial-agg shuffle of (bigram, 1) rows — a
+    * celebrity bigram ("of the") map-side combines before the exchange.
+    * Word strings shuffle here because the MODEL must be keyed by words
+    * (scoring joins on them); the read-only statistics ops
+    * ([[bigramFamiliarity]], [[topBigramStats]]) shuffle 8-byte hashes
+    * instead.
+    */
+  def bigramLmFit(docs: DataFrame, textCol: String,
+                  minCount: Long = 1): DataFrame =
+    docs.select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .where(col("c") >= minCount)
+
+  /** Per-document perplexity under an add-k bigram LM whose counts came
+    * from [[bigramLmFit]] — the scale face: the model stays distributed
+    * and scoring is a join, so a 10⁹-entry web-corpus LM never has to fit
+    * anywhere.
+    *
+    * For each consecutive word pair the smoothed probability is
+    * `P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)` with `c(w₁·)` the
+    * context total (Σ over following words) and `V` the corpus vocabulary
+    * size; perplexity is `exp(−Σ ln P / n)`, ROUNDED to 4 decimals (`ln`
+    * is not bit-specified; the [[charEntropy]] determinism rule). Docs
+    * with < 2 tokens have no bigrams and are absent.
+    *
+    * 100 TB shape: doc bigrams shuffle once to meet the model (left join
+    * on the bigram string — unseen pairs score k/(c+kV)); context totals
+    * derive from the model by a map-side-combined re-aggregation (no
+    * second corpus scan); V broadcasts as a single row. The per-doc
+    * rollup partial-aggs. With a pruned model, Catalyst's size estimate
+    * turns both model joins into broadcasts automatically.
+    */
+  def perplexity(docs: DataFrame, lm: DataFrame, textCol: String,
+                 idCol: String, k: Double = 0.5): DataFrame = {
+    val bg = docs.select(col(idCol).as("id"),
+      explode(bigrams(col(textCol))).as("bigram"))
+    val ctx = lm.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c")).as("cu"))
+    val v = docs.select(explode(toks(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).cast("double").as("__v"))
+    bg.join(lm, Seq("bigram"), "left")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((coalesce(col("c"), lit(0L)).cast("double") + k) /
+            (coalesce(col("cu"), lit(0L)).cast("double") + lit(k) * col("__v"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           round(exp(-sum(col("lp")) / count(lit(1))), 4).as("ppl"))
+  }
+
+  /** A collected bigram LM for the projection face: bigram counts,
+    * context totals, vocabulary size. Collected driver-side under an
+    * explicit cap — the pruned-model path (real pipelines ship a
+    * frequency-cut model of ~10⁶ entries; the full web-scale model uses
+    * the join face).
+    */
+  final case class BigramLmModel(bigram: Map[String, Long],
+                                 context: Map[String, Long], vocab: Long)
+
+  /** Collect a [[bigramLmFit]] result into a [[BigramLmModel]], failing
+    * fast if the (pruned) model exceeds `maxEntries` — the
+    * GlobalKTable-style size guard, not a silent truncation.
+    */
+  def bigramLmCollect(lm: DataFrame, vocabSize: Long,
+                      maxEntries: Int = 2000000): BigramLmModel = {
+    val rows = lm.select(col("bigram"), col("c")).limit(maxEntries + 1)
+      .collect()
+    require(rows.length <= maxEntries,
+      s"bigram LM exceeds $maxEntries entries; raise minCount in " +
+        "bigramLmFit or use the perplexity join face")
+    val bg = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctx = bg.toSeq
+      .groupBy { case (b, _) => b.substring(0, b.indexOf(' ')) }
+      .map { case (w1, es) => w1 -> es.map(_._2).sum }
+    BigramLmModel(bg, ctx, vocabSize)
+  }
+
+  /** Perplexity as a pure Column over a literal [[BigramLmModel]] — the
+    * projection face: no join, no shuffle, streaming-safe (the
+    * classifierScore pattern). Equals the join face wherever the model is
+    * unpruned; with a pruned model, dropped bigrams score as unseen.
+    * Docs with < 2 tokens yield null.
+    */
+  def perplexityColumn(textCol: Column, model: BigramLmModel,
+                       k: Double = 0.5): Column = {
+    val bmap = typedlit(model.bigram)
+    val cmap = typedlit(model.context)
+    val kv = k * model.vocab
+    val t = toks(textCol)
+    val n = size(t) - 1
+    val lpSum = aggregate(sequence(lit(0), n - 1), lit(0.0).cast("double"),
+      (acc, i) => {
+        val b = concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))
+        val w1 = element_at(t, i + 1)
+        acc + log((coalesce(element_at(bmap, b), lit(0L)).cast("double") + k) /
+          (coalesce(element_at(cmap, w1), lit(0L)).cast("double") + kv))
+      })
+    when(n >= 1, round(exp(-lpSum / n), 4)).otherwise(lit(null).cast("double"))
+  }
 }

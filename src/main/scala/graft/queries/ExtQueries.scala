@@ -779,6 +779,22 @@ object ExtQueries {
                 col("familiarity"), col("n_known"))
         .orderBy(col("doc_id"))
     },
+    "text_lm_counts" -> { (s, d) =>
+      // bigram LM TRAINING: the corpus count table itself, top 200 by
+      // frequency (ties -> bigram asc) — exact longs, trivially portable
+      TextAnalysis.bigramLmFit(docs(s, d), "text")
+        .orderBy(col("c").desc, col("bigram"))
+        .limit(200)
+    },
+    "text_perplexity" -> { (s, d) =>
+      // the CCNet-style LM quality filter: per-doc perplexity under the
+      // add-k bigram model fit on the same corpus (join face — the model
+      // stays distributed; k=0.5 binary-exact)
+      TextAnalysis.perplexity(docs(s, d),
+          TextAnalysis.bigramLmFit(docs(s, d), "text"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("ppl"))
+        .orderBy(col("doc_id"))
+    },
     "text_dup_fraction" -> { (s, d) =>
       // corpus duplication diagnostic: per-doc share of 3-shingles that
       // appear in >= 2 documents (the decision input for span/doc dedup)
@@ -1443,6 +1459,37 @@ object ExtQueries {
                   AS n_known
          FROM bg JOIN c USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "text_lm_counts" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(len(toks) - 1),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+           FROM t WHERE len(toks) >= 2)
+         SELECT bigram, CAST(count(*) AS BIGINT) AS c
+         FROM bg GROUP BY bigram
+         ORDER BY c DESC, bigram LIMIT 200""",
+    "text_perplexity" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(len(toks) - 1),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+         ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c) AS cu
+                 FROM c GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         s AS (SELECT bg.doc_id,
+                 ln((c.c + 0.5) / (ctx.cu + 0.5 * v.v)) AS lp
+               FROM bg JOIN c USING (bigram)
+               JOIN ctx ON ctx.w1 = split_part(bg.bigram, ' ', 1), v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(exp(-sum(lp) / count(*)), 4) AS ppl
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     "ds_pack" ->
       """WITH c AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -839,4 +839,83 @@ class Round5Spec extends SparkSpecBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "learnBpe leaked its persisted vocabulary")
   }
+
+  // ---- bigram LM perplexity (the CCNet-style quality filter) ----
+
+  test("perplexity: hand-checked add-k bigram model on a tiny corpus") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLmFit(docs, "text")
+    val counts = lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    // V=3, k=0.5: P(b|a)=3.5/4.5, P(a|b)=1.5/3.5, P(c|b)=1.5/3.5
+    val got = TextAnalysis.perplexity(docs, lm, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def ppl(lps: Seq[Double]): Double =
+      BigDecimal(math.exp(-lps.sum / lps.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = ppl(Seq(math.log(3.5 / 4.5), math.log(1.5 / 3.5),
+                     math.log(3.5 / 4.5)))
+    val d2 = ppl(Seq(math.log(3.5 / 4.5), math.log(1.5 / 3.5)))
+    assert(got == Set((1L, 3L, d1), (2L, 2L, d2)), s"got $got")
+  }
+
+  test("perplexity: projection face equals the join face on the fixtures") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm = TextAnalysis.bigramLmFit(docs, "text")
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").agg(countDistinct(col("t"))).head.getLong(0)
+    val model = TextAnalysis.bigramLmCollect(lm, vocab)
+    val joined = TextAnalysis.perplexity(docs, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val projected = docs.select(col("doc_id"),
+        TextAnalysis.perplexityColumn(col("text"), model).as("ppl"))
+      .where(col("ppl").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(joined == projected,
+      s"faces diverge on ${joined.keySet.union(projected.keySet)
+        .count(k => joined.get(k) != projected.get(k))} docs")
+  }
+
+  test("perplexity: unseen bigrams score k/(kV) and stream identically") {
+    import graft.ext.TextAnalysis
+    val fitDocs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLmCollect(
+      TextAnalysis.bigramLmFit(fitDocs, "text"), vocabSize = 3L)
+    val pplCol = TextAnalysis.perplexityColumn(col("text"), model)
+    // "z z": both context and bigram unseen -> P = 0.5/1.5 each step;
+    // one-token and empty docs -> null
+    val texts = Seq((10L, "z z z"), (11L, "a"), (12L, ""))
+    val batch = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), pplCol.as("ppl"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val expectZ = BigDecimal(math.exp(-math.log(0.5 / 1.5)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(batch == Set((10L, Some(expectZ)), (11L, None), (12L, None)),
+      s"got $batch")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), pplCol.as("ppl"))
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ppl_stream").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("bigramLmCollect: fails fast past maxEntries instead of truncating") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLmFit(docs, "text")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.bigramLmCollect(lm, vocabSize = 6L, maxEntries = 3))
+    assert(e.getMessage.contains("maxEntries") ||
+           e.getMessage.contains("3"), e.getMessage)
+  }
 }
