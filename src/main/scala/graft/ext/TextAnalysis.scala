@@ -701,6 +701,67 @@ object TextAnalysis {
     BigramLmModel(bg, ctx, vocabSize)
   }
 
+  /** BM25 full-text retrieval: for each query (a bag of terms), the top-k
+    * documents by the Robertson/Sparck-Jones BM25 score over the corpus
+    * inverted statistics — retrieval-based decontamination, curated-set
+    * expansion, and eval-set leakage hunts all reduce to this operator.
+    *
+    * `score(d,q) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b +
+    * b·|d|/avgdl))` with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`
+    * (the Lucene non-negative form). Scores are ROUNDED to 6 decimals
+    * before ranking (ties → doc asc) — `ln` is not bit-specified; the
+    * tf-idf determinism rule. Returns (qid, rk, doc, score).
+    *
+    * 100 TB shape: ONE token-volume (id, term) partial-agg shuffle builds
+    * tf, persisted and shared by the doc-length rollup and the scoring
+    * path (the [[tfidfTopTerms]] pattern). The query set broadcasts and
+    * SEMI-FILTERS tf before df/scoring — document frequency and scores
+    * are computed over query-term postings only, never the full
+    * vocabulary. N and avgdl broadcast as one row. The final ranking is
+    * the bounded CollectTopK heap: each map task ships ≤ k (score, doc)
+    * pairs per query, not every matching posting.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int = 10,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = OpCaches.register(docs.select(col(idCol).as("doc"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(tf.agg(sum(col("tf")).as("__toks")))
+      .withColumn("__avgdl", col("__toks") / col("__n"))
+    val qdf = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("qid", "term"))
+    val tfq = tf.join(broadcast(qdf.select(col("term")).distinct()),
+      Seq("term"))
+    val df_ = tfq.groupBy(col("term")).agg(count(lit(1)).cast("double")
+      .as("df"))
+    tfq.join(df_, Seq("term"))
+      .join(dl, Seq("doc"))
+      .join(qdf, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("qid"), col("doc"))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.VectorFunctions.collect_top_k(
+        struct((-col("score")).as("ns"), col("doc").as("d")), k,
+        reverse = true).as("top"))
+      .select(col("qid"), posexplode(array_sort(col("top"))))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+              col("col.d").as("doc"), (-col("col.ns")).as("score"))
+  }
+
   /** Perplexity as a pure Column over a literal [[BigramLmModel]] — the
     * projection face: no join, no shuffle, streaming-safe (the
     * classifierScore pattern). Equals the join face wherever the model is

@@ -93,6 +93,14 @@ object ExtQueries {
     "fast" -> 0.375, "slow" -> -0.5, "the" -> -0.125, "scan" -> 0.0625,
     "zzznope" -> 1.0)
 
+  // the text_bm25 gate's query set: fixture-vocabulary term bags plus an
+  // unseen term (empty result set); mirrored literally in the SQL oracle
+  private val bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "table"),
+    1L -> Seq("hash", "join", "merge"),
+    2L -> Seq("window", "sort"),
+    3L -> Seq("zzz_unseen"))
+
   // 16 hashed-bucket weights for text_classifier_hashed, same 1/64-multiple
   // exactness argument; the SQL oracle indexes the identical literal list
   private val classifierBuckets = Seq(0.5, -0.25, 0.125, -0.5, 0.375,
@@ -779,6 +787,14 @@ object ExtQueries {
                 col("familiarity"), col("n_known"))
         .orderBy(col("doc_id"))
     },
+    "text_bm25" -> { (s, d) =>
+      // BM25 retrieval over the corpus inverted statistics: 4 literal
+      // queries (one with an unseen term -> empty), top-10 each; scores
+      // rounded to 6 before ranking (ties -> doc asc)
+      TextAnalysis.bm25TopK(docs(s, d), "text", "doc_id", bm25Queries,
+          k = 10)
+        .orderBy(col("qid"), col("rk"))
+    },
     "text_lm_counts" -> { (s, d) =>
       // bigram LM TRAINING: the corpus count table itself, top 200 by
       // frequency (ties -> bigram asc) — exact longs, trivially portable
@@ -1459,6 +1475,41 @@ object ExtQueries {
                   AS n_known
          FROM bg JOIN c USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "text_bm25" -> {
+      val vals = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals)),
+         t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                       (SELECT sum(tf) FROM tf) AS tot),
+         tfq AS (SELECT tf.* FROM tf
+                 WHERE term IN (SELECT DISTINCT term FROM q)),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tfq GROUP BY term),
+         sc AS (SELECT q.qid, tfq.doc_id,
+                  ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+                    (tfq.tf * 2.25) /
+                    (tfq.tf + 1.25 * (1.0 - 0.75 +
+                       0.75 * dl.dl / (st.tot / st.n))) AS s
+                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id)
+                JOIN q ON q.term = tfq.term, st),
+         agg AS (SELECT qid, doc_id, round(sum(s), 6) AS score
+                 FROM sc GROUP BY qid, doc_id),
+         rk AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id) AS rk
+                FROM agg)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+                doc_id AS doc, score
+         FROM rk WHERE rk <= 10 ORDER BY qid, rk"""
+    },
     "text_lm_counts" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

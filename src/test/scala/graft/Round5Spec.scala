@@ -909,6 +909,44 @@ class Round5Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // ---- BM25 retrieval ----
+
+  test("bm25TopK: matches a windowed reference ranking on the fixtures") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = Seq(0L -> Seq("spark", "table"), 1L -> Seq("hash", "merge"))
+    val got = TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sortBy(t => (t._1, t._2))
+    // reference: same per-(qid, doc) scores ranked with a window instead
+    // of the bounded heap — identical output proves the heap agg ranks
+    // (score desc, doc asc) like row_number does
+    val scored = TextAnalysis.bm25TopK(docs, "text", "doc_id", qs,
+      k = 100000)
+    val ref = scored.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex.map {
+          case ((_, doc, s), i) => (qid, i + 1L, doc, s) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got == ref, s"heap ranking diverged:\n got $got\n ref $ref")
+    assert(got.count(_._1 == 0L) == 5 && got.count(_._1 == 1L) == 5)
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("bm25TopK: bounded heap in the plan, no cartesian on postings") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq(0L -> Seq("spark")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_collect_top_k"),
+      s"ranking is not the partial-aggregated CollectTopK heap:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the BM25 plan:\n$plan")
+    graft.ext.OpCaches.releaseAll()
+  }
+
   test("bigramLmCollect: fails fast past maxEntries instead of truncating") {
     import graft.ext.TextAnalysis
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
