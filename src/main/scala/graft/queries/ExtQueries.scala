@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Funnel, IntervalJoin, Layout, Multimodal, Pipeline, Similarity, TextAnalysis, TimeSeries}
+import graft.ext.{Dedup, Funnel, IntervalJoin, Layout, Multimodal, Pipeline, Similarity, Sketches, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -910,6 +910,21 @@ object ExtQueries {
       Funnel.retentionCohorts(ev, "user_id", "ts")
         .orderBy(col("cohort"))
     },
+    "ev_heavy_hitters" -> { (s, d) =>
+      // one-pass Misra-Gries hot-key detection, no full-key shuffle; at
+      // capacity 64 >= 5 distinct event types no partition ever
+      // decrements, so the estimates are exact (the gate mode)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Sketches.heavyHitters(ev, "event_type", k = 5, capacity = 64)
+    },
+    "text_heavy_terms" -> { (s, d) =>
+      // hot-terms over the exploded token stream (the corpus-vocabulary
+      // face of the same sketch; capacity 256 >> 31-term vocab -> exact)
+      val toks = docs(s, d).select(
+        explode(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), t => t =!= "")).as("term"))
+      Sketches.heavyHitters(toks, "term", k = 10, capacity = 256)
+    },
     "ds_sample_weighted" -> { (s, d) =>
       // quality-weighted subsample: longer docs more likely to survive
       // (weight = n_chars/1000 clamped to 1), deterministic by id hash
@@ -1717,6 +1732,15 @@ object ExtQueries {
              AS retained_7
          FROM days d JOIN cohorts c USING (user_id)
          GROUP BY c.cohort ORDER BY c.cohort""",
+    "ev_heavy_hitters" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS est
+         FROM events GROUP BY 1 ORDER BY est DESC, key LIMIT 5""",
+    "text_heavy_terms" ->
+      """WITH tok AS (SELECT
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+           FROM documents)
+         SELECT term AS key, CAST(count(*) AS BIGINT) AS est
+         FROM tok GROUP BY 1 ORDER BY est DESC, key LIMIT 10""",
     "ds_sample_weighted" ->
       """WITH h AS (SELECT lang, doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)

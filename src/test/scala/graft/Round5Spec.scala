@@ -947,6 +947,56 @@ class Round5Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- Misra-Gries heavy hitters ----
+
+  test("heavyHitters: exact when capacity covers the key space") {
+    import graft.ext.Sketches
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(5000)(rng.nextInt(40).toLong).map(Tuple1(_))
+      .toDF("k").repartition(8)
+    val got = Sketches.heavyHitters(rows, "k", k = 40, capacity = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact, "capacity >= distinct must be exact")
+  }
+
+  test("heavyHitters: Misra-Gries additive error bound at small capacity") {
+    import graft.ext.Sketches
+    val rng = new scala.util.Random(11)
+    // zipf-ish: heavy mass on few keys, long tail forcing decrements
+    val data = Seq.fill(20000)(
+      if (rng.nextDouble() < 0.6) rng.nextInt(5).toLong
+      else 100L + rng.nextInt(2000)).map(Tuple1(_))
+    val df = data.toDF("k").repartition(4)
+    val n = data.size.toLong
+    val cap = 50
+    val est = Sketches.heavyHitters(df, "k", k = cap, capacity = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = data.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    // returned estimates never overcount and undercount by <= N/(cap+1)
+    est.foreach { case (k, e) =>
+      val t = truth(k)
+      assert(e <= t, s"overcount for $k: $e > $t")
+      assert(e >= t - n / (cap + 1), s"bound violated for $k: $e vs $t")
+    }
+    // every key heavier than the bound is guaranteed to surface
+    val mustHave = truth.filter(_._2 > n / (cap + 1)).keySet
+    assert(mustHave.subsetOf(est.keySet),
+      s"missing guaranteed heavy keys: ${mustHave -- est.keySet}")
+  }
+
+  test("heavyHitters: null keys are not tracked; key type is preserved") {
+    import graft.ext.Sketches
+    val df = Seq(Some("a"), Some("a"), None, Some("b"), None)
+      .toDF("k")
+    val got = Sketches.heavyHitters(df, "k", k = 5, capacity = 8)
+    assert(got.schema("key").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 1L)))
+  }
+
   test("bigramLmCollect: fails fast past maxEntries instead of truncating") {
     import graft.ext.TextAnalysis
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
