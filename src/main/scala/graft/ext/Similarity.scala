@@ -765,4 +765,189 @@ object Similarity {
                 cosine(col("qv"), col("cv")).as("cos"))
         .distinct(), k)
   }
+
+  // --------------------------------------------------------------------
+  // PCA: distributed second-moment statistics + driver eigensolve
+  // --------------------------------------------------------------------
+
+  /** One-pass distributed second-moment statistics: count, per-dimension
+    * sums, and the packed upper triangle of the Gram matrix Σ v·vᵀ — the
+    * sufficient statistic for mean, covariance, and PCA. A treeAggregate
+    * over primitive double arrays (the RowMatrix shape): each task folds
+    * its vectors into ONE d(d+1)/2+d+1 buffer, partials combine
+    * tree-wise, and only those buffers move — never the vectors. For
+    * d=64 the buffer is ~17 KB; at 100 TB the reduction is
+    * vectors → (#partitions × 17 KB) → driver.
+    */
+  private[graft] def gramStats(corpus: DataFrame, vecCol: String)
+      : (Array[Double], Array[Double], Long, Int) = {
+    val vecs = corpus.select(col(vecCol).cast("array<double>"))
+      .na.drop().rdd.map(_.getSeq[Double](0).toArray)
+    val d = vecs.first().length
+    val tri = d * (d + 1) / 2
+    // acc layout: [0, tri) packed upper triangle, [tri, tri+d) sums,
+    // [tri+d] count
+    val acc0 = new Array[Double](tri + d + 1)
+    val merged = vecs.treeAggregate(acc0)(
+      (acc, v) => {
+        require(v.length == d,
+          s"ragged embedding: expected dim $d, got ${v.length}")
+        var i = 0; var idx = 0
+        while (i < d) {
+          val vi = v(i)
+          var j = i
+          while (j < d) { acc(idx) += vi * v(j); idx += 1; j += 1 }
+          acc(tri + i) += vi
+          i += 1
+        }
+        acc(tri + d) += 1.0
+        acc
+      },
+      (a, b) => { var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    (merged.take(tri), merged.slice(tri, tri + d),
+      merged(tri + d).toLong, d)
+  }
+
+  /** The full symmetric Gram matrix Σ v·vᵀ as a driver-side d×d array
+    * (d is small by construction — embedding width, not corpus size).
+    */
+  def gramMatrix(corpus: DataFrame,
+                 vecCol: String = "embedding"): Array[Array[Double]] = {
+    val (tri, _, _, d) = gramStats(corpus, vecCol)
+    val g = Array.ofDim[Double](d, d)
+    var i = 0; var idx = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { g(i)(j) = tri(idx); g(j)(i) = tri(idx)
+        idx += 1; j += 1 }
+      i += 1
+    }
+    g
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix
+    * (Golub & Van Loan §8.5): sweeps of 2×2 rotations annihilating each
+    * off-diagonal entry until convergence. O(d³) per sweep on the driver
+    * — the right tool for covariance matrices whose side is an embedding
+    * width. Returns (eigenvalues, eigenvectors as rows), sorted by
+    * eigenvalue desc, each vector sign-normalized (largest-|entry|
+    * positive) so the decomposition is deterministic.
+    */
+  private[graft] def jacobiEig(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (offNorm() > 1e-20 && sweep < 64) {
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1); val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2.0 * s * c * apq + s * s * aqq
+            a(q)(q) = s * s * app + 2.0 * s * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var k = 0
+            while (k < d) {
+              if (k != p && k != q) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+                a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+              }
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val eigs = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val row = Array.tabulate(d)(k => v(k)(i))
+      val m0 = row.indices.maxBy(k => math.abs(row(k)))
+      if (row(m0) < 0) row.map(x => -x) else row
+    }.toArray
+    (eigs, vecs)
+  }
+
+  /** A fitted PCA model: the corpus mean, the top-k principal components
+    * (rows, orthonormal, variance-descending), their eigenvalues, and
+    * the fit size.
+    */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double], n: Long) {
+    def k: Int = components.length
+    def dim: Int = mean.length
+  }
+
+  /** PCA TRAINING: population covariance from the one-pass distributed
+    * [[gramStats]] (`C = G/n − μμᵀ`), eigensolved on the driver by
+    * [[jacobiEig]] — the embedding-table dimensionality reducer that
+    * makes every downstream ANN / SemDeDup / clustering pass cheaper.
+    * Deterministic: no sampling, no iteration-order dependence on the
+    * data side beyond float-sum reordering (~1e-13 relative).
+    */
+  def pcaFit(corpus: DataFrame, k: Int,
+             vecCol: String = "embedding"): PcaModel = {
+    val (tri, sums, n, d) = gramStats(corpus, vecCol)
+    require(n > 0, "pcaFit on an empty corpus")
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0; var idx = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = tri(idx) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c; idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (eigs, vecs) = jacobiEig(cov)
+    PcaModel(mean, vecs.take(k), eigs.take(k), n)
+  }
+
+  /** Project embeddings onto a fitted PCA basis: out[i] = ⟨v − μ, cᵢ⟩.
+    * Centering folds into a constant offset (⟨v−μ,c⟩ = ⟨v,c⟩ − ⟨μ,c⟩),
+    * so the op stays a narrow map of k codegen'd dot products — the
+    * [[projectOnBasis]] shape, no shuffle. `whiten` divides each
+    * component by √λᵢ (unit-variance output, the SemDeDup/clustering
+    * preconditioner); eigenvalues below `eps` clamp to `eps` so a
+    * degenerate direction cannot produce ±∞.
+    */
+  def pcaProject(corpus: DataFrame, model: PcaModel,
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 whiten: Boolean = false, eps: Double = 1e-12): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val comps = model.components.zipWithIndex.map { case (b, i) =>
+      val offset = b.zip(model.mean).map { case (x, m) => x * m }.sum
+      val raw = graft.functions.VectorFunctions.dot_product(
+        vd, array(b.map(lit): _*)) - lit(offset)
+      if (whiten) raw / lit(math.sqrt(math.max(model.eigenvalues(i), eps)))
+      else raw
+    }
+    corpus.select(col(idCol), array(comps.toIndexedSeq: _*).as("projected"))
+  }
 }

@@ -947,6 +947,86 @@ class Round5Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- PCA ----
+
+  test("pcaFit: orthonormal components satisfying the eigen equation") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = Similarity.pcaFit(emb, k = 8)
+    val d = m.dim
+    // orthonormal basis
+    for (i <- 0 until m.k; j <- i until m.k) {
+      val dot = (0 until d).map(t => m.components(i)(t) * m.components(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"<c$i,c$j> = $dot")
+    }
+    // eigenvalues descending and non-negative (covariance is PSD)
+    assert(m.eigenvalues.toSeq == m.eigenvalues.sorted(
+      Ordering[Double].reverse).toSeq)
+    assert(m.eigenvalues.forall(_ > -1e-10))
+    // C c_i = lambda_i c_i against the independently computed covariance
+    val g = Similarity.gramMatrix(emb)
+    val n = emb.count().toDouble
+    val mean = m.mean
+    def cov(i: Int, j: Int) = g(i)(j) / n - mean(i) * mean(j)
+    for (i <- 0 until m.k) {
+      val c = m.components(i)
+      var err = 0.0
+      for (r <- 0 until d) {
+        val cv = (0 until d).map(t => cov(r, t) * c(t)).sum
+        err = math.max(err, math.abs(cv - m.eigenvalues(i) * c(r)))
+      }
+      assert(err < 1e-8, s"eigen equation residual $err for component $i")
+    }
+  }
+
+  test("pcaProject: component variance equals the eigenvalue; whitening " +
+       "normalizes it; the mean projects to zero") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = Similarity.pcaFit(emb, k = 4)
+    val proj = Similarity.pcaProject(emb, m)
+      .select((0 until 4).map(i =>
+        element_at(col("projected"), i + 1).as(s"p$i")): _*)
+    val n = emb.count().toDouble
+    val aggs = (0 until 4).flatMap(i => Seq(avg(col(s"p$i")).as(s"m$i"),
+      sum(col(s"p$i") * col(s"p$i")).as(s"s$i")))
+    val stats = proj.agg(aggs.head, aggs.tail: _*).head()
+    for (i <- 0 until 4) {
+      val mu = stats.getDouble(2 * i)
+      val varPop = stats.getDouble(2 * i + 1) / n - mu * mu
+      // centered projection: mean ~ 0, population variance ~ eigenvalue
+      assert(math.abs(mu) < 1e-9, s"component $i mean $mu")
+      assert(math.abs(varPop - m.eigenvalues(i)) < 1e-6 * (1 + m.eigenvalues(i)),
+        s"component $i variance $varPop vs eigenvalue ${m.eigenvalues(i)}")
+    }
+    val white = Similarity.pcaProject(emb, m, whiten = true)
+      .select(element_at(col("projected"), 1).as("p0"))
+    val ws = white.agg(avg(col("p0")).as("m"),
+      sum(col("p0") * col("p0")).as("s")).head()
+    val wVar = ws.getDouble(1) / n - ws.getDouble(0) * ws.getDouble(0)
+    assert(math.abs(wVar - 1.0) < 1e-6, s"whitened variance $wVar")
+  }
+
+  test("jacobiEig: recovers a crafted spectrum exactly") {
+    import graft.ext.Similarity
+    // A = Q diag(5,2,1) Q^T for a known rotation Q
+    val q = Array(
+      Array(math.sqrt(0.5), math.sqrt(0.5), 0.0),
+      Array(-math.sqrt(0.5), math.sqrt(0.5), 0.0),
+      Array(0.0, 0.0, 1.0))
+    val lam = Array(5.0, 2.0, 1.0)
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(t => q(t)(i) * lam(t) * q(t)(j)).sum)
+    val (eigs, vecs) = Similarity.jacobiEig(a)
+    for (i <- 0 until 3)
+      assert(math.abs(eigs(i) - lam(i)) < 1e-12, eigs.mkString(","))
+    for (i <- 0 until 3) {
+      val dot = math.abs((0 until 3).map(t => vecs(i)(t) * q(i)(t)).sum)
+      assert(math.abs(dot - 1.0) < 1e-12, s"eigenvector $i misaligned")
+    }
+  }
+
   // ---- Misra-Gries heavy hitters ----
 
   test("heavyHitters: exact when capacity covers the key space") {
