@@ -612,6 +612,68 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // HTML main-content extraction (the web-crawl boilerplate stripper)
+  // --------------------------------------------------------------------
+
+  /** Main-content extraction from raw HTML — the first transform every
+    * web-crawl pipeline runs before any quality/dedup stage. Heuristic,
+    * trafilatura-family semantics:
+    *  1. drop `<script>`/`<style>` with their contents (code, not prose),
+    *  2. drop HTML comments,
+    *  3. drop boilerplate containers with their contents: `<nav>`,
+    *     `<header>`, `<footer>`, `<aside>`, and the whole `<head>`,
+    *  4. replace every remaining tag with a space (block boundaries must
+    *     not glue words together),
+    *  5. decode the common entities (`&lt; &gt; &quot; &#39; &nbsp;`,
+    *     and `&amp;` LAST — standard decode order),
+    *  6. collapse whitespace runs to single spaces and trim.
+    *
+    * Pure `regexp_replace` chain — codegen'd, streaming-safe, a narrow
+    * map with zero shuffle at any scale. Regex-based extraction is the
+    * documented approximation (CCNet/C4 lineage); a DOM parser is
+    * pluggable behind the same Column signature if tag-soup edge cases
+    * ever dominate.
+    */
+  def stripHtml(html: Column): Column = {
+    var c = html
+    for (t <- Seq("script", "style"))
+      c = regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t>", " ")
+    c = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    for (t <- Seq("head", "nav", "header", "footer", "aside"))
+      c = regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t>", " ")
+    c = regexp_replace(c, "(?s)<[^>]+>", " ")
+    c = regexp_replace(c, "&nbsp;", " ")
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    c = regexp_replace(c, "&#39;", "'")
+    c = regexp_replace(c, "&amp;", "&")
+    trim(regexp_replace(c, "\\s+", " "))
+  }
+
+  /** Deterministic raw-HTML fixture: wraps a clean text in a full page —
+    * head/title, script, style, comment, nav and footer boilerplate, the
+    * text split across two `<p>` blocks. [[stripHtml]] of this wrapper
+    * recovers the input exactly (for whitespace-normalized text), which
+    * is what makes the extraction lane oracle-checkable end to end
+    * against the raw documents table.
+    */
+  def htmlFixture(textCol: Column, idCol: Column): Column = {
+    val t = toks(textCol)
+    val firstWord = when(size(t) >= 1, element_at(t, 1)).otherwise(lit(""))
+    val rest = when(size(t) >= 2,
+      concat_ws(" ", slice(t, 2, 1000000))).otherwise(lit(""))
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), idCol,
+      lit("</title><script type=\"text/javascript\">if(1<2){x=\"<p>\";}" +
+        "</script><style>.m{a:&amp;}</style></head>" +
+        "<body><!-- crawler noise: <div> unclosed --><nav>Home | " +
+        "About</nav><header>site &copy; banner</header><h1></h1><p>"),
+      firstWord, lit("</p>\n<p>"), rest,
+      lit("</p><footer>&amp; legal</footer></body></html>"))
+  }
+
+  // --------------------------------------------------------------------
   // Bigram language model: fit + perplexity (the CCNet-style LM filter)
   // --------------------------------------------------------------------
 

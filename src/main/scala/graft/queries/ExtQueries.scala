@@ -820,6 +820,16 @@ object ExtQueries {
                 col("familiarity"), col("n_known"))
         .orderBy(col("doc_id"))
     },
+    "text_html_extract" -> { (s, d) =>
+      // web-crawl main-content extraction: each doc is wrapped in a full
+      // raw-HTML page (script/style/comment/nav/header/footer noise +
+      // entity-encoded head) and stripHtml must recover the clean text
+      // byte-exactly — the oracle is the raw documents table itself
+      val w = docs(s, d).select(col("doc_id"),
+        TextAnalysis.htmlFixture(col("text"), col("doc_id")).as("html"))
+      w.select(col("doc_id"), TextAnalysis.stripHtml(col("html")).as("text"))
+        .orderBy(col("doc_id"))
+    },
     "text_bm25" -> { (s, d) =>
       // BM25 retrieval over the corpus inverted statistics: 4 literal
       // queries (one with an unseen term -> empty), top-10 each; scores
@@ -1523,6 +1533,8 @@ object ExtQueries {
                   AS n_known
          FROM bg JOIN c USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "text_html_extract" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""",
     "text_bm25" -> {
       val vals = bm25Queries
         .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }

@@ -947,6 +947,59 @@ class Round5Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- HTML main-content extraction ----
+
+  test("stripHtml: crafted tag soup extracts exactly the main content") {
+    import graft.ext.TextAnalysis
+    val cases = Seq(
+      // script containing tags and comparisons must vanish entirely
+      ("<body><script>if(a<b){document.write(\"<p>hi</p>\")}</script>" +
+        "<p>kept text</p></body>", "kept text"),
+      // style, comments, nav/header/footer/aside drop WITH contents
+      ("<head><title>T</title></head><body><style>p{x:1}</style>" +
+        "<!-- note --><nav>a|b</nav><header>hh</header><aside>ad</aside>" +
+        "<p>real</p><footer>f</footer></body>", "real"),
+      // entities decode in standard order; &amp; last so &amp;lt; -> &lt;
+      ("<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp;lt;</p>",
+        "a <b> \"c\" 'd' e f &lt;"),
+      // block tags become spaces: no word gluing across boundaries
+      ("<div>one</div><div>two</div>", "one two"),
+      // attributes with > inside quotes are out of (regex) scope; plain
+      // attributes strip fine
+      ("<p class=\"x\" id='y'>z</p>", "z"),
+      ("", ""))
+    val got = cases.map(_._1).zipWithIndex
+      .map { case (h, i) => (i, h) }.toDF("id", "html")
+      .select(col("id"), TextAnalysis.stripHtml(col("html")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((_, expect), i) =>
+      assert(got(i) == expect, s"case $i: got '${got(i)}' want '$expect'")
+    }
+  }
+
+  test("stripHtml(htmlFixture(text)) round-trips normalized text " +
+       "and runs as a streaming projection") {
+    import graft.ext.TextAnalysis
+    val texts = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, ""))
+    val wrap = TextAnalysis.htmlFixture(col("text"), col("id"))
+    val strip = TextAnalysis.stripHtml(wrap)
+    val batch = texts.toDF("id", "text")
+      .select(col("id"), strip.as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch == Set((1L, "alpha beta gamma"), (2L, "solo"), (3L, "")))
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "text").select(col("id"), strip.as("t"))
+      .writeStream.format("memory").queryName("html_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("html_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   // ---- PCA ----
 
   test("pcaFit: orthonormal components satisfying the eigen equation") {
