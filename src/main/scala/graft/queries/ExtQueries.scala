@@ -820,6 +820,18 @@ object ExtQueries {
                 col("familiarity"), col("n_known"))
         .orderBy(col("doc_id"))
     },
+    "src_wet" -> { (s, d) =>
+      // raw-crawl interchange round-trip: serialize the documents table
+      // into 8 WET blobs (WARC/1.0 conversion records, byte-accurate
+      // Content-Length framing), then parse the blobs back with the
+      // distributed record walker — the oracle is the original table
+      val blobs = graft.sources.Wet.toBlobs(docs(s, d),
+        "doc_id", "lang", "text", nBlobs = 8)
+      graft.sources.Wet.parseBlobs(blobs)
+        .select(graft.sources.Wet.docIdFromUri(col("uri")).as("doc_id"),
+          col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    },
     "text_html_extract" -> { (s, d) =>
       // web-crawl main-content extraction: each doc is wrapped in a full
       // raw-HTML page (script/style/comment/nav/header/footer noise +
@@ -1533,6 +1545,8 @@ object ExtQueries {
                   AS n_known
          FROM bg JOIN c USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "src_wet" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     "text_html_extract" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
     "text_bm25" -> {

@@ -947,6 +947,55 @@ class Round5Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- WET raw-record codec ----
+
+  test("Wet: multibyte UTF-8 payloads round-trip byte-exactly") {
+    import graft.sources.Wet
+    val docs = Seq(
+      (1L, "zh", "中文 текст emoji 😀 done"),
+      (2L, "en", "plain ascii"),
+      (3L, "de", ""), // empty payload
+      (10L, "fr", "a\r\nb")) // CRLF inside a payload must not re-frame
+      .toDF("doc_id", "lang", "text")
+    val parsed = Wet.parseBlobs(
+        Wet.toBlobs(docs, "doc_id", "lang", "text", nBlobs = 2))
+      .select(Wet.docIdFromUri(col("uri")).as("doc_id"), col("lang"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val expect = Set((1L, "zh", "中文 текст emoji 😀 done"),
+      (2L, "en", "plain ascii"), (3L, "de", ""), (10L, "fr", "a\r\nb"))
+    assert(parsed == expect, s"got $parsed")
+  }
+
+  test("Wet: malformed blobs keep prior records and never loop or throw") {
+    import graft.sources.Wet
+    def rec(id: Long, text: String): Array[Byte] = {
+      val p = text.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: https://example.org/doc/$id\r\n" +
+        s"WARC-Language: en\r\nContent-Length: ${p.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ p ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val good = rec(1, "ok")
+    // declared length runs past the end of the blob
+    val truncated = good ++ ("WARC/1.0\r\nContent-Length: 9999\r\n\r\nx")
+      .getBytes("UTF-8")
+    // negative length
+    val negative = good ++ ("WARC/1.0\r\nContent-Length: -8\r\n\r\n")
+      .getBytes("UTF-8")
+    // garbage between records
+    val garbage = good ++ "NOT A RECORD".getBytes("UTF-8")
+    // header block never terminates
+    val unterminated = good ++ "WARC/1.0\r\nContent-".getBytes("UTF-8")
+    for (blob <- Seq(truncated, negative, garbage, unterminated)) {
+      val got = Wet.parseWetBytes(blob).toSeq
+      assert(got.map(_._3) == Seq("ok"),
+        s"expected only the leading good record, got $got")
+    }
+    assert(Wet.parseWetBytes(Array.emptyByteArray).isEmpty)
+  }
+
   // ---- HTML main-content extraction ----
 
   test("stripHtml: crafted tag soup extracts exactly the main content") {
