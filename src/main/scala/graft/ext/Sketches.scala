@@ -12,14 +12,14 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Sketches {
 
-  /** Per-partition Misra-Gries summary state: the classic streaming
-    * heavy-hitters algorithm (Misra & Gries 1982, the space-saving
-    * family). Estimates undercount: for a partition of n rows,
-    * `c_true − n/(capacity+1) ≤ est ≤ c_true`.
+  /** Fold keys into a Misra-Gries summary map in place: the classic
+    * streaming heavy-hitters algorithm (Misra & Gries 1982, the
+    * space-saving family). Estimates undercount: after folding n rows,
+    * `c_true − n/(capacity+1) ≤ est ≤ c_true`. Null keys are skipped
+    * (no frequency semantics).
     */
-  private[ext] def misraGries(it: Iterator[Any],
-                              capacity: Int): Iterator[(Any, Long)] = {
-    val m = new java.util.HashMap[Any, Long](capacity * 2)
+  private[graft] def mgFold(m: java.util.HashMap[Any, Long],
+                            it: Iterator[Any], capacity: Int): Unit =
     while (it.hasNext) {
       val key = it.next()
       if (key != null) {
@@ -40,6 +40,11 @@ object Sketches {
         }
       }
     }
+
+  private[ext] def misraGries(it: Iterator[Any],
+                              capacity: Int): Iterator[(Any, Long)] = {
+    val m = new java.util.HashMap[Any, Long](capacity * 2)
+    mgFold(m, it, capacity)
     import scala.jdk.CollectionConverters._
     m.asScala.iterator.map { case (k, v) => (k, v) }.toArray.iterator
   }
@@ -80,5 +85,69 @@ object Sketches {
       .agg(sum(col("est")).as("est"))
       .orderBy(col("est").desc, col("key"))
       .limit(k)
+  }
+
+  /** The streaming face of [[heavyHitters]], on the Spark 4
+    * `transformWithState` arbitrary-state API (requires the RocksDB
+    * state-store provider, as the API itself does): keys hash into
+    * `nShards` independent summaries; each shard's StatefulProcessor
+    * folds its micro-batch into a capacity-bounded Misra-Gries map and
+    * emits the updated summary as an Update-mode changelog
+    * (shard, key, est).
+    *
+    * Because a key belongs to exactly ONE shard, per-key estimates need
+    * no cross-shard merge — the latest (shard, key) row IS the estimate,
+    * with the additive bound `c_true − n_shard/(capacity+1) ≤ est ≤
+    * c_true` over that shard's arrivals. State is bounded by
+    * construction: `nShards × capacity` entries total, forever, no
+    * watermark needed. Null keys are dropped; keys are tracked as
+    * strings (cast), the changelog-friendly form.
+    */
+  def heavyHittersStream(events: DataFrame, keyCol: String, capacity: Int,
+                         nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(capacity >= 1 && nShards >= 1, "capacity and nShards >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .select(pmod(xxhash64(col("key")), lit(nShards)).cast("long")
+        .as("shard"), col("key"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new MgStreamProcessor(capacity),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("shard", "key", "est")
+  }
+}
+
+/** Per-shard Misra-Gries summary as transformWithState state: one
+  * ValueState cell holding the (≤ capacity)-entry map, rewritten per
+  * micro-batch — the summary is small by contract, so a full rewrite
+  * beats per-entry MapState chatter under decrement-all.
+  */
+private[ext] class MgStreamProcessor(capacity: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var summary: ValueState[Map[String, Long]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    summary = getHandle.getValueState[Map[String, Long]]("mg",
+      org.apache.spark.sql.Encoders.kryo[Map[String, Long]], TTLConfig.NONE)
+
+  override def handleInputRows(shard: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[(Long, String, Long)] = {
+    val m = new java.util.HashMap[Any, Long](capacity * 2)
+    if (summary.exists())
+      summary.get().foreach { case (k, v) => m.put(k, v) }
+    Sketches.mgFold(m, rows.map(_._2), capacity)
+    import scala.jdk.CollectionConverters._
+    val snap = m.asScala.map { case (k, v) =>
+      k.asInstanceOf[String] -> v }.toMap
+    summary.update(snap)
+    snap.iterator.map { case (k, v) => (shard, k, v) }.toArray.iterator
   }
 }
