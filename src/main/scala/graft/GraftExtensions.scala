@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es(0))),
+    "deflate_ratio" -> (es => DeflateRatio(es(0))),
     "char_ngrams" -> (es => CharNgrams(es(0), intArg("char_ngrams", es(1)))),
     "word_shingles" -> (es => WordShingles(es(0), intArg("word_shingles", es(1)))),
     "word_shingle_hashes" -> (es =>

@@ -611,6 +611,17 @@ object TextAnalysis {
         round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Compression-ratio quality signal (deflate bytes / raw bytes): the
+    * cheap one-number gibberish-and-boilerplate detector — heavily
+    * templated or repeated text compresses far below natural prose,
+    * random noise above it. A codegen'd native expression
+    * (graftfn.DeflateRatio, fixed level-6 raw deflate), narrow map, no
+    * shuffle, streaming-safe. Deterministic per zlib build but NOT
+    * engine-portable → spec-checked + bench-tracked, not DuckDB-oracled.
+    */
+  def compressionRatio(textCol: Column): Column =
+    graft.functions.VectorFunctions.deflate_ratio(textCol)
+
   // --------------------------------------------------------------------
   // HTML main-content extraction (the web-crawl boilerplate stripper)
   // --------------------------------------------------------------------

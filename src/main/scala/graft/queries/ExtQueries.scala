@@ -1073,6 +1073,15 @@ object ExtQueries {
     * brute-force oracle; these measure what the approximate path costs.
     */
   val benchOnly: Map[String, Q] = Map(
+    "text_compress_ratio" -> { (s, d) =>
+      // deflate-ratio quality histogram: deterministic per zlib build but
+      // not engine-portable -> bench-tracked + spec-checked, not oracled
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.compressionRatio(col("text")).as("ratio"))
+        .groupBy((floor(col("ratio") * 20) / 20).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
     // Probe queries run the PRODUCTION shape: approximate parameters over
     // the materialized parquet index — no encode stage at query time (the
     // corpus encode ran once at index build, VERDICT r4 #2).

@@ -37,13 +37,15 @@ object ExtensionsCheck {
                   array(struct('good', CAST(0.5 AS DOUBLE)),
                         struct('bad', -0.25)), 0.125) AS ls,
                 linear_score_hashed(array('tok'),
-                  array(CAST(0.5 AS DOUBLE)), 0.25) AS lsh
+                  array(CAST(0.5 AS DOUBLE)), 0.25) AS lsh,
+                deflate_ratio(repeat('spam ', 200)) AS dr
       """).head
     require(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
             r.getInt(3) == 8 && r.getInt(4) == 3 && !r.isNullAt(0) &&
             r.getInt(5) > 0 && r.getInt(6) == 9 && r.getString(7) == "a" &&
             r.getString(8) == "low" && r.getDouble(9) == 0.375 &&
-            r.getDouble(10) == 0.75, // single bucket: bias + w[0]
+            r.getDouble(10) == 0.75 && // single bucket: bias + w[0]
+            r.getDouble(11) > 0.0 && r.getDouble(11) < 0.1,
       s"extension-resolved functions misbehaved: $r")
     println(s"extensions OK: $r")
     spark.stop()

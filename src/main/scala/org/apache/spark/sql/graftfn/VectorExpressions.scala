@@ -227,6 +227,25 @@ object Kernels {
         b.length, 42L)
   }
 
+  /** Deflate ratio kernel (see [[DeflateRatio]]): level-6 raw-deflate
+    * size over raw size. A fresh Deflater per call — thread-safe, no
+    * native state shared across rows; the output buffer is reused only
+    * for counting, never kept.
+    */
+  def deflateRatio(input: UTF8String): Double = {
+    val bytes = input.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   def wordShingles(input: UTF8String, k: Int): ArrayData = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)
     val out =
@@ -559,6 +578,33 @@ case class CharNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) — the
+  * classic cheap gibberish/boilerplate signal (MassiveText's repetition
+  * family): templated or repeated text compresses far below natural
+  * prose, random bytes above it. Fixed deflate parameters (level 6, raw
+  * stream) keep the value deterministic for a given zlib; it is NOT
+  * cross-engine portable, so operators built on it are spec-checked
+  * rather than DuckDB-oracled. Empty input → 1.0 (nothing to compress).
+  * Codegen'd narrow map; the deflater is per-call (no shared native
+  * state across rows/threads).
+  */
+case class DeflateRatio(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.deflateRatio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.deflateRatio($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1111,6 +1157,10 @@ object VectorFunctions {
   def simhash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
 
+  /** Deflate compression ratio (see [[DeflateRatio]]). */
+  def deflate_ratio(text: Column): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text)))
+
   /** Winnowing fingerprints (see [[WinnowFingerprint]]). */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), k, w))
@@ -1209,6 +1259,8 @@ object VectorFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_ratio", exprs => DeflateRatio(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", exprs =>
         CharNgrams(exprs(0), foldableInt("char_ngrams", exprs(1))), "scala_udf")

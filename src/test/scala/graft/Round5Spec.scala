@@ -947,6 +947,54 @@ class Round5Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- deflate compression-ratio signal ----
+
+  test("compressionRatio: separates repeated text from noise, stays " +
+       "codegen'd, streams, and handles empty/null") {
+    import graft.ext.TextAnalysis
+    val rnd = new scala.util.Random(3)
+    val noisy = Array.fill(2000)((rnd.nextInt(90) + 33).toChar).mkString
+    val df = Seq((1L, Some("spam " * 400)), (2L, Some(noisy)),
+        (3L, Some("")), (4L, None))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.compressionRatio(col("text")).as("r"))
+    val got = df.collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got(1).get < 0.05, s"templated text should crush: ${got(1)}")
+    assert(got(2).get > 0.5, s"random noise should resist: ${got(2)}")
+    assert(got(3).contains(1.0) && got(4).isEmpty)
+    assert(got(1).get < got(2).get)
+    // codegen assert needs a real scan (a literal local Seq evaluates at
+    // plan time with no WholeStageCodegen subtree)
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(TextAnalysis.compressionRatio(col("text")))
+        .queryExecution.executedPlan)
+    assert(gen.contains("Kernels.deflateRatio"),
+      "deflate_ratio fell out of whole-stage codegen")
+    // deterministic: same input, same ratio (fresh deflater per call)
+    val again = Seq(Tuple1("spam " * 400)).toDF("text")
+      .select(TextAnalysis.compressionRatio(col("text"))).head.getDouble(0)
+    assert(again == got(1).get)
+    // SQL face through the extensions registry
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = spark.sql("SELECT deflate_ratio('aaaaaaaaaaaaaaaa') AS r")
+      .head.getDouble(0)
+    assert(viaSql > 0 && viaSql < 1.0)
+    // streaming projection
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "text")
+      .select(col("id"), TextAnalysis.compressionRatio(col("text")).as("r"))
+      .writeStream.format("memory").queryName("deflate_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((9L, "spam " * 400))
+      q.processAllAvailable()
+      assert(spark.table("deflate_stream").head.getDouble(1) == got(1).get)
+    } finally q.stop()
+  }
+
   // ---- WET raw-record codec ----
 
   test("Wet: multibyte UTF-8 payloads round-trip byte-exactly") {
