@@ -727,8 +727,14 @@ object TextAnalysis {
     * rollup partial-aggs. With a pruned model, Catalyst's size estimate
     * turns both model joins into broadcasts automatically.
     */
-  def perplexity(docs: DataFrame, lm: DataFrame, textCol: String,
+  def perplexity(docs: DataFrame, lm0: DataFrame, textCol: String,
                  idCol: String, k: Double = 0.5): DataFrame = {
+    // the model feeds BOTH the scoring join and the context-total
+    // re-aggregation; persist it so the bigram-count shuffle runs once
+    // (plan-audited: unpersisted, Catalyst re-derived the whole fit for
+    // the ctx branch — a full second corpus explode)
+    val lm = OpCaches.register(lm0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bg = docs.select(col(idCol).as("id"),
       explode(bigrams(col(textCol))).as("bigram"))
     val ctx = lm.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))

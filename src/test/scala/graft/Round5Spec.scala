@@ -858,6 +858,7 @@ class Round5Spec extends SparkSpecBase {
                      math.log(3.5 / 4.5)))
     val d2 = ppl(Seq(math.log(3.5 / 4.5), math.log(1.5 / 3.5)))
     assert(got == Set((1L, 3L, d1), (2L, 2L, d2)), s"got $got")
+    graft.ext.OpCaches.releaseAll()
   }
 
   test("perplexity: projection face equals the join face on the fixtures") {
@@ -877,6 +878,7 @@ class Round5Spec extends SparkSpecBase {
     assert(joined == projected,
       s"faces diverge on ${joined.keySet.union(projected.keySet)
         .count(k => joined.get(k) != projected.get(k))} docs")
+    graft.ext.OpCaches.releaseAll()
   }
 
   test("perplexity: unseen bigrams score k/(kV) and stream identically") {
