@@ -44,6 +44,20 @@ object DataPrep {
       .agg(avg(col("dup_fraction"))).first().getDouble(0)
     println(f"ingest profile OK; mean cross-doc dup fraction $dupFrac%.3f")
 
+    // 0.2 crawl-interchange round trip: a real pipeline STARTS from WET
+    //     blobs; here the corpus is serialized out and re-parsed through
+    //     the same lane (byte-framed records, distributed walker)
+    val reparsed = graft.sources.Wet.parseBlobs(
+      graft.sources.Wet.toBlobs(raw, "doc_id", "lang", "text", nBlobs = 4))
+    println(s"wet interchange round-trip: ${reparsed.count()} records")
+
+    // 0.3 when the crawl payload is raw HTML, main-content extraction is
+    //     the first transform (codegen'd regex chain, narrow map) —
+    //     demonstrated on a wrapped sample
+    val htmlClean = raw.limit(50).select(TextAnalysis.stripHtml(
+      TextAnalysis.htmlFixture(col("text"), col("doc_id"))).as("text"))
+    println(s"html extraction sample: ${htmlClean.count()} docs cleaned")
+
     // 1. normalize + PII redaction, language ID, quality features
     val normalized = raw.select(
       col("doc_id"), col("lang"), col("source"),
@@ -63,10 +77,42 @@ object DataPrep {
               col("q.n_tokens").as("n_tokens"))
     println(s"after quality gate: ${kept.count()}")
 
+    // 2.5 LM perplexity gate (the CCNet filter): fit the bigram LM on the
+    //     quality-kept corpus (one bigram-count shuffle, model stays
+    //     distributed), score every doc through the join face, drop the
+    //     extreme-perplexity tail. `kept` feeds the fit, the scoring
+    //     explode, AND the vocabulary count — persist it once (a real
+    //     pipeline checkpoints between major stages for the same reason)
+    kept.persist()
+    val lm = TextAnalysis.bigramLmFit(kept, "text")
+    val pplGated = kept.join(
+      TextAnalysis.perplexity(kept, lm, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("ppl")),
+      Seq("doc_id"))
+      .where(col("ppl") <= 60.0)
+    println(s"after perplexity gate: ${pplGated.count()}")
+
+    // 2.6 compression-ratio gate: severely-templated text (deflate ratio
+    //     near zero) is boilerplate the span/dedup stages shouldn't even
+    //     have to see — a codegen'd narrow map
+    val crGated = pplGated
+      .where(TextAnalysis.compressionRatio(col("text")) > 0.02)
+      .drop("ppl")
+    println(s"after compression-ratio gate: ${crGated.count()}")
+
+    // 2.7 corpus diagnostics in one pass each: hot terms WITHOUT a
+    //     full-vocabulary shuffle (Misra-Gries summaries)
+    val hot = graft.ext.Sketches.heavyHitters(
+      crGated.select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+        .where(col("term") =!= ""), "term", k = 5, capacity = 256)
+    println(s"hot terms: ${hot.collect().map(r =>
+      s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")}")
+
     // 3. corpus-frequent span removal (C4 line dedup at this corpus's
     //    granularity): boilerplate chunks shared by many docs are cut
-    val despanned = kept.drop("text").join(
-      Dedup.dedupSpans(kept, "text", "doc_id", spanWords = 8, maxDocFreq = 4)
+    val kept2 = crGated
+    val despanned = kept2.drop("text").join(
+      Dedup.dedupSpans(kept2, "text", "doc_id", spanWords = 8, maxDocFreq = 4)
         .select(col("doc_id"), col("clean_text").as("text")),
       Seq("doc_id"))
       .where(col("text") =!= "")
@@ -80,7 +126,9 @@ object DataPrep {
     val pairs = Dedup.minhashPairs(exactSurvivors, "text", "doc_id")
     val deduped = Dedup.canonicalize(exactSurvivors, pairs, "doc_id",
       prefer = Seq(length(col("text")).desc))
+      .persist() // checkpoint: everything downstream branches from here
     println(s"after dedup: ${deduped.count()}")
+    kept.unpersist()
 
     // 5. benchmark decontamination: drop docs sharing 5-gram shingles
     //    with the held-out eval slice (here: doc_id < 10 stands in)
@@ -92,6 +140,27 @@ object DataPrep {
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .where(col("doc_id") >= 10)
     println(s"after decontamination: ${clean.count()}")
+
+    // 5.2 decontamination-by-RETRIEVAL: shingle overlap (5.) catches
+    //     verbatim leakage; BM25 retrieval over the corpus inverted
+    //     statistics surfaces the paraphrased kind. Eval sets are
+    //     driver-small by nature, so collecting their key terms is the
+    //     honest scale shape; the retrieval itself stays distributed.
+    val evalTerms = eval.select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("count").desc, col("t"))))
+      .where(col("rk") <= 4)
+      .groupBy(col("doc_id")).agg(collect_list(col("t")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toSeq
+    val suspects = TextAnalysis.bm25TopK(clean, "text", "doc_id",
+        evalTerms, k = 3)
+    println(s"retrieval decontamination: ${suspects.count()} " +
+      "(eval-query, train-doc) review pairs; max BM25 " +
+      f"${suspects.agg(max(col("score"))).first().getDouble(0)}%.2f")
 
     // 5.5 model-based quality gate: fastText-style linear inference (the
     //     weights would come from a trained model — explicit-vocab form
@@ -156,6 +225,19 @@ object DataPrep {
       emb, graft.ext.Similarity.fitIvf(emb, nlist = 8))
     println(s"projected ${projected.count()} embeddings to 8 dims; " +
       s"cells: ${cells.groupBy("cell").count().count()} non-empty")
+
+    // 7.52 learned dimensionality reduction: PCA fit from one distributed
+    //      moment-statistics pass (17 KB buffer per task), whitened
+    //      projection as literal-folded dot products — the
+    //      preconditioner that makes SemDeDup/clustering distances
+    //      behave; compare 7.5's data-free JL projection
+    val pcaFull = graft.ext.Similarity.pcaFit(emb, k = dim)
+    val pca = pcaFull.copy(components = pcaFull.components.take(8),
+      eigenvalues = pcaFull.eigenvalues.take(8))
+    val whitened = graft.ext.Similarity.pcaProject(emb, pca, whiten = true)
+    println(f"pca: top-8 captures ${
+      pca.eigenvalues.sum / pcaFull.eigenvalues.sum * 100}%.1f%% of " +
+      s"variance; projected ${whitened.count()} vectors")
 
     // 7.55 diverse few-shot exemplars: MMR re-rank so the picked set is
     //      not k paraphrases of the nearest neighbor (the eval/ICL draw)
