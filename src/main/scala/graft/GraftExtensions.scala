@@ -74,6 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "minhash_lanes" -> (es => MinHashLanes(es(0), intArg("minhash_lanes", es(1)))),
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),
+    "word_bigrams" -> (es => WordBigrams(es(0))),
     "mmr_select" -> (es =>
       MmrSelect(es(0), intArg("mmr_select", es(1)),
         VectorFunctions.foldableDouble("mmr_select", es(2)))),

@@ -181,6 +181,29 @@ object Pipeline {
       .orderBy(col("shuffle_key"), col(idCol))
   }
 
+  /** Materialize one epoch's training order as deterministic parquet
+    * shards — the artifact a data loader actually consumes. The
+    * [[epochShuffle]] key range-partitions into `numShards` files
+    * (shard s holds a contiguous slice of the shuffled order) and each
+    * file is sorted by the key, so "read shard 0, then 1, …" replays
+    * the exact global order with no further sort anywhere. Deterministic
+    * end to end: same corpus + epoch + salt → byte-identical shard
+    * contents, and successive epochs re-draw independent orders.
+    *
+    * 100 TB shape: one range-partitioned sort shuffle (sampled range
+    * bounds), numShards writer tasks, no driver involvement; shard
+    * count = loader parallelism.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, epoch: Int,
+                          outDir: String, numShards: Int,
+                          salt: String = ""): Unit = {
+    require(numShards >= 1, "numShards must be >= 1")
+    epochShuffle(df, idCol, epoch, salt)
+      .repartitionByRange(numShards, col("shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Pure integer waterfill: distribute `budget` across `items` of
     * `(key, weightPpm, avail)` proportionally to weight, capping each key
     * at its available mass and redistributing the unused share of

@@ -448,15 +448,13 @@ object TextAnalysis {
 
   /** Ordered word bigrams, repeats kept (unlike the shingle SET ops —
     * frequency statistics need every occurrence). Docs under 2 tokens
-    * yield an empty array.
+    * yield an empty array. Native single-pass expression
+    * (graftfn.WordBigrams) — the `transform(sequence(...))` HOF this
+    * replaces was CodegenFallback and made the LM-fit explode the
+    * slowest map stage in the bench.
     */
-  def bigrams(textCol: Column): Column = {
-    val t = toks(textCol)
-    when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def bigrams(textCol: Column): Column =
+    graft.functions.VectorFunctions.word_bigrams(textCol)
 
   /** Corpus-LM familiarity: per doc, integer statistics of how often its
     * word bigrams occur across the whole corpus — the cheap stand-in for a
@@ -739,7 +737,10 @@ object TextAnalysis {
       explode(bigrams(col(textCol))).as("bigram"))
     val ctx = lm.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
       .agg(sum(col("c")).as("cu"))
-    val v = docs.select(explode(toks(col(textCol))).as("t"))
+    // explode the raw split and drop empties AFTER (a WHERE on the
+    // exploded rows codegens; a filter() HOF on the array does not)
+    val v = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .where(col("t") =!= "")
       .agg(countDistinct(col("t")).cast("double").as("__v"))
     bg.join(lm, Seq("bigram"), "left")
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -749,6 +750,54 @@ object TextAnalysis {
         log((coalesce(col("c"), lit(0L)).cast("double") + k) /
             (coalesce(col("cu"), lit(0L)).cast("double") + lit(k) * col("__v"))))
       .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           round(exp(-sum(col("lp")) / count(lit(1))), 4).as("ppl"))
+  }
+
+  /** Per-group bigram LM fit: one model per value of `byCol` (language,
+    * source, domain) in a single shuffle — the CCNet recipe fits one LM
+    * per language, scores each doc under its OWN language's model, and
+    * filters on per-language perplexity bands. Returns
+    * (byCol, bigram, c).
+    */
+  def bigramLmFitBy(docs: DataFrame, textCol: String, byCol: String,
+                    minCount: Long = 1): DataFrame =
+    docs.select(col(byCol), explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy(col(byCol), col("bigram"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .where(col("c") >= minCount)
+
+  /** Per-document perplexity under the document's own `byCol`-group model
+    * from [[bigramLmFitBy]] — grouped add-k smoothing: context totals and
+    * vocabulary size are PER GROUP, so a Spanish doc is never judged by
+    * the English model. Join shape identical to [[perplexity]] with the
+    * group key added to every equi-join; the per-group vocab is a tiny
+    * aggregate that broadcasts. Returns (id, byCol, n_bigrams, ppl).
+    */
+  def perplexityBy(docs: DataFrame, lm0: DataFrame, textCol: String,
+                   idCol: String, byCol: String,
+                   k: Double = 0.5): DataFrame = {
+    val lm = OpCaches.register(lm0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bg = docs.select(col(idCol).as("id"), col(byCol),
+      explode(bigrams(col(textCol))).as("bigram"))
+    val ctx = lm.groupBy(col(byCol),
+        split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c")).as("cu"))
+    val v = docs.select(col(byCol),
+        explode(split(col(textCol), " ")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col(byCol))
+      .agg(countDistinct(col("t")).cast("double").as("__v"))
+    bg.join(lm, Seq(byCol, "bigram"), "left")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(ctx, Seq(byCol, "w1"), "left")
+      .join(broadcast(v), Seq(byCol))
+      .withColumn("lp",
+        log((coalesce(col("c"), lit(0L)).cast("double") + k) /
+            (coalesce(col("cu"), lit(0L)).cast("double") +
+              lit(k) * col("__v"))))
+      .groupBy(col("id"), col(byCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
            round(exp(-sum(col("lp")) / count(lit(1))), 4).as("ppl"))
   }
@@ -806,7 +855,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val tf = OpCaches.register(docs.select(col(idCol).as("doc"),
-        explode(toks(col(textCol))).as("term"))
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -866,6 +866,17 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("ppl"))
         .orderBy(col("doc_id"))
     },
+    "text_perplexity_lang" -> { (s, d) =>
+      // the grouped CCNet form: one LM per language, each doc scored
+      // under its OWN language's model (per-language context totals and
+      // vocabulary)
+      TextAnalysis.perplexityBy(docs(s, d),
+          TextAnalysis.bigramLmFitBy(docs(s, d), "text", "lang"),
+          "text", "doc_id", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"),
+                col("ppl"))
+        .orderBy(col("doc_id"))
+    },
     "text_dup_fraction" -> { (s, d) =>
       // corpus duplication diagnostic: per-doc share of 3-shingles that
       // appear in >= 2 documents (the decision input for span/doc dedup)
@@ -1624,6 +1635,31 @@ object ExtQueries {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(exp(-sum(lp) / count(*)), 4) AS ppl
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "text_perplexity_lang" ->
+      """WITH t AS (SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, lang,
+           unnest(list_transform(range(len(toks) - 1),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT lang, bigram, count(*) AS c
+               FROM bg GROUP BY lang, bigram),
+         ctx AS (SELECT lang, split_part(bigram, ' ', 1) AS w1, sum(c) AS cu
+                 FROM c GROUP BY 1, 2),
+         v AS (SELECT lang, CAST(count(DISTINCT tok) AS DOUBLE) AS v
+               FROM (SELECT lang, unnest(toks) AS tok FROM t)
+               GROUP BY lang),
+         s AS (SELECT bg.doc_id, bg.lang,
+                 ln((c.c + 0.5) / (ctx.cu + 0.5 * v.v)) AS lp
+               FROM bg
+               JOIN c ON c.lang = bg.lang AND c.bigram = bg.bigram
+               JOIN ctx ON ctx.lang = bg.lang
+                 AND ctx.w1 = split_part(bg.bigram, ' ', 1)
+               JOIN v ON v.lang = bg.lang)
+         SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(exp(-sum(lp) / count(*)), 4) AS ppl
+         FROM s GROUP BY doc_id, lang ORDER BY doc_id""",
     "ds_pack" ->
       """WITH c AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

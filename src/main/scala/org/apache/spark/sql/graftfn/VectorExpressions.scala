@@ -399,6 +399,25 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** Ordered word-bigram STRINGS, repeats kept (see [[WordBigrams]]) —
+    * the LM-fit form, where the model must be keyed by readable words
+    * (the hash form [[wordBigramHashes]] serves the statistics ops).
+    */
+  def wordBigrams(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    val n = math.max(toks.length - 1, 0)
+    val out = new Array[UTF8String](n)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
   def wordBigramHashes(input: UTF8String): ArrayData = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)
     val n = math.max(toks.length - 1, 0)
@@ -698,6 +717,29 @@ case class WordShingleHashes(child: Expression, k: Int)
   * HOF chain, which walks ~4 interpreted expression nodes per bigram and
   * dominated the familiarity operator.
   */
+/** Ordered word-bigram strings, repeats kept — the bigram-LM tokenizer
+  * (plan-audited r5: the `transform(sequence(...))` HOF formulation was
+  * CodegenFallback and made the LM fit/score explodes the two slowest
+  * queries in the bench; this single-pass kernel codegens).
+  */
+case class WordBigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.wordBigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordBigramHashes(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -1161,6 +1203,10 @@ object VectorFunctions {
   def deflate_ratio(text: Column): Column =
     ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text)))
 
+  /** Ordered word-bigram strings, repeats kept (see [[WordBigrams]]). */
+  def word_bigrams(text: Column): Column =
+    ExpressionUtils.column(WordBigrams(ExpressionUtils.expression(text)))
+
   /** Winnowing fingerprints (see [[WinnowFingerprint]]). */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), k, w))
@@ -1278,6 +1324,8 @@ object VectorFunctions {
         MinHashLanes(exprs(0), foldableInt("minhash_lanes", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_bigram_hashes", exprs => WordBigramHashes(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_bigrams", exprs => WordBigrams(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mmr_select", exprs =>
         MmrSelect(exprs(0), foldableInt("mmr_select", exprs(1)),

@@ -1279,6 +1279,64 @@ class Round5Spec extends SparkSpecBase {
       Set(("a", 2L), ("b", 1L)))
   }
 
+  test("perplexityBy: each doc is judged by its own group's model") {
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "A", "a b a b"), (2L, "A", "a b c"),
+        (3L, "B", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val lm = TextAnalysis.bigramLmFitBy(docs, "text", "lang")
+    val counts = lm.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("A", "a b") -> 3L, ("A", "b a") -> 1L,
+      ("A", "b c") -> 1L, ("B", "x y") -> 1L))
+    val got = TextAnalysis.perplexityBy(docs, lm, "text", "doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+      .toSet
+    def ppl(lps: Seq[Double]): Double =
+      BigDecimal(math.exp(-lps.sum / lps.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // lang A: V=3 -> same numbers as the global hand test; lang B: V=2,
+    // P(y|x) = 1.5/(1 + 0.5*2) = 0.75 under ITS OWN tiny model
+    val a1 = ppl(Seq(math.log(3.5 / 4.5), math.log(1.5 / 3.5),
+      math.log(3.5 / 4.5)))
+    val a2 = ppl(Seq(math.log(3.5 / 4.5), math.log(1.5 / 3.5)))
+    val b3 = ppl(Seq(math.log(0.75)))
+    assert(got == Set((1L, "A", a1), (2L, "A", a2), (3L, "B", b3)),
+      s"got $got")
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("writeTrainingShards: shards replay the exact epoch order") {
+    import graft.ext.Pipeline
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Pipeline.writeTrainingShards(docs, "doc_id", epoch = 2, out,
+      numShards = 4)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+    // reading shards in key order replays the global epoch order exactly
+    val replayed = spark.read.parquet(out)
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val expected = Pipeline.epochShuffle(docs, "doc_id", epoch = 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(replayed == expected)
+    assert(replayed.sorted == (1L to 200L))
+    // each shard is internally sorted and shards tile the key range
+    val perFile = files.sortBy(_.getName).map { f =>
+      spark.read.parquet(f.getPath).select(col("shuffle_key"))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    perFile.foreach(ks => assert(ks == ks.sorted, "shard not sorted"))
+    val ranges = perFile.filter(_.nonEmpty).map(ks => (ks.head, ks.last))
+      .sortBy(_._1).toSeq
+    ranges.sliding(2).foreach { pair =>
+      if (pair.size == 2)
+        assert(pair(0)._2 <= pair(1)._1, "shard ranges overlap")
+    }
+  }
+
   test("bigramLmCollect: fails fast past maxEntries instead of truncating") {
     import graft.ext.TextAnalysis
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
