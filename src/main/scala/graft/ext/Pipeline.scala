@@ -644,4 +644,37 @@ object Pipeline {
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
               col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Slowly-changing-dimension (type 2) build from an append-only
+    * changelog: per entity key, collapse consecutive rows whose tracked
+    * attributes did not change, then stamp each surviving version with its
+    * validity interval — `effective_from` (its own timestamp),
+    * `effective_to` (the next version's timestamp, open for the current
+    * version) and `is_current`. The standard warehouse dimension shape an
+    * as-of join ([[AsOfJoin]]) then consumes.
+    *
+    * Attribute comparison is null-safe (`<=>` on a struct of `attrCols`).
+    * `tieBreak` columns make same-timestamp changes deterministic.
+    *
+    * Scale shape: ONE shuffle keyed on the entity key; the no-change
+    * filter and the interval stamp are two Window passes over the same
+    * (partitioning, ordering), so the second pass reuses the first's
+    * exchange and sort — `.explain` shows a single Exchange.
+    */
+  def scd2(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs key and attribute columns")
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    changelog
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .drop("__prev")
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

@@ -802,6 +802,46 @@ object TextAnalysis {
            round(exp(-sum(col("lp")) / count(lit(1))), 4).as("ppl"))
   }
 
+  /** CCNet-style per-language perplexity bucketing: score every document
+    * with its OWN language's LM ([[perplexityBy]]), then split each
+    * language into `nBuckets` equal-population quality tiers (the CCNet
+    * head/middle/tail cut — head = lowest perplexity = most LM-familiar).
+    *
+    * Bucket assignment is pure integer arithmetic over the per-language
+    * rank — `bucket = ⌊nBuckets·(rank−1)/n⌋` with (rounded-ppl, id) as a
+    * deterministic total order — so the cut is engine-portable and
+    * reproducible, unlike interpolated-percentile thresholds whose last-ulp
+    * placement can differ across engines.
+    *
+    * Scale shape: one shuffle keyed on the language for the rank window,
+    * carrying only (id, lang, ppl) — never document bodies. Languages are
+    * few and internally large; at 100 TB the same cut runs as a
+    * range-partitioned sort per language (or sampled thresholds via
+    * [[perplexityBy]] + a quantile pass, trading exactness for one fewer
+    * sort — CCNet itself uses sampled thresholds).
+    */
+  def perplexityBuckets(docs: DataFrame, lm: DataFrame, textCol: String,
+                        idCol: String, byCol: String, k: Double = 0.5,
+                        nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val names = Seq("head", "middle", "tail")
+    val ppl = perplexityBy(docs, lm, textCol, idCol, byCol, k)
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col("ppl").asc, col("id").asc)
+    val n = Window.partitionBy(col(byCol))
+    val bucket = floor(lit(nBuckets) * (col("__rk") - 1) / col("__n"))
+      .cast("int")
+    ppl.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("bucket", bucket)
+      .withColumn("tier",
+        if (nBuckets == 3)
+          element_at(typedLit(names), col("bucket") + 1)
+        else concat(lit("q"), col("bucket").cast("string")))
+      .drop("__rk", "__n")
+  }
+
   /** A collected bigram LM for the projection face: bigram counts,
     * context totals, vocabulary size. Collected driver-side under an
     * explicit cap — the pruned-model path (real pipelines ship a

@@ -414,6 +414,18 @@ object CoreQueries {
                 round(col("sum_qc") / 100.0, 2).as("sum_qty"))
         .orderBy(col("l_returnflag"))
     },
+    "join_salted" -> { (s, d) =>
+      // manual salted join for known-skewed keys (Skew.saltedJoin):
+      // result ≡ the plain equi-join, only the shuffle partitioning
+      // changes (hot keys spread over `salts` reducers)
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.ext.Skew.saltedJoin(orders, cust, Seq("o_custkey"), salts = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("o_orderkey"))
+    },
 
     // ---- joins (§2.4) ----
     "join_table_table" -> { (s, d) =>
@@ -762,6 +774,11 @@ object CoreQueries {
       """SELECT l_returnflag,
          round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_salted" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY o.o_orderkey""",
     "join_table_table" ->
       """SELECT c.c_custkey, c.c_name, o.n_orders, o.total
          FROM customer c

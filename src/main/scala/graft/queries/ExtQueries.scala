@@ -877,6 +877,16 @@ object ExtQueries {
                 col("ppl"))
         .orderBy(col("doc_id"))
     },
+    "text_ccnet_buckets" -> { (s, d) =>
+      // CCNet head/middle/tail cut: per-language equal-population tiers
+      // by own-language perplexity, integer-rank bucket arithmetic
+      TextAnalysis.perplexityBuckets(docs(s, d),
+          TextAnalysis.bigramLmFitBy(docs(s, d), "text", "lang"),
+          "text", "doc_id", "lang")
+        .select(col("id").as("doc_id"), col("lang"), col("ppl"),
+                col("bucket"), col("tier"))
+        .orderBy(col("doc_id"))
+    },
     "text_dup_fraction" -> { (s, d) =>
       // corpus duplication diagnostic: per-doc share of 3-shingles that
       // appear in >= 2 documents (the decision input for span/doc dedup)
@@ -961,6 +971,16 @@ object ExtQueries {
           dd.where(pmod(col("doc_id"), lit(2)) === 0))
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+    "ds_scd2" -> { (s, d) =>
+      // SCD2 dimension build: per-user event_type version history with
+      // validity intervals (no-change rows collapsed, one shuffle)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Pipeline.scd2(ev, keyCols = Seq("user_id"), tsCol = "ts",
+          attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("effective_from"), col("effective_to"),
+                col("event_type"), col("is_current"))
+        .orderBy(col("user_id"), col("effective_from"), col("event_type"))
     },
     "ev_funnel" -> { (s, d) =>
       // view → click → purchase within 24h, chain window from first event
@@ -1074,6 +1094,45 @@ object ExtQueries {
           aggregate(col("features"), lit(0L), (a, x) =>
             a + pow(round(x * col("n_bytes")), 2).cast("long")).as("sum_sq"))
         .orderBy(col("media_id"))
+    },
+    "text_url_parse" -> { (s, d) =>
+      // URL fixture derived deterministically from the documents table
+      // (the text_html_extract wrap-in-noise pattern): mixed-case scheme
+      // and host, default port, tracking params and fragment — every
+      // normalization rule fires
+      val url = concat(lit("HTTPS://WWW.Docs."), col("source"),
+        lit(".Com:443/"), col("lang"), lit("/doc/"),
+        col("doc_id").cast("string"), lit("?utm_source=feed&id="),
+        col("doc_id").cast("string"), lit("&utm_campaign=x&ref=rss#frag"))
+      docs(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), graft.ext.Urls.host(col("url")).as("host"),
+          graft.ext.Urls.registeredDomain(col("url")).as("domain"),
+          graft.ext.Urls.normalize(col("url")).as("canon"))
+        .orderBy(col("doc_id"))
+    },
+    "ds_url_dedup" -> { (s, d) =>
+      // doc_id % 40 collides every doc onto one of 40 shared pages; odd
+      // ids carry a case/www/tracking variant of the even ids' URL — only
+      // canonicalization merges the variants into one dedup key
+      val base = concat(lit("example.com/p/"),
+        pmod(col("doc_id"), lit(40)).cast("string"))
+      val url = when(pmod(col("doc_id"), lit(2)) === 1,
+          concat(lit("HTTP://WWW."), base, lit("?utm_source=x")))
+        .otherwise(concat(lit("http://"), base))
+      graft.ext.Urls.dedupByUrl(docs(s, d).withColumn("url", url),
+          "url", "doc_id", col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    "ds_url_blocklist" -> { (s, d) =>
+      import s.implicits._
+      val url = concat(lit("https://docs."), col("source"), lit(".com/"),
+        col("doc_id").cast("string"))
+      val blocked = Seq("src2.com", "src5.com", "src12.com").toDF("domain")
+      graft.ext.Urls.filterBlocked(
+          docs(s, d).withColumn("url", url), "url", blocked)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1660,6 +1719,41 @@ object ExtQueries {
          SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
                 round(exp(-sum(lp) / count(*)), 4) AS ppl
          FROM s GROUP BY doc_id, lang ORDER BY doc_id""",
+    "text_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, lang,
+           unnest(list_transform(range(len(toks) - 1),
+                                 i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT lang, bigram, count(*) AS c
+               FROM bg GROUP BY lang, bigram),
+         ctx AS (SELECT lang, split_part(bigram, ' ', 1) AS w1, sum(c) AS cu
+                 FROM c GROUP BY 1, 2),
+         v AS (SELECT lang, CAST(count(DISTINCT tok) AS DOUBLE) AS v
+               FROM (SELECT lang, unnest(toks) AS tok FROM t)
+               GROUP BY lang),
+         s AS (SELECT bg.doc_id, bg.lang,
+                 ln((c.c + 0.5) / (ctx.cu + 0.5 * v.v)) AS lp
+               FROM bg
+               JOIN c ON c.lang = bg.lang AND c.bigram = bg.bigram
+               JOIN ctx ON ctx.lang = bg.lang
+                 AND ctx.w1 = split_part(bg.bigram, ' ', 1)
+               JOIN v ON v.lang = bg.lang),
+         p AS (SELECT doc_id, lang,
+                 round(exp(-sum(lp) / count(*)), 4) AS ppl
+               FROM s GROUP BY doc_id, lang),
+         r AS (SELECT doc_id, lang, ppl,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY ppl, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n
+               FROM p)
+         SELECT doc_id, lang, ppl,
+           CAST(floor(3 * (rk - 1) / n) AS INT) AS bucket,
+           CASE CAST(floor(3 * (rk - 1) / n) AS INT)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+         FROM r ORDER BY doc_id""",
     "ds_pack" ->
       """WITH c AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -1797,6 +1891,20 @@ object ExtQueries {
                >= 0.7
          ORDER BY id_a, id_b"""
     },
+    "ds_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+         FROM events),
+         c AS (SELECT user_id, ts, event_id, event_type FROM o
+               WHERE prev IS DISTINCT FROM event_type),
+         f AS (SELECT user_id, ts AS effective_from,
+                 lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS effective_to,
+                 event_type FROM c)
+         SELECT user_id, effective_from, effective_to, event_type,
+                effective_to IS NULL AS is_current
+         FROM f ORDER BY user_id, effective_from, event_type""",
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
            FROM events
@@ -2197,6 +2305,52 @@ object ExtQueries {
          CAST((doc_id * 7) % 256 AS INT) AS r0,
          CAST((doc_id * 13) % 256 AS INT) AS g0,
          CAST((doc_id * 29) % 256 AS INT) AS b0
-         FROM documents ORDER BY media_id"""
+         FROM documents ORDER BY media_id""",
+    "text_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+           'HTTPS://WWW.Docs.' || source || '.Com:443/' || lang || '/doc/'
+             || doc_id || '?utm_source=feed&id=' || doc_id
+             || '&utm_campaign=x&ref=rss#frag' AS url
+         FROM documents),
+         p AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             AS scheme,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+             AS host,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*?(:[0-9]+)(?:[/?#]|$)', 1)
+             AS port,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)?', 1) AS rest
+         FROM u),
+         q AS (SELECT doc_id, host,
+           regexp_replace(host, '^www\.', '') AS h, scheme,
+           CASE WHEN port IN (':80', ':443') THEN '' ELSE port END
+             AS kept_port,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+             '(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)=[^&#]*',
+             '', 'g'), '&&+', '&', 'g'), '\?&', '?', 'g'),
+             '[?&]+$', '', 'g') AS sep_fix
+         FROM p)
+         SELECT doc_id, host,
+           CASE WHEN regexp_matches(host, '\.')
+                THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                ELSE host END AS domain,
+           scheme || '://' || h || kept_port ||
+             (CASE WHEN sep_fix = '/' THEN '' ELSE sep_fix END) AS canon
+         FROM q ORDER BY doc_id""",
+    "ds_url_dedup" ->
+      """WITH u AS (SELECT doc_id, lang, source, n_chars,
+           'http://example.com/p/' || (doc_id % 40) AS canon
+         FROM documents),
+         r AS (SELECT doc_id, lang, source, row_number() OVER (
+             PARTITION BY canon ORDER BY n_chars DESC, doc_id) AS rk
+         FROM u)
+         SELECT doc_id, lang, source FROM r WHERE rk = 1 ORDER BY doc_id""",
+    "ds_url_blocklist" ->
+      """SELECT doc_id, source FROM documents
+         WHERE source || '.com' NOT IN ('src2.com', 'src5.com', 'src12.com')
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Pipeline, Skew, TextAnalysis, Urls}
+
+/** Round-5 continuation specs: URL toolkit, CCNet perplexity buckets,
+  * salted skew join, SCD2 dimension build.
+  */
+class Round5bSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---- Urls ----
+
+  private val urlCases = Seq(
+    // (raw, host, domain, canon)
+    ("HTTPS://WWW.src0.Example.com:443/es/doc/7?utm_source=feed&id=7&utm_campaign=x&ref=rss#frag",
+      "www.src0.example.com", "example.com",
+      "https://src0.example.com/es/doc/7?id=7"),
+    ("http://User:pw@News.Site.org:8080/A/B?x=1&gclid=abc&y=2",
+      "news.site.org", "site.org", "http://news.site.org:8080/A/B?x=1&y=2"),
+    ("https://example.com/", "example.com", "example.com",
+      "https://example.com"),
+    ("https://sub.a.example.com:80/path?utm_medium=m",
+      "sub.a.example.com", "example.com", "https://sub.a.example.com/path"),
+    ("not a url", "", "", "not a url"),
+    ("ftp://files.example.com/pub", "files.example.com", "example.com",
+      "ftp://files.example.com/pub"),
+    ("https://localhost/x", "localhost", "localhost", "https://localhost/x"),
+    ("http://a.com/p?utm_source=x", "a.com", "a.com", "http://a.com/p"))
+
+  test("Urls.normalize/host/registeredDomain: crafted edge cases") {
+    val got = urlCases.map(_._1).toDF("url")
+      .select(col("url"), Urls.host(col("url")).as("h"),
+        Urls.registeredDomain(col("url")).as("d"),
+        Urls.normalize(col("url")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == urlCases)
+  }
+
+  test("Urls.normalize is idempotent on its own output") {
+    val once = urlCases.map(_._4).toDF("url")
+      .select(Urls.normalize(col("url"))).as[String].collect().toSeq
+    assert(once == urlCases.map(_._4))
+  }
+
+  test("Urls.dedupByUrl: preference wins, id breaks ties, variants merge") {
+    val docsDf = Seq(
+      (1L, "http://a.com/p", 10L),
+      (2L, "HTTP://WWW.A.com/p?utm_source=x", 50L), // same canon, best pref
+      (3L, "http://a.com/p#frag", 50L),             // pref tie -> lower id
+      (4L, "http://b.com/q", 1L)
+    ).toDF("doc_id", "url", "quality")
+    val kept = Urls.dedupByUrl(docsDf, "url", "doc_id", col("quality"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
+  test("Urls.filterBlocked drops blocked registrable domains via anti join") {
+    val docsDf = Seq(
+      (1L, "https://docs.good.com/a"),
+      (2L, "https://sub.bad.com/b"),
+      (3L, "https://bad.com/c"),
+      (4L, "https://goodbad.com/d") // not bad.com — must survive
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.com").toDF("domain")
+    val kept = Urls.filterBlocked(docsDf, "url", blocked)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+    // and the plan broadcasts the blocklist, never shuffling the corpus
+    val plan = Urls.filterBlocked(docsDf, "url", blocked)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join, got:\n$plan")
+  }
+
+  // ---- perplexityBuckets ----
+
+  test("perplexityBuckets: equal-population tiers per language, " +
+    "head has the lowest perplexity") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm = TextAnalysis.bigramLmFitBy(docs, "text", "lang")
+    val b = TextAnalysis.perplexityBuckets(docs, lm, "text", "doc_id", "lang")
+      .select(col("lang"), col("ppl"), col("bucket")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    val byLang = b.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      val n = rows.length
+      // integer-rank cut: every tier within one row of n/3
+      (0 to 2).foreach { t =>
+        val sz = sizes.getOrElse(t, 0)
+        assert(math.abs(sz - n / 3.0) <= 1.0,
+          s"$lang tier $t has $sz of $n rows")
+      }
+      // monotone: max ppl in head <= min ppl in tail
+      val headMax = rows.filter(_._3 == 0).map(_._2).max
+      val tailMin = rows.filter(_._3 == 2).map(_._2).min
+      assert(headMax <= tailMin, s"$lang head $headMax > tail $tailMin")
+    }
+    assert(byLang.nonEmpty)
+  }
+
+  test("perplexityBuckets: nBuckets=4 uses generic tier names") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lm = TextAnalysis.bigramLmFitBy(docs, "text", "lang")
+    val tiers = TextAnalysis.perplexityBuckets(docs, lm, "text", "doc_id",
+        "lang", nBuckets = 4)
+      .select("tier").distinct().as[String].collect().sorted.toSeq
+    assert(tiers == Seq("q0", "q1", "q2", "q3"))
+  }
+
+  // ---- saltedJoin ----
+
+  test("saltedJoin ≡ plain equi-join on skewed keys, any salt count") {
+    // 1000 rows of one hot key + a long tail
+    val big = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (950L, "cold"), (999L, "tail"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = Skew.saltedJoin(big, small, Seq("k"), salts)
+        .select("k", "v", "name").collect().map(_.toSeq).toSet
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+  }
+
+  test("saltedJoin joins on the salt column (hot key spread over shards)") {
+    val big = (0 until 100).map(i => (1L, i)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"salt key missing from plan:\n$plan")
+    // the big side's rows really take more than one salt value
+    val nSalts = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nSalts > 1)
+  }
+
+  // ---- scd2 ----
+
+  test("scd2: collapses no-change rows and chains validity intervals") {
+    val log = Seq(
+      (1L, 100L, 1L, "bronze"),
+      (1L, 200L, 2L, "bronze"), // no change — collapsed
+      (1L, 300L, 3L, "silver"),
+      (1L, 400L, 4L, "gold"),
+      (2L, 150L, 5L, "silver")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val dim = Pipeline.scd2(log, Seq("user_id"), "ts", Seq("tier"),
+        tieBreak = Seq("event_id"))
+      .select("user_id", "effective_from", "effective_to", "tier",
+        "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3),
+        r.getBoolean(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(dim == Seq(
+      (1L, 100L, 300L, "bronze", false),
+      (1L, 300L, 400L, "silver", false),
+      (1L, 400L, -1L, "gold", true),
+      (2L, 150L, -1L, "silver", true)))
+  }
+
+  test("scd2: null-safe attribute compare (null == null collapses)") {
+    val log = Seq(
+      (1L, 100L, Some("a")),
+      (1L, 200L, None),
+      (1L, 300L, None), // null -> null: no change, collapsed
+      (1L, 400L, Some("b"))
+    ).toDF("user_id", "ts", "tier")
+    val dim = Pipeline.scd2(log, Seq("user_id"), "ts", Seq("tier"))
+    assert(dim.count() == 3)
+  }
+
+  test("scd2: single exchange — the two window passes share one shuffle") {
+    val log = Seq((1L, 100L, "a"), (1L, 200L, "b"))
+      .toDF("user_id", "ts", "tier")
+    val plan = Pipeline.scd2(log, Seq("user_id"), "ts", Seq("tier"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
