@@ -87,6 +87,105 @@ object Sketches {
       .limit(k)
   }
 
+  /** A fitted Count-Min sketch (Cormode & Muthukrishnan 2005): `depth`
+    * hash rows × `width` counters, plus the total item count `n`.
+    * `estimate(key)` = min over rows — never under the true count, and
+    * over it by at most `⌈e/width⌉·n` with probability `1 − e^-depth`.
+    * Counters are pure sums, so the fit is aggregation-order-independent
+    * (bit-identical across partitionings) and two sketches with the same
+    * dimensions [[CmsModel.merge]] by elementwise addition.
+    */
+  final case class CmsModel(depth: Int, width: Int, counts: Array[Long],
+                            n: Long) {
+    def estimate(key: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = counts(r * width + CmsModel.idx(r, width, key))
+        if (c < best) best = c
+        r += 1
+      }
+      if (best == Long.MaxValue) 0L else best
+    }
+
+    def merge(other: CmsModel): CmsModel = {
+      require(other.depth == depth && other.width == width,
+        s"sketch dims differ: ${depth}x$width vs ${other.depth}x${other.width}")
+      val out = new Array[Long](counts.length)
+      var i = 0
+      while (i < counts.length) {
+        out(i) = counts(i) + other.counts(i); i += 1
+      }
+      CmsModel(depth, width, out, n + other.n)
+    }
+  }
+
+  object CmsModel {
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** Row-salted md5-derived counter index — deterministic across JVMs
+      * and seeds (no per-run RNG: replays and spec reruns see the same
+      * collisions).
+      */
+    private[ext] def idx(row: Int, width: Int, key: String): Int = {
+      val d = md.get()
+      d.reset()
+      d.update((row + ":" + key).getBytes("UTF-8"))
+      val dig = d.digest()
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+      ((v >>> 4) % width).toInt
+    }
+  }
+
+  /** Fit a Count-Min sketch over `keyCol` in ONE pass with NO shuffle:
+    * each task folds its rows into a local `depth × width` counter array
+    * (`depth·width·8` bytes, e.g. 4×4096 → 128 KB) and the arrays reduce
+    * through `treeAggregate` — the wire carries sketches, never keys. The
+    * point-frequency complement of [[heavyHitters]]: Misra-Gries answers
+    * "which keys are hot", Count-Min answers "how hot is THIS key" for
+    * any key, including ones below the heavy-hitter floor.
+    *
+    * With `width` collision-free for the queried key set the estimates
+    * are EXACT (the gate-query mode); at 100 TB the same 128 KB sketch
+    * absorbs any cardinality — the accuracy knob is `width`, not data
+    * size. Null keys are skipped (no frequency semantics).
+    */
+  def countMinFit(df: DataFrame, keyCol: String, width: Int = 4096,
+                  depth: Int = 4): CmsModel = {
+    require(width >= 2 && depth >= 1, "width >= 2 and depth >= 1")
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val (counts, n) = keys.rdd.map(_.getString(0))
+      .treeAggregate((new Array[Long](depth * width), 0L))(
+        seqOp = { case ((arr, c), key) =>
+          var r = 0
+          while (r < depth) {
+            arr(r * width + CmsModel.idx(r, width, key)) += 1L; r += 1
+          }
+          (arr, c + 1L)
+        },
+        combOp = { case ((a, ca), (b, cb)) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          (a, ca + cb)
+        })
+    CmsModel(depth, width, counts, n)
+  }
+
+  /** Estimate column face: `cms_est` for each row's `keyCol` under a
+    * fitted model — the model rides the closure (≤ a few hundred KB), a
+    * pure narrow map. */
+  def cmsEstimate(df: DataFrame, keyCol: String,
+                  model: CmsModel): DataFrame = {
+    val est = udf((k: String) => if (k == null) 0L else model.estimate(k))
+    df.withColumn("cms_est", est(col(keyCol).cast("string")))
+  }
+
   /** The streaming face of [[heavyHitters]], on the Spark 4
     * `transformWithState` arbitrary-state API (requires the RocksDB
     * state-store provider, as the API itself does): keys hash into

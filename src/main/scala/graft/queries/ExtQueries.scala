@@ -996,6 +996,17 @@ object ExtQueries {
       Funnel.retentionCohorts(ev, "user_id", "ts")
         .orderBy(col("cohort"))
     },
+    "ev_cms_counts" -> { (s, d) =>
+      // Count-Min point-frequency estimates: one shuffle-free treeAggregate
+      // pass; width 4096 is collision-free for the 5-key query set, so the
+      // min-over-rows estimates are exact (the gate mode)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val model = Sketches.countMinFit(ev, "event_type")
+      Sketches.cmsEstimate(ev.select("event_type").distinct(),
+          "event_type", model)
+        .select(col("event_type"), col("cms_est").as("n"))
+        .orderBy(col("event_type"))
+    },
     "ev_heavy_hitters" -> { (s, d) =>
       // one-pass Misra-Gries hot-key detection, no full-key shuffle; at
       // capacity 64 >= 5 distinct event types no partition ever
@@ -1944,6 +1955,10 @@ object ExtQueries {
              AS retained_7
          FROM days d JOIN cohorts c USING (user_id)
          GROUP BY c.cohort ORDER BY c.cohort""",
+    "ev_cms_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
     "ev_heavy_hitters" ->
       """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS est
          FROM events GROUP BY 1 ORDER BY est DESC, key LIMIT 5""",

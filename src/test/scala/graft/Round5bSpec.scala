@@ -141,6 +141,50 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- Count-Min sketch ----
+
+  test("countMin: exact in collision-free width; never under the truth " +
+    "under collisions; merge ≡ whole-fit; partition-invariant") {
+    import graft.ext.Sketches
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val truth = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val wide = Sketches.countMinFit(ev, "event_type")
+    truth.foreach { case (k, c) =>
+      assert(wide.estimate(k) == c, s"wide sketch off for $k")
+    }
+
+    // crafted collisions: width 2, depth 1 — min-row estimate must still
+    // dominate the true count for every key
+    val narrow = Sketches.countMinFit(ev, "event_type", width = 2, depth = 1)
+    truth.foreach { case (k, c) =>
+      assert(narrow.estimate(k) >= c, s"narrow sketch UNDER-counts $k")
+      assert(narrow.estimate(k) <= narrow.n)
+    }
+
+    // merge of half-fits ≡ one whole fit (integer sums, order-free)
+    val odd = Sketches.countMinFit(
+      ev.where(pmod(col("event_id"), lit(2)) === 1), "event_type")
+    val even = Sketches.countMinFit(
+      ev.where(pmod(col("event_id"), lit(2)) === 0), "event_type")
+    val merged = odd.merge(even)
+    assert(merged.n == wide.n)
+    assert(java.util.Arrays.equals(merged.counts, wide.counts))
+
+    // partitioning cannot change a sum-only sketch
+    val repart = Sketches.countMinFit(ev.repartition(7), "event_type")
+    assert(java.util.Arrays.equals(repart.counts, wide.counts))
+  }
+
+  test("countMin: dimension mismatch fails loud on merge") {
+    import graft.ext.Sketches
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val a = Sketches.countMinFit(ev, "event_type", width = 64, depth = 2)
+    val b = Sketches.countMinFit(ev, "event_type", width = 32, depth = 2)
+    assertThrows[IllegalArgumentException](a.merge(b))
+  }
+
   // ---- scd2 ----
 
   test("scd2: collapses no-change rows and chains validity intervals") {
