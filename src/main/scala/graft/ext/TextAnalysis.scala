@@ -911,10 +911,20 @@ object TextAnalysis {
       Seq("term"))
     val df_ = tfq.groupBy(col("term")).agg(count(lit(1)).cast("double")
       .as("df"))
-    tfq.join(df_, Seq("term"))
+    bm25Rank(tfq.join(df_, Seq("term"))
       .join(dl, Seq("doc"))
       .join(qdf, Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)), k, k1, b)
+  }
+
+  /** Shared BM25 scoring + bounded ranking tail: input carries
+    * (qid, doc, tf, df, dl, __n, __avgdl); output (qid, rk, doc, score).
+    * Ranking goes through the CollectTopK partial agg — map tasks forward
+    * ≤ k rows per query.
+    */
+  private def bm25Rank(scored: DataFrame, k: Int,
+                       k1: Double, b: Double): DataFrame =
+    scored
       .withColumn("s",
         log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * (k1 + 1.0)) /
@@ -929,6 +939,53 @@ object TextAnalysis {
       .select(col("qid"), posexplode(array_sort(col("top"))))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
               col("col.d").as("doc"), (-col("col.ns")).as("score"))
+
+  /** A materialized BM25 inverted index: `postings` (term, doc, tf, dl —
+    * document length denormalized onto every posting so the query path
+    * never joins a lengths table) and `meta` (one row: __n docs, __avgdl).
+    * The encode-once face of [[bm25TopK]] (the ANN-index precedent):
+    * build runs the corpus tokenize/aggregate ONCE and lands as parquet;
+    * probes scan only the postings of the queried terms.
+    */
+  final case class Bm25Index(postings: DataFrame, meta: DataFrame)
+
+  def bm25Index(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val postings = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc"))))
+    val meta = docs.agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(postings.agg(sum(col("tf")).as("__toks")))
+      .select(col("__n"), (col("__toks") / col("__n")).as("__avgdl"))
+    Bm25Index(postings, meta)
+  }
+
+  /** [[bm25TopK]] over a prebuilt [[Bm25Index]]: the broadcast query-term
+    * set SEMI-FILTERS the postings scan (with a parquet index this is the
+    * only IO), per-term df comes exactly from the filtered postings, and
+    * scoring + CollectTopK ranking run with no corpus tokenization at all
+    * — the steady-state retrieval shape a decontamination service runs.
+    * Results ≡ [[bm25TopK]] (spec-checked).
+    */
+  def bm25TopKIndexed(index: Bm25Index,
+                      queries: Seq[(Long, Seq[String])], k: Int = 10,
+                      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("qid", "term"))
+    val p = index.postings.join(
+      broadcast(qdf.select(col("term")).distinct()), Seq("term"))
+    val df_ = p.groupBy(col("term")).agg(count(lit(1)).cast("double")
+      .as("df"))
+    bm25Rank(p.join(df_, Seq("term"))
+      .join(qdf, Seq("term"))
+      .crossJoin(broadcast(index.meta)), k, k1, b)
   }
 
   /** Perplexity as a pure Column over a literal [[BigramLmModel]] — the

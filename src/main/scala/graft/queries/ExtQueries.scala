@@ -78,7 +78,7 @@ object ExtQueries {
     * state a production pipeline runs (index on disk, query-only cost).
     */
   def prebuildIndexes(s: SparkSession, d: String): Unit = {
-    ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d)
+    ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d); bm25Idx(s, d)
     // trained models are fit-once/memoized exactly like the quantizers —
     // warm them here too so timed reps measure the steady state (the
     // query-time cost of a trained model is a map over the scan)
@@ -108,6 +108,54 @@ object ExtQueries {
     1L -> Seq("hash", "join", "merge"),
     2L -> Seq("window", "sort"),
     3L -> Seq("zzz_unseen"))
+
+  // materialized BM25 inverted index per fixture dir (the encode-once
+  // face: postings + meta land as parquet once; probes scan only the
+  // queried terms' postings)
+  private def bm25Idx(s: SparkSession, d: String): TextAnalysis.Bm25Index = {
+    lazy val built = TextAnalysis.bm25Index(docs(s, d), "text", "doc_id")
+    TextAnalysis.Bm25Index(
+      indexed(s, s"bm25_postings_$d")(built.postings),
+      indexed(s, s"bm25_meta_$d")(built.meta))
+  }
+
+  // one BM25 oracle serves both the inline and the indexed face — the
+  // index build must not change a single score bit
+  private lazy val bm25OracleSql: String = {
+    val vals = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals)),
+         t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+                       (SELECT sum(tf) FROM tf) AS tot),
+         tfq AS (SELECT tf.* FROM tf
+                 WHERE term IN (SELECT DISTINCT term FROM q)),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tfq GROUP BY term),
+         sc AS (SELECT q.qid, tfq.doc_id,
+                  ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+                    (tfq.tf * 2.25) /
+                    (tfq.tf + 1.25 * (1.0 - 0.75 +
+                       0.75 * dl.dl / (st.tot / st.n))) AS s
+                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id)
+                JOIN q ON q.term = tfq.term, st),
+         agg AS (SELECT qid, doc_id, round(sum(s), 6) AS score
+                 FROM sc GROUP BY qid, doc_id),
+         rk AS (SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id) AS rk
+                FROM agg)
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+                doc_id AS doc, score
+         FROM rk WHERE rk <= 10 ORDER BY qid, rk"""
+  }
 
   // 16 hashed-bucket weights for text_classifier_hashed, same 1/64-multiple
   // exactness argument; the SQL oracle indexes the identical literal list
@@ -850,6 +898,13 @@ object ExtQueries {
           k = 10)
         .orderBy(col("qid"), col("rk"))
     },
+    "text_bm25_indexed" -> { (s, d) =>
+      // same retrieval over the prebuilt parquet inverted index: probes
+      // semi-filter the postings scan; no corpus tokenization at query
+      // time — must hash-match the inline face's oracle bit-for-bit
+      TextAnalysis.bm25TopKIndexed(bm25Idx(s, d), bm25Queries, k = 10)
+        .orderBy(col("qid"), col("rk"))
+    },
     "text_lm_counts" -> { (s, d) =>
       // bigram LM TRAINING: the corpus count table itself, top 200 by
       // frequency (ties -> bigram asc) — exact longs, trivially portable
@@ -1194,6 +1249,12 @@ object ExtQueries {
           e.where(col("vec_id") < 5), k = 10,
           pqModel(s, d), shortlist = 50, "embedding", "vec_id")
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+    "text_bm25_probe" -> { (s, d) =>
+      // steady-state retrieval: prebuilt inverted index on disk, query
+      // cost = term-filtered postings scan + rank (no tokenize stage)
+      TextAnalysis.bm25TopKIndexed(bm25Idx(s, d), bm25Queries, k = 10)
+        .orderBy(col("qid"), col("rk"))
     },
     "sim_knn_join_probe" -> { (s, d) =>
       // production pair-mining shape: approximate probes over the
@@ -1639,41 +1700,8 @@ object ExtQueries {
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     "text_html_extract" ->
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
-    "text_bm25" -> {
-      val vals = bm25Queries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
-        .mkString(", ")
-      s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals)),
-         t AS (SELECT doc_id,
-           list_filter(string_split(text, ' '), x -> x <> '') AS toks
-           FROM documents),
-         tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-                FROM tok GROUP BY doc_id, term),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-         st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
-                       (SELECT sum(tf) FROM tf) AS tot),
-         tfq AS (SELECT tf.* FROM tf
-                 WHERE term IN (SELECT DISTINCT term FROM q)),
-         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
-                 FROM tfq GROUP BY term),
-         sc AS (SELECT q.qid, tfq.doc_id,
-                  ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
-                    (tfq.tf * 2.25) /
-                    (tfq.tf + 1.25 * (1.0 - 0.75 +
-                       0.75 * dl.dl / (st.tot / st.n))) AS s
-                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id)
-                JOIN q ON q.term = tfq.term, st),
-         agg AS (SELECT qid, doc_id, round(sum(s), 6) AS score
-                 FROM sc GROUP BY qid, doc_id),
-         rk AS (SELECT qid, doc_id, score,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY score DESC, doc_id) AS rk
-                FROM agg)
-         SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
-                doc_id AS doc, score
-         FROM rk WHERE rk <= 10 ORDER BY qid, rk"""
-    },
+    "text_bm25" -> bm25OracleSql,
+    "text_bm25_indexed" -> bm25OracleSql,
     "text_lm_counts" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -141,6 +141,37 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- BM25 index face ----
+
+  test("bm25TopKIndexed over a prebuilt index ≡ the inline bm25TopK") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("spark", "table"), 1L -> Seq("hash", "join", "merge"),
+      2L -> Seq("zzz_unseen"))
+    val inline = TextAnalysis.bm25TopK(docsDf, "text", "doc_id", qs, k = 7)
+      .collect().map(_.toSeq).toSet
+    graft.ext.OpCaches.releaseAll()
+    val idx = TextAnalysis.bm25Index(docsDf, "text", "doc_id")
+    val viaIndex = TextAnalysis.bm25TopKIndexed(idx, qs, k = 7)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("bm25Index postings denormalize document length (no lengths join " +
+    "at query time)") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = TextAnalysis.bm25Index(docsDf, "text", "doc_id")
+    assert(idx.postings.columns.toSet == Set("term", "doc", "tf", "dl"))
+    // dl is constant per doc and equals the token count
+    val bad = idx.postings.groupBy("doc")
+      .agg(count_distinct(col("dl")).as("nd"), first(col("dl")).as("dl"),
+        sum(col("tf")).as("sum_tf"))
+      .where(col("nd") =!= 1 || col("dl") =!= col("sum_tf"))
+    assert(bad.count() == 0)
+    assert(idx.meta.count() == 1)
+  }
+
   // ---- Count-Min sketch ----
 
   test("countMin: exact in collision-free width; never under the truth " +
