@@ -68,6 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash60" -> (es => SimHash60(es(0))),
     "deflate_ratio" -> (es => DeflateRatio(es(0))),
     "char_ngrams" -> (es => CharNgrams(es(0), intArg("char_ngrams", es(1)))),
+    "dedup_segments" -> (es =>
+      DedupSegments(es(0), VectorFunctions.foldableString("dedup_segments", es(1)),
+        VectorFunctions.foldableString("dedup_segments", es(2)))),
     "word_shingles" -> (es => WordShingles(es(0), intArg("word_shingles", es(1)))),
     "word_shingle_hashes" -> (es =>
       WordShingleHashes(es(0), intArg("word_shingle_hashes", es(1)))),

@@ -645,6 +645,29 @@ object Pipeline {
               col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Fixed-range histogram: `nBins` equal-width bins over [lo, hi), with
+    * under/overflow clamped into the edge bins and nulls dropped. One
+    * partial-agg'd shuffle of ≤ nBins counter rows — the profiling
+    * companion to [[profile]] for value DISTRIBUTIONS (null/distinct/
+    * min-max alone miss bimodality, spikes, and drift). Bin arithmetic is
+    * plain IEEE double ops, identical across engines.
+    */
+  def histogram(df: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val x = col(valueCol).cast("double")
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((x - lit(lo)) / lit(hi - lo) * nBins))).cast("int")
+    df.where(x.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit((hi - lo) / nBins)).as("lo_edge"),
+        (lit(lo) + (col("bin") + 1) * lit((hi - lo) / nBins)).as("hi_edge"),
+        col("n"))
+  }
+
   /** Slowly-changing-dimension (type 2) build from an append-only
     * changelog: per entity key, collapse consecutive rows whose tracked
     * attributes did not change, then stamp each surviving version with its

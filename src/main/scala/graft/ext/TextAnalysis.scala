@@ -940,6 +940,17 @@ object TextAnalysis {
       .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
               col("col.d").as("doc"), (-col("col.ns")).as("score"))
 
+  /** Within-document segment dedup (RefinedWeb/MassiveText line dedup
+    * applied inside one document): repeated lines — nav menus, cookie
+    * banners, boilerplate — collapse to their first occurrence, order
+    * preserved. A codegen'd narrow map over the native
+    * [[org.apache.spark.sql.graftfn.DedupSegments]] expression (linear
+    * time; streaming-safe). `sep` is a literal separator, default
+    * newline; segments re-join with the same separator.
+    */
+  def dedupSegments(textCol: Column, sep: String = "\n"): Column =
+    graft.functions.VectorFunctions.dedup_segments(textCol, sep, sep)
+
   /** A materialized BM25 inverted index: `postings` (term, doc, tf, dl —
     * document length denormalized onto every posting so the query path
     * never joins a lengths table) and `meta` (one row: __n docs, __avgdl).

@@ -1051,6 +1051,22 @@ object ExtQueries {
       Funnel.retentionCohorts(ev, "user_id", "ts")
         .orderBy(col("cohort"))
     },
+    "text_dedup_lines" -> { (s, d) =>
+      // within-doc segment dedup over the space-separated fixture text
+      // (word-level exercises the same first-occurrence kernel the
+      // newline form runs on crawl text)
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.dedupSegments(col("text"), " ").as("deduped"))
+        .withColumn("n_kept",
+          size(split(col("deduped"), " ")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    "ds_histogram" -> { (s, d) =>
+      // 20-bin value histogram over events, clamped edges
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Pipeline.histogram(ev, "value", lo = 0.0, hi = 200.0, nBins = 20)
+        .orderBy(col("bin"))
+    },
     "ev_cms_counts" -> { (s, d) =>
       // Count-Min point-frequency estimates: one shuffle-free treeAggregate
       // pass; width 4096 is collision-free for the 5-key query set, so the
@@ -1983,6 +1999,23 @@ object ExtQueries {
              AS retained_7
          FROM days d JOIN cohorts c USING (user_id)
          GROUP BY c.cohort ORDER BY c.cohort""",
+    "text_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         d AS (SELECT doc_id,
+           list_filter(toks, (x, i) -> list_position(toks, x) = i) AS kept
+           FROM t)
+         SELECT doc_id, array_to_string(kept, ' ') AS deduped,
+                CAST(len(kept) AS BIGINT) AS n_kept
+         FROM d ORDER BY doc_id""",
+    "ds_histogram" ->
+      """WITH b AS (SELECT CAST(least(19, greatest(0,
+             floor((value - 0.0) / 200.0 * 20))) AS INT) AS bin
+           FROM events WHERE value IS NOT NULL)
+         SELECT bin, 0.0 + bin * 10.0 AS lo_edge,
+                0.0 + (bin + 1) * 10.0 AS hi_edge,
+                CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY bin ORDER BY bin""",
     "ev_cms_counts" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_type IS NOT NULL

@@ -271,6 +271,31 @@ object Kernels {
       out.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
 
+  /** Within-document segment dedup: split on the LITERAL separator, keep
+    * each segment's first occurrence (insertion-ordered set), re-join
+    * with `joiner`. Linear time and one pass — the HOF formulation
+    * (`filter(t, (x, i) -> array_position(t, x) = i+1)`) is O(n²) and
+    * CodegenFallback; this is the codegen'd form. Empty segments dedup
+    * like any other (a run of blank lines collapses to one).
+    */
+  def dedupSegments(input: UTF8String, sep: String,
+                    joiner: String): UTF8String = {
+    val parts = input.toString
+      .split(java.util.regex.Pattern.quote(sep), -1)
+    val seen = new java.util.LinkedHashSet[String](parts.length * 2)
+    var i = 0
+    while (i < parts.length) { seen.add(parts(i)); i += 1 }
+    val sb = new java.lang.StringBuilder(input.numBytes)
+    val it = seen.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(joiner)
+      sb.append(it.next())
+      first = false
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // codepoint start offsets, computed once (substr-per-gram is O(L) each)
@@ -597,6 +622,35 @@ case class CharNgrams(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Within-document segment dedup (the RefinedWeb/MassiveText line-dedup
+  * shape applied INSIDE one document): repeated lines/paragraphs — nav
+  * menus, cookie banners, boilerplate headers — collapse to their first
+  * occurrence, preserving order. `sep`/`joiner` are literal strings fixed
+  * at plan time; a codegen'd narrow map (streaming-safe), linear in the
+  * document where the HOF `array_position` formulation is quadratic.
+  */
+case class DedupSegments(child: Expression, sep: String, joiner: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(sep.nonEmpty, "dedup_segments needs a non-empty separator")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "dedup_segments"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.dedupSegments(input.asInstanceOf[UTF8String], sep, joiner)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
+    val joinRef = ctx.addReferenceObj("joiner", joiner, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".dedupSegments($c, $sepRef, $joinRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1195,6 +1249,11 @@ object VectorFunctions {
   def char_ngrams(text: Column, n: Int): Column =
     ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(text), n))
 
+  /** Within-doc segment dedup (see [[DedupSegments]]). */
+  def dedup_segments(text: Column, sep: String, joiner: String): Column =
+    ExpressionUtils.column(
+      DedupSegments(ExpressionUtils.expression(text), sep, joiner))
+
   /** 60-bit portable SimHash (see [[SimHash60]]). */
   def simhash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
@@ -1310,6 +1369,10 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", exprs =>
         CharNgrams(exprs(0), foldableInt("char_ngrams", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dedup_segments", exprs =>
+        DedupSegments(exprs(0), foldableString("dedup_segments", exprs(1)),
+          foldableString("dedup_segments", exprs(2))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs =>
         WordShingles(exprs(0), foldableInt("word_shingles", exprs(1))), "scala_udf")
@@ -1431,6 +1494,18 @@ object VectorFunctions {
       case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case null                 => fail("NULL")
       case other                => fail(s"a ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Fold a SQL argument that must be a literal string. */
+  def foldableString(fn: String, e: Expression): String = {
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got $what: ${e.sql}")
+    if (!e.foldable) fail("a non-constant expression")
+    e.eval() match {
+      case s: UTF8String => s.toString
+      case null          => fail("NULL")
+      case other         => fail(s"a ${other.getClass.getSimpleName}")
     }
   }
 

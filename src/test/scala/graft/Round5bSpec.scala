@@ -141,6 +141,71 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- dedupSegments ----
+
+  test("dedupSegments: first occurrence wins, order kept, blanks collapse") {
+    val docsDf = Seq(
+      (1L, "nav\nintro\nnav\nbody\nintro\nfooter"),
+      (2L, "a\n\n\na"),       // blank run collapses to one blank segment
+      (3L, "only"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = docsDf.select(col("doc_id"),
+        TextAnalysis.dedupSegments(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "nav\nintro\nbody\nfooter")
+    assert(got(2L) == "a\n")
+    assert(got(3L) == "only")
+    assert(got(4L) == "")
+  }
+
+  test("dedupSegments ≡ the HOF array_position formulation") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val t = split(col("text"), " ")
+    val viaHof = docsDf.select(col("doc_id"),
+        array_join(org.apache.spark.sql.functions.filter(t, (x, i) =>
+          array_position(t, x) === i + 1), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaNative = docsDf.select(col("doc_id"),
+        TextAnalysis.dedupSegments(col("text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaNative == viaHof)
+  }
+
+  test("dedupSegments participates in whole-stage codegen and has a " +
+    "SQL face") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = docsDf.select(
+      TextAnalysis.dedupSegments(col("text"), " ").as("t"))
+    val gen = org.apache.spark.sql.execution.debug
+      .codegenString(df.queryExecution.executedPlan)
+    assert(gen.contains("dedupSegments"),
+      "generated code must call the Kernels.dedupSegments kernel")
+    graft.functions.VectorFunctions.register(spark)
+    docsDf.createOrReplaceTempView("docs_r5b")
+    val sqlRow = spark.sql(
+      "SELECT dedup_segments(text, ' ', ' ') AS t FROM docs_r5b " +
+        "WHERE doc_id = 0").collect()
+    val colRow = docsDf.where(col("doc_id") === 0)
+      .select(TextAnalysis.dedupSegments(col("text"), " ")).collect()
+    assert(sqlRow.map(_.getString(0)).toSeq ==
+      colRow.map(_.getString(0)).toSeq)
+  }
+
+  // ---- histogram ----
+
+  test("histogram: clamped edges, nulls dropped, counts conserved") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(99.9),
+      Some(100.0), Some(250.0), None).toDF("v")
+    val h = graft.ext.Pipeline.histogram(df, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // -5 clamps into bin 0; 100.0 and 250.0 clamp into bin 9; null dropped
+    assert(h == Map(0 -> 3L, 1 -> 1L, 9 -> 3L))
+    val total = graft.ext.Pipeline.histogram(df, "v", 0.0, 100.0, 10)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == 7L)
+  }
+
   // ---- BM25 index face ----
 
   test("bm25TopKIndexed over a prebuilt index ≡ the inline bm25TopK") {
