@@ -950,4 +950,117 @@ object Similarity {
     }
     corpus.select(col(idCol), array(comps.toIndexedSeq: _*).as("projected"))
   }
+
+  // ------------------------------------------------------------------ //
+  // Distributed k-means (full-corpus Lloyd) under an exact-arithmetic
+  // contract — the TRAINING face that complements the sample-capped
+  // [[fitIvf]]: every row votes in every iteration, so the fit is the
+  // one a production pipeline runs when the corpus is too skewed for a
+  // 20k sample to represent (heavy multimodal clusters, rare-language
+  // islands).
+  //
+  // The contract (the fitLinearHashed pattern) makes the whole fit
+  // aggregation-order-independent and engine-portable:
+  //   - input vectors quantize to the 2^-8 grid: q̂ⱼ = round(256·xⱼ)
+  //     (×256 is exact — a pure exponent shift — so only ONE rounding);
+  //   - distances are exact Long sums of (256·q̂ⱼ − ĉⱼ)² with ties to the
+  //     lowest cell index;
+  //   - centroids live on the 2^-16 grid as Longs, re-derived per
+  //     iteration by INTEGER rational rounding (half away from zero:
+  //     (2·256·|s| + n) ∕∕ 2n, signed) — no float division anywhere;
+  //   - seeds are the k rows with the smallest (portable-md5-hash, id).
+  // Every step is replayable in DuckDB SQL — the sim_kmeans_train gate
+  // re-runs the entire fit there and hash-matches the centroids.
+  // ------------------------------------------------------------------ //
+
+  /** Centroids on the 2^-16 grid (value = ĉⱼ / 65536). */
+  final case class QKmeansModel(centers: Array[Array[Long]]) {
+    def k: Int = centers.length
+  }
+
+  /** Exact Long argmin cell for one quantized vector. */
+  private[ext] def nearestQ(cents: Array[Array[Long]],
+                            q: Array[Long]): Int = {
+    var best = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0L
+      var j = 0
+      while (j < ct.length) {
+        val t = (q(j) << 8) - ct(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bd) { bd = d; best = c } // strict: ties keep the lowest cell
+      c += 1
+    }
+    best
+  }
+
+  /** Integer half-away-from-zero rounding of (256·s)/n, n > 0. */
+  private def roundQ(s: Long, n: Long): Long = {
+    val p = 256L * math.abs(s)
+    val r = (2L * p + n) / (2L * n)
+    if (s >= 0) r else -r
+  }
+
+  private def quantized(corpus: DataFrame, vecCol: String,
+                        idCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x =>
+        round(x.cast("double") * 256).cast("long")).as("q"))
+
+  /** Full-corpus distributed Lloyd fit. Per iteration: assignment is a
+    * narrow map (broadcast k×d Long centroid table), and the update is
+    * ONE partial-agg'd shuffle whose map output is ≤ k·d rows PER TASK
+    * (posexplode + groupBy(cell, dim) combines map-side) — the wire never
+    * carries vectors. The driver holds k·d Longs and re-derives the grid
+    * centroids; empty cells keep their previous centroid.
+    */
+  def kmeansFitQ(corpus: DataFrame, vecCol: String = "embedding",
+                 idCol: String = "vec_id", k: Int = 4,
+                 iters: Int = 3): QKmeansModel = {
+    require(k >= 1 && iters >= 0, "k >= 1 and iters >= 0")
+    val spark = corpus.sparkSession
+    val q = OpCaches.register(quantized(corpus, vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // deterministic seeds: k smallest (md5-hash, id); a seed point's grid
+    // image is itself (256·q̂ lands exactly on the 2^-16 grid)
+    val seeds = q.select(col("id"), col("q"),
+        graft.ext.Pipeline.portableHash60(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("id")).limit(k).collect()
+    require(seeds.length == k, s"corpus has fewer than k=$k rows")
+    var cents: Array[Array[Long]] =
+      seeds.map(_.getSeq[Long](1).map(_ << 8).toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val cellOf = udf((qv: Seq[Long]) => nearestQ(bc.value, qv.toArray))
+      val sums = q.select(cellOf(col("q")).as("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = roundQ(r.getLong(2), r.getLong(3))
+      }
+      cents = next
+      it += 1
+    }
+    QKmeansModel(cents)
+  }
+
+  /** Final cell assignment under a [[kmeansFitQ]] model — the same exact
+    * Long argmin the fit used (narrow map, broadcast centroids).
+    */
+  def kmeansAssignQ(corpus: DataFrame, model: QKmeansModel,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model.centers)
+    val cellOf = udf((qv: Seq[Long]) => nearestQ(bc.value, qv.toArray))
+    quantized(corpus, vecCol, idCol)
+      .select(col("id").as(idCol), cellOf(col("q")).as("cell"))
+  }
 }

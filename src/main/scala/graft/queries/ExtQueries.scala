@@ -82,7 +82,62 @@ object ExtQueries {
     // trained models are fit-once/memoized exactly like the quantizers —
     // warm them here too so timed reps measure the steady state (the
     // query-time cost of a trained model is a map over the scan)
-    trainedW(s, d); learnedBpe(s, d); fittedPca(s, d)
+    trainedW(s, d); learnedBpe(s, d); fittedPca(s, d); qkmModel(s, d)
+  }
+
+  // fit-once distributed k-means model per fixture dir (kmeansFitQ's
+  // exact-arithmetic contract makes the memoized fit bit-identical to a
+  // fresh one)
+  private val qkmModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.QKmeansModel]()
+  private def qkmModel(s: SparkSession, d: String): Similarity.QKmeansModel =
+    qkmModels.computeIfAbsent(d,
+      _ => Similarity.kmeansFitQ(emb(s, d), k = 4, iters = 3))
+
+  /** DuckDB replay of the ENTIRE kmeansFitQ fit (the fitLinearHashed
+    * oracle pattern): quantize → deterministic seeds → `iters` unrolled
+    * assignment/update rounds in pure integer arithmetic — then `body`
+    * selects off the final `c$iters` centroid CTE.
+    */
+  private def qkmeansSql(k: Int, iters: Int, body: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (SELECT vec_id AS id,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 256) AS BIGINT)) AS q
+          FROM embeddings),
+          dims AS (SELECT unnest(range((SELECT len(q) FROM q LIMIT 1))) AS j),
+          seeds AS (SELECT id, q, rk - 1 AS cell FROM (
+            SELECT id, q, row_number() OVER (ORDER BY
+              CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+              id) AS rk FROM q) WHERE rk <= $k),
+          c0 AS (SELECT cell,
+            list_transform(q, v -> v * 256) AS c FROM seeds)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(
+        s""",
+          a$i AS (SELECT q.id, q.q, c.cell, list_sum(list_transform(
+              range(len(q.q)), j -> (256 * q.q[j + 1] - c.c[j + 1]) *
+                                    (256 * q.q[j + 1] - c.c[j + 1]))) AS dist
+            FROM q CROSS JOIN c$p c),
+          b$i AS (SELECT id, q, cell FROM (
+            SELECT id, q, cell, row_number() OVER (
+              PARTITION BY id ORDER BY dist, cell) AS rk FROM a$i)
+            WHERE rk = 1),
+          s$i AS (SELECT cell, j, sum(q[j + 1]) AS s, count(*) AS n
+            FROM b$i CROSS JOIN dims GROUP BY cell, j),
+          c$i AS (SELECT c$p.cell, list(
+              CASE WHEN s$i.s IS NULL THEN c$p.c[dims.j + 1]
+                   WHEN s$i.s >= 0 THEN (2 * 256 * s$i.s + s$i.n)
+                                        // (2 * s$i.n)
+                   ELSE -((2 * 256 * (-s$i.s) + s$i.n) // (2 * s$i.n)) END
+              ORDER BY dims.j) AS c
+            FROM c$p CROSS JOIN dims
+            LEFT JOIN s$i ON s$i.cell = c$p.cell AND s$i.j = dims.j
+            GROUP BY c$p.cell)""")
+    }
+    sb.append("\n          ").append(body).toString
   }
 
   // fit-once PCA model per fixture dir (deterministic: one-pass moment
@@ -579,6 +634,23 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "sim_kmeans_train" -> { (s, d) =>
+      // DISTRIBUTED k-means TRAINING (full-corpus Lloyd, 3 iterations,
+      // k=4) under the exact-arithmetic contract — the DuckDB oracle
+      // replays the entire fit and must land on bit-identical centroids
+      val m = qkmModel(s, d)
+      import s.implicits._
+      m.centers.zipWithIndex.flatMap { case (c, cell) =>
+        c.zipWithIndex.map { case (v, j) => (cell, j, v) } }.toSeq
+        .toDF("cell", "dim", "cq")
+        .orderBy(col("cell"), col("dim"))
+    },
+    "sim_kmeans_train_assign" -> { (s, d) =>
+      // final cell assignment under the trained model (same exact Long
+      // argmin the fit used)
+      Similarity.kmeansAssignQ(emb(s, d), qkmModel(s, d))
+        .orderBy(col("vec_id"))
+    },
     "sim_kmeans_assign" -> { (s, d) =>
       // nearest-centroid assignment with DECLARED centroids (the first 4
       // corpus vectors) — deterministic and DuckDB-mirrorable, so the
@@ -2254,6 +2326,13 @@ object ExtQueries {
                 substr(n.text, CAST(s.i * 448 + 1 AS INT), 512) AS chunk_text
          FROM n, s WHERE s.i < n.nc
          ORDER BY n.doc_id, s.i""",
+    "sim_kmeans_train" -> qkmeansSql(4, 3,
+      """SELECT CAST(cell AS INT) AS cell, CAST(dims.j AS INT) AS dim,
+                c[dims.j + 1] AS cq
+         FROM c3 CROSS JOIN dims ORDER BY cell, dim"""),
+    "sim_kmeans_train_assign" -> qkmeansSql(4, 4,
+      """SELECT id AS vec_id, CAST(cell AS INT) AS cell
+         FROM b4 ORDER BY vec_id"""),
     "sim_kmeans_assign" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                     FROM embeddings WHERE vec_id < 4),

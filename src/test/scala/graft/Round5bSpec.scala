@@ -141,6 +141,66 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- distributed k-means (kmeansFitQ) ----
+
+  test("kmeansFitQ: partition count cannot change the fit (exact " +
+    "arithmetic contract)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = graft.ext.Similarity.kmeansFitQ(e.repartition(1), k = 4, iters = 2)
+    graft.ext.OpCaches.releaseAll()
+    val b = graft.ext.Similarity.kmeansFitQ(e.repartition(13), k = 4, iters = 2)
+    graft.ext.OpCaches.releaseAll()
+    assert(a.centers.map(_.toSeq).toSeq == b.centers.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansFitQ: crafted two-cluster data recovers the cluster means") {
+    val pts = (0 until 50).map(i => (i.toLong, Array(1.0f, 1.0f))) ++
+      (50 until 100).map(i => (i.toLong, Array(-1.0f, -1.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val m = graft.ext.Similarity.kmeansFitQ(df, k = 2, iters = 3)
+    graft.ext.OpCaches.releaseAll()
+    // cluster means are exactly ±1.0 → grid value ±65536
+    assert(m.centers.map(_.toSeq).toSet ==
+      Set(Seq(65536L, 65536L), Seq(-65536L, -65536L)))
+    val cells = graft.ext.Similarity.kmeansAssignQ(df, m)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.filter(_._1 < 50).values.toSet.size == 1)
+    assert(cells.filter(_._1 >= 50).values.toSet.size == 1)
+    assert(cells(0L) != cells(99L))
+  }
+
+  test("kmeansFitQ: iterating reduces quantized within-cluster SSE") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def sse(iters: Int): Double = {
+      val m = graft.ext.Similarity.kmeansFitQ(e, k = 4, iters = iters)
+      graft.ext.OpCaches.releaseAll()
+      val cells = graft.ext.Similarity.kmeansAssignQ(e, m)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rows = e.select(col("vec_id"),
+          transform(col("embedding"), x =>
+            round(x.cast("double") * 256).cast("long")).as("q"))
+        .collect()
+      rows.map { r =>
+        val q = r.getSeq[Long](1).toArray
+        val c = m.centers(cells(r.getLong(0)))
+        var acc = 0.0
+        var j = 0
+        while (j < q.length) {
+          val t = ((q(j) << 8) - c(j)).toDouble; acc += t * t; j += 1
+        }
+        acc
+      }.sum
+    }
+    assert(sse(3) <= sse(0))
+  }
+
+  test("kmeansFitQ fails loud when k exceeds the corpus") {
+    val df = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      graft.ext.Similarity.kmeansFitQ(df, k = 4, iters = 1))
+    graft.ext.OpCaches.releaseAll()
+  }
+
   // ---- dedupSegments ----
 
   test("dedupSegments: first occurrence wins, order kept, blanks collapse") {
