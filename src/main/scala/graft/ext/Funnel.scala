@@ -201,4 +201,58 @@ object Funnel {
       .groupBy(col("cohort"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Gap-based sessionization (gaps-and-islands): number each entity's
+    * events into sessions — a new session starts when the gap to the
+    * previous event exceeds `gapSeconds`. Adds `session_idx` (1-based,
+    * per key); (keyCols..., session_idx) is the session identity.
+    *
+    * The BATCH face of what `session_window` aggregates in streaming:
+    * aggregation collapses sessions to one row, while analytics joins
+    * (attribution, dwell analysis) need the session id ON the events —
+    * that is this operator.
+    *
+    * Exact integer micros arithmetic (timestamp-type tolerant via a cast
+    * through `timestamp`); `tieBreak` makes same-timestamp order
+    * deterministic. ONE shuffle on the entity key — the gap flag (lag)
+    * and the running count (sum) share the window spec, so Catalyst plans
+    * a single Exchange (the [[Pipeline.scd2]] shape).
+    */
+  def sessionize(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                 gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "sessionize needs at least one key column")
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(us, 1).over(w)
+    val fresh = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events.withColumn("__new_sess", fresh)
+      .withColumn("session_idx", sum(col("__new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_sess")
+  }
+
+  /** Per-session rollup over a [[sessionize]]d frame: event count, start,
+    * end, and duration in seconds. Partial-agg'd shuffle on the session
+    * identity.
+    */
+  def sessionStats(sessions: DataFrame, keyCols: Seq[String],
+                   tsCol: String): DataFrame = {
+    // the timestamp cast feeds only the micros arithmetic — outputs keep
+    // the input column's own type (casting NTZ → LTZ would change the
+    // written parquet logical type out from under the caller)
+    val ts = col(tsCol).cast("timestamp")
+    // exact integer seconds: strip the sub-second remainder BEFORE the
+    // (double) division so the quotient is an exact integer in both
+    // engines (Spark's `/` has no integral form on Columns)
+    val diff = unix_micros(max(ts)) - unix_micros(min(ts))
+    val durS = ((diff - pmod(diff, lit(1000000L))) / 1000000).cast("long")
+    sessions.groupBy((keyCols :+ "session_idx").map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        durS.as("dur_s"))
+  }
 }

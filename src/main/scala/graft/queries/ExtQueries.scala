@@ -1109,6 +1109,23 @@ object ExtQueries {
                 col("event_type"), col("is_current"))
         .orderBy(col("user_id"), col("effective_from"), col("event_type"))
     },
+    "ev_sessionize" -> { (s, d) =>
+      // 30-minute-gap sessionization: session ids ON the events
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.sessionize(ev, Seq("user_id"), "ts", gapSeconds = 1800,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    "ev_session_stats" -> { (s, d) =>
+      // per-session rollup of the same sessionization
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.sessionStats(
+          Funnel.sessionize(ev, Seq("user_id"), "ts", gapSeconds = 1800,
+            tieBreak = Seq("event_id")),
+          Seq("user_id"), "ts")
+        .orderBy(col("user_id"), col("session_idx"))
+    },
     "ev_funnel" -> { (s, d) =>
       // view → click → purchase within 24h, chain window from first event
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -2032,6 +2049,34 @@ object ExtQueries {
          SELECT user_id, effective_from, effective_to, event_type,
                 effective_to IS NULL AS is_current
          FROM f ORDER BY user_id, effective_from, event_type""",
+    "ev_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS ns
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         FROM o ORDER BY user_id, event_id""",
+    "ev_session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS ns
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM o)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
            FROM events

@@ -141,6 +141,40 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- sessionize ----
+
+  test("sessionize: gap boundary is exclusive, sessions number per key") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(0), 1L), (1L, t(1800), 2L),   // gap == 1800 → SAME session
+      (1L, t(3601), 3L),                   // gap 1801 → new session
+      (1L, t(3601), 4L),                   // tie ts → same session (0 gap)
+      (2L, t(50), 5L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = graft.ext.Funnel.sessionize(ev, Seq("user_id"), "ts",
+        gapSeconds = 1800, tieBreak = Seq("event_id"))
+      .select("event_id", "session_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize: one exchange serves both window passes; stats " +
+    "conserve events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val sess = graft.ext.Funnel.sessionize(ev, Seq("user_id"), "ts",
+      gapSeconds = 1800, tieBreak = Seq("event_id"))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(sess.queryExecution.executedPlan.toString).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    val stats = graft.ext.Funnel.sessionStats(sess, Seq("user_id"), "ts")
+    assert(stats.agg(sum(col("n_events"))).collect()(0).getLong(0) ==
+      ev.count())
+    // durations are non-negative and every session starts before it ends
+    assert(stats.where(col("dur_s") < 0 ||
+      col("start_ts") > col("end_ts")).count() == 0)
+  }
+
   // ---- distributed k-means (kmeansFitQ) ----
 
   test("kmeansFitQ: partition count cannot change the fit (exact " +
