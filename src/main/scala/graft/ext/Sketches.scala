@@ -186,6 +186,38 @@ object Sketches {
     df.withColumn("cms_est", est(col(keyCol).cast("string")))
   }
 
+  /** The streaming face of [[countMinFit]], on the Spark 4
+    * `transformWithState` API (the [[heavyHittersStream]] pattern): keys
+    * hash into `nShards` independent CMS counter arrays; each micro-batch
+    * folds its keys into its shard's array and emits the UPDATED point
+    * estimate for every distinct key seen in that batch — an Update-mode
+    * changelog where the latest (key, est) row is the running estimate.
+    *
+    * A key belongs to exactly one shard, so estimates never need a
+    * cross-shard merge, and the per-shard fold preserves the batch CMS
+    * guarantees (never under the shard's true count, exact when `width`
+    * is collision-free). State is bounded by construction —
+    * `nShards × depth × width` Longs, forever, no watermark.
+    */
+  def countMinStream(events: DataFrame, keyCol: String,
+                     width: Int = 4096, depth: Int = 4,
+                     nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(width >= 2 && depth >= 1 && nShards >= 1,
+      "width >= 2, depth >= 1, nShards >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .select(pmod(xxhash64(col("key")), lit(nShards)).cast("long")
+        .as("shard"), col("key"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CmsStreamProcessor(width, depth),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("shard", "key", "est")
+  }
+
   /** The streaming face of [[heavyHitters]], on the Spark 4
     * `transformWithState` arbitrary-state API (requires the RocksDB
     * state-store provider, as the API itself does): keys hash into
@@ -217,6 +249,44 @@ object Sketches {
       .transformWithState(new MgStreamProcessor(capacity),
         TimeMode.None(), OutputMode.Update())
       .toDF("shard", "key", "est")
+  }
+}
+
+/** Per-shard Count-Min counters as transformWithState state: one
+  * ValueState cell holding the flat `depth × width` Long array, rewritten
+  * per micro-batch (fixed-size by contract — a full rewrite is one
+  * RocksDB put, cheaper than width·depth MapState cells).
+  */
+private[ext] class CmsStreamProcessor(width: Int, depth: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var counters: ValueState[Array[Long]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counters = getHandle.getValueState[Array[Long]]("cms",
+      org.apache.spark.sql.Encoders.kryo[Array[Long]], TTLConfig.NONE)
+
+  override def handleInputRows(shard: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[(Long, String, Long)] = {
+    val arr =
+      if (counters.exists()) counters.get() else new Array[Long](depth * width)
+    val batchKeys = new java.util.LinkedHashSet[String]()
+    rows.foreach { case (_, key) =>
+      var r = 0
+      while (r < depth) {
+        arr(r * width + Sketches.CmsModel.idx(r, width, key)) += 1L
+        r += 1
+      }
+      batchKeys.add(key)
+    }
+    counters.update(arr)
+    val model = Sketches.CmsModel(depth, width, arr, 0L)
+    import scala.jdk.CollectionConverters._
+    batchKeys.asScala.iterator
+      .map(k => (shard, k, model.estimate(k))).toArray.iterator
   }
 }
 

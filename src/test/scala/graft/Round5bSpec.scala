@@ -9,6 +9,7 @@ import graft.ext.{Pipeline, Skew, TextAnalysis, Urls}
 class Round5bSpec extends SparkSpecBase {
 
   import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   // ---- Urls ----
 
@@ -365,6 +366,41 @@ class Round5bSpec extends SparkSpecBase {
     // partitioning cannot change a sum-only sketch
     val repart = Sketches.countMinFit(ev.repartition(7), "event_type")
     assert(java.util.Arrays.equals(repart.counts, wide.counts))
+  }
+
+  test("countMinStream: running estimates are exact across batches at " +
+    "collision-free width") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Sketches
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      val out = Sketches.countMinStream(ms.toDF().toDF("k"), "k",
+        width = 256, depth = 2, nShards = 4)
+      val q = out.writeStream.format("memory").queryName("cms_stream")
+        .outputMode("update").start()
+      try {
+        ms.addData("a", "b", "a", "c")
+        q.processAllAvailable()
+        ms.addData("a", "c", "c", "d")
+        q.processAllAvailable()
+        // update-mode changelog: estimates only grow; max per key is the
+        // running count — exact at collision-free width
+        val got = spark.table("cms_stream").collect()
+          .map(r => (r.getString(1), r.getLong(2)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 3L, "d" -> 1L),
+          s"got $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("countMin: dimension mismatch fails loud on merge") {
