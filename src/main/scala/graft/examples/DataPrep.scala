@@ -29,6 +29,7 @@ object DataPrep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import spark.implicits._
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"raw docs: ${raw.count()}")
 
@@ -58,8 +59,29 @@ object DataPrep {
       TextAnalysis.htmlFixture(col("text"), col("doc_id"))).as("text"))
     println(s"html extraction sample: ${htmlClean.count()} docs cleaned")
 
+    // 0.5 URL hygiene — the FIRST cut a crawl pipeline makes, before any
+    //     text is even inspected: canonicalize (case/www/ports/tracking
+    //     params), drop blocklisted registrable domains (broadcast anti
+    //     join), keep one doc per canonical URL (longest wins; only
+    //     (canon, pref, id) shuffles, never bodies). URLs here derive
+    //     deterministically from the fixture.
+    val withUrl = raw.withColumn("url",
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.com:443/d/"),
+        col("doc_id").cast("string"), lit("?utm_source=crawl")))
+    val urlKept = graft.ext.Urls.dedupByUrl(
+      graft.ext.Urls.filterBlocked(withUrl, "url",
+        Seq("blocked.example").toDF("domain")),
+      "url", "doc_id", col("n_chars"))
+    println(s"after url hygiene: ${urlKept.count()}")
+
+    // 0.7 within-doc boilerplate collapse: repeated segments inside one
+    //     document (nav menus, cookie banners) drop to their first
+    //     occurrence — a codegen'd linear narrow map
+    val lineDeduped = urlKept.withColumn("text",
+      TextAnalysis.dedupSegments(col("text"), " "))
+
     // 1. normalize + PII redaction, language ID, quality features
-    val normalized = raw.select(
+    val normalized = lineDeduped.select(
       col("doc_id"), col("lang"), col("source"),
       Pipeline.redactPii(Pipeline.normalize(col("text"))).as("text"))
     val scored = normalized
@@ -92,6 +114,17 @@ object DataPrep {
       .where(col("ppl") <= 60.0)
     println(s"after perplexity gate: ${pplGated.count()}")
 
+    // 2.55 the FULL CCNet cut for comparison: per-language equal-population
+    //      head/middle/tail tiers by own-language perplexity — a real
+    //      pipeline keeps head+middle and re-weights; here the tier mix is
+    //      reported as a diagnostic
+    val tiers = TextAnalysis.perplexityBuckets(kept,
+        TextAnalysis.bigramLmFitBy(kept, "text", "lang"),
+        "text", "doc_id", "lang")
+      .groupBy("tier").count().collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(", ")
+    println(s"ccnet tiers: $tiers")
+
     // 2.6 compression-ratio gate: severely-templated text (deflate ratio
     //     near zero) is boilerplate the span/dedup stages shouldn't even
     //     have to see — a codegen'd narrow map
@@ -107,6 +140,24 @@ object DataPrep {
         .where(col("term") =!= ""), "term", k = 5, capacity = 256)
     println(s"hot terms: ${hot.collect().map(r =>
       s"${r.getString(0)}:${r.getLong(1)}").mkString(", ")}")
+
+    // 2.75 point-frequency complement: a shuffle-free Count-Min fit
+    //     answers "how hot is THIS term" for ANY term — including ones
+    //     below the Misra-Gries floor — from one 128 KB sketch
+    val cms = graft.ext.Sketches.countMinFit(
+      crGated.select(explode(org.apache.spark.sql.functions.split(
+        col("text"), " ")).as("term")).where(col("term") =!= ""), "term")
+    println(s"cms['data'] ≈ ${cms.estimate("data")} of n=${cms.n}")
+
+    // 2.8 value-distribution profiling: the n_tokens histogram (clamped
+    //     fixed-range bins, one tiny shuffle) — drift shows up here before
+    //     it shows up in model quality
+    val histo = Pipeline.histogram(crGated
+        .withColumn("nt", col("n_tokens").cast("double")), "nt",
+        lo = 0.0, hi = 40.0, nBins = 8)
+      .orderBy(col("bin")).collect()
+      .map(r => s"${r.getInt(0)}:${r.getLong(3)}").mkString(" ")
+    println(s"token-count histogram: $histo")
 
     // 3. corpus-frequent span removal (C4 line dedup at this corpus's
     //    granularity): boilerplate chunks shared by many docs are cut
@@ -156,8 +207,11 @@ object DataPrep {
       .where(col("rk") <= 4)
       .groupBy(col("doc_id")).agg(collect_list(col("t")).as("ts"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toSeq
-    val suspects = TextAnalysis.bm25TopK(clean, "text", "doc_id",
-        evalTerms, k = 3)
+    //     The index face is the steady-state service shape: postings +
+    //     stats build ONCE; every later eval set probes the prebuilt index
+    //     with no corpus tokenization at all.
+    val bmIndex = TextAnalysis.bm25Index(clean, "text", "doc_id")
+    val suspects = TextAnalysis.bm25TopKIndexed(bmIndex, evalTerms, k = 3)
     println(s"retrieval decontamination: ${suspects.count()} " +
       "(eval-query, train-doc) review pairs; max BM25 " +
       f"${suspects.agg(max(col("score"))).first().getDouble(0)}%.2f")
@@ -225,6 +279,15 @@ object DataPrep {
       emb, graft.ext.Similarity.fitIvf(emb, nlist = 8))
     println(s"projected ${projected.count()} embeddings to 8 dims; " +
       s"cells: ${cells.groupBy("cell").count().count()} non-empty")
+
+    // 7.51 when the corpus is too skewed for a sample fit, the
+    //      DISTRIBUTED k-means trains on every row (exact-arithmetic
+    //      Lloyd: one tiny partial-agg shuffle per iteration, replayable
+    //      bit-for-bit by any engine)
+    val qkm = graft.ext.Similarity.kmeansFitQ(emb, k = 8, iters = 3)
+    val qCells = graft.ext.Similarity.kmeansAssignQ(emb, qkm)
+    println(s"distributed k-means: ${qCells.groupBy("cell").count().count()}" +
+      " non-empty cells (full-corpus fit)")
 
     // 7.52 learned dimensionality reduction: PCA fit from one distributed
     //      moment-statistics pass (17 KB buffer per task), whitened
