@@ -101,6 +101,34 @@ object Pipeline {
     df.where(h < round(greatest(lit(0.0), least(weight, lit(1.0))) * buckets))
   }
 
+  /** Exact-k WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    * A-ES): each row draws a deterministic uniform u from the portable
+    * id hash and ranks by the exponential key `-ln(u) / w` ascending —
+    * the k smallest keys are a weighted-without-replacement draw
+    * (P(row first) = wᵢ/Σw, then recursively). [[sampleByWeight]] is the
+    * Bernoulli face (expected rate, unbounded count); this is the
+    * fixed-budget face (exactly k rows, heavier rows likelier).
+    *
+    * Deterministic and engine-portable: u = (hash+1)/(2^60+1) ∈ (0,1],
+    * keys round to 9 decimals with `idCol` as the total-order tie-break
+    * (the perplexity/BM25 transcendental-rounding contract). Rows with
+    * weight ≤ 0 never sample. ONE TopK pass — map tasks forward ≤ k rows
+    * (TakeOrderedAndProject), no full sort.
+    */
+  def sampleExactWeighted(df: DataFrame, weight: Column, k: Int,
+                          idCol: String, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val buckets = 1152921504606846976L // 2^60
+    val h = portableHash60(concat(col(idCol).cast("string"), lit(salt)))
+    val u = (h + 1).cast("double") / lit(buckets + 1).cast("double")
+    val key = round(-log(u) / weight, 9)
+    df.where(weight > 0)
+      .withColumn("__es_key", key)
+      .orderBy(col("__es_key").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Temperature-scaled mixture weights over a key (the multilingual /
     * multi-domain mixing recipe: sampling probability ∝ mass^α, α ∈ (0,1]
     * — α=1 keeps the natural distribution, α→0 approaches uniform,

@@ -1099,6 +1099,14 @@ object ExtQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_sample_exact_weighted" -> { (s, d) =>
+      // Efraimidis-Spirakis exact-k weighted draw: 50 docs, weight =
+      // n_chars (longer docs likelier), deterministic hash keys
+      Pipeline.sampleExactWeighted(docs(s, d), col("n_chars"), k = 50,
+          "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     "ds_scd2" -> { (s, d) =>
       // SCD2 dimension build: per-user event_type version history with
       // validity intervals (no-change rows collapsed, one shuffle)
@@ -1108,6 +1116,19 @@ object ExtQueries {
         .select(col("user_id"), col("effective_from"), col("effective_to"),
                 col("event_type"), col("is_current"))
         .orderBy(col("user_id"), col("effective_from"), col("event_type"))
+    },
+    "graph_pagerank" -> { (s, d) =>
+      // damped PageRank over a deterministic 2-out link graph derived
+      // from the documents table (the crawl-quality-prior shape); exact
+      // Long ppm arithmetic — the oracle replays all 3 iterations
+      val dd = docs(s, d)
+      val n = dd.count()
+      val e1 = dd.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(n)).as("dst"))
+      val e2 = dd.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 1, lit(n)).as("dst"))
+      graft.ext.Graph.pageRank(e1.union(e2), "src", "dst", iters = 3)
+        .orderBy(col("node"))
     },
     "ev_sessionize" -> { (s, d) =>
       // 30-minute-gap sessionization: session ids ON the events
@@ -2035,6 +2056,17 @@ object ExtQueries {
                >= 0.7
          ORDER BY id_a, id_b"""
     },
+    "ds_sample_exact_weighted" ->
+      """WITH w AS (SELECT doc_id, lang, source, n_chars,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS h
+         FROM documents WHERE n_chars > 0),
+         k AS (SELECT doc_id, lang, source,
+           round(-ln((h + 1) / 1152921504606846977.0) / n_chars, 9) AS ek
+         FROM w),
+         t AS (SELECT doc_id, lang, source FROM k
+               ORDER BY ek, doc_id LIMIT 50)
+         SELECT doc_id, lang, source FROM t ORDER BY doc_id""",
     "ds_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
            lag(event_type) OVER (PARTITION BY user_id
@@ -2049,6 +2081,34 @@ object ExtQueries {
          SELECT user_id, effective_from, effective_to, event_type,
                 effective_to IS NULL AS is_current
          FROM f ORDER BY user_id, effective_from, event_type""",
+    "graph_pagerank" -> {
+      val iters = 3
+      val sb = new StringBuilder(
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+           e AS (SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn)
+                   AS dst FROM documents
+                 UNION ALL
+                 SELECT doc_id, (doc_id * 13 + 1) % (SELECT n FROM nn)
+                 FROM documents),
+           nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes)""")
+      for (i <- 1 to iters) {
+        val p = i - 1
+        sb.append(
+          s""",
+           c$i AS (SELECT e.dst, sum(r.r // d.deg) AS s
+             FROM e JOIN r$p r ON r.v = e.src JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+           r$i AS (SELECT nodes.v,
+               CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.v)""")
+      }
+      sb.append(
+        s"""
+           SELECT v AS node, r AS rank_ppm FROM r$iters ORDER BY node""")
+      sb.toString
+    },
     "ev_sessionize" ->
       """WITH o AS (SELECT user_id, event_id, ts,
            CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -142,6 +142,68 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- sampleExactWeighted ----
+
+  test("sampleExactWeighted: exactly k rows, zero weights excluded, " +
+    "heavy rows dominate, deterministic") {
+    val df = (1L to 100L).map(i => (i, if (i == 7L) 1000000.0
+      else if (i % 10 == 0) 0.0 else 1.0)).toDF("id", "w")
+    val s1 = graft.ext.Pipeline.sampleExactWeighted(df, col("w"), 10, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1.length == 10)
+    assert(s1.contains(7L), "the 10^6-weight row must be drawn")
+    assert(!s1.exists(_ % 10 == 0), "zero-weight rows can never sample")
+    val s2 = graft.ext.Pipeline.sampleExactWeighted(
+      df.repartition(7), col("w"), 10, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s2 == s1, "draw must not depend on partitioning")
+    // different salt → different draw (salting works)
+    val s3 = graft.ext.Pipeline.sampleExactWeighted(df, col("w"), 10, "id",
+      salt = ":v2").select("id").as[Long].collect().sorted.toSeq
+    assert(s3 != s1)
+  }
+
+  test("sampleExactWeighted: k larger than eligible rows returns them all") {
+    val df = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("id", "w")
+    val got = graft.ext.Pipeline.sampleExactWeighted(df, col("w"), 10, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  // ---- pageRank ----
+
+  test("pageRank: uniform ring keeps every rank at exactly 1.0") {
+    val n = 10
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val r = graft.ext.Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == n)
+    assert(r.values.forall(_ == 1000000L),
+      s"symmetric graph must stay uniform, got $r")
+  }
+
+  test("pageRank: star graph concentrates rank on the hub; leaves sit " +
+    "at the damping base") {
+    val edges = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
+    val r = graft.ext.Graph.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // iter1: hub = 150000 + ⌊85·9e6/100⌋; leaves = base (no in-links).
+    // iter2: hub = 150000 + ⌊85·(9·150000)/100⌋ = 1297500.
+    assert(r(0L) == 1297500L, s"hub rank: ${r(0L)}")
+    (1L to 9L).foreach(i => assert(r(i) == 150000L))
+  }
+
+  test("pageRank: partition count cannot change the ranks") {
+    val e = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(500)).as("dst"))
+    val a = graft.ext.Graph.pageRank(e.repartition(1), "src", "dst", 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = graft.ext.Graph.pageRank(e.repartition(11), "src", "dst", 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+  }
+
   // ---- sessionize ----
 
   test("sessionize: gap boundary is exclusive, sessions number per key") {
