@@ -106,7 +106,7 @@ object Dedup {
     * the banding/df-cap parameters, so the in-bucket expansion is bounded
     * quadratic and the shuffle carries only (bucket, id).
     */
-  private def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
+  private[ext] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
     bucketed
       .groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_set(col("id"))).as("ids"))

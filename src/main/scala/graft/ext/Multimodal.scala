@@ -594,4 +594,150 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual hashing (image near-dup) ----
+
+  /** Raw RGB raster from any REAL decode lane (PPM pure-JVM, mainstream
+    * formats via ImageIO); None for stub-lane/undecodable payloads —
+    * unknown bytes must never hash.
+    */
+  private[ext] def decodeRgb(payload: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    decodePpm(payload).map { case (w, h, _, px) => (w, h, px) }
+      .orElse(readImage(payload).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            px(o) = ((rgb >> 16) & 0xff).toByte
+            px(o + 1) = ((rgb >> 8) & 0xff).toByte
+            px(o + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, px)
+      })
+
+  /** 64-bit perceptual hash (pHash): box-average grayscale to 32×32 →
+    * 2-D DCT-II → top-left 8×8 low-frequency block → bit per coefficient
+    * above the non-DC median. Small pixel perturbations barely move the
+    * low-frequency spectrum, so near-identical images land within a few
+    * Hamming bits — the image analog of SimHash on text. StrictMath
+    * cosines keep the hash identical across JVMs/architectures.
+    */
+  private[ext] def phash64(w: Int, h: Int, px: Array[Byte]): Long = {
+    val S = 32
+    val g = new Array[Double](S * S)
+    var ty = 0
+    while (ty < S) {
+      val y0 = ty * h / S
+      val y1 = math.max(y0 + 1, (ty + 1) * h / S)
+      var tx = 0
+      while (tx < S) {
+        val x0 = tx * w / S
+        val x1 = math.max(x0 + 1, (tx + 1) * w / S)
+        var acc = 0L
+        var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val o = (y * w + x) * 3
+            acc += 299L * (px(o) & 0xff) + 587L * (px(o + 1) & 0xff) +
+              114L * (px(o + 2) & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        g(ty * S + tx) = acc.toDouble / (cnt * 1000.0)
+        tx += 1
+      }
+      ty += 1
+    }
+    // 2-D DCT-II, only the 8×8 low-frequency corner: O(64·S²)
+    val c = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < S) {
+          var x = 0
+          while (x < S) {
+            s += g(y * S + x) *
+              StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2 * S)) *
+              StrictMath.cos((2 * y + 1) * v * StrictMath.PI / (2 * S))
+            x += 1
+          }
+          y += 1
+        }
+        c(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(c, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31) // median of 63
+    var bits = 0L
+    var k = 1
+    while (k < 64) {
+      if (c(k) > med) bits |= 1L << (k - 1)
+      k += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hash column: (idCol, phash) — null for payloads
+    * no real lane decodes. A narrow map; the decode is the cost, the DCT
+    * is fixed 32×32 work.
+    */
+  def phash(media: DataFrame, payloadCol: String = "payload",
+            idCol: String = "media_id"): DataFrame = {
+    val f = udf((p: Array[Byte]) =>
+      if (p == null) None
+      else decodeRgb(p).map { case (w, h, px) => phash64(w, h, px) })
+    media.select(col(idCol), f(col(payloadCol)).as("phash"))
+  }
+
+  /** Near-duplicate image pairs by banded pHash (the [[Dedup.simhashPairs]]
+    * shape on the image signature): 16 bands × 4 bits — pigeonhole
+    * guarantees recall for every pair within `maxBits` ≤ 15 Hamming bits;
+    * candidates verify on the exact `bit_count(xor)`. Only (id, phash)
+    * rows shuffle — never pixels.
+    */
+  def phashPairs(media: DataFrame, maxBits: Int = 10,
+                 payloadCol: String = "payload",
+                 idCol: String = "media_id"): DataFrame = {
+    val chunks = 16
+    val width = 4
+    require(maxBits >= 0 && maxBits < chunks,
+      s"pigeonhole recall needs maxBits < $chunks bands, got $maxBits")
+    val sig = OpCaches.register(
+      phash(media, payloadCol, idCol)
+        .where(col("phash").isNotNull)
+        .select(col(idCol).as("id"), col("phash").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until chunks).map { b =>
+        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bits")
+    Dedup.bucketPairs(banded, Seq("chunk", "bits"))
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxBits)
+  }
 }

@@ -142,6 +142,70 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- perceptual hash (image near-dup) ----
+
+  private def ppm(w: Int, h: Int)(pix: Int => (Int, Int, Int)): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    (0 until w * h).foreach { i =>
+      val (r, g, b) = pix(i)
+      px(i * 3) = r.toByte; px(i * 3 + 1) = g.toByte; px(i * 3 + 2) = b.toByte
+    }
+    header ++ px
+  }
+
+  test("phash: identical → 0 bits, perturbed → near, inverted → far, " +
+    "undecodable → null") {
+    import graft.ext.Multimodal
+    val w = 64; val h = 64
+    // deterministic texture: rich spectrum -> stable median (a smooth
+    // gradient has near-zero AC energy and flips bits pathologically)
+    def tex(i: Int): Int = ((i * 2654435761L >>> 8) & 0xff).toInt
+    val base = ppm(w, h)(i => (tex(i), tex(i + 7919), tex(i + 15817)))
+    // small local perturbation: one 4x4 patch brightened
+    val noisy = ppm(w, h) { i =>
+      val x = i % w; val y = i / w
+      val bump = if (x < 4 && y < 4) 40 else 0
+      (math.min(255, tex(i) + bump), tex(i + 7919), tex(i + 15817))
+    }
+    val inverted = ppm(w, h)(i =>
+      (255 - tex(i), 255 - tex(i + 7919), 255 - tex(i + 15817)))
+    val media = Seq((1L, base), (2L, base.clone()), (3L, noisy),
+      (4L, inverted), (5L, "???????".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val hs = Multimodal.phash(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(hs(5L).isEmpty, "stub-lane payloads must not hash")
+    assert(hs(1L) == hs(2L), "identical images must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ham(hs(1L).get, hs(3L).get)
+    val far = ham(hs(1L).get, hs(4L).get)
+    assert(near <= 10, s"perturbed image drifted $near bits")
+    assert(far > 16, s"inverted image only $far bits away")
+    assert(far > near)
+  }
+
+  test("phashPairs finds the planted near-dup and skips distinct images") {
+    import graft.ext.Multimodal
+    val w = 64; val h = 64
+    def tex(i: Int): Int = ((i * 2654435761L >>> 8) & 0xff).toInt
+    val a = ppm(w, h)(i => (tex(i), tex(i + 101), tex(i + 211)))
+    val aTweaked = ppm(w, h) { i =>
+      val x = i % w; val y = i / w
+      val bump = if (x < 3 && y < 3) 25 else 0
+      (math.min(255, tex(i) + bump), tex(i + 101), tex(i + 211))
+    }
+    val other = ppm(w, h)(i => (tex(i * 3 + 5), tex(i * 5 + 7), tex(i * 7 + 11)))
+    val media = Seq((1L, a), (2L, aTweaked), (3L, other))
+      .toDF("media_id", "payload")
+    val pairs = Multimodal.phashPairs(media, maxBits = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ext.OpCaches.releaseAll()
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   // ---- sampleExactWeighted ----
 
   test("sampleExactWeighted: exactly k rows, zero weights excluded, " +
