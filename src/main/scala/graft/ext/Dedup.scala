@@ -925,4 +925,63 @@ object Dedup {
               Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** Multi-field record linkage (entity resolution): candidate pairs come
+    * from blocking (records sharing `blockCols` values meet; nothing else
+    * does — THE selectivity knob at scale), then each pair scores as the
+    * weighted sum of per-field similarities:
+    *   - `fuzzyFields`: word-set Jaccard over the field's tokens (the
+    *     codegen'd sorted-merge kernel on portable hashes — exact, so the
+    *     score is DuckDB-oracle-checkable);
+    *   - `exactFields`: null-safe equality → 1.0 / 0.0.
+    * Pairs at or above `threshold` (score rounded to 6dp — the
+    * transcendental-free rounding contract) emit as (id_a, id_b, score).
+    *
+    * Feed the output to [[clusters]] + [[canonicalize]] for the full
+    * merge: linkage is the pair-mining face of entity resolution, exactly
+    * as [[minhashPairs]] is for near-dup text.
+    *
+    * Scale shape: ONE shuffle on the blocking key builds candidate lists;
+    * per-pair scoring joins only (id, token-hash set, exact-field)
+    * tuples — full records never shuffle. In-block pairing is O(b²) per
+    * block; pick blocking keys that bound b (sorted-neighborhood or
+    * multi-pass blocking both express as different `blockCols`).
+    */
+  def recordLinkage(records: DataFrame, idCol: String,
+                    blockCols: Seq[String],
+                    fuzzyFields: Seq[(String, Double)],
+                    exactFields: Seq[(String, Double)],
+                    threshold: Double): DataFrame = {
+    require(blockCols.nonEmpty, "recordLinkage needs blocking columns")
+    require(fuzzyFields.nonEmpty || exactFields.nonEmpty,
+      "recordLinkage needs at least one scored field")
+    val fz = fuzzyFields.zipWithIndex
+    val ex = exactFields.zipWithIndex
+    val side = records.select(
+      (col(idCol).as("id") +: blockCols.map(col)) ++
+        fz.map { case ((f, _), i) =>
+          graft.functions.VectorFunctions
+            .word_shingle_hashes(col(f), 1).as(s"fz$i") } ++
+        ex.map { case ((f, _), i) => col(f).as(s"ex$i") }: _*)
+    val sidePruned = OpCaches.register(
+      side.persist(StorageLevel.MEMORY_AND_DISK))
+    val cand = bucketPairs(
+      sidePruned.select(col("id") +: blockCols.map(col): _*), blockCols)
+    def renamed(suffix: String) = sidePruned.select(
+      col("id").as(s"id$suffix") +:
+        (fz.map { case (_, i) => col(s"fz$i").as(s"fz$i$suffix") } ++
+         ex.map { case (_, i) => col(s"ex$i").as(s"ex$i$suffix") }): _*)
+    val scored = cand
+      .join(renamed("_a"), Seq("id_a"))
+      .join(renamed("_b"), Seq("id_b"))
+    val score = (
+      fz.map { case ((_, w), i) =>
+        graft.functions.VectorFunctions.sorted_jaccard(
+          col(s"fz${i}_a"), col(s"fz${i}_b")) * w } ++
+      ex.map { case ((_, w), i) =>
+        when(col(s"ex${i}_a") <=> col(s"ex${i}_b"), w).otherwise(0.0) })
+      .reduce(_ + _)
+    scored.select(col("id_a"), col("id_b"), round(score, 6).as("score"))
+      .where(col("score") >= threshold)
+  }
 }

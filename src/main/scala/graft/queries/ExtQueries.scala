@@ -1099,6 +1099,25 @@ object ExtQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_record_linkage" -> { (s, d) =>
+      // entity resolution: each document gets a perturbed variant record
+      // (+1e6 id, name suffixed); linkage blocks on (lang, source) and
+      // scores 0.75·word-Jaccard(name) + 0.25·[grp equal] — true
+      // (orig, variant) pairs clear 0.8, and any same-block accidental
+      // matches are deterministic and mirrored by the oracle
+      val dd = docs(s, d)
+      def side(rid: org.apache.spark.sql.Column,
+               name: org.apache.spark.sql.Column) = dd.select(rid.as("rid"),
+        name.as("name"), col("lang"), col("source"),
+        pmod(col("doc_id"), lit(7)).as("grp"))
+      val recs = side(col("doc_id"), col("text")).union(
+        side(col("doc_id") + 1000000,
+          concat(col("text"), lit(" zzvariant"))))
+      Dedup.recordLinkage(recs, "rid", blockCols = Seq("lang", "source"),
+          fuzzyFields = Seq("name" -> 0.75),
+          exactFields = Seq("grp" -> 0.25), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "ds_sample_exact_weighted" -> { (s, d) =>
       // Efraimidis-Spirakis exact-k weighted draw: 50 docs, weight =
       // n_chars (longer docs likelier), deterministic hash keys
@@ -2056,6 +2075,31 @@ object ExtQueries {
                >= 0.7
          ORDER BY id_a, id_b"""
     },
+    "ds_record_linkage" ->
+      """WITH recs AS (
+           SELECT doc_id AS rid, text AS name, lang, source,
+                  doc_id % 7 AS grp FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' zzvariant', lang, source,
+                  doc_id % 7 FROM documents),
+         t AS (SELECT rid, lang, source, grp,
+                 list_distinct(list_filter(string_split(name, ' '),
+                   x -> x <> '')) AS toks
+               FROM recs),
+         p AS (SELECT a.rid AS id_a, b.rid AS id_b, a.toks AS ta,
+                 b.toks AS tb, a.grp AS ga, b.grp AS gb
+               FROM t a JOIN t b ON a.lang = b.lang
+                 AND a.source = b.source AND a.rid < b.rid),
+         i AS (SELECT id_a, id_b, ga, gb, ta, tb,
+                 len(list_filter(ta, x -> list_contains(tb, x))) AS inter
+               FROM p),
+         sc AS (SELECT id_a, id_b,
+                 round(0.75 * (inter * 1.0
+                     / (len(ta) + len(tb) - inter)) +
+                   CASE WHEN ga = gb THEN 0.25 ELSE 0.0 END, 6) AS score
+               FROM i)
+         SELECT id_a, id_b, score FROM sc WHERE score >= 0.8
+         ORDER BY id_a, id_b""",
     "ds_sample_exact_weighted" ->
       """WITH w AS (SELECT doc_id, lang, source, n_chars,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)

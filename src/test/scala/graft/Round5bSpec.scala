@@ -142,6 +142,55 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- record linkage ----
+
+  test("recordLinkage: true entity pairs clear the threshold, distinct " +
+    "entities do not; exact-field mismatch subtracts its weight") {
+    val recs = Seq(
+      (1L, "acme corp northern division", "NY", "b1"),
+      (2L, "acme corp northern division llc", "NY", "b1"), // same entity
+      (3L, "acme corp northern division llc", "CA", "b1"), // state differs
+      (4L, "totally different trading house", "NY", "b1"),
+      (5L, "isolated record", "TX", "b2")
+    ).toDF("rid", "name", "state", "block")
+    val pairs = graft.ext.Dedup.recordLinkage(recs, "rid",
+        blockCols = Seq("block"),
+        fuzzyFields = Seq("name" -> 0.8),
+        exactFields = Seq("state" -> 0.2), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    graft.ext.OpCaches.releaseAll()
+    // (1,2): jaccard 4/5 = 0.8 → 0.8·0.8 + 0.2 = 0.84
+    assert(math.abs(pairs((1L, 2L)) - 0.84) < 1e-9, s"$pairs")
+    // (2,3): identical name (jac 1) but state differs → 0.8 exactly
+    assert(math.abs(pairs((2L, 3L)) - 0.8) < 1e-9)
+    // (1,3): 0.8·0.8 = 0.64 < 0.7 → absent; (x,4): tiny jaccard → absent
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // blocking: record 5 never pairs (its block is a singleton)
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("recordLinkage: null exact fields match null-safely; pairs feed " +
+    "clusters/canonicalize for the full entity merge") {
+    val recs = Seq(
+      (1L, "jane q public", None: Option[String], "b"),
+      (2L, "jane q public jr", None: Option[String], "b"),
+      (3L, "john doe", Some("x"), "b")
+    ).toDF("rid", "name", "ssn", "block")
+    val pairs = graft.ext.Dedup.recordLinkage(recs, "rid", Seq("block"),
+      Seq("name" -> 0.5), Seq("ssn" -> 0.5), threshold = 0.8)
+    // null <=> null → exact field contributes its full weight
+    val p12 = pairs.where(col("id_a") === 1 && col("id_b") === 2)
+      .select("score").collect()
+    assert(p12.length == 1 && p12(0).getDouble(0) == 0.875) // 0.5·¾ + 0.5
+    val canon = graft.ext.Dedup.canonicalize(recs.toDF(), pairs, "rid",
+      prefer = Seq(length(col("name")).desc))
+    graft.ext.OpCaches.releaseAll()
+    assert(canon.select("rid").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
   // ---- perceptual hash (image near-dup) ----
 
   private def ppm(w: Int, h: Int)(pix: Int => (Int, Int, Int)): Array[Byte] = {
