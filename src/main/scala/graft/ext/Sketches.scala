@@ -186,6 +186,79 @@ object Sketches {
     df.withColumn("cms_est", est(col(keyCol).cast("string")))
   }
 
+  /** A fitted KMV (k-minimum-values / bottom-k) distinct sketch: the k
+    * smallest 60-bit hash values seen. Below saturation the sketch IS the
+    * distinct hash set (estimate exact); saturated, the classic estimator
+    * `(k−1)·2⁶⁰ / kth-min` applies (relative error ≈ 1/√(k−1)). The
+    * third leg of the sketch triad: Misra-Gries answers "which keys",
+    * Count-Min "how many of THIS key", KMV "how many DISTINCT keys" —
+    * all mergeable, all one-pass, all with wire cost independent of
+    * cardinality.
+    */
+  final case class KmvModel(k: Int, mins: Array[Long]) {
+    def saturated: Boolean = mins.length >= k
+
+    def estimate: Long =
+      if (!saturated) mins.length.toLong
+      else math.round((k - 1).toDouble *
+        1152921504606846976.0 /* 2^60 */ / mins.last)
+
+    def merge(other: KmvModel): KmvModel = {
+      require(other.k == k, s"sketch k differs: $k vs ${other.k}")
+      val s = new java.util.TreeSet[java.lang.Long]()
+      mins.foreach(s.add(_))
+      other.mins.foreach(s.add(_))
+      while (s.size > k) s.pollLast()
+      KmvModel(k, kmvToArray(s))
+    }
+  }
+
+  private def kmvToArray(s: java.util.TreeSet[java.lang.Long]): Array[Long] = {
+    val out = new Array[Long](s.size)
+    val it = s.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  private[ext] def kmvHash60(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val dig = d.digest(key.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Fit a KMV sketch in ONE pass with NO shuffle: each task keeps its
+    * own bottom-k tree of key hashes; `treeAggregate` merges trees (≤ k
+    * Longs each on the wire). With `k ≥ distinct(key)` the sketch holds
+    * every distinct hash and the estimate is EXACT — the gate-query mode;
+    * compare `count_distinct`, which shuffles every distinct key.
+    * Null keys are skipped.
+    */
+  def kmvFit(df: DataFrame, keyCol: String, k: Int = 4096): KmvModel = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val set = keys.rdd.map(_.getString(0))
+      .treeAggregate(new java.util.TreeSet[java.lang.Long]())(
+        seqOp = { (s, key) =>
+          s.add(kmvHash60(key))
+          if (s.size > k) s.pollLast()
+          s
+        },
+        combOp = { (a, b) =>
+          val it = b.iterator()
+          while (it.hasNext) {
+            a.add(it.next())
+            if (a.size > k) a.pollLast()
+          }
+          a
+        })
+    KmvModel(k, kmvToArray(set))
+  }
+
   /** The streaming face of [[countMinFit]], on the Spark 4
     * `transformWithState` API (the [[heavyHittersStream]] pattern): keys
     * hash into `nShards` independent CMS counter arrays; each micro-batch

@@ -1196,6 +1196,14 @@ object ExtQueries {
       Pipeline.histogram(ev, "value", lo = 0.0, hi = 200.0, nBins = 20)
         .orderBy(col("bin"))
     },
+    "ev_kmv_distinct" -> { (s, d) =>
+      // KMV bottom-k distinct sketch, shuffle-free treeAggregate fit;
+      // k=4096 ≥ the fixture's distinct-user count, so the sketch holds
+      // every distinct hash and the estimate is exact (the gate mode)
+      import s.implicits._
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Seq(Sketches.kmvFit(ev, "user_id").estimate).toDF("n_users")
+    },
     "ev_cms_counts" -> { (s, d) =>
       // Count-Min point-frequency estimates: one shuffle-free treeAggregate
       // pass; width 4096 is collision-free for the 5-key query set, so the
@@ -2237,6 +2245,9 @@ object ExtQueries {
                 0.0 + (bin + 1) * 10.0 AS hi_edge,
                 CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bin ORDER BY bin""",
+    "ev_kmv_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE user_id IS NOT NULL""",
     "ev_cms_counts" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
          FROM events WHERE event_type IS NOT NULL

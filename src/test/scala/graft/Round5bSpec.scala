@@ -578,6 +578,38 @@ class Round5bSpec extends SparkSpecBase {
     }
   }
 
+  test("kmv: exact below saturation, bounded error above, merge ≡ " +
+    "whole-fit, partition-invariant") {
+    import graft.ext.Sketches
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val exact = ev.select(count_distinct(col("user_id")))
+      .collect()(0).getLong(0)
+    val m = Sketches.kmvFit(ev, "user_id") // k=4096 >> distinct
+    assert(!m.saturated && m.estimate == exact)
+
+    // partitioning cannot change a bottom-k hash set
+    val m2 = Sketches.kmvFit(ev.repartition(7), "user_id")
+    assert(java.util.Arrays.equals(m.mins, m2.mins))
+
+    // merge of half-fits ≡ one whole fit
+    val odd = Sketches.kmvFit(
+      ev.where(pmod(col("event_id"), lit(2)) === 1), "user_id")
+    val even = Sketches.kmvFit(
+      ev.where(pmod(col("event_id"), lit(2)) === 0), "user_id")
+    assert(java.util.Arrays.equals(odd.merge(even).mins, m.mins))
+
+    // saturated: 20000 distinct ids through k=256 — estimate within the
+    // ~4·RSE envelope (RSE ≈ 1/√255 ≈ 6.3%)
+    val big = (1 to 20000).map(i => s"id$i").toDF("k")
+    val sat = Sketches.kmvFit(big, "k", k = 256)
+    assert(sat.saturated)
+    assert(math.abs(sat.estimate - 20000.0) / 20000.0 < 0.25,
+      s"saturated estimate ${sat.estimate} too far from 20000")
+    // k mismatch fails loud
+    assertThrows[IllegalArgumentException](
+      sat.merge(Sketches.kmvFit(big, "k", k = 128)))
+  }
+
   test("countMin: dimension mismatch fails loud on merge") {
     import graft.ext.Sketches
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
