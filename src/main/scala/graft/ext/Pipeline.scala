@@ -673,6 +673,74 @@ object Pipeline {
               col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Exact integer floor division of non-negative Long columns (strip the
+    * remainder first so the double quotient is an exact integer —
+    * engine-identical).
+    */
+  private def exactFloorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Sentence-aware context chunking: split on sentence boundaries
+    * (`sentRegex` — RE2/Java-portable, default `[^.!?]+[.!?]*`), then bin
+    * whole sentences by cumulative character offset: a sentence starting
+    * before offset `k·chunkChars` belongs to chunk k. Sentences are NEVER
+    * split mid-way (the RAG retrieval-window contract [[chunkByChars]]
+    * cannot give); chunks are therefore a SOFT budget — one long sentence
+    * may overflow its bin.
+    *
+    * Shape: a narrow extract+explode off the scan, ONE window shuffle
+    * keyed on the doc for the running offset, and the re-assembly
+    * aggregate reuses that partitioning (order restored via sorted
+    * (pos, sentence) structs — collect_list order is not deterministic).
+    * Null/empty documents have no sentences and yield no chunks (unlike
+    * [[chunkByChars]]' one-empty-chunk contract — a retrieval window over
+    * nothing retrieves nothing).
+    */
+  def chunkBySentences(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", chunkChars: Int = 512,
+                       sentRegex: String = "[^.!?]+[.!?]*"): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
+    import org.apache.spark.sql.expressions.Window
+    val sents = docs.select(col(idCol),
+        posexplode(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(sentRegex), lit(0))))
+      .toDF(idCol, "pos", "sent")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBin = sents
+      .withColumn("__cb",
+        sum(length(col("sent")).cast("long")).over(w) -
+          length(col("sent")).cast("long"))
+      .withColumn("chunk_idx", exactFloorDiv(col("__cb"), lit(chunkChars.toLong)))
+    withBin.groupBy(col(idCol), col("chunk_idx"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          x => x.getField("sent")), "").as("chunk_text"),
+        count(lit(1)).as("n_sentences"))
+  }
+
+  /** Key-skew diagnostic: the `topN` heaviest keys with row counts and
+    * integer-ppm share of the table — the report that decides whether a
+    * key needs [[Skew.saltedJoin]]/salted aggregation before the real job
+    * runs. One partial-agg'd shuffle; the total rides a single-row window
+    * over the aggregate (not a second scan).
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    counts
+      .withColumn("__total", sum(col("n")).over(all))
+      .withColumn("share_ppm",
+        exactFloorDiv(col("n") * 1000000L, col("__total")))
+      .drop("__total")
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topN)
+  }
+
   /** Fixed-range histogram: `nBins` equal-width bins over [lo, hi), with
     * under/overflow clamped into the edge bins and nulls dropped. One
     * partial-agg'd shuffle of ≤ nBins counter rows — the profiling

@@ -940,6 +940,36 @@ object TextAnalysis {
       .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
               col("col.d").as("doc"), (-col("col.ns")).as("score"))
 
+  /** Persist a learned BPE merge table as the tokenizer ARTIFACT (rank,
+    * left, right) — rank is the merge priority ([[learnBpe]] emits merges
+    * in rank order, [[bpeEncode]] consumes them the same way). A trained
+    * tokenizer that cannot ship with the dataset is not a tokenizer; this
+    * is the ship face.
+    */
+  def saveBpe(spark: org.apache.spark.sql.SparkSession,
+              merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveBpe]] artifact back into the in-memory merge table,
+    * restoring rank order; fails loud on a malformed table.
+    */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession,
+              path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+    require(rows.nonEmpty, s"empty BPE artifact at $path")
+    val sorted = rows.sortBy(_.getInt(0))
+    require(sorted.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"BPE artifact at $path has gaps or duplicate ranks")
+    sorted.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Within-document segment dedup (RefinedWeb/MassiveText line dedup
     * applied inside one document): repeated lines — nav menus, cookie
     * banners, boilerplate — collapse to their first occurrence, order

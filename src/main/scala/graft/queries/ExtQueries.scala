@@ -1190,6 +1190,20 @@ object ExtQueries {
           size(split(col("deduped"), " ")).cast("long"))
         .orderBy(col("doc_id"))
     },
+    "ds_chunk_sentences" -> { (s, d) =>
+      // sentence-aware chunking: fixture text gains sentence boundaries
+      // (every word terminated), then whole sentences bin at 64 chars
+      val sd = docs(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), " ", ". ").as("text"))
+      Pipeline.chunkBySentences(sd, chunkChars = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    "ds_skew_report" -> { (s, d) =>
+      // hottest event keys with integer-ppm share — the pre-flight skew
+      // diagnostic for salting decisions
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Pipeline.skewReport(ev, Seq("user_id"), topN = 10)
+    },
     "ds_histogram" -> { (s, d) =>
       // 20-bin value histogram over events, clamped edges
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -2237,6 +2251,30 @@ object ExtQueries {
          SELECT doc_id, array_to_string(kept, ' ') AS deduped,
                 CAST(len(kept) AS BIGINT) AS n_kept
          FROM d ORDER BY doc_id""",
+    "ds_chunk_sentences" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_replace(text, ' ', '. ', 'g') AS text FROM documents),
+         s AS (SELECT doc_id,
+           unnest(regexp_extract_all(text, '[^.!?]+[.!?]*')) AS sent,
+           generate_subscripts(regexp_extract_all(text, '[^.!?]+[.!?]*'), 1)
+             - 1 AS pos
+         FROM t),
+         c AS (SELECT doc_id, pos, sent,
+           sum(length(sent)) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) - length(sent) AS cb
+         FROM s)
+         SELECT doc_id, cb // 64 AS chunk_idx,
+           string_agg(sent, '' ORDER BY pos) AS chunk_text,
+           CAST(count(*) AS BIGINT) AS n_sentences
+         FROM c GROUP BY doc_id, cb // 64
+         ORDER BY doc_id, chunk_idx""",
+    "ds_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+                    GROUP BY user_id),
+         t AS (SELECT sum(n) AS total FROM c)
+         SELECT user_id, n, (n * 1000000) // (SELECT total FROM t)
+           AS share_ppm
+         FROM c ORDER BY n DESC, user_id LIMIT 10""",
     "ds_histogram" ->
       """WITH b AS (SELECT CAST(least(19, greatest(0,
              floor((value - 0.0) / 200.0 * 20))) AS INT) AS bin

@@ -142,6 +142,55 @@ class Round5bSpec extends SparkSpecBase {
     assert(nSalts > 1)
   }
 
+  // ---- chunkBySentences / skewReport / BPE artifact ----
+
+  test("chunkBySentences: sentences never split; bins follow cumulative " +
+    "offsets; empty docs yield no chunks") {
+    val docsDf = Seq(
+      (1L, "aaaa. bb! cc? dddddddddd. ee."),
+      (2L, ""), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val chunks = graft.ext.Pipeline.chunkBySentences(docsDf, chunkChars = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // offsets: "aaaa." cb=0→chunk0; " bb!" cb=5→0; " cc?" cb=9→0;
+    // " dddddddddd." cb=13→1; " ee." cb=25→2
+    assert(chunks == Map(
+      (1L, 0L) -> ("aaaa. bb! cc?", 3L),
+      (1L, 1L) -> (" dddddddddd.", 1L),
+      (1L, 2L) -> (" ee.", 1L)))
+  }
+
+  test("skewReport: counts, integer-ppm shares, hot keys first") {
+    val df = (Seq.fill(70)("hot") ++ Seq.fill(20)("warm") ++
+      Seq.fill(10)("cold")).toDF("k")
+    val rep = graft.ext.Pipeline.skewReport(df, Seq("k"), topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == Seq(("hot", 70L, 700000L), ("warm", 20L, 200000L)))
+  }
+
+  test("BPE artifact: save → load round-trips the merge table and the " +
+    "encoding; malformed ranks fail loud") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = TextAnalysis.learnBpe(docsDf, "text", numMerges = 12)
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_artifact").toString + "/m"
+    TextAnalysis.saveBpe(spark, merges, path)
+    val back = TextAnalysis.loadBpe(spark, path)
+    assert(back == merges)
+    val a = docsDf.limit(20).select(
+      TextAnalysis.bpeEncode(col("text"), merges)).collect().map(_.toSeq)
+    val b = docsDf.limit(20).select(
+      TextAnalysis.bpeEncode(col("text"), back)).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // gap in ranks → loud failure
+    import spark.implicits._
+    Seq((0, "a", "b"), (2, "c", "d")).toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(path + "_bad")
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.loadBpe(spark, path + "_bad"))
+  }
+
   // ---- record linkage ----
 
   test("recordLinkage: true entity pairs clear the threshold, distinct " +
