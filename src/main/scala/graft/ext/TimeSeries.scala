@@ -74,4 +74,34 @@ object TimeSeries {
       .select(col("key"), col("bucket_start"), col("n"),
               ((col("n") - col("mu")) / col("sigma")).as("z"))
   }
+
+  /** Robust variant of [[anomalousWindows]]: median/MAD instead of
+    * mean/stddev — a burst no longer inflates its own baseline, so a
+    * series that is quiet except for one incident still flags the
+    * incident (mean/σ can swallow it: the outlier drags μ up and σ
+    * wide). `rz = (n − median) / MAD`; flags `rz ≥ zMin`, keys with
+    * MAD = 0 (over half the buckets identical) are skipped like σ = 0.
+    *
+    * Scale shape: the regularized series persists once and feeds both
+    * statistics; median and MAD are per-key exact `percentile`
+    * aggregates (tiny results, broadcast back) — two small shuffles on
+    * the key, no window over the full series.
+    */
+  def anomalousWindowsRobust(events: DataFrame, keyCol: String,
+                             tsCol: String, bucketSeconds: Long,
+                             zMin: Double): DataFrame = {
+    val series = OpCaches.register(
+      resampleCounts(events, keyCol, tsCol, bucketSeconds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val med = series.groupBy(col("key"))
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = series.join(broadcast(med), Seq("key"))
+    val mad = dev.groupBy(col("key"))
+      .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("key"))
+      .where(col("mad") > 0 &&
+        (col("n") - col("med")) / col("mad") >= zMin)
+      .select(col("key"), col("bucket_start"), col("n"),
+              ((col("n") - col("med")) / col("mad")).as("rz"))
+  }
 }

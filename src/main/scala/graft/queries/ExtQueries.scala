@@ -416,6 +416,16 @@ object ExtQueries {
     },
 
     // ---- time series ----
+    "ts_anomaly_robust" -> { (s, d) =>
+      // median/MAD robust z: the burst-resistant flagging face (zMin
+      // lower than the σ gate since MAD units are tighter)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      TimeSeries.anomalousWindowsRobust(ev, "event_type", "ts",
+          bucketSeconds = 3600L, zMin = 2.0)
+        .select(col("key").as("event_type"), col("bucket_start"), col("n"),
+                round(col("rz"), 4).as("rz"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
     "ts_anomaly" -> { (s, d) =>
       // the reference's flagship example domain (anomaly_detection.clj) as
       // a batch diagnostic: hourly volume per event type, flag hours >= 2
@@ -2444,6 +2454,29 @@ object ExtQueries {
                 coalesce(s.sum_sq, 0) AS sum_sq
          FROM m LEFT JOIN s ON m.media_id = s.media_id
          ORDER BY m.media_id""",
+    "ts_anomaly_robust" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         m AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+               FROM f GROUP BY event_type),
+         dv AS (SELECT f.event_type, f.bucket, f.n, m.med
+                FROM f JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(abs(n - med), 0.5) AS mad
+                FROM dv GROUP BY event_type)
+         SELECT dv.event_type, dv.bucket * 3600 AS bucket_start, dv.n,
+                round((dv.n - dv.med) / md.mad, 4) AS rz
+         FROM dv JOIN md USING (event_type)
+         WHERE md.mad > 0 AND (dv.n - dv.med) / md.mad >= 2.0
+         ORDER BY dv.event_type, bucket_start""",
     "ts_anomaly" ->
       """WITH e AS (SELECT event_type,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket

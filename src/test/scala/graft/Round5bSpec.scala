@@ -191,6 +191,29 @@ class Round5bSpec extends SparkSpecBase {
       TextAnalysis.loadBpe(spark, path + "_bad"))
   }
 
+  // ---- robust anomaly windows ----
+
+  test("anomalousWindowsRobust: median/MAD flags the burst, keeps the " +
+    "baseline, and skips MAD=0 keys") {
+    import java.sql.Timestamp
+    def ev(hour: Int, i: Int) =
+      (new Timestamp((hour * 3600L + i) * 1000L), "k")
+    // per-hour counts 1,2,1,2,1,9 → med 1.5, MAD 0.5, burst rz = 15
+    val bursty = Seq(0 -> 1, 1 -> 2, 2 -> 1, 3 -> 2, 4 -> 1, 5 -> 9)
+      .flatMap { case (h, n) => (0 until n).map(i => ev(h, i)) }
+    // constant series → MAD 0 → never flagged
+    val flat = (0 until 6).flatMap(h => Seq(
+      (new Timestamp((h * 3600L) * 1000L), "flat")))
+    val events = (bursty ++ flat).toDF("ts", "key")
+    val got = graft.ext.TimeSeries.anomalousWindowsRobust(
+        events, "key", "ts", bucketSeconds = 3600L, zMin = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    graft.ext.OpCaches.releaseAll()
+    assert(got.length == 1, s"got ${got.toSeq}")
+    val (k, start, rz) = got.head
+    assert(k == "k" && start == 5 * 3600L && math.abs(rz - 15.0) < 1e-9)
+  }
+
   // ---- record linkage ----
 
   test("recordLinkage: true entity pairs clear the threshold, distinct " +
