@@ -191,6 +191,36 @@ class Round5bSpec extends SparkSpecBase {
       TextAnalysis.loadBpe(spark, path + "_bad"))
   }
 
+  // ---- streaming URL dedup (compose face) ----
+
+  test("streaming URL dedup: canonicalize + exactStream drops later " +
+    "variants of the same page across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val in = ms.toDF().toDF("doc_id", "url", "ts")
+      .withColumn("canon", Urls.normalize(col("url")))
+    val out = graft.ext.Dedup.exactStream(in, Seq("canon"), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: Long) = new Timestamp(s * 1000L)
+      ms.addData((1L, "http://a.com/p", t(0)),
+                 (2L, "HTTP://WWW.A.com/p?utm_source=x", t(10)))
+      q.processAllAvailable()
+      ms.addData((3L, "http://a.com/p#frag", t(20)), // still the same page
+                 (4L, "http://b.com/q", t(30)))
+      q.processAllAvailable()
+      val kept = spark.table("url_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // exactly ONE survivor for page a.com/p (within-batch pick is
+      // unordered), doc 3's cross-batch variant dropped, b.com/q kept
+      assert(kept.length == 2 && kept.contains(4L) &&
+        (kept.contains(1L) ^ kept.contains(2L)) && !kept.contains(3L),
+        s"got $kept")
+    } finally q.stop()
+  }
+
   // ---- robust anomaly windows ----
 
   test("anomalousWindowsRobust: median/MAD flags the burst, keeps the " +
