@@ -952,6 +952,83 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------ //
+  // Binary (1-bit sign) quantization — the extreme end of the compression
+  // ladder (brute → LSH → IVF → SQ8 → PQ → BQ): a D-dim float32 vector
+  // becomes ⌈D/64⌉ Longs (64-dim → 8 bytes, 32× smaller), candidates rank
+  // by Hamming distance between sign patterns (≈ angle, the modern
+  // "binary embedding" retrieval tier), and the per-query shortlist
+  // re-ranks on exact vectors fetched by id — the SQ/PQ two-stage shape.
+  // ------------------------------------------------------------------ //
+
+  private def bqWords(vd: Column, d: Int): Column = {
+    val nW = (d + 63) / 64
+    array((0 until nW).map { w =>
+      (0 until math.min(64, d - 64 * w)).map { b =>
+        when(element_at(vd, w * 64 + b + 1) > 0.0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  private def bqHamming(a: Column, b: Column, nW: Int): Column =
+    (0 until nW).map(w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+        .cast("long"))
+      .reduce(_ + _)
+
+  /** Materialized binary-quantization index: (id, code ⌈D/64⌉ longs,
+    * vector). The probe face scans only (id, code); the exact re-rank
+    * fetches vectors by id.
+    */
+  def bqIndex(corpus: DataFrame, vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val d = corpus.select(size(col(vecCol))).first().getInt(0)
+    val vd = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol), bqWords(vd, d).as("code"), vd.as(vecCol))
+  }
+
+  /** Query a prebuilt [[bqIndex]]: Hamming-rank the sign codes (the
+    * compressed scan — 8 bytes per 64-dim candidate), exact cosine
+    * re-rank of the per-query shortlist. `shortlist <= 0` re-ranks every
+    * candidate (the exact-recall gate mode).
+    */
+  def bqTopKIndexed(index: DataFrame, queries: DataFrame, k: Int,
+                    shortlist: Int, vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    val d = queries.select(size(col(vecCol))).first().getInt(0)
+    val nW = (d + 63) / 64
+    val qv = col(vecCol).cast("array<double>")
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      qv.as("qv"), bqWords(qv, d).as("qcode")))
+    val approx = index.select(col(idCol).as("neighbor_id"), col("code"))
+      .crossJoin(qb)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-bqHamming(col("code"), col("qcode"), nW)).cast("double")
+          .as("nham"))
+    val short =
+      (if (shortlist > 0) rankTopK(approx, shortlist, "nham") else approx)
+        .select("query_id", "neighbor_id")
+    rankTopK(
+      short
+        .join(index.select(col(idCol).as("neighbor_id"),
+                col(vecCol).cast("array<double>").as("cv")),
+              Seq("neighbor_id"))
+        .join(qb.select(col("query_id"), col("qv")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+                cosine(col("qv"), col("cv")).as("cos")), k)
+  }
+
+  /** Inline face: encode + query in one call (the gate form); production
+    * probes use [[bqIndex]] + [[bqTopKIndexed]].
+    */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int, vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame =
+    bqTopKIndexed(bqIndex(corpus, vecCol, idCol), queries, k, shortlist,
+      vecCol, idCol)
+
+  // ------------------------------------------------------------------ //
   // Distributed k-means (full-corpus Lloyd) under an exact-arithmetic
   // contract — the TRAINING face that complements the sample-capped
   // [[fitIvf]]: every row votes in every iteration, so the fit is the

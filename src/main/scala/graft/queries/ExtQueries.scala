@@ -71,6 +71,8 @@ object ExtQueries {
     indexed(s, s"pq_$d")(Similarity.pqIndex(emb(s, d), pqModel(s, d)))
   private def lshIdx(s: SparkSession, d: String) =
     indexed(s, s"lsh_$d")(Similarity.lshIndex(emb(s, d)))
+  private def bqIdx(s: SparkSession, d: String) =
+    indexed(s, s"bq_$d")(Similarity.bqIndex(emb(s, d)))
 
   /** Build every materialized ANN index for `d` now (idempotent). Bench
     * calls this during warm-up so the one-time corpus encode lands outside
@@ -78,7 +80,8 @@ object ExtQueries {
     * state a production pipeline runs (index on disk, query-only cost).
     */
   def prebuildIndexes(s: SparkSession, d: String): Unit = {
-    ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d); bm25Idx(s, d)
+    ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d); bqIdx(s, d)
+    bm25Idx(s, d)
     // trained models are fit-once/memoized exactly like the quantizers —
     // warm them here too so timed reps measure the steady state (the
     // query-time cost of a trained model is a map over the scan)
@@ -578,6 +581,16 @@ object ExtQueries {
       val e = emb(s, d)
       Similarity.sqTopK(e, e.where(col("vec_id") < 5), k = 10,
           sqModel(s, d), shortlist = 0, "embedding", "vec_id")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "sim_ann_bq" -> { (s, d) =>
+      // 1-bit sign quantization, shortlist <= 0 → exact re-rank of every
+      // candidate (gate mode)
+      val e = emb(s, d)
+      Similarity.bqTopK(e, e.where(col("vec_id") < 5), k = 10,
+          shortlist = 0, "embedding", "vec_id")
         .select(col("query_id"), col("rank").cast("long").as("rank"),
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
@@ -1418,6 +1431,14 @@ object ExtQueries {
       Similarity.sqTopKIndexed(sqIdx(s, d),
           e.where(col("vec_id") < 5), k = 10,
           sqModel(s, d), shortlist = 50, "embedding", "vec_id")
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    },
+    "sim_ann_bq_probe" -> { (s, d) =>
+      // Hamming scan over the prebuilt 8-byte sign codes, exact re-rank
+      // of a 50-candidate shortlist
+      val e = emb(s, d)
+      Similarity.bqTopKIndexed(bqIdx(s, d),
+          e.where(col("vec_id") < 5), k = 10, shortlist = 50)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "sim_ann_pq_probe" -> { (s, d) =>
@@ -2596,6 +2617,7 @@ object ExtQueries {
     "sim_ann_ivf" -> simBruteSql,
     "sim_ann_lsh" -> simBruteSql,
     "sim_ann_sq" -> simBruteSql,
+    "sim_ann_bq" -> simBruteSql,
     "sim_ann_pq" -> simBruteSql,
     "sim_ann_ivf_indexed" -> simBruteSql,
     "sim_ann_lsh_indexed" -> simBruteSql,

@@ -191,6 +191,52 @@ class Round5bSpec extends SparkSpecBase {
       TextAnalysis.loadBpe(spark, path + "_bad"))
   }
 
+  // ---- binary quantization ANN ----
+
+  test("bq: 64-dim corpus packs to one long; exact mode ≡ brute force; " +
+    "probe shortlist keeps useful recall") {
+    import graft.ext.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = Similarity.bqIndex(e)
+    assert(idx.select(size(col("code"))).first().getInt(0) == 1)
+    val qs = e.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, qs, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gateMode = Similarity.bqTopK(e, qs, k = 10, shortlist = 0)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gateMode == exact, "shortlist<=0 must equal brute force")
+    val probe = Similarity.bqTopKIndexed(idx, qs, k = 10, shortlist = 100)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probe & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"bq probe recall $recall collapsed")
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("bq: a query's own sign pattern is Hamming-0 from itself — an " +
+    "identical vector under a different id ranks first") {
+    import graft.ext.Similarity
+    // splitmix-style mixing — a linear formula leaves every vector with
+    // the SAME alternating sign pattern (Hamming 0 from everything)
+    def mix(v: Long): Long = {
+      var x = v * 0x9E3779B97F4A7C15L
+      x ^= x >>> 31; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
+      x
+    }
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        ((mix(i * 64L + j) >>> 12) % 1000 / 500.0 - 1.0).toFloat)))
+    // id 100 duplicates id 0 exactly
+    val corpus = (vecs :+ (100L, vecs(0)._2)).toDF("vec_id", "embedding")
+    val top = Similarity.bqTopK(corpus,
+        corpus.where(col("vec_id") === 0), k = 1, shortlist = 5)
+      .select("neighbor_id").collect()
+    assert(top.length == 1 && top(0).getLong(0) == 100L,
+      s"duplicate must rank first, got ${top.toSeq}")
+  }
+
   // ---- streaming URL dedup (compose face) ----
 
   test("streaming URL dedup: canonicalize + exactStream drops later " +
