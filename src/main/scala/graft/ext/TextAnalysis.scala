@@ -1029,6 +1029,39 @@ object TextAnalysis {
       .crossJoin(broadcast(index.meta)), k, k1, b)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of ranked
+    * retrieval lists — the standard hybrid-retrieval combiner (BM25 ⊕
+    * dense vectors): a document's fused score is Σ over lists of
+    * `1/(c + rank)`, computed here as the integer `⌊scale/(c + rank)⌋`
+    * so the sum is aggregation-order-independent and engine-exact (no
+    * float addition order). Inputs need (query_id, doc_id, rank) columns;
+    * output (query_id, rank, doc_id, rrf) with ties broken by doc_id.
+    *
+    * Scale shape: input lists are already per-query top-k (bounded), so
+    * the union + groupBy shuffles ≤ Σ kᵢ rows per query; final ranking
+    * runs through the bounded CollectTopK heap.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Long = 60L,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(c >= 0 && scale > 0, "c >= 0 and scale > 0")
+    val u = lists.map(_.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("rank"))).reduce(_ unionAll _)
+    val denom = col("rank") + c
+    val contrib = ((lit(scale) - pmod(lit(scale), denom)) / denom)
+      .cast("long")
+    u.withColumn("__c", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.collect_top_k(
+        struct((-col("rrf")).as("ns"), col("doc_id").as("d")), k,
+        reverse = true).as("top"))
+      .select(col("query_id"), posexplode(array_sort(col("top"))))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("col.d").as("doc_id"), (-col("col.ns")).as("rrf"))
+  }
+
   /** Perplexity as a pure Column over a literal [[BigramLmModel]] — the
     * projection face: no join, no shuffle, streaming-safe (the
     * classifierScore pattern). Equals the join face wherever the model is

@@ -178,12 +178,13 @@ object ExtQueries {
   }
 
   // one BM25 oracle serves both the inline and the indexed face — the
-  // index build must not change a single score bit
-  private lazy val bm25OracleSql: String = {
+  // index build must not change a single score bit; the CTE block is
+  // shared with the RRF-fusion oracle
+  private lazy val bm25Ctes: String = {
     val vals = bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
       .mkString(", ")
-    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals)),
+    s"""q(qid, term) AS (SELECT * FROM (VALUES $vals)),
          t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),
@@ -209,11 +210,45 @@ object ExtQueries {
          rk AS (SELECT qid, doc_id, score,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY score DESC, doc_id) AS rk
-                FROM agg)
+                FROM agg)"""
+  }
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25Ctes
          SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
                 doc_id AS doc, score
          FROM rk WHERE rk <= 10 ORDER BY qid, rk"""
-  }
+
+  // RRF hybrid fusion oracle: the bm25 chain ⊕ a brute-force cosine
+  // chain, fused with the integer ⌊scale/(c+rank)⌋ contribution
+  private lazy val rrfOracleSql: String =
+    s"""WITH $bm25Ctes,
+         bmr AS (SELECT qid AS query_id, doc_id, rk AS rank
+                 FROM rk WHERE rk <= 10),
+         vq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 4),
+         vs AS (SELECT vq.query_id, e.vec_id AS doc_id,
+                  list_cosine_similarity(vq.qv,
+                    CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM vq, embeddings e WHERE e.vec_id <> vq.query_id),
+         vr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, doc_id) AS rank
+                FROM vs),
+         u AS (SELECT query_id, doc_id, rank FROM bmr
+               UNION ALL
+               SELECT query_id, doc_id, rank FROM vr WHERE rank <= 10),
+         co AS (SELECT query_id, doc_id,
+                  sum(1000000000000 // (rank + 60)) AS rrf
+                FROM u GROUP BY query_id, doc_id),
+         fr AS (SELECT query_id, doc_id, rrf,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, doc_id) AS rank
+                FROM co)
+         SELECT CAST(query_id AS BIGINT) AS query_id,
+                CAST(rank AS BIGINT) AS rank, doc_id,
+                CAST(rrf AS BIGINT) AS rrf
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank"""
 
   // 16 hashed-bucket weights for text_classifier_hashed, same 1/64-multiple
   // exactness argument; the SQL oracle indexes the identical literal list
@@ -992,6 +1027,22 @@ object ExtQueries {
       TextAnalysis.bm25TopK(docs(s, d), "text", "doc_id", bm25Queries,
           k = 10)
         .orderBy(col("qid"), col("rk"))
+    },
+    "text_rrf_fusion" -> { (s, d) =>
+      // hybrid retrieval: BM25 lexical top-10 ⊕ dense cosine top-10 per
+      // query, fused by integer-exact reciprocal rank (qid spaces align:
+      // bm25Queries 0-3 ↔ embedding queries vec_id < 4)
+      val bm = TextAnalysis.bm25TopK(docs(s, d), "text", "doc_id",
+          bm25Queries, k = 10)
+        .select(col("qid").as("query_id"), col("doc").as("doc_id"),
+                col("rk").as("rank"))
+      val e = emb(s, d)
+      val vec = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 4),
+          k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+                col("rank"))
+      TextAnalysis.rrfFuse(Seq(bm, vec), k = 10)
+        .orderBy(col("query_id"), col("rank"))
     },
     "text_bm25_indexed" -> { (s, d) =>
       // same retrieval over the prebuilt parquet inverted index: probes
@@ -1900,6 +1951,7 @@ object ExtQueries {
       """SELECT doc_id, text FROM documents ORDER BY doc_id""",
     "text_bm25" -> bm25OracleSql,
     "text_bm25_indexed" -> bm25OracleSql,
+    "text_rrf_fusion" -> rrfOracleSql,
     "text_lm_counts" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -191,6 +191,28 @@ class Round5bSpec extends SparkSpecBase {
       TextAnalysis.loadBpe(spark, path + "_bad"))
   }
 
+  // ---- RRF fusion ----
+
+  test("rrfFuse: integer contributions, both-list docs beat single-list " +
+    "docs, doc ties break low") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = TextAnalysis.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    def c(rank: Long) = 1000000000000L / (rank + 60L)
+    // doc 11 appears in both lists → top
+    assert(fused.head == (11L, 1L, c(2) + c(1)))
+    assert(fused.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    // identical single-list contributions tie-break by doc id:
+    // 10 (rank1 list a) vs 13 (... different ranks here) — check exact
+    // scores are the integer floors
+    val scores = fused.map(t => t._1 -> t._3).toMap
+    assert(scores(10L) == c(1) && scores(13L) == c(2) &&
+      scores(12L) == c(3))
+  }
+
   // ---- binary quantization ANN ----
 
   test("bq: 64-dim corpus packs to one long; exact mode ≡ brute force; " +
