@@ -61,4 +61,65 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes` files (computed from the directory's actual on-disk
+    * size, floor 1). The remedy for streaming sinks and over-partitioned
+    * jobs whose thousands of KB-sized files dominate scan time with open
+    * overhead and starve footer pruning. Optional `sortCols` restores
+    * clustering while the data is being rewritten anyway (compaction is
+    * the natural moment to re-sort).
+    *
+    * Returns the file count written. Output goes to `outPath` — in-place
+    * compaction of a live table needs a transactional table format;
+    * write-aside + atomic swap is the honest primitive here.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long,
+              sortCols: Seq[Column] = Nil): Int = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols: _*)
+          .sortWithinPartitions(sortCols: _*)
+      else df.repartition(nFiles)
+    laid.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /** Per-file manifest of a parquet directory: (file, n_rows, n_bytes) —
+    * the integrity/lineage record a training run stores beside its
+    * shards (row counts catch truncated writes; byte sizes catch
+    * recompression drift). One distributed scan counting rows per
+    * `input_file_name`, joined to the filesystem listing (so zero-row
+    * files still appear).
+    */
+  def manifest(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+    val sizes = files.toSeq.toDF("file", "n_bytes")
+    // join on the basename: input_file_name() renders a file:/// URI,
+    // FileStatus.getPath a file:/ one — the path STRINGS differ for the
+    // same file
+    val base: Column => Column = f => regexp_extract(f, "[^/]+$", 0)
+    val rowCounts = spark.read.parquet(path)
+      .select(base(input_file_name()).as("__base"))
+      .groupBy(col("__base")).agg(count(lit(1)).as("n_rows"))
+    sizes.withColumn("__base", base(col("file")))
+      .join(rowCounts, Seq("__base"), "left")
+      .select(col("file"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+              col("n_bytes"))
+  }
 }

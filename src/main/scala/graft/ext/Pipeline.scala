@@ -101,6 +101,25 @@ object Pipeline {
     df.where(h < round(greatest(lit(0.0), least(weight, lit(1.0))) * buckets))
   }
 
+  /** Temporal train/test split with an embargo gap — the leakage control
+    * for time-ordered data ([[splitByHash]] is wrong there: a random split
+    * lets the model train on the future). Rows before `cutoff` are
+    * `train`; rows inside `[cutoff, cutoff + embargoSeconds)` are
+    * `embargo` (dropped from both sides — features computed over trailing
+    * windows straddle the boundary); the rest are `test`. Pure narrow
+    * predicate on exact integer micros; timestamp-type tolerant.
+    */
+  def splitByTime(df: DataFrame, tsCol: String, cutoff: String,
+                  embargoSeconds: Long = 0L): DataFrame = {
+    require(embargoSeconds >= 0, s"embargoSeconds must be >= 0")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val cutUs = unix_micros(to_timestamp(lit(cutoff)))
+    val label = when(us < cutUs, "train")
+      .when(us < cutUs + embargoSeconds * 1000000L, "embargo")
+      .otherwise("test")
+    df.withColumn("split", label)
+  }
+
   /** Exact-k WEIGHTED sampling without replacement (Efraimidis-Spirakis
     * A-ES): each row draws a deterministic uniform u from the portable
     * id hash and ranks by the exponential key `-ln(u) / w` ascending —

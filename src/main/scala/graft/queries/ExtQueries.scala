@@ -1192,6 +1192,14 @@ object ExtQueries {
           exactFields = Seq("grp" -> 0.25), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_temporal_split" -> { (s, d) =>
+      // time-ordered split with a 1-day embargo after the cutoff
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Pipeline.splitByTime(ev, "ts", "2024-01-05 00:00:00",
+          embargoSeconds = 86400L)
+        .select(col("event_id"), col("split"))
+        .orderBy(col("event_id"))
+    },
     "ds_sample_exact_weighted" -> { (s, d) =>
       // Efraimidis-Spirakis exact-k weighted draw: 50 docs, weight =
       // n_chars (longer docs likelier), deterministic hash keys
@@ -2205,6 +2213,12 @@ object ExtQueries {
                FROM i)
          SELECT id_a, id_b, score FROM sc WHERE score >= 0.8
          ORDER BY id_a, id_b""",
+    "ds_temporal_split" ->
+      """SELECT event_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-06 00:00:00' THEN 'embargo'
+                ELSE 'test' END AS split
+         FROM events ORDER BY event_id""",
     "ds_sample_exact_weighted" ->
       """WITH w AS (SELECT doc_id, lang, source, n_chars,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)

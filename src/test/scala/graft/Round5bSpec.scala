@@ -191,6 +191,47 @@ class Round5bSpec extends SparkSpecBase {
       TextAnalysis.loadBpe(spark, path + "_bad"))
   }
 
+  // ---- temporal split / compaction / manifest ----
+
+  test("splitByTime: cutoff and embargo boundaries are half-open") {
+    import java.sql.Timestamp
+    val cut = Timestamp.valueOf("2024-01-05 00:00:00")
+    val rows = Seq(
+      (1L, new Timestamp(cut.getTime - 1000)),           // train
+      (2L, cut),                                          // embargo start
+      (3L, new Timestamp(cut.getTime + 86399L * 1000)),   // embargo end
+      (4L, new Timestamp(cut.getTime + 86400L * 1000))    // test start
+    ).toDF("id", "ts")
+    val got = graft.ext.Pipeline.splitByTime(rows, "ts",
+        "2024-01-05 00:00:00", embargoSeconds = 86400L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test"))
+  }
+
+  test("Layout.compact melts small files to the byte target; manifest " +
+    "accounts for every row and file") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    docsDf.repartition(20).write.mode("overwrite").parquet(s"$tmp/small")
+    val smallFiles = new java.io.File(s"$tmp/small")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 20)
+    val total = new java.io.File(s"$tmp/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = graft.ext.Layout.compact(spark, s"$tmp/small", s"$tmp/big",
+      targetBytes = total / 3)
+    val bigFiles = new java.io.File(s"$tmp/big")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n <= 5 && bigFiles == n, s"wrote $bigFiles files, planned $n")
+    assert(spark.read.parquet(s"$tmp/big").count() == docsDf.count())
+    val man = graft.ext.Layout.manifest(spark, s"$tmp/big")
+    assert(man.count() == n.toLong)
+    assert(man.agg(sum(col("n_rows"))).collect()(0).getLong(0) ==
+      docsDf.count())
+    assert(man.where(col("n_bytes") <= 0).count() == 0)
+  }
+
   // ---- RRF fusion ----
 
   test("rrfFuse: integer contributions, both-list docs beat single-list " +
