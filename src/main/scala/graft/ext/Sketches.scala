@@ -291,6 +291,32 @@ object Sketches {
       .toDF("shard", "key", "est")
   }
 
+  /** The streaming face of [[kmvFit]], on the Spark 4 `transformWithState`
+    * API: keys hash into `nShards` disjoint subspaces; each shard's
+    * processor keeps the bottom-k tree of ITS OWN keys' hashes and emits
+    * one (shard, n_distinct, saturated) row per batch it touches. Shards
+    * partition the key space, so the GLOBAL distinct count is the SUM of
+    * the latest per-shard rows — exact while every shard stays below
+    * saturation, estimate-summed above. State: ≤ nShards × k Longs,
+    * forever, no watermark.
+    */
+  def kmvStream(events: DataFrame, keyCol: String, k: Int = 4096,
+                nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(k >= 2 && nShards >= 1, "k >= 2 and nShards >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .select(pmod(xxhash64(col("key")), lit(nShards)).cast("long")
+        .as("shard"), col("key"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new KmvStreamProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("shard", "n_distinct", "saturated")
+  }
+
   /** The streaming face of [[heavyHitters]], on the Spark 4
     * `transformWithState` arbitrary-state API (requires the RocksDB
     * state-store provider, as the API itself does): keys hash into
@@ -322,6 +348,39 @@ object Sketches {
       .transformWithState(new MgStreamProcessor(capacity),
         TimeMode.None(), OutputMode.Update())
       .toDF("shard", "key", "est")
+  }
+}
+
+/** Per-shard KMV bottom-k set as transformWithState state (sorted Long
+  * array, rewritten per batch — ≤ k Longs by contract).
+  */
+private[ext] class KmvStreamProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long, Boolean)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var mins: ValueState[Array[Long]] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    mins = getHandle.getValueState[Array[Long]]("kmv",
+      org.apache.spark.sql.Encoders.kryo[Array[Long]], TTLConfig.NONE)
+
+  override def handleInputRows(shard: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[(Long, Long, Boolean)] = {
+    val s = new java.util.TreeSet[java.lang.Long]()
+    if (mins.exists()) mins.get().foreach(s.add(_))
+    rows.foreach { case (_, key) =>
+      s.add(Sketches.kmvHash60(key))
+      if (s.size > k) s.pollLast()
+    }
+    val arr = new Array[Long](s.size)
+    val it = s.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    mins.update(arr)
+    val model = Sketches.KmvModel(k, arr)
+    Iterator.single((shard, model.estimate, model.saturated))
   }
 }
 

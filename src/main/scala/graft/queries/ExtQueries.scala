@@ -1032,8 +1032,8 @@ object ExtQueries {
       // hybrid retrieval: BM25 lexical top-10 ⊕ dense cosine top-10 per
       // query, fused by integer-exact reciprocal rank (qid spaces align:
       // bm25Queries 0-3 ↔ embedding queries vec_id < 4)
-      val bm = TextAnalysis.bm25TopK(docs(s, d), "text", "doc_id",
-          bm25Queries, k = 10)
+      val bm = TextAnalysis.bm25TopKIndexed(bm25Idx(s, d), bm25Queries,
+          k = 10)
         .select(col("qid").as("query_id"), col("doc").as("doc_id"),
                 col("rk").as("rank"))
       val e = emb(s, d)

@@ -821,6 +821,41 @@ class Round5bSpec extends SparkSpecBase {
       sat.merge(Sketches.kmvFit(big, "k", k = 128)))
   }
 
+  test("kmvStream: summed per-shard rows give the exact cross-batch " +
+    "distinct count below saturation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Sketches
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      val out = Sketches.kmvStream(ms.toDF().toDF("k"), "k",
+        k = 64, nShards = 4)
+      val q = out.writeStream.format("memory").queryName("kmv_stream")
+        .outputMode("update").start()
+      try {
+        ms.addData("a", "b", "a", "c")
+        q.processAllAvailable()
+        ms.addData("c", "d", "e", "a")
+        q.processAllAvailable()
+        // latest row per shard, summed = 5 distinct keys; none saturated
+        // below saturation the per-shard count only grows → max = latest
+        val latest = spark.table("kmv_stream").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2) }
+        assert(latest.forall(!_._3))
+        assert(latest.map(_._2).sum == 5L, s"got $latest")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("countMin: dimension mismatch fails loud on merge") {
     import graft.ext.Sketches
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
