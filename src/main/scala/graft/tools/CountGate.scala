@@ -1,0 +1,9 @@
+package graft.tools
+object CountGate {
+  def main(args: Array[String]): Unit = {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    println(s"queries=${q.size} oracles=${o.size} rowsOnly=${(q -- o).toSeq.sorted.mkString(",")}")
+    println(s"orphanOracles=${(o -- q).toSeq.sorted.mkString(",")}")
+  }
+}
