@@ -926,6 +926,58 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Normalized edit-distance similarity: `1 − lev(a,b)/max(|a|,|b|,1)`,
+    * rounded to 6dp — identical in DuckDB (`levenshtein` has the same
+    * unit-cost insert/delete/substitute semantics in both engines), so
+    * linkage scores built on it stay oracle-checkable. The character-level
+    * complement of [[recordLinkage]]'s word-set Jaccard: catches
+    * transposed/misspelled FIELDS where token sets are blind
+    * ("acme crop" vs "acme corp").
+    */
+  def editSimilarity(a: Column, b: Column): Column =
+    round(lit(1.0) - levenshtein(a, b).cast("double") /
+      greatest(length(a), length(b), lit(1)).cast("double"), 6)
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995)
+    * — the OTHER classic blocking scheme: rank every record by a sort key
+    * and pair each with its next `windowSize` neighbors. Where hash
+    * blocking needs an exact shared value, the sort window catches
+    * near-misses whose keys differ late in the string (typos, suffixes) —
+    * run several passes with different keys for high recall.
+    *
+    * Returns (id_a, id_b, key_a, key_b) — id_a is the lower-ranked
+    * record; score with [[editSimilarity]]/`sorted_jaccard` and feed
+    * [[clusters]].
+    *
+    * Scale shape: the global rank comes from a range-partitioned sort +
+    * `zipWithIndex` (deterministic for a sorted RDD — NOT a
+    * single-partition window); each row explodes to `windowSize` probe
+    * ranks and pairs via equi-join on rank. Only (id, key, rank) rows
+    * shuffle.
+    */
+  def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
+                              sortKeyCol: String,
+                              windowSize: Int): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    val spark = records.sparkSession
+    val sorted = records.select(col(idCol), col(sortKeyCol))
+      .orderBy(col(sortKeyCol).asc, col(idCol).asc)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rk", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    val probes = ranked.select(col(idCol).as("id_a"),
+      col(sortKeyCol).as("key_a"),
+      explode(sequence(col("__rk") + 1, col("__rk") + windowSize))
+        .as("__rk2"))
+    probes.join(ranked.select(col(idCol).as("id_b"),
+        col(sortKeyCol).as("key_b"), col("__rk").as("__rk2")),
+      Seq("__rk2"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+  }
+
   /** Multi-field record linkage (entity resolution): candidate pairs come
     * from blocking (records sharing `blockCols` values meet; nothing else
     * does — THE selectivity knob at scale), then each pair scores as the

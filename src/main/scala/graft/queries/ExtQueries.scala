@@ -1173,6 +1173,16 @@ object ExtQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_sorted_neighborhood" -> { (s, d) =>
+      // sorted-neighborhood blocking on the text sort order (exact dups
+      // land adjacent), scored by normalized edit distance
+      Dedup.sortedNeighborhoodPairs(docs(s, d), "doc_id", "text",
+          windowSize = 3)
+        .select(col("id_a"), col("id_b"),
+          Dedup.editSimilarity(col("key_a"), col("key_b")).as("sim"))
+        .where(col("sim") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "ds_record_linkage" -> { (s, d) =>
       // entity resolution: each document gets a perturbed variant record
       // (+1e6 id, name suffixed); linkage blocks on (lang, source) and
@@ -2188,6 +2198,17 @@ object ExtQueries {
                >= 0.7
          ORDER BY id_a, id_b"""
     },
+    "ds_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id, text,
+           row_number() OVER (ORDER BY text, doc_id) - 1 AS rk
+         FROM documents),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(1.0 - levenshtein(a.text, b.text) * 1.0 /
+                   greatest(length(a.text), length(b.text), 1), 6) AS sim
+               FROM r a JOIN r b
+                 ON b.rk > a.rk AND b.rk <= a.rk + 3)
+         SELECT id_a, id_b, sim FROM p WHERE sim >= 0.9
+         ORDER BY id_a, id_b""",
     "ds_record_linkage" ->
       """WITH recs AS (
            SELECT doc_id AS rid, text AS name, lang, source,

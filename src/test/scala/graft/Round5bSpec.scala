@@ -402,6 +402,27 @@ class Round5bSpec extends SparkSpecBase {
       Seq(2L, 3L))
   }
 
+  test("sortedNeighborhoodPairs: window bounds, typo-adjacency recall, " +
+    "editSimilarity arithmetic") {
+    val recs = Seq(
+      (1L, "acme corp"), (2L, "acme corpx"), // adjacent after sort
+      (3L, "zeta inc"), (4L, "acme corp")    // 4 duplicates 1
+    ).toDF("rid", "name")
+    val pairs = graft.ext.Dedup.sortedNeighborhoodPairs(recs, "rid",
+        "name", windowSize = 1)
+      .select(col("id_a"), col("id_b"),
+        graft.ext.Dedup.editSimilarity(col("key_a"), col("key_b"))
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // sort order: (acme corp,1) (acme corp,4) (acme corpx,2) (zeta,3);
+    // window 1 pairs consecutive ranks only
+    assert(pairs.keySet == Set((1L, 4L), (4L, 2L), (2L, 3L)))
+    assert(pairs((1L, 4L)) == 1.0)                 // exact duplicate
+    assert(pairs((4L, 2L)) == 0.9)                 // 1 edit over len 10
+    assert(pairs((2L, 3L)) < 0.3)                  // unrelated
+  }
+
   // ---- perceptual hash (image near-dup) ----
 
   private def ppm(w: Int, h: Int)(pix: Int => (Int, Int, Int)): Array[Byte] = {
