@@ -68,6 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "simhash60" -> (es => SimHash60(es(0))),
     "deflate_ratio" -> (es => DeflateRatio(es(0))),
     "char_ngrams" -> (es => CharNgrams(es(0), intArg("char_ngrams", es(1)))),
+    "banded_levenshtein" -> (es => BandedLevenshtein(es(0), es(1), es(2))),
     "dedup_segments" -> (es =>
       DedupSegments(es(0), VectorFunctions.foldableString("dedup_segments", es(1)),
         VectorFunctions.foldableString("dedup_segments", es(2)))),

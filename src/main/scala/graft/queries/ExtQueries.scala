@@ -1178,9 +1178,12 @@ object ExtQueries {
       // land adjacent), scored by normalized edit distance
       Dedup.sortedNeighborhoodPairs(docs(s, d), "doc_id", "text",
           windowSize = 3)
+        // Ukkonen banded DP: exact sim when reachable, null beyond the
+        // threshold band — result-identical to the full-lev filter
         .select(col("id_a"), col("id_b"),
-          Dedup.editSimilarity(col("key_a"), col("key_b")).as("sim"))
-        .where(col("sim") >= 0.9)
+          Dedup.editSimilarityBounded(col("key_a"), col("key_b"), 0.9)
+            .as("sim"))
+        .where(col("sim").isNotNull && col("sim") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
     },
     "ds_record_linkage" -> { (s, d) =>
@@ -2206,7 +2209,9 @@ object ExtQueries {
                  round(1.0 - levenshtein(a.text, b.text) * 1.0 /
                    greatest(length(a.text), length(b.text), 1), 6) AS sim
                FROM r a JOIN r b
-                 ON b.rk > a.rk AND b.rk <= a.rk + 3)
+                 ON b.rk > a.rk AND b.rk <= a.rk + 3
+                 AND 1.0 - abs(length(a.text) - length(b.text)) * 1.0 /
+                   greatest(length(a.text), length(b.text), 1) >= 0.9)
          SELECT id_a, id_b, sim FROM p WHERE sim >= 0.9
          ORDER BY id_a, id_b""",
     "ds_record_linkage" ->

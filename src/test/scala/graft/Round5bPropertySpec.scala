@@ -115,6 +115,41 @@ class Round5bPropertySpec extends SparkSpecBase {
     })
   }
 
+  test("banded levenshtein ≡ built-in levenshtein within the band, " +
+    "sentinel beyond, for random string pairs") {
+    val strGen = Gen.choose(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    holds(Prop.forAll(strGen, strGen, Gen.choose(0, 12)) {
+      (a: String, b: String, k: Int) =>
+        val row = Seq((a, b, k)).toDF("a", "b", "k")
+          .select(levenshtein(col("a"), col("b")).as("full"),
+            graft.functions.VectorFunctions.banded_levenshtein(
+              col("a"), col("b"), col("k")).as("banded"))
+          .collect()(0)
+        val (full, banded) = (row.getInt(0), row.getInt(1))
+        if (full <= k) banded == full else banded == k + 1
+    })
+  }
+
+  test("editSimilarityBounded ≡ thresholded editSimilarity on random " +
+    "pairs") {
+    val strGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('x', 'y', 'z', ' ')).map(_.mkString))
+    holds(Prop.forAll(strGen, strGen, Gen.oneOf(0.5, 0.7, 0.9)) {
+      (a: String, b: String, t: Double) =>
+        val row = Seq((a, b)).toDF("a", "b")
+          .select(graft.ext.Dedup.editSimilarity(col("a"), col("b"))
+              .as("full"),
+            graft.ext.Dedup.editSimilarityBounded(col("a"), col("b"), t)
+              .as("banded"))
+          .collect()(0)
+        val full = row.getDouble(0)
+        val banded = if (row.isNullAt(1)) None else Some(row.getDouble(1))
+        if (full >= t) banded.contains(full)
+        else banded.isEmpty || banded.exists(_ < t)
+    })
+  }
+
   test("rrfFuse scores ≡ reference integer fusion for random rank lists") {
     val listGen = Gen.listOfN(20, for {
       q <- Gen.choose(0L, 2L)
