@@ -38,17 +38,33 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.description]
+            grel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            got_cols, got_types = grel.columns, [str(t) for t in grel.types]
+            got = grel.fetchall()
+            wrel = con.sql(sql)
+            want_cols, want_types = wrel.columns, [str(t) for t in wrel.types]
+            want = wrel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             failures += 1
             continue
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            failures += 1
+            continue
+        # DuckDB promotes un-cast integer arithmetic (sum(), //) to
+        # HUGEINT/DECIMAL; the driver's hash is dtype-sensitive, so that
+        # drift is a real gate failure even when cell values are equal.
+        # Flag it hard here (r5 lost 4 rows to exactly this).
+        wtype = dict(zip(want_cols, want_types))
+        gtype = dict(zip(got_cols, got_types))
+        drift = [c for c in want_cols
+                 if ("HUGEINT" in wtype[c] or "DECIMAL" in wtype[c])
+                 and wtype[c] != gtype[c]]
+        if drift:
+            print(f"FAIL {name}: oracle type drift "
+                  f"{[(c, gtype[c], wtype[c]) for c in drift]} — add CAST "
+                  f"in the oracle SQL")
             failures += 1
             continue
         if len(got) != len(want):

@@ -1915,8 +1915,9 @@ object ExtQueries {
     "ds_budget_alloc" -> {
       val last = s"a${budgetWeights.size}"
       s"""$budgetCtes
-         SELECT k AS lang, avail, coalesce(alloc, 0) AS alloc,
-                ${budgetFinalPpm(last)} AS keep_ppm
+         SELECT k AS lang, CAST(avail AS BIGINT) AS avail,
+                CAST(coalesce(alloc, 0) AS BIGINT) AS alloc,
+                CAST(${budgetFinalPpm(last)} AS BIGINT) AS keep_ppm
          FROM $last ORDER BY lang"""
     },
     "ds_budget_sample" -> {
@@ -2386,7 +2387,7 @@ object ExtQueries {
            sum(length(sent)) OVER (PARTITION BY doc_id ORDER BY pos
              ROWS UNBOUNDED PRECEDING) - length(sent) AS cb
          FROM s)
-         SELECT doc_id, cb // 64 AS chunk_idx,
+         SELECT doc_id, CAST(cb // 64 AS BIGINT) AS chunk_idx,
            string_agg(sent, '' ORDER BY pos) AS chunk_text,
            CAST(count(*) AS BIGINT) AS n_sentences
          FROM c GROUP BY doc_id, cb // 64
@@ -2395,7 +2396,8 @@ object ExtQueries {
       """WITH c AS (SELECT user_id, count(*) AS n FROM events
                     GROUP BY user_id),
          t AS (SELECT sum(n) AS total FROM c)
-         SELECT user_id, n, (n * 1000000) // (SELECT total FROM t)
+         SELECT user_id, n,
+           CAST((n * 1000000) // (SELECT total FROM t) AS BIGINT)
            AS share_ppm
          FROM c ORDER BY n DESC, user_id LIMIT 10""",
     "ds_histogram" ->
@@ -2672,7 +2674,7 @@ object ExtQueries {
          ORDER BY n.doc_id, s.i""",
     "sim_kmeans_train" -> qkmeansSql(4, 3,
       """SELECT CAST(cell AS INT) AS cell, CAST(dims.j AS INT) AS dim,
-                c[dims.j + 1] AS cq
+                CAST(c[dims.j + 1] AS BIGINT) AS cq
          FROM c3 CROSS JOIN dims ORDER BY cell, dim"""),
     "sim_kmeans_train_assign" -> qkmeansSql(4, 4,
       """SELECT id AS vec_id, CAST(cell AS INT) AS cell
