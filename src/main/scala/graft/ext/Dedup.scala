@@ -99,22 +99,54 @@ object Dedup {
     verifyJaccard(cand, shDf, threshold)
   }
 
+  /** Hot-bucket guard for [[bucketPairs]]: buckets larger than this emit
+    * star pairs to the bucket's min id instead of all n² pairs. Mirrors
+    * the streaming kernels' `maxPerBucket` bound.
+    */
+  val maxBucketFanout: Int = 1000
+
   /** Candidate pairs from LSH buckets without a self-join: collect ids per
     * bucket, expand ordered pairs in one pass. Avoids recomputing the
     * (expensive) signature lineage on both sides of a join — Spark does not
-    * reuse subplans across self-join branches. Bucket sizes are bounded by
-    * the banding/df-cap parameters, so the in-bucket expansion is bounded
-    * quadratic and the shuffle carries only (bucket, id).
+    * reuse subplans across self-join branches. The shuffle carries only
+    * (bucket, id).
+    *
+    * Hot-bucket cap: banding/df-cap parameters bound TYPICAL bucket sizes,
+    * but a 100 TB crawl has the pathological case built in — 10⁶ copies of
+    * one boilerplate page share every band, and an uncapped
+    * `collect_set` would materialize a 10⁶-element array in one
+    * aggregation row and stream 10¹² pairs from one task. Buckets larger
+    * than `cap` therefore emit only star pairs (bucket-min-id, id): the
+    * spanning set [[clusters]]/connected components need, at O(n) per
+    * bucket. The recall trade is confined to hot buckets: a pair of
+    * members both ≠ min-id is only found via another (smaller) bucket or
+    * transitively through the star center — for the near-identical
+    * content that actually creates mega-buckets, exactly the right
+    * answer. Plan shape: ONE exchange on the bucket key (window min/count
+    * spill-safe via the sorter), the small-bucket groupBy reuses the
+    * window's partitioning, hot rows stream narrow star pairs.
     */
-  private[ext] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String]): DataFrame =
-    bucketed
+  private[graft] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
+                                 cap: Int = maxBucketFanout): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val tagged = bucketed
+      .where(col("id").isNotNull)
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("id")).over(w))
+    val smallPairs = tagged
+      .where(col("__bn") <= cap)
       .groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
       // custom Generator: streams the n² in-bucket pairs lazily instead of
       // materializing nested struct arrays (graftfn.OrderedPairs)
       .select(graft.functions.VectorFunctions.ordered_pairs(col("ids")))
-      .distinct()
+    val starPairs = tagged
+      .where(col("__bn") > cap && col("id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+    smallPairs.union(starPairs).distinct()
+  }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets
     * (hashed: `sh` is a SORTED DISTINCT array of 64-bit shingle hashes —
@@ -1054,8 +1086,14 @@ object Dedup {
         ex.map { case ((f, _), i) => col(f).as(s"ex$i") }: _*)
     val sidePruned = OpCaches.register(
       side.persist(StorageLevel.MEMORY_AND_DISK))
+    // equality-join blocking semantics: a null blocking key matches
+    // nothing. Without this filter Spark's groupBy would treat NULL as a
+    // regular value and pool EVERY null-key record into one shared block
+    // — O(b²) pairs among records that share no key at all.
     val cand = bucketPairs(
-      sidePruned.select(col("id") +: blockCols.map(col): _*), blockCols)
+      sidePruned.select(col("id") +: blockCols.map(col): _*)
+        .where(blockCols.map(c => col(c).isNotNull).reduce(_ && _)),
+      blockCols)
     def renamed(suffix: String) = sidePruned.select(
       col("id").as(s"id$suffix") +:
         (fz.map { case (_, i) => col(s"fz$i").as(s"fz$i$suffix") } ++

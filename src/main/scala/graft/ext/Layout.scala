@@ -80,6 +80,16 @@ object Layout {
     require(targetBytes >= 1, s"targetBytes must be >= 1")
     val fs = new org.apache.hadoop.fs.Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place guard: mode("overwrite") DELETES outPath before the lazy
+    // read job runs — compact(p, p) would destroy the source outright.
+    // Compare fully-qualified paths so "dir", "./dir" and "file:/…/dir"
+    // all collide.
+    val qIn = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(qIn != qOut,
+      s"compact: outPath ($qOut) must differ from inPath — in-place " +
+        "compaction needs a transactional table format; write aside, " +
+        "then swap")
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(inPath)).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)

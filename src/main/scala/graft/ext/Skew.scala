@@ -12,12 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted sum: Σ valueCol per key, immune to key skew. The salt derives
-    * from row content (xxhash64), not rand() — deterministic replays.
+  /** Salt in [0, salts). Default: row-position (`monotonically_increasing_id`
+    * cycles within each input partition), so even bit-identical duplicate
+    * rows — the classic hot-key shape, e.g. replayed events — spread over
+    * all shards. A content-derived salt (xxhash64 of the whole row) maps
+    * identical rows to ONE salt, keeping the straggler exactly when it
+    * matters, and errors on unhashable types (MapType); request it with
+    * `contentSalt = true` only when the salt assignment itself must be
+    * bit-reproducible across replays (the aggregate/join RESULT is
+    * salt-invariant either way).
     */
+  private def saltOf(df: DataFrame, salts: Int, contentSalt: Boolean): Column =
+    if (contentSalt)
+      pmod(xxhash64(df.columns.map(df.col): _*), lit(salts)).cast("int")
+    else pmod(monotonically_increasing_id(), lit(salts)).cast("int")
+
+  /** Salted sum: Σ valueCol per key, immune to key skew. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                salts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(salts)).as("__salt")
+                salts: Int = 16, contentSalt: Boolean = false): DataFrame = {
+    val salt = saltOf(df, salts, contentSalt).as("__salt")
     df.select(col("*"), salt)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(col(valueCol)).as("__partial"))
@@ -26,8 +39,9 @@ object Skew {
   }
 
   /** Salted count per key. */
-  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(salts)).as("__salt")
+  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16,
+                  contentSalt: Boolean = false): DataFrame = {
+    val salt = saltOf(df, salts, contentSalt).as("__salt")
     df.select(col("*"), salt)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
@@ -36,8 +50,8 @@ object Skew {
   }
 
   /** Salted inner equi-join for a skewed `big` side against a `small`
-    * side that is too large to broadcast: `big` rows take a deterministic
-    * content-derived salt in [0, salts); `small` replicates ×`salts` (one
+    * side that is too large to broadcast: `big` rows take a row-position
+    * salt in [0, salts) (see [[saltOf]]); `small` replicates ×`salts` (one
     * copy per salt value) so every (key, salt) shard of the big side finds
     * its match locally. The shuffle then partitions on (keys, salt) — a
     * hot key's rows spread over `salts` reducers instead of one straggler
@@ -52,10 +66,9 @@ object Skew {
     * smallest `salts` that melts the straggler.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 salts: Int = 16): DataFrame = {
+                 salts: Int = 16, contentSalt: Boolean = false): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val salt = pmod(xxhash64(big.columns.map(big.col): _*), lit(salts))
-    val bigS = big.withColumn("__salt", salt.cast("int"))
+    val bigS = big.withColumn("__salt", saltOf(big, salts, contentSalt))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")

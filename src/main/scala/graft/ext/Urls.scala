@@ -57,17 +57,24 @@ object Urls {
     val port = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*?(:[0-9]+)(?:[/?#]|$)", 1)
     val keptPort = when(port.isin(":80", ":443"), lit("")).otherwise(port)
-    // path + query, fragment off
-    val rest = regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)?", 1)
-    // drop tracking params wherever they sit in the query; then collapse
-    // the separators the removal leaves behind
-    val noTrack = regexp_replace(rest,
-      "(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)=[^&#]*", "")
-    val sepFix0 = regexp_replace(noTrack, "&&+", "&")
-    val sepFix = regexp_replace(regexp_replace(sepFix0, "\\?&", "?"),
-      "[?&]+$", "")
-    val cleanRest = when(sepFix === "/", lit("")).otherwise(sepFix)
+    // path (no query) and query (after the first '?'), fragment off —
+    // tracking-param removal must touch ONLY whole query parameters:
+    // an unanchored match would eat into '?href=...' / '?xref=...' and
+    // strip Amazon-style '/ref=...' path segments, collapsing distinct
+    // URLs onto one corrupted dedup key
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    val query = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1)
+    // prepend '&' so every parameter is '&name=value', drop tracking
+    // ones at parameter boundaries, then strip the sentinel
+    val qClean = regexp_replace(
+      regexp_replace(concat(lit("&"), query),
+        "&(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)=[^&]*", ""),
+      "^&", "")
+    val cleanRest = concat(
+      when(path === "/" && qClean === "", lit("")).otherwise(path),
+      when(qClean === "", lit("")).otherwise(concat(lit("?"), qClean)))
     when(scheme === "" || h === "", url) // not an absolute URL: pass through
       .otherwise(concat(scheme, lit("://"), h, keptPort, cleanRest))
   }

@@ -2824,23 +2824,25 @@ object ExtQueries {
              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*?(:[0-9]+)(?:[/?#]|$)', 1)
              AS port,
            regexp_extract(url,
-             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?][^#]*)?', 1) AS rest
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\?([^#]*)', 1) AS query
          FROM u),
-         q AS (SELECT doc_id, host,
+         q AS (SELECT doc_id, host, path,
            regexp_replace(host, '^www\.', '') AS h, scheme,
            CASE WHEN port IN (':80', ':443') THEN '' ELSE port END
              AS kept_port,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
-             '(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)=[^&#]*',
-             '', 'g'), '&&+', '&', 'g'), '\?&', '?', 'g'),
-             '[?&]+$', '', 'g') AS sep_fix
+           regexp_replace(regexp_replace('&' || query,
+             '&(utm_[A-Za-z]+|gclid|fbclid|msclkid|ref|ref_src)=[^&]*',
+             '', 'g'), '^&', '') AS q_clean
          FROM p)
          SELECT doc_id, host,
            CASE WHEN regexp_matches(host, '\.')
                 THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
                 ELSE host END AS domain,
            scheme || '://' || h || kept_port ||
-             (CASE WHEN sep_fix = '/' THEN '' ELSE sep_fix END) AS canon
+             (CASE WHEN path = '/' AND q_clean = '' THEN '' ELSE path END) ||
+             (CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END) AS canon
          FROM q ORDER BY doc_id""",
     "ds_url_dedup" ->
       """WITH u AS (SELECT doc_id, lang, source, n_chars,

@@ -303,12 +303,15 @@ object Kernels {
     * budget. Operates on UTF-16 units (matches the built-in `levenshtein`
     * for all BMP text).
     */
-  def bandedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
+  def bandedLevenshtein(a: UTF8String, b: UTF8String, maxDist0: Int): Int = {
     val s = a.toString
     val t = b.toString
     val n = s.length
     val m = t.length
-    if (maxDist < 0) return 0.max(maxDist + 1)
+    if (maxDist0 < 0) return 0.max(maxDist0 + 1)
+    // clamp: distance can never exceed max(n, m), and an unclamped
+    // Int.MaxValue budget would overflow INF = maxDist + 1 to negative
+    val maxDist = Math.min(maxDist0, Math.max(n, m))
     if (Math.abs(n - m) > maxDist) return maxDist + 1
     val INF = maxDist + 1
     var prev = new Array[Int](m + 1)

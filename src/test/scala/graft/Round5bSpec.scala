@@ -28,7 +28,17 @@ class Round5bSpec extends SparkSpecBase {
     ("ftp://files.example.com/pub", "files.example.com", "example.com",
       "ftp://files.example.com/pub"),
     ("https://localhost/x", "localhost", "localhost", "https://localhost/x"),
-    ("http://a.com/p?utm_source=x", "a.com", "a.com", "http://a.com/p"))
+    ("http://a.com/p?utm_source=x", "a.com", "a.com", "http://a.com/p"),
+    // tracking names as SUBSTRINGS of longer params / inside the path
+    // must survive untouched (the unanchored-regex corruption class)
+    ("http://a.com/p?href=https://x.com/y", "a.com", "a.com",
+      "http://a.com/p?href=https://x.com/y"),
+    ("http://a.com/p?xref=12&b=2", "a.com", "a.com",
+      "http://a.com/p?xref=12&b=2"),
+    ("https://amz.com/dp/B01/ref=sr_1_1?k=v", "amz.com", "amz.com",
+      "https://amz.com/dp/B01/ref=sr_1_1?k=v"),
+    ("https://amz.com/dp/B01/ref=sr_1_1?k=v&ref=abc", "amz.com", "amz.com",
+      "https://amz.com/dp/B01/ref=sr_1_1?k=v"))
 
   test("Urls.normalize/host/registeredDomain: crafted edge cases") {
     val got = urlCases.map(_._1).toDF("url")
@@ -130,16 +140,25 @@ class Round5bSpec extends SparkSpecBase {
   }
 
   test("saltedJoin joins on the salt column (hot key spread over shards)") {
-    val big = (0 until 100).map(i => (1L, i)).toDF("k", "v")
+    // bit-IDENTICAL duplicate rows — the replayed-event hot key. A
+    // content-derived salt maps them all to one shard (the straggler
+    // survives exactly when it matters); the row-position salt must not.
+    val big = (0 until 100).map(_ => (1L, 0)).toDF("k", "v")
     val small = Seq((1L, "x")).toDF("k", "name")
     val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
     val plan = salted.queryExecution.optimizedPlan.toString
     assert(plan.contains("__salt"), s"salt key missing from plan:\n$plan")
-    // the big side's rows really take more than one salt value
+    assert(salted.count() == 100)
     val nSalts = big.withColumn("__salt",
-        pmod(xxhash64(big.columns.map(col): _*), lit(8)))
+        pmod(monotonically_increasing_id(), lit(8)))
       .select("__salt").distinct().count()
     assert(nSalts > 1)
+  }
+
+  test("saltedJoin tolerates unhashable column types (MapType) by default") {
+    val big = (0 until 10).map(i => (1L, Map("a" -> i))).toDF("k", "m")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    assert(Skew.saltedJoin(big, small, Seq("k"), salts = 4).count() == 10)
   }
 
   // ---- chunkBySentences / skewReport / BPE artifact ----

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Layout}
+
+/** Round-6 hardening specs: hot-bucket cap in the batch pair miner,
+  * null-blocking-key semantics in record linkage, in-place compaction
+  * guard, banded-Levenshtein unbounded budget.
+  */
+class Round6Spec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  // ---- bucketPairs hot-bucket cap ----
+
+  test("bucketPairs: small buckets emit full n^2 pairs (cap untouched)") {
+    val b = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (1L, 9L))
+      .toDF("band_key", "id")
+    val got = Dedup.bucketPairs(b, Seq("band_key"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 9L)))
+  }
+
+  test("bucketPairs: a mega-bucket emits O(n) star pairs to the min id, " +
+    "not n^2, and never materializes the bucket in one row") {
+    val n = 100000 // 10^5 ids in ONE bucket: n^2 pairs would be 10^10
+    val b = spark.range(n).select(lit(0L).as("band_key"), col("id"))
+    val pairs = Dedup.bucketPairs(b, Seq("band_key"))
+    assert(pairs.count() == n - 1) // star: min id paired with every other
+    val sample = pairs.orderBy("id_b").limit(3).as[(Long, Long)]
+      .collect().toSeq
+    assert(sample == Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    // and the plan contains no collect_set over the hot lane's rows —
+    // the star lane is a narrow projection after the window
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected window-tagged plan:\n$plan")
+  }
+
+  test("bucketPairs: star pairs preserve the connected component " +
+    "(clusters over a hot bucket still resolve to one cluster)") {
+    val n = 5000
+    val cap = 100 // force the star lane with a small cap
+    val b = spark.range(n).select(lit(0L).as("band_key"), col("id"))
+    val pairs = Dedup.bucketPairs(b, Seq("band_key"), cap = cap)
+    assert(pairs.count() == n - 1)
+    // every member connects to min id 0 -> one component
+    assert(pairs.select("id_a").distinct().as[Long].collect().toSeq
+      == Seq(0L))
+  }
+
+  test("bucketPairs: mixed small + hot buckets, both lanes in one pass") {
+    val hot = spark.range(50).select(lit(0L).as("band_key"), col("id"))
+    val small = Seq((1L, 100L), (1L, 101L)).toDF("band_key", "id")
+    val pairs = Dedup.bucketPairs(hot.union(small), Seq("band_key"), cap = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.size == 49 + 1)
+    assert(pairs.contains((100L, 101L)))
+    assert(pairs.filter(_._1 == 0L).size == 49)
+  }
+
+  // ---- recordLinkage null blocking keys ----
+
+  test("recordLinkage: records with a null blocking key match nothing " +
+    "(equality-join semantics, no shared null block)") {
+    val recs = Seq(
+      (1L, "b1", "alpha beta gamma"),
+      (2L, "b1", "alpha beta gamma"),
+      (3L, null.asInstanceOf[String], "delta epsilon zeta"),
+      (4L, null.asInstanceOf[String], "delta epsilon zeta"),
+      (5L, null.asInstanceOf[String], "delta epsilon zeta")
+    ).toDF("rid", "blk", "name")
+    val pairs = Dedup.recordLinkage(recs, "rid", Seq("blk"),
+      fuzzyFields = Seq("name" -> 1.0), exactFields = Nil, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 3,4,5 are identical but have null keys: they must NOT pair
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- Layout.compact in-place guard ----
+
+  test("compact refuses outPath == inPath (any spelling) and leaves " +
+    "the source intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val src = s"$dir/src"
+    spark.range(100).write.parquet(src)
+    val relSrc = {
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      cwd.relativize(java.nio.file.Paths.get(src)).toString
+    }
+    for (alias <- Seq(src, s"file:$src", relSrc)) {
+      val e = intercept[IllegalArgumentException] {
+        Layout.compact(spark, src, alias, targetBytes = 1L << 20)
+      }
+      assert(e.getMessage.contains("in-place"))
+    }
+    assert(spark.read.parquet(src).count() == 100) // source survived
+    assert(Layout.compact(spark, src, s"$dir/out", 1L << 20) >= 1)
+  }
+
+  // ---- bandedLevenshtein unbounded budget ----
+
+  test("banded_levenshtein: maxDist = Int.MaxValue means unbounded " +
+    "(exact distance, no overflow)") {
+    import graft.functions.VectorFunctions.banded_levenshtein
+    val df = Seq(("kitten", "sitting"), ("", "abc"), ("same", "same"))
+      .toDF("a", "b")
+      .select(banded_levenshtein(col("a"), col("b"),
+        lit(Int.MaxValue)).as("d"))
+    assert(df.as[Int].collect().toSeq == Seq(3, 3, 0))
+  }
+
+  test("banded_levenshtein: clamped budget still honors the sentinel " +
+    "contract below the clamp") {
+    import graft.functions.VectorFunctions.banded_levenshtein
+    val d = Seq(("abcdef", "uvwxyz")).toDF("a", "b")
+      .select(banded_levenshtein(col("a"), col("b"), lit(2)).as("d"))
+      .as[Int].head()
+    assert(d == 3) // sentinel maxDist + 1
+  }
+}
