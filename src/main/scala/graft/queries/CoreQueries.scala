@@ -396,12 +396,20 @@ object CoreQueries {
     },
     "agg_approx_distinct" -> { (s, d) =>
       // HLL sketch cardinality — the 100 TB path (no exact-distinct shuffle
-      // explosion); implementation-specific so rows-only vs the oracle
+      // explosion). Certificate-column gate: the estimate itself is
+      // implementation-specific, so the hashed output carries the exact
+      // count plus a bounded-relative-error claim the sketch must honor
+      // (default rsd 0.05; certified at 3x = 15%) — DuckDB replays the
+      // exact count and asserts the bound holds (TRUE).
       run(
         stream(Seq("lineitem"), Consumed())
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+               count_distinct(col("l_partkey")).cast("long").as("n_parts"))
           .sort(col("l_returnflag")))(s, d)
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx_parts") - col("n_parts"))
+            .cast("double") / col("n_parts") <= 0.15).as("within_bound"))
     },
     "agg_salted" -> { (s, d) =>
       // skew-safe two-phase salted aggregation == plain aggregation result
@@ -770,6 +778,11 @@ object CoreQueries {
     "agg_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
          count(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         TRUE AS within_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_salted" ->
       """SELECT l_returnflag,
          round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS sum_qty
