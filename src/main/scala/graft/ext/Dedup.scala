@@ -1074,26 +1074,81 @@ object Dedup {
                     exactFields: Seq[(String, Double)],
                     threshold: Double): DataFrame = {
     require(blockCols.nonEmpty, "recordLinkage needs blocking columns")
+    recordLinkageMultiPass(records, idCol, Seq(KeyBlocking(blockCols)),
+      fuzzyFields, exactFields, threshold)
+  }
+
+  /** One candidate-generation pass for [[recordLinkageMultiPass]]. */
+  sealed trait BlockingPass
+
+  /** Records sharing every `blockCols` value meet (equality-join
+    * semantics: a null blocking key matches nothing). The single-pass
+    * [[recordLinkage]] form.
+    */
+  final case class KeyBlocking(blockCols: Seq[String]) extends BlockingPass {
+    require(blockCols.nonEmpty, "KeyBlocking needs blocking columns")
+  }
+
+  /** Records within `windowSize` positions of each other in `sortKeyCol`
+    * order meet ([[sortedNeighborhoodPairs]]) — catches near-misses that
+    * defeat exact-key blocking (typo'd join keys, prefix-similar names).
+    */
+  final case class NeighborhoodBlocking(sortKeyCol: String,
+                                        windowSize: Int) extends BlockingPass {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+  }
+
+  /** Multi-pass record linkage: the union of each pass's candidate pairs
+    * is scored ONCE with the shared fuzzy/exact field weights — the
+    * standard production blocking recipe (an exact-key pass for the easy
+    * mass + a sorted-neighborhood pass for near-miss keys), expressed as
+    * one call. Candidates normalize to id_a < id_b and dedupe across
+    * passes, so overlapping passes cost one score each. Scale shape is
+    * per-pass candidate generation (each documented on its pass type)
+    * plus the single (id, token-hash set) scoring join of
+    * [[recordLinkage]].
+    */
+  def recordLinkageMultiPass(records: DataFrame, idCol: String,
+                             passes: Seq[BlockingPass],
+                             fuzzyFields: Seq[(String, Double)],
+                             exactFields: Seq[(String, Double)],
+                             threshold: Double): DataFrame = {
+    require(passes.nonEmpty, "recordLinkageMultiPass needs >= 1 pass")
     require(fuzzyFields.nonEmpty || exactFields.nonEmpty,
       "recordLinkage needs at least one scored field")
     val fz = fuzzyFields.zipWithIndex
     val ex = exactFields.zipWithIndex
+    val keyCols = passes.collect { case KeyBlocking(cs) => cs }
+      .flatten.distinct
     val side = records.select(
-      (col(idCol).as("id") +: blockCols.map(col)) ++
+      (col(idCol).as("id") +: keyCols.map(col)) ++
         fz.map { case ((f, _), i) =>
           graft.functions.VectorFunctions
             .word_shingle_hashes(col(f), 1).as(s"fz$i") } ++
         ex.map { case ((f, _), i) => col(f).as(s"ex$i") }: _*)
     val sidePruned = OpCaches.register(
       side.persist(StorageLevel.MEMORY_AND_DISK))
-    // equality-join blocking semantics: a null blocking key matches
-    // nothing. Without this filter Spark's groupBy would treat NULL as a
-    // regular value and pool EVERY null-key record into one shared block
-    // — O(b²) pairs among records that share no key at all.
-    val cand = bucketPairs(
-      sidePruned.select(col("id") +: blockCols.map(col): _*)
-        .where(blockCols.map(c => col(c).isNotNull).reduce(_ && _)),
-      blockCols)
+    val candByPass = passes.map {
+      case KeyBlocking(cs) =>
+        // null blocking keys match nothing; without the filter Spark's
+        // groupBy would treat NULL as a regular value and pool EVERY
+        // null-key record into one shared block — O(b²) pairs among
+        // records that share no key at all
+        bucketPairs(
+          sidePruned.select(col("id") +: cs.map(col): _*)
+            .where(cs.map(c => col(c).isNotNull).reduce(_ && _)),
+          cs)
+          .select(col("id_a"), col("id_b"))
+      case NeighborhoodBlocking(sortKey, w) =>
+        sortedNeighborhoodPairs(records.select(col(idCol), col(sortKey)),
+          idCol, sortKey, w)
+          .select(col("id_a"), col("id_b"))
+    }
+    val cand = candByPass.reduce(_ union _)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .distinct()
     def renamed(suffix: String) = sidePruned.select(
       col("id").as(s"id$suffix") +:
         (fz.map { case (_, i) => col(s"fz$i").as(s"fz$i$suffix") } ++

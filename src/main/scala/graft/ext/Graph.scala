@@ -36,18 +36,37 @@ object Graph {
     * Damping is the exact rational dampNum/dampDen (default 85/100).
     * Returns (node, rank_ppm) for every node that appears as a source or
     * a target; all nodes start at rank 1.0 (= 1e6 ppm).
+    *
+    * Depth shape: `edges`/`nodes`/`deg` are computed once, persisted
+    * (OpCaches lifecycle — released by the caller after its terminal
+    * action), and re-read by every iteration instead of re-deriving the
+    * whole prefix each pass; `ranks` lineage is truncated by an eager
+    * `localCheckpoint` every `checkpointEvery` iterations so a realistic
+    * 20-50 iteration run keeps a flat per-iteration plan instead of a
+    * superlinearly growing one. Checkpoint results are exact — lineage
+    * truncation cannot change integer arithmetic — so the gate oracle's
+    * bit-for-bit DuckDB replay is unaffected.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampNum: Long = 85L,
-               dampDen: Long = 100L): DataFrame = {
+               dampDen: Long = 100L, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    import org.apache.spark.storage.StorageLevel
+    val e = OpCaches.register(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = OpCaches.register(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = OpCaches.register(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val base = (dampDen - dampNum) * R / dampDen // exact Long floor
     var ranks = nodes.withColumn("rank_ppm", lit(R))
     var it = 0
@@ -65,6 +84,8 @@ object Graph {
           (lit(base) + floorDiv(lit(dampNum) * coalesce(col("s"), lit(0L)),
             lit(dampDen))).as("rank_ppm"))
       it += 1
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

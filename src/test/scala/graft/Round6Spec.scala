@@ -97,6 +97,103 @@ class Round6Spec extends SparkSpecBase {
     assert(Layout.compact(spark, src, s"$dir/out", 1L << 20) >= 1)
   }
 
+  // ---- PageRank at depth ----
+
+  test("pageRank: 30 iterations complete with truncated lineage and " +
+    "exact results (ring invariant holds at depth)") {
+    import graft.ext.Graph
+    // directed ring: every node keeps rank exactly 1.0 forever
+    val n = 50
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRank(ring, "src", "dst", iters = 30)
+    val vals = ranks.select("rank_ppm").distinct().as[Long].collect().toSeq
+    assert(vals == Seq(1000000L))
+    // lineage was truncated: the final plan does not chain 30 joins
+    // (a LogicalRDD from the localCheckpoint sits in the lineage)
+    val plan = ranks.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"),
+      s"expected checkpoint-truncated lineage:\n$plan")
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("pageRank: checkpointing cannot change ranks (3-iter gate depth, " +
+    "checkpointEvery 1 vs no checkpoint)") {
+    import graft.ext.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    def run(ce: Int) =
+      Graph.pageRank(edges, "src", "dst", iters = 3, checkpointEvery = ce)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    val a = run(1)
+    val b = run(100)
+    assert(a == b)
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  // ---- multi-pass record linkage ----
+
+  test("recordLinkageMultiPass: exact-key pass + sorted-neighborhood " +
+    "pass resolve an entity single-pass blocking misses") {
+    import graft.ext.Dedup
+    // 1/2 share an exact postcode block; 3/4 have typo'd postcodes
+    // (different blocks!) but adjacent names; 5 is unrelated
+    val recs = Seq(
+      (1L, "10115", "ada lovelace mathematician", "ada lovelace"),
+      (2L, "10115", "ada lovelace mathematician", "ada b lovelace"),
+      (3L, "94043", "grace hopper compiler pioneer", "grace hopper"),
+      (4L, "94O43", "grace hopper compiler pioneer", "grace hopperr"),
+      (5L, "70000", "unrelated zzz record entirely", "zzz unrelated")
+    ).toDF("rid", "postcode", "bio", "name")
+    val keyed = Dedup.recordLinkageMultiPass(recs, "rid",
+      Seq(Dedup.KeyBlocking(Seq("postcode"))),
+      fuzzyFields = Seq("bio" -> 1.0), exactFields = Nil, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(keyed == Set((1L, 2L))) // 3/4 missed: typo'd key
+    val multi = Dedup.recordLinkageMultiPass(recs, "rid",
+      Seq(Dedup.KeyBlocking(Seq("postcode")),
+        Dedup.NeighborhoodBlocking("name", windowSize = 1)),
+      fuzzyFields = Seq("bio" -> 1.0), exactFields = Nil, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi == Set((1L, 2L), (3L, 4L)))
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("recordLinkageMultiPass: overlapping passes dedupe candidates " +
+    "(each surviving pair appears once)") {
+    import graft.ext.Dedup
+    val recs = Seq(
+      (1L, "b", "alpha beta gamma"),
+      (2L, "b", "alpha beta gamma"))
+      .toDF("rid", "blk", "bio")
+    val out = Dedup.recordLinkageMultiPass(recs, "rid",
+      Seq(Dedup.KeyBlocking(Seq("blk")), Dedup.KeyBlocking(Seq("blk")),
+        Dedup.NeighborhoodBlocking("bio", windowSize = 3)),
+      fuzzyFields = Seq("bio" -> 1.0), exactFields = Nil, threshold = 0.5)
+      .collect()
+    assert(out.length == 1)
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("recordLinkage delegates to the single-pass form unchanged " +
+    "(wrapper equivalence)") {
+    import graft.ext.Dedup
+    val recs = Seq(
+      (1L, "b1", "alpha beta gamma"),
+      (2L, "b1", "alpha beta delta"),
+      (3L, "b2", "epsilon zeta eta"))
+      .toDF("rid", "blk", "bio")
+    val viaWrapper = Dedup.recordLinkage(recs, "rid", Seq("blk"),
+      Seq("bio" -> 1.0), Nil, threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val viaMulti = Dedup.recordLinkageMultiPass(recs, "rid",
+      Seq(Dedup.KeyBlocking(Seq("blk"))), Seq("bio" -> 1.0), Nil,
+      threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(viaWrapper == viaMulti && viaWrapper.nonEmpty)
+    graft.ext.OpCaches.releaseAll()
+  }
+
   // ---- bandedLevenshtein unbounded budget ----
 
   test("banded_levenshtein: maxDist = Int.MaxValue means unbounded " +
