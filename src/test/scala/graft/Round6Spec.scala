@@ -194,6 +194,61 @@ class Round6Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- statestore-reader IQ face ----
+
+  test("storeFromCheckpoint reads a checkpointed aggregation's state " +
+    "(stopped AND running query) and serves it over HTTP") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_iq_ss")
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(sum(col("v")).as("total"))
+      .writeStream.format("memory").queryName("iq_ss_mem")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("complete").start()
+    try {
+      ms.addData(("a", 1L), ("b", 2L), ("a", 3L))
+      q.processAllAvailable()
+      // read the RUNNING query's committed state straight from the
+      // checkpoint — no sink cooperation
+      val live = graft.iq.InteractiveQueries
+        .storeFromCheckpoint(spark, s"$dir/ckpt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(live == Set(("a", 4L), ("b", 2L)))
+      ms.addData(("b", 10L))
+      q.processAllAvailable()
+      // later commits visible on a fresh read
+      val live2 = graft.iq.InteractiveQueries
+        .storeFromCheckpoint(spark, s"$dir/ckpt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(live2 == Set(("a", 4L), ("b", 12L)))
+      // batchId pins an earlier snapshot
+      val pinned = graft.iq.InteractiveQueries
+        .storeFromCheckpoint(spark, s"$dir/ckpt", batchId = Some(0L))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(pinned == Set(("a", 4L), ("b", 2L)))
+    } finally q.stop()
+    // stopped query: offline post-mortem read + HTTP serving through
+    // the existing store routes
+    graft.iq.InteractiveQueries.registerCheckpointStore(
+      spark, "iq_ss_view", s"$dir/ckpt")
+    val offline = spark.table("iq_ss_view")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(offline == Set(("a", 4L), ("b", 12L)))
+    val (server, port) = graft.iq.HttpStateServer.start(spark)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val body = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:$port/store/iq_ss_view/k/b")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      // value columns carry the operator's internal buffer names
+      // ("sum"), not the sink projection's aliases
+      assert(body.contains("\"sum\":12"), body)
+    } finally server.stop(0)
+  }
+
   // ---- bandedLevenshtein unbounded budget ----
 
   test("banded_levenshtein: maxDist = Int.MaxValue means unbounded " +
