@@ -75,6 +75,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "word_shingles" -> (es => WordShingles(es(0), intArg("word_shingles", es(1)))),
     "word_shingle_hashes" -> (es =>
       WordShingleHashes(es(0), intArg("word_shingle_hashes", es(1)))),
+    "word_ngram_hashes60" -> (es =>
+      WordNgramHashes60(es(0), intArg("word_ngram_hashes60", es(1)))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "minhash_lanes" -> (es => MinHashLanes(es(0), intArg("minhash_lanes", es(1)))),
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),

@@ -1166,4 +1166,63 @@ object Dedup {
     scored.select(col("id_a"), col("id_b"), round(score, 6).as("score"))
       .where(col("score") >= threshold)
   }
+
+  // ------------------------------------------------------------------ //
+  // Benchmark decontamination — the GPT-3 / Llama recipe: a training
+  // document that shares word n-grams with an evaluation benchmark is
+  // contaminated and must be reported / dropped before training, or the
+  // benchmark stops measuring generalization. Overlap is exact n-gram
+  // (default 13-gram) set intersection on the engine-portable md5-derived
+  // hash, so every face is DuckDB-oracle-checkable.
+  // ------------------------------------------------------------------ //
+
+  private def ngramSets(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, outId: String): DataFrame =
+    df.select(col(idCol).as(outId),
+        explode(graft.functions.VectorFunctions
+          .word_ngram_hashes60(col(textCol), n)).as("__g"))
+
+  /** Contamination report: (train_id, eval_id, n_shared) for every
+    * train × eval pair sharing at least one word n-gram, with the count
+    * of DISTINCT shared n-grams. Docs with fewer than `n` tokens have no
+    * n-grams and cannot be contaminated (the standard convention).
+    *
+    * Scale shape: benchmarks are small next to a 100 TB corpus, so the
+    * eval n-gram postings BROADCAST and the train side stays a narrow
+    * explode over the scan — no shuffle of training text, only the
+    * surviving (train_id, eval_id) hits shuffle into the count. The
+    * n-gram hash sets are distinct per doc ([[WordNgramHashes60]]), so
+    * `count(*)` per pair IS the distinct-shared-gram count.
+    */
+  def contaminationPairs(train: DataFrame, evalSet: DataFrame,
+                         textCol: String, idCol: String, n: Int = 13,
+                         broadcastEval: Boolean = true): DataFrame = {
+    val t = ngramSets(train, textCol, idCol, n, "train_id")
+    val e0 = ngramSets(evalSet, textCol, idCol, n, "eval_id")
+    val e = if (broadcastEval) broadcast(e0) else e0
+    t.join(e, Seq("__g"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
+  /** Drop every training document sharing more than `maxSharedNgrams`
+    * distinct word n-grams with ANY evaluation document (default 0: any
+    * overlap contaminates). Anti-join by train id — training text never
+    * shuffles; pair counting happens on (train_id, eval_id, gram-hash)
+    * rows only.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, textCol: String,
+                    idCol: String, n: Int = 13,
+                    maxSharedNgrams: Long = 0L,
+                    broadcastEval: Boolean = true): DataFrame = {
+    require(maxSharedNgrams >= 0L,
+      s"maxSharedNgrams must be >= 0, got $maxSharedNgrams")
+    val bad = contaminationPairs(train, evalSet, textCol, idCol, n,
+        broadcastEval)
+      .groupBy(col("train_id"))
+      .agg(max(col("n_shared")).as("__mx"))
+      .where(col("__mx") > maxSharedNgrams)
+      .select(col("train_id").as(idCol))
+    train.join(bad, Seq(idCol), "left_anti")
+  }
 }

@@ -815,4 +815,83 @@ object Pipeline {
       .withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
   }
+
+  // ------------------------------------------------------------------ //
+  // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every raw-corpus
+  // document by how target-like its hashed n-gram feature distribution
+  // is; downstream selection resamples/top-ks by the weight (compose
+  // with sampleExactWeighted / topK).
+  // ------------------------------------------------------------------ //
+
+  /** Per-occurrence hashed features of a text column: word unigrams and
+    * bigrams, portable-hashed into `buckets` (the DSIR hashed n-gram
+    * feature space). One narrow generate per form — repeats KEPT
+    * (importance weights are per-occurrence sums, unlike dedup's sets).
+    */
+  private def dsirFeatures(df: DataFrame, textCol: String, idCol: String,
+                           buckets: Int): DataFrame = {
+    val uni = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .where(col("t") =!= "")
+    val bi = df.select(col(idCol).as("id"),
+      explode(graft.functions.VectorFunctions.word_bigrams(col(textCol)))
+        .as("t"))
+    uni.union(bi)
+      .select(col("id"), pmod(portableHash60(col("t")), lit(buckets))
+        .cast("int").as("b"))
+  }
+
+  /** Importance weight of every `raw` document toward the `target`
+    * distribution: w(doc) = Σ over feature occurrences of
+    * log(p_target(bucket) / p_raw(bucket)), add-1 smoothed over the
+    * hashed unigram+bigram feature space. Returns
+    * (idCol, n_feats, weight_unats) with the weight in integer
+    * MICRO-NATS: each bucket's log-ratio quantizes once to
+    * round(ln·1e6) as a Long, so the per-doc sum is exact integer
+    * arithmetic — aggregation-order-independent and engine-replayable
+    * (the pageRank/waterfill determinism contract), with the only float
+    * op being one `ln` per BUCKET, not per occurrence. Raw docs with no
+    * tokens weigh 0 over 0 features.
+    *
+    * Scale shape: both corpus passes are narrow explodes into a
+    * partial-agg'd shuffle on ≤ `buckets` keys; the log-ratio table
+    * (≤ `buckets` rows) BROADCASTS into the scoring join; scoring is one
+    * groupBy(id) of (id, bucket-hash) rows — document text never
+    * shuffles. The target corpus is typically small (a quality seed
+    * set); nothing here assumes it fits anywhere but the bucket table.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    val spark = raw.sparkSession
+    def bucketCounts(df: DataFrame) =
+      dsirFeatures(df, textCol, idCol, buckets)
+        .groupBy(col("b")).agg(count(lit(1)).cast("long").as("c"))
+    val rawC = bucketCounts(raw)
+    val tgtC = bucketCounts(target)
+    val rawN = rawC.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
+    val tgtN = tgtC.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
+    val denomR = (rawN + buckets).toDouble
+    val denomT = (tgtN + buckets).toDouble
+    val lr = spark.range(buckets).select(col("id").cast("int").as("b"))
+      .join(rawC.withColumnRenamed("c", "cr"), Seq("b"), "left")
+      .join(tgtC.withColumnRenamed("c", "ct"), Seq("b"), "left")
+      .select(col("b"),
+        round(log(((coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
+            / denomT)
+          / ((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) / denomR))
+          * 1e6).cast("long").as("lr_unats"))
+    val scored = dsirFeatures(raw, textCol, idCol, buckets)
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+           sum(col("lr_unats")).cast("long").as("weight_unats"))
+    raw.select(col(idCol).as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_unats"), lit(0L)).as("weight_unats"))
+  }
 }

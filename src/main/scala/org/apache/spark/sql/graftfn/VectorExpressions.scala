@@ -472,6 +472,43 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** Engine-PORTABLE word n-gram hash SET: tokenize on spaces, hash each
+    * k-window with [[PortableHash.h60]] (DuckDB: `CAST('0x' ||
+    * substr(md5(gram), 1, 15) AS BIGINT)`), return distinct hashes sorted
+    * ascending. Texts with fewer than k tokens yield an EMPTY array — a
+    * document too short to contain an n-gram has none (the
+    * decontamination convention; [[wordShingleHashes]]' whole-text
+    * fallback serves Jaccard, where an empty set would break the
+    * similarity denominator).
+    */
+  def wordNgramHashes60(input: UTF8String, k: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val b = sb.toString.getBytes("UTF-8")
+      hs(i) = PortableHash.h60(b, 0, b.length)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var n = 0
+    i = 0
+    while (i < hs.length) {
+      if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+  }
+
   /** Ordered word-bigram STRINGS, repeats kept (see [[WordBigrams]]) —
     * the LM-fit form, where the model must be keyed by readable words
     * (the hash form [[wordBigramHashes]] serves the statistics ops).
@@ -827,6 +864,30 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * exactly the representation [[SortedJaccard]] wants, so the dedup verify
   * path never materializes shingle strings at all.
   */
+/** Engine-portable word n-gram hash SET in one pass (see
+  * [[Kernels.wordNgramHashes60]]) — the decontamination / cross-corpus
+  * overlap primitive, oracle-checkable because the hash is md5-derived.
+  */
+case class WordNgramHashes60(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"word_ngram_hashes60 needs k >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes60"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordNgramHashes60(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = " +
+        s"org.apache.spark.sql.graftfn.Kernels.wordNgramHashes60($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordShingleHashes(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(k >= 1, s"word_shingle_hashes needs k >= 1, got $k")
@@ -1363,6 +1424,12 @@ object VectorFunctions {
   /** Sorted distinct xxhash64 word-shingle set (see [[WordShingleHashes]]). */
   def word_shingle_hashes(text: Column, k: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(text), k))
+
+  /** Sorted distinct PORTABLE (md5-derived) word n-gram hash set; empty
+    * below k tokens (see [[WordNgramHashes60]]).
+    */
+  def word_ngram_hashes60(text: Column, k: Int): Column =
+    ExpressionUtils.column(WordNgramHashes60(ExpressionUtils.expression(text), k))
 
   /** Whole minhash signature in one pass (see [[MinHashLanes]]). */
   def minhash_lanes(hashes: Column, lanes: Int): Column =

@@ -194,6 +194,111 @@ class Round6Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  // ---- benchmark decontamination ----
+
+  test("word_ngram_hashes60: distinct sorted portable hashes; empty " +
+    "below k; equals the md5 form of each gram") {
+    import graft.functions.VectorFunctions.word_ngram_hashes60
+    val got = Seq("a b c d", "x y", "a b c a b c")
+      .toDF("t")
+      .select(word_ngram_hashes60(col("t"), 3).as("g"))
+      .as[Seq[Long]].collect().toSeq
+    // reference: portableHash60 of each space-joined 3-gram
+    def ref(s: String): Seq[Long] = {
+      val toks = s.split(" ")
+      if (toks.length < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        .map(g => Seq(g).toDF("x")
+          .select(graft.ext.Pipeline.portableHash60(col("x")))
+          .as[Long].head()).sorted
+    }
+    assert(got(0) == ref("a b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == ref("a b c a b c")) // distinct: repeats collapse
+  }
+
+  test("decontaminate: overlap drops, short docs immune, threshold " +
+    "honored, report counts distinct shared grams") {
+    import graft.ext.Dedup
+    val train = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"), // shares 13.. no: n=4 here
+      (2L, "completely unrelated training content nothing shared here"),
+      (3L, "too short"), // < n tokens: no grams, immune
+      (4L, "the quick brown fox appears once more today")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "watch the quick brown fox jumps over everything")
+    ).toDF("doc_id", "text")
+    val report = Dedup.contaminationPairs(train, evalSet, "text", "doc_id",
+        n = 4).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+    // doc 1 shares "the quick brown fox", "quick brown fox jumps" and
+    // "brown fox jumps over"; doc 4 shares only "the quick brown fox"
+    assert(report == Set((1L, 100L, 3L), (4L, 100L, 1L)))
+    val strict = Dedup.decontaminate(train, evalSet, "text", "doc_id",
+        n = 4).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(strict == Seq(2L, 3L))
+    // threshold: tolerate a single shared gram
+    val loose = Dedup.decontaminate(train, evalSet, "text", "doc_id",
+        n = 4, maxSharedNgrams = 1L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(loose == Seq(2L, 3L, 4L))
+  }
+
+  test("decontaminate: plan broadcasts the eval side; training text " +
+    "never shuffles into the pair join") {
+    import graft.ext.Dedup
+    val train = (1 to 50).map(i => (i.toLong, s"alpha beta gamma delta v$i"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((0L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.contaminationPairs(train, evalSet, "text", "doc_id",
+      n = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast pair join:\n$plan")
+  }
+
+  // ---- DSIR importance weights ----
+
+  test("dsirWeights: target-like docs outweigh off-target docs; " +
+    "empty docs weigh 0 over 0 features") {
+    import graft.ext.Pipeline
+    val raw = Seq(
+      (1L, "science research method experiment data"),
+      (2L, "science research method experiment analysis"),
+      (3L, "celebrity gossip fashion drama scandal"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "science research method experiment study"),
+      (11L, "research method data experiment science")
+    ).toDF("doc_id", "text")
+    val w = Pipeline.dsirWeights(raw, target, "text", "doc_id",
+        buckets = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(w(4L) == (0L, 0L))
+    assert(w(1L)._2 > w(3L)._2 && w(2L)._2 > w(3L)._2,
+      s"target-like docs must outweigh off-target: $w")
+    assert(w(3L)._2 < 0, s"off-target doc should score negative: $w")
+  }
+
+  test("dsirWeights: partition count cannot change the weights " +
+    "(integer micro-nat sum contract)") {
+    import graft.ext.Pipeline
+    val raw = (1 to 40).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} common words here"))
+      .toDF("doc_id", "text")
+    val target = (1 to 10).map(i =>
+      (100L + i, s"tok${i % 3} common words here always"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Pipeline.dsirWeights(raw.repartition(parts), target, "text",
+        "doc_id", buckets = 512)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
   // ---- statestore-reader IQ face ----
 
   test("storeFromCheckpoint reads a checkpointed aggregation's state " +
