@@ -1167,6 +1167,41 @@ object Dedup {
       .where(col("score") >= threshold)
   }
 
+  /** Dedup audit report: the cluster-size histogram a corpus owner reads
+    * before committing to a dedup pass — how much is duplicated, in what
+    * shapes (a few mega-clusters vs a long tail of pairs), and how many
+    * documents canonicalization would remove. Singleton documents (in no
+    * near-dup cluster) appear as the `cluster_size = 1` row, so `n_docs`
+    * sums to the corpus size and the report is self-auditing.
+    *
+    * Per row: (cluster_size, n_clusters, n_docs, n_removable) where
+    * n_removable = (size−1)·clusters — the docs a keep-one-per-cluster
+    * canonicalization drops. Exact integer arithmetic; scale shape is
+    * [[clusters]]' min-label propagation plus two tiny aggregations
+    * (one row per distinct cluster SIZE at the end).
+    */
+  def dedupReport(corpus: DataFrame, pairs: DataFrame,
+                  idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sizes = clusters(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).cast("long").as("sz"))
+    val clustered = sizes.agg(coalesce(sum(col("sz")), lit(0L)))
+      .first().getLong(0)
+    val singletons = corpus.select(col(idCol)).distinct().count() - clustered
+    val hist = sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+    hist.unionByName(
+        Seq((1L, singletons)).toDF("cluster_size", "n_clusters")
+          .where(lit(singletons) > 0))
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).cast("long").as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
   // ------------------------------------------------------------------ //
   // Benchmark decontamination — the GPT-3 / Llama recipe: a training
   // document that shares word n-grams with an evaluation benchmark is

@@ -1140,4 +1140,35 @@ object Similarity {
     quantized(corpus, vecCol, idCol)
       .select(col("id").as(idCol), cellOf(col("q")).as("cell"))
   }
+
+  /** ANN index health report: per-cell population of an IVF/k-means
+    * assignment — the ops face a 100 TB index needs before every probe
+    * budget decision. A skewed cell list (one mega-cell) turns nprobe
+    * pruning into a full scan; this report is what triggers a re-fit or
+    * a cell split. One partial-agg shuffle on the cell id; empty cells
+    * appear explicitly (they waste probe budget silently otherwise).
+    *
+    * Per cell: `n` vectors, `share_ppm` of the corpus, and `load_x1000`
+    * (n·k/N scaled ×1000 — 1000 = perfectly balanced, 4000 = the cell
+    * carries 4× its fair share). Integer floor arithmetic throughout —
+    * engine-exact.
+    */
+  def indexHealth(assign: DataFrame, k: Int,
+                  cellCol: String = "cell"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = assign.sparkSession
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val counts = assign.groupBy(col(cellCol).cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val total = greatest(lit(1L),
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+    spark.range(k).select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+      .select(col("cell"), col("n"),
+        floorDiv(col("n") * 1000000L, total).as("share_ppm"),
+        floorDiv(col("n") * k * 1000L, total).as("load_x1000"))
+  }
 }

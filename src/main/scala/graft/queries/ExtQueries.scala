@@ -714,6 +714,13 @@ object ExtQueries {
       Similarity.kmeansAssignQ(emb(s, d), qkmModel(s, d))
         .orderBy(col("vec_id"))
     },
+    "sim_index_health" -> { (s, d) =>
+      // per-cell population report over the trained model's assignment —
+      // the probe-budget ops face; exact integer share/load arithmetic
+      Similarity.indexHealth(
+          Similarity.kmeansAssignQ(emb(s, d), qkmModel(s, d)), k = 4)
+        .orderBy(col("cell"))
+    },
     "sim_kmeans_assign" -> { (s, d) =>
       // nearest-centroid assignment with DECLARED centroids (the first 4
       // corpus vectors) — deterministic and DuckDB-mirrorable, so the
@@ -907,6 +914,16 @@ object ExtQueries {
         .agg(count(lit(1)).cast("long").as("n"),
              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
+    },
+    "dedup_report" -> { (s, d) =>
+      // the pre-dedup audit: cluster-size histogram over the exact
+      // near-dup clusters, singletons accounted (n_docs sums to corpus)
+      val dd = docs(s, d)
+      Dedup.dedupReport(dd,
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id")
+            .select(col("id_a"), col("id_b")),
+          "doc_id")
+        .orderBy(col("cluster_size"))
     },
     "dedup_clusters" -> { (s, d) =>
       // near-dup clustering: connected components over the exact-verified
@@ -1755,6 +1772,38 @@ object ExtQueries {
        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
               max(id) AS max_id
        FROM lab GROUP BY cluster_id ORDER BY cluster_id"""
+
+  /** Cluster-size histogram with singleton accounting (the dedupReport
+    * oracle): sizes from the recursive components, plus one synthetic
+    * size-1 row for unclustered docs.
+    */
+  private def jaccardReportSql(k: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(k, threshold)},
+       e AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+       reach AS (SELECT src, dst FROM e
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src),
+       s AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+             FROM lab GROUP BY cluster_id),
+       h AS (SELECT sz AS cluster_size, CAST(count(*) AS BIGINT)
+               AS n_clusters
+             FROM s GROUP BY sz
+             UNION ALL
+             SELECT CAST(1 AS BIGINT),
+               CAST((SELECT count(*) FROM documents)
+                    - (SELECT count(*) FROM lab) AS BIGINT)
+             WHERE (SELECT count(*) FROM documents)
+                   > (SELECT count(*) FROM lab)),
+       g AS (SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT)
+               AS n_clusters
+             FROM h GROUP BY cluster_size)
+       SELECT cluster_size, n_clusters,
+         CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+         CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable
+       FROM g ORDER BY cluster_size"""
 
   /** Canonicalization over the clusters: keep the longest doc (ties →
     * smallest id) per cluster; docs outside any cluster all survive.
@@ -2664,6 +2713,7 @@ object ExtQueries {
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
     "dedup_clusters" -> jaccardClustersSql(k = 3, threshold = 0.8),
+    "dedup_report" -> jaccardReportSql(k = 3, threshold = 0.8),
     "dedup_corpus" -> jaccardCanonicalSql(k = 3, threshold = 0.8),
     "dedup_incremental" ->
       """WITH inc AS (SELECT doc_id, text, n_chars FROM documents
@@ -2845,6 +2895,19 @@ object ExtQueries {
     "sim_kmeans_train_assign" -> qkmeansSql(4, 4,
       """SELECT id AS vec_id, CAST(cell AS INT) AS cell
          FROM b4 ORDER BY vec_id"""),
+    "sim_index_health" -> qkmeansSql(4, 4,
+      """SELECT CAST(cells.cell AS INT) AS cell,
+           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+           CAST((coalesce(cnt.n, 0) * 1000000)
+                // greatest(1, (SELECT count(*) FROM b4)) AS BIGINT)
+             AS share_ppm,
+           CAST((coalesce(cnt.n, 0) * 4 * 1000)
+                // greatest(1, (SELECT count(*) FROM b4)) AS BIGINT)
+             AS load_x1000
+         FROM (SELECT unnest(range(4)) AS cell) cells
+         LEFT JOIN (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                    FROM b4 GROUP BY cell) cnt ON cnt.cell = cells.cell
+         ORDER BY cell"""),
     "sim_kmeans_assign" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                     FROM embeddings WHERE vec_id < 4),

@@ -258,6 +258,51 @@ class Round6Spec extends SparkSpecBase {
       s"expected broadcast pair join:\n$plan")
   }
 
+  // ---- dedup audit report ----
+
+  test("dedupReport: histogram + singleton row; n_docs sums to corpus; " +
+    "n_removable matches canonicalization") {
+    import graft.ext.Dedup
+    // clusters {1,2,3} and {4,5}; 6,7 singletons
+    val corpus = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val rep = Dedup.dedupReport(corpus, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rep == Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 2L)))
+    assert(rep.map(_._3).sum == 7L) // self-auditing: n_docs = corpus
+  }
+
+  test("dedupReport: fully-unique corpus is one singleton row") {
+    import graft.ext.Dedup
+    val corpus = (1L to 4L).map(i => (i, s"u$i")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val rep = Dedup.dedupReport(corpus, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rep == Seq((1L, 4L, 4L, 0L)))
+  }
+
+  // ---- ANN index health ----
+
+  test("indexHealth: empty cells explicit, skewed load flagged, exact " +
+    "integer shares") {
+    import graft.ext.Similarity
+    // 8 vectors: 6 in cell 0, 2 in cell 2, cells 1 and 3 empty
+    val assign = Seq(0, 0, 0, 0, 0, 0, 2, 2).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "cell")
+    val h = Similarity.indexHealth(assign, k = 4)
+      .orderBy("cell")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(h == Seq(
+      (0, 6L, 750000L, 3000L), // 6/8 corpus, 3x fair share
+      (1, 0L, 0L, 0L),
+      (2, 2L, 250000L, 1000L), // exactly balanced
+      (3, 0L, 0L, 0L)))
+  }
+
   // ---- DSIR importance weights ----
 
   test("dsirWeights: target-like docs outweigh off-target docs; " +
