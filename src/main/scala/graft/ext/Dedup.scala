@@ -1240,6 +1240,35 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
   }
 
+  /** STREAMING/stateless contamination flag: tag each document with
+    * `is_contaminated` — whether any of its word n-grams might appear in
+    * the eval set — via a driver-built Bloom filter over the eval
+    * n-grams (the [[incrementalExactBloom]] shape). Pure narrow map
+    * after the one-time Bloom build, so it applies unchanged to a
+    * STREAMING DataFrame (no state, no shuffle, no join) — the
+    * continuous-ingest face of [[decontaminate]].
+    *
+    * Bloom false positives over-flag at rate `fpp` (never under-flag:
+    * contamination recall is exactly 1); batch pipelines that cannot
+    * tolerate over-dropping re-check flagged docs with the exact
+    * [[contaminationPairs]] join — flagged docs are few, so the exact
+    * pass runs on a sliver of the corpus.
+    */
+  def contaminationFlag(docs: DataFrame, evalSet: DataFrame,
+                        textCol: String, idCol: String, n: Int = 13,
+                        fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = ngramSets(evalSet, textCol, idCol, n, "eval_id")
+      .select(col("__g"))
+    val sized = math.max(1000L, grams.count())
+    val bloom = grams.stat.bloomFilter(col("__g"), sized, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val hit = udf((gs: Seq[Long]) => gs.exists(bc.value.mightContainLong))
+    docs.withColumn("is_contaminated",
+      hit(graft.functions.VectorFunctions
+        .word_ngram_hashes60(col(textCol), n)))
+  }
+
   /** Drop every training document sharing more than `maxSharedNgrams`
     * distinct word n-grams with ANY evaluation document (default 0: any
     * overlap contaminates). Anti-join by train id — training text never

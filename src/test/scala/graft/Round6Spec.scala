@@ -258,6 +258,49 @@ class Round6Spec extends SparkSpecBase {
       s"expected broadcast pair join:\n$plan")
   }
 
+  // ---- streaming contamination flag ----
+
+  test("contaminationFlag: flags every exactly-contaminated doc " +
+    "(recall 1) and works unchanged on a streaming frame") {
+    import graft.ext.Dedup
+    val train = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "completely unrelated training content nothing shared here"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "watch the quick brown fox jumps over everything")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminationFlag(train, evalSet, "text",
+        "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flagged(1L)) // shares 4-grams
+    assert(!flagged(3L)) // < n tokens: no grams, never contaminated
+    // recall 1 vs the exact join (Bloom can only over-flag)
+    val exact = Dedup.contaminationPairs(train, evalSet, "text",
+      "doc_id", n = 4).select("train_id").as[Long].collect().toSet
+    exact.foreach(id => assert(flagged(id), s"exactly-contaminated $id " +
+      "must be flagged"))
+    // the same operator on a STREAM (stateless narrow map: no state,
+    // no shuffle, no join)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.contaminationFlag(ms.toDF().toDF("doc_id", "text"),
+        evalSet, "text", "doc_id", n = 4)
+      .writeStream.format("memory").queryName("contam_stream").start()
+    try {
+      ms.addData((1L, "the quick brown fox jumps over lazy dogs"),
+        (2L, "completely unrelated training content nothing shared here"))
+      q.processAllAvailable()
+      val got = spark.table("contam_stream")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got(1L) && !got(2L))
+      val prog = q.lastProgress
+      assert(prog.stateOperators.isEmpty, "flag must be stateless")
+    } finally q.stop()
+  }
+
   // ---- dedup audit report ----
 
   test("dedupReport: histogram + singleton row; n_docs sums to corpus; " +
