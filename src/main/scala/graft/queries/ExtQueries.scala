@@ -1487,9 +1487,11 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     },
 
-    "ds_decontaminate" -> { (s, d) =>
-      // eval-leakage scan: docs sharing ≥2 distinct 5-gram shingles with
-      // the "benchmark" slice (doc_id < 10); the eval docs flag themselves
+    "ds_contamination_doc" -> { (s, d) =>
+      // eval-leakage scan, per-doc-vs-UNION face (Pipeline.contamination):
+      // docs sharing >=2 distinct 5-gram shingles with the "benchmark"
+      // slice (doc_id < 10); the eval docs flag themselves. Complements
+      // ds_contamination_report's per-(train, eval)-PAIR face
       val dd = docs(s, d)
       Pipeline.contamination(dd, dd.where(col("doc_id") < 10),
           "text", "doc_id", k = 5, minShared = 2)
@@ -2675,7 +2677,7 @@ object ExtQueries {
            CASE WHEN b < 800000 THEN 'train'
                 WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
-    "ds_decontaminate" -> {
+    "ds_contamination_doc" -> {
       val k = 5
       val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id,
