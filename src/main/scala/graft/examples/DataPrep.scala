@@ -175,9 +175,21 @@ object DataPrep {
         .select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
     val pairs = Dedup.minhashPairs(exactSurvivors, "text", "doc_id")
+    // 4.1 the pre-dedup audit a corpus owner signs off on: how much is
+    //     duplicated and in what shapes (n_docs sums back to the corpus)
+    val report = Dedup.dedupReport(exactSurvivors, pairs, "doc_id")
+      .collect().map(r => s"${r.getLong(0)}x${r.getLong(1)}").mkString(" ")
+    println(s"dedup report (size x clusters): $report")
+    // checkpoint: everything downstream branches from here. localCheckpoint
+    // (not persist) — persist caches DATA but Catalyst still re-analyzes
+    // the full logical lineage per downstream reference, and a ~15-stage
+    // pipeline referencing this frame many times sends DeduplicateRelations
+    // into minutes of driver-side plan walking. Truncating the plan to a
+    // LogicalRDD here keeps every later stage's analysis O(its own size) —
+    // the same reason pageRank checkpoints its iteration frames.
     val deduped = Dedup.canonicalize(exactSurvivors, pairs, "doc_id",
       prefer = Seq(length(col("text")).desc))
-      .persist() // checkpoint: everything downstream branches from here
+      .localCheckpoint(true)
     println(s"after dedup: ${deduped.count()}")
     kept.unpersist()
 
@@ -188,9 +200,21 @@ object DataPrep {
       deduped, eval, "text", "doc_id", k = 5, minShared = 2)
       .where(col("doc_id") >= 10) // the eval slice flags itself; keep it out
       .select("doc_id")
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean0 = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .where(col("doc_id") >= 10)
-    println(s"after decontamination: ${clean.count()}")
+    println(s"after decontamination: ${clean0.count()}")
+
+    // 5.1 the one-call exact filter over PORTABLE n-gram hashes (the
+    //     GPT-3/Llama recipe; production n = 13, n = 4 at fixture
+    //     scale), plus the stateless Bloom flag — the SAME operator a
+    //     streaming ingest applies per micro-batch (recall exactly 1,
+    //     Bloom only ever over-flags)
+    val clean = Dedup.decontaminate(clean0, eval, "text", "doc_id", n = 4)
+      .localCheckpoint(true) // plan barrier — see the dedup checkpoint note
+    val flagged = Dedup.contaminationFlag(clean0, eval, "text", "doc_id",
+        n = 4).where(col("is_contaminated")).count()
+    println(s"after n-gram hash decontamination: ${clean.count()} " +
+      s"(bloom pre-flagged $flagged)")
 
     // 5.2 decontamination-by-RETRIEVAL: shingle overlap (5.) catches
     //     verbatim leakage; BM25 retrieval over the corpus inverted
@@ -225,6 +249,17 @@ object DataPrep {
           Seq("data" -> 0.5, "query" -> 0.25, "slow" -> -0.5), bias = 0.125))
       .where(col("clf_score") > -0.25)
     println(s"after classifier gate: ${gated.count()}")
+
+    // 5.7 DSIR importance weights toward a target slice ('en' stands in
+    //     for the quality seed corpus): hashed n-gram log-ratios in
+    //     exact integer micro-nats; a selection pass feeds these into
+    //     the weighted draw below (top-k or A-ES resampling)
+    val dsir = Pipeline.dsirWeights(gated,
+      gated.where(col("lang") === "en"), "text", "doc_id", buckets = 2048)
+    val dsirRange = dsir.agg(min(col("weight_unats")),
+      max(col("weight_unats"))).first()
+    println(s"dsir weights [micro-nats]: ${dsirRange.getLong(0)} .. " +
+      s"${dsirRange.getLong(1)}")
 
     // 6. quality-weighted subsample (longer docs more likely kept — stand-in
     //    for a model quality score), then leakage-safe split (near-dup

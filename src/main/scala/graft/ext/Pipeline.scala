@@ -871,17 +871,23 @@ object Pipeline {
         .groupBy(col("b")).agg(count(lit(1)).cast("long").as("c"))
     val rawC = bucketCounts(raw)
     val tgtC = bucketCounts(target)
-    val rawN = rawC.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
-    val tgtN = tgtC.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
-    val denomR = (rawN + buckets).toDouble
-    val denomT = (tgtN + buckets).toDouble
+    // totals ride the plan as broadcast one-row frames — no driver
+    // action, so a caller embedding this in a longer lineage does not
+    // re-execute the upstream pipeline for two scalars
+    val rawN = rawC.agg((coalesce(sum(col("c")), lit(0L)) + buckets)
+      .cast("double").as("__dr"))
+    val tgtN = tgtC.agg((coalesce(sum(col("c")), lit(0L)) + buckets)
+      .cast("double").as("__dt"))
     val lr = spark.range(buckets).select(col("id").cast("int").as("b"))
       .join(rawC.withColumnRenamed("c", "cr"), Seq("b"), "left")
       .join(tgtC.withColumnRenamed("c", "ct"), Seq("b"), "left")
+      .crossJoin(broadcast(rawN))
+      .crossJoin(broadcast(tgtN))
       .select(col("b"),
         round(log(((coalesce(col("ct"), lit(0L)).cast("double") + 1.0)
-            / denomT)
-          / ((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) / denomR))
+            / col("__dt"))
+          / ((coalesce(col("cr"), lit(0L)).cast("double") + 1.0)
+            / col("__dr")))
           * 1e6).cast("long").as("lr_unats"))
     val scored = dsirFeatures(raw, textCol, idCol, buckets)
       .join(broadcast(lr), Seq("b"))

@@ -1324,6 +1324,26 @@ object ExtQueries {
           exactFields = Seq("grp" -> 0.25), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_record_linkage_multi" -> { (s, d) =>
+      // multi-pass blocking: the exact-key pass plus a sorted-
+      // neighborhood pass over the name order; candidates union and
+      // dedupe, then score once — same fixture and weights as
+      // ds_record_linkage, so the single-pass rows must reappear
+      val dd = docs(s, d)
+      def side(rid: org.apache.spark.sql.Column,
+               name: org.apache.spark.sql.Column) = dd.select(rid.as("rid"),
+        name.as("name"), col("lang"), col("source"),
+        pmod(col("doc_id"), lit(7)).as("grp"))
+      val recs = side(col("doc_id"), col("text")).union(
+        side(col("doc_id") + 1000000,
+          concat(col("text"), lit(" zzvariant"))))
+      Dedup.recordLinkageMultiPass(recs, "rid",
+          Seq(Dedup.KeyBlocking(Seq("lang", "source")),
+            Dedup.NeighborhoodBlocking("name", windowSize = 2)),
+          fuzzyFields = Seq("name" -> 0.75),
+          exactFields = Seq("grp" -> 0.25), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "ds_temporal_split" -> { (s, d) =>
       // time-ordered split with a 1-day embargo after the cutoff
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -2450,6 +2470,41 @@ object ExtQueries {
          i AS (SELECT id_a, id_b, ga, gb, ta, tb,
                  len(list_filter(ta, x -> list_contains(tb, x))) AS inter
                FROM p),
+         sc AS (SELECT id_a, id_b,
+                 round(0.75 * (inter * 1.0
+                     / (len(ta) + len(tb) - inter)) +
+                   CASE WHEN ga = gb THEN 0.25 ELSE 0.0 END, 6) AS score
+               FROM i)
+         SELECT id_a, id_b, score FROM sc WHERE score >= 0.8
+         ORDER BY id_a, id_b""",
+    "ds_record_linkage_multi" ->
+      """WITH recs AS (
+           SELECT doc_id AS rid, text AS name, lang, source,
+                  doc_id % 7 AS grp FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' zzvariant', lang, source,
+                  doc_id % 7 FROM documents),
+         t AS (SELECT rid, name, lang, source, grp,
+                 list_distinct(list_filter(string_split(name, ' '),
+                   x -> x <> '')) AS toks
+               FROM recs),
+         rk AS (SELECT rid,
+                 row_number() OVER (ORDER BY name, rid) AS rk
+               FROM t),
+         cand AS (
+           SELECT a.rid AS id_a, b.rid AS id_b
+           FROM t a JOIN t b ON a.lang = b.lang
+             AND a.source = b.source AND a.rid < b.rid
+           UNION
+           SELECT least(r1.rid, r2.rid), greatest(r1.rid, r2.rid)
+           FROM rk r1 JOIN rk r2
+             ON r2.rk BETWEEN r1.rk + 1 AND r1.rk + 2),
+         i AS (SELECT c.id_a, c.id_b, a.grp AS ga, b.grp AS gb,
+                 a.toks AS ta, b.toks AS tb,
+                 len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+                   AS inter
+               FROM cand c JOIN t a ON a.rid = c.id_a
+                 JOIN t b ON b.rid = c.id_b),
          sc AS (SELECT id_a, id_b,
                  round(0.75 * (inter * 1.0
                      / (len(ta) + len(tb) - inter)) +
