@@ -862,7 +862,18 @@ object Pipeline {
     * set); nothing here assumes it fits anywhere but the bucket table.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
-                  idCol: String, buckets: Int = 8192): DataFrame = {
+                  idCol: String, buckets: Int = 8192): DataFrame =
+    dsirScore(raw, dsirFit(raw, target, textCol, idCol, buckets),
+      textCol, idCol, buckets)
+
+  /** FIT face of [[dsirWeights]]: the per-bucket log-ratio table
+    * (b, lr_unats) — ≤ `buckets` rows, the whole "model". Fit once over
+    * the raw/target corpora, persist to a table, then [[dsirScore]]
+    * every batch — or every STREAMING micro-batch — against it. Totals
+    * ride the plan as broadcast one-row frames (no driver action).
+    */
+  def dsirFit(raw: DataFrame, target: DataFrame, textCol: String,
+              idCol: String, buckets: Int = 8192): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 24),
       s"buckets must be in [2, 2^24], got $buckets")
     val spark = raw.sparkSession
@@ -871,14 +882,11 @@ object Pipeline {
         .groupBy(col("b")).agg(count(lit(1)).cast("long").as("c"))
     val rawC = bucketCounts(raw)
     val tgtC = bucketCounts(target)
-    // totals ride the plan as broadcast one-row frames — no driver
-    // action, so a caller embedding this in a longer lineage does not
-    // re-execute the upstream pipeline for two scalars
     val rawN = rawC.agg((coalesce(sum(col("c")), lit(0L)) + buckets)
       .cast("double").as("__dr"))
     val tgtN = tgtC.agg((coalesce(sum(col("c")), lit(0L)) + buckets)
       .cast("double").as("__dt"))
-    val lr = spark.range(buckets).select(col("id").cast("int").as("b"))
+    spark.range(buckets).select(col("id").cast("int").as("b"))
       .join(rawC.withColumnRenamed("c", "cr"), Seq("b"), "left")
       .join(tgtC.withColumnRenamed("c", "ct"), Seq("b"), "left")
       .crossJoin(broadcast(rawN))
@@ -889,12 +897,23 @@ object Pipeline {
           / ((coalesce(col("cr"), lit(0L)).cast("double") + 1.0)
             / col("__dr")))
           * 1e6).cast("long").as("lr_unats"))
-    val scored = dsirFeatures(raw, textCol, idCol, buckets)
-      .join(broadcast(lr), Seq("b"))
+  }
+
+  /** SCORE face of [[dsirWeights]]: weigh `docs` against a prefit
+    * [[dsirFit]] table. The lr table BROADCASTS and the doc side is one
+    * narrow explode + one groupBy(id). The model is fixed, so a
+    * continuous ingest scores each micro-batch with this same call
+    * inside `foreachBatch` (the per-doc aggregation is within-batch;
+    * no cross-batch state).
+    */
+  def dsirScore(docs: DataFrame, lrTable: DataFrame, textCol: String,
+                idCol: String, buckets: Int = 8192): DataFrame = {
+    val scored = dsirFeatures(docs, textCol, idCol, buckets)
+      .join(broadcast(lrTable), Seq("b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_feats"),
            sum(col("lr_unats")).cast("long").as("weight_unats"))
-    raw.select(col(idCol).as("id")).distinct()
+    docs.select(col(idCol).as("id")).distinct()
       .join(scored, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -371,6 +371,29 @@ class Round6Spec extends SparkSpecBase {
     assert(w(3L)._2 < 0, s"off-target doc should score negative: $w")
   }
 
+  test("dsirFit + dsirScore (prefit table) ≡ the one-call dsirWeights, " +
+    "including scoring a corpus the fit never saw") {
+    import graft.ext.Pipeline
+    val raw = (1 to 30).map(i => (i.toLong, s"alpha tok${i % 4} beta"))
+      .toDF("doc_id", "text")
+    val target = (1 to 8).map(i => (50L + i, s"alpha tok1 gamma"))
+      .toDF("doc_id", "text")
+    val oneCall = Pipeline.dsirWeights(raw, target, "text", "doc_id",
+      buckets = 256).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val lr = Pipeline.dsirFit(raw, target, "text", "doc_id", buckets = 256)
+      .localCheckpoint(true) // the persisted-model shape
+    val split = Pipeline.dsirScore(raw, lr, "text", "doc_id",
+      buckets = 256).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(oneCall == split)
+    // unseen docs score under the same fixed model (the foreachBatch
+    // micro-batch shape)
+    val unseen = Seq((99L, "alpha tok1 beta"), (100L, ""))
+      .toDF("doc_id", "text")
+    val got = Pipeline.dsirScore(unseen, lr, "text", "doc_id",
+      buckets = 256).orderBy("doc_id").collect()
+    assert(got.length == 2 && got(1).getLong(2) == 0L)
+  }
+
   test("dsirWeights: partition count cannot change the weights " +
     "(integer micro-nat sum contract)") {
     import graft.ext.Pipeline
