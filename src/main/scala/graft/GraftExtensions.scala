@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordShingleHashes(es(0), intArg("word_shingle_hashes", es(1)))),
     "word_ngram_hashes60" -> (es =>
       WordNgramHashes60(es(0), intArg("word_ngram_hashes60", es(1)))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
     "minhash_lanes" -> (es => MinHashLanes(es(0), intArg("minhash_lanes", es(1)))),
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),

@@ -1564,6 +1564,21 @@ object ExtQueries {
             a + pow(round(x * col("n_bytes")), 2).cast("long")).as("sum_sq"))
         .orderBy(col("media_id"))
     },
+    "text_nfc_normalize" -> { (s, d) =>
+      // unicode canonical composition over a crafted decomposed suffix
+      // (combining acute + diaeresis) — the dedup-key normalization;
+      // DuckDB nfc_normalize is the exact mirror
+      // decomposed on purpose (e + combining acute, u + combining
+      // diaeresis — the same bytes the oracle builds with chr(769)/
+      // chr(776)); NFC must compose them
+      val crafted = concat(col("text"),
+        lit(" cafee\u0301 nat u\u0308rlich"))
+      docs(s, d).select(col("doc_id"),
+          graft.functions.VectorFunctions.nfc_normalize(crafted).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          length(col("norm")).cast("long").as("n_chars_nfc"))
+        .orderBy(col("doc_id"))
+    },
     "text_url_parse" -> { (s, d) =>
       // URL fixture derived deterministically from the documents table
       // (the text_html_extract wrap-in-noise pattern): mixed-case scheme
@@ -3094,6 +3109,13 @@ object ExtQueries {
          CAST((doc_id * 13) % 256 AS INT) AS g0,
          CAST((doc_id * 29) % 256 AS INT) AS b0
          FROM documents ORDER BY media_id""",
+    "text_nfc_normalize" ->
+      """WITH n AS (SELECT doc_id,
+           nfc_normalize(text || ' cafee' || chr(769) || ' nat u'
+             || chr(776) || 'rlich') AS norm
+         FROM documents)
+         SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
+         FROM n ORDER BY doc_id""",
     "text_url_parse" ->
       """WITH u AS (SELECT doc_id,
            'HTTPS://WWW.Docs.' || source || '.Com:443/' || lang || '/doc/'

@@ -509,6 +509,22 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** Unicode NFC normalization (canonical composition) — the dedup-key
+    * and URL/text-canonicalization prerequisite: visually-identical
+    * strings with decomposed combining marks ("e" + U+0301 vs "é") hash
+    * to different dedup keys unless composed first. DuckDB mirrors this
+    * exactly with `nfc_normalize`, so NFC-keyed operators stay
+    * oracle-checkable. Skips the (common) already-normalized fast path
+    * without allocating.
+    */
+  def nfcNormalize(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Ordered word-bigram STRINGS, repeats kept (see [[WordBigrams]]) —
     * the LM-fit form, where the model must be keyed by readable words
     * (the hash form [[wordBigramHashes]] serves the statistics ops).
@@ -864,6 +880,26 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * exactly the representation [[SortedJaccard]] wants, so the dedup verify
   * path never materializes shingle strings at all.
   */
+/** Unicode NFC canonical composition (see [[Kernels.nfcNormalize]]);
+  * DuckDB-exact via `nfc_normalize`. SQL face `nfc_normalize(s)`.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.nfcNormalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Engine-portable word n-gram hash SET in one pass (see
   * [[Kernels.wordNgramHashes60]]) — the decontamination / cross-corpus
   * overlap primitive, oracle-checkable because the hash is md5-derived.
@@ -1430,6 +1466,10 @@ object VectorFunctions {
     */
   def word_ngram_hashes60(text: Column, k: Int): Column =
     ExpressionUtils.column(WordNgramHashes60(ExpressionUtils.expression(text), k))
+
+  /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
+  def nfc_normalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
   /** Whole minhash signature in one pass (see [[MinHashLanes]]). */
   def minhash_lanes(hashes: Column, lanes: Int): Column =
