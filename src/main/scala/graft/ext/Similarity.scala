@@ -1141,6 +1141,57 @@ object Similarity {
       .select(col("id").as(idCol), cellOf(col("q")).as("cell"))
   }
 
+  /** L2-normalize a vector column (unit sphere — cosine becomes dot).
+    * Pure Column arithmetic over HOF-free codegen'd dot products; zero
+    * vectors pass through unchanged (no division by 0).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val vd = vec.cast("array<double>")
+    val n = sqrt(graft.functions.VectorFunctions.dot_product(vd, vd))
+    when(n === 0.0, vd).otherwise(transform(vd, x => x / n))
+  }
+
+  /** Matryoshka truncation: keep the first `dims` coordinates and
+    * re-normalize — the MRL serving trade (a 64-dim embedding truncated
+    * to 16 dims is 4× cheaper to scan and ~keeps ranking when the model
+    * was Matryoshka-trained). A narrow map; compose with any ANN face
+    * for a cheap first-stage shortlist re-ranked on full vectors (the
+    * SQ/PQ two-stage shape at the REPRESENTATION level).
+    */
+  def matryoshka(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    l2Normalize(slice(vec.cast("array<double>"), 1, dims))
+  }
+
+  /** Incremental IVF index maintenance: assign a NEW batch of vectors
+    * under the EXISTING quantizer and append — the steady-state shape of
+    * a continuously-ingesting 100 TB index (daily crawl increments never
+    * re-encode the corpus). Assignment is the same narrow map as
+    * [[ivfIndex]]; the union is metadata-only. Result ≡ rebuilding the
+    * index over the concatenated corpus with the same model
+    * (spec-checked), because cell assignment is per-vector.
+    *
+    * The drift caveat is real and deliberate: appends shift the data
+    * distribution away from the frozen centroids. Watch
+    * [[indexHealth]]'s `load_x1000` after appends and re-fit when a cell
+    * runs hot ([[ivfNeedsRefit]] is that policy as a predicate).
+    */
+  def ivfAppend(index: DataFrame, newVecs: DataFrame, model: IvfModel,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame =
+    index.unionByName(ivfIndex(newVecs, model, vecCol, idCol))
+
+  /** Refit policy predicate: true when any cell of `index` carries more
+    * than `maxLoadX1000`/1000 × its fair share (default 4×) under the
+    * model's cell count — the signal that appended data has drifted from
+    * the frozen centroids and probe pruning is degrading toward a full
+    * scan. One tiny aggregation (≤ k rows collect).
+    */
+  def ivfNeedsRefit(index: DataFrame, model: IvfModel,
+                    maxLoadX1000: Long = 4000L): Boolean =
+    indexHealth(index.select(col("cell")), model.centers.length)
+      .agg(max(col("load_x1000"))).first().getLong(0) > maxLoadX1000
+
   /** ANN index health report: per-cell population of an IVF/k-means
     * assignment — the ops face a 100 TB index needs before every probe
     * budget decision. A skewed cell list (one mega-cell) turns nprobe

@@ -714,6 +714,13 @@ object ExtQueries {
       Similarity.kmeansAssignQ(emb(s, d), qkmModel(s, d))
         .orderBy(col("vec_id"))
     },
+    "sim_matryoshka" -> { (s, d) =>
+      // MRL truncate-renorm: first 8 dims, unit-normalized (narrow map)
+      val m = Similarity.matryoshka(col("embedding"), dims = 8)
+      emb(s, d).select(col("vec_id") +: (0 until 8).map(i =>
+          round(element_at(m, i + 1), 6).as(s"m$i")): _*)
+        .orderBy(col("vec_id"))
+    },
     "sim_index_health" -> { (s, d) =>
       // per-cell population report over the trained model's assignment —
       // the probe-budget ops face; exact integer share/load arithmetic
@@ -2967,6 +2974,18 @@ object ExtQueries {
     "sim_kmeans_train_assign" -> qkmeansSql(4, 4,
       """SELECT id AS vec_id, CAST(cell AS INT) AS cell
          FROM b4 ORDER BY vec_id"""),
+    "sim_matryoshka" -> {
+      val cols = (0 until 8).map(i =>
+        s"round(CASE WHEN nm = 0 THEN s[${i + 1}] ELSE s[${i + 1}] / nm END, 6) AS m$i")
+        .mkString(",\n           ")
+      s"""WITH v AS (SELECT vec_id,
+             CAST(embedding AS DOUBLE[])[1:8] AS s FROM embeddings),
+         n AS (SELECT vec_id, s,
+             sqrt(list_sum(list_transform(s, x -> x * x))) AS nm FROM v)
+         SELECT vec_id,
+           $cols
+         FROM n ORDER BY vec_id"""
+    },
     "sim_index_health" -> qkmeansSql(4, 4,
       """SELECT CAST(cells.cell AS INT) AS cell,
            CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,

@@ -346,6 +346,49 @@ class Round6Spec extends SparkSpecBase {
       (3, 0L, 0L, 0L)))
   }
 
+  // ---- IVF maintenance + matryoshka ----
+
+  test("ivfAppend ≡ full rebuild under the same frozen model; " +
+    "ivfNeedsRefit fires on drifted appends") {
+    import graft.ext.Similarity
+    def vecs(ids: Range, shift: Double) = ids.map { i =>
+      (i.toLong, Array(shift + i % 3 * 0.1f, 1.0f - i % 3 * 0.1f,
+        0.5f, 0.25f).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val base = vecs(0 until 40, 0.0)
+    val model = Similarity.fitIvf(base, nlist = 4)
+    val idx = Similarity.ivfIndex(base, model)
+    // appending a batch ≡ indexing the concatenated corpus
+    val extra = vecs(100 until 120, 0.0)
+    val appended = Similarity.ivfAppend(idx, extra, model)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val rebuilt = Similarity.ivfIndex(base.unionByName(extra), model)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(appended == rebuilt)
+    assert(!Similarity.ivfNeedsRefit(idx, model, maxLoadX1000 = 3999L)
+      || Similarity.indexHealth(idx.select(col("cell")), 4)
+        .agg(max(col("load_x1000"))).first().getLong(0) > 3999L)
+    // a heavily-drifted append (every new vector identical -> one cell)
+    val drift = vecs(200 until 600, 50.0)
+    val drifted = Similarity.ivfAppend(idx, drift, model)
+    assert(Similarity.ivfNeedsRefit(drifted, model, maxLoadX1000 = 3000L))
+  }
+
+  test("matryoshka: unit norm after truncation, ranking-compatible " +
+    "with full cosine on prefix-dominant vectors, zero-safe") {
+    import graft.ext.Similarity
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val m = df.select(col("vec_id"),
+      Similarity.matryoshka(col("embedding"), 2).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(m(1L)(0) - 0.6) < 1e-12 &&
+      math.abs(m(1L)(1) - 0.8) < 1e-12)
+    assert(m(2L) == Seq(0.0, 0.0)) // zero vector passes through
+  }
+
   // ---- DSIR importance weights ----
 
   test("dsirWeights: target-like docs outweigh off-target docs; " +
