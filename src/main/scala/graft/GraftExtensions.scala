@@ -87,6 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorFunctions.foldableDouble("mmr_select", es(2)))),
     "bpe_encode" -> (es =>
       BpeEncode(es(0), VectorFunctions.foldableMerges("bpe_encode", es(1)))),
+    "unigram_encode" -> (es =>
+      UnigramEncode(es(0),
+        VectorFunctions.foldableWeights("unigram_encode", es(1)))),
     "linear_score" -> (es =>
       LinearScore(es(0), VectorFunctions.foldableWeights("linear_score", es(1)),
         VectorFunctions.foldableDouble("linear_score", es(2)))),

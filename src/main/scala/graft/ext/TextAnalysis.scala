@@ -301,6 +301,124 @@ object TextAnalysis {
     } finally words.unpersist(blocking = false)
   }
 
+  /** Unigram-LM Viterbi tokenization against a (piece, logProb)
+    * vocabulary — the SentencePiece encode. A codegen'd single-pass
+    * expression (graftfn.UnigramEncode); the vocabulary rides the
+    * generated code as one shared HashMap, so the encode is a pure map
+    * over the scan.
+    */
+  def unigramEncode(textCol: Column, vocab: Seq[(String, Double)]): Column =
+    graft.functions.VectorFunctions.unigram_encode(textCol, vocab)
+
+  def unigramTokenCountExact(textCol: Column,
+                             vocab: Seq[(String, Double)]): Column =
+    size(unigramEncode(textCol, vocab)).cast("long")
+
+  /** TRAIN a unigram-LM tokenizer (the SentencePiece model, Kudo 2018)
+    * with hard (Viterbi) EM — the second real-world tokenizer family
+    * next to [[learnBpe]]. Deterministic by construction, so the fit is
+    * partition-invariant and replayable:
+    *  - seeding: every ≤ `maxPieceLen`-codepoint substring of the
+    *    pre-token vocabulary weighted by word frequency, top `seedSize`
+    *    by (count desc, piece asc), plus EVERY single codepoint
+    *    (coverage guarantee — encode totality);
+    *  - E-step: Viterbi segmentation of the pre-token VOCABULARY (not
+    *    the corpus — the [[learnBpe]] vocabulary-table shape) under the
+    *    current piece log-probs, exact-tie rules in the kernel;
+    *  - M-step: piece counts are exact Long sums weighted by word
+    *    frequency; probabilities re-estimated as count/total (single
+    *    codepoints floored at count 1 so coverage never drops);
+    *  - pruning: after `emIters` rounds keep all single codepoints plus
+    *    the top multi-codepoint pieces by (count desc, piece asc) up to
+    *    `vocabSize`, renormalized.
+    *
+    * Distributed shape: one corpus reduce to the (word, count)
+    * vocabulary; per round one vocabulary scan (codegen'd Viterbi) into
+    * a piece-keyed partial-agg shuffle; the driver holds only the
+    * vocabulary-sized (piece, count) list (capped, loud failure) — at
+    * 100 TB the word vocabulary is a Spark table, the PIECE vocabulary
+    * (≤ a few hundred k) is the only driver state, exactly the
+    * tokenizer-artifact size a trainer ships anyway.
+    */
+  def learnUnigram(docs: DataFrame, textCol: String, vocabSize: Int,
+                   seedSize: Int = 4000, maxPieceLen: Int = 8,
+                   emIters: Int = 3, minCount: Long = 2L,
+                   maxVocabCollect: Int = 1 << 20): Seq[(String, Double)] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(seedSize >= vocabSize,
+      s"seedSize ($seedSize) must be >= vocabSize ($vocabSize)")
+    require(maxPieceLen >= 2 && maxPieceLen <= 64,
+      s"maxPieceLen must be in [2, 64], got $maxPieceLen")
+    require(emIters >= 1, s"emIters must be >= 1, got $emIters")
+    val words = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(bpePattern),
+                                         lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def gramCounts(n: Int) = words
+        .select(col("c"), explode(graft.functions.VectorFunctions
+          .char_ngrams(col("w"), n)).as("p"))
+        .where(length(col("p")) === n)
+        .groupBy(col("p")).agg(sum(col("c")).as("n"))
+      val chars = gramCounts(1).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      require(chars.length <= 65536,
+        s"learnUnigram: ${chars.length} distinct codepoints exceed the " +
+          "65536 driver cap — not a text corpus?")
+      val multis = (2 to maxPieceLen).map(gramCounts).reduce(_ union _)
+        .where(col("n") >= minCount)
+        .orderBy(col("n").desc, col("p").asc)
+        .limit(seedSize)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      def normalize(counts: Seq[(String, Long)]): Seq[(String, Double)] = {
+        val total = counts.iterator.map(_._2).sum.toDouble
+        counts.map { case (p, n) => p -> math.log(n / total) }
+      }
+      var vocab = normalize((chars ++ multis).toSeq)
+      val charSet = chars.map(_._1).toSet
+      var it = 0
+      while (it < emIters) {
+        val seg = unigramEncode(col("w"), vocab)
+        val counts = words
+          .select(col("c"), explode(seg).as("p"))
+          .groupBy(col("p")).agg(sum(col("c")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        require(counts.length <= maxVocabCollect,
+          s"learnUnigram: E-step emitted ${counts.length} distinct " +
+            s"pieces > maxVocabCollect=$maxVocabCollect")
+        val counted = counts.toMap
+        // coverage floor: single codepoints survive at count >= 1 even
+        // when Viterbi never picks them this round
+        val kept = vocab.map(_._1).filter(p =>
+            charSet(p) || counted.getOrElse(p, 0L) > 0L)
+          .map(p => p -> math.max(counted.getOrElse(p, 0L), 1L))
+        vocab = normalize(kept)
+        it += 1
+      }
+      val byCount = vocab.map { case (p, lp) => p -> lp }
+      val chosenMulti = byCount.filterNot(p => charSet(p._1))
+        .sortBy { case (p, lp) => (-lp, p) }
+        .take(math.max(0, vocabSize - charSet.size))
+      require(charSet.size <= vocabSize,
+        s"vocabSize=$vocabSize below the ${charSet.size} single " +
+          "codepoints the coverage guarantee must keep")
+      val chosen = byCount.filter(p => charSet(p._1)) ++ chosenMulti
+      // final renormalization over the pruned set, in count space
+      // (probs are count-proportional, so exp-renormalizing is exact up
+      // to the shared total): re-count once under the pruned vocabulary
+      val pruned = normalize {
+        val seg = unigramEncode(col("w"), chosen)
+        val counts = words.select(col("c"), explode(seg).as("p"))
+          .groupBy(col("p")).agg(sum(col("c")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        chosen.map { case (p, _) =>
+          p -> math.max(counts.getOrElse(p, 0L), 1L) }
+      }
+      pruned.sortBy { case (p, lp) => (-lp, p) }
+    } finally words.unpersist(blocking = false)
+  }
+
   /** Model-based quality scoring: the inference side of a fastText-style
     * linear classifier (Joulin et al. 2016) — `bias + Σ weight(token)`
     * over an explicit token array, so callers choose the token space

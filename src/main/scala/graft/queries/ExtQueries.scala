@@ -318,6 +318,13 @@ object ExtQueries {
        $iterCtes"""
   }
 
+  private val unigramVocabs = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Double)]]()
+  private def learnedUnigram(s: SparkSession,
+                             d: String): Seq[(String, Double)] =
+    unigramVocabs.computeIfAbsent(d, _ => TextAnalysis.learnUnigram(
+      docs(s, d), "text", vocabSize = 120, seedSize = 600, emIters = 2))
+
   private val bpeMerges =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
   // memoized text_bpe_learn certificate rows per fixture dir (the fit is
@@ -1570,6 +1577,41 @@ object ExtQueries {
           aggregate(col("features"), lit(0L), (a, x) =>
             a + pow(round(x * col("n_bytes")), 2).cast("long")).as("sum_sq"))
         .orderBy(col("media_id"))
+    },
+    "text_unigram_learn" -> { (s, d) =>
+      // unigram-LM (SentencePiece) TRAINING certificate gate, keyed on
+      // the SQL-computable row set (distinct pre-token codepoints):
+      //  - covered: every corpus codepoint is a vocabulary piece (the
+      //    coverage guarantee — computed against the actual fit);
+      //  - probs_ok: piece probabilities sum to 1 (driver check on the
+      //    fit); has_multi: multi-codepoint pieces were learned;
+      //  - encode_shrinks: encoding the corpus with the learned
+      //    vocabulary beats the char baseline (distributed aggregate).
+      // The fit itself (Viterbi-EM, each round's segmentation feeding
+      // the next round's probabilities) is not SQL-expressible; the
+      // spec suite proves kernel exactness and partition invariance.
+      val v = learnedUnigram(s, d)
+      val charPieces = v.map(_._1)
+        .filter(p => p.codePointCount(0, p.length) == 1)
+      val probsOk = math.abs(v.map(p => math.exp(p._2)).sum - 1.0) < 1e-9
+      val hasMulti = v.exists(p => p._1.codePointCount(0, p._1.length) >= 2)
+      val dd = docs(s, d)
+      val shrinks = {
+        val r = dd.agg(
+          sum(TextAnalysis.unigramTokenCountExact(col("text"), v)),
+          sum(TextAnalysis.bpeTokenCountExact(col("text"), Nil))).first()
+        r.getLong(0) < r.getLong(1)
+      }
+      dd.select(explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.bpePattern), lit(0))).as("w"))
+        .select(explode(graft.functions.VectorFunctions
+          .char_ngrams(col("w"), 1)).as("cp"))
+        .distinct()
+        .select(col("cp"),
+          col("cp").isInCollection(charPieces).as("covered"),
+          lit(probsOk).as("probs_ok"), lit(hasMulti).as("has_multi"),
+          lit(shrinks).as("encode_shrinks"))
+        .orderBy(col("cp"))
     },
     "text_nfc_normalize" -> { (s, d) =>
       // unicode canonical composition over a crafted decomposed suffix
@@ -3128,6 +3170,15 @@ object ExtQueries {
          CAST((doc_id * 13) % 256 AS INT) AS g0,
          CAST((doc_id * 29) % 256 AS INT) AS b0
          FROM documents ORDER BY media_id""",
+    "text_unigram_learn" -> {
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(text,
+             '${TextAnalysis.bpePattern}')) AS w FROM documents),
+         cp AS (SELECT DISTINCT unnest(regexp_extract_all(w, '[\\s\\S]'))
+                  AS cp FROM tok)
+         SELECT cp, TRUE AS covered, TRUE AS probs_ok,
+           TRUE AS has_multi, TRUE AS encode_shrinks
+         FROM cp ORDER BY cp"""
+    },
     "text_nfc_normalize" ->
       """WITH n AS (SELECT doc_id,
            nfc_normalize(text || ' cafee' || chr(769) || ' nat u'

@@ -631,6 +631,77 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation: per
+    * pre-token (same regex pre-tokenizer as [[bpeEncode]]), the
+    * max-log-probability segmentation into vocabulary pieces via a
+    * left-to-right DP over codepoint boundaries. Deterministic by
+    * construction: exact double compares, ties broken toward FEWER
+    * pieces and then toward the earlier split point — a pure function
+    * of (word, vocab), independent of partitioning. A single codepoint
+    * absent from the vocabulary emits itself with a large fixed penalty
+    * (never fails), so encode totality holds on any input.
+    */
+  def unigramEncode(input: UTF8String,
+                    vocab: java.util.HashMap[String, java.lang.Double],
+                    maxPieceLen: Int): ArrayData = {
+    val UNK = -1e4
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = bpePreTokenizer.matcher(input.toString)
+    while (m.find()) {
+      val word = m.group()
+      // codepoint boundaries
+      val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
+      var i = 0
+      while (i < word.length) {
+        i += Character.charCount(word.codePointAt(i))
+        bounds += i
+      }
+      val n = bounds.length - 1 // pieces span codepoints
+      val best = Array.fill(n + 1)(Double.NegativeInfinity)
+      val bestPieces = Array.fill(n + 1)(Int.MaxValue)
+      val back = new Array[Int](n + 1)
+      best(0) = 0.0
+      bestPieces(0) = 0
+      var e = 1
+      while (e <= n) {
+        var s = math.max(0, e - maxPieceLen)
+        while (s < e) {
+          if (best(s) != Double.NegativeInfinity) {
+            val piece = word.substring(bounds(s), bounds(e))
+            val lp0 = vocab.get(piece)
+            val lp =
+              if (lp0 != null) lp0.doubleValue()
+              else if (e - s == 1) UNK // unknown single codepoint
+              else Double.NegativeInfinity
+            if (lp != Double.NegativeInfinity) {
+              val cand = best(s) + lp
+              val candPieces = bestPieces(s) + 1
+              if (cand > best(e) ||
+                  (cand == best(e) && candPieces < bestPieces(e))) {
+                best(e) = cand
+                bestPieces(e) = candPieces
+                back(e) = s
+              }
+            }
+          }
+          s += 1
+        }
+        e += 1
+      }
+      // reconstruct (always reachable via single-codepoint fallback)
+      val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+      var p = n
+      while (p > 0) {
+        val s = back(p)
+        rev += word.substring(bounds(s), bounds(p))
+        p = s
+      }
+      var r = rev.length - 1
+      while (r >= 0) { out += UTF8String.fromString(rev(r)); r -= 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Linear-model inference over a token array (see [[LinearScore]]):
     * `bias + Σ w(token)` with a strict left-to-right fold, so the
     * summation order is a pure function of the token sequence (not of
@@ -1134,6 +1205,49 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Unigram-LM Viterbi tokenization against a (piece, logProb) vocabulary
+  * (see [[Kernels.unigramEncode]]) — the encode side of
+  * `TextAnalysis.learnUnigram`, and the second real-world tokenizer
+  * family next to [[BpeEncode]]. The vocabulary rides into generated
+  * code as one reference-object HashMap (the BpeEncode pattern), so at
+  * 100 TB the encode is a pure map riding the scan: no join, no shuffle.
+  */
+case class UnigramEncode(child: Expression, vocab: Seq[(String, Double)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(vocab.nonEmpty, "unigram_encode needs a non-empty vocabulary")
+  require(vocab.forall(_._1.nonEmpty),
+    "unigram_encode pieces must be non-empty strings")
+  require(vocab.forall(p => java.lang.Double.isFinite(p._2)),
+    "unigram_encode log-probs must be finite")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_encode"
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](vocab.size * 2)
+    vocab.foreach { case (p, lp) => m.putIfAbsent(p, Double.box(lp)) }
+    m
+  }
+  @transient private lazy val maxPieceLen: Int =
+    vocab.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.unigramEncode(input.asInstanceOf[UTF8String], table, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("unigramVocab", table,
+      "java.util.HashMap<String, Double>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".unigramEncode($c, $tableRef, $maxPieceLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Linear-classifier inference over a token array: `bias + Σ w(token)`,
   * the apply side of a fastText-style / logistic quality classifier
   * (Joulin et al. 2016's scoring step — hashed-or-pruned vocabulary,
@@ -1493,6 +1607,10 @@ object VectorFunctions {
   /** BPE tokens against a ranked merge table (see [[BpeEncode]]). */
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(text), merges))
+
+  /** Unigram-LM Viterbi tokenization (see [[UnigramEncode]]). */
+  def unigram_encode(text: Column, vocab: Seq[(String, Double)]): Column =
+    ExpressionUtils.column(UnigramEncode(ExpressionUtils.expression(text), vocab))
 
   /** Linear-classifier score over a token array (see [[LinearScore]]). */
   def linear_score(toks: Column, weights: Seq[(String, Double)],

@@ -453,6 +453,80 @@ class Round6Spec extends SparkSpecBase {
     assert(run(1) == run(7))
   }
 
+  // ---- unigram-LM tokenizer ----
+
+  test("unigram_encode: Viterbi picks the max-probability segmentation; " +
+    "ties prefer fewer pieces; unknown codepoints emit with penalty") {
+    import graft.ext.TextAnalysis
+    val v1 = Seq("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0, "c" -> -3.0)
+    def enc(text: String, v: Seq[(String, Double)]) =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.unigramEncode(col("t"), v).as("p"))
+        .as[Seq[String]].head()
+    assert(enc("abc", v1) == Seq("ab", "c")) // -4 beats a+b+c = -7
+    // exact tie (-4 = -4): fewer pieces wins
+    val v2 = Seq("ab" -> -4.0, "a" -> -2.0, "b" -> -2.0)
+    assert(enc("ab", v2) == Seq("ab"))
+    // unknown codepoint: emits itself, never fails
+    assert(enc("az", v1) == Seq("a", "z"))
+    // pre-tokenizer applies per word; pieces concatenate back
+    val got = enc("ab cab", v1)
+    assert(got.mkString == "ab cab".replace("cab", " cab").trim
+      || got.mkString("") == "ab" + " cab")
+  }
+
+  test("unigram_encode: segmentation concatenates to the pre-token " +
+    "stream and participates in whole-stage codegen") {
+    import graft.ext.TextAnalysis
+    val v = Seq("th" -> -1.5, "e" -> -2.0, "t" -> -3.0, "h" -> -3.0,
+      " the" -> -1.0, "quick" -> -1.0, " " -> -2.5, "q" -> -3.0,
+      "u" -> -3.0, "i" -> -3.0, "c" -> -3.0, "k" -> -3.0)
+    val df0 = Seq("the quick", "thee").toDF("t")
+      .select(col("t"),
+        TextAnalysis.unigramEncode(col("t"), v).as("p"))
+    df0.collect().foreach { r =>
+      val toks = TextAnalysis.bpePattern.r
+        .findAllIn(r.getString(0)).mkString
+      assert(r.getSeq[String](1).mkString == toks)
+    }
+    // spark.range source keeps the projection out of ConvertToLocalRelation
+    val df = spark.range(2).select(
+      TextAnalysis.unigramEncode(concat(lit("the"), col("id")), v).as("p"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("unigramEncode"),
+      s"expected codegen'd kernel call:\n${gen.take(800)}")
+  }
+
+  test("learnUnigram: deterministic, partition-invariant, frequent " +
+    "words become pieces, probs normalize, coverage holds") {
+    import graft.ext.TextAnalysis
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, if (i % 3 == 0) "sharing data pipelines"
+        else "data pipelines scale")
+    }.toDF("doc_id", "text")
+    val v1 = TextAnalysis.learnUnigram(corpus, "text", vocabSize = 40,
+      seedSize = 200, emIters = 2)
+    val v2 = TextAnalysis.learnUnigram(corpus.repartition(7), "text",
+      vocabSize = 40, seedSize = 200, emIters = 2)
+    assert(v1 == v2, "fit must be partition-invariant")
+    // pruning keeps only Viterbi-used pieces: size is bounded by, not
+    // padded to, vocabSize
+    assert(v1.size <= 40 && v1.size >= 15, s"got ${v1.size} pieces")
+    val probs = v1.map(p => math.exp(p._2)).sum
+    assert(math.abs(probs - 1.0) < 1e-9, s"probs sum to $probs")
+    // every corpus codepoint is encodable: total pieces bounded by chars
+    val withV = corpus.select(
+      TextAnalysis.unigramTokenCountExact(col("text"), v1).as("n"),
+      TextAnalysis.bpeTokenCountExact(col("text"), Nil).as("chars"))
+      .agg(sum(col("n")), sum(col("chars"))).first()
+    assert(withV.getLong(0) < withV.getLong(1),
+      "learned pieces must beat the char baseline")
+    // a dominant substring surfaced as a multi-char piece
+    assert(v1.exists(p => p._1.length >= 4),
+      s"expected multi-char pieces in ${v1.take(10)}")
+  }
+
   // ---- statestore-reader IQ face ----
 
   test("storeFromCheckpoint reads a checkpointed aggregation's state " +
