@@ -816,6 +816,60 @@ object Pipeline {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Length-bucketed training batches — the padding-waste reducer: docs
+    * bucket by token count (`boundaries` are inclusive upper bounds;
+    * one overflow bucket above the last), take a DETERMINISTIC
+    * pseudo-random order within each bucket (portable hash of the id,
+    * id tie-break — RNG-free, engine-replayable), and chop into
+    * `batchSize`-row batches. A loader that consumes (bucket,
+    * batch_in_bucket) groups gets near-uniform sequence lengths per
+    * batch, so padding-to-max waste collapses without biasing content
+    * (the hash order is independent of length within the bucket).
+    *
+    * Returns (idCol, n_tokens, bucket, batch_in_bucket, pos_in_batch).
+    * Scale shape: ONE range-partitioned global sort on (bucket, hash,
+    * id) ranked by `zipWithIndex` (no single-partition window), plus a
+    * tiny per-bucket offset aggregate broadcast back — buckets are few
+    * but each bucket's rows stay spread across ALL partitions of the
+    * range sort, so a mega-bucket never lands on one task.
+    */
+  def lengthBucketBatches(docs: DataFrame, textCol: String, idCol: String,
+                          boundaries: Seq[Long],
+                          batchSize: Int): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be non-empty, sorted, distinct: $boundaries")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = docs.sparkSession
+    val nTok = size(filter(split(col(textCol), " "), t => t =!= ""))
+      .cast("long")
+    val bucket = boundaries.zipWithIndex.foldRight(
+        lit(boundaries.size).cast("int")) { case ((b, i), acc) =>
+      when(col("n_tokens") <= b, lit(i).cast("int")).otherwise(acc)
+    }
+    val base = docs.select(col(idCol), nTok.as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .withColumn("__h", portableHash60(col(idCol)))
+    val sorted = base.orderBy(col("bucket"), col("__h"), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__grk", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = OpCaches.register(spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val offsets = ranked.groupBy(col("bucket"))
+      .agg(min(col("__grk")).as("__off"))
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    ranked.join(broadcast(offsets), Seq("bucket"))
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        floorDiv(col("__grk") - col("__off"), lit(batchSize.toLong))
+          .as("batch_in_bucket"),
+        pmod(col("__grk") - col("__off"), lit(batchSize.toLong))
+          .as("pos_in_batch"))
+  }
+
   // ------------------------------------------------------------------ //
   // DSIR-style importance weights (Xie et al. 2023, "Data Selection for
   // Language Models via Importance Resampling"): score every raw-corpus

@@ -1677,6 +1677,13 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
+    "ds_length_batches" -> { (s, d) =>
+      // length-bucketed batching: buckets at <=8/<=16/<=32 tokens plus
+      // overflow, deterministic hash order within bucket, batches of 16
+      Pipeline.lengthBucketBatches(docs(s, d), "text", "doc_id",
+          boundaries = Seq(8L, 16L, 32L), batchSize = 16)
+        .orderBy(col("doc_id"))
+    },
     "ds_dsir_weights" -> { (s, d) =>
       // DSIR importance weights toward the English slice as the target
       // distribution (integer micro-nat weights — exact sums)
@@ -3233,6 +3240,27 @@ object ExtQueries {
            AND d.doc_id NOT IN (SELECT DISTINCT tr.train_id
                                 FROM tr JOIN ev USING (g))
          ORDER BY d.doc_id"""),
+    "ds_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+         FROM documents),
+         b AS (SELECT doc_id, n_tokens, h,
+           CAST(CASE WHEN n_tokens <= 8 THEN 0
+                     WHEN n_tokens <= 16 THEN 1
+                     WHEN n_tokens <= 32 THEN 2 ELSE 3 END AS INT)
+             AS bucket
+         FROM t),
+         r AS (SELECT doc_id, n_tokens, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+             AS rk
+         FROM b)
+         SELECT doc_id, n_tokens, bucket,
+           CAST(rk // 16 AS BIGINT) AS batch_in_bucket,
+           CAST(rk % 16 AS BIGINT) AS pos_in_batch
+         FROM r ORDER BY doc_id""",
     "ds_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks

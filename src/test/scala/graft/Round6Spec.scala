@@ -453,6 +453,38 @@ class Round6Spec extends SparkSpecBase {
     assert(run(1) == run(7))
   }
 
+  // ---- length-bucketed batching ----
+
+  test("lengthBucketBatches: buckets respect boundaries, batches chop " +
+    "at batchSize, order is hash-deterministic and partition-invariant") {
+    import graft.ext.Pipeline
+    val docsDf = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(if (i <= 30) 3 else 20)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = Pipeline.lengthBucketBatches(
+      docsDf.repartition(parts), "text", "doc_id",
+      boundaries = Seq(8L, 16L), batchSize = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val a = run(1)
+    assert(a == run(7), "batching must be partition-invariant")
+    val rows = a.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+      r(2).asInstanceOf[Int], r(3).asInstanceOf[Long],
+      r(4).asInstanceOf[Long]))
+    // 30 short docs -> bucket 0 (4 batches of <=8); 20 long -> bucket 2
+    assert(rows.count(_._3 == 0) == 30 && rows.count(_._3 == 2) == 20)
+    rows.groupBy(r => (r._3, r._4)).foreach { case ((_, _), g) =>
+      assert(g.size <= 8)
+      assert(g.map(_._5).sorted == (0L until g.size.toLong))
+    }
+    // batches fill densely: only the LAST batch of a bucket is partial
+    Seq(0, 2).foreach { b =>
+      val sizes = rows.filter(_._3 == b).groupBy(_._4)
+        .toSeq.sortBy(_._1).map(_._2.size)
+      assert(sizes.init.forall(_ == 8), s"bucket $b sizes $sizes")
+    }
+    graft.ext.OpCaches.releaseAll()
+  }
+
   // ---- unigram-LM tokenizer ----
 
   test("unigram_encode: Viterbi picks the max-probability segmentation; " +
