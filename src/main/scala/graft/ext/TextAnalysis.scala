@@ -1088,6 +1088,32 @@ object TextAnalysis {
     sorted.map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  /** Persist a learned unigram vocabulary as the tokenizer ARTIFACT
+    * (piece, log_prob) — the [[saveBpe]] ship face for the unigram
+    * family.
+    */
+  def saveUnigram(spark: org.apache.spark.sql.SparkSession,
+                  vocab: Seq[(String, Double)], path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "log_prob")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveUnigram]] artifact; fails loud on an empty or
+    * duplicate-piece table. Restores the canonical (prob desc, piece
+    * asc) order [[learnUnigram]] emits.
+    */
+  def loadUnigram(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[(String, Double)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("piece"), col("log_prob").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    require(rows.nonEmpty, s"empty unigram artifact at $path")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"unigram artifact at $path has duplicate pieces")
+    rows.sortBy { case (p, lp) => (-lp, p) }.toSeq
+  }
+
   /** Within-document segment dedup (RefinedWeb/MassiveText line dedup
     * applied inside one document): repeated lines — nav menus, cookie
     * banners, boilerplate — collapse to their first occurrence, order

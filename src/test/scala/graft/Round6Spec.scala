@@ -559,6 +559,28 @@ class Round6Spec extends SparkSpecBase {
       s"expected multi-char pieces in ${v1.take(10)}")
   }
 
+  test("unigram artifact round-trips: save -> load ≡ fit; encode " +
+    "agrees; loud failures on malformed tables") {
+    import graft.ext.TextAnalysis
+    val corpus = (1 to 40).map(i => (i.toLong, "data pipelines scale"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.learnUnigram(corpus, "text", vocabSize = 30,
+      seedSize = 100, emIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni")
+    TextAnalysis.saveUnigram(spark, v, s"$dir/vocab")
+    val loaded = TextAnalysis.loadUnigram(spark, s"$dir/vocab")
+    assert(loaded == v)
+    val enc = corpus.limit(3).select(
+      TextAnalysis.unigramEncode(col("text"), loaded).as("p"))
+      .as[Seq[String]].collect()
+    assert(enc.forall(_.nonEmpty))
+    Seq(("p", -0.5), ("p", -0.7)).toDF("piece", "log_prob")
+      .write.mode("overwrite").parquet(s"$dir/dup")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadUnigram(spark, s"$dir/dup")
+    }
+  }
+
   // ---- statestore-reader IQ face ----
 
   test("storeFromCheckpoint reads a checkpointed aggregation's state " +
