@@ -250,6 +250,23 @@ object DataPrep {
       .where(col("clf_score") > -0.25)
     println(s"after classifier gate: ${gated.count()}")
 
+    // 5.6 tokenizer training on the CLEANED corpus (tokenizers trained
+    //     on raw crawl learn boilerplate pieces): both real-world
+    //     families — BPE merges and a unigram-LM (SentencePiece) vocab —
+    //     shipped as artifacts beside the dataset
+    val bpeM = TextAnalysis.learnBpe(gated, "text", numMerges = 20)
+    TextAnalysis.saveBpe(spark, bpeM, s"$outDir-bpe")
+    val uniV = TextAnalysis.learnUnigram(gated, "text", vocabSize = 80,
+      seedSize = 400, emIters = 2)
+    TextAnalysis.saveUnigram(spark, uniV, s"$outDir-unigram")
+    val tokStats = gated.agg(
+      sum(TextAnalysis.bpeTokenCountExact(col("text"), bpeM)),
+      sum(TextAnalysis.unigramTokenCountExact(col("text"), uniV)),
+      sum(TextAnalysis.bpeTokenCountExact(col("text"), Nil))).first()
+    println(s"tokenizers: bpe ${tokStats.getLong(0)} vs unigram " +
+      s"${tokStats.getLong(1)} vs char-baseline ${tokStats.getLong(2)} " +
+      "corpus tokens")
+
     // 5.7 DSIR importance weights toward a target slice ('en' stands in
     //     for the quality seed corpus): hashed n-gram log-ratios in
     //     exact integer micro-nats; a selection pass feeds these into

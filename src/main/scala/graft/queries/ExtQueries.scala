@@ -86,6 +86,7 @@ object ExtQueries {
     // warm them here too so timed reps measure the steady state (the
     // query-time cost of a trained model is a map over the scan)
     trainedW(s, d); learnedBpe(s, d); fittedPca(s, d); qkmModel(s, d)
+    learnedUnigram(s, d)
   }
 
   // fit-once distributed k-means model per fixture dir (kmeansFitQ's
