@@ -104,6 +104,33 @@ object Layout {
     nFiles
   }
 
+  /** Write parquet with BLOOM FILTERS on the given columns — the
+    * point-lookup face of layout: a 100 TB table keyed by doc_id/url
+    * hash answers "is this id in this file?" from the footer-adjacent
+    * bloom bytes instead of decoding row groups, so needle-in-haystack
+    * reads (td retrieval by id, dedup survivor lookups, IQ) touch only
+    * the files that might match. `expectedNdv` sizes each filter
+    * (Parquet's split-block bloom: ~1 byte/value at the default FPP).
+    * Compose with [[zorderKey]]/`repartitionByRange` sorting — min/max
+    * pruning handles ranges, blooms handle point probes the sort order
+    * cannot.
+    */
+  def writeBloomIndexed(df: DataFrame, path: String,
+                        bloomCols: Seq[String],
+                        expectedNdv: Long = 1000000L,
+                        numFiles: Int = 0): Unit = {
+    require(bloomCols.nonEmpty, "writeBloomIndexed needs bloom columns")
+    require(expectedNdv >= 1, s"expectedNdv must be >= 1")
+    val missing = bloomCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"bloom columns not in frame: $missing")
+    val laid = if (numFiles >= 1) df.repartition(numFiles) else df
+    val opts = bloomCols.flatMap { c =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)
+    }.toMap
+    laid.write.mode("overwrite").options(opts).parquet(path)
+  }
+
   /** Per-file manifest of a parquet directory: (file, n_rows, n_bytes) —
     * the integrity/lineage record a training run stores beside its
     * shards (row counts catch truncated writes; byte sizes catch

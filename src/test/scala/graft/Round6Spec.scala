@@ -76,6 +76,44 @@ class Round6Spec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  // ---- bloom-indexed layout ----
+
+  test("writeBloomIndexed: bloom filters exist for requested columns " +
+    "only, and answer membership correctly") {
+    import graft.ext.Layout
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom")
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("doc_id", "v")
+    Layout.writeBloomIndexed(df, s"$dir/t", Seq("doc_id"),
+      expectedNdv = 2000, numFiles = 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/t").getFileSystem(conf)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val byName = block.getColumns.toArray
+        .map(_.asInstanceOf[org.apache.parquet.hadoop.metadata
+          .ColumnChunkMetaData])
+        .map(c => c.getPath.toDotString -> c).toMap
+      val bloomReader = reader.getBloomFilterDataReader(block)
+      val idBloom = bloomReader.readBloomFilter(byName("doc_id"))
+      assert(idBloom != null, "doc_id must carry a bloom filter")
+      assert(bloomReader.readBloomFilter(byName("v")) == null,
+        "v must NOT carry a bloom filter")
+      // membership: present ids hit; a sweep of absent ids mostly misses
+      def hash(v: Long) = idBloom.hash(java.lang.Long.valueOf(v))
+      assert((1L to 100L).forall(v => idBloom.findHash(hash(v))))
+      val falsePos = (100000L to 100999L).count(v =>
+        idBloom.findHash(hash(v)))
+      assert(falsePos < 100, s"bloom FPP implausibly high: $falsePos/1000")
+    } finally reader.close()
+    // and Spark still reads the data back intact
+    assert(spark.read.parquet(s"$dir/t").count() == 2000)
+  }
+
   // ---- Layout.compact in-place guard ----
 
   test("compact refuses outPath == inPath (any spelling) and leaves " +
