@@ -47,7 +47,22 @@ object ExtensionsCheck {
             r.getDouble(10) == 0.75 && // single bucket: bias + w[0]
             r.getDouble(11) > 0.0 && r.getDouble(11) < 0.1,
       s"extension-resolved functions misbehaved: $r")
-    println(s"extensions OK: $r")
+    val r6 = spark.sql(
+      """SELECT size(word_ngram_hashes60('a b c d', 3)) AS ng,
+                size(word_ngram_hashes60('a b', 3)) AS ng_short,
+                nfc_normalize('cafe' || 'e' || '́') AS nfc,
+                banded_levenshtein('kitten', 'sitting', 2147483647) AS bl,
+                unigram_encode('abc',
+                  array(struct('ab', CAST(-1.0 AS DOUBLE)),
+                        struct('a', -2.0), struct('b', -2.0),
+                        struct('c', -3.0)))[0] AS ue,
+                dedup_segments('x\nx\ny', '\n', '\n') AS ds
+      """).head
+    require(r6.getInt(0) == 2 && r6.getInt(1) == 0 &&
+            r6.getString(2) == "cafe\u00e9" && r6.getInt(3) == 3 &&
+            r6.getString(4) == "ab" && r6.getString(5) == "x\ny",
+      s"round-6 extension functions misbehaved: $r6")
+    println(s"extensions OK: $r / $r6")
     spark.stop()
   }
 }
