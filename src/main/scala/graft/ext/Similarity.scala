@@ -1212,14 +1212,17 @@ object Similarity {
       ((a - pmod(a, b)) / b).cast("long")
     val counts = assign.groupBy(col(cellCol).cast("int").as("cell"))
       .agg(count(lit(1)).as("n"))
-    val total = greatest(lit(1L),
-      sum(col("n")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy()))
+    // total as a broadcast one-row frame (a global window over the
+    // k-row frame would force a single-partition WindowExec)
+    val total = counts.agg(greatest(lit(1L),
+      coalesce(sum(col("n")), lit(0L))).as("__t"))
     spark.range(k).select(col("id").cast("int").as("cell"))
       .join(counts, Seq("cell"), "left")
-      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"),
+        col("__t"))
       .select(col("cell"), col("n"),
-        floorDiv(col("n") * 1000000L, total).as("share_ppm"),
-        floorDiv(col("n") * k * 1000L, total).as("load_x1000"))
+        floorDiv(col("n") * 1000000L, col("__t")).as("share_ppm"),
+        floorDiv(col("n") * k * 1000L, col("__t")).as("load_x1000"))
   }
 }
