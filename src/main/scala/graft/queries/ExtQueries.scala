@@ -586,6 +586,18 @@ object ExtQueries {
         .orderBy(col("tile"))
     },
 
+    "ds_bloom_roundtrip" -> { (s, d) =>
+      // bloom-indexed write path, end to end: write the documents table
+      // with blooms on doc_id, read back, prove data integrity (the
+      // bloom bytes themselves are footer metadata — spec-checked; this
+      // gate pins the write→read lane under the bloom options)
+      val out = java.nio.file.Files.createTempDirectory("graft_bloom_gate")
+      Layout.writeBloomIndexed(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        s"$out/t", Seq("doc_id"), expectedNdv = 100000L, numFiles = 4)
+      s.read.parquet(s"$out/t").orderBy(col("doc_id"))
+    },
+
     // ---- similarity search ----
     "sim_topk" -> { (s, d) =>
       val e = emb(s, d)
@@ -3241,6 +3253,8 @@ object ExtQueries {
            AND d.doc_id NOT IN (SELECT DISTINCT tr.train_id
                                 FROM tr JOIN ev USING (g))
          ORDER BY d.doc_id"""),
+    "ds_bloom_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "ds_length_batches" ->
       """WITH t AS (SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
