@@ -816,6 +816,64 @@ object Pipeline {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Deterministic random negatives for contrastive training: for every
+    * distinct query in `positives` (query_id, pos_id), draw `k` corpus
+    * ids pseudo-randomly — slot s of query q picks the corpus row at
+    * position h60(q:s:salt) mod N in the id order — excluding the
+    * query's own positives (and the query itself when it is a corpus
+    * id). RNG-free: same inputs → same negatives, across partitionings
+    * and engines.
+    *
+    * Scale shape: the corpus reduces ONCE to a ranked (pos, id) frame
+    * (range-partitioned sort + zipWithIndex); queries explode to
+    * k + margin slots and equi-join on the computed position — no
+    * query × corpus product anywhere. Collisions with positives or
+    * duplicate draws are dropped and the first `k` survivors per query
+    * (slot order) emit; `margin` oversamples to keep k reachable (loud
+    * underfill is visible as < k rows for a query).
+    */
+  def negativeSamples(positives: DataFrame, corpus: DataFrame,
+                      idCol: String, queryCol: String = "query_id",
+                      posCol: String = "pos_id", k: Int = 4,
+                      margin: Int = 8, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    val spark = positives.sparkSession
+    val sorted = corpus.select(col(idCol)).distinct().orderBy(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = OpCaches.register(spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = ranked.count()
+    require(n > 0, "negativeSamples needs a non-empty corpus")
+    val draws = positives.select(col(queryCol)).distinct()
+      .select(col(queryCol), explode(sequence(lit(0),
+        lit(k + margin - 1))).as("__slot"))
+      .withColumn("__pos", pmod(portableHash60(
+        concat(col(queryCol).cast("string"), lit(":"),
+          col("__slot").cast("string"), lit(s":$salt"))), lit(n)))
+    val cand = draws.join(ranked, Seq("__pos"))
+      .select(col(queryCol), col("__slot"), col(idCol).as("neg_id"))
+      // a position can be drawn twice for one query: keep first slot
+      .groupBy(col(queryCol), col("neg_id"))
+      .agg(min(col("__slot")).as("__slot"))
+    val blocked = positives
+      .select(col(queryCol), col(posCol).as("neg_id")).distinct()
+      .unionByName(positives.select(col(queryCol),
+        col(queryCol).cast(corpus.schema(idCol).dataType).as("neg_id"))
+        .distinct())
+    import org.apache.spark.sql.expressions.Window
+    cand.join(blocked, Seq(queryCol, "neg_id"), "left_anti")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(queryCol)).orderBy(col("__slot"))))
+      .where(col("__rk") <= k)
+      .select(col(queryCol), (col("__rk") - 1).cast("long").as("neg_rank"),
+        col("neg_id"))
+  }
+
   /** Length-bucketed training batches — the padding-waste reducer: docs
     * bucket by token count (`boundaries` are inclusive upper bounds;
     * one overflow bucket above the last), take a DETERMINISTIC

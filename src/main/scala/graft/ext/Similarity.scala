@@ -1141,6 +1141,44 @@ object Similarity {
       .select(col("id").as(idCol), cellOf(col("q")).as("cell"))
   }
 
+  /** HARD negatives for contrastive training: per query, the
+    * top-`k` cosine neighbors that are NOT that query's positives (and
+    * not the query itself) — the highest-loss negatives an embedding
+    * trainer wants, vs [[graft.ext.Pipeline.negativeSamples]]' uniform
+    * draws. Rank order is dense (1..k) AFTER the positives are removed,
+    * so the output is loader-ready.
+    *
+    * Scale shape: oversample top-(k + maxPositivesPerQuery) through any
+    * retrieval face — here the exact [[bruteForceTopK]] for the gate's
+    * oracle-checkability; swap in `ivfTopKIndexed`/`bqTopKIndexed` for
+    * the 100 TB path, the contract is identical — then one left-anti
+    * join against the positives and a bounded re-rank.
+    */
+  def hardNegatives(corpus: DataFrame, positives: DataFrame, k: Int,
+                    maxPositivesPerQuery: Int = 8,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id",
+                    queryCol: String = "query_id",
+                    posCol: String = "pos_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxPositivesPerQuery >= 0, "maxPositivesPerQuery must be >= 0")
+    val queries = corpus.join(
+      positives.select(col(queryCol).as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val cand = bruteForceTopK(corpus, queries, k + maxPositivesPerQuery,
+      vecCol, idCol)
+    val pos = positives.select(col(queryCol).as("query_id"),
+      col(posCol).as("neighbor_id")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    cand.join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("int").as("rank"),
+        col("neighbor_id").as("neg_id"), col("cos"))
+  }
+
   /** L2-normalize a vector column (unit sphere — cosine becomes dot).
     * Pure Column arithmetic over HOF-free codegen'd dot products; zero
     * vectors pass through unchanged (no division by 0).

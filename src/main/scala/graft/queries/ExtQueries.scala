@@ -734,6 +734,28 @@ object ExtQueries {
       Similarity.kmeansAssignQ(emb(s, d), qkmModel(s, d))
         .orderBy(col("vec_id"))
     },
+    "sim_hard_negatives" -> { (s, d) =>
+      // contrastive hard negatives: top cosine neighbors of each query
+      // minus its declared positives (vec_id+1 stands in), dense-ranked
+      val e = emb(s, d)
+      val pos = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          (col("vec_id") + 1).as("pos_id"))
+      Similarity.hardNegatives(e, pos, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neg_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "ds_negative_samples" -> { (s, d) =>
+      // uniform hash-deterministic negatives: queries = first 20 docs,
+      // positive = the next doc id; 4 negatives each from the corpus
+      val dd = docs(s, d)
+      val pos = dd.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"),
+          (col("doc_id") + 1).as("pos_id"))
+      Pipeline.negativeSamples(pos, dd, "doc_id", k = 4, margin = 8)
+        .orderBy(col("query_id"), col("neg_rank"))
+    },
     "sim_matryoshka" -> { (s, d) =>
       // MRL truncate-renorm: first 8 dims, unit-normalized (narrow map)
       val m = Similarity.matryoshka(col("embedding"), dims = 8)
@@ -3036,6 +3058,58 @@ object ExtQueries {
     "sim_kmeans_train_assign" -> qkmeansSql(4, 4,
       """SELECT id AS vec_id, CAST(cell AS INT) AS cell
          FROM b4 ORDER BY vec_id"""),
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+               AS cos
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         short AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS r0
+           FROM scored),
+         cand AS (SELECT * FROM short WHERE r0 <= 18),
+         pos AS (SELECT vec_id AS query_id, vec_id + 1 AS pos_id
+                 FROM embeddings WHERE vec_id < 5),
+         kept AS (SELECT c.query_id, c.neighbor_id, c.cos,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY c.cos DESC, c.neighbor_id) AS rank
+           FROM cand c LEFT JOIN pos p ON p.query_id = c.query_id
+             AND p.pos_id = c.neighbor_id
+           WHERE p.query_id IS NULL)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+           neighbor_id AS neg_id, round(cos, 6) AS cos
+         FROM kept WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ds_negative_samples" ->
+      """WITH ids AS (SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) - 1 AS pos
+           FROM documents),
+         n AS (SELECT count(*) AS n FROM documents),
+         q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id < 20),
+         draws AS (SELECT q.query_id, s.slot,
+             CAST('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || ':'
+               || CAST(s.slot AS VARCHAR) || ':'), 1, 15) AS BIGINT)
+               % (SELECT n FROM n) AS p
+           FROM q, (SELECT unnest(range(12)) AS slot) s),
+         cand AS (SELECT d.query_id, i.doc_id AS neg_id,
+             min(d.slot) AS slot
+           FROM draws d JOIN ids i ON i.pos = d.p
+           GROUP BY d.query_id, i.doc_id),
+         blocked AS (SELECT doc_id AS query_id, doc_id + 1 AS neg_id
+                     FROM documents WHERE doc_id < 20
+                     UNION
+                     SELECT doc_id, doc_id FROM documents
+                     WHERE doc_id < 20),
+         kept AS (SELECT c.query_id, c.neg_id, c.slot,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY c.slot) AS rk
+           FROM cand c LEFT JOIN blocked b ON b.query_id = c.query_id
+             AND b.neg_id = c.neg_id
+           WHERE b.query_id IS NULL)
+         SELECT query_id, CAST(rk - 1 AS BIGINT) AS neg_rank, neg_id
+         FROM kept WHERE rk <= 4 ORDER BY query_id, neg_rank""",
     "sim_matryoshka" -> {
       val cols = (0 until 8).map(i =>
         s"round(CASE WHEN nm = 0 THEN s[${i + 1}] ELSE s[${i + 1}] / nm END, 6) AS m$i")

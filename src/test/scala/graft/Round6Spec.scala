@@ -384,6 +384,48 @@ class Round6Spec extends SparkSpecBase {
       (3, 0L, 0L, 0L)))
   }
 
+  // ---- contrastive negatives ----
+
+  test("negativeSamples: k per query, positives and self excluded, " +
+    "partition-invariant, salt redraws") {
+    import graft.ext.Pipeline
+    val corpus = (0L until 50L).map(i => Tuple1(i)).toDF("doc_id")
+    val pos = Seq((1L, 2L), (1L, 3L), (7L, 8L)).toDF("query_id", "pos_id")
+    def run(parts: Int, salt: String = "") = Pipeline.negativeSamples(
+      pos, corpus.repartition(parts), "doc_id", k = 5, salt = salt)
+      .orderBy("query_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(1)
+    assert(a == run(6), "draws must be partition-invariant")
+    assert(a.count(_._1 == 1L) == 5 && a.count(_._1 == 7L) == 5)
+    assert(a.forall { case (q, _, n) =>
+      n != q && !Set((1L, 2L), (1L, 3L), (7L, 8L))((q, n)) })
+    a.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).distinct.size == g.size, "duplicate negative")
+      assert(g.map(_._2).sorted == (0L until g.size.toLong))
+    }
+    assert(a != run(1, salt = "v2"), "salt must redraw")
+    graft.ext.OpCaches.releaseAll()
+  }
+
+  test("hardNegatives: the declared positive (here the true nearest " +
+    "neighbor) never appears; ranks stay dense") {
+    import graft.ext.Similarity
+    // query 0's nearest neighbor is 1 (identical direction); positives
+    // declare it, so it must vanish and 2..k shift up
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.01f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pos = Seq((0L, 1L)).toDF("query_id", "pos_id")
+    val got = Similarity.hardNegatives(vecs, pos, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got.map(_._2).toSet == Set(2L, 4L, 3L))
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    assert(!got.exists(_._2 == 1L), "positive leaked into negatives")
+  }
+
   // ---- IVF maintenance + matryoshka ----
 
   test("ivfAppend ≡ full rebuild under the same frozen model; " +
