@@ -1088,6 +1088,31 @@ object TextAnalysis {
     sorted.map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  /** Per-group tokenizer FERTILITY report: chars, whitespace words, and
+    * regex pre-tokens per group, with the two ratios every mixing
+    * decision reads — pre-tokens per word and chars per pre-token — in
+    * exact integer ppm (floor'd, engine-replayable). High fertility
+    * (many pieces per word) marks languages/scripts the tokenizer
+    * serves poorly; corpora get re-weighted or the tokenizer re-fit.
+    * One partial-agg shuffle on the group key.
+    */
+  def fertilityByGroup(docs: DataFrame, textCol: String,
+                       byCol: String): DataFrame = {
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    docs.groupBy(col(byCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        sum(tokenCount(col(textCol))).cast("long").as("n_words"),
+        sum(bpeTokenCount(col(textCol))).cast("long").as("n_pretokens"))
+      .select(col(byCol), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_pretokens"),
+        floorDiv(col("n_pretokens") * 1000000L,
+          greatest(lit(1L), col("n_words"))).as("fertility_ppm"),
+        floorDiv(col("n_chars") * 1000000L,
+          greatest(lit(1L), col("n_pretokens"))).as("chars_per_tok_ppm"))
+  }
+
   /** Persist a learned unigram vocabulary as the tokenizer ARTIFACT
     * (piece, log_prob) — the [[saveBpe]] ship face for the unigram
     * family.

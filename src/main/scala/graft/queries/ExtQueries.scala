@@ -893,6 +893,12 @@ object ExtQueries {
              sum(col("n_sub")).cast("long").as("total_subwords"))
         .orderBy(col("lang"))
     },
+    "text_fertility" -> { (s, d) =>
+      // per-language tokenizer fertility (pre-tokens/word, chars/
+      // pre-token in exact integer ppm) — the mixing-decision report
+      TextAnalysis.fertilityByGroup(docs(s, d), "text", "lang")
+        .orderBy(col("lang"))
+    },
     "text_ngram_freq" -> { (s, d) =>
       // top character trigrams per labeled language — the n-gram profile
       // table language identifiers train on
@@ -3264,6 +3270,25 @@ object ExtQueries {
          CAST((doc_id * 13) % 256 AS INT) AS g0,
          CAST((doc_id * 29) % 256 AS INT) AS b0
          FROM documents ORDER BY media_id""",
+    "text_fertility" ->
+      s"""WITH t AS (SELECT lang,
+             CAST(length(text) AS BIGINT) AS ch,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text,
+                  '${TextAnalysis.bpePattern}')) AS BIGINT) AS p
+           FROM documents),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ch) AS BIGINT) AS n_chars,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(p) AS BIGINT) AS n_pretokens
+           FROM t GROUP BY lang)
+         SELECT lang, n_docs, n_chars, n_words, n_pretokens,
+           CAST((n_pretokens * 1000000) // greatest(1, n_words) AS BIGINT)
+             AS fertility_ppm,
+           CAST((n_chars * 1000000) // greatest(1, n_pretokens) AS BIGINT)
+             AS chars_per_tok_ppm
+         FROM g ORDER BY lang""",
     "text_unigram_learn" -> {
       s"""WITH tok AS (SELECT unnest(regexp_extract_all(text,
              '${TextAnalysis.bpePattern}')) AS w FROM documents),
