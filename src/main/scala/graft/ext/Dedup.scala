@@ -63,6 +63,14 @@ object Dedup {
     * bands×rowsPerBand hashes; a pair collides if any band matches
     * (s-curve threshold ≈ (1/bands)^(1/rowsPerBand)).
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * Recall caveat: pairs is NOT exhaustive above the LSH s-curve — and
+    * additionally, buckets larger than [[maxBucketFanout]] emit only star
+    * pairs to the bucket min id (see [[bucketPairs]]): two members of a
+    * mega-bucket, neither the min id, surface only via another bucket or
+    * transitively through the star center. Cluster connectivity is
+    * preserved; consumers needing every pair ≥ threshold must raise the
+    * cap knowingly.
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 16, rowsPerBand: Int = 2,
@@ -189,6 +197,11 @@ object Dedup {
     * maxBits differing bits shares at least one identical chunk (recall 1 by
     * construction, so output ≡ brute-force hamming). Join only within chunk
     * buckets, verify with bit_count(xor).
+    *
+    * Recall caveat: chunk buckets larger than [[maxBucketFanout]] emit only
+    * star pairs (see [[bucketPairs]]) — pair-level output under a planted
+    * mega-bucket is a spanning set, not every qualifying pair; cluster
+    * connectivity is preserved.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxBits: Int = 3): DataFrame = {
@@ -1189,6 +1202,13 @@ object Dedup {
     val clustered = sizes.agg(coalesce(sum(col("sz")), lit(0L)))
       .first().getLong(0)
     val singletons = corpus.select(col(idCol)).distinct().count() - clustered
+    // Negative ⇒ `pairs` references ids outside `corpus` (or null corpus
+    // ids collapsed the distinct count): the report could no longer sum to
+    // the corpus size, so fail loud instead of silently dropping the row.
+    require(singletons >= 0L,
+      s"dedupReport: pairs reference $clustered clustered ids but corpus " +
+        s"has only ${clustered + singletons} distinct non-null ids — " +
+        "pairs must be computed over (a subset of) this corpus")
     val hist = sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).cast("long").as("n_clusters"))
     hist.unionByName(
@@ -1263,7 +1283,10 @@ object Dedup {
     val sized = math.max(1000L, grams.count())
     val bloom = grams.stat.bloomFilter(col("__g"), sized, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val hit = udf((gs: Seq[Long]) => gs.exists(bc.value.mightContainLong))
+    // Null text hashes to a null gram array; flag as clean (no n-grams),
+    // matching contaminationPairs/decontaminate, instead of NPE-ing.
+    val hit = udf((gs: Seq[Long]) =>
+      gs != null && gs.exists(bc.value.mightContainLong))
     docs.withColumn("is_contaminated",
       hit(graft.functions.VectorFunctions
         .word_ngram_hashes60(col(textCol), n)))

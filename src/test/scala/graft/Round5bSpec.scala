@@ -748,7 +748,8 @@ class Round5bSpec extends SparkSpecBase {
     "at query time)") {
     val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
     val idx = TextAnalysis.bm25Index(docsDf, "text", "doc_id")
-    assert(idx.postings.columns.toSet == Set("term", "doc", "tf", "dl"))
+    assert(idx.postings.columns.toSet ==
+      Set("term", "doc", "tf", "dl", "df", "tbucket"))
     // dl is constant per doc and equals the token count
     val bad = idx.postings.groupBy("doc")
       .agg(count_distinct(col("dl")).as("nd"), first(col("dl")).as("dl"),

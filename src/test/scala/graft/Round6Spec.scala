@@ -304,7 +304,8 @@ class Round6Spec extends SparkSpecBase {
     val train = Seq(
       (1L, "the quick brown fox jumps over lazy dogs"),
       (2L, "completely unrelated training content nothing shared here"),
-      (3L, "too short")
+      (3L, "too short"),
+      (4L, null.asInstanceOf[String]) // null crawl text: no grams, clean
     ).toDF("doc_id", "text")
     val evalSet = Seq(
       (100L, "watch the quick brown fox jumps over everything")
@@ -314,6 +315,7 @@ class Round6Spec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(flagged(1L)) // shares 4-grams
     assert(!flagged(3L)) // < n tokens: no grams, never contaminated
+    assert(!flagged(4L)) // null text must not crash nor flag
     // recall 1 vs the exact join (Bloom can only over-flag)
     val exact = Dedup.contaminationPairs(train, evalSet, "text",
       "doc_id", n = 4).select("train_id").as[Long].collect().toSet
@@ -353,6 +355,18 @@ class Round6Spec extends SparkSpecBase {
     assert(rep == Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L),
       (3L, 1L, 3L, 2L)))
     assert(rep.map(_._3).sum == 7L) // self-auditing: n_docs = corpus
+  }
+
+  test("dedupReport: pairs referencing ids outside the corpus fail loud " +
+    "instead of silently dropping the singleton row") {
+    import graft.ext.Dedup
+    val corpus = (1L to 2L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // 3 clustered ids but only 2 corpus ids → singletons would go negative
+    val pairs = Seq((1L, 2L), (2L, 99L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupReport(corpus, pairs, "doc_id").collect()
+    }
+    assert(e.getMessage.contains("pairs"))
   }
 
   test("dedupReport: fully-unique corpus is one singleton row") {
