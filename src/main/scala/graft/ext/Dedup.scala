@@ -904,6 +904,50 @@ object Dedup {
       .distinct() // byte-identical duplicate rows, as in incrementalExact
   }
 
+  /** [[incrementalExactBloom]] with the exact confirm pass folded in —
+    * the "when exactness matters" route from that operator's docstring as
+    * one operator: Bloom-NEGATIVE incoming docs are definitely new (no
+    * false negatives), and Bloom-POSITIVE docs — true duplicates plus an
+    * ≤ fpp sliver of new docs — are re-checked EXACTLY against only the
+    * corpus shard whose text hashes appear in the flagged batch. Output
+    * ≡ [[incrementalExact]] bit for bit; fpp now tunes only how much
+    * corpus the confirm join touches, never the answer.
+    *
+    * Scale shape: the corpus streams once through the Bloom build and
+    * once through a hash equi-join against the (small) flagged-hash set;
+    * incoming text never shuffles except the flagged sliver's confirm
+    * anti-join.
+    */
+  def incrementalExactBloomVerified(incoming: DataFrame, corpus: DataFrame,
+                                    textCol: String = "text",
+                                    idCol: String = "doc_id",
+                                    expectedItems: Long = -1L,
+                                    fpp: Double = 0.001): DataFrame = {
+    val spark = incoming.sparkSession
+    val sized =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1000L, corpus.count())
+    val bloom = corpus.stat.bloomFilter(xxhash64(col(textCol)), sized, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val seen = udf((h: Long) => bc.value.mightContainLong(h))
+    val inBatch = incoming.withColumn("__h", xxhash64(col(textCol)))
+    val batchReps = inBatch
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    val reps = inBatch.join(batchReps, Seq("__h", idCol)).distinct()
+    val clean = reps.where(!seen(col("__h")))
+    val flagged = reps.where(seen(col("__h")))
+    // corpus shard = texts whose hash the flagged batch carries (tiny at
+    // low fpp); equi-join on the 8-byte hash, then exact text anti-join
+    val shardTexts = corpus
+      .select(col(textCol), xxhash64(col(textCol)).as("__ch"))
+      .join(flagged.select(col("__h").as("__ch")).distinct(), Seq("__ch"),
+        "left_semi")
+      .select(col(textCol))
+    flagged.join(shardTexts, Seq(textCol), "left_anti")
+      .unionByName(clean)
+      .drop("__h")
+  }
+
   /** SemDeDup-style clustered embedding dedup: k-means-cluster the corpus
     * embeddings (deterministic driver-side fit on a capped sample, one
     * narrow assignment map), generate candidate pairs only WITHIN each

@@ -1113,6 +1113,63 @@ object TextAnalysis {
           greatest(lit(1L), col("n_pretokens"))).as("chars_per_tok_ppm"))
   }
 
+  // ---- tokenizer DECODE faces (loader round-trip: pieces/ids → text) --
+
+  /** Decode tokenizer pieces back to text. Both encoders ([[bpeEncode]],
+    * [[unigramEncode]]) partition the pre-token stream — every character
+    * of every pre-token survives into exactly one piece, in order — so
+    * decode is pure concatenation, and
+    * `decode ∘ encode ≡ [[pretokNormalize]]` (the pre-tokenizer's
+    * whitespace convention), spec-pinned for both families. A narrow
+    * codegen'd map (`concat_ws` on the piece array): no join, no shuffle.
+    */
+  def decodePieces(pieces: Column): Column = concat_ws("", pieces)
+
+  /** [[decodePieces]] under its per-family names (the loader-facing API
+    * mirrors encode's: saveBpe/loadBpe/bpeEncode/decodeBpe).
+    */
+  def decodeBpe(pieces: Column): Column = decodePieces(pieces)
+  def decodeUnigram(pieces: Column): Column = decodePieces(pieces)
+
+  /** What `decode ∘ encode` returns: the pre-tokenizer's normalization
+    * of `text` — runs of spaces collapse into the single leading space a
+    * pre-token may carry, and orphan (trailing) spaces drop. Identity on
+    * text that is already single-spaced without a trailing space.
+    */
+  def pretokNormalize(textCol: Column): Column =
+    concat_ws("", regexp_extract_all(textCol, lit(bpePattern), lit(0)))
+
+  /** Piece-string array → piece-id array against a canonical vocabulary
+    * (id = position in `vocab`, the artifact's row order). Pieces absent
+    * from `vocab` map to -1 (the caller's unk convention — unigram's
+    * single-codepoint UNK fallback can emit pieces outside the trained
+    * vocabulary). The vocab rides the plan as a constant-folded map
+    * literal: O(1) per piece, no join.
+    */
+  def piecesToIds(pieces: Column, vocab: Seq[String]): Column = {
+    val idOf = map_from_arrays(
+      lit(vocab.toArray),
+      lit(vocab.indices.toArray))
+    transform(pieces, p => coalesce(element_at(idOf, p), lit(-1)))
+  }
+
+  /** Piece-id array → piece-string array ([[piecesToIds]] inverse for
+    * in-vocabulary ids). Ids outside [0, |vocab|) fail loud — a decode
+    * against the wrong artifact must not fabricate text.
+    */
+  def idsToPieces(ids: Column, vocab: Seq[String]): Column = {
+    val v = lit(vocab.toArray)
+    transform(ids, i =>
+      when(i >= 0 && i < vocab.size, element_at(v, i + 1))
+        .otherwise(raise_error(concat(lit("piece id out of range: "), i))))
+  }
+
+  /** Full id-level decode: piece ids → text via the artifact vocabulary
+    * ([[idsToPieces]] then [[decodePieces]]).
+    */
+  def decodeIds(ids: Column, vocab: Seq[String]): Column =
+    decodePieces(idsToPieces(ids, vocab))
+
   /** Persist a learned unigram vocabulary as the tokenizer ARTIFACT
     * (piece, log_prob) — the [[saveBpe]] ship face for the unigram
     * family.

@@ -466,6 +466,18 @@ object ExtQueries {
              Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
     },
+    "dedup_semantic_fitted" -> { (s, d) =>
+      // dedup_semantic_probe's code path — the pre-trained-centroid
+      // overload over a memoized fitIvf model — in exact-recall mode: a
+      // 1-cell fitted model routes every pair through the identical
+      // clustered plan ≡ brute force (the sim_ann_* gate convention)
+      val e = emb(s, d).where(col("vec_id") < 1000)
+      e.join(Dedup.semanticPairs(e, ivfModel(s, d, nlist = 1),
+               "embedding", "vec_id", threshold = 0.95)
+               .select(col("id_b").as("vec_id")).distinct(),
+             Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
     "dedup_corpus" -> { (s, d) =>
       // the full dedup pipeline in one operator: pair detection →
       // clustering → keep the longest doc per cluster (ties → smallest id)
@@ -481,6 +493,19 @@ object ExtQueries {
       val dd = docs(s, d)
       Dedup.incrementalExact(dd.where(pmod(col("doc_id"), lit(2)) === 1),
                              dd.where(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    "dedup_incremental_bloom" -> { (s, d) =>
+      // the Bloom ingest path (dedup_incremental_bloom_probe's shape)
+      // with the exact confirm pass folded in: output ≡ incrementalExact,
+      // so the same full-equality oracle applies; a deliberately loose
+      // fpp stresses the confirm join (false positives must not drop)
+      val dd = docs(s, d)
+      Dedup.incrementalExactBloomVerified(
+          dd.where(pmod(col("doc_id"), lit(2)) === 1),
+          dd.where(pmod(col("doc_id"), lit(2)) === 0),
+          expectedItems = 100L, fpp = 0.2)
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
@@ -963,6 +988,26 @@ object ExtQueries {
         .groupBy(col("lang"))
         .agg(sum(col("n")).cast("long").as("total_bpe_tokens"))
         .orderBy(col("lang"))
+    },
+    "text_decode_roundtrip" -> { (s, d) =>
+      // decode ∘ encode collapses to the pre-tokenizer normalization for
+      // BOTH tokenizer families regardless of the learned artifact (every
+      // pre-token character survives into exactly one piece, in order),
+      // so this is a FULL-equality oracle, not a certificate: DuckDB
+      // mirrors the normalization directly. The third column drives the
+      // id lane (pieces → artifact ids → pieces → text) end to end.
+      val uniVocab = learnedUnigram(s, d)
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.decodeBpe(TextAnalysis.bpeEncode(col("text"),
+            learnedBpe(s, d))).as("dec_bpe"),
+          TextAnalysis.decodeUnigram(TextAnalysis.unigramEncode(col("text"),
+            uniVocab)).as("dec_uni"),
+          TextAnalysis.decodeIds(
+            TextAnalysis.piecesToIds(
+              TextAnalysis.unigramEncode(col("text"), uniVocab),
+              uniVocab.map(_._1)),
+            uniVocab.map(_._1)).as("dec_uni_ids"))
+        .orderBy(col("doc_id"))
     },
     "text_entropy" -> { (s, d) =>
       TextAnalysis.charEntropy(docs(s, d), "text", "doc_id")
@@ -2905,12 +2950,30 @@ object ExtQueries {
          CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')))
            AS BIGINT) AS total_bpe_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
+    "text_decode_roundtrip" ->
+      s"""SELECT doc_id,
+         array_to_string(regexp_extract_all(text,
+           '${TextAnalysis.bpePattern}'), '') AS dec_bpe,
+         array_to_string(regexp_extract_all(text,
+           '${TextAnalysis.bpePattern}'), '') AS dec_uni,
+         array_to_string(regexp_extract_all(text,
+           '${TextAnalysis.bpePattern}'), '') AS dec_uni_ids
+         FROM documents ORDER BY doc_id""",
     "dedup_minhash" -> jaccardSurvivorsSql(k = 3, threshold = 0.7),
     "dedup_ngram_jaccard" -> jaccardSurvivorsSql(k = 3, threshold = 0.8),
     "dedup_clusters" -> jaccardClustersSql(k = 3, threshold = 0.8),
     "dedup_report" -> jaccardReportSql(k = 3, threshold = 0.8),
     "dedup_corpus" -> jaccardCanonicalSql(k = 3, threshold = 0.8),
     "dedup_incremental" ->
+      """WITH inc AS (SELECT doc_id, text, n_chars FROM documents
+           WHERE doc_id % 2 = 1),
+         keep AS (SELECT min(doc_id) AS doc_id FROM inc GROUP BY text)
+         SELECT i.doc_id, i.n_chars FROM inc i
+         JOIN keep k ON i.doc_id = k.doc_id
+         WHERE i.text NOT IN
+           (SELECT text FROM documents WHERE doc_id % 2 = 0)
+         ORDER BY i.doc_id""",
+    "dedup_incremental_bloom" ->
       """WITH inc AS (SELECT doc_id, text, n_chars FROM documents
            WHERE doc_id % 2 = 1),
          keep AS (SELECT min(doc_id) AS doc_id FROM inc GROUP BY text)
@@ -2956,6 +3019,14 @@ object ExtQueries {
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""",
     "dedup_semantic" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1000),
+         p AS (SELECT b.vec_id AS id_b FROM e a, e b
+           WHERE a.vec_id < b.vec_id
+             AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.95)
+         SELECT vec_id FROM e
+         WHERE vec_id NOT IN (SELECT id_b FROM p) ORDER BY vec_id""",
+    "dedup_semantic_fitted" ->
       """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1000),
          p AS (SELECT b.vec_id AS id_b FROM e a, e b
            WHERE a.vec_id < b.vec_id

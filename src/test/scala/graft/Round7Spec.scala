@@ -63,4 +63,94 @@ class Round7Spec extends SparkSpecBase {
     val probed = qs.flatMap(_._2).map(TextAnalysis.bm25TermBucket).distinct
     assert(probed.length < TextAnalysis.bm25TermBuckets)
   }
+
+  // ---- Bloom-verified incremental dedup ----
+
+  test("incrementalExactBloomVerified ≡ incrementalExact even with a " +
+    "saturated filter (false positives re-checked, not dropped)") {
+    import graft.ext.Dedup
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val inc = docsDf.where(pmod(col("doc_id"), lit(2)) === 1)
+    val corpus = docsDf.where(pmod(col("doc_id"), lit(2)) === 0)
+    val exact = Dedup.incrementalExact(inc, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // expectedItems=1 saturates the Bloom: nearly EVERY incoming doc
+    // flags, so the whole answer rides on the exact confirm join
+    val viaBloom = Dedup.incrementalExactBloomVerified(inc, corpus,
+        expectedItems = 1L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    assert(exact.nonEmpty)
+    // and at a sane fpp too
+    val sane = Dedup.incrementalExactBloomVerified(inc, corpus, fpp = 0.001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sane == exact)
+  }
+
+  // ---- tokenizer decode faces ----
+
+  private val decodeTexts = Seq(
+    "the quick brown fox",
+    "hello, world! 123 foo-bar",
+    "  double  spaces   collapse ",
+    "unicode café straße 日本語",
+    "",
+    "trailing space ",
+    "a")
+
+  test("decodeBpe ∘ bpeEncode ≡ pretokNormalize (learned merges)") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = TextAnalysis.learnBpe(docsDf, "text", numMerges = 12)
+    assert(merges.nonEmpty)
+    val df = decodeTexts.toDF("t")
+    val bad = df.select(
+        TextAnalysis.decodeBpe(TextAnalysis.bpeEncode(col("t"), merges))
+          .as("dec"),
+        TextAnalysis.pretokNormalize(col("t")).as("norm"))
+      .where(col("dec") =!= col("norm"))
+    assert(bad.count() == 0)
+    // and on real corpus text too
+    val badCorpus = docsDf.select(
+        TextAnalysis.decodeBpe(TextAnalysis.bpeEncode(col("text"), merges))
+          .as("dec"),
+        TextAnalysis.pretokNormalize(col("text")).as("norm"))
+      .where(col("dec") =!= col("norm"))
+    assert(badCorpus.count() == 0)
+  }
+
+  test("decodeUnigram ∘ unigramEncode ≡ pretokNormalize, and the id lane " +
+    "(piecesToIds → idsToPieces → decode) round-trips") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vocab = TextAnalysis.learnUnigram(docsDf, "text",
+      vocabSize = 80, seedSize = 300, emIters = 1)
+    val pieces = vocab.map(_._1)
+    val bad = docsDf.select(
+        TextAnalysis.unigramEncode(col("text"), vocab).as("enc"),
+        TextAnalysis.pretokNormalize(col("text")).as("norm"))
+      .select(
+        TextAnalysis.decodeUnigram(col("enc")).as("dec"),
+        TextAnalysis.decodeIds(
+          TextAnalysis.piecesToIds(col("enc"), pieces), pieces).as("decIds"),
+        col("norm"))
+      .where(col("dec") =!= col("norm") || col("decIds") =!= col("norm"))
+    assert(bad.count() == 0)
+  }
+
+  test("piecesToIds: unknown piece → -1; idsToPieces: out-of-range id " +
+    "fails loud") {
+    val vocab = Seq("ab", "c", "d")
+    val got = Seq(Tuple1(Seq("c", "ab", "zz")))
+      .toDF("p")
+      .select(TextAnalysis.piecesToIds(col("p"), vocab).as("ids"))
+      .collect()(0).getSeq[Int](0)
+    assert(got == Seq(1, 0, -1))
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(5))).toDF("ids")
+        .select(TextAnalysis.idsToPieces(col("ids"), vocab))
+        .collect()
+    }
+    assert(err.getMessage.contains("piece id out of range") ||
+      Option(err.getCause).exists(_.getMessage
+        .contains("piece id out of range")))
+  }
 }
