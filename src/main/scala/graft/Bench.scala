@@ -77,6 +77,25 @@ object Bench {
     try graft.queries.ExtQueries.prebuildIndexes(spark, sfDir)
     catch { case _: Throwable => }
     releaseAndCheck()
+    // Contention sentinel (round-6 verdict #2): the official artifact
+    // drifted +17% on UNCHANGED queries as the suite grew in one JVM —
+    // box crowding silently absorbed into recorded numbers. Three fixed
+    // headliners run at bench START and again at bench END; if the
+    // end/start median-sum ratio exceeds 1.3, the environment degraded
+    // DURING the run and the artifact says so ("contended": true) —
+    // re-run solo before recording such a bench as evidence.
+    val sentinelNames = Seq("q1_pricing", "src_stream", "sim_topk")
+    def runSentinel(): Seq[(String, Double)] = sentinelNames.map { n =>
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try timed(n)(spark, sfDir).count() catch { case _: Throwable => }
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.ext.OpCaches.releaseAll()
+        secs
+      }
+      n -> median3(runs)
+    }
+    val sentinelStart = runSentinel()
     // A failing query must be VISIBLE, not a silently-recorded
     // time-to-failure (r5 lesson: a fixture type change broke one query
     // and streaming for a full round of bench records before anyone saw
@@ -116,6 +135,18 @@ object Bench {
       }
     val rowsPerSec =
       if (streamingSecs > 0) streamRows / streamingSecs else -1.0
+    val sentinelEnd = runSentinel()
+    val sentinelRatio = {
+      val s0 = sentinelStart.map(_._2).sum
+      val s1 = sentinelEnd.map(_._2).sum
+      if (s0 > 0) s1 / s0 else -1.0
+    }
+    val contended = sentinelRatio > 1.3
+    if (contended)
+      System.err.println(
+        f"[bench] CONTENDED: sentinel end/start ratio $sentinelRatio%.2f " +
+          "— environment degraded during the run; re-run solo before " +
+          "recording this bench")
     val perfAll = perf :+ ("streaming_windowed_count" -> streamingSecs)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -130,6 +161,9 @@ object Bench {
       f""""queries":${jmap(perfAll)},"gate_queries":${jmap(gate)},""" +
       f""""samples":$samplesJson,"reps":$reps,"cache_leaked_blocks":$leakedBlocks,""" +
       f""""failed":$failedJson,""" +
+      f""""sentinel_start":${jmap(sentinelStart)},""" +
+      f""""sentinel_end":${jmap(sentinelEnd)},""" +
+      f""""sentinel_ratio":$sentinelRatio%.3f,"contended":$contended,""" +
       f""""streaming_rows":$streamRows,"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
     // line in "[info] ". The forked run now passes stdout through bare

@@ -762,6 +762,78 @@ object Dedup {
               coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
+  /** Arbitrary-length duplicate SUBSTRING removal — the suffix-array
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr), re-expressed distributed:
+    * any word sequence of ≥ `minTokens` tokens that occurs more than
+    * once ANYWHERE in the corpus (across documents or repeated within
+    * one) is removed from every occurrence except the globally first
+    * (min (doc, position)). Where [[dedupSpans]] hashes FIXED
+    * non-overlapping chunks (the C4 recipe — a duplicate misaligned
+    * with the chunk grid escapes), this slides a window over every
+    * position, so duplicated passages are caught at any offset and at
+    * any length ≥ `minTokens` (a length-L copy is L−k+1 overlapping
+    * duplicated windows; their union covers exactly the passage).
+    *
+    * Equivalence to the suffix-array formulation: a suffix array finds
+    * maximal repeats ≥ k directly; here a position is removable iff its
+    * k-window recurs, and UNION coverage of removable windows equals the
+    * union of all duplicated substrings of length ≥ k (every length-≥k
+    * repeat is a run of repeating k-windows and vice versa). What the
+    * approximation gives up is only the keeper's contiguity guarantee:
+    * each WINDOW keeps its own globally-first occurrence, so when
+    * partial overlaps tangle (the same window recurring in 3+ contexts),
+    * the surviving copy of a long passage is per-window rather than
+    * per-passage — for verbatim boilerplate (the mass of real duplicate
+    * text) keeper sites coincide and the result matches the suffix-array
+    * answer exactly.
+    *
+    * Scale shape: ONE token-volume shuffle of (hash, doc, pos) triples
+    * into a partial-agg count+min — the distributed stand-in for
+    * suffix-array construction — then the window stream (recomputed
+    * narrow, cheaper than caching token-volume rows) equi-joins the
+    * duplicated-hash table (size-based broadcast when the duplicate tail
+    * is small; AQE decides), and removable positions reduce per doc
+    * (bounded by doc length). The rebuild is the codegen'd linear
+    * [[org.apache.spark.sql.graftfn.RemoveCoveredTokens]] sweep. The
+    * engine-portable md5-derived window hash keeps the whole output
+    * DuckDB-oracle-checkable.
+    *
+    * Returns (id, clean_text, n_tokens_removed) for EVERY input document
+    * — clean_text is the surviving tokens single-space joined (documents
+    * shorter than `minTokens` pass through whitespace-normalized).
+    */
+  def dedupSubstrings(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    def wins = base.select(col("id"),
+        posexplode(graft.functions.VectorFunctions
+          .word_ngram_hashes60_pos(col("__t"), k)))
+      .toDF("id", "pos", "h")
+    val dups = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("id"), col("pos"))).as("__keep"))
+      .where(col("__occ") >= 2)
+      .select(col("h"), col("__keep.id").as("__kid"),
+        col("__keep.pos").as("__kpos"))
+    val removable = wins.join(dups, Seq("h"))
+      .where(col("id") =!= col("__kid") || col("pos") =!= col("__kpos"))
+      .select(col("id"), col("pos"))
+    val rem = removable.groupBy(col("id"))
+      .agg(array_sort(collect_list(col("pos"))).as("__ps"))
+    base.join(rem, Seq("id"), "left")
+      .select(col("id"),
+        graft.functions.VectorFunctions.remove_covered_tokens(
+          filter(split(col("__t"), " "), x => x =!= ""),
+          coalesce(col("__ps"), array().cast("array<int>")), k).as("__r"))
+      .select(col("id").as(idCol),
+        col("__r.clean_text").as("clean_text"),
+        col("__r.n_removed").cast("long").as("n_tokens_removed"))
+  }
+
   /** Incremental NEAR-dup detection: which documents of an incoming batch
     * are ≥ `threshold` Jaccard-similar to SOME document of the
     * already-ingested corpus — the ingest-time companion of

@@ -466,6 +466,13 @@ object ExtQueries {
              Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
     },
+    "dedup_substrings" -> { (s, d) =>
+      // Lee-et-al-style arbitrary-length duplicate substring removal:
+      // every ≥8-token word sequence occurring twice anywhere in the
+      // corpus survives only at its globally-first (doc, pos) site
+      Dedup.dedupSubstrings(docs(s, d), "text", "doc_id", minTokens = 8)
+        .orderBy(col("doc_id"))
+    },
     "dedup_semantic_fitted" -> { (s, d) =>
       // dedup_semantic_probe's code path — the pre-trained-centroid
       // overload over a memoized fitIvf model — in exact-recall mode: a
@@ -2973,6 +2980,38 @@ object ExtQueries {
          WHERE i.text NOT IN
            (SELECT text FROM documents WHERE doc_id % 2 = 0)
          ORDER BY i.doc_id""",
+    "dedup_substrings" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                   toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')),
+                   1, 15) AS BIGINT) AS h
+               FROM t, unnest(range(greatest(len(toks) - 7, 0))) AS u(i)),
+         d AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY h) AS occ,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, pos) AS rn
+               FROM w),
+         rem AS (SELECT doc_id, pos FROM d WHERE occ >= 2 AND rn > 1),
+         cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS ti
+                 FROM rem, unnest(range(8)) AS r(j)),
+         tok AS (SELECT doc_id, CAST(i AS INT) AS ti,
+                   toks[CAST(i + 1 AS INT)] AS tk
+                 FROM t, unnest(range(len(toks))) AS r(i)),
+         kept AS (SELECT tok.doc_id, tok.ti, tok.tk FROM tok
+                  LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                               AND tok.ti = cov.ti
+                  WHERE cov.ti IS NULL),
+         agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS ct,
+                        count(*) AS n_kept FROM kept GROUP BY doc_id),
+         tn AS (SELECT doc_id, len(toks) AS n FROM t)
+         SELECT tn.doc_id, coalesce(agg.ct, '') AS clean_text,
+                CAST(tn.n - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_tokens_removed
+         FROM tn LEFT JOIN agg USING (doc_id)
+         ORDER BY tn.doc_id""",
     "dedup_incremental_bloom" ->
       """WITH inc AS (SELECT doc_id, text, n_chars FROM documents
            WHERE doc_id % 2 = 1),

@@ -472,6 +472,67 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** POSITIONAL engine-portable word n-gram hashes: like
+    * [[wordNgramHashes60]] but IN TOKEN ORDER with repeats kept — index i
+    * of the output is the hash of tokens [i, i+k). The substring-dedup
+    * primitive: run-merging over positions needs every window at its
+    * position, not the distinct set.
+    */
+  def wordNgramHashes60Pos(input: UTF8String, k: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](toks.length - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val b = sb.toString.getBytes("UTF-8")
+      hs(i) = PortableHash.h60(b, 0, b.length)
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  /** Remove every token covered by a removable k-window: `ps` holds the
+    * SORTED ascending start positions of removable windows, each covering
+    * token indices [p, p+k). Linear two-pointer sweep over (tokens,
+    * positions); returns (clean_text — surviving tokens single-space
+    * joined, n_removed). The rebuild side of substring dedup: per-row
+    * CPU, no allocation beyond the output buffer.
+    */
+  def removeCoveredTokens(toks: ArrayData, ps: ArrayData,
+                          k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val m = ps.numElements()
+    val sb = new java.lang.StringBuilder(64)
+    var kept = 0
+    var pi = 0
+    var covEnd = -1 // highest covered token index seen so far
+    var i = 0
+    while (i < n) {
+      while (pi < m && ps.getInt(pi) <= i) {
+        val e = ps.getInt(pi) + k - 1
+        if (e > covEnd) covEnd = e
+        pi += 1
+      }
+      if (i > covEnd) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        kept += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(sb.toString),
+        java.lang.Integer.valueOf(n - kept)))
+  }
+
   /** Engine-PORTABLE word n-gram hash SET: tokenize on spaces, hash each
     * k-window with [[PortableHash.h60]] (DuckDB: `CAST('0x' ||
     * substr(md5(gram), 1, 15) AS BIGINT)`), return distinct hashes sorted
@@ -993,6 +1054,60 @@ case class WordNgramHashes60(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Positional word n-gram hashes, repeats kept (see
+  * [[Kernels.wordNgramHashes60Pos]]) — the substring-dedup window
+  * primitive, engine-portable like [[WordNgramHashes60]].
+  */
+case class WordNgramHashes60Pos(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"word_ngram_hashes60_pos needs k >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes60_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordNgramHashes60Pos(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = " +
+        s"org.apache.spark.sql.graftfn.Kernels.wordNgramHashes60Pos($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Token-level rebuild after substring dedup (see
+  * [[Kernels.removeCoveredTokens]]): left = token array, right = SORTED
+  * ascending removable-window start positions, each covering k tokens.
+  * Returns struct(clean_text, n_removed). Linear sweep, codegen'd.
+  */
+case class RemoveCoveredTokens(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"remove_covered_tokens needs k >= 1, got $k")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("clean_text", StringType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("n_removed",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "remove_covered_tokens"
+
+  override def nullSafeEval(toks: Any, ps: Any): Any =
+    Kernels.removeCoveredTokens(toks.asInstanceOf[ArrayData],
+      ps.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".removeCoveredTokens($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class WordShingleHashes(child: Expression, k: Int)
@@ -1580,6 +1695,19 @@ object VectorFunctions {
     */
   def word_ngram_hashes60(text: Column, k: Int): Column =
     ExpressionUtils.column(WordNgramHashes60(ExpressionUtils.expression(text), k))
+
+  /** Positional word n-gram hashes, repeats kept (see
+    * [[WordNgramHashes60Pos]]).
+    */
+  def word_ngram_hashes60_pos(text: Column, k: Int): Column =
+    ExpressionUtils.column(WordNgramHashes60Pos(
+      ExpressionUtils.expression(text), k))
+
+  /** Token rebuild after substring dedup (see [[RemoveCoveredTokens]]). */
+  def remove_covered_tokens(toks: Column, positions: Column, k: Int): Column =
+    ExpressionUtils.column(RemoveCoveredTokens(
+      ExpressionUtils.expression(toks),
+      ExpressionUtils.expression(positions), k))
 
   /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =

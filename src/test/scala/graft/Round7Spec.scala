@@ -64,6 +64,54 @@ class Round7Spec extends SparkSpecBase {
     assert(probed.length < TextAnalysis.bm25TermBuckets)
   }
 
+  // ---- arbitrary-length duplicate substring removal ----
+
+  test("dedupSubstrings: planted Lee-et-al duplicates — embedded passage " +
+    "removed at the non-canonical site at any offset, within-doc repeats " +
+    "collapse, unique and short docs untouched") {
+    import graft.ext.Dedup
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ") // 12 tokens
+    val corpus = Seq(
+      // canonical site: passage at offset 3
+      (1L, s"intro a b $passage outro x"),
+      // duplicate site: same passage embedded at a DIFFERENT offset in
+      // different context (the case dedupSpans' fixed chunk grid misses)
+      (2L, s"zz $passage trailing words here"),
+      // within-doc repetition: 8-token phrase twice
+      (3L, ("q1 q2 q3 q4 q5 q6 q7 q8 mid q1 q2 q3 q4 q5 q6 q7 q8")),
+      // unique long doc
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      // too short to carry an 8-token window
+      (5L, "tiny doc few words")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, "text", "doc_id", minTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // doc 1 is the global keeper (min doc id): fully intact
+    assert(out(1L) == (s"intro a b $passage outro x", 0L))
+    // doc 2 loses exactly the 12 passage tokens, keeps its own context
+    assert(out(2L) == ("zz trailing words here", 12L))
+    // doc 3 keeps the first phrase occurrence + the bridge token; the
+    // second occurrence is removed (8 tokens)
+    assert(out(3L) == ("q1 q2 q3 q4 q5 q6 q7 q8 mid", 8L))
+    assert(out(4L)._2 == 0L)
+    assert(out(5L) == ("tiny doc few words", 0L))
+  }
+
+  test("dedupSubstrings: exact duplicate documents collapse to one " +
+    "surviving copy; n_tokens_removed reconciles") {
+    import graft.ext.Dedup
+    val text = (1 to 15).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((10L, text), (11L, text), (12L, text))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, "text", "doc_id", minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((10L, text, 0L)))
+    assert(out(1) == ((11L, "", 15L)))
+    assert(out(2) == ((12L, "", 15L)))
+  }
+
   // ---- Bloom-verified incremental dedup ----
 
   test("incrementalExactBloomVerified ≡ incrementalExact even with a " +
