@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, Skew, TextAnalysis}
+
+/** 10× stress validation (VERDICT r6 #3): every 100 TB claim in
+  * COVERAGE.md is plan-shape reasoning at sf0.1 — this suite runs the
+  * five headline shapes on a builder-owned synthetic corpus ~10× the
+  * sf0.1 row counts WITH the pathologies a web-scale corpus is
+  * guaranteed to contain planted in:
+  *   - a MEGA-BUCKET: 10⁵ bit-identical boilerplate documents (every
+  *     MinHash band collides — the bucketPairs hot-bucket cap must hold);
+  *   - a MEGA-HOT KEY: one aggregation key owning 50% of all events
+  *     (the salted two-phase combine must spread it);
+  *   - a SKEWED VORONOI CELL: a tight embedding cluster that lands in
+  *     one IVF cell (the salted cell equi-join must spread it);
+  *   - a HOT BLOCKING KEY and a HOT TERM (record linkage / BM25).
+  *
+  * Each shape runs at 1× and at 10× of the same synthetic distribution
+  * and must grow ≤ ~linearly: tBig ≤ 25·tSmall + slack — 10× data with
+  * 2.5× grace for fixed per-query overhead; a quadratic escape (uncapped
+  * bucket, un-salted hot key) shows up as ≥ 100× and fails loud, as does
+  * any task failure/OOM (the action throws). Generation is deterministic
+  * (hash-mixed, no RNG state) and distributed (spark.range, no driver
+  * materialization).
+  */
+class ScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def assertLinear(name: String, tSmall: Double, tBig: Double): Unit =
+    assert(tBig <= 25.0 * math.max(tSmall, 0.2) + 10.0,
+      f"$name grew superlinearly at 10×: $tSmall%.2f s → $tBig%.2f s")
+
+  /** Organic docs: ~54 hash-mixed tokens over an 800-word vocabulary
+    * (the sf0.1 documents shape), plus `identical` bit-identical
+    * boilerplate docs — the mega-bucket.
+    */
+  private def synthDocs(n: Long, identical: Long): DataFrame = {
+    val organic = spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(54)),
+        j => concat(lit("w"),
+          pmod(xxhash64(col("id") * 1000 + j), lit(800)))), " ").as("text"))
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val dup = spark.range(identical).select(
+      (col("id") + 10000000L).as("doc_id"), lit(boiler).as("text"))
+    organic.unionByName(dup)
+  }
+
+  test("mega-bucket: minhashPairs over 10⁵ identical docs + 10× organic " +
+    "corpus — hot-bucket cap holds, growth ~linear") {
+    def run(nOrganic: Long, identical: Long): (Long, Double) = {
+      val d = synthDocs(nOrganic, identical)
+      val (c, t) = time(Dedup.minhashPairs(d, "text", "doc_id").count())
+      graft.ext.OpCaches.releaseAll()
+      (c, t)
+    }
+    run(500, 1000) // codegen warm-up, untimed
+    val (cS, tS) = run(3000, 10000)
+    val (cB, tB) = run(30000, 100000)
+    // the identical docs must collapse into one spanning set: at least
+    // (identical - 1) pairs reference the bucket structure
+    assert(cS >= 9999L, s"small mega-bucket under-paired: $cS")
+    assert(cB >= 99999L, s"big mega-bucket under-paired: $cB")
+    assertLinear("dedup_minhash", tS, tB)
+    info(f"minhash: 13k docs $tS%.1f s → 130k docs $tB%.1f s (pairs $cB)")
+  }
+
+  test("mega-hot key: salted aggregation with one key owning 50% of 1M " +
+    "events — exact counts, ~linear growth") {
+    def run(n: Long): (Long, Double) = {
+      val ev = spark.range(n).select(
+        when(pmod(col("id"), lit(2)) === 0, lit("hotkey"))
+          .otherwise(concat(lit("k"), pmod(xxhash64(col("id")), lit(10000))))
+          .as("k"))
+      val (rows, t) = time {
+        Skew.saltedCount(ev, Seq("k"), salts = 16)
+          .where(col("k") === "hotkey").collect()
+      }
+      (rows(0).getAs[Long]("n"), t)
+    }
+    run(10000) // warm-up
+    val (cS, tS) = run(100000)
+    val (cB, tB) = run(1000000)
+    assert(cS == 50000L && cB == 500000L) // exact under salting
+    assertLinear("agg_salted", tS, tB)
+    info(f"salted count: 100k $tS%.1f s → 1M $tB%.1f s")
+  }
+
+  test("skewed Voronoi cell: ivfKnnJoin with a 2000-vector point cluster " +
+    "in one cell — salted cell join survives, ~linear growth with " +
+    "production nlist scaling") {
+    def synthEmb(n: Long, cluster: Long): DataFrame = {
+      // ids < cluster: all dims ≈ 5.0 (one tight cluster → one cell);
+      // the rest: hash-mixed in [-1, 1]
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          when(col("id") < cluster,
+            lit(5.0) + pmod(xxhash64(col("id") * 64 + j), lit(100))
+              .cast("double") / 1000.0)
+          .otherwise(pmod(xxhash64(col("id") * 64 + j), lit(2000))
+            .cast("double") / 1000.0 - 1.0))
+          .cast("array<float>").as("embedding"))
+    }
+    def run(n: Long, cluster: Long, nlist: Int): (Long, Double) = {
+      val e = synthEmb(n, cluster)
+      val model = Similarity.fitIvf(e, nlist)
+      val idx = Similarity.ivfIndex(e, model)
+      val (c, t) = time(
+        Similarity.ivfKnnJoin(idx, e, k = 5, model, nprobe = 3, salt = 4)
+          .count())
+      graft.ext.OpCaches.releaseAll()
+      (c, t)
+    }
+    run(300, 100, 4) // warm-up
+    // production scaling: nlist grows with the corpus (constant cell
+    // size); the planted cluster is a constant-size pathology both runs
+    val (cS, tS) = run(800, 2000 min 400, 16)
+    val (cB, tB) = run(8000, 2000, 64)
+    assert(cS > 0 && cB > 0)
+    assertLinear("sim_knn_join_probe", tS, tB)
+    info(f"ivfKnnJoin: 800 vecs $tS%.1f s → 8000 vecs $tB%.1f s ($cB rows)")
+  }
+
+  test("hot term: BM25 probe over a 10× index where one boilerplate term " +
+    "has df = 10⁵ — bucket pruning + bounded rank survive, probe ~linear") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale_bm25")
+    def run(nOrganic: Long, identical: Long, tag: String): Double = {
+      val d = synthDocs(nOrganic, identical)
+      val built = TextAnalysis.bm25Index(d, "text", "doc_id")
+      built.postings.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$tmp/$tag/postings")
+      built.meta.write.mode("overwrite").parquet(s"$tmp/$tag/meta")
+      val idx = TextAnalysis.Bm25Index(
+        spark.read.parquet(s"$tmp/$tag/postings"),
+        spark.read.parquet(s"$tmp/$tag/meta"))
+      val qs: Seq[(Long, Seq[String])] = Seq(
+        0L -> Seq("w1", "w42"), 1L -> Seq("w7", "w99", "w123"),
+        2L -> Seq("boiler3", "w5"), // the planted hot term
+        3L -> Seq("zzz_unseen"))
+      val (c, t) = time(
+        TextAnalysis.bm25TopKIndexed(idx, qs, k = 10).count())
+      assert(c > 0)
+      t
+    }
+    run(500, 1000, "warm") // warm-up
+    val tS = run(3000, 10000, "s")
+    val tB = run(30000, 100000, "b")
+    assertLinear("text_bm25_probe", tS, tB)
+    info(f"bm25 probe: 13k-doc index $tS%.1f s → 130k-doc index $tB%.1f s")
+  }
+
+  test("hot blocking key: record linkage with a 2000-record block at 10× " +
+    "— in-block cap bounds the quadratic, non-hot matches exact, " +
+    "~linear growth") {
+    def run(n: Long, nBlocks: Int, hot: Long): (Long, Double) = {
+      val recs = spark.range(n).select(
+        col("id").as("rid"),
+        array_join(transform(sequence(lit(1), lit(8)),
+          j => concat(lit("n"),
+            pmod(xxhash64(col("id") * 31 + j), lit(200)))), " ").as("name"),
+        when(col("id") < hot, lit(-1))
+          .otherwise(pmod(xxhash64(col("id")), lit(nBlocks)))
+          .cast("int").as("blk"),
+        pmod(col("id"), lit(7)).as("grp"))
+      val variants = recs.select((col("rid") + 10000000L).as("rid"),
+        concat(col("name"), lit(" zzv")).as("name"), col("blk"), col("grp"))
+      val all = recs.unionByName(variants)
+      val (c, t) = time(
+        Dedup.recordLinkage(all, "rid", blockCols = Seq("blk"),
+          fuzzyFields = Seq("name" -> 0.75),
+          exactFields = Seq("grp" -> 0.25), threshold = 0.8).count())
+      (c, t)
+    }
+    run(300, 100, 50) // warm-up
+    val (cS, tS) = run(2000, 600, 200)
+    val (cB, tB) = run(20000, 6000, 2000)
+    // every non-hot-block (orig, variant) pair scores 0.75·(8/9) + 0.25
+    // ≈ 0.917 ≥ 0.8 and must be found (hot-block recall is capped by the
+    // star expansion — the documented trade)
+    assert(cS >= 1800L, s"small linkage found only $cS pairs")
+    assert(cB >= 18000L, s"big linkage found only $cB pairs")
+    assertLinear("ds_record_linkage", tS, tB)
+    info(f"record linkage: 4k recs $tS%.1f s → 40k recs $tB%.1f s ($cB pairs)")
+  }
+}
