@@ -988,7 +988,11 @@ object Dedup {
     * Scale shape: the corpus streams once through the Bloom build and
     * once through a hash equi-join against the (small) flagged-hash set;
     * incoming text never shuffles except the flagged sliver's confirm
-    * anti-join.
+    * anti-join. With the default `expectedItems` (≤ 0) there is a THIRD
+    * corpus pass — the sizing `corpus.count()` (a metadata-cheap count
+    * job, but a full scan on a non-parquet source); production ingest
+    * loops should pass the cardinality from the previous round's
+    * bookkeeping so the corpus really does stream just twice.
     */
   def incrementalExactBloomVerified(incoming: DataFrame, corpus: DataFrame,
                                     textCol: String = "text",

@@ -65,7 +65,16 @@ object ExtQueries {
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(p)
       p
     })
-    indexDfs.computeIfAbsent(key, _ => s.read.parquet(path))
+    // session-guard (ADVICE r7): a cached DataFrame captures the session
+    // that created it; after a stop/new-session cycle in one JVM the memo
+    // would hand out handles bound to a dead session. Rebind on mismatch.
+    val cached = indexDfs.get(key)
+    if (cached != null && (cached.sparkSession eq s)) cached
+    else {
+      val df = s.read.parquet(path)
+      indexDfs.put(key, df)
+      df
+    }
   }
   // cell-partitioned: the pruned probe face scans only nprobe/nlist of it
   private def ivfIdx(s: SparkSession, d: String, nlist: Int) =
@@ -346,11 +355,13 @@ object ExtQueries {
   private val bloomGateDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]() {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        forEach((_, p) => {
+        // per-dir try/catch (ADVICE r7): one NoSuchFileException (dir
+        // already cleaned externally) must not abort cleanup of the rest
+        forEach((_, p) => try {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
             .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        })))
+        } catch { case _: Throwable => })))
     }
   private def learnedBpe(s: SparkSession, d: String): Seq[(String, String)] =
     bpeMerges.computeIfAbsent(d,

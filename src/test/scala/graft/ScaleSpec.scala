@@ -34,9 +34,26 @@ class ScaleSpec extends SparkSpecBase {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def assertLinear(name: String, tSmall: Double, tBig: Double): Unit =
-    assert(tBig <= 25.0 * math.max(tSmall, 0.2) + 10.0,
+  /** Linearity gate with one retry (ADVICE r7): a wall-clock ratio can
+    * trip on a loaded box from a single GC pause or noisy neighbor during
+    * the big run without any algorithmic regression. On breach the big
+    * measurement re-runs ONCE (via `reBig`) and the better of the two
+    * decides — a real quadratic escape fails both times; a flake doesn't.
+    */
+  private def assertLinear(name: String, tSmall: Double, tBig0: Double,
+                           reBig: () => Double = () => Double.NaN): Unit = {
+    val bound = 25.0 * math.max(tSmall, 0.2) + 10.0
+    val tBig =
+      if (tBig0 <= bound) tBig0
+      else {
+        info(f"$name breached on first timing ($tBig0%.2f s > $bound%.2f s) " +
+          "— re-measuring once to rule out a transient")
+        val t2 = reBig()
+        if (t2.isNaN) tBig0 else math.min(tBig0, t2)
+      }
+    assert(tBig <= bound,
       f"$name grew superlinearly at 10×: $tSmall%.2f s → $tBig%.2f s")
+  }
 
   /** Organic docs: ~54 hash-mixed tokens over an 800-word vocabulary
     * (the sf0.1 documents shape), plus `identical` bit-identical
@@ -69,7 +86,7 @@ class ScaleSpec extends SparkSpecBase {
     // (identical - 1) pairs reference the bucket structure
     assert(cS >= 9999L, s"small mega-bucket under-paired: $cS")
     assert(cB >= 99999L, s"big mega-bucket under-paired: $cB")
-    assertLinear("dedup_minhash", tS, tB)
+    assertLinear("dedup_minhash", tS, tB, () => run(30000, 100000)._2)
     info(f"minhash: 13k docs $tS%.1f s → 130k docs $tB%.1f s (pairs $cB)")
   }
 
@@ -90,7 +107,7 @@ class ScaleSpec extends SparkSpecBase {
     val (cS, tS) = run(100000)
     val (cB, tB) = run(1000000)
     assert(cS == 50000L && cB == 500000L) // exact under salting
-    assertLinear("agg_salted", tS, tB)
+    assertLinear("agg_salted", tS, tB, () => run(1000000)._2)
     info(f"salted count: 100k $tS%.1f s → 1M $tB%.1f s")
   }
 
@@ -125,7 +142,8 @@ class ScaleSpec extends SparkSpecBase {
     val (cS, tS) = run(800, 2000 min 400, 16)
     val (cB, tB) = run(8000, 2000, 64)
     assert(cS > 0 && cB > 0)
-    assertLinear("sim_knn_join_probe", tS, tB)
+    assertLinear("sim_knn_join_probe", tS, tB,
+      () => run(8000, 2000, 64)._2)
     info(f"ivfKnnJoin: 800 vecs $tS%.1f s → 8000 vecs $tB%.1f s ($cB rows)")
   }
 
@@ -153,7 +171,8 @@ class ScaleSpec extends SparkSpecBase {
     run(500, 1000, "warm") // warm-up
     val tS = run(3000, 10000, "s")
     val tB = run(30000, 100000, "b")
-    assertLinear("text_bm25_probe", tS, tB)
+    assertLinear("text_bm25_probe", tS, tB,
+      () => run(30000, 100000, "b"))
     info(f"bm25 probe: 13k-doc index $tS%.1f s → 130k-doc index $tB%.1f s")
   }
 
@@ -187,7 +206,8 @@ class ScaleSpec extends SparkSpecBase {
     // star expansion — the documented trade)
     assert(cS >= 1800L, s"small linkage found only $cS pairs")
     assert(cB >= 18000L, s"big linkage found only $cB pairs")
-    assertLinear("ds_record_linkage", tS, tB)
+    assertLinear("ds_record_linkage", tS, tB,
+      () => run(20000, 6000, 2000)._2)
     info(f"record linkage: 4k recs $tS%.1f s → 40k recs $tB%.1f s ($cB pairs)")
   }
 }
