@@ -1156,28 +1156,64 @@ object Dedup {
     */
   def sortedNeighborhoodPairs(records: DataFrame, idCol: String,
                               sortKeyCol: String,
-                              windowSize: Int): DataFrame = {
+                              windowSize: Int): DataFrame =
+    sortedNeighborhoodPairsImpl(records, idCol, sortKeyCol, windowSize,
+      includeKeys = true)
+
+  /** [[sortedNeighborhoodPairs]] with the key columns pruned BEFORE the
+    * rank join — the candidate-generation face [[recordLinkageMultiPass]]
+    * uses. The sort still orders by the full key (semantics unchanged),
+    * but the ranked frame that persists and self-joins carries only
+    * (id, rank): when the sort key is a document-sized text column the
+    * full-face persist+join moves KBs per row that a pass feeding a
+    * downstream scorer never reads.
+    */
+  private[ext] def sortedNeighborhoodIdPairs(records: DataFrame,
+                                             idCol: String,
+                                             sortKeyCol: String,
+                                             windowSize: Int): DataFrame =
+    sortedNeighborhoodPairsImpl(records, idCol, sortKeyCol, windowSize,
+      includeKeys = false)
+
+  private def sortedNeighborhoodPairsImpl(records: DataFrame, idCol: String,
+                                          sortKeyCol: String,
+                                          windowSize: Int,
+                                          includeKeys: Boolean): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
     val spark = records.sparkSession
     val sorted = records.select(col(idCol), col(sortKeyCol))
       .orderBy(col(sortKeyCol).asc, col(idCol).asc)
+    val keptFields =
+      if (includeKeys) sorted.schema.fields
+      else sorted.schema.fields.take(1)
     val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+      keptFields :+ org.apache.spark.sql.types.StructField(
         "__rk", org.apache.spark.sql.types.LongType, nullable = false))
     // both join sides read the rank; persist so the sort + zipWithIndex
-    // (an RDD job, outside codegen) runs once, not once per side
+    // (an RDD job, outside codegen) runs once, not once per side. The
+    // RDD-backed frame defeats Catalyst column pruning, so unused key
+    // columns are dropped HERE, before materialization.
     val ranked = OpCaches.register(spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+        val base = if (includeKeys) r.toSeq else r.toSeq.take(1)
+        org.apache.spark.sql.Row.fromSeq(base :+ i) }, schema)
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val probes = ranked.select(col(idCol).as("id_a"),
-      col(sortKeyCol).as("key_a"),
-      explode(sequence(col("__rk") + 1, col("__rk") + windowSize))
-        .as("__rk2"))
-    probes.join(ranked.select(col(idCol).as("id_b"),
-        col(sortKeyCol).as("key_b"), col("__rk").as("__rk2")),
-      Seq("__rk2"))
-      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+    val probeCols =
+      col(idCol).as("id_a") +:
+        (if (includeKeys) Seq(col(sortKeyCol).as("key_a")) else Nil) :+
+        explode(sequence(col("__rk") + 1, col("__rk") + windowSize))
+          .as("__rk2")
+    val buildCols =
+      col(idCol).as("id_b") +:
+        (if (includeKeys) Seq(col(sortKeyCol).as("key_b")) else Nil) :+
+        col("__rk").as("__rk2")
+    val outCols =
+      if (includeKeys)
+        Seq(col("id_a"), col("id_b"), col("key_a"), col("key_b"))
+      else Seq(col("id_a"), col("id_b"))
+    ranked.select(probeCols: _*)
+      .join(ranked.select(buildCols: _*), Seq("__rk2"))
+      .select(outCols: _*)
   }
 
   /** Multi-field record linkage (entity resolution): candidate pairs come
@@ -1273,9 +1309,8 @@ object Dedup {
           cs)
           .select(col("id_a"), col("id_b"))
       case NeighborhoodBlocking(sortKey, w) =>
-        sortedNeighborhoodPairs(records.select(col(idCol), col(sortKey)),
+        sortedNeighborhoodIdPairs(records.select(col(idCol), col(sortKey)),
           idCol, sortKey, w)
-          .select(col("id_a"), col("id_b"))
     }
     val cand = candByPass.reduce(_ union _)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
