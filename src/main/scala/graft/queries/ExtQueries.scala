@@ -1757,6 +1757,34 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_compress_gate" -> { (s, d) =>
+      // Deflate certificate gate (VERDICT r7 #3 — the last non-probe
+      // bench-only row): the ratio VALUE is deterministic per zlib build
+      // but not engine-portable, so the gate asserts per-doc behavioral
+      // invariants that only a real compressor satisfies — positivity,
+      // the raw-deflate stored-block upper bound (≤ 1 + 5/len, asserted
+      // loosely at 1.2 for len ≥ 64), repetition compresses strictly
+      // better (text×4 ratio < text ratio: LZ77 matches the repeat),
+      // run-collapse (1000×'a' below 0.05), and pseudo-random hex stays
+      // incompressible (128 md5 hex chars ≥ 0.3: 4 bits/char entropy
+      // floor). A constant- or hash-faking kernel fails at least two.
+      val r = TextAnalysis.compressionRatio(col("text"))
+      val r4 = TextAnalysis.compressionRatio(
+        concat(col("text"), col("text"), col("text"), col("text")))
+      val randHex = concat(md5(col("text")),
+        md5(concat(col("text"), lit("1"))),
+        md5(concat(col("text"), lit("2"))),
+        md5(concat(col("text"), lit("3"))))
+      docs(s, d).select(col("doc_id"),
+          (r > 0.0).as("ratio_pos"),
+          (r <= 1.2 || length(col("text")) < 64).as("ratio_bounded"),
+          (r4 < r || length(col("text")) < 64).as("repeat_compresses"),
+          (TextAnalysis.compressionRatio(repeat(lit("a"), 1000)) < 0.05)
+            .as("run_collapses"),
+          (TextAnalysis.compressionRatio(randHex) > 0.3)
+            .as("rand_incompressible"))
+        .orderBy(col("doc_id"))
+    },
     "text_url_parse" -> { (s, d) =>
       // URL fixture derived deterministically from the documents table
       // (the text_html_extract wrap-in-noise pattern): mixed-case scheme
@@ -1842,7 +1870,8 @@ object ExtQueries {
   val benchOnly: Map[String, Q] = Map(
     "text_compress_ratio" -> { (s, d) =>
       // deflate-ratio quality histogram: deterministic per zlib build but
-      // not engine-portable -> bench-tracked + spec-checked, not oracled
+      // not engine-portable -> bench-tracked; the kernel's behavioral
+      // invariants gate as text_compress_gate (certificate columns)
       docs(s, d).select(col("doc_id"),
           TextAnalysis.compressionRatio(col("text")).as("ratio"))
         .groupBy((floor(col("ratio") * 20) / 20).as("bucket"))
@@ -3452,6 +3481,11 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_compress_gate" ->
+      """SELECT doc_id, TRUE AS ratio_pos, TRUE AS ratio_bounded,
+           TRUE AS repeat_compresses, TRUE AS run_collapses,
+           TRUE AS rand_incompressible
+         FROM documents ORDER BY doc_id""",
     "text_url_parse" ->
       """WITH u AS (SELECT doc_id,
            'HTTPS://WWW.Docs.' || source || '.Com:443/' || lang || '/doc/'
