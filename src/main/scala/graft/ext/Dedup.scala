@@ -822,6 +822,16 @@ object Dedup {
     val removable = wins.join(dups, Seq("h"))
       .where(col("id") =!= col("__kid") || col("pos") =!= col("__kpos"))
       .select(col("id"), col("pos"))
+    rebuildFromRemovable(base, removable, idCol, k)
+  }
+
+  /** Shared tail of the substring-dedup faces: removable (id, pos)
+    * window starts reduce per document (bounded by doc length) and the
+    * codegen'd linear [[org.apache.spark.sql.graftfn.RemoveCoveredTokens]]
+    * sweep rebuilds the surviving text.
+    */
+  private def rebuildFromRemovable(base: DataFrame, removable: DataFrame,
+                                   idCol: String, k: Int): DataFrame = {
     val rem = removable.groupBy(col("id"))
       .agg(array_sort(collect_list(col("pos"))).as("__ps"))
     base.join(rem, Seq("id"), "left")
@@ -832,6 +842,83 @@ object Dedup {
       .select(col("id").as(idCol),
         col("__r.clean_text").as("clean_text"),
         col("__r.n_removed").cast("long").as("n_tokens_removed"))
+  }
+
+  /** ENCODE-ONCE index for incremental substring dedup: the standing
+    * corpus's DISTINCT `minTokens`-window hash set — one long per
+    * distinct window. This is the reusable artifact [[dedupSubstrings]]
+    * derives internally and discards: persist it once (the
+    * `minhashIndex`/`bm25Index` write-once pattern) and every ingest
+    * batch cleans against it WITHOUT re-scanning corpus text.
+    *
+    * Note the index holds ALL distinct corpus windows, not only the
+    * duplicated ones: for batch-vs-corpus cleaning a window seen ONCE in
+    * the corpus already has its keeper there, so any batch recurrence
+    * must be removed — corpus-unique hashes are exactly the lookups that
+    * decide that. Scale shape: one token-volume shuffle into a distinct
+    * (the same partial-agg as the batch face's count), output ~one long
+    * per corpus token; at 100 TB this lands hash-partitioned in the
+    * warehouse next to the BM25 postings.
+    */
+  def substringIndex(corpus: DataFrame, textCol: String = "text",
+                     minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    corpus.select(explode(graft.functions.VectorFunctions
+        .word_ngram_hashes60_pos(col(textCol), minTokens)).as("h"))
+      .distinct()
+  }
+
+  /** Incremental face of [[dedupSubstrings]] — clean an ingest batch
+    * against a standing corpus's [[substringIndex]] without recomputing
+    * the corpus pass (the ingest-time companion every other dedup family
+    * already has: `incrementalExact*`, `incrementalMinhash`). Ingest-order
+    * keeper convention, exactly as [[incrementalExact]]: a batch window
+    * whose hash exists ANYWHERE in the corpus is removed from every batch
+    * occurrence (its keeper already lives in the corpus); windows new to
+    * the corpus but duplicated WITHIN the batch keep the batch's first
+    * (min (doc, pos)) occurrence. Returns (id, clean_text,
+    * n_tokens_removed) for every batch document.
+    *
+    * Scale shape: batch windows posexplode narrow, then ONE left join
+    * against the index on the window hash decides corpus-hit vs fresh in
+    * a single pass (the fresh side feeds the same partial-agg
+    * count+min-keeper as the batch-local [[dedupSubstrings]]); per-doc
+    * reduce + codegen'd linear rebuild as in the batch face. The index
+    * side arrives hash-partitioned at rest, so the join shuffles batch
+    * volume, not corpus volume; corpus TEXT never participates. For a
+    * no-shuffle probe at extreme scale, Bloom the index hashes and route
+    * positives through this exact join ([[incrementalExactBloomVerified]]
+    * pattern) — not implemented until a workload needs it.
+    */
+  def dedupSubstringsIncremental(incoming: DataFrame, corpusIndex: DataFrame,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val base = incoming.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val wins = base.select(col("id"),
+        posexplode(graft.functions.VectorFunctions
+          .word_ngram_hashes60_pos(col("__t"), k)))
+      .toDF("id", "pos", "h")
+    val marked = wins.join(
+      corpusIndex.select(col("h")).distinct()
+        .withColumn("__in", lit(true)),
+      Seq("h"), "left")
+    val corpusHits = marked.where(col("__in"))
+      .select(col("id"), col("pos"))
+    val fresh = marked.where(col("__in").isNull)
+      .select(col("id"), col("pos"), col("h"))
+    val batchDups = fresh.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("id"), col("pos"))).as("__keep"))
+      .where(col("__occ") >= 2)
+      .select(col("h"), col("__keep.id").as("__kid"),
+        col("__keep.pos").as("__kpos"))
+    val batchRem = fresh.join(batchDups, Seq("h"))
+      .where(col("id") =!= col("__kid") || col("pos") =!= col("__kpos"))
+      .select(col("id"), col("pos"))
+    rebuildFromRemovable(base, corpusHits.union(batchRem), idCol, k)
   }
 
   /** Incremental NEAR-dup detection: which documents of an incoming batch

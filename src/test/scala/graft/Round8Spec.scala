@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Round-8 additions: the incremental substring-dedup face (VERDICT r7
+  * "what's missing" #2 / next #6) and the crafted keeper-contiguity
+  * divergence pin for [[graft.ext.Dedup.dedupSubstrings]] (next #5).
+  */
+class Round8Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def cleaned(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))
+      .toMap
+
+  // ---- keeper-contiguity divergence (documented approximation) ----
+
+  test("dedupSubstrings tangled overlap: when a passage's windows have " +
+    "keepers in THREE different contexts, the per-window keeper rule " +
+    "removes every copy of the middle string — the documented " +
+    "divergence from the per-passage suffix-array answer") {
+    // k=3. doc1 owns window (pa pb pc); doc2 owns (pc pd pe); docs 3+4
+    // both carry the full passage "pa pb pc pd pe". Window keepers:
+    //   (pa pb pc) -> (1,0)   (pb pc pd) -> (3,1)   (pc pd pe) -> (2,1)
+    // In doc3, windows @0 and @2 are removable and their UNION covers
+    // all five tokens — including the tokens of doc3's OWN keeper
+    // window (pb pc pd). A suffix-array per-passage keeper would leave
+    // one contiguous copy of the passage; the per-window rule leaves
+    // none (doc3 and doc4 both empty), while the string's content still
+    // survives split across doc1 and doc2. Pin exactly that.
+    val d = docsDf(
+      1L -> "pa pb pc x1 x2",
+      2L -> "y1 pc pd pe",
+      3L -> "pa pb pc pd pe",
+      4L -> "pa pb pc pd pe")
+    val out = cleaned(
+      Dedup.dedupSubstrings(d, "text", "doc_id", minTokens = 3))
+    assert(out(1L) == ("pa pb pc x1 x2", 0L)) // all keepers / unique
+    assert(out(2L) == ("y1 pc pd pe", 0L))
+    assert(out(3L) == ("", 5L)) // own keeper window's tokens covered
+    assert(out(4L) == ("", 5L))
+    // the divergence, stated as an assertion: no contiguous copy of the
+    // duplicated middle string "pb pc pd" survives anywhere
+    assert(!out.values.exists(_._1.contains("pb pc pd")))
+  }
+
+  test("dedupSubstrings verbatim duplicates (the mass case): keeper " +
+    "sites coincide and the first copy survives contiguously") {
+    val d = docsDf(
+      1L -> "s1 s2 s3 s4 u1 u2",
+      2L -> "v1 s1 s2 s3 s4 v2",
+      3L -> "s1 s2 s3 s4 u1 u2")
+    val out = cleaned(
+      Dedup.dedupSubstrings(d, "text", "doc_id", minTokens = 4))
+    assert(out(1L) == ("s1 s2 s3 s4 u1 u2", 0L))
+    assert(out(2L) == ("v1 v2", 4L))
+    assert(out(3L) == ("", 6L)) // whole-doc duplicate of doc1
+  }
+
+  // ---- incremental substring face ----
+
+  test("dedupSubstringsIncremental: corpus-hit passages drop from every " +
+    "batch occurrence; batch-only duplicates keep the batch-first copy; " +
+    "unique batch docs pass through") {
+    val corpus = docsDf(
+      100L -> "c1 c2 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 c3")
+    val batch = docsDf(
+      1L -> "f1 f2 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 f3",
+      2L -> "r1 r2 r3 r4 r5 r6 r7 r8 r9 a1",
+      3L -> "b1 r1 r2 r3 r4 r5 r6 r7 r8 r9",
+      4L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    val out = cleaned(Dedup.dedupSubstringsIncremental(batch,
+      Dedup.substringIndex(corpus, "text", minTokens = 8),
+      "text", "doc_id", minTokens = 8))
+    // doc1: the 12-token passage q1..q12 exists in the corpus -> every
+    // covered token drops even though the batch holds a single copy
+    assert(out(1L) == ("f1 f2 f3", 12L))
+    // docs 2+3 share the batch-only 9-token run r1..r9: doc2 holds the
+    // batch-first (min (doc,pos)) windows and survives; doc3 loses them
+    assert(out(2L) == ("r1 r2 r3 r4 r5 r6 r7 r8 r9 a1", 0L))
+    assert(out(3L) == ("b1", 9L))
+    assert(out(4L) == ("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", 0L))
+  }
+
+  test("substringIndex parquet roundtrip: a written index cleans batches " +
+    "identically to the inline build, across two successive batches") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 250)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_substr_idx").toString
+    Dedup.substringIndex(corpus, "text", minTokens = 8)
+      .write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    Seq(
+      all.where(col("doc_id") >= 250 && col("doc_id") < 375),
+      all.where(col("doc_id") >= 375)
+    ).foreach { batch =>
+      val viaIdx = cleaned(Dedup.dedupSubstringsIncremental(
+        batch, idx, "text", "doc_id", minTokens = 8))
+      val inline = cleaned(Dedup.dedupSubstringsIncremental(
+        batch, Dedup.substringIndex(corpus, "text", minTokens = 8),
+        "text", "doc_id", minTokens = 8))
+      assert(viaIdx == inline)
+      assert(viaIdx.nonEmpty)
+    }
+  }
+
+  test("incremental ≡ batch dedupSubstrings restricted to the batch when " +
+    "corpus ids precede batch ids (the ingest-order keeper convention " +
+    "coincides with the global min-(doc,pos) keeper)") {
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = all.where(col("doc_id") < 250)
+    val batch = all.where(col("doc_id") >= 250)
+    val incr = cleaned(Dedup.dedupSubstringsIncremental(batch,
+      Dedup.substringIndex(corpus, "text", minTokens = 8),
+      "text", "doc_id", minTokens = 8))
+    val full = cleaned(Dedup.dedupSubstrings(all, "text", "doc_id",
+        minTokens = 8)
+      .where(col("doc_id") >= 250))
+    assert(incr == full)
+    assert(incr.size == batch.count())
+  }
+}

@@ -176,6 +176,60 @@ class ScaleSpec extends SparkSpecBase {
     info(f"bm25 probe: 13k-doc index $tS%.1f s → 130k-doc index $tB%.1f s")
   }
 
+  test("mega-duplicated passage: dedupSubstrings with 10⁵ copies of one " +
+    "40-token passage at varying offsets — exact removal counts, " +
+    "~linear growth") {
+    // The heaviest substring-dedup pathology a web corpus guarantees:
+    // one boilerplate passage embedded in 10⁵ documents at differing
+    // offsets (so fixed-chunk dedupSpans would miss most copies). All
+    // 33 passage-interior windows collide onto the same 33 hashes —
+    // the count+min keeper agg must absorb the hot hashes map-side, and
+    // the join back fans each hot hash to every occurrence (linear in
+    // occurrences, never pairwise).
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    def synthSub(nOrganic: Long, nDup: Long) = {
+      val organic = spark.range(nOrganic).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(54)),
+          j => concat(lit("w"),
+            pmod(xxhash64(col("id") * 1000 + j), lit(800)))), " ")
+          .as("text"))
+      // unique per-doc filler (1-10 tokens) shifts the passage offset;
+      // every window touching filler is globally unique
+      val dup = spark.range(nDup).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ",
+          array_join(transform(
+            sequence(lit(1), pmod(col("id"), lit(10)) + 1),
+            j => concat(lit("f"), xxhash64(col("id") * 37 + j))), " "),
+          lit(passage),
+          concat(lit("g"), xxhash64(col("id")))).as("text"))
+      organic.unionByName(dup)
+    }
+    def run(nOrganic: Long, nDup: Long): (Long, Double) = {
+      val d = synthSub(nOrganic, nDup)
+      val (row, t) = time {
+        Dedup.dedupSubstrings(d, "text", "doc_id", minTokens = 8)
+          .where(col("doc_id") >= 10000000L)
+          .agg(sum(col("n_tokens_removed")).as("rm"),
+            count(lit(1)).as("n")).collect()(0)
+      }
+      assert(row.getAs[Long]("n") == nDup)
+      (row.getAs[Long]("rm"), t)
+    }
+    run(300, 1000) // codegen warm-up, untimed
+    val (rS, tS) = run(3000, 10000)
+    val (rB, tB) = run(30000, 100000)
+    // exact: every dup doc except the global keeper loses exactly the
+    // 40 passage tokens; filler-touching windows are unique and keep
+    assert(rS == 40L * 9999L, s"small passage removal inexact: $rS")
+    assert(rB == 40L * 99999L, s"big passage removal inexact: $rB")
+    assertLinear("dedup_substrings", tS, tB,
+      () => run(30000, 100000)._2)
+    info(f"dedupSubstrings: 13k docs $tS%.1f s → 130k docs $tB%.1f s " +
+      f"(removed $rB tokens)")
+  }
+
   test("hot blocking key: record linkage with a 2000-record block at 10× " +
     "— in-block cap bounds the quadratic, non-hot matches exact, " +
     "~linear growth") {
