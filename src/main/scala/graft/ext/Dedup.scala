@@ -879,16 +879,20 @@ object Dedup {
     * (min (doc, pos)) occurrence. Returns (id, clean_text,
     * n_tokens_removed) for every batch document.
     *
-    * Scale shape: batch windows posexplode narrow, then ONE left join
-    * against the index on the window hash decides corpus-hit vs fresh in
-    * a single pass (the fresh side feeds the same partial-agg
-    * count+min-keeper as the batch-local [[dedupSubstrings]]); per-doc
-    * reduce + codegen'd linear rebuild as in the batch face. The index
-    * side arrives hash-partitioned at rest, so the join shuffles batch
-    * volume, not corpus volume; corpus TEXT never participates. For a
-    * no-shuffle probe at extreme scale, Bloom the index hashes and route
-    * positives through this exact join ([[incrementalExactBloomVerified]]
-    * pattern) — not implemented until a workload needs it.
+    * Scale shape: batch windows posexplode narrow and partial-agg into
+    * the per-hash (occurrence count, min-(doc,pos) keeper) table — the
+    * same combine as the batch face. The INDEX joins once, against that
+    * DISTINCT-hash table (strictly smaller than the window stream), not
+    * against per-occurrence rows — so the corpus side is scanned exactly
+    * once per batch and its join partner is batch-distinct-sized. The
+    * surviving flagged-hash table (corpus hits + batch dups only — the
+    * duplicate tail, typically tiny) joins back onto the window stream
+    * (AQE broadcasts it when small) to mark removable positions; per-doc
+    * reduce + codegen'd linear rebuild as in the batch face. Corpus TEXT
+    * never participates. For a no-shuffle index probe at extreme scale,
+    * Bloom the index hashes and route positives through this exact join
+    * ([[incrementalExactBloomVerified]] pattern) — not implemented until
+    * a workload needs it.
     */
   def dedupSubstringsIncremental(incoming: DataFrame, corpusIndex: DataFrame,
                                  textCol: String = "text",
@@ -901,24 +905,21 @@ object Dedup {
         posexplode(graft.functions.VectorFunctions
           .word_ngram_hashes60_pos(col("__t"), k)))
       .toDF("id", "pos", "h")
-    val marked = wins.join(
-      corpusIndex.select(col("h")).distinct()
-        .withColumn("__in", lit(true)),
-      Seq("h"), "left")
-    val corpusHits = marked.where(col("__in"))
-      .select(col("id"), col("pos"))
-    val fresh = marked.where(col("__in").isNull)
-      .select(col("id"), col("pos"), col("h"))
-    val batchDups = fresh.groupBy(col("h"))
+    val perH = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("__occ"),
         min(struct(col("id"), col("pos"))).as("__keep"))
-      .where(col("__occ") >= 2)
-      .select(col("h"), col("__keep.id").as("__kid"),
-        col("__keep.pos").as("__kpos"))
-    val batchRem = fresh.join(batchDups, Seq("h"))
-      .where(col("id") =!= col("__kid") || col("pos") =!= col("__kpos"))
+    val flagged = perH.join(
+        corpusIndex.select(col("h")).distinct()
+          .withColumn("__in", lit(true)),
+        Seq("h"), "left")
+      .where(col("__in").isNotNull || col("__occ") >= 2)
+      .select(col("h"), coalesce(col("__in"), lit(false)).as("__hit"),
+        col("__keep.id").as("__kid"), col("__keep.pos").as("__kpos"))
+    val removable = wins.join(flagged, Seq("h"))
+      .where(col("__hit") ||
+        col("id") =!= col("__kid") || col("pos") =!= col("__kpos"))
       .select(col("id"), col("pos"))
-    rebuildFromRemovable(base, corpusHits.union(batchRem), idCol, k)
+    rebuildFromRemovable(base, removable, idCol, k)
   }
 
   /** Incremental NEAR-dup detection: which documents of an incoming batch
