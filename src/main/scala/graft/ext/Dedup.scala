@@ -868,6 +868,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Index maintenance for the substring-dedup ingest loop (the
+    * `ivfAppend` convention: increments never re-encode the corpus) —
+    * after a batch is cleaned, its SURVIVING text joins the standing
+    * corpus, so its windows must join the index or the next batch would
+    * re-admit the same passages. Append ≡ rebuild exactly:
+    * `substringIndexAppend(substringIndex(corpus), cleaned)` equals
+    * `substringIndex(corpus ∪ cleaned)` as a set (distinct union of
+    * distinct window-hash sets — spec-checked). Scale shape: one
+    * batch-token-volume distinct unioned against the index; at rest the
+    * merged table compacts into the same hash-partitioned layout.
+    */
+  def substringIndexAppend(index: DataFrame, cleanedBatch: DataFrame,
+                           textCol: String = "clean_text",
+                           minTokens: Int = 8): DataFrame =
+    index.select(col("h"))
+      .union(substringIndex(cleanedBatch, textCol, minTokens))
+      .distinct()
+
   /** Incremental face of [[dedupSubstrings]] — clean an ingest batch
     * against a standing corpus's [[substringIndex]] without recomputing
     * the corpus pass (the ingest-time companion every other dedup family

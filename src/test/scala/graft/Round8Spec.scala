@@ -111,6 +111,32 @@ class Round8Spec extends SparkSpecBase {
     }
   }
 
+  test("substringIndexAppend: append ≡ rebuild, and the ingest loop " +
+    "catches a passage introduced by an earlier batch's survivors") {
+    val corpus = docsDf(
+      100L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    val idx0 = Dedup.substringIndex(corpus, "text", minTokens = 8)
+    // batch 1 introduces passage z1..z10 (new to the corpus — survives)
+    val b1 = docsDf(1L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    val cleaned1 = Dedup.dedupSubstringsIncremental(b1, idx0,
+      "text", "doc_id", minTokens = 8)
+    assert(cleaned(cleaned1)(1L) ==
+      ("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", 0L))
+    val idx1 = Dedup.substringIndexAppend(idx0, cleaned1,
+      "clean_text", minTokens = 8)
+    // append ≡ rebuild: same window-hash set as indexing the grown corpus
+    val rebuilt = Dedup.substringIndex(
+      corpus.unionByName(b1), "text", minTokens = 8)
+    assert(idx1.collect().map(_.getLong(0)).toSet ==
+      rebuilt.collect().map(_.getLong(0)).toSet)
+    // batch 2 repeats batch 1's passage: only the APPENDED index drops it
+    val b2 = docsDf(2L -> "m1 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 m2")
+    assert(cleaned(Dedup.dedupSubstringsIncremental(b2, idx1,
+      "text", "doc_id", minTokens = 8))(2L) == ("m1 m2", 10L))
+    assert(cleaned(Dedup.dedupSubstringsIncremental(b2, idx0,
+      "text", "doc_id", minTokens = 8))(2L)._2 == 0L) // stale index misses
+  }
+
   test("incremental ≡ batch dedupSubstrings restricted to the batch when " +
     "corpus ids precede batch ids (the ingest-order keeper convention " +
     "coincides with the global min-(doc,pos) keeper)") {
