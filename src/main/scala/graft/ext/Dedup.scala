@@ -933,11 +933,80 @@ object Dedup {
       .where(col("__in").isNotNull || col("__occ") >= 2)
       .select(col("h"), coalesce(col("__in"), lit(false)).as("__hit"),
         col("__keep.id").as("__kid"), col("__keep.pos").as("__kpos"))
+    substrIncrFinish(base, wins, flagged, idCol, k)
+  }
+
+  /** Shared back half of the incremental substring faces: the flagged
+    * duplicate-tail hash table (h, hit-in-corpus, batch keeper) joins
+    * back onto the window stream to mark removable positions, then the
+    * per-doc reduce + codegen'd rebuild.
+    */
+  private def substrIncrFinish(base: DataFrame, wins: DataFrame,
+                               flagged: DataFrame, idCol: String,
+                               k: Int): DataFrame = {
     val removable = wins.join(flagged, Seq("h"))
       .where(col("__hit") ||
         col("id") =!= col("__kid") || col("pos") =!= col("__kpos"))
       .select(col("id"), col("pos"))
     rebuildFromRemovable(base, removable, idCol, k)
+  }
+
+  /** [[dedupSubstringsIncremental]] behind a broadcast Bloom prefilter —
+    * the extreme-scale ingest probe, with the exact confirm pass folded
+    * in ([[incrementalExactBloomVerified]] pattern): output ≡
+    * [[dedupSubstringsIncremental]] bit for bit; `fpp` tunes only how
+    * much of the index the confirm join touches, never the answer.
+    *
+    * Bloom-NEGATIVE batch hashes are definitely corpus-new (no false
+    * negatives) and route straight to the batch-local duplicate logic
+    * with NO index access; Bloom-POSITIVE hashes — true corpus hits plus
+    * an ≤ fpp sliver — confirm EXACTLY against the index, so the index
+    * join's probe side shrinks from the batch's full distinct-hash set
+    * to the flagged sliver (for a mostly-novel batch, almost nothing).
+    * The filter itself costs ~1.2·n·ln(1/fpp)/ln²2 bits over the index's
+    * distinct windows and is built ONCE per index version — reuse it
+    * across every batch of an ingest run, exactly like the index table.
+    * With the default `expectedItems` (≤ 0) the sizing `index.count()`
+    * adds one cheap extra index pass; production loops pass the known
+    * cardinality from the previous append's bookkeeping.
+    */
+  def dedupSubstringsIncrementalBloom(incoming: DataFrame,
+                                      corpusIndex: DataFrame,
+                                      textCol: String = "text",
+                                      idCol: String = "doc_id",
+                                      minTokens: Int = 8,
+                                      expectedItems: Long = -1L,
+                                      fpp: Double = 0.001): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val spark = incoming.sparkSession
+    val idx = corpusIndex.select(col("h")).distinct()
+    val sized =
+      if (expectedItems > 0L) expectedItems
+      else math.max(1000L, idx.count())
+    val bloom = idx.stat.bloomFilter(col("h"), sized, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightHave = udf((h: Long) => bc.value.mightContainLong(h))
+    val base = incoming.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val wins = base.select(col("id"),
+        posexplode(graft.functions.VectorFunctions
+          .word_ngram_hashes60_pos(col("__t"), k)))
+      .toDF("id", "pos", "h")
+    val perH = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("id"), col("pos"))).as("__keep"))
+      .withColumn("__maybe", mightHave(col("h")))
+    val confirmed = perH.where(col("__maybe"))
+      .join(idx.withColumn("__in", lit(true)), Seq("h"), "left")
+      .select(col("h"), coalesce(col("__in"), lit(false)).as("__hit"),
+        col("__occ"), col("__keep"))
+    val negatives = perH.where(!col("__maybe"))
+      .select(col("h"), lit(false).as("__hit"), col("__occ"), col("__keep"))
+    val flagged = confirmed.unionByName(negatives)
+      .where(col("__hit") || col("__occ") >= 2)
+      .select(col("h"), col("__hit"),
+        col("__keep.id").as("__kid"), col("__keep.pos").as("__kpos"))
+    substrIncrFinish(base, wins, flagged, idCol, k)
   }
 
   /** Incremental NEAR-dup detection: which documents of an incoming batch

@@ -519,6 +519,20 @@ object ExtQueries {
           "text", "doc_id", minTokens = 8)
         .orderBy(col("doc_id"))
     },
+    "dedup_incr_substr_bloom" -> { (s, d) =>
+      // the Bloom ingest probe with the exact confirm pass folded in:
+      // output ≡ dedupSubstringsIncremental, so the same full SQL oracle
+      // applies; a deliberately loose fpp stresses the confirm join
+      // (false positives must not remove anything new)
+      val dd = docs(s, d)
+      Dedup.dedupSubstringsIncrementalBloom(
+          dd.where(pmod(col("doc_id"), lit(2)) === 1),
+          Dedup.substringIndex(
+            dd.where(pmod(col("doc_id"), lit(2)) === 0), "text",
+            minTokens = 8),
+          "text", "doc_id", minTokens = 8, fpp = 0.2)
+        .orderBy(col("doc_id"))
+    },
     "dedup_incremental" -> { (s, d) =>
       // live-ingest dedup: odd ids arrive as the new batch, even ids are
       // the already-ingested corpus; in-batch dups collapse to min id
@@ -3067,6 +3081,46 @@ object ExtQueries {
          FROM tn LEFT JOIN agg USING (doc_id)
          ORDER BY tn.doc_id""",
     "dedup_incremental_substr" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                   toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')),
+                   1, 15) AS BIGINT) AS h
+               FROM t, unnest(range(greatest(len(toks) - 7, 0))) AS u(i)),
+         corpush AS (SELECT DISTINCT h FROM w WHERE doc_id % 2 = 0),
+         inc AS (SELECT * FROM w WHERE doc_id % 2 = 1),
+         hits AS (SELECT doc_id, pos FROM inc
+                  WHERE h IN (SELECT h FROM corpush)),
+         freshw AS (SELECT * FROM inc
+                    WHERE h NOT IN (SELECT h FROM corpush)),
+         fd AS (SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY h) AS occ,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY doc_id, pos) AS rn
+                FROM freshw),
+         rem AS (SELECT doc_id, pos FROM fd WHERE occ >= 2 AND rn > 1
+                 UNION SELECT doc_id, pos FROM hits),
+         cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS ti
+                 FROM rem, unnest(range(8)) AS r(j)),
+         tok AS (SELECT doc_id, CAST(i AS INT) AS ti,
+                   toks[CAST(i + 1 AS INT)] AS tk
+                 FROM t, unnest(range(len(toks))) AS r(i)
+                 WHERE doc_id % 2 = 1),
+         kept AS (SELECT tok.doc_id, tok.ti, tok.tk FROM tok
+                  LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                               AND tok.ti = cov.ti
+                  WHERE cov.ti IS NULL),
+         agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS ct,
+                        count(*) AS n_kept FROM kept GROUP BY doc_id),
+         tn AS (SELECT doc_id, len(toks) AS n FROM t WHERE doc_id % 2 = 1)
+         SELECT tn.doc_id, coalesce(agg.ct, '') AS clean_text,
+                CAST(tn.n - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_tokens_removed
+         FROM tn LEFT JOIN agg USING (doc_id)
+         ORDER BY tn.doc_id""",
+    "dedup_incr_substr_bloom" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS toks
            FROM documents),

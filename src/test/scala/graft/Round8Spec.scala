@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.ext.Dedup
 
@@ -9,6 +11,7 @@ import graft.ext.Dedup
   */
 class Round8Spec extends SparkSpecBase {
   import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private def docsDf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
@@ -135,6 +138,66 @@ class Round8Spec extends SparkSpecBase {
       "text", "doc_id", minTokens = 8))(2L) == ("m1 m2", 10L))
     assert(cleaned(Dedup.dedupSubstringsIncremental(b2, idx0,
       "text", "doc_id", minTokens = 8))(2L)._2 == 0L) // stale index misses
+  }
+
+  test("dedupSubstringsIncrementalBloom ≡ dedupSubstringsIncremental at " +
+    "loose AND tight fpp — the prefilter tunes confirm-join traffic, " +
+    "never the answer") {
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = all.where(col("doc_id") < 250)
+    val batch = all.where(col("doc_id") >= 250)
+    val idx = Dedup.substringIndex(corpus, "text", minTokens = 8)
+    val exact = cleaned(Dedup.dedupSubstringsIncremental(batch, idx,
+      "text", "doc_id", minTokens = 8))
+    Seq(0.5, 0.001).foreach { fpp =>
+      val viaBloom = cleaned(Dedup.dedupSubstringsIncrementalBloom(
+        batch, idx, "text", "doc_id", minTokens = 8, fpp = fpp))
+      assert(viaBloom == exact, s"bloom face diverged at fpp=$fpp")
+    }
+    // Bloom-negative novelty survives: a passage absent from the corpus
+    // must pass through even when the filter is tiny and saturated
+    val novel = docsDf(9L -> "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")
+    val out = cleaned(Dedup.dedupSubstringsIncrementalBloom(novel, idx,
+      "text", "doc_id", minTokens = 8, expectedItems = 100L, fpp = 0.3))
+    assert(out(9L) == ("n1 n2 n3 n4 n5 n6 n7 n8 n9 n10", 0L))
+  }
+
+  test("streaming ingest loop: foreachBatch cleans each micro-batch " +
+    "against the standing index and appends survivors — a passage " +
+    "surviving batch 1 is dropped when batch 2 repeats it") {
+    val corpus = docsDf(
+      100L -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    @volatile var idx = Dedup.substringIndex(corpus, "text", minTokens = 8)
+      .localCheckpoint(true)
+    val results = scala.collection.concurrent.TrieMap[Long, (String, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize the cleaned batch BEFORE mutating the index handle
+        // (the clean of batch N must see the index as of batch N-1)
+        val cl = Dedup.dedupSubstringsIncremental(batch, idx,
+          "text", "doc_id", minTokens = 8).localCheckpoint(true)
+        cl.collect().foreach(r => results(r.getAs[Long]("doc_id")) =
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))
+        idx = Dedup.substringIndexAppend(idx, cl, "clean_text",
+          minTokens = 8).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: one corpus-hit doc, one novel-passage doc
+      ms.addData(
+        (1L, "a1 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 a2"),
+        (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's novel passage — only the appended
+      // index knows it
+      ms.addData((3L, "m1 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 m2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results(1L) == ("a1 a2", 10L))
+    assert(results(2L) == ("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", 0L))
+    assert(results(3L) == ("m1 m2", 10L))
   }
 
   test("incremental ≡ batch dedupSubstrings restricted to the batch when " +
