@@ -230,6 +230,57 @@ class ScaleSpec extends SparkSpecBase {
       f"(removed $rB tokens)")
   }
 
+  test("hot corpus-hit: dedupSubstringsIncremental with 10⁵ batch docs " +
+    "all carrying one corpus passage — the flagged tail stays tiny " +
+    "(33 hashes), every hit removed exactly, ~linear growth") {
+    // ingest-time mirror of the mega-passage pathology: the standing
+    // corpus owns one boilerplate passage; EVERY dup batch doc carries a
+    // copy at a varying offset. All copies are corpus hits — the flagged
+    // hash table is 33 rows regardless of batch size (broadcast join
+    // back), and the per-hash agg absorbs the 10⁵-occurrence hot hashes
+    // map-side.
+    val passage = (1 to 40).map(i => s"q$i").mkString(" ")
+    def run(nOrganic: Long, nDup: Long): (Long, Double) = {
+      val corpus = Seq((1L, s"c0 $passage c1")).toDF("doc_id", "text")
+      val idx = Dedup.substringIndex(corpus, "text", minTokens = 8)
+      val organic = spark.range(nOrganic).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(54)),
+          j => concat(lit("v"),
+            pmod(xxhash64(col("id") * 1000 + j), lit(800)))), " ")
+          .as("text"))
+      val dup = spark.range(nDup).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ",
+          array_join(transform(
+            sequence(lit(1), pmod(col("id"), lit(10)) + 1),
+            j => concat(lit("f"), xxhash64(col("id") * 37 + j))), " "),
+          lit(passage),
+          concat(lit("g"), xxhash64(col("id")))).as("text"))
+      val batch = organic.unionByName(dup)
+      val (row, t) = time {
+        Dedup.dedupSubstringsIncremental(batch, idx, "text", "doc_id",
+            minTokens = 8)
+          .where(col("doc_id") >= 10000000L)
+          .agg(sum(col("n_tokens_removed")).as("rm"),
+            count(lit(1)).as("n")).collect()(0)
+      }
+      assert(row.getAs[Long]("n") == nDup)
+      (row.getAs[Long]("rm"), t)
+    }
+    run(300, 1000) // warm-up
+    val (rS, tS) = run(3000, 10000)
+    val (rB, tB) = run(30000, 100000)
+    // every dup doc is a corpus hit: exactly the 40 passage tokens drop
+    // from EVERY copy (no batch keeper survives — the corpus holds it)
+    assert(rS == 40L * 10000L, s"small hit removal inexact: $rS")
+    assert(rB == 40L * 100000L, s"big hit removal inexact: $rB")
+    assertLinear("dedup_incremental_substr", tS, tB,
+      () => run(30000, 100000)._2)
+    info(f"incremental substr: 13k-doc batch $tS%.1f s → 130k-doc batch " +
+      f"$tB%.1f s (removed $rB)")
+  }
+
   test("hot blocking key: record linkage with a 2000-record block at 10× " +
     "— in-block cap bounds the quadratic, non-hot matches exact, " +
     "~linear growth") {
