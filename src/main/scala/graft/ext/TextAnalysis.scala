@@ -739,6 +739,56 @@ object TextAnalysis {
     graft.functions.VectorFunctions.deflate_ratio(textCol)
 
   // --------------------------------------------------------------------
+  // PII redaction (the pre-training scrub pass)
+  // --------------------------------------------------------------------
+
+  /** Redaction rules, applied IN ORDER — order defines precedence (an
+    * email is redacted before its digits could feed a later pattern).
+    * Patterns stay inside the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backrefs) so the DuckDB oracle mirrors them
+    * verbatim: conservative, recall-leaning forms (an IPv4 match allows
+    * octets > 255; a phone is strictly +international) — the standard
+    * scrubber trade of a few over-redactions for no silent leaks.
+    */
+  private[graft] val piiRules: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("ips", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("ids", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("phones", "\\+\\d{9,15}\\b", "<PHONE>"))
+
+  /** PII-scrubbed text: emails, IPv4 addresses, SSN-shaped ids and
+    * +international phone numbers replace with typed placeholder tokens
+    * (`<EMAIL>`/`<IP>`/`<ID>`/`<PHONE>` — the convention downstream
+    * tokenizers keep as single pieces). A chain of codegen'd
+    * `regexp_replace` built-ins: a pure narrow map riding the scan, no
+    * shuffle, streaming-safe — the same class as [[c4Rules]]'
+    * normalization. Run BEFORE dedup/indexing so placeholder-equal
+    * documents collapse (two pages differing only in contact addresses
+    * are duplicates after the scrub).
+    */
+  def redactPii(textCol: Column): Column =
+    piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl) }
+
+  /** Per-category PII hit counts under [[redactPii]]'s precedence: each
+    * category counts on the text AFTER the prior categories redacted
+    * (so an email's digits never double-count as a phone). Returns a
+    * struct (emails, ips, ids, phones) of longs — the audit signal a
+    * corpus owner reads before deciding whether a source is shippable
+    * at all.
+    */
+  def piiCounts(textCol: Column): Column = {
+    val (fields, _) = piiRules.foldLeft(
+      (Seq.empty[Column], textCol)) {
+      case ((acc, cur), (name, pat, repl)) =>
+        (acc :+ regexp_count(cur, lit(pat)).cast("long").as(name),
+          regexp_replace(cur, pat, repl))
+    }
+    struct(fields: _*)
+  }
+
+  // --------------------------------------------------------------------
   // HTML main-content extraction (the web-crawl boilerplate stripper)
   // --------------------------------------------------------------------
 

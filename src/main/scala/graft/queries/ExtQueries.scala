@@ -1785,6 +1785,26 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_pii_redact" -> { (s, d) =>
+      // PII scrub gate: every doc gets a planted contact-info suffix
+      // (two emails incl. a +tag local part, two IPs — one with >255
+      // octets exercising the documented conservative over-match, an
+      // SSN-shaped id, an international phone) so every rule fires on
+      // every row; counts follow redaction precedence (categories count
+      // AFTER prior categories redacted)
+      val planted = concat(col("text"),
+        lit(" contact bob.smith+x@mail-host.example.com or jane@ex.org" +
+          " via 10.0.0.1 or 999.456.1.300 id 123-45-6789 tel" +
+          " +14155550123 end"))
+      val c = TextAnalysis.piiCounts(planted)
+      docs(s, d).select(col("doc_id"),
+          TextAnalysis.redactPii(planted).as("redacted"),
+          c.getField("emails").as("n_emails"),
+          c.getField("ips").as("n_ips"),
+          c.getField("ids").as("n_ids"),
+          c.getField("phones").as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
     "text_compress_gate" -> { (s, d) =>
       // Deflate certificate gate (VERDICT r7 #3 — the last non-probe
       // bench-only row): the ratio VALUE is deterministic per zlib build
@@ -3589,6 +3609,40 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+           text || ' contact bob.smith+x@mail-host.example.com or '
+             || 'jane@ex.org via 10.0.0.1 or 999.456.1.300 id '
+             || '123-45-6789 tel +14155550123 end' AS t0
+         FROM documents),
+         s1 AS (SELECT doc_id,
+           len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+         FROM p),
+         s2 AS (SELECT doc_id, n_emails,
+           len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+             AS n_ips,
+           regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+             AS t2
+         FROM s1),
+         s3 AS (SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ids,
+           regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t3
+         FROM s2),
+         s4 AS (SELECT doc_id, n_emails, n_ips, n_ids,
+           len(regexp_extract_all(t3, '\+\d{9,15}\b')) AS n_phones,
+           regexp_replace(t3, '\+\d{9,15}\b', '<PHONE>', 'g') AS t4
+         FROM s3)
+         SELECT doc_id, t4 AS redacted,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(n_ids AS BIGINT) AS n_ids,
+           CAST(n_phones AS BIGINT) AS n_phones
+         FROM s4 ORDER BY doc_id""",
     "text_compress_gate" ->
       """SELECT doc_id, TRUE AS ratio_pos, TRUE AS ratio_bounded,
            TRUE AS repeat_compresses, TRUE AS run_collapses,

@@ -114,6 +114,48 @@ class Round8Spec extends SparkSpecBase {
     }
   }
 
+  // ---- PII redaction ----
+
+  test("redactPii / piiCounts: precedence, placeholders, conservative " +
+    "over-match, idempotence") {
+    val rows = Seq(
+      (1L, "mail a.b+c@x-y.example.com now"),
+      (2L, "srv 10.0.0.1 bad 999.999.999.999"), // over-match documented
+      (3L, "ssn 123-45-6789 tel +491234567890"),
+      (4L, "tel 123-456-7890"), // US dashed phone: NOT +international,
+                                // and not SSN-shaped -> untouched
+      (5L, "plain text no pii 12.3 v1.2.3.4.5"))
+    val df = rows.toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.redactPii(col("text")).as("r"),
+        graft.ext.TextAnalysis.piiCounts(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getStruct(2).toSeq.map(_.asInstanceOf[Long])))
+      .toMap
+    assert(out(1L) == ("mail <EMAIL> now", Seq(1L, 0L, 0L, 0L)))
+    assert(out(2L) == ("srv <IP> bad <IP>", Seq(0L, 2L, 0L, 0L)))
+    assert(out(3L) == ("ssn <ID> tel <PHONE>", Seq(0L, 0L, 1L, 1L)))
+    assert(out(4L) == ("tel 123-456-7890", Seq(0L, 0L, 0L, 0L)))
+    // v1.2.3.4.5: the first four dotted groups ARE an IPv4-shaped match
+    // after the 'v' boundary? no — 'v1' makes 1 a non-boundary digit,
+    // but 2.3.4.5 has a \b before '2'... conservative scrubbing keeps
+    // the document usable either way; pin the actual behavior:
+    assert(out(5L)._1 == "plain text no pii 12.3 v1.<IP>")
+    assert(out(5L)._2 == Seq(0L, 1L, 0L, 0L))
+    // idempotent: placeholders contain no redactable material
+    val again = df.select(graft.ext.TextAnalysis.redactPii(
+      graft.ext.TextAnalysis.redactPii(col("text"))).as("r2"))
+      .collect().map(_.getString(0)).toSet
+    assert(again == out.values.map(_._1).toSet)
+    // precedence: an email whose local part is all digits never counts
+    // as a phone (counted AFTER email redaction)
+    val prec = Seq((9L, "+123456789012@num.example.com"))
+      .toDF("doc_id", "text")
+      .select(graft.ext.TextAnalysis.piiCounts(col("text")).as("c"))
+      .collect()(0).getStruct(0).toSeq.map(_.asInstanceOf[Long])
+    assert(prec == Seq(1L, 0L, 0L, 0L))
+  }
+
   test("substringIndexAppend: append ≡ rebuild, and the ingest loop " +
     "catches a passage introduced by an earlier batch's survivors") {
     val corpus = docsDf(
