@@ -619,9 +619,13 @@ object Pipeline {
   def normalize(textCol: Column): Column =
     trim(regexp_replace(lower(textCol), "[ \\t\\n\\r]+", " "))
 
-  /** PII redaction: mask email addresses and long digit runs (phone/account
-    * numbers). Pattern subset chosen to behave identically in Java regex
-    * and RE2.
+  /** Coarse PII mask for the normalization stage: email addresses and
+    * long digit runs (phone/account numbers) — deliberately blunt, runs
+    * inside [[normalize]]'s cleanup chain. For the TYPED category scrub
+    * with per-category audit counts (emails/IPs/ids/phones → typed
+    * placeholders), use [[TextAnalysis.redactPii]]/`piiCounts` — the
+    * gated pre-training pass. Pattern subset chosen to behave
+    * identically in Java regex and RE2.
     */
   def redactPii(textCol: Column): Column = {
     val noEmail = regexp_replace(textCol,
@@ -653,6 +657,50 @@ object Pipeline {
       .agg(count_distinct(col("s")).as("shared_ngrams"))
       .where(col("shared_ngrams") >= minShared)
   }
+
+  /** Semantic (embedding-space) decontamination — the companion of the
+    * n-gram [[contamination]] for PARAPHRASED eval leakage: a training
+    * document whose embedding sits within `threshold` cosine of any
+    * eval-set embedding is flagged even when no k-shingle survives the
+    * rewording. Returns (corpus id, eval_id, cos) pairs at or above
+    * `threshold` — the audit face; route through
+    * [[decontaminateSemantic]] to drop flagged rows.
+    *
+    * Scale shape mirrors [[contamination]]: eval benchmarks are tiny
+    * next to a 100 TB corpus, so the eval embedding table BROADCASTS and
+    * the corpus streams once through a narrow broadcast loop — no corpus
+    * shuffle, no pairwise blow-up (output is bounded by flagged pairs).
+    * For an eval set too large to broadcast, fit an IVF quantizer and
+    * route through [[Similarity.ivfKnnJoin]] (same contract, salted cell
+    * equi-join) — the gated broadcast face is exact by construction.
+    */
+  def contaminationSemantic(corpus: DataFrame, eval: DataFrame,
+                            embCol: String = "embedding",
+                            idCol: String = "vec_id",
+                            threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val evB = broadcast(eval.select(col(idCol).as("eval_id"),
+      col(embCol).as("__ev")))
+    corpus.select(col(idCol), col(embCol).as("__cv"))
+      .crossJoin(evB)
+      .select(col(idCol), col("eval_id"),
+        Similarity.cosine(col("__cv"), col("__ev")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Drop from `corpus` every row [[contaminationSemantic]] flags —
+    * survivors pass through unchanged (anti join on the flagged id set,
+    * which is bounded by the contaminated population, not the corpus).
+    */
+  def decontaminateSemantic(corpus: DataFrame, eval: DataFrame,
+                            embCol: String = "embedding",
+                            idCol: String = "vec_id",
+                            threshold: Double = 0.95): DataFrame =
+    corpus.join(
+      contaminationSemantic(corpus, eval, embCol, idCol, threshold)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Column profiling in ONE scan: per column — non-null count, distinct
     * count, min and max (rendered as strings so heterogeneous column types

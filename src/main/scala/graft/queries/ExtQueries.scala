@@ -1515,6 +1515,18 @@ object ExtQueries {
           exactFields = Seq("grp" -> 0.25), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_decontam_semantic" -> { (s, d) =>
+      // semantic decontamination with planted verbatim leakage: every
+      // 97th embedding plays the eval set AND sits in the corpus — the
+      // self-match at cos 1.0 must flag it; the synthetic table's
+      // max cross-vector cosine is ~0.47, so at t=0.95 exactly the
+      // leaked rows drop (wide margin, no float-boundary risk)
+      val e = emb(s, d)
+      Pipeline.decontaminateSemantic(e,
+          e.where(pmod(col("vec_id"), lit(97)) === 0),
+          "embedding", "vec_id", threshold = 0.95)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
     "ds_temporal_split" -> { (s, d) =>
       // time-ordered split with a 1-day embargo after the cutoff
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -2790,6 +2802,16 @@ object ExtQueries {
                FROM i)
          SELECT id_a, id_b, score FROM sc WHERE score >= 0.8
          ORDER BY id_a, id_b""",
+    "ds_decontam_semantic" ->
+      """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 97 = 0),
+         tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         bad AS (SELECT DISTINCT tr.vec_id FROM tr, ev
+           WHERE list_cosine_similarity(tr.v, ev.v) >= 0.95)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+         ORDER BY vec_id""",
     "ds_temporal_split" ->
       """SELECT event_id,
            CASE WHEN ts < TIMESTAMP '2024-01-05 00:00:00' THEN 'train'

@@ -114,6 +114,38 @@ class Round8Spec extends SparkSpecBase {
     }
   }
 
+  // ---- semantic decontamination ----
+
+  test("contaminationSemantic / decontaminateSemantic: scaled copies " +
+    "flag (cosine is scale-invariant), orthogonal eval rows don't, " +
+    "threshold respected") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // eval 10: a 2x-scaled copy of corpus 1 (paraphrase-with-same-
+    // direction — cos exactly 1); eval 11: orthogonal to everything
+    val evalSet = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.ext.Pipeline.contaminationSemantic(
+        corpus, evalSet, "embedding", "vec_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set(1L -> 10L)) // 3 has cos 0.6 vs eval10 — below t
+    val kept = graft.ext.Pipeline.decontaminateSemantic(
+        corpus, evalSet, "embedding", "vec_id", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // a looser threshold pulls in the 0.6-cos neighbor too
+    val keptLoose = graft.ext.Pipeline.decontaminateSemantic(
+        corpus, evalSet, "embedding", "vec_id", threshold = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptLoose == Set(2L, 4L))
+  }
+
   // ---- PII redaction ----
 
   test("redactPii / piiCounts: precedence, placeholders, conservative " +
