@@ -702,6 +702,39 @@ object Pipeline {
         .select(col(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Declarative data-quality gate (the Deequ-shaped ingest check a
+    * pipeline runs before committing a 100 TB batch): each rule is a
+    * named row-level predicate; the report is one row per rule —
+    * (rule, n_rows, n_violations, pass) — computed in ONE scan: every
+    * rule compiles to a conditional count inside a single Aggregate
+    * (map-side partial aggregation; no per-rule jobs, no shuffle beyond
+    * one counter row per partition). A null predicate value counts as a
+    * VIOLATION — an unexpected null never passes silently.
+    *
+    * Row-level rules only, by design: cross-row invariants (key
+    * uniqueness, referential integrity) have different plan shapes —
+    * express uniqueness as `capPerKey`/groupBy audits and profile-level
+    * drift via [[profile]].
+    */
+  def checkConstraints(df: DataFrame,
+                       rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkConstraints needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names would collapse report rows")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$name")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_$name").as("n_violations"))
+    }
+    one.select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+  }
+
   /** Column profiling in ONE scan: per column — non-null count, distinct
     * count, min and max (rendered as strings so heterogeneous column types
     * stack into one result). The ingest-side sanity report a pipeline runs

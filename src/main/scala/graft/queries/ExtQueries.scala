@@ -1515,6 +1515,17 @@ object ExtQueries {
           exactFields = Seq("grp" -> 0.25), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "ds_check_constraints" -> { (s, d) =>
+      // Deequ-shaped ingest gate: four named row-level rules in ONE
+      // aggregate scan — two hold on the fixture, min-length-200
+      // genuinely fails (mixed pass/fail exercises both report states)
+      Pipeline.checkConstraints(docs(s, d), Seq(
+          "text_nonnull" -> col("text").isNotNull,
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "lang_known" -> col("lang").isin("de", "en", "es", "fr", "zh"),
+          "text_min_200" -> (length(col("text")) >= 200)))
+        .orderBy(col("rule"))
+    },
     "ds_decontam_semantic" -> { (s, d) =>
       // semantic decontamination with planted verbatim leakage: every
       // 97th embedding plays the eval set AND sits in the corpus — the
@@ -2802,6 +2813,23 @@ object ExtQueries {
                FROM i)
          SELECT id_a, id_b, score FROM sc WHERE score >= 0.8
          ORDER BY id_a, id_b""",
+    "ds_check_constraints" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_nn,
+           CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_nc,
+           CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh')
+             THEN 0 ELSE 1 END) AS BIGINT) AS v_lang,
+           CAST(sum(CASE WHEN length(text) >= 200 THEN 0 ELSE 1 END)
+             AS BIGINT) AS v_len
+         FROM documents)
+         SELECT 'text_nonnull' AS rule, n AS n_rows,
+                v_nn AS n_violations, v_nn = 0 AS pass FROM t
+         UNION ALL SELECT 'n_chars_consistent', n, v_nc, v_nc = 0 FROM t
+         UNION ALL SELECT 'lang_known', n, v_lang, v_lang = 0 FROM t
+         UNION ALL SELECT 'text_min_200', n, v_len, v_len = 0 FROM t
+         ORDER BY rule""",
     "ds_decontam_semantic" ->
       """WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id % 97 = 0),

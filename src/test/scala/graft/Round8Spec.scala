@@ -114,6 +114,38 @@ class Round8Spec extends SparkSpecBase {
     }
   }
 
+  // ---- data-quality constraint gate ----
+
+  test("checkConstraints: null predicate counts as violation, mixed " +
+    "pass/fail report, duplicate rule names rejected, one-scan plan") {
+    val df = Seq(
+      (1L, "ok", 10),
+      (2L, null.asInstanceOf[String], 5),
+      (3L, "x", -1)
+    ).toDF("id", "s", "v")
+    val rep = graft.ext.Pipeline.checkConstraints(df, Seq(
+        "s_nonnull" -> col("s").isNotNull,
+        // length(null) is null -> must count as a violation, not pass
+        "s_short" -> (length(col("s")) <= 2),
+        "v_pos" -> (col("v") > 0),
+        "id_pos" -> (col("id") > 0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep("s_nonnull") == (3L, 1L, false))
+    assert(rep("s_short") == (3L, 1L, false)) // the null row violates
+    assert(rep("v_pos") == (3L, 1L, false))
+    assert(rep("id_pos") == (3L, 0L, true))
+    intercept[IllegalArgumentException] {
+      graft.ext.Pipeline.checkConstraints(df,
+        Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    // all rules ride ONE aggregate: exactly one Exchange in the plan
+    val plan = graft.ext.Pipeline.checkConstraints(df, Seq(
+        "a" -> col("v").isNotNull, "b" -> (col("v") > 0)))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+
   // ---- semantic decontamination ----
 
   test("contaminationSemantic / decontaminateSemantic: scaled copies " +
