@@ -32,7 +32,10 @@ object Bench {
   private val gateModeQueries =
     Set("sim_ann_ivf", "sim_ann_lsh", "sim_ann_sq", "sim_ann_pq",
         "sim_ann_ivf_indexed", "sim_ann_lsh_indexed",
-        "sim_ann_sq_indexed", "sim_ann_pq_indexed", "sim_knn_join")
+        "sim_ann_sq_indexed", "sim_ann_pq_indexed", "sim_knn_join",
+        // k >= n retains the full multiset — brute-force-equivalent
+        // exact mode of ev_kll_quantiles_probe
+        "ev_kll_quantiles")
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -349,6 +349,245 @@ object Sketches {
         TimeMode.None(), OutputMode.Update())
       .toDF("shard", "key", "est")
   }
+
+  // ── KLL quantile sketch ──────────────────────────────────────────────
+  //
+  // The quantile member of the sketch family (alongside Misra-Gries for
+  // heavy hitters, Count-Min for point frequencies, KMV for distinct
+  // counts): a mergeable rank/quantile summary after Karnin, Lang &
+  // Liberty, "Optimal quantile approximation in streams" (FOCS 2016).
+  // The motivating 100 TB problem: "what is p99 doc length / p50 score"
+  // over a corpus where exact `percentile` shuffles and sorts every
+  // value — a KLL sketch ships O(k log(n/k)) doubles per partition and
+  // merges associatively, so the fit is ONE scan with NO shuffle
+  // (treeAggregate), like [[kmvFit]].
+  //
+  // Determinism: the classic algorithm flips a coin per compaction to
+  // pick the even- or odd-indexed half. This implementation alternates
+  // the offset DETERMINISTICALLY from a compaction counter carried in
+  // the sketch, so a given (data, partitioning, merge order) always
+  // yields the same summary — reproducibility is worth more to a data
+  // pipeline than the randomized variant's slightly tighter randomized-
+  // error constants; the worst-case O(1/k) rank-error family guarantee
+  // is unchanged, and the probe gate measures the realized error.
+  // With `k ≥ n` no compaction ever fires and every value is retained
+  // at level 0 — quantiles are EXACT and independent of merge order
+  // (the gate-query mode, same convention as the other three sketches).
+
+  /** Mutable KLL builder — the treeAggregate zero and the Aggregator
+    * buffer. `levels(i)` holds items of weight `2^i`; level capacities
+    * decay geometrically (ratio 2/3) from `k` at the top level.
+    */
+  final class KllBuilder(val k: Int) extends Serializable {
+    import scala.collection.mutable.ArrayBuffer
+    var n: Long = 0L
+    var compactions: Long = 0L
+    var levels: ArrayBuffer[ArrayBuffer[Double]] =
+      ArrayBuffer(ArrayBuffer.empty[Double])
+
+    private def capacity(lvl: Int): Int = math.max(2, math.ceil(
+      k * math.pow(2.0 / 3.0, (levels.length - 1 - lvl).toDouble)).toInt)
+    private def capSum: Int = {
+      var s = 0; var i = 0
+      while (i < levels.length) { s += capacity(i); i += 1 }
+      s
+    }
+    private def retained: Int = {
+      var s = 0; var i = 0
+      while (i < levels.length) { s += levels(i).length; i += 1 }
+      s
+    }
+
+    def update(v: Double): Unit = {
+      levels(0) += v
+      n += 1L
+      compress()
+    }
+
+    def merge(o: KllBuilder): KllBuilder = {
+      require(o.k == k, s"sketch k differs: $k vs ${o.k}")
+      while (levels.length < o.levels.length)
+        levels += ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < o.levels.length) { levels(i) ++= o.levels(i); i += 1 }
+      n += o.n
+      compactions += o.compactions
+      compress()
+      this
+    }
+
+    private def compress(): Unit = {
+      var guard = 0
+      while (retained > capSum && guard < 256) {
+        // lowest compactable (≥ 2 items) level over its capacity, else
+        // the lowest compactable level at all; a level with ≤ 1 item
+        // can't form pairs, so selecting it would loop forever
+        val overOpt = levels.indices.find(i =>
+            levels(i).length > capacity(i) && levels(i).length >= 2)
+          .orElse(levels.indices.find(levels(_).length >= 2))
+        if (overOpt.isEmpty) return
+        compactLevel(overOpt.get)
+        guard += 1
+      }
+    }
+
+    /** Sort level `i`, promote the (deterministically) even- or odd-
+      * indexed half of its pairs to level `i+1` (weight doubles), keep
+      * one unpaired leftover at level `i`. Weight-preserving: 2m items
+      * of weight w become m items of weight 2w.
+      */
+    private def compactLevel(i: Int): Unit = {
+      if (i == levels.length - 1) levels += ArrayBuffer.empty[Double]
+      val sorted = levels(i).toArray
+      java.util.Arrays.sort(sorted)
+      val pairsLen = sorted.length & ~1
+      val offset = (compactions & 1L).toInt
+      val keep = ArrayBuffer.empty[Double]
+      if (pairsLen < sorted.length) keep += sorted(sorted.length - 1)
+      var j = offset
+      while (j < pairsLen) { levels(i + 1) += sorted(j); j += 2 }
+      levels(i) = keep
+      compactions += 1L
+    }
+
+    def toModel: KllModel =
+      KllModel(k, n, levels.map(_.toArray).toVector, compactions)
+  }
+
+  /** Immutable KLL summary. `exact` (no compaction ever fired) means the
+    * sketch retains the full input multiset and [[quantile]]/[[rankOf]]
+    * are exact — guaranteed when `k ≥ n`.
+    */
+  final case class KllModel(k: Int, n: Long, levels: Vector[Array[Double]],
+                            compactions: Long) {
+    def exact: Boolean = compactions == 0L
+    def retained: Int = levels.iterator.map(_.length).sum
+
+    /** Retained (value, weight) pairs sorted by value. */
+    def weightedItems: Array[(Double, Long)] = {
+      val out = new Array[(Double, Long)](retained)
+      var idx = 0
+      var lvl = 0
+      while (lvl < levels.length) {
+        val buf = levels(lvl)
+        var i = 0
+        while (i < buf.length) { out(idx) = (buf(i), 1L << lvl); idx += 1; i += 1 }
+        lvl += 1
+      }
+      scala.util.Sorting.stableSort(out,
+        (a: (Double, Long), b: (Double, Long)) => a._1 < b._1)
+      out
+    }
+
+    /** Lower discrete quantile: the smallest retained value whose
+      * estimated cumulative weight reaches `max(1, ceil(q*n))`. With an
+      * exact sketch this is the exact rank-`ceil(q*n)` order statistic.
+      */
+    def quantile(q: Double): Double = {
+      require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+      require(n > 0L, "quantile of an empty sketch")
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val items = weightedItems
+      var cum = 0L
+      var i = 0
+      while (i < items.length) {
+        cum += items(i)._2
+        if (cum >= target) return items(i)._1
+        i += 1
+      }
+      items(items.length - 1)._1
+    }
+
+    /** Estimated number of input values ≤ v (exact when [[exact]]). */
+    def rankOf(v: Double): Long = {
+      var cum = 0L
+      var lvl = 0
+      while (lvl < levels.length) {
+        val buf = levels(lvl)
+        var i = 0
+        while (i < buf.length) {
+          if (buf(i) <= v) cum += (1L << lvl)
+          i += 1
+        }
+        lvl += 1
+      }
+      cum
+    }
+
+    def merge(other: KllModel): KllModel = {
+      val a = toBuilder
+      a.merge(other.toBuilder).toModel
+    }
+
+    private def toBuilder: KllBuilder = {
+      val b = new KllBuilder(k)
+      b.n = n
+      b.compactions = compactions
+      b.levels = scala.collection.mutable.ArrayBuffer(
+        levels.map(arr =>
+          scala.collection.mutable.ArrayBuffer(arr.toSeq: _*)): _*)
+      b
+    }
+  }
+
+  /** Fit a KLL quantile sketch in ONE pass with NO shuffle: each task
+    * folds its partition's values into a local sketch; `treeAggregate`
+    * merges sketches (O(k log(n/k)) doubles each on the wire). With
+    * `k ≥ n` nothing compacts and quantiles are EXACT — the gate-query
+    * mode; compare exact `percentile`, which sorts every value through
+    * a shuffle. Nulls and NaNs are skipped (no rank semantics).
+    */
+  def kllFit(df: DataFrame, valueCol: String, k: Int = 2048): KllModel = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    vals.rdd.map(_.getDouble(0))
+      .treeAggregate(new KllBuilder(k))(
+        seqOp = { (b, v) => b.update(v); b },
+        combOp = { (a, b) => a.merge(b) })
+      .toModel
+  }
+
+  /** The groupBy face: a typed `Aggregator` wrapped as a UDAF, so
+    * per-group quantiles run in ONE hash aggregation with map-side
+    * partial sketches — `docs.groupBy("lang").agg(kllQuantilesUdaf(k,
+    * qs)(col("n_chars")))` never sorts or shuffles raw values, only
+    * sketch buffers. Returns the `qs` quantile estimates as an array
+    * column (index-aligned with `qs`).
+    */
+  def kllQuantilesUdaf(k: Int, qs: Seq[Double])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be non-empty probabilities")
+    udaf(new KllAgg(k, qs), Encoders.scalaDouble)
+  }
+
+  /** The streaming face of [[kllFit]], on the Spark 4
+    * `transformWithState` API. Unlike the CMS/KMV/MG streams, quantile
+    * estimates are NOT combinable across disjoint-key shards without the
+    * underlying models, so this face keeps ONE global sketch cell and
+    * emits the updated (q, est, n) rows per micro-batch. The state is
+    * the fixed sketch size and per-row update is O(1) amortized; at
+    * rates where a single stateful task saturates, run per-partition
+    * [[kllFit]] sketches in `foreachBatch` and [[KllModel.merge]] them
+    * instead — the batch fit is the scale path, this face is the
+    * always-on monitor.
+    */
+  def kllStream(events: DataFrame, valueCol: String, k: Int = 2048,
+                qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(k >= 8 && qs.nonEmpty, "k >= 8 and qs non-empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .select(lit(0L).as("shard"), col("v"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new KllStreamProcessor(k, qs),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("q", "est", "n")
+  }
 }
 
 /** Per-shard KMV bottom-k set as transformWithState state (sorted Long
@@ -450,5 +689,60 @@ private[ext] class MgStreamProcessor(capacity: Int)
       k.asInstanceOf[String] -> v }.toMap
     summary.update(snap)
     snap.iterator.map { case (k, v) => (shard, k, v) }.toArray.iterator
+  }
+}
+
+/** The groupBy KLL aggregator: buffer is the mutable [[Sketches.KllBuilder]]
+  * (kryo-encoded between partial and final aggregation), output the
+  * requested quantile estimates. A group whose values are all null/NaN
+  * (empty sketch) yields NaNs — rank semantics need at least one value.
+  */
+private[ext] class KllAgg(k: Int, qs: Seq[Double])
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Double, Sketches.KllBuilder, Seq[Double]] {
+  def zero: Sketches.KllBuilder = new Sketches.KllBuilder(k)
+  def reduce(b: Sketches.KllBuilder, v: Double): Sketches.KllBuilder = {
+    if (!v.isNaN) b.update(v)
+    b
+  }
+  def merge(a: Sketches.KllBuilder,
+            b: Sketches.KllBuilder): Sketches.KllBuilder = a.merge(b)
+  def finish(b: Sketches.KllBuilder): Seq[Double] =
+    if (b.n == 0L) qs.map(_ => Double.NaN)
+    else { val m = b.toModel; qs.map(m.quantile) }
+  def bufferEncoder: org.apache.spark.sql.Encoder[Sketches.KllBuilder] =
+    Encoders.kryo[Sketches.KllBuilder]
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+/** The global KLL sketch as transformWithState state: one ValueState
+  * cell holding the kryo'd builder, rewritten per micro-batch (the
+  * sketch is O(k log(n/k)) doubles by contract, so a full rewrite is
+  * one RocksDB put). Emits the updated (q, est, n) row per requested
+  * quantile per batch.
+  */
+private[ext] class KllStreamProcessor(k: Int, qs: Seq[Double])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Double, Double, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var sketch: ValueState[Sketches.KllBuilder] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sketch = getHandle.getValueState[Sketches.KllBuilder]("kll",
+      org.apache.spark.sql.Encoders.kryo[Sketches.KllBuilder], TTLConfig.NONE)
+
+  override def handleInputRows(shard: Long, rows: Iterator[(Long, Double)],
+      timers: TimerValues): Iterator[(Double, Double, Long)] = {
+    val b = if (sketch.exists()) sketch.get() else new Sketches.KllBuilder(k)
+    rows.foreach { case (_, v) => b.update(v) }
+    sketch.update(b)
+    if (b.n == 0L) Iterator.empty
+    else {
+      val model = b.toModel
+      qs.iterator.map(q => (q, model.quantile(q), model.n)).toArray.iterator
+    }
   }
 }

@@ -1672,6 +1672,54 @@ object ExtQueries {
           split(col("text"), " "), t => t =!= "")).as("term"))
       Sketches.heavyHitters(toks, "term", k = 10, capacity = 256)
     },
+    "ev_kll_quantiles" -> { (s, d) =>
+      // KLL quantile sketch (the quantile member of the sketch family),
+      // shuffle-free treeAggregate fit; k=131072 >= the sf0.1 events
+      // rows, so nothing ever compacts and every answer is the exact
+      // lower order statistic (the gate mode); compare exact percentile,
+      // which sorts every value through a shuffle
+      import s.implicits._
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val m = Sketches.kllFit(ev, "value", k = 131072)
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(q => (q, m.quantile(q)))
+        .toDF("q", "v").orderBy(col("q"))
+    },
+    "ev_kll_quantiles_probe" -> { (s, d) =>
+      // production face: bounded k=256 — a ~4 KB summary regardless of
+      // corpus size. Estimates depend on sketch merge order, so the gate
+      // pins the INVARIANT instead of the value: each estimate's exact
+      // rank lands within 5% of its target rank (KLL's O(1/k) family
+      // bound; measured max ~1% at this k). The exact ranks cost one
+      // extra aggregation pass — gate-only evidence; production consumes
+      // the estimates directly.
+      import s.implicits._
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val m = Sketches.kllFit(ev, "value", k = 256)
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val ests = qs.map(q => (q, m.quantile(q)))
+      val rankCols = ests.map { case (q, e) =>
+        sum(when(col("value") <= e, 1L).otherwise(0L))
+          .as("r" + (q * 100).toInt) }
+      val row = ev.where(col("value").isNotNull && !isnan(col("value")))
+        .agg(rankCols.head, rankCols.tail: _*).collect()(0)
+      ests.zipWithIndex.map { case ((q, _), i) =>
+        val target = math.max(1L, math.ceil(q * m.n).toLong)
+        val err = math.abs(row.getLong(i) - target)
+        (q, err <= math.max(1L, (0.05 * m.n).toLong), m.n)
+      }.toDF("q", "ok", "n").orderBy(col("q"))
+    },
+    "ds_kll_by_lang" -> { (s, d) =>
+      // the groupBy face of the KLL sketch: per-language doc-length
+      // quantiles via a typed Aggregator UDAF — ONE hash aggregation
+      // with map-side partial sketches, no sort, no raw-value shuffle;
+      // k=8192 >= every group so the estimates are exact (the gate mode)
+      val agg = Sketches.kllQuantilesUdaf(8192, Seq(0.5, 0.9))
+      docs(s, d).groupBy(col("lang"))
+        .agg(agg(col("n_chars").cast("double")).as("qarr"))
+        .select(col("lang"), element_at(col("qarr"), 1).as("p50"),
+                element_at(col("qarr"), 2).as("p90"))
+        .orderBy(col("lang"))
+    },
     "ds_sample_weighted" -> { (s, d) =>
       // quality-weighted subsample: longer docs more likely to survive
       // (weight = n_chars/1000 clamped to 1), deterministic by id hash
@@ -3024,6 +3072,35 @@ object ExtQueries {
            FROM documents)
          SELECT term AS key, CAST(count(*) AS BIGINT) AS est
          FROM tok GROUP BY 1 ORDER BY est DESC, key LIMIT 10""",
+    "ev_kll_quantiles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                     WHERE value IS NOT NULL AND NOT isnan(value)),
+         s AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rk
+               FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         qs(q) AS (VALUES (0.25),(0.5),(0.75),(0.9),(0.99))
+         SELECT CAST(qs.q AS DOUBLE) AS q, CAST(min(s.v) AS DOUBLE) AS v
+         FROM qs, nn, s
+         WHERE s.rk >= greatest(1, CAST(ceil(qs.q * nn.n) AS BIGINT))
+         GROUP BY qs.q ORDER BY q""",
+    "ev_kll_quantiles_probe" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                     WHERE value IS NOT NULL AND NOT isnan(value)),
+         qs(q) AS (VALUES (0.25),(0.5),(0.75),(0.9),(0.99))
+         SELECT CAST(qs.q AS DOUBLE) AS q, TRUE AS ok, nn.n AS n
+         FROM qs, nn ORDER BY q""",
+    "ds_kll_by_lang" ->
+      """WITH s AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang,
+           CAST(min(CASE WHEN rk >= greatest(1,
+                CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS DOUBLE)
+             AS p50,
+           CAST(min(CASE WHEN rk >= greatest(1,
+                CAST(ceil(0.9 * n) AS BIGINT)) THEN v END) AS DOUBLE)
+             AS p90
+         FROM s GROUP BY lang ORDER BY lang""",
     "ds_sample_weighted" ->
       """WITH h AS (SELECT lang, doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
