@@ -864,6 +864,73 @@ object Pipeline {
         col("n"))
   }
 
+  /** Population Stability Index drift report between a reference and a
+    * current corpus snapshot over `valueCol`, on the shared fixed-width
+    * bins of [[histogram]]: per bin, shares `p_ref`/`p_cur` (zero-filled
+    * via full-outer join, floored at `eps` before the log so one-sided
+    * bins contribute finitely) and the PSI contribution
+    * `(p_cur − p_ref) · ln(p_cur / p_ref)` — sum the column for the
+    * headline PSI (rule of thumb: < 0.1 stable, > 0.25 drifted; every
+    * contribution is ≥ 0 so per-bin values localize the shift). The
+    * monitoring complement of [[checkConstraints]]: constraints catch
+    * hard violations at ingest; PSI catches the soft distribution shift
+    * between two crawls/snapshots that individually pass every rule.
+    *
+    * Shares and contributions round to 9 decimals (the transcendental-
+    * rounding contract — `ln` can differ in the last ulp across engines).
+    *
+    * 100 TB shape: ONE narrow scan per snapshot into an `nBins`-row
+    * partial aggregate each; everything downstream is arithmetic over
+    * ≤ nBins rows (normalizing sums run as global windows over those
+    * tiny frames — never a rescan, same trade as [[mixtureWeights]]).
+    */
+  def driftPsi(ref: DataFrame, cur: DataFrame, valueCol: String,
+               lo: Double, hi: Double, nBins: Int = 20,
+               eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def shares(df: DataFrame, outCol: String) =
+      histogram(df, valueCol, lo, hi, nBins)
+        .select(col("bin"),
+          (col("n").cast("double") / sum(col("n")).over(all)).as(outCol))
+    psiSelect(shares(ref, "p_ref").join(shares(cur, "p_cur"),
+      Seq("bin"), "full_outer"), "bin", eps)
+  }
+
+  /** The categorical face of [[driftPsi]]: shares per distinct `keyCol`
+    * value (language, domain, event type) instead of numeric bins —
+    * keys absent on one side get share 0 and the `eps` floor. The key
+    * set is expected report-sized (languages/domains/buckets); for
+    * unbounded key spaces pre-bucket first (the global normalizing
+    * window collapses the AGGREGATE, not the corpus, to one partition).
+    */
+  def driftPsiCategorical(ref: DataFrame, cur: DataFrame, keyCol: String,
+                          eps: Double = 1e-6): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    def shares(df: DataFrame, outCol: String) =
+      df.where(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("key"),
+          (col("n").cast("double") / sum(col("n")).over(all)).as(outCol))
+    psiSelect(shares(ref, "p_ref").join(shares(cur, "p_cur"),
+      Seq("key"), "full_outer"), "key", eps)
+  }
+
+  private def psiSelect(joined: DataFrame, binCol: String,
+                        eps: Double): DataFrame = {
+    val j = joined.na.fill(0.0, Seq("p_ref", "p_cur"))
+    val pr = greatest(col("p_ref"), lit(eps))
+    val pc = greatest(col("p_cur"), lit(eps))
+    j.select(col(binCol),
+      round(col("p_ref"), 9).as("p_ref"),
+      round(col("p_cur"), 9).as("p_cur"),
+      round((pc - pr) * log(pc / pr), 9).as("psi_contrib"))
+  }
+
   /** Slowly-changing-dimension (type 2) build from an append-only
     * changelog: per entity key, collapse consecutive rows whose tracked
     * attributes did not change, then stamp each surviving version with its

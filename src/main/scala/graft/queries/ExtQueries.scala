@@ -1638,6 +1638,27 @@ object ExtQueries {
       Pipeline.histogram(ev, "value", lo = 0.0, hi = 200.0, nBins = 20)
         .orderBy(col("bin"))
     },
+    "ds_drift_psi" -> { (s, d) =>
+      // PSI drift report between two corpus snapshots (here: the even-
+      // vs odd-user halves of the events stream) — per-bin shares and
+      // contributions; sum(psi_contrib) is the headline drift score.
+      // One narrow scan per snapshot into a 20-row aggregate each.
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Pipeline.driftPsi(
+          ev.where(pmod(col("user_id"), lit(2)) === 0),
+          ev.where(pmod(col("user_id"), lit(2)) === 1),
+          "value", lo = 0.0, hi = 200.0, nBins = 20)
+        .orderBy(col("bin"))
+    },
+    "ds_drift_psi_cat" -> { (s, d) =>
+      // the categorical face: language-mix shift between the even- and
+      // odd-id document halves
+      Pipeline.driftPsiCategorical(
+          docs(s, d).where(pmod(col("doc_id"), lit(2)) === 0),
+          docs(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
+          "lang")
+        .orderBy(col("key"))
+    },
     "ev_kmv_distinct" -> { (s, d) =>
       // KMV bottom-k distinct sketch, shuffle-free treeAggregate fit;
       // k=4096 ≥ the fixture's distinct-user count, so the sketch holds
@@ -3056,6 +3077,52 @@ object ExtQueries {
                 CAST(0.0 + (bin + 1) * 10.0 AS DOUBLE) AS hi_edge,
                 CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY bin ORDER BY bin""",
+    "ds_drift_psi" ->
+      """WITH r AS (SELECT CAST(least(19, greatest(0,
+             floor((value - 0.0) / 200.0 * 20))) AS INT) AS bin,
+             count(*) AS n FROM events
+           WHERE value IS NOT NULL AND user_id % 2 = 0 GROUP BY 1),
+         c AS (SELECT CAST(least(19, greatest(0,
+             floor((value - 0.0) / 200.0 * 20))) AS INT) AS bin,
+             count(*) AS n FROM events
+           WHERE value IS NOT NULL AND user_id % 2 = 1 GROUP BY 1),
+         rs AS (SELECT bin,
+             n / CAST((SELECT sum(n) FROM r) AS DOUBLE) AS p FROM r),
+         cs AS (SELECT bin,
+             n / CAST((SELECT sum(n) FROM c) AS DOUBLE) AS p FROM c),
+         j AS (SELECT coalesce(rs.bin, cs.bin) AS bin,
+                      coalesce(rs.p, 0.0) AS p_ref,
+                      coalesce(cs.p, 0.0) AS p_cur
+               FROM rs FULL OUTER JOIN cs ON rs.bin = cs.bin)
+         SELECT bin, CAST(round(p_ref, 9) AS DOUBLE) AS p_ref,
+                CAST(round(p_cur, 9) AS DOUBLE) AS p_cur,
+                CAST(round((greatest(p_cur, 0.000001)
+                  - greatest(p_ref, 0.000001))
+                  * ln(greatest(p_cur, 0.000001)
+                  / greatest(p_ref, 0.000001)), 9) AS DOUBLE)
+                  AS psi_contrib
+         FROM j ORDER BY bin""",
+    "ds_drift_psi_cat" ->
+      """WITH r AS (SELECT lang AS key, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1),
+         c AS (SELECT lang AS key, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1),
+         rs AS (SELECT key,
+             n / CAST((SELECT sum(n) FROM r) AS DOUBLE) AS p FROM r),
+         cs AS (SELECT key,
+             n / CAST((SELECT sum(n) FROM c) AS DOUBLE) AS p FROM c),
+         j AS (SELECT coalesce(rs.key, cs.key) AS key,
+                      coalesce(rs.p, 0.0) AS p_ref,
+                      coalesce(cs.p, 0.0) AS p_cur
+               FROM rs FULL OUTER JOIN cs ON rs.key = cs.key)
+         SELECT key, CAST(round(p_ref, 9) AS DOUBLE) AS p_ref,
+                CAST(round(p_cur, 9) AS DOUBLE) AS p_cur,
+                CAST(round((greatest(p_cur, 0.000001)
+                  - greatest(p_ref, 0.000001))
+                  * ln(greatest(p_cur, 0.000001)
+                  / greatest(p_ref, 0.000001)), 9) AS DOUBLE)
+                  AS psi_contrib
+         FROM j ORDER BY key""",
     "ev_kmv_distinct" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events WHERE user_id IS NOT NULL""",

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Pipeline
+
+/** PSI drift report: zero on identical snapshots, per-bin symmetry,
+  * eps-floored one-sided bins, and a hand-computed reference value.
+  */
+class DriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def psiTotal(df: org.apache.spark.sql.DataFrame): Double =
+    df.agg(sum(col("psi_contrib"))).collect()(0).getDouble(0)
+
+  test("driftPsi: identical snapshots score exactly zero in every bin") {
+    val vals = (0 until 1000).map(i => (i % 97).toDouble).toDF("v")
+    val out = Pipeline.driftPsi(vals, vals, "v", 0.0, 100.0, 10)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2))
+      assert(r.getDouble(3) == 0.0)
+    }
+  }
+
+  test("driftPsi contributions are symmetric under snapshot swap and " +
+    "non-negative") {
+    val a = (0 until 500).map(i => (i % 60).toDouble).toDF("v")
+    val b = (0 until 500).map(i => (i % 90).toDouble).toDF("v")
+    val fwd = Pipeline.driftPsi(a, b, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val rev = Pipeline.driftPsi(b, a, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(fwd == rev, "PSI per-bin contributions must be symmetric")
+    assert(fwd.values.forall(_ >= 0.0))
+    assert(psiTotal(Pipeline.driftPsi(a, b, "v", 0.0, 100.0, 10)) > 0.0)
+  }
+
+  test("driftPsiCategorical: hand-computed value, eps floor for a key " +
+    "missing on one side") {
+    // ref: 80 a, 20 b   cur: 60 a, 20 b, 20 c
+    val ref = (Seq.fill(80)("a") ++ Seq.fill(20)("b")).toDF("k")
+    val cur = (Seq.fill(60)("a") ++ Seq.fill(20)("b") ++ Seq.fill(20)("c"))
+      .toDF("k")
+    val got = Pipeline.driftPsiCategorical(ref, cur, "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((0.8, 0.6, r9((0.6 - 0.8) * math.log(0.6 / 0.8)))))
+    assert(got("b")._3 == 0.0)
+    // c absent from ref: share floored at eps=1e-6 before the log
+    assert(got("c") == ((0.0, 0.2,
+      r9((0.2 - 1e-6) * math.log(0.2 / 1e-6)))))
+  }
+
+  test("driftPsi: values outside [lo, hi) clamp into the edge bins on " +
+    "both sides, nulls drop") {
+    val ref = Seq(Some(-5.0), Some(0.5), Some(9.0), None).toDF("v")
+    val cur = Seq(Some(50.0), Some(0.5), None).toDF("v")
+    val rows = Pipeline.driftPsi(ref, cur, "v", 0.0, 10.0, 10).collect()
+    val bins = rows.map(_.getInt(0)).toSet
+    assert(bins == Set(0, 9))
+    val b0 = rows.find(_.getInt(0) == 0).get
+    // ref bin0: -5 and 0.5 -> 2/3; cur bin0: 0.5 -> 1/2
+    assert(b0.getDouble(1) == BigDecimal(2.0 / 3.0).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble && b0.getDouble(2) == 0.5)
+  }
+}
