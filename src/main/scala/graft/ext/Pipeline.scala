@@ -148,6 +148,24 @@ object Pipeline {
       .drop("__es_key")
   }
 
+  /** Per-key face of [[sampleExactWeighted]]: exactly `n` rows per key
+    * (fewer in smaller strata), weighted-without-replacement WITHIN each
+    * stratum via the same deterministic exponential keys — the
+    * per-language / per-domain quality-weighted budget allocator
+    * ([[sampleExactPerKey]] is its uniform twin). ONE window shuffle on
+    * the key columns, no global sort; rows with weight ≤ 0 never sample.
+    */
+  def sampleExactWeightedPerKey(df: DataFrame, keyCols: Seq[String],
+                                n: Int, weight: Column, idCol: String,
+                                salt: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val buckets = 1152921504606846976L // 2^60
+    val h = portableHash60(concat(col(idCol).cast("string"), lit(salt)))
+    val u = (h + 1).cast("double") / lit(buckets + 1).cast("double")
+    capPerKey(df.where(weight > 0), keyCols, n,
+      Seq(round(-log(u) / weight, 9), col(idCol)))
+  }
+
   /** Temperature-scaled mixture weights over a key (the multilingual /
     * multi-domain mixing recipe: sampling probability ∝ mass^α, α ∈ (0,1]
     * — α=1 keeps the natural distribution, α→0 approaches uniform,

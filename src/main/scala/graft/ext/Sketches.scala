@@ -213,7 +213,7 @@ object Sketches {
     }
   }
 
-  private def kmvToArray(s: java.util.TreeSet[java.lang.Long]): Array[Long] = {
+  private[ext] def kmvToArray(s: java.util.TreeSet[java.lang.Long]): Array[Long] = {
     val out = new Array[Long](s.size)
     val it = s.iterator()
     var i = 0
@@ -562,6 +562,21 @@ object Sketches {
     udaf(new KllAgg(k, qs), Encoders.scalaDouble)
   }
 
+  /** The groupBy face of [[kmvFit]]: per-group distinct-count estimates
+    * as a typed `Aggregator` UDAF — "distinct users per event type /
+    * distinct URLs per domain" over 100 TB in ONE hash aggregation whose
+    * wire traffic is ≤ k hashes per (partition × group), never the
+    * distinct values themselves (`countDistinct` shuffles every distinct
+    * (group, value) pair — unboundedly wider). Exact while a group's
+    * distinct count stays ≤ k (the gate-query mode), KMV-estimated
+    * above. Null values are skipped (no distinct semantics).
+    */
+  def kmvDistinctUdaf(k: Int = 4096)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    udaf(new KmvDistinctAgg(k), Encoders.STRING)
+  }
+
   /** The streaming face of [[kllFit]], on the Spark 4
     * `transformWithState` API. Unlike the CMS/KMV/MG streams, quantile
     * estimates are NOT combinable across disjoint-key shards without the
@@ -745,4 +760,40 @@ private[ext] class KllStreamProcessor(k: Int, qs: Seq[Double])
       qs.iterator.map(q => (q, model.quantile(q), model.n)).toArray.iterator
     }
   }
+}
+
+/** The per-group KMV aggregator: buffer is the bottom-k tree of value
+  * hashes (kryo-encoded between partial and final aggregation), output
+  * the KMV distinct estimate — exact below saturation.
+  */
+private[ext] class KmvDistinctAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, java.util.TreeSet[java.lang.Long], Long] {
+  def zero: java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+  def reduce(s: java.util.TreeSet[java.lang.Long],
+             key: String): java.util.TreeSet[java.lang.Long] = {
+    if (key != null) {
+      s.add(Sketches.kmvHash60(key))
+      if (s.size > k) s.pollLast()
+    }
+    s
+  }
+  def merge(a: java.util.TreeSet[java.lang.Long],
+            b: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) {
+      a.add(it.next())
+      if (a.size > k) a.pollLast()
+    }
+    a
+  }
+  def finish(s: java.util.TreeSet[java.lang.Long]): Long =
+    Sketches.KmvModel(k, Sketches.kmvToArray(s)).estimate
+  def bufferEncoder
+      : org.apache.spark.sql.Encoder[java.util.TreeSet[java.lang.Long]] =
+    Encoders.kryo[java.util.TreeSet[java.lang.Long]]
+  def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+    Encoders.scalaLong
 }

@@ -1693,6 +1693,20 @@ object ExtQueries {
           split(col("text"), " "), t => t =!= "")).as("term"))
       Sketches.heavyHitters(toks, "term", k = 10, capacity = 256)
     },
+    "ev_kmv_by_type" -> { (s, d) =>
+      // per-group distinct-count sketch UDAF (the fan-out /
+      // super-spreader report): distinct users per event type in ONE
+      // hash aggregation — the wire carries bottom-k hash trees, never
+      // the distinct values (countDistinct shuffles every distinct
+      // (group, value) pair); k=4096 >= every group's distinct users at
+      // fixture scale, so the estimates are exact (the gate mode)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val agg = Sketches.kmvDistinctUdaf(4096)
+      ev.where(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(agg(col("user_id").cast("string")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
     "ev_kll_quantiles" -> { (s, d) =>
       // KLL quantile sketch (the quantile member of the sketch family),
       // shuffle-free treeAggregate fit; k=131072 >= the sf0.1 events
@@ -1756,6 +1770,15 @@ object ExtQueries {
       // exactly 5 docs per language, hash-ordered: deterministic across
       // runs/engines/partitionings, uniform in distribution
       Pipeline.sampleExactPerKey(docs(s, d), Seq("lang"), 5, "doc_id")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    "ds_sample_weighted_perkey" -> { (s, d) =>
+      // per-language quality-weighted budget: exactly 5 docs per lang,
+      // weighted by n_chars within each stratum (Efraimidis-Spirakis
+      // keys, deterministic) — one window shuffle on lang
+      Pipeline.sampleExactWeightedPerKey(docs(s, d), Seq("lang"), 5,
+          col("n_chars"), "doc_id")
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
     },
@@ -3139,6 +3162,11 @@ object ExtQueries {
            FROM documents)
          SELECT term AS key, CAST(count(*) AS BIGINT) AS est
          FROM tok GROUP BY 1 ORDER BY est DESC, key LIMIT 10""",
+    "ev_kmv_by_type" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
     "ev_kll_quantiles" ->
       """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
                      WHERE value IS NOT NULL AND NOT isnan(value)),
@@ -3184,6 +3212,17 @@ object ExtQueries {
              ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                         AS BIGINT), doc_id) AS rk
            FROM documents)
+         WHERE rk <= 5 ORDER BY lang, doc_id""",
+    "ds_sample_weighted_perkey" ->
+      """WITH w AS (SELECT lang, doc_id, n_chars,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS h
+         FROM documents WHERE n_chars > 0)
+         SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY round(-ln((h + 1) / 1152921504606846977.0)
+                        / n_chars, 9), doc_id) AS rk
+           FROM w)
          WHERE rk <= 5 ORDER BY lang, doc_id""",
     "ds_split_safe" ->
       s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
