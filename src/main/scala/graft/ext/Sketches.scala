@@ -364,12 +364,14 @@ object Sketches {
   //
   // Determinism: the classic algorithm flips a coin per compaction to
   // pick the even- or odd-indexed half. This implementation alternates
-  // the offset DETERMINISTICALLY from a compaction counter carried in
-  // the sketch, so a given (data, partitioning, merge order) always
-  // yields the same summary — reproducibility is worth more to a data
-  // pipeline than the randomized variant's slightly tighter randomized-
-  // error constants; the worst-case O(1/k) rank-error family guarantee
-  // is unchanged, and the probe gate measures the realized error.
+  // the offset from a compaction counter carried in the sketch — NO RNG,
+  // so a given (data, partitioning, MERGE ORDER) always yields the same
+  // summary: sequential fits and the streaming face (one state cell,
+  // batches in order) are fully reproducible. Distributed fits
+  // (treeAggregate / hash-aggregate partials) merge in task-completion
+  // order, which Spark does not fix — two runs can differ WITHIN the
+  // rank-error bound (the invariant the probe gate and specs pin).
+  // The worst-case O(1/k) rank-error family guarantee is unchanged.
   // With `k ≥ n` no compaction ever fires and every value is retained
   // at level 0 — quantiles are EXACT and independent of merge order
   // (the gate-query mode, same convention as the other three sketches).

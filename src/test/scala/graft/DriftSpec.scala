@@ -66,4 +66,47 @@ class DriftSpec extends SparkSpecBase {
     assert(b0.getDouble(1) == BigDecimal(2.0 / 3.0).setScale(9,
       BigDecimal.RoundingMode.HALF_UP).toDouble && b0.getDouble(2) == 0.5)
   }
+
+  test("driftPsiStream: the changelog row after each batch equals the " +
+    "batch driftPsi over everything ingested so far") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ref = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+      val ms = MemoryStream[Double]
+      val out = Pipeline.driftPsiStream(ms.toDF().toDF("v"), "v", ref,
+        0.0, 100.0, nBins = 10)
+      val q = out.writeStream.format("memory").queryName("psi_stream")
+        .outputMode("update").start()
+      try {
+        val b1 = (0 until 300).map(i => (i % 50).toDouble)
+        ms.addData(b1: _*)
+        q.processAllAvailable()
+        val b2 = (0 until 200).map(i => (50 + i % 50).toDouble)
+        ms.addData(b2: _*)
+        q.processAllAvailable()
+        val rows = spark.table("psi_stream").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        def batchPsi(cur: Seq[Double]): Double =
+          psiTotal(Pipeline.driftPsi(ref, cur.toDF("v"), "v",
+            0.0, 100.0, 10))
+        def r9(x: Double) = BigDecimal(x).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(rows.keySet == Set(300L, 500L))
+        assert(rows(300L) == r9(batchPsi(b1)), "batch-1 row diverges")
+        assert(rows(500L) == r9(batchPsi(b1 ++ b2)), "batch-2 row diverges")
+        // batch 2 evens the halves back toward the reference mix
+        assert(rows(500L) < rows(300L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

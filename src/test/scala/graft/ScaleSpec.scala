@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity, Skew, TextAnalysis}
+import graft.ext.{Dedup, Similarity, Sketches, Skew, TextAnalysis}
 
 /** 10× stress validation (VERDICT r6 #3): every 100 TB claim in
   * COVERAGE.md is plan-shape reasoning at sf0.1 — this suite runs the
@@ -109,6 +109,38 @@ class ScaleSpec extends SparkSpecBase {
     assert(cS == 50000L && cB == 500000L) // exact under salting
     assertLinear("agg_salted", tS, tB, () => run(1000000)._2)
     info(f"salted count: 100k $tS%.1f s → 1M $tB%.1f s")
+  }
+
+  test("hot group: sketch UDAFs (KLL quantiles + KMV distinct) with one " +
+    "group owning 50% of 1M rows — bounded error, ~linear growth") {
+    def run(n: Long): ((Double, Long), Double) = {
+      val df = spark.range(n).select(
+        when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("g"), pmod(xxhash64(col("id")), lit(1000))))
+          .as("g"),
+        col("id").cast("double").as("v"),
+        concat(lit("u"), pmod(col("id"), lit(50000))).as("u"))
+      val kll = Sketches.kllQuantilesUdaf(256, Seq(0.5))
+      val kmv = Sketches.kmvDistinctUdaf(1024)
+      val (rows, t) = time {
+        df.groupBy("g").agg(kll(col("v")).as("q"), kmv(col("u")).as("nd"))
+          .where(col("g") === "hot").collect()
+      }
+      ((rows(0).getSeq[Double](1).head, rows(0).getLong(2)), t)
+    }
+    run(10000) // warm-up
+    val ((p50S, ndS), tS) = run(100000)
+    val ((p50B, ndB), tB) = run(1000000)
+    // hot group holds the even ids: median ~ n/2, values uniform, so the
+    // k=256 rank bound translates to a value bound of the same order
+    assert(math.abs(p50S - 50000.0) <= 0.1 * 100000.0, s"p50 1x $p50S")
+    assert(math.abs(p50B - 500000.0) <= 0.1 * 1000000.0, s"p50 10x $p50B")
+    // even ids hit only the 25k even residues mod 50k, at every n here
+    assert(math.abs(ndS - 25000.0) / 25000.0 <= 0.15, s"kmv 1x $ndS")
+    assert(math.abs(ndB - 25000.0) / 25000.0 <= 0.15, s"kmv 10x $ndB")
+    assertLinear("sketch_udafs", tS, tB, () => run(1000000)._2)
+    info(f"sketch UDAFs: 100k $tS%.1f s → 1M $tB%.1f s " +
+      f"(p50 $p50B%.0f, kmv $ndB%d)")
   }
 
   test("skewed Voronoi cell: ivfKnnJoin with a 2000-vector point cluster " +
