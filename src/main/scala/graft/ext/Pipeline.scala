@@ -414,11 +414,48 @@ object Pipeline {
     */
   def sampleExactPerKeyStream(df: DataFrame, keyCols: Seq[String], n: Int,
                               idCol: String, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(n >= 1, s"sampleExactPerKeyStream needs n >= 1, got $n")
+    samplePriorityStream(df, keyCols, n, idCol,
+      portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+      LongType,
+      (a, b) => java.lang.Long.compare(a.getLong(0), b.getLong(0)))
+  }
+
+  /** Streaming face of [[sampleExactWeightedPerKey]]: the same
+    * changelog reservoir kernel with the deterministic Efraimidis-
+    * Spirakis exponential key as the priority — heavier rows draw
+    * smaller keys, so the per-key live sample after any stream prefix
+    * equals the batch weighted draw over the same rows (priority
+    * reservoirs are arrival-order independent; this is Efraimidis &
+    * Spirakis's own streaming formulation). Weight must be computable
+    * from the row (a column expression); rows with weight ≤ 0 never
+    * enter. State: exactly n (priority, id) pairs per key.
+    */
+  def sampleExactWeightedPerKeyStream(df: DataFrame, keyCols: Seq[String],
+                                      n: Int, weight: Column, idCol: String,
+                                      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(n >= 1, s"sampleExactWeightedPerKeyStream needs n >= 1, got $n")
+    val buckets = 1152921504606846976L // 2^60
+    val h = portableHash60(concat(col(idCol).cast("string"), lit(salt)))
+    val u = (h + 1).cast("double") / lit(buckets + 1).cast("double")
+    samplePriorityStream(df.where(weight > 0), keyCols, n, idCol,
+      round(-log(u) / weight, 9), DoubleType,
+      (a, b) => java.lang.Double.compare(a.getDouble(0), b.getDouble(0)))
+  }
+
+  /** The shared changelog-reservoir kernel: per key, keep the n rows
+    * with the smallest (priority, id); emit adds and evictions.
+    */
+  private def samplePriorityStream(df: DataFrame, keyCols: Seq[String],
+      n: Int, idCol: String, pri: Column,
+      priType: org.apache.spark.sql.types.DataType,
+      priCompare: (org.apache.spark.sql.Row,
+                   org.apache.spark.sql.Row) => Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types._
-    require(n >= 1, s"sampleExactPerKeyStream needs n >= 1, got $n")
-    val pri = portableHash60(concat(col(idCol).cast("string"), lit(salt)))
     val idType = df.schema(idCol).dataType
     val prepared = df.select(
       (keyCols.map(col) :+ col(idCol).as("__id") :+ pri.as("__pri")): _*)
@@ -427,7 +464,7 @@ object Pipeline {
     val rowEnc = Encoders.row(prepared.schema)
     // state: the current sample, sorted by (priority, id)
     val entrySchema = StructType(Seq(
-      StructField("pri", LongType), StructField("id", idType)))
+      StructField("pri", priType), StructField("id", idType)))
     val sEnc = Encoders.row(StructType(Seq(
       StructField("entries", ArrayType(entrySchema)))))
     val outSchema = StructType(keySchema.fields ++ Seq(
@@ -436,7 +473,7 @@ object Pipeline {
     val nKeys = keyCols.length
     implicit val entryOrd: Ordering[Row] = new Ordering[Row] {
       def compare(a: Row, b: Row): Int = {
-        val c = java.lang.Long.compare(a.getLong(0), b.getLong(0))
+        val c = priCompare(a, b)
         if (c != 0) c
         else a.get(1).asInstanceOf[Comparable[Any]].compareTo(b.get(1))
       }
@@ -448,7 +485,7 @@ object Pipeline {
           val prev: Seq[Row] = state.getOption
             .map(_.getSeq[Row](0)).getOrElse(Seq.empty)
           val incoming = it.map(r =>
-            Row(r.getLong(nKeys + 1), r.get(nKeys))).toArray
+            Row(r.get(nKeys + 1), r.get(nKeys))).toArray
           val merged = (prev ++ incoming).distinct.sorted.take(n)
           if (merged != prev) state.update(Row(merged))
           val prevIds = prev.map(_.get(1)).toSet

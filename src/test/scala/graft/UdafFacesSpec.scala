@@ -63,4 +63,41 @@ class UdafFacesSpec extends SparkSpecBase {
       col("w"), "id").count()
     assert(got == 3L)
   }
+
+  test("sampleExactWeightedPerKeyStream changelog replays to the batch " +
+    "weighted draw after every prefix, heavy late arrivals displace") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch 1: light rows fill the reservoir; batch 2 brings heavy rows
+    // that must displace them (plus a zero-weight row that never enters)
+    val b1 = (1 to 20).map(i => ("en", i.toLong, 0.001))
+    val b2 = (100 to 102).map(i => ("en", i.toLong, 1e6)) :+
+      ("en", 999L, 0.0)
+    val ms = MemoryStream[(String, Long, Double)]
+    val out = Pipeline.sampleExactWeightedPerKeyStream(
+      ms.toDF().toDF("g", "id", "w"), Seq("g"), 4, col("w"), "id")
+    val q = out.writeStream.format("memory").queryName("wres_sample")
+      .outputMode("append").start()
+    def live(): Set[Long] = {
+      val ev = spark.table("wres_sample").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2)))
+      ev.collect { case (id, true) => id }.toSet --
+        ev.collect { case (id, false) => id }.toSet
+    }
+    def batch(rows: Seq[(String, Long, Double)]): Set[Long] =
+      Pipeline.sampleExactWeightedPerKey(rows.toDF("g", "id", "w"),
+          Seq("g"), 4, col("w"), "id")
+        .collect().map(_.getLong(1)).toSet
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      assert(live() == batch(b1), "prefix-1 live sample diverges")
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val l2 = live()
+      assert(l2 == batch(b1 ++ b2), "prefix-2 live sample diverges")
+      // the three heavy rows always win a slot; zero-weight never enters
+      assert(Set(100L, 101L, 102L).subsetOf(l2) && !l2.contains(999L))
+    } finally q.stop()
+  }
 }
