@@ -561,7 +561,9 @@ object Sketches {
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "qs must be non-empty probabilities")
-    udaf(new KllAgg(k, qs), Encoders.scalaDouble)
+    // boxed input: a primitive Double encoder silently decodes SQL NULL
+    // as 0.0 and poisons the sketch — nulls must reach reduce() as null
+    udaf(new KllAgg(k, qs), Encoders.DOUBLE)
   }
 
   /** The groupBy face of [[kmvFit]]: per-group distinct-count estimates
@@ -716,10 +718,11 @@ private[ext] class MgStreamProcessor(capacity: Int)
   */
 private[ext] class KllAgg(k: Int, qs: Seq[Double])
     extends org.apache.spark.sql.expressions.Aggregator[
-      Double, Sketches.KllBuilder, Seq[Double]] {
+      java.lang.Double, Sketches.KllBuilder, Seq[Double]] {
   def zero: Sketches.KllBuilder = new Sketches.KllBuilder(k)
-  def reduce(b: Sketches.KllBuilder, v: Double): Sketches.KllBuilder = {
-    if (!v.isNaN) b.update(v)
+  def reduce(b: Sketches.KllBuilder,
+             v: java.lang.Double): Sketches.KllBuilder = {
+    if (v != null && !v.isNaN) b.update(v.doubleValue())
     b
   }
   def merge(a: Sketches.KllBuilder,

@@ -112,6 +112,19 @@ class KllSpec extends SparkSpecBase {
     assert(got("b") == Seq(exactQ(bVals, 0.5), exactQ(bVals, 0.9)))
   }
 
+  test("kllQuantilesUdaf: SQL NULLs are skipped, not decoded as 0.0; " +
+    "an all-null group yields NaN") {
+    // regression: a primitive-Double input encoder silently turns NULL
+    // into 0.0 and poisons the sketch — the boxed encoder must not
+    val df = Seq(("a", Some(5.0)), ("a", None), ("b", None))
+      .toDF("g", "v")
+    val agg = Sketches.kllQuantilesUdaf(64, Seq(0.5))
+    val got = df.groupBy("g").agg(agg(col("v")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(5.0), s"null poisoned the sketch: ${got("a")}")
+    assert(got("b").head.isNaN, s"all-null group: ${got("b")}")
+  }
+
   test("kllStream: running quantiles across micro-batches, exact in " +
     "gate mode (k >= n)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
