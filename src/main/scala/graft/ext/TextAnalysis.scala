@@ -771,6 +771,26 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** Blocklist-phrase audit: `blocked_phrases` (distinct matched phrases,
+    * sorted) and `n_blocked` against a fixed multi-phrase blocklist —
+    * the scrub complement of [[redactPii]] for bad-word / boilerplate /
+    * spam-template lists, which run to 10⁴–10⁵ phrases in production.
+    * One Aho-Corasick pass per document (a codegen'd expression carrying
+    * the automaton as a plan reference object), so cost is
+    * O(|text| + matches) independent of list size; a `contains` chain or
+    * alternation regex is O(|text| × phrases). Pure narrow map riding
+    * the scan — no shuffle, streaming-safe; filter `n_blocked === 0` to
+    * drop flagged docs, or keep the audit columns for reporting.
+    * Substring semantics: pad phrases with spaces for token boundaries.
+    */
+  def blocklistPhrases(df: DataFrame, textCol: String,
+                       phrases: Seq[String]): DataFrame = {
+    val hits = org.apache.spark.sql.graftfn.PhraseFunctions
+      .multi_phrase_hits(col(textCol), phrases)
+    df.withColumn("blocked_phrases", hits)
+      .withColumn("n_blocked", size(col("blocked_phrases")))
+  }
+
   /** Per-category PII hit counts under [[redactPii]]'s precedence: each
     * category counts on the text AFTER the prior categories redacted
     * (so an email's digits never double-count as a phone). Returns a

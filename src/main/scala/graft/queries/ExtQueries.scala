@@ -171,6 +171,16 @@ object ExtQueries {
   // tokens with binary-exact weights (multiples of 1/64 — every partial
   // sum is exactly representable, so Spark's fold and DuckDB's SUM agree
   // bit-for-bit regardless of order); zzznope exercises the unknown path
+  /** Blocklist fixture for `text_blocklist_phrases`: common ("slow
+    * query" ~8%), rare ("hash scan join" ~0.2%), absent ("the quick
+    * brown fox") and NESTED ("scan join" ⊂ "hash scan join") phrases —
+    * the nested pair forces the Aho-Corasick suffix-output path. Shared
+    * verbatim by the oracle's strpos recomputation.
+    */
+  private val blocklist = Seq("batch batch", "fast key", "hash scan join",
+    "join order", "scan join", "slow query", "stream spark", "table scan",
+    "the quick brown fox", "window window")
+
   private val classifierW = Seq("data" -> 0.5, "query" -> 0.25,
     "fast" -> 0.375, "slow" -> -0.5, "the" -> -0.125, "scan" -> 0.0625,
     "zzznope" -> 1.0)
@@ -1898,6 +1908,18 @@ object ExtQueries {
           graft.functions.VectorFunctions.nfc_normalize(crafted).as("norm"))
         .select(col("doc_id"), col("norm"),
           length(col("norm")).cast("long").as("n_chars_nfc"))
+        .orderBy(col("doc_id"))
+    },
+    "text_blocklist_phrases" -> { (s, d) =>
+      // Multi-phrase blocklist audit via ONE Aho-Corasick pass: the list
+      // mixes common, rare and never-matching phrases plus a nested pair
+      // ("scan join" is a proper suffix of "hash scan join") so the
+      // automaton's suffix-output emission is exercised, not just leaf
+      // hits. Oracle recomputes per-phrase membership with strpos.
+      TextAnalysis.blocklistPhrases(docs(s, d), "text", blocklist)
+        .select(col("doc_id"),
+          array_join(col("blocked_phrases"), ",").as("matched_csv"),
+          col("n_blocked").cast("long").as("n_blocked"))
         .orderBy(col("doc_id"))
     },
     "text_pii_redact" -> { (s, d) =>
@@ -3842,6 +3864,19 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_blocklist_phrases" -> {
+      // one CASE per phrase (the oracle may be O(phrases); the engine
+      // side is the one-pass automaton)
+      val cases = blocklist.map(p =>
+        s"CASE WHEN strpos(text, '$p') > 0 THEN '$p' END").mkString(", ")
+      s"""WITH h AS (SELECT doc_id,
+           list_sort(list_filter([$cases], x -> x IS NOT NULL)) AS m
+         FROM documents)
+         SELECT doc_id,
+                coalesce(array_to_string(m, ','), '') AS matched_csv,
+                CAST(len(m) AS BIGINT) AS n_blocked
+         FROM h ORDER BY doc_id"""
+    },
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id,
            text || ' contact bob.smith+x@mail-host.example.com or '
