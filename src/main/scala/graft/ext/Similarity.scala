@@ -153,6 +153,73 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Margin-based pair mining over a candidate frame — the
+    * Artetxe & Schwenk (2019) ratio-margin criterion that CCMatrix/LASER
+    * bitext mining is built on: raw cosine retrieves the wrong mate for
+    * "hub" vectors that are close to everything, so each pair score is
+    * normalized by both endpoints' neighborhood density,
+    * `margin(x,y) = cos(x,y) / ((avgK_fwd(x) + avgK_bwd(y)) / 2)`,
+    * where `avgK_fwd(x)` averages x's kDenom best candidate cosines and
+    * `avgK_bwd(y)` averages y's kDenom best query cosines. Mines aligned
+    * pairs (translations, near-duplicate page pairs, caption↔image-text
+    * mates) between two DISJOINT corpora — no self-pair exclusion, unlike
+    * [[bruteForceTopK]].
+    *
+    * Input is ANY (query_id, pair_id, cos) candidate frame, so the scale
+    * path composes: generate candidates with [[ivfTopK]]/[[lshTopK]] per
+    * direction (what production miners do — denominators estimated from
+    * the retrieved lists), then margin-score here. Shape: two BOUNDED
+    * per-key top-k partial aggregations (the [[rankTopK]] heap — at most
+    * kDenom rows per key into each shuffle) + one join of the candidate
+    * stream against the two key-sized averages; nothing all-pairs unless
+    * the caller's candidates are.
+    *
+    * Returns (query_id, pair_id, margin, rank), rank 1..pairsPerQuery by
+    * (margin desc, pair_id asc). Keys with fewer than kDenom candidates
+    * average what exists (both engines' avg semantics).
+    */
+  def marginScore(candidates: DataFrame, kDenom: Int,
+                  pairsPerQuery: Int = 1): DataFrame = {
+    require(kDenom >= 1, "kDenom must be >= 1")
+    require(pairsPerQuery >= 1, "pairsPerQuery must be >= 1")
+    // three consumers (fwd agg, bwd agg, margin join) — persist once;
+    // lifecycle transfers to the caller via OpCaches
+    val scored = OpCaches.register(
+      candidates.select(col("query_id"), col("pair_id"), col("cos")).persist())
+    val fwd = rankTopK(scored.withColumnRenamed("pair_id", "neighbor_id"),
+        kDenom)
+      .groupBy("query_id").agg(avg("cos").as("fwd_avg"))
+    val bwd = rankTopK(scored.select(col("pair_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cos")), kDenom)
+      .groupBy("query_id").agg(avg("cos").as("bwd_avg"))
+      .withColumnRenamed("query_id", "pair_id")
+    val margins = scored
+      .join(broadcast(fwd), "query_id")
+      .join(bwd, "pair_id")
+      .select(col("query_id"), col("pair_id").as("neighbor_id"),
+        (col("cos") / ((col("fwd_avg") + col("bwd_avg")) / 2)).as("margin"))
+    rankTopK(margins, pairsPerQuery, scoreCol = "margin")
+      .withColumnRenamed("neighbor_id", "pair_id")
+  }
+
+  /** Exact-mode face of [[marginScore]]: all left×right cosines as the
+    * candidate frame (left broadcast — the query/calibration side). The
+    * gate/ground-truth mode; at corpus×corpus scale feed ANN candidates
+    * to [[marginScore]] instead.
+    */
+  def marginPairs(left: DataFrame, right: DataFrame, kDenom: Int,
+                  pairsPerQuery: Int = 1,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val l = broadcast(left.select(col(idCol).as("query_id"),
+                                  col(vecCol).as("qv")))
+    val cand = right.select(col(idCol).as("pair_id"), col(vecCol).as("rv"))
+      .crossJoin(l)
+      .select(col("query_id"), col("pair_id"),
+              cosine(col("qv"), col("rv")).as("cos"))
+    marginScore(cand, kDenom, pairsPerQuery)
+  }
+
   /** Per-query top-k of (query_id, neighbor_id, scoreCol) rows via a
     * BOUNDED partial aggregation (Spark's CollectTopK heap): each map task
     * forwards at most k rows per query into the shuffle. The

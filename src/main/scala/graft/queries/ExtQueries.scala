@@ -712,6 +712,19 @@ object ExtQueries {
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "sim_margin_pairs" -> { (s, d) =>
+      // bitext-style pair mining between two disjoint "corpora" (even vs
+      // odd vec_ids): ratio-margin scoring (Artetxe & Schwenk 2019), top-2
+      // pairs per query; the oracle recomputes the full margin algebra
+      val e = emb(s, d)
+      Similarity.marginPairs(
+          e.where(col("vec_id") % 2 === 0 && col("vec_id") < 16),
+          e.where(col("vec_id") % 2 === 1),
+          kDenom = 4, pairsPerQuery = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("pair_id"), round(col("margin"), 6).as("margin"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "sim_mmr" -> { (s, d) =>
       // diverse top-8 by maximal marginal relevance over a 25-candidate
       // shortlist; the oracle unrolls the same greedy loop in SQL
@@ -3593,6 +3606,29 @@ object ExtQueries {
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
     "sim_topk" -> simBruteSql,
+    "sim_margin_pairs" ->
+      """WITH l AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 16),
+         r AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS rv
+           FROM embeddings WHERE vec_id % 2 = 1),
+         sc AS (SELECT qid, pid, list_cosine_similarity(qv, rv) AS cos
+           FROM l, r),
+         fwd AS (SELECT qid, avg(cos) AS favg FROM
+           (SELECT qid, cos, row_number() OVER (PARTITION BY qid
+              ORDER BY cos DESC, pid) AS rn FROM sc)
+           WHERE rn <= 4 GROUP BY qid),
+         bwd AS (SELECT pid, avg(cos) AS bavg FROM
+           (SELECT pid, cos, row_number() OVER (PARTITION BY pid
+              ORDER BY cos DESC, qid) AS rn FROM sc)
+           WHERE rn <= 4 GROUP BY pid),
+         m AS (SELECT sc.qid, sc.pid,
+             sc.cos / ((favg + bavg) / 2) AS margin
+           FROM sc JOIN fwd USING (qid) JOIN bwd USING (pid)),
+         rk AS (SELECT qid, pid, margin, row_number() OVER
+             (PARTITION BY qid ORDER BY margin DESC, pid) AS rank FROM m)
+         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+                pid AS pair_id, round(margin, 6) AS margin
+         FROM rk WHERE rank <= 2 ORDER BY query_id, rank""",
     "sim_mmr" -> mmrSql(k = 8, shortlist = 25, lam = 0.7),
     // exact-recall parameterizations of the ANN plans ≡ brute force
     "ds_chunk_words" ->
