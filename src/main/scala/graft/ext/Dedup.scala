@@ -979,14 +979,16 @@ object Dedup {
                                       fpp: Double = 0.001): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val k = minTokens
-    val spark = incoming.sparkSession
     val idx = corpusIndex.select(col("h")).distinct()
     val sized =
       if (expectedItems > 0L) expectedItems
       else math.max(1000L, idx.count())
     val bloom = idx.stat.bloomFilter(col("h"), sized, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightHave = udf((h: Long) => bc.value.mightContainLong(h))
+    // codegen'd probe (graftfn.BloomFunctions): the filter rides the
+    // stage's broadcast task binary as a plan reference object, and the
+    // membership test stays inside whole-stage codegen
+    val mightHave = (c: Column) => org.apache.spark.sql.graftfn
+      .BloomFunctions.bloom_might_contain_long(c, bloom)
     val base = incoming.select(col(idCol).as("id"), col(textCol).as("__t"))
     val wins = base.select(col("id"),
         posexplode(graft.functions.VectorFunctions
@@ -1133,15 +1135,14 @@ object Dedup {
                             idCol: String = "doc_id",
                             expectedItems: Long = -1L,
                             fpp: Double = 0.001): DataFrame = {
-    val spark = incoming.sparkSession
     val sized =
       if (expectedItems > 0L) expectedItems
       // floor of 1000 keeps the filter sane on tiny/empty corpora
       else math.max(1000L, corpus.count())
     val bloom = corpus.stat.bloomFilter(xxhash64(col(textCol)),
       sized, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val seen = udf((h: Long) => bc.value.mightContainLong(h))
+    val seen = (c: Column) => org.apache.spark.sql.graftfn
+      .BloomFunctions.bloom_might_contain_long(c, bloom)
     val inBatch = incoming.withColumn("__h", xxhash64(col(textCol)))
     val batchReps = inBatch
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
@@ -1174,13 +1175,12 @@ object Dedup {
                                     idCol: String = "doc_id",
                                     expectedItems: Long = -1L,
                                     fpp: Double = 0.001): DataFrame = {
-    val spark = incoming.sparkSession
     val sized =
       if (expectedItems > 0L) expectedItems
       else math.max(1000L, corpus.count())
     val bloom = corpus.stat.bloomFilter(xxhash64(col(textCol)), sized, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val seen = udf((h: Long) => bc.value.mightContainLong(h))
+    val seen = (c: Column) => org.apache.spark.sql.graftfn
+      .BloomFunctions.bloom_might_contain_long(c, bloom)
     val inBatch = incoming.withColumn("__h", xxhash64(col(textCol)))
     val batchReps = inBatch
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))

@@ -435,6 +435,22 @@ object CoreQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    "join_bloom_prune" -> { (s, d) =>
+      // runtime-filter join (RuntimeFilter.bloomPrunedJoin): result ≡ the
+      // plain inner join — the Bloom prunes never-matching fact rows at
+      // the scan (here supplier is cut to one nation, so most lineitem
+      // rows drop before the shuffle); the join removes false positives
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val sup = s.read.parquet(s"$d/supplier.parquet")
+        .where(col("s_nationkey") === 3)
+      graft.ext.RuntimeFilter.bloomPrunedJoin(li, sup, "l_suppkey", "s_suppkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+          col("s_name"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_cents"),
+          col("s_name"))
+    },
+
     // ---- joins (§2.4) ----
     "join_table_table" -> { (s, d) =>
       // KTable ⋈ KTable on primary key: customers ⋈ per-customer order agg
@@ -792,6 +808,12 @@ object CoreQueries {
          CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
          ORDER BY o.o_orderkey""",
+    "join_bloom_prune" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_cents, s.s_name
+         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         WHERE s.s_nationkey = 3
+         ORDER BY l.l_orderkey, l.l_linenumber, qty_cents, s.s_name""",
     "join_table_table" ->
       """SELECT c.c_custkey, c.c_name, o.n_orders, o.total
          FROM customer c
