@@ -1552,6 +1552,47 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** Corpus-level n-gram overlap report between two corpora — the
+    * governance question BEFORE any per-doc action: "how much of crawl A
+    * is already inside corpus B?" decides whether A is worth ingesting at
+    * all, what a vendor's 'new' dataset actually adds, or how much two
+    * dumps share. One row: distinct word-k-gram counts per side, the
+    * shared count, both containments (|A∩B|/|A| and /|B| — asymmetric on
+    * purpose: a small corpus can be fully contained in a big one that
+    * barely notices) and Jaccard. Complements [[decontaminate]]/
+    * `contaminationReport` (per-doc flags vs one corpus-level signal).
+    *
+    * Shape at 100 TB: each side's gram stream comes straight off its
+    * scan (codegen'd `word_ngram_hashes60` — per-doc-distinct, sorted,
+    * 60-bit portable hashes), then ONE shuffle on the gram hash with
+    * map-side partial aggregation into side-membership bits, and a
+    * scalar final aggregate. Nothing all-pairs, no join. Docs shorter
+    * than k words contribute nothing (the kernel's contract).
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String = "text",
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def grams(df: DataFrame, side: Int) = df
+      .select(explode(graft.functions.VectorFunctions
+        .word_ngram_hashes60(col(textCol), k)).as("g"))
+      .select(col("g"), lit(side).as("s"))
+    grams(a, 0).unionByName(grams(b, 1))
+      .groupBy(col("g"))
+      .agg(max(when(col("s") === 0, 1L).otherwise(0L)).as("inA"),
+           max(when(col("s") === 1, 1L).otherwise(0L)).as("inB"))
+      .agg(sum(col("inA")).cast("long").as("n_grams_a"),
+           sum(col("inB")).cast("long").as("n_grams_b"),
+           sum(col("inA") * col("inB")).cast("long").as("n_shared"))
+      .select(col("n_grams_a"), col("n_grams_b"), col("n_shared"),
+        round(col("n_shared") / nullif(col("n_grams_a"), lit(0L)), 6)
+          .as("containment_a_in_b"),
+        round(col("n_shared") / nullif(col("n_grams_b"), lit(0L)), 6)
+          .as("containment_b_in_a"),
+        round(col("n_shared") /
+          nullif(col("n_grams_a") + col("n_grams_b") - col("n_shared"),
+            lit(0L)), 6).as("jaccard"))
+  }
+
   // ------------------------------------------------------------------ //
   // Benchmark decontamination — the GPT-3 / Llama recipe: a training
   // document that shares word n-grams with an evaluation benchmark is

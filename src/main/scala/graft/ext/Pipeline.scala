@@ -269,6 +269,46 @@ object Pipeline {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Curriculum staging (Bengio et al. 2009): rank every row by a
+    * difficulty/quality score (ties broken by id — total, deterministic)
+    * and cut the ranking into `nStages` EXACT quantile stages,
+    * `stage = rank·nStages ÷ n + 1` ∈ [1, nStages] (integer-exact in
+    * both engines: ranks stay far below 2^53, so the double quotient
+    * floors identically to integer division). `curriculum_key` is the
+    * [[epochShuffle]] portable hash, so training reads stages in order
+    * but shuffled WITHIN each stage — sort by (stage, curriculum_key,
+    * id). Early stages = lowest scores; pass a negated score column for
+    * hardest-first.
+    *
+    * 100 TB shape: one range-partitioned total sort + the deterministic
+    * sorted-RDD zipWithIndex (the [[epochShuffle]]/negativeSamples rank
+    * pattern — no single-partition window), one count, then pure narrow
+    * maps. The ranked frame persists once (OpCaches lifecycle) because
+    * the count and the projection both read it.
+    */
+  def curriculumStages(df: DataFrame, scoreCol: String, nStages: Int,
+                       idCol: String = "doc_id",
+                       salt: String = ""): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    requireFresh(df, "curriculumStages", "stage", "curriculum_key", "__rank")
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(scoreCol), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = OpCaches.register(spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = math.max(1L, ranked.count())
+    ranked
+      .withColumn("stage",
+        (floor(col("__rank") * nStages / n) + 1).cast("int"))
+      .withColumn("curriculum_key",
+        portableHash60(concat(col(idCol).cast("string"), lit(s":cur:$salt"))))
+      .drop("__rank")
+  }
+
   /** Pure integer waterfill: distribute `budget` across `items` of
     * `(key, weightPpm, avail)` proportionally to weight, capping each key
     * at its available mass and redistributing the unused share of

@@ -1241,6 +1241,15 @@ object ExtQueries {
       }).toDF("rank", "in_corpus_ok", "parts_formed_ok", "first_argmax_ok",
         "encode_shrinks").orderBy("rank")
     },
+    "ds_curriculum" -> { (s, d) =>
+      // 4-stage curriculum by doc length (exact quantile cut + within-
+      // stage deterministic shuffle key); oracle replays the rank/stage
+      // arithmetic and the portable hash
+      Pipeline.curriculumStages(
+          docs(s, d).select(col("doc_id"), col("n_chars")), "n_chars", 4)
+        .select(col("doc_id"), col("stage"), col("curriculum_key"))
+        .orderBy(col("doc_id"))
+    },
     "ds_epoch_shuffle" -> { (s, d) =>
       // first 50 docs of epoch 1's deterministic training order — the
       // sorted shuffle_key prefix proves the order itself hash-exactly
@@ -2023,6 +2032,15 @@ object ExtQueries {
         .orderBy(col("n_shared").desc, col("train_id"), col("eval_id"))
         .limit(100)
     },
+    "ds_corpus_overlap" -> { (s, d) =>
+      // corpus-level governance signal: 5-gram overlap between the even-
+      // and odd-doc_id halves; the oracle recomputes on gram STRINGS
+      // (the engine uses 60-bit portable hashes — distinct counts agree
+      // absent collisions, negligible at gate scale)
+      val dd = docs(s, d)
+      Dedup.corpusOverlap(dd.where(col("doc_id") % 2 === 0),
+          dd.where(col("doc_id") % 2 === 1), "text", k = 5)
+    },
     "ds_decontaminate" -> { (s, d) =>
       val dd = docs(s, d)
       graft.ext.Dedup.decontaminate(
@@ -2571,6 +2589,15 @@ object ExtQueries {
                FROM b, w GROUP BY b.doc_id)
          SELECT d.doc_id, coalesce(m.s, 0.0) - 0.0625 AS score
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
+    "ds_curriculum" ->
+      """WITH r AS (SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+           count(*) OVER () AS n
+         FROM documents)
+         SELECT doc_id, CAST((rk * 4) // n + 1 AS INT) AS stage,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur:'),
+                     1, 15) AS BIGINT) AS curriculum_key
+         FROM r ORDER BY doc_id""",
     "ds_epoch_shuffle" ->
       """SELECT doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1:'), 1, 15)
@@ -3988,6 +4015,30 @@ object ExtQueries {
              (CASE WHEN path = '/' AND q_clean = '' THEN '' ELSE path END) ||
              (CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END) AS canon
          FROM q ORDER BY doc_id""",
+    "ds_corpus_overlap" ->
+      """WITH wa AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS w FROM documents WHERE doc_id % 2 = 0),
+         wb AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS w FROM documents WHERE doc_id % 2 = 1),
+         ga AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' '))) AS g
+           FROM wa WHERE len(w) >= 5),
+         gb AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' '))) AS g
+           FROM wb WHERE len(w) >= 5),
+         c AS (SELECT (SELECT count(*) FROM ga) AS na,
+                      (SELECT count(*) FROM gb) AS nb,
+                      (SELECT count(*) FROM ga JOIN gb USING (g)) AS ns)
+         SELECT CAST(na AS BIGINT) AS n_grams_a,
+                CAST(nb AS BIGINT) AS n_grams_b,
+                CAST(ns AS BIGINT) AS n_shared,
+                round(ns / CAST(nullif(na, 0) AS DOUBLE), 6)
+                  AS containment_a_in_b,
+                round(ns / CAST(nullif(nb, 0) AS DOUBLE), 6)
+                  AS containment_b_in_a,
+                round(ns / CAST(nullif(na + nb - ns, 0) AS DOUBLE), 6)
+                  AS jaccard
+         FROM c""",
     "ds_contamination_report" -> contaminationSql(
       """SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
          FROM tr JOIN ev USING (g)

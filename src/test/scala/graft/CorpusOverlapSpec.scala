@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Pipeline}
+
+/** Corpus-level n-gram overlap report and curriculum staging: crafted
+  * hand-computed fixtures, boundary behavior, determinism.
+  */
+class CorpusOverlapSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("corpusOverlap: hand-computed 3-gram counts, containments, jaccard") {
+    // A grams: {a b c, b c d, c d e, d e f} (4); B grams: {c d e, d e f,
+    // e f g} (3); shared {c d e, d e f} (2)
+    val a = docsDf(1L -> "a b c d e f", 2L -> "a b c d e")
+    val b = docsDf(10L -> "c d e f g")
+    val r = Dedup.corpusOverlap(a, b, "text", k = 3).collect()(0)
+    assert(r.getAs[Long]("n_grams_a") == 4L)
+    assert(r.getAs[Long]("n_grams_b") == 3L)
+    assert(r.getAs[Long]("n_shared") == 2L)
+    assert(r.getAs[Double]("containment_a_in_b") == 0.5)
+    assert(r.getAs[Double]("containment_b_in_a") == 0.666667)
+    assert(r.getAs[Double]("jaccard") == 0.4)
+  }
+
+  test("corpusOverlap: identical corpora → jaccard 1; disjoint → 0; " +
+    "short-doc side → null ratios") {
+    val a = docsDf(1L -> "x y z w v")
+    val same = Dedup.corpusOverlap(a, a, "text", k = 3).collect()(0)
+    assert(same.getAs[Double]("jaccard") == 1.0)
+    assert(same.getAs[Double]("containment_a_in_b") == 1.0)
+    val dis = Dedup.corpusOverlap(a, docsDf(2L -> "p q r s t"), "text", 3)
+      .collect()(0)
+    assert(dis.getAs[Long]("n_shared") == 0L &&
+      dis.getAs[Double]("jaccard") == 0.0)
+    // every B doc shorter than k → n_grams_b = 0 → b-ratios null
+    val short = Dedup.corpusOverlap(a, docsDf(3L -> "p q"), "text", 3)
+      .collect()(0)
+    assert(short.getAs[Long]("n_grams_b") == 0L)
+    assert(short.isNullAt(short.fieldIndex("containment_b_in_a")))
+    assert(short.getAs[Double]("containment_a_in_b") == 0.0)
+  }
+
+  test("curriculumStages: exact quantile cut by (score, id), keys " +
+    "deterministic, bounds honored") {
+    val df = Seq((1L, 30), (2L, 10), (3L, 20), (4L, 40),
+                 (5L, 20), (6L, 50), (7L, 5), (8L, 35))
+      .toDF("doc_id", "score")
+    val out = Pipeline.curriculumStages(df, "score", nStages = 4,
+        idCol = "doc_id")
+      .select($"doc_id", $"stage").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // rank order by (score, id): 7,2,3,5,1,8,4,6 → stages 1,1,2,2,3,3,4,4
+    assert(out == Map(7L -> 1, 2L -> 1, 3L -> 2, 5L -> 2,
+                      1L -> 3, 8L -> 3, 4L -> 4, 6L -> 4))
+    val again = Pipeline.curriculumStages(df, "score", 4, "doc_id")
+      .select($"doc_id", $"curriculum_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val first = Pipeline.curriculumStages(df, "score", 4, "doc_id")
+      .select($"doc_id", $"curriculum_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == first) // same corpus + salt → identical keys
+    val one = Pipeline.curriculumStages(df, "score", 1, "doc_id")
+      .select($"stage").distinct().collect().map(_.getInt(0)).toSeq
+    assert(one == Seq(1))
+    intercept[IllegalArgumentException](
+      Pipeline.curriculumStages(df.withColumn("stage", lit(1)),
+        "score", 4, "doc_id"))
+  }
+
+  test("curriculumStages: uneven n distributes remainder to LATE stages " +
+    "(floor cut) and stages partition the corpus") {
+    val df = (1L to 10L).map(i => (i, i * 2)).toDF("doc_id", "score")
+    val out = Pipeline.curriculumStages(df, "score", 3, "doc_id")
+    graft.ext.OpCaches.releaseAll()
+    val sizes = out.groupBy("stage").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // rank*3/10: ranks 0..3 → stage 1 (4 rows), 4..6 → 2 (3), 7..9 → 3 (3)
+    assert(sizes == Map(1 -> 4L, 2 -> 3L, 3 -> 3L))
+    assert(sizes.values.sum == 10L)
+  }
+}

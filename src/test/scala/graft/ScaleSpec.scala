@@ -313,6 +313,42 @@ class ScaleSpec extends SparkSpecBase {
       f"$tB%.1f s (removed $rB)")
   }
 
+  test("mega blocklist: Aho-Corasick scan cost is independent of phrase " +
+    "count (100 vs 10,000 phrases over 200k docs)") {
+    // the operator's whole claim: O(|text| + matches) per doc regardless
+    // of list size — a contains-chain would scale ~100× here
+    val docs = synthDocs(200000, 0).persist()
+    docs.count()
+    try {
+      def phrases(n: Int): Seq[String] =
+        (0 until n).map(i => s"w${(i * 37) % 800} w${(i * 61 + 13) % 800}")
+          .distinct
+      def run(ps: Seq[String]): (Long, Double) = time(
+        TextAnalysis.blocklistPhrases(docs, "text", ps)
+          .agg(sum("n_blocked")).first().getLong(0))
+      run(phrases(100)) // warm-up (Janino compile, page cache)
+      val small = phrases(100)
+      val (c100, t100) = run(small)
+      val (c10k0, t10k0) = run(phrases(10000))
+      // correctness cross-check of the small run against a contains-chain
+      val want = docs.select(small.map(p =>
+          when(col("text").contains(p), 1L).otherwise(0L)).reduce(_ + _)
+          .as("n")).agg(sum("n")).first().getLong(0)
+      assert(c100 == want, s"AC count $c100 != contains-chain count $want")
+      assert(c10k0 >= c100) // the 10k list is a superset of the 100 list
+      // flake-tolerant bound (the assertLinear retry convention)
+      val bound = 4.0 * math.max(t100, 0.2) + 5.0
+      val t10k =
+        if (t10k0 <= bound) t10k0
+        else math.min(t10k0, run(phrases(10000))._2)
+      assert(t10k <= bound,
+        f"100→10,000 phrases grew scan cost $t100%.2f s → $t10k%.2f s — " +
+          "automaton cost is supposed to be list-size-independent")
+      info(f"blocklist: 100 phrases $t100%.2f s ($c100 hits) → " +
+        f"10k phrases $t10k%.2f s ($c10k0 hits)")
+    } finally docs.unpersist()
+  }
+
   test("hot blocking key: record linkage with a 2000-record block at 10× " +
     "— in-block cap bounds the quadratic, non-hot matches exact, " +
     "~linear growth") {
