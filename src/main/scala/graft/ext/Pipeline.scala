@@ -269,6 +269,65 @@ object Pipeline {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Source-balanced interleaving: a training order where consecutive
+    * examples ROTATE across sources (round-robin over each source's
+    * deterministically-shuffled stream) instead of arriving in
+    * source-correlated runs — long single-source stretches bias
+    * gradient batches the same way unshuffled data does, and a plain
+    * hash shuffle only mixes proportionally in expectation. Position
+    * `(within-source rank) · nSources + sourceIndex` interleaves
+    * exactly; exhausted (smaller) sources leave gaps that preserve the
+    * rotation among the rest. Sort by `interleave_pos` to read.
+    *
+    * 100 TB shape: ONE range-partitioned total sort by (source, hash)
+    * + the deterministic sorted-RDD zipWithIndex (the [[epochShuffle]]
+    * rank pattern — per-source window ranks would put each whole source
+    * in one partition), a source-count aggregate COLLECTED to the
+    * driver (bounded by the number of sources, not rows), and narrow
+    * maps. Within-source order is the portable id hash: deterministic
+    * across runs and engines.
+    */
+  def interleaveBySources(df: DataFrame, sourceCol: String,
+                          idCol: String = "doc_id",
+                          salt: String = ""): DataFrame = {
+    requireFresh(df, "interleaveBySources", "interleave_pos", "__h", "__rank")
+    val spark = df.sparkSession
+    val withH = df.withColumn("__h",
+      portableHash60(concat(col(idCol).cast("string"), lit(s":il:$salt"))))
+    // sources sort in STRING form so the global sort agrees with the
+    // string-keyed offset table below for any source type
+    val sorted = withH.orderBy(col(sourceCol).cast("string"), col("__h"),
+      col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = OpCaches.register(spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-source offsets/indices: bounded by the source cardinality
+    val counts = ranked.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val nSources = counts.length.toLong
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val offExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((src, _), i)) =>
+        when(col(sourceCol).cast("string") === src, lit(offsets(i)))
+          .otherwise(acc)
+    }
+    val idxExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((src, _), i)) =>
+        when(col(sourceCol).cast("string") === src, lit(i.toLong))
+          .otherwise(acc)
+    }
+    ranked
+      .withColumn("interleave_pos",
+        (col("__rank") - offExpr) * nSources + idxExpr)
+      .drop("__h", "__rank")
+  }
+
   /** Curriculum staging (Bengio et al. 2009): rank every row by a
     * difficulty/quality score (ties broken by id — total, deterministic)
     * and cut the ranking into `nStages` EXACT quantile stages,

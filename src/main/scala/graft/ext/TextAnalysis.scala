@@ -771,6 +771,65 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * `deg(w)/freq(w)` over the document's candidates (deg = Σ length of
+    * candidates containing w, counting repeats — co-occurrence degree;
+    * freq = occurrence count), and a phrase scores the sum of its words.
+    * The standard cheap keyword extractor for corpus labeling, dataset
+    * cards, and search facets — no model, no fit, fully deterministic.
+    *
+    * Deliberately RELATIONAL (per-doc windows + group-bys, no kernel):
+    * every window partitions by the doc id, so parallelism is per-doc
+    * and nothing global shuffles beyond the token stream — the same
+    * volume class as tokenize-and-count. Ties rank by phrase text.
+    * Returns (idCol, rank, phrase, score), topK per doc.
+    */
+  def rakeKeyphrases(df: DataFrame, textCol: String, idCol: String,
+                     stopwords: Seq[String], topK: Int = 5): DataFrame = {
+    require(stopwords.nonEmpty, "rake needs a stopword list")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), posexplode(split(lower(col(textCol)), " ")))
+      .toDF(idCol, "pos", "w")
+      .where(col("w") =!= "")
+    val content = toks.where(!col("w").isInCollection(stopwords))
+    // gaps-and-islands: consecutive content positions share one island
+    val islands = content.withColumn("isl",
+      col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    val phrases = islands.groupBy(col(idCol), col("isl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(col(idCol), col("isl"),
+        transform(col("pw"), x => x.getField("w")).as("ws"))
+      .select(col(idCol), col("isl"),
+        array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).cast("long").as("len"), col("ws"))
+    val words = phrases
+      .select(col(idCol), col("isl"), col("phrase"), col("len"),
+        explode(col("ws")).as("w"))
+    val stats = words.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val scored = words.join(stats, Seq(idCol, "w"))
+      .groupBy(col(idCol), col("isl"), col("phrase"))
+      .agg(sum(col("deg") / col("freq")).as("score"))
+      // same phrase text recurring as several islands scores identically
+      // (word stats are doc-level) — keep one row per (doc, phrase)
+      .groupBy(col(idCol), col("phrase"))
+      .agg(max(col("score")).as("score"))
+    // rank on the ROUNDED score: an analytic tie can land on either side
+    // of the last ulp depending on summation order, so the raw double is
+    // not a portable sort key — the 6-decimal form is
+    scored.select(col(idCol), col("phrase"),
+        round(col("score"), 6).as("score"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("phrase"))).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("phrase"), col("score"))
+  }
+
   /** Blocklist-phrase audit: `blocked_phrases` (distinct matched phrases,
     * sorted) and `n_blocked` against a fixed multi-phrase blocklist —
     * the scrub complement of [[redactPii]] for bad-word / boilerplate /

@@ -181,6 +181,11 @@ object ExtQueries {
     "join order", "scan join", "slow query", "stream spark", "table scan",
     "the quick brown fox", "window window")
 
+  /** RAKE stoplist fixture — frequent fixture-vocabulary words so the
+    * island splitting actually fires; shared verbatim by the oracle.
+    */
+  private val rakeStops = Seq("the", "a", "data", "value", "line")
+
   private val classifierW = Seq("data" -> 0.5, "query" -> 0.25,
     "fast" -> 0.375, "slow" -> -0.5, "the" -> -0.125, "scan" -> 0.0625,
     "zzznope" -> 1.0)
@@ -1241,6 +1246,15 @@ object ExtQueries {
       }).toDF("rank", "in_corpus_ok", "parts_formed_ok", "first_argmax_ok",
         "encode_shrinks").orderBy("rank")
     },
+    "ds_interleave" -> { (s, d) =>
+      // round-robin source rotation: within-source deterministic shuffle
+      // rank x nSources + source index; the oracle replays rank, source
+      // index and position arithmetic
+      Pipeline.interleaveBySources(
+          docs(s, d).select(col("doc_id"), col("source")), "source")
+        .select(col("doc_id"), col("source"), col("interleave_pos"))
+        .orderBy(col("doc_id"))
+    },
     "ds_curriculum" -> { (s, d) =>
       // 4-stage curriculum by doc length (exact quantile cut + within-
       // stage deterministic shuffle key); oracle replays the rank/stage
@@ -1932,6 +1946,13 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_keyphrases" -> { (s, d) =>
+      // RAKE keyword extraction, top-3 per doc; the oracle replays the
+      // full relational pipeline (islands, degree/frequency, ranking)
+      TextAnalysis.rakeKeyphrases(docs(s, d), "text", "doc_id",
+          stopwords = rakeStops, topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    },
     "text_blocklist_phrases" -> { (s, d) =>
       // Multi-phrase blocklist audit via ONE Aho-Corasick pass: the list
       // mixes common, rare and never-matching phrases plus a nested pair
@@ -2589,6 +2610,21 @@ object ExtQueries {
                FROM b, w GROUP BY b.doc_id)
          SELECT d.doc_id, coalesce(m.s, 0.0) - 0.0625 AS score
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""",
+    "ds_interleave" ->
+      """WITH h AS (SELECT doc_id, source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':il:'),
+                1, 15) AS BIGINT) AS hk
+         FROM documents),
+         r AS (SELECT doc_id, source, row_number() OVER
+             (PARTITION BY source ORDER BY hk, doc_id) - 1 AS rr
+           FROM h),
+         s AS (SELECT source, row_number() OVER (ORDER BY source) - 1
+             AS sidx
+           FROM (SELECT DISTINCT source FROM documents))
+         SELECT r.doc_id, r.source,
+                CAST(rr * (SELECT count(*) FROM s) + sidx AS BIGINT)
+                  AS interleave_pos
+         FROM r JOIN s USING (source) ORDER BY doc_id""",
     "ds_curriculum" ->
       """WITH r AS (SELECT doc_id,
            row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
@@ -3927,6 +3963,41 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_keyphrases" -> {
+      val stops = rakeStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id,
+             CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
+             unnest(ws) AS tok
+           FROM sp),
+         ct AS (SELECT doc_id, pos, tok FROM toks
+           WHERE tok <> '' AND tok NOT IN ($stops)),
+         isl AS (SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS g
+           FROM ct),
+         ph AS (SELECT doc_id, g,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS len
+           FROM isl GROUP BY doc_id, g),
+         wrd AS (SELECT i.doc_id, i.g, i.tok, p.len, p.phrase
+           FROM isl i JOIN ph p ON p.doc_id = i.doc_id AND p.g = i.g),
+         st AS (SELECT doc_id, tok, count(*) AS freq,
+             CAST(sum(len) AS BIGINT) AS deg
+           FROM wrd GROUP BY doc_id, tok),
+         sc0 AS (SELECT w.doc_id, w.g, w.phrase,
+             sum(CAST(s.deg AS DOUBLE) / s.freq) AS score
+           FROM wrd w JOIN st s ON s.doc_id = w.doc_id AND s.tok = w.tok
+           GROUP BY w.doc_id, w.g, w.phrase),
+         sc AS (SELECT doc_id, phrase, round(max(score), 6) AS score
+           FROM sc0 GROUP BY doc_id, phrase),
+         rk AS (SELECT doc_id, phrase, score, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+           FROM sc)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, score
+         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""
+    },
     "text_blocklist_phrases" -> {
       // one CASE per phrase (the oracle may be O(phrases); the engine
       // side is the one-pass automaton)

@@ -70,6 +70,57 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("rakeKeyphrases: hand-computed degree/frequency scores, repeated " +
+    "phrases dedup to one row") {
+    import graft.ext.TextAnalysis
+    // candidates: [red apple], [green apple pie], [red]
+    // red: freq 2, deg 2+1=3 → 1.5; apple: freq 2, deg 2+3=5 → 2.5;
+    // green/pie: freq 1, deg 3 → 3.0
+    val df = docsDf(1L -> "red apple the green apple pie the red",
+                    2L -> "x y the x y")
+    val out = TextAnalysis.rakeKeyphrases(df, "text", "doc_id",
+        stopwords = Seq("the"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getDouble(3))).toSeq.sorted
+    assert(out == Seq(
+      (1L, 1L, "green apple pie", 8.5), // 3 + 2.5 + 3
+      (1L, 2L, "red apple", 4.0),       // 1.5 + 2.5
+      (2L, 1L, "x y", 4.0)))            // repeated phrase → one row
+  }
+
+  test("interleaveBySources: reading by position rotates sources " +
+    "round-robin while both are live; gaps only after exhaustion") {
+    val df = ((1L to 6L).map(i => (i, "web")) ++
+              (10L to 12L).map(i => (i, "wiki")))
+      .toDF("doc_id", "source")
+    val out = Pipeline.interleaveBySources(df, "source")
+    graft.ext.OpCaches.releaseAll()
+    val ordered = out.orderBy($"interleave_pos")
+      .select($"source", $"interleave_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // nSources=2: web gets even-ish slots (sidx 0), wiki odd (sidx 1);
+    // first 6 positions alternate strictly (3 wiki rows live), then web
+    // runs out the tail alone
+    assert(ordered.take(6).map(_._1) ==
+      Seq("web", "wiki", "web", "wiki", "web", "wiki"))
+    assert(ordered.drop(6).map(_._1).forall(_ == "web"))
+    // positions are distinct and parity encodes the source index
+    assert(ordered.map(_._2).distinct.size == ordered.size)
+    assert(ordered.forall { case (s, p) =>
+      (p % 2 == 0) == (s == "web") })
+    // deterministic across runs
+    val again = Pipeline.interleaveBySources(df, "source")
+      .select($"doc_id", $"interleave_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.ext.OpCaches.releaseAll()
+    val first = out.select($"doc_id", $"interleave_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again == first)
+    intercept[IllegalArgumentException](
+      Pipeline.interleaveBySources(
+        df.withColumn("interleave_pos", lit(0L)), "source"))
+  }
+
   test("curriculumStages: uneven n distributes remainder to LATE stages " +
     "(floor cut) and stages partition the corpus") {
     val df = (1L to 10L).map(i => (i, i * 2)).toDF("doc_id", "score")
