@@ -771,6 +771,40 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** Script classes for [[scriptProfile]], in the FIXED priority order
+    * dominant-script tie-breaking uses (first listed wins a count tie) —
+    * (name, Java regex, DuckDB/RE2 regex). The char classes are
+    * identical; only the property syntax differs per engine.
+    */
+  val scriptRules: Seq[(String, String, String)] = Seq(
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("han", "\\p{IsHan}", "\\p{Han}"),
+    ("latin", "[A-Za-z]", "[A-Za-z]"))
+
+  /** Per-document Unicode script profile: counts per script class plus
+    * the dominant script — the routing signal multilingual pipelines
+    * branch on BEFORE language ID (script is cheap and unambiguous;
+    * Cyrillic text never needs the Romance-language models) and the
+    * mixed-script spam/obfuscation flag (Latin text salted with
+    * lookalike Cyrillic). Pure codegen'd `regexp_count` maps riding the
+    * scan — no shuffle, streaming-safe. Returns a struct of per-script
+    * counts plus `dominant` (max count; ties resolve by [[scriptRules]]
+    * order; all-zero → "none").
+    */
+  def scriptProfile(textCol: Column): Column = {
+    val cByName = scriptRules.map { case (name, javaRe, _) =>
+      name -> regexp_count(textCol, lit(javaRe)).cast("long") }
+    val mx = greatest(cByName.map(_._2): _*)
+    val dom = cByName.foldRight(lit("none"): Column) {
+      case ((name, c), acc) => when(c === mx && mx > 0, lit(name))
+        .otherwise(acc)
+    }
+    struct((cByName.map { case (name, c) => c.as(name) } :+
+      dom.as("dominant")): _*)
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
     * maximal stopword-free token runs; each word scores
     * `deg(w)/freq(w)` over the document's candidates (deg = Σ length of

@@ -1946,6 +1946,18 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_scripts" -> { (s, d) =>
+      // Unicode script routing profile: every doc gets a planted
+      // multiscript suffix (Han, Cyrillic, Arabic, digits) so all
+      // classes count nonzero on every row; dominant ties resolve by
+      // the fixed scriptRules order
+      val planted = concat(col("text"), lit(" 中文测试 русский عربي 42"))
+      val p = TextAnalysis.scriptProfile(planted)
+      docs(s, d).select((col("doc_id") +: (TextAnalysis.scriptRules.map {
+          case (name, _, _) => p.getField(name).as(s"n_$name") } :+
+          p.getField("dominant").as("dominant"))): _*)
+        .orderBy(col("doc_id"))
+    },
     "text_keyphrases" -> { (s, d) =>
       // RAKE keyword extraction, top-3 per doc; the oracle replays the
       // full relational pipeline (islands, degree/frequency, ranking)
@@ -3963,6 +3975,24 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_scripts" -> {
+      val counts = TextAnalysis.scriptRules.map { case (name, _, re2) =>
+        s"CAST(len(regexp_extract_all(t, '$re2')) AS BIGINT) AS n_$name"
+      }.mkString(",\n           ")
+      val names = TextAnalysis.scriptRules.map(_._1)
+      val mx = s"greatest(${names.map(n => s"n_$n").mkString(", ")})"
+      val domCases = names.map(n =>
+        s"WHEN n_$n = $mx THEN '$n'").mkString(" ")
+      s"""WITH p AS (SELECT doc_id,
+           text || ' 中文测试 русский عربي 42' AS t
+         FROM documents),
+         c AS (SELECT doc_id,
+           $counts
+         FROM p)
+         SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")},
+                CASE WHEN $mx = 0 THEN 'none' $domCases END AS dominant
+         FROM c ORDER BY doc_id"""
+    },
     "text_keyphrases" -> {
       val stops = rakeStops.map(s => s"'$s'").mkString(", ")
       s"""WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

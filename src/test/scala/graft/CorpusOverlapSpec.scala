@@ -70,6 +70,30 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("scriptProfile: exact class counts, priority-order tie-breaking, " +
+    "all-zero → none") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "hello 世界 мир 42"),      // latin 5, han 2, cyr 3, digit 2
+      (2L, "世界"),                    // pure han
+      (3L, "ab 中文"),                 // TIE latin 2 = han 2 → arabic..? no:
+                                       // priority order arabic,cyrillic,
+                                       // digit,han,latin → han wins
+      (4L, "!!! ~~~"))                 // no script chars at all
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.scriptProfile($"text")
+    val out = df.select($"doc_id", p.as("p")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val s1 = out(1L)
+    assert(s1.getAs[Long]("latin") == 5 && s1.getAs[Long]("han") == 2 &&
+      s1.getAs[Long]("cyrillic") == 3 && s1.getAs[Long]("digit") == 2 &&
+      s1.getAs[Long]("arabic") == 0)
+    assert(s1.getAs[String]("dominant") == "latin")
+    assert(out(2L).getAs[String]("dominant") == "han")
+    assert(out(3L).getAs[String]("dominant") == "han") // tie → rule order
+    assert(out(4L).getAs[String]("dominant") == "none")
+  }
+
   test("rakeKeyphrases: hand-computed degree/frequency scores, repeated " +
     "phrases dedup to one row") {
     import graft.ext.TextAnalysis
