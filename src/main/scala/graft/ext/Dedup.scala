@@ -1576,22 +1576,60 @@ object Dedup {
       .select(explode(graft.functions.VectorFunctions
         .word_ngram_hashes60(col(textCol), k)).as("g"))
       .select(col("g"), lit(side).as("s"))
-    grams(a, 0).unionByName(grams(b, 1))
+    overlapReport(grams(a, 0).unionByName(grams(b, 1))
       .groupBy(col("g"))
       .agg(max(when(col("s") === 0, 1L).otherwise(0L)).as("inA"),
            max(when(col("s") === 1, 1L).otherwise(0L)).as("inB"))
-      .agg(sum(col("inA")).cast("long").as("n_grams_a"),
-           sum(col("inB")).cast("long").as("n_grams_b"),
-           sum(col("inA") * col("inB")).cast("long").as("n_shared"))
-      .select(col("n_grams_a"), col("n_grams_b"), col("n_shared"),
-        round(col("n_shared") / nullif(col("n_grams_a"), lit(0L)), 6)
-          .as("containment_a_in_b"),
-        round(col("n_shared") / nullif(col("n_grams_b"), lit(0L)), 6)
-          .as("containment_b_in_a"),
-        round(col("n_shared") /
-          nullif(col("n_grams_a") + col("n_grams_b") - col("n_shared"),
-            lit(0L)), 6).as("jaccard"))
+      .agg(coalesce(sum(col("inA")), lit(0L)).cast("long").as("n_grams_a"),
+           coalesce(sum(col("inB")), lit(0L)).cast("long").as("n_grams_b"),
+           coalesce(sum(col("inA") * col("inB")), lit(0L)).cast("long")
+             .as("n_shared")))
   }
+
+  /** Write-once distinct-gram index for [[corpusOverlapIndexed]]: the
+    * standing corpus's side of the overlap report, built once per corpus
+    * version (the `bm25Index`/`minhashIndex` artifact convention) so
+    * every incoming crawl is measured against it without re-encoding
+    * the corpus. One column `g` (sorted-distinct 60-bit gram hashes).
+    */
+  def gramIndex(corpus: DataFrame, textCol: String = "text",
+                k: Int = 5): DataFrame =
+    corpus.select(explode(graft.functions.VectorFunctions
+      .word_ngram_hashes60(col(textCol), k)).as("g")).distinct()
+
+  /** [[corpusOverlap]] against a prebuilt [[gramIndex]] — the ingest-loop
+    * face: the candidate corpus streams once (its gram stream distincts
+    * in one shuffle and left-joins the index); the standing corpus costs
+    * only an index count. `k` must match the index's build value.
+    */
+  def corpusOverlapIndexed(a: DataFrame, index: DataFrame,
+                           textCol: String = "text",
+                           k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gA = a.select(explode(graft.functions.VectorFunctions
+      .word_ngram_hashes60(col(textCol), k)).as("g")).distinct()
+    val nB = index.agg(count(lit(1)).cast("long").as("n_grams_b"))
+    overlapReport(gA
+      .join(index.select(col("g"), lit(1L).as("__inB")), Seq("g"), "left")
+      .agg(count(lit(1)).cast("long").as("n_grams_a"),
+           coalesce(sum(coalesce(col("__inB"), lit(0L))), lit(0L))
+             .cast("long").as("n_shared"))
+      .crossJoin(nB)
+      .select(col("n_grams_a"), col("n_grams_b"), col("n_shared")))
+  }
+
+  /** Ratio projection shared by the two overlap faces: input is one row
+    * of (n_grams_a, n_grams_b, n_shared).
+    */
+  private def overlapReport(counts: DataFrame): DataFrame =
+    counts.select(col("n_grams_a"), col("n_grams_b"), col("n_shared"),
+      round(col("n_shared") / nullif(col("n_grams_a"), lit(0L)), 6)
+        .as("containment_a_in_b"),
+      round(col("n_shared") / nullif(col("n_grams_b"), lit(0L)), 6)
+        .as("containment_b_in_a"),
+      round(col("n_shared") /
+        nullif(col("n_grams_a") + col("n_grams_b") - col("n_shared"),
+          lit(0L)), 6).as("jaccard"))
 
   // ------------------------------------------------------------------ //
   // Benchmark decontamination — the GPT-3 / Llama recipe: a training

@@ -88,6 +88,11 @@ object ExtQueries {
     indexed(s, s"lsh_$d")(Similarity.lshIndex(emb(s, d)))
   private def bqIdx(s: SparkSession, d: String) =
     indexed(s, s"bq_$d")(Similarity.bqIndex(emb(s, d)))
+  // standing-corpus gram index for the overlap ingest-loop face (odd
+  // doc_ids = the "already ingested" half)
+  private def gramIdx(s: SparkSession, d: String) =
+    indexed(s, s"gram5_$d")(graft.ext.Dedup.gramIndex(
+      docs(s, d).where(col("doc_id") % 2 === 1), "text", k = 5))
 
   /** Build every materialized ANN index for `d` now (idempotent). Bench
     * calls this during warm-up so the one-time corpus encode lands outside
@@ -96,7 +101,7 @@ object ExtQueries {
     */
   def prebuildIndexes(s: SparkSession, d: String): Unit = {
     ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d); bqIdx(s, d)
-    bm25Idx(s, d)
+    bm25Idx(s, d); gramIdx(s, d)
     // trained models are fit-once/memoized exactly like the quantizers —
     // warm them here too so timed reps measure the steady state (the
     // query-time cost of a trained model is a map over the scan)
@@ -180,6 +185,34 @@ object ExtQueries {
   private val blocklist = Seq("batch batch", "fast key", "hash scan join",
     "join order", "scan join", "slow query", "stream spark", "table scan",
     "the quick brown fox", "window window")
+
+  /** Overlap-report oracle shared by the inline and indexed faces (the
+    * two MUST agree exactly — same even/odd corpus split, same k=5).
+    */
+  private val corpusOverlapSql: String =
+    """WITH wa AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS w FROM documents WHERE doc_id % 2 = 0),
+         wb AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS w FROM documents WHERE doc_id % 2 = 1),
+         ga AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' '))) AS g
+           FROM wa WHERE len(w) >= 5),
+         gb AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' '))) AS g
+           FROM wb WHERE len(w) >= 5),
+         c AS (SELECT (SELECT count(*) FROM ga) AS na,
+                      (SELECT count(*) FROM gb) AS nb,
+                      (SELECT count(*) FROM ga JOIN gb USING (g)) AS ns)
+         SELECT CAST(na AS BIGINT) AS n_grams_a,
+                CAST(nb AS BIGINT) AS n_grams_b,
+                CAST(ns AS BIGINT) AS n_shared,
+                round(ns / CAST(nullif(na, 0) AS DOUBLE), 6)
+                  AS containment_a_in_b,
+                round(ns / CAST(nullif(nb, 0) AS DOUBLE), 6)
+                  AS containment_b_in_a,
+                round(ns / CAST(nullif(na + nb - ns, 0) AS DOUBLE), 6)
+                  AS jaccard
+         FROM c"""
 
   /** RAKE stoplist fixture — frequent fixture-vocabulary words so the
     * island splitting actually fires; shared verbatim by the oracle.
@@ -2064,6 +2097,13 @@ object ExtQueries {
           "text", "doc_id", n = 3)
         .orderBy(col("n_shared").desc, col("train_id"), col("eval_id"))
         .limit(100)
+    },
+    "ds_corpus_overlap_indexed" -> { (s, d) =>
+      // the ingest-loop face: same report as ds_corpus_overlap, but the
+      // standing side is a prebuilt write-once gram index (identical
+      // oracle — the two faces must agree exactly)
+      Dedup.corpusOverlapIndexed(docs(s, d).where(col("doc_id") % 2 === 0),
+        gramIdx(s, d), "text", k = 5)
     },
     "ds_corpus_overlap" -> { (s, d) =>
       // corpus-level governance signal: 5-gram overlap between the even-
@@ -4116,30 +4156,8 @@ object ExtQueries {
              (CASE WHEN path = '/' AND q_clean = '' THEN '' ELSE path END) ||
              (CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END) AS canon
          FROM q ORDER BY doc_id""",
-    "ds_corpus_overlap" ->
-      """WITH wa AS (SELECT list_filter(string_split(text, ' '),
-             x -> x <> '') AS w FROM documents WHERE doc_id % 2 = 0),
-         wb AS (SELECT list_filter(string_split(text, ' '),
-             x -> x <> '') AS w FROM documents WHERE doc_id % 2 = 1),
-         ga AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 4),
-             i -> array_to_string(w[i+1:i+5], ' '))) AS g
-           FROM wa WHERE len(w) >= 5),
-         gb AS (SELECT DISTINCT unnest(list_transform(range(len(w) - 4),
-             i -> array_to_string(w[i+1:i+5], ' '))) AS g
-           FROM wb WHERE len(w) >= 5),
-         c AS (SELECT (SELECT count(*) FROM ga) AS na,
-                      (SELECT count(*) FROM gb) AS nb,
-                      (SELECT count(*) FROM ga JOIN gb USING (g)) AS ns)
-         SELECT CAST(na AS BIGINT) AS n_grams_a,
-                CAST(nb AS BIGINT) AS n_grams_b,
-                CAST(ns AS BIGINT) AS n_shared,
-                round(ns / CAST(nullif(na, 0) AS DOUBLE), 6)
-                  AS containment_a_in_b,
-                round(ns / CAST(nullif(nb, 0) AS DOUBLE), 6)
-                  AS containment_b_in_a,
-                round(ns / CAST(nullif(na + nb - ns, 0) AS DOUBLE), 6)
-                  AS jaccard
-         FROM c""",
+    "ds_corpus_overlap_indexed" -> corpusOverlapSql,
+    "ds_corpus_overlap" -> corpusOverlapSql,
     "ds_contamination_report" -> contaminationSql(
       """SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
          FROM tr JOIN ev USING (g)

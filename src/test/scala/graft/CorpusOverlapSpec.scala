@@ -70,6 +70,22 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("corpusOverlapIndexed ≡ corpusOverlap against the same standing " +
+    "corpus; empty incoming side → zero counts, null ratios") {
+    val a = docsDf(1L -> "a b c d e f", 2L -> "a b c d e")
+    val b = docsDf(10L -> "c d e f g", 11L -> "x y z w v")
+    val idx = Dedup.gramIndex(b, "text", k = 3)
+    val viaIdx = Dedup.corpusOverlapIndexed(a, idx, "text", k = 3)
+      .collect()(0)
+    val inline = Dedup.corpusOverlap(a, b, "text", k = 3).collect()(0)
+    assert(viaIdx.toSeq == inline.toSeq)
+    val empty = Dedup.corpusOverlapIndexed(
+      docsDf(5L -> "p q"), idx, "text", k = 3).collect()(0)
+    assert(empty.getAs[Long]("n_grams_a") == 0L &&
+      empty.getAs[Long]("n_shared") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("containment_a_in_b")))
+  }
+
   test("scriptProfile: exact class counts, priority-order tie-breaking, " +
     "all-zero → none") {
     import graft.ext.TextAnalysis
