@@ -1137,6 +1137,50 @@ object Pipeline {
     * (partitioning, ordering), so the second pass reuses the first's
     * exchange and sort — `.explain` shows a single Exchange.
     */
+  /** Per-id delta between two corpus snapshots: `added` (only in
+    * `after`), `removed` (only in `before`), `changed` (both, compared
+    * columns differ) or `unchanged` — the release-note primitive for
+    * dataset versioning ("crawl v12 vs v11: +2.1M docs, 40k edited,
+    * 300k dropped") and the regression tripwire before a version ships
+    * (a 'changed' count that should be zero). Comparison is null-safe
+    * over `compareCols` as a struct; ids must be unique per snapshot
+    * (enforce upstream — this is a version diff, not a changelog:
+    * [[scd2]] handles histories).
+    *
+    * 100 TB shape: ONE full-outer equi-join on the id (bucketed
+    * snapshot layouts make it shuffle-free) and narrow maps; the
+    * [[snapshotDiffReport]] face adds a partial-agg count.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    def packed(df: DataFrame, out: String) = df.select(col(idCol),
+      struct(compareCols.map(col): _*).as(out))
+    packed(before, "__vb").join(packed(after, "__va"), Seq(idCol),
+        "full_outer")
+      .select(col(idCol),
+        when(col("__vb").isNull, lit("added"))
+          .when(col("__va").isNull, lit("removed"))
+          .when(col("__va") <=> col("__vb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Count face of [[snapshotDiff]]: (status, n), every status present
+    * (zero-filled) so downstream monitors key on a fixed 4-row shape.
+    */
+  def snapshotDiffReport(before: DataFrame, after: DataFrame,
+                         idCol: String,
+                         compareCols: Seq[String]): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val counts = snapshotDiff(before, after, idCol, compareCols)
+      .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
+    Seq("added", "changed", "removed", "unchanged").toDF("status")
+      .join(counts, Seq("status"), "left")
+      .select(col("status"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("status"))
+  }
+
   def scd2(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
            attrCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty && attrCols.nonEmpty,

@@ -2098,6 +2098,18 @@ object ExtQueries {
         .orderBy(col("n_shared").desc, col("train_id"), col("eval_id"))
         .limit(100)
     },
+    "ds_snapshot_diff" -> { (s, d) =>
+      // corpus version delta: overlapping modulo slices play v_n/v_n+1,
+      // with a planted edit on every 7th common doc; the 4-row report is
+      // zero-filled so monitors key on a fixed shape
+      val dd = docs(s, d)
+      val before = dd.where(pmod(col("doc_id"), lit(10)) < 8)
+      val after = dd.where(pmod(col("doc_id"), lit(10)) >= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Pipeline.snapshotDiffReport(before, after, "doc_id",
+        Seq("text", "lang"))
+    },
     "ds_corpus_overlap_indexed" -> { (s, d) =>
       // the ingest-loop face: same report as ds_corpus_overlap, but the
       // standing side is a prebuilt write-once gram index (identical
@@ -4156,6 +4168,25 @@ object ExtQueries {
              (CASE WHEN path = '/' AND q_clean = '' THEN '' ELSE path END) ||
              (CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END) AS canon
          FROM q ORDER BY doc_id""",
+    "ds_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, text, lang FROM documents
+           WHERE doc_id % 10 < 8),
+         a AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+               AS text, lang
+           FROM documents WHERE doc_id % 10 >= 2),
+         j AS (SELECT
+             CASE WHEN b.doc_id IS NULL THEN 'added'
+                  WHEN a.doc_id IS NULL THEN 'removed'
+                  WHEN a.text = b.text AND a.lang = b.lang
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS status
+           FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id),
+         c AS (SELECT status, count(*) AS n FROM j GROUP BY status)
+         SELECT s.status, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
+           s(status)
+         LEFT JOIN c USING (status) ORDER BY s.status""",
     "ds_corpus_overlap_indexed" -> corpusOverlapSql,
     "ds_corpus_overlap" -> corpusOverlapSql,
     "ds_contamination_report" -> contaminationSql(

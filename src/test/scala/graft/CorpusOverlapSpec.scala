@@ -70,6 +70,33 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("snapshotDiff: per-id statuses incl. null-safe compare; report " +
+    "zero-fills missing statuses") {
+    val before = Seq((1L, "a", "en"), (2L, "b", "en"),
+      (3L, null.asInstanceOf[String], "de"), (4L, "d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val after = Seq((2L, "b", "en"), (3L, null.asInstanceOf[String], "de"),
+      (4L, "d CHANGED", "en"), (9L, "new", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val st = Pipeline.snapshotDiff(before, after, "doc_id",
+        Seq("text", "lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "unchanged", // null text <=> null text
+      4L -> "changed", 9L -> "added"))
+    val rep = Pipeline.snapshotDiffReport(before, after, "doc_id",
+        Seq("text", "lang")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rep == Seq("added" -> 1L, "changed" -> 1L, "removed" -> 1L,
+      "unchanged" -> 2L))
+    // identical snapshots → every status but unchanged zero-filled
+    val same = Pipeline.snapshotDiffReport(before, before, "doc_id",
+        Seq("text", "lang")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(same == Seq("added" -> 0L, "changed" -> 0L, "removed" -> 0L,
+      "unchanged" -> 4L))
+  }
+
   test("corpusOverlapIndexed ≡ corpusOverlap against the same standing " +
     "corpus; empty incoming side → zero counts, null ratios") {
     val a = docsDf(1L -> "a b c d e f", 2L -> "a b c d e")
