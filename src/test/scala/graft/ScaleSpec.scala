@@ -313,6 +313,37 @@ class ScaleSpec extends SparkSpecBase {
       f"$tB%.1f s (removed $rB)")
   }
 
+  test("hot gram: corpusOverlap with a boilerplate prefix on EVERY doc " +
+    "of both sides — map-side partial agg collapses the universal " +
+    "grams, ~linear growth") {
+    // every doc on both sides opens with the same 6 boilerplate tokens,
+    // so the pure-prefix 5-grams (b1..b5, b2..b6) are corpus-universal
+    // on BOTH sides: the hottest possible gram keys. Without map-side
+    // combine they would each funnel |A|+|B| rows into one reducer.
+    def side(n: Long, off: Long) = spark.range(n).select(
+      (col("id") + off).as("doc_id"),
+      concat(lit("b1 b2 b3 b4 b5 b6 "),
+        array_join(transform(sequence(lit(1), lit(54)),
+          j => concat(lit("w"),
+            pmod(xxhash64((col("id") + off) * 1000 + j), lit(800)))), " "))
+        .as("text"))
+    def run(n: Long): (Long, Double) = {
+      val (row, t) = time(graft.ext.Dedup.corpusOverlap(
+        side(n, 0), side(n, 5000000L), "text", k = 5).collect()(0))
+      (row.getAs[Long]("n_shared"), t)
+    }
+    run(5000) // warm-up
+    val (sS, tS) = run(30000)
+    val (sB, tB) = run(300000)
+    // the two pure-prefix grams are shared at every size; organic 5-gram
+    // collisions across sides only add
+    assert(sS >= 2L, s"small shared=$sS — planted universal grams missed")
+    assert(sB >= sS)
+    assertLinear("ds_corpus_overlap", tS, tB, () => run(300000)._2)
+    info(f"corpusOverlap: 2x30k docs $tS%.1f s → 2x300k docs $tB%.1f s " +
+      f"(shared $sB)")
+  }
+
   test("mega blocklist: Aho-Corasick scan cost is independent of phrase " +
     "count (100 vs 10,000 phrases over 200k docs)") {
     // the operator's whole claim: O(|text| + matches) per doc regardless
