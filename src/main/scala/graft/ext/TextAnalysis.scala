@@ -771,6 +771,39 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** Per-language vocabulary coverage against the corpus's own top-N
+    * word list: token counts, covered counts, and the OOV rate — the
+    * tokenizer-governance readout ("a 32k vocab covers 99.2% of en but
+    * 91% of zh — rebalance or grow") read before committing a
+    * vocabulary size, and the drift alarm when a new crawl's OOV rate
+    * jumps. Vocabulary = global top-N words by count (ties by word —
+    * total order, so the N-boundary is deterministic in both engines).
+    *
+    * Shape: one token-volume shuffle for the global count, a
+    * driver-free top-N (TakeOrdered — no single-partition window), a
+    * broadcast membership join, one per-language aggregate. The corpus
+    * scans twice (count pass + coverage pass) — both narrow.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, langCol: String,
+                    topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def words(d: DataFrame) = d.select(col(langCol).as("lang"),
+      explode(split(col(textCol), " ")).as("w")).where(col("w") =!= "")
+    val vocab = words(df).groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+      .select(col("w"), lit(1L).as("__inv"))
+    words(df).join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+           coalesce(sum(col("__inv")), lit(0L)).cast("long")
+             .as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0) - col("n_covered") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Script classes for [[scriptProfile]], in the FIXED priority order
     * dominant-script tie-breaking uses (first listed wins a count tie) —
     * (name, Java regex, DuckDB/RE2 regex). The char classes are

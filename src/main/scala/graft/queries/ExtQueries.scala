@@ -1979,6 +1979,11 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_vocab_coverage" -> { (s, d) =>
+      // OOV-rate per language vs the corpus's own top-40 words; the
+      // oracle replays the deterministic (count desc, word) vocab cut
+      TextAnalysis.vocabCoverage(docs(s, d), "text", "lang", topN = 40)
+    },
     "text_scripts" -> { (s, d) =>
       // Unicode script routing profile: every doc gets a planted
       // multiscript suffix (Han, Cyrillic, Arabic, digits) so all
@@ -4027,6 +4032,19 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_vocab_coverage" ->
+      """WITH w AS (SELECT lang, unnest(list_filter(
+             string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         v AS (SELECT w FROM (SELECT w, count(*) AS c FROM w GROUP BY w)
+           ORDER BY c DESC, w LIMIT 40)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN w IN (SELECT w FROM v) THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_covered,
+                round(1.0 - sum(CASE WHEN w IN (SELECT w FROM v) THEN 1
+                                     ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         FROM w GROUP BY lang ORDER BY lang""",
     "text_scripts" -> {
       val counts = TextAnalysis.scriptRules.map { case (name, _, re2) =>
         s"CAST(len(regexp_extract_all(t, '$re2')) AS BIGINT) AS n_$name"

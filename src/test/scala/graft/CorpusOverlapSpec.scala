@@ -70,6 +70,23 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("vocabCoverage: hand-computed OOV rates; the top-N boundary tie " +
+    "breaks by word") {
+    import graft.ext.TextAnalysis
+    val df = Seq((1L, "en", "x x y z"), (2L, "de", "x q q"))
+      .toDF("doc_id", "lang", "text")
+    // counts: x3 q2 y1 z1; top-2 vocab {x,q}
+    val out = TextAnalysis.vocabCoverage(df, "text", "lang", topN = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("en") == (4L, 2L, 0.5))   // x,x covered; y,z OOV
+    assert(out("de") == (3L, 3L, 0.0))
+    // top-3: y and z tie at count 1 → 'y' wins alphabetically
+    val out3 = TextAnalysis.vocabCoverage(df, "text", "lang", topN = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out3("en") == 3L && out3("de") == 3L) // y now covered, z not
+  }
+
   test("snapshotDiff: per-id statuses incl. null-safe compare; report " +
     "zero-fills missing statuses") {
     val before = Seq((1L, "a", "en"), (2L, "b", "en"),
