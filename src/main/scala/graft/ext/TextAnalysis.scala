@@ -771,6 +771,49 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** CROSS-document boilerplate segment removal (the RefinedWeb/CCNet
+    * corpus-level line dedup): segments occurring in ≥ `minDocs`
+    * DISTINCT documents are boilerplate — cookie banners, nav bars,
+    * footers — and are cut from every document, preserving the order of
+    * what remains. The corpus-level complement of [[dedupSegments]]
+    * (within-doc first-occurrence dedup): a header repeated across ten
+    * thousand pages is invisible within any one page.
+    *
+    * Shape: one segment-volume shuffle for the distinct-doc frequency,
+    * one join of the segment stream against the flagged set, one
+    * per-doc rebuild (bounded collect_list per doc). Crawl text uses
+    * sep="\n"; the gate runs word-level (fixture convention, same
+    * kernel). Returns every input id: (id, clean_text, n_removed) —
+    * fully-boilerplate docs come back with empty text, not dropped.
+    */
+  def removeBoilerplateSegments(df: DataFrame, textCol: String,
+                                idCol: String, minDocs: Long,
+                                sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val segs = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)))
+      .toDF(idCol, "pos", "seg")
+      .where(col("seg") =!= "")
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select(col("seg"), lit(1).as("__bp"))
+    val rebuilt = segs.join(boiler, Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(when(col("__bp").isNull,
+          struct(col("pos"), col("seg"))))).as("kept"),
+        count(when(col("__bp") === 1, 1)).cast("long").as("n_removed"))
+      .select(col(idCol),
+        array_join(transform(col("kept"), x => x.getField("seg")), sep)
+          .as("clean_text"),
+        col("n_removed"))
+    df.select(col(idCol)).distinct()
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Per-language vocabulary coverage against the corpus's own top-N
     * word list: token counts, covered counts, and the OOV rate — the
     * tokenizer-governance readout ("a 32k vocab covers 99.2% of en but

@@ -1979,6 +1979,16 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_boilerplate_lines" -> { (s, d) =>
+      // cross-doc boilerplate removal at word level (the dedupSegments
+      // fixture convention): words in >= 30% of docs are "banners" and
+      // cut everywhere; rare words survive in order
+      val dd = docs(s, d)
+      val minDocs = math.max(2L, dd.count() * 3 / 10)
+      TextAnalysis.removeBoilerplateSegments(dd, "text", "doc_id",
+          minDocs, sep = " ")
+        .orderBy(col("doc_id"))
+    },
     "text_vocab_coverage" -> { (s, d) =>
       // OOV-rate per language vs the corpus's own top-40 words; the
       // oracle replays the deterministic (count desc, word) vocab cut
@@ -4032,6 +4042,31 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_boilerplate_lines" ->
+      """WITH th AS (SELECT greatest(2, count(*) * 3 // 10) AS md
+           FROM documents),
+         sp AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         segs AS (SELECT doc_id,
+             CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
+             unnest(ws) AS seg
+           FROM sp),
+         nz AS (SELECT * FROM segs WHERE seg <> ''),
+         bp AS (SELECT seg FROM
+           (SELECT seg, count(DISTINCT doc_id) AS df FROM nz GROUP BY seg)
+           WHERE df >= (SELECT md FROM th)),
+         k AS (SELECT doc_id, pos, seg,
+             CASE WHEN seg IN (SELECT seg FROM bp) THEN 1 ELSE 0 END AS b
+           FROM nz),
+         agg AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN b = 0 THEN seg END, ' '
+               ORDER BY pos), '') AS clean_text,
+             CAST(sum(b) AS BIGINT) AS n_removed
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "text_vocab_coverage" ->
       """WITH w AS (SELECT lang, unnest(list_filter(
              string_split(text, ' '), x -> x <> '')) AS w

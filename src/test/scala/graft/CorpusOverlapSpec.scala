@@ -70,6 +70,34 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("removeBoilerplateSegments: df counts DISTINCT docs (within-doc " +
+    "repeats count once, removed everywhere); order preserved; " +
+    "fully-boilerplate and empty docs return empty, not dropped") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "banner alpha banner beta"), // banner twice within ONE doc
+      (2L, "banner gamma"),
+      (3L, "delta banner"),
+      (4L, "banner"),                   // fully boilerplate
+      (5L, ""))                          // no segments at all
+      .toDF("doc_id", "text")
+    // df(banner)=4 docs >= 3 → boilerplate; every other word df=1
+    val out = TextAnalysis.removeBoilerplateSegments(df, "text", "doc_id",
+        minDocs = 3, sep = " ")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("alpha beta", 2L)) // both positions cut, order kept
+    assert(out(2L) == ("gamma", 1L))
+    assert(out(3L) == ("delta", 1L))
+    assert(out(4L) == ("", 1L))
+    assert(out(5L) == ("", 0L))
+    // below threshold nothing is boilerplate
+    val none = TextAnalysis.removeBoilerplateSegments(df, "text", "doc_id",
+        minDocs = 5, sep = " ")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none.values.sum == 0L)
+  }
+
   test("vocabCoverage: hand-computed OOV rates; the top-N boundary tie " +
     "breaks by word") {
     import graft.ext.TextAnalysis
