@@ -1618,6 +1618,41 @@ object Dedup {
       .select(col("n_grams_a"), col("n_grams_b"), col("n_shared")))
   }
 
+  /** Per-document n-gram novelty: every distinct word-k-gram is
+    * attributed to its FIRST owner (minimum id among documents carrying
+    * it), and each document reports how much of it is new —
+    * `novelty = |grams first seen here| / |grams in doc|`. Summed over
+    * an id-ordered corpus this is the saturation curve ("the 10th crawl
+    * adds 3% new 5-grams") that decides when more of the same source
+    * stops buying training signal; per-doc it separates template pages
+    * (novelty → 0) from genuinely fresh content. Ids must be
+    * comparable; order = attribution order.
+    *
+    * Shape: one gram-volume shuffle into a partial-agg min (the
+    * first-owner table), an AQE-sized join back, one per-doc aggregate.
+    * Docs shorter than k words report 0 grams and null novelty.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = df.select(col(idCol).as("__id"),
+      explode(graft.functions.VectorFunctions
+        .word_ngram_hashes60(col(textCol), k)).as("g"))
+    val owners = grams.groupBy(col("g")).agg(min(col("__id")).as("__owner"))
+    val per = grams.join(owners, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+           sum(when(col("__owner") === col("__id"), 1L).otherwise(0L))
+             .cast("long").as("n_novel"))
+    df.select(col(idCol)).distinct()
+      .join(per.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel") / nullif(col("n_grams"), lit(0L)), 6))
+  }
+
   /** Ratio projection shared by the two overlap faces: input is one row
     * of (n_grams_a, n_grams_b, n_shared).
     */

@@ -2113,6 +2113,12 @@ object ExtQueries {
         .orderBy(col("n_shared").desc, col("train_id"), col("eval_id"))
         .limit(100)
     },
+    "text_ngram_novelty" -> { (s, d) =>
+      // first-owner attribution of every distinct 5-gram; per-doc
+      // novelty = fraction of its grams first seen in it
+      Dedup.ngramNovelty(docs(s, d), "text", "doc_id", k = 5)
+        .orderBy(col("doc_id"))
+    },
     "ds_snapshot_diff" -> { (s, d) =>
       // corpus version delta: overlapping modulo slices play v_n/v_n+1,
       // with a planted edit on every 7th common doc; the 4-row report is
@@ -4221,6 +4227,27 @@ object ExtQueries {
              (CASE WHEN path = '/' AND q_clean = '' THEN '' ELSE path END) ||
              (CASE WHEN q_clean = '' THEN '' ELSE '?' || q_clean END) AS canon
          FROM q ORDER BY doc_id""",
+    "text_ngram_novelty" ->
+      """WITH sp AS (SELECT doc_id, list_filter(string_split(text, ' '),
+             x -> x <> '') AS w FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(w) - 4),
+               i -> array_to_string(w[i+1:i+5], ' '))) AS gram
+           FROM sp WHERE len(w) >= 5),
+         own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+         per AS (SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM g JOIN own USING (gram) GROUP BY g.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+                round(coalesce(p.n_novel, 0)
+                  / CAST(nullif(coalesce(p.n_grams, 0), 0) AS DOUBLE), 6)
+                  AS novelty
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
     "ds_snapshot_diff" ->
       """WITH b AS (SELECT doc_id, text, lang FROM documents
            WHERE doc_id % 10 < 8),

@@ -70,6 +70,24 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("ngramNovelty: first-owner attribution by min id; duplicate doc " +
+    "novelty 0; short doc null novelty") {
+    // k=3. doc1 owns all 4 of its grams; doc2 repeats doc1 verbatim →
+    // novelty 0; doc3 shares a 2-gram overlap window with doc1 but its
+    // grams differ except the full window? construct: doc3 = "c d e f g"
+    // shares gram "c d e"+"d e f" with doc1 → 1 novel of 3
+    val df = docsDf(1L -> "a b c d e f", 2L -> "a b c d e f",
+                    3L -> "c d e f g", 4L -> "x y")
+    val out = Dedup.ngramNovelty(df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L) == (4L, 4L, Some(1.0)))
+    assert(out(2L) == (4L, 0L, Some(0.0))) // everything owned by doc 1
+    assert(out(3L) == (3L, 1L, Some(BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))) // only "e f g" novel
+    assert(out(4L) == (0L, 0L, None))      // below k → null novelty
+  }
+
   test("removeBoilerplateSegments: df counts DISTINCT docs (within-doc " +
     "repeats count once, removed everywhere); order preserved; " +
     "fully-boilerplate and empty docs return empty, not dropped") {
