@@ -771,6 +771,47 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** Top collocations by pointwise mutual information (Church & Hanks
+    * 1990): word bigrams whose joint probability beats independence,
+    * `pmi = ln( (c_ab/N_bi) / ((c_a/N_w)·(c_b/N_w)) )`, with a minimum
+    * pair count so hapax pairs don't dominate (the standard PMI
+    * failure). The collocation-mining readout corpus analysis starts
+    * from — multi-word-expression discovery, tokenizer merge
+    * candidates, domain vocabulary cards. Ranked on the ROUNDED pmi
+    * (ties by bigram) — ln is a libm transcendental, so the raw double
+    * is not a portable sort key; counts are exact, so 6 decimals is
+    * far inside both engines' ln accuracy.
+    *
+    * Shape: one token shuffle for word counts, one bigram shuffle for
+    * pair counts (both partial-agg), two broadcast-sized scalar totals,
+    * a join of pair counts against the word-count table (shuffle on the
+    * word — pair-table-sized, not corpus-sized), TakeOrdered top-N.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, topN: Int,
+                      minCount: Long = 5L): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val words = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nw = words.agg(count(lit(1)).cast("double").as("nw"))
+    val bigrams = df.select(explode(graft.functions.VectorFunctions
+        .word_bigrams(col(textCol))).as("b"))
+    val bc = bigrams.groupBy(col("b")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    val nb = bigrams.agg(count(lit(1)).cast("double").as("nb"))
+    bc.withColumn("wa", split(col("b"), " ")(0))
+      .withColumn("wb", split(col("b"), " ")(1))
+      .join(wc.select(col("w").as("wa"), col("c").as("ca")), Seq("wa"))
+      .join(wc.select(col("w").as("wb"), col("c").as("cb")), Seq("wb"))
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(nb))
+      .select(col("b").as("bigram"), col("cab").cast("long").as("n_pair"),
+        round(log((col("cab") / col("nb")) /
+          ((col("ca") / col("nw")) * (col("cb") / col("nw")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topN)
+  }
+
   /** CROSS-document boilerplate segment removal (the RefinedWeb/CCNet
     * corpus-level line dedup): segments occurring in ≥ `minDocs`
     * DISTINCT documents are boilerplate — cookie banners, nav bars,

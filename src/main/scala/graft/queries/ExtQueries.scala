@@ -1979,6 +1979,12 @@ object ExtQueries {
           length(col("norm")).cast("long").as("n_chars_nfc"))
         .orderBy(col("doc_id"))
     },
+    "text_collocations" -> { (s, d) =>
+      // top-20 PMI collocations at min pair count 5; ranked on the
+      // rounded pmi (ln is libm-transcendental — not a portable raw key)
+      TextAnalysis.pmiCollocations(docs(s, d), "text", topN = 20,
+        minCount = 5)
+    },
     "text_boilerplate_lines" -> { (s, d) =>
       // cross-doc boilerplate removal at word level (the dedupSegments
       // fixture convention): words in >= 30% of docs are "banners" and
@@ -4048,6 +4054,27 @@ object ExtQueries {
          FROM documents)
          SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_nfc
          FROM n ORDER BY doc_id""",
+    "text_collocations" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS ws FROM documents),
+         w AS (SELECT unnest(ws) AS w FROM t),
+         wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+         nw AS (SELECT CAST(count(*) AS DOUBLE) AS nw FROM w),
+         bg AS (SELECT unnest(list_transform(range(len(ws) - 1),
+             i -> array_to_string(ws[i+1:i+2], ' '))) AS b
+           FROM t WHERE len(ws) >= 2),
+         bc AS (SELECT b, count(*) AS cab FROM bg GROUP BY b
+           HAVING count(*) >= 5),
+         nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg),
+         j AS (SELECT bc.b AS bigram, CAST(bc.cab AS BIGINT) AS n_pair,
+             round(ln((bc.cab / nb.nb) /
+               ((ca.c / nw.nw) * (cb.c / nw.nw))), 6) AS pmi
+           FROM bc
+           JOIN wc ca ON ca.w = string_split(bc.b, ' ')[1]
+           JOIN wc cb ON cb.w = string_split(bc.b, ' ')[2],
+           nw, nb)
+         SELECT bigram, n_pair, pmi FROM j
+         ORDER BY pmi DESC, bigram LIMIT 20""",
     "text_boilerplate_lines" ->
       """WITH th AS (SELECT greatest(2, count(*) * 3 // 10) AS md
            FROM documents),

@@ -70,6 +70,23 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("pmiCollocations: hand-computed PMI; hapax pairs cut by minCount") {
+    import graft.ext.TextAnalysis
+    // words a:3 b:3 c:2 (N_w=8); bigrams "a b":3, "b a"/"b c"/"c c":1
+    // (N_bi=6); minCount=2 keeps only "a b"
+    val df = docsDf(1L -> "a b a b", 2L -> "a b c c")
+    val out = TextAnalysis.pmiCollocations(df, "text", topN = 5,
+        minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = BigDecimal(math.log((3.0 / 6) / ((3.0 / 8) * (3.0 / 8))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(("a b", 3L, want)))
+    // minCount=1 admits the hapax pairs too
+    val all = TextAnalysis.pmiCollocations(df, "text", topN = 5,
+        minCount = 1).collect()
+    assert(all.length == 4)
+  }
+
   test("ngramNovelty: first-owner attribution by min id; duplicate doc " +
     "novelty 0; short doc null novelty") {
     // k=3. doc1 owns all 4 of its grams; doc2 repeats doc1 verbatim →
