@@ -184,6 +184,35 @@ object Funnel {
     * rollup is a map-side-combined count per cohort. No windows, no
     * broadcasts, nothing driver-side.
     */
+  /** Top event PATHS: the most common k-step event-type sequences over
+    * per-user time order — the exploratory complement of
+    * [[windowFunnel]] (a funnel checks a KNOWN sequence; paths discover
+    * which sequences dominate, "view > cart > purchase vs view > cart >
+    * abandon"). Per-user `lead` chains (window bounded by the user's own
+    * events — one shuffle on the user key), then a partial-agg count and
+    * TakeOrdered top-N by (count desc, path). The tie column must make
+    * (ts, tie) unique per user so the order — and therefore the path
+    * multiset — is deterministic.
+    */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, tieCol: String, k: Int = 3,
+               topN: Int = 20): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = col(typeCol) +: (1 until k).map(i =>
+      lead(col(typeCol), i).over(w))
+    events
+      .select(concat_ws(" > ", steps: _*).as("path"),
+        steps.last.isNotNull.as("__complete"))
+      .where(col("__complete"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topN)
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
                        bucketSeconds: Long = 86400L,
                        offsets: Seq[Int] = Seq(1, 7)): DataFrame = {

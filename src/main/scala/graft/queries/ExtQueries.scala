@@ -1681,6 +1681,13 @@ object ExtQueries {
         .select(col("user").as("user_id"), col("depth"))
         .orderBy(col("user_id"))
     },
+    "ev_top_paths" -> { (s, d) =>
+      // most common 3-step event-type sequences; (ts, event_id) is the
+      // unique per-user order so the path multiset is deterministic
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.topPaths(ev, "user_id", "event_type", "ts", "event_id",
+        k = 3, topN = 20)
+    },
     "ev_retention" -> { (s, d) =>
       // daily cohorts with D1/D7 retention over the events month
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -3208,6 +3215,16 @@ object ExtQueries {
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    "ev_top_paths" ->
+      """WITH o AS (SELECT event_type,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+                CAST(count(*) AS BIGINT) AS n
+         FROM o WHERE t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
            FROM events

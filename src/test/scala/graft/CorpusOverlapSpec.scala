@@ -70,6 +70,28 @@ class CorpusOverlapSpec extends SparkSpecBase {
         "score", 4, "doc_id"))
   }
 
+  test("topPaths: per-user time-ordered k-step sequences, ties by the " +
+    "unique tie column, incomplete tails dropped") {
+    import graft.ext.Funnel
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (2L, 10L, 200L, "b"), (3L, 10L, 300L, "c"),
+      (4L, 10L, 400L, "b"), // user 10: a>b>c, b>c>b
+      (5L, 20L, 100L, "a"), (6L, 20L, 200L, "b"), (7L, 20L, 300L, "c"),
+      (8L, 30L, 100L, "x"), (9L, 30L, 200L, "y")) // too short for k=3
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Funnel.topPaths(ev, "user_id", "event_type", "ts",
+        "event_id", k = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("a > b > c" -> 2L, "b > c > b" -> 1L))
+    // same-ts ties resolve by event_id: swap order via tie column
+    val tied = Seq((2L, 9L, 100L, "second"), (1L, 9L, 100L, "first"),
+        (3L, 9L, 200L, "third"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val p = Funnel.topPaths(tied, "user_id", "event_type", "ts",
+        "event_id", k = 3, topN = 5).collect()
+    assert(p.map(_.getString(0)).toSeq == Seq("first > second > third"))
+  }
+
   test("pmiCollocations: hand-computed PMI; hapax pairs cut by minCount") {
     import graft.ext.TextAnalysis
     // words a:3 b:3 c:2 (N_w=8); bigrams "a b":3, "b a"/"b c"/"c c":1
