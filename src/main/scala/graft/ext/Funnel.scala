@@ -213,6 +213,35 @@ object Funnel {
       .orderBy(col("n").desc, col("path")).limit(topN)
   }
 
+  /** Event-type transition matrix: row-normalized next-step
+    * probabilities over per-user time order — the Markov base-rate
+    * table behind [[topPaths]] ("after `cart`, 60% `purchase`, 40%
+    * `view`"), the anomaly baseline for sequence monitoring, and the
+    * input to expected-path simulation. Same per-user lead shape as
+    * topPaths (one shuffle on the user key), then a (from,to) count
+    * joined against from-totals — both state-cardinality-bounded.
+    * Probabilities are exact-count ratios rounded to 6.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String,
+                       typeCol: String, tsCol: String,
+                       tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).cast("long").as("__tot"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("__tot"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
                        bucketSeconds: Long = 86400L,
                        offsets: Seq[Int] = Seq(1, 7)): DataFrame = {

@@ -1688,6 +1688,12 @@ object ExtQueries {
       Funnel.topPaths(ev, "user_id", "event_type", "ts", "event_id",
         k = 3, topN = 20)
     },
+    "ev_transitions" -> { (s, d) =>
+      // row-normalized event-type transition matrix over per-user order
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.transitionMatrix(ev, "user_id", "event_type", "ts",
+        "event_id")
+    },
     "ev_retention" -> { (s, d) =>
       // daily cohorts with D1/D7 retention over the events month
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -3215,6 +3221,19 @@ object ExtQueries {
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    "ev_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS to_type
+         FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY from_type)
+         SELECT c.from_type, c.to_type, c.n,
+                round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t USING (from_type)
+         ORDER BY c.from_type, c.to_type""",
     "ev_top_paths" ->
       """WITH o AS (SELECT event_type,
            lead(event_type, 1) OVER w AS t1,

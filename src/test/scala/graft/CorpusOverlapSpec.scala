@@ -92,6 +92,26 @@ class CorpusOverlapSpec extends SparkSpecBase {
     assert(p.map(_.getString(0)).toSeq == Seq("first > second > third"))
   }
 
+  test("transitionMatrix: row-normalized exact ratios; rows sum to 1; " +
+    "cross-user pairs never form") {
+    import graft.ext.Funnel
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (2L, 10L, 200L, "b"), (3L, 10L, 300L, "a"),
+      (4L, 10L, 400L, "c"),
+      (5L, 20L, 100L, "a"), (6L, 20L, 200L, "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    // pairs: u10 a>b, b>a, a>c ; u20 a>b → from a: b 2/3, c 1/3; from b: a 1
+    val out = Funnel.transitionMatrix(ev, "user_id", "event_type", "ts",
+        "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+    // no pair bridges user 10's last event to user 20's first
+    assert(!out.exists { case (f, t, _, _) => f == "c" })
+  }
+
   test("pmiCollocations: hand-computed PMI; hapax pairs cut by minCount") {
     import graft.ext.TextAnalysis
     // words a:3 b:3 c:2 (N_w=8); bigrams "a b":3, "b a"/"b c"/"c c":1
