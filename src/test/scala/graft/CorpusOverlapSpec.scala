@@ -92,6 +92,45 @@ class CorpusOverlapSpec extends SparkSpecBase {
     assert(p.map(_.getString(0)).toSeq == Seq("first > second > third"))
   }
 
+  test("rakeKeyphrases ≡ plain-loop reference over randomized corpora") {
+    import graft.ext.TextAnalysis
+    val stops = Seq("the", "of")
+    val vocab = Seq("the", "of", "alpha", "beta", "gamma", "delta", "eps")
+    def reference(docs: Seq[(Long, String)], topK: Int) = docs.flatMap {
+      case (id, text) =>
+        val toks = text.split(' ').filter(_.nonEmpty).toSeq
+        // islands of consecutive non-stop tokens (position-gap aware)
+        val content = toks.zipWithIndex.filterNot(t => stops.contains(t._1))
+        val islands = content.zipWithIndex
+          .groupBy { case ((_, pos), rank) => pos - rank }
+          .values.map(_.map(_._1._1)).toSeq
+        val freq = islands.flatten.groupBy(identity).map { case (w, xs) =>
+          w -> xs.size }
+        val deg = islands.flatMap(ph => ph.map(_ -> ph.length.toLong))
+          .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+        islands.map(ph => ph.mkString(" ") ->
+            ph.map(w => deg(w).toDouble / freq(w)).sum)
+          .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).max }
+          .toSeq
+          .map { case (p, s) => p -> BigDecimal(s).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble }
+          .sortBy { case (p, s) => (-s, p) }.take(topK).zipWithIndex
+          .map { case ((p, s), i) => (id, (i + 1).toLong, p, s) }
+    }.sortBy(t => (t._1, t._2))
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 12L).map(i =>
+        i -> Seq.fill(6 + rnd.nextInt(25))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = TextAnalysis.rakeKeyphrases(
+          docs.toDF("doc_id", "text"), "text", "doc_id", stops, topK = 3)
+        .orderBy($"doc_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSeq
+      assert(got == reference(docs, 3))
+    }
+  }
+
   test("transitionMatrix: row-normalized exact ratios; rows sum to 1; " +
     "cross-user pairs never form") {
     import graft.ext.Funnel
