@@ -957,9 +957,13 @@ object TextAnalysis {
       .select(col(idCol), col("isl"),
         array_join(col("ws"), " ").as("phrase"),
         size(col("ws")).cast("long").as("len"), col("ws"))
-    val words = phrases
+    // two consumers (the per-word stats aggregate and the scoring join)
+    // — persist the island-member rows once; lifecycle transfers to the
+    // caller via OpCaches, the marginScore convention
+    val words = OpCaches.register(phrases
       .select(col(idCol), col("isl"), col("phrase"), col("len"),
         explode(col("ws")).as("w"))
+      .persist())
     val stats = words.groupBy(col(idCol), col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
     val scored = words.join(stats, Seq(idCol, "w"))
