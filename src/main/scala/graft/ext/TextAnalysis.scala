@@ -791,15 +791,22 @@ object TextAnalysis {
                       minCount: Long = 5L): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // the scalar totals derive from the count tables (Σc ≡ token count,
+    // Σcab ≡ bigram count BEFORE the minCount cut), so the corpus scans
+    // once per granularity instead of twice; the count tables are
+    // vocabulary-sized — persisted so their two consumers don't re-run
+    // the corpus aggregation (OpCaches lifecycle)
     val words = df.select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
-    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val nw = words.agg(count(lit(1)).cast("double").as("nw"))
-    val bigrams = df.select(explode(graft.functions.VectorFunctions
-        .word_bigrams(col(textCol))).as("b"))
-    val bc = bigrams.groupBy(col("b")).agg(count(lit(1)).as("cab"))
-      .where(col("cab") >= minCount)
-    val nb = bigrams.agg(count(lit(1)).cast("double").as("nb"))
+    val wc = OpCaches.register(
+      words.groupBy(col("w")).agg(count(lit(1)).as("c")).persist())
+    val nw = wc.agg(sum(col("c")).cast("double").as("nw"))
+    val bcAll = OpCaches.register(
+      df.select(explode(graft.functions.VectorFunctions
+          .word_bigrams(col(textCol))).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cab")).persist())
+    val nb = bcAll.agg(sum(col("cab")).cast("double").as("nb"))
+    val bc = bcAll.where(col("cab") >= minCount)
     bc.withColumn("wa", split(col("b"), " ")(0))
       .withColumn("wb", split(col("b"), " ")(1))
       .join(wc.select(col("w").as("wa"), col("c").as("ca")), Seq("wa"))
