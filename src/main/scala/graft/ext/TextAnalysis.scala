@@ -878,16 +878,23 @@ object TextAnalysis {
   def vocabCoverage(df: DataFrame, textCol: String, langCol: String,
                     topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    def words(d: DataFrame) = d.select(col(langCol).as("lang"),
-      explode(split(col(textCol), " ")).as("w")).where(col("w") =!= "")
-    val vocab = words(df).groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(topN)
+    // ONE corpus scan into a (lang, word) count table; the global vocab
+    // cut AND the per-language coverage sums both derive from it (the
+    // table is language×vocabulary-sized — persisted for its two
+    // consumers, OpCaches lifecycle)
+    val lw = OpCaches.register(df
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .persist())
+    val vocab = lw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(topN)
       .select(col("w"), lit(1L).as("__inv"))
-    words(df).join(broadcast(vocab), Seq("w"), "left")
+    lw.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("lang"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-           coalesce(sum(col("__inv")), lit(0L)).cast("long")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+           coalesce(sum(col("c") * col("__inv")), lit(0L)).cast("long")
              .as("n_covered"))
       .select(col("lang"), col("n_tokens"), col("n_covered"),
         round(lit(1.0) - col("n_covered") / col("n_tokens"), 6)
