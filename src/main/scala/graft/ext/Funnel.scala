@@ -228,12 +228,16 @@ object Funnel {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieCol))
-    val pairs = events
+    // the counts table is state-cardinality-sized and has two consumers
+    // (from-totals and the final join) — persist so the event-volume
+    // window scan runs once (OpCaches lifecycle)
+    val pairs = graft.ext.OpCaches.register(events
       .select(col(typeCol).as("from_type"),
         lead(col(typeCol), 1).over(w).as("to_type"))
       .where(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .persist())
     val totals = pairs.groupBy(col("from_type"))
       .agg(sum(col("n")).cast("long").as("__tot"))
     pairs.join(totals, Seq("from_type"))
