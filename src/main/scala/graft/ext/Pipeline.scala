@@ -927,6 +927,58 @@ object Pipeline {
               col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Filter-funnel survivorship audit: for an ordered list of named
+    * predicates (the C4/Gopher/langid/dedup-flag chain of a cleaning
+    * pipeline), report per stage how many rows pass it in ISOLATION
+    * (`pass_n`) and how many survive the pipeline UP TO it
+    * (`survivors` — the conjunction of stages 1..i), plus the survival
+    * rate. This is the ablation table a curation run publishes (which
+    * stage is doing the cutting, which is dead weight) and the tripwire
+    * that catches a filter suddenly dropping half the corpus.
+    *
+    * ONE scan: every stage's isolated AND cumulative counter rides a
+    * single conditional aggregation (no per-stage passes, no
+    * materialized intermediates); the `stack` unpivot runs on the one
+    * aggregated row. A null predicate value counts as fail (a filter
+    * that cannot evaluate a row must not pass it). Scale shape: the scan
+    * is embarrassingly parallel, the shuffle is one row of 2·stages+1
+    * counters.
+    */
+  def filterFunnel(df: DataFrame,
+                   stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val names = stages.map(_._1)
+    require(names.distinct.size == names.size,
+      s"stage names must be unique, got $names")
+    // cumulative conjunction: survivors at stage i = AND of stages 1..i
+    val cums = stages.scanLeft(lit(true)) { (acc, st) =>
+      acc && coalesce(st._2, lit(false))
+    }.tail
+    val aggs = stages.zip(cums).zipWithIndex.flatMap {
+      case (((_, pred), cum), i) =>
+        Seq(sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L))
+              .as(s"__p_$i"),
+            sum(when(cum, 1L).otherwise(0L)).as(s"__c_$i"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex.map { case ((name, _), i) =>
+      val esc = name.replace("'", "''")
+      s"'$esc', ${i + 1}, `__p_$i`, `__c_$i`"
+    }.mkString(", ")
+    one.selectExpr(
+        "`__n` AS n_total",
+        s"stack(${stages.size}, $stackArgs) AS " +
+          "(stage, stage_idx, pass_n, survivors)")
+      .select(col("stage"), col("stage_idx").cast("int").as("stage_idx"),
+        col("n_total"),
+        coalesce(col("pass_n"), lit(0L)).as("pass_n"),
+        coalesce(col("survivors"), lit(0L)).as("survivors"))
+      .select(col("stage"), col("stage_idx"), col("n_total"),
+        col("pass_n"), col("survivors"),
+        round(col("survivors").cast("double") /
+          greatest(col("n_total"), lit(1L)), 6).as("survival_rate"))
+  }
+
   /** Exact integer floor division of non-negative Long columns (strip the
     * remainder first so the double quotient is an exact integer —
     * engine-identical).

@@ -1330,4 +1330,37 @@ object Similarity {
         floorDiv(col("n") * 1000000L, col("__t")).as("share_ppm"),
         floorDiv(col("n") * k * 1000L, col("__t")).as("load_x1000"))
   }
+
+  /** ANN quality-eval harness: per-query recall of an approximate result
+    * against exact ground truth — the OTHER health face a probe-budget
+    * decision needs besides [[indexHealth]]'s cell balance (a balanced
+    * index that returns the wrong neighbors is still a broken index).
+    * Both inputs carry `(query_id, neighbor_id, ...)` rows — any ANN tier
+    * ([[bqTopK]], [[ivfTopKIndexed]], ...) against [[bruteForceTopK]] on
+    * the SAME query set, or a cheap tier against a more exact one.
+    *
+    * Per query: `k_truth` ground-truth rows, `hits` of them present in
+    * the approximate result, `recall` = hits/k_truth. Queries the
+    * approximate tier missed entirely still appear (recall 0) — the
+    * truth side drives the report, so a probe face that silently drops a
+    * query cannot inflate its average.
+    *
+    * 100 TB shape: the inputs are (queries × k) rows — index-probe
+    * OUTPUTS, corpus-independent — so both joins are sub-broadcast-sized
+    * eval bookkeeping; the expensive part (running the two tiers) is the
+    * caller's amortized index probe. Run it on a sampled query panel per
+    * index build, alongside [[indexHealth]].
+    */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val x = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(x, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    x.groupBy("query_id").agg(count(lit(1)).as("k_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .select(col("query_id"), col("k_truth"), col("hits"),
+        round(col("hits").cast("double") / col("k_truth"), 6).as("recall"))
+  }
 }

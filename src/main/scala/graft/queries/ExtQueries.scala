@@ -927,6 +927,21 @@ object ExtQueries {
           Similarity.kmeansAssignQ(emb(s, d), qkmModel(s, d)), k = 4)
         .orderBy(col("cell"))
     },
+    "sim_recall_report" -> { (s, d) =>
+      // index-quality eval harness: recall@10 of the 1-bit BQ probe
+      // (Hamming shortlist 12, exact cosine re-rank — a REAL approximate
+      // configuration, unlike the exact-recall gate modes) against
+      // brute-force ground truth. Sign bits and Hamming ranks are
+      // engine-portable, so the oracle replays BOTH tiers and the recall
+      // join in SQL — the one approximate ANN face that can be
+      // hash-gated end-to-end rather than certified.
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") < 5)
+      Similarity.recallReport(
+          Similarity.bqTopK(e, q, k = 10, shortlist = 12),
+          Similarity.bruteForceTopK(e, q, k = 10))
+        .orderBy(col("query_id"))
+    },
     "sim_kmeans_assign" -> { (s, d) =>
       // nearest-centroid assignment with DECLARED centroids (the first 4
       // corpus vectors) — deterministic and DuckDB-mirrorable, so the
@@ -1470,6 +1485,18 @@ object ExtQueries {
       Pipeline.profile(docs(s, d),
           Seq("doc_id", "lang", "source", "n_chars", "text"))
         .orderBy(col("col_name"))
+    },
+    "ds_filter_funnel" -> { (s, d) =>
+      // curation-ablation funnel: five cleaning stages counted in
+      // isolation AND cumulatively in ONE scan (stack unpivot of the
+      // single aggregated row); null predicate values count as fail
+      Pipeline.filterFunnel(docs(s, d), Seq(
+          "nonempty" -> (col("text").isNotNull && length(col("text")) > 0),
+          "min_len" -> (length(col("text")) >= 50),
+          "has_period" -> col("text").contains("."),
+          "lang_known" -> col("lang").isin("en", "fr", "es", "de", "zh"),
+          "max_len" -> (length(col("text")) <= 5000)))
+        .orderBy(col("stage_idx"))
     },
     "ds_pack" -> { (s, d) =>
       // sequence packing into 1024-token bins via the distributed
@@ -2681,6 +2708,43 @@ object ExtQueries {
                         AS DOUBLE) / count(*), 6) AS dup_fraction
          FROM u JOIN fr USING (s)
          GROUP BY u.doc_id ORDER BY u.doc_id""",
+    "ds_filter_funnel" ->
+      """WITH p AS (SELECT
+             COALESCE(text IS NOT NULL AND length(text) > 0, FALSE) AS p1,
+             COALESCE(length(text) >= 50, FALSE) AS p2,
+             COALESCE(position('.' IN text) > 0, FALSE) AS p3,
+             COALESCE(lang IN ('en','fr','es','de','zh'), FALSE) AS p4,
+             COALESCE(length(text) <= 5000, FALSE) AS p5
+           FROM documents),
+         a AS (SELECT count(*) AS n,
+             sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS i1,
+             sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS i2,
+             sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS i3,
+             sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS i4,
+             sum(CASE WHEN p5 THEN 1 ELSE 0 END) AS i5,
+             sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS c4,
+             sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END)
+               AS c5
+           FROM p),
+         u AS (
+           SELECT 'nonempty' AS stage, 1 AS si, n, i1 AS pn, c1 AS sv FROM a
+           UNION ALL
+           SELECT 'min_len', 2, n, i2, c2 FROM a
+           UNION ALL
+           SELECT 'has_period', 3, n, i3, c3 FROM a
+           UNION ALL
+           SELECT 'lang_known', 4, n, i4, c4 FROM a
+           UNION ALL
+           SELECT 'max_len', 5, n, i5, c5 FROM a)
+         SELECT stage, CAST(si AS INT) AS stage_idx,
+           CAST(n AS BIGINT) AS n_total, CAST(pn AS BIGINT) AS pass_n,
+           CAST(sv AS BIGINT) AS survivors,
+           CAST(round(sv * 1.0 / greatest(n, 1), 6) AS DOUBLE)
+             AS survival_rate
+         FROM u ORDER BY stage_idx""",
     "ds_profile" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
       cols.map(c =>
@@ -3913,6 +3977,39 @@ object ExtQueries {
            $cols
          FROM n ORDER BY vec_id"""
     },
+    "sim_recall_report" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+               CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id,
+               CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings),
+         p AS (SELECT q.query_id, c.neighbor_id, q.qv, c.cv,
+               len(list_filter(range(1, len(q.qv) + 1),
+                   i -> (q.qv[i] > 0) <> (c.cv[i] > 0))) AS ham
+             FROM q, c WHERE c.neighbor_id <> q.query_id),
+         short AS (SELECT query_id, neighbor_id, qv, cv,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY ham, neighbor_id) AS hr
+             FROM p),
+         approx AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, cv) DESC,
+                          neighbor_id) AS r
+             FROM short WHERE hr <= 12),
+         truth AS (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, cv) DESC,
+                          neighbor_id) AS r
+             FROM p)
+         SELECT t.query_id, CAST(count(*) AS BIGINT) AS k_truth,
+           CAST(count(a.query_id) AS BIGINT) AS hits,
+           CAST(round(count(a.query_id) * 1.0 / count(*), 6) AS DOUBLE)
+             AS recall
+         FROM (SELECT * FROM truth WHERE r <= 10) t
+         LEFT JOIN (SELECT * FROM approx WHERE r <= 10) a
+           ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         GROUP BY t.query_id ORDER BY t.query_id""",
     "sim_index_health" -> qkmeansSql(4, 4,
       """SELECT CAST(cells.cell AS INT) AS cell,
            CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
