@@ -1,0 +1,247 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Label & preference aggregation — the annotation-side operators of an
+  * LLM training-data pipeline (RLHF preference data, quality labels,
+  * eval judgments). Given a table of noisy per-annotator labels, produce
+  * the consensus label per item, per-annotator reliability diagnostics
+  * (observed agreement and Cohen's kappa vs the consensus), and a
+  * reliability-weighted relabeling (the one-round Dawid & Skene 1979
+  * shape: majority init → annotator accuracy M-step → weighted-vote
+  * E-step). Given a table of pairwise preferences, fit Bradley-Terry
+  * (1952) strengths with Hunter's (2004) MM iteration — the standard
+  * model behind chat-arena ratings and reward-model data curation.
+  *
+  * All scores are integer ppm (1.0 ≡ 1 000 000) computed with
+  * truncating Long division, so every result is aggregation-order
+  * independent and bit-replayable in any engine (the Graph.pageRank
+  * contract — the gate oracles re-run ALL iterations in DuckDB, whose
+  * `//` truncates toward zero like Java Long division).
+  *
+  * Scale shape: everything is groupBy/join on (item|annotator|player)
+  * keys. The annotator and player dimensions are tiny (they broadcast);
+  * the item-keyed aggregations are single partial-agg'd shuffles over
+  * the annotation volume. Nothing collects to the driver except the
+  * Bradley-Terry normalizer (a one-row scalar, broadcast back).
+  */
+object Labels {
+
+  private val R = 1000000L // one unit, in ppm
+
+  /** Exact floor division for non-negative Longs (pmod strips the
+    * remainder first, so the double quotient is integral — no ulp
+    * hazard). For non-negative inputs floor == trunc == DuckDB `//`.
+    */
+  private def floorDivNN(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Truncate-toward-zero division for a possibly-negative numerator and
+    * positive divisor — matches DuckDB's `//` and Java's Long `/` exactly
+    * (floor division would differ by 1 on negatives).
+    */
+  private def truncDiv(a: Column, b: Column): Column =
+    when(a >= 0, floorDivNN(a, b)).otherwise(-floorDivNN(-a, b))
+
+  /** Plurality consensus per item with deterministic min-label
+    * tie-break. Returns (item, label, votes, n_ann). One (item, label)
+    * count shuffle + one item-keyed max-of-struct — no window, so the
+    * whole thing is two partial-agg'd hash aggregations.
+    */
+  def majorityVote(ann: DataFrame, itemCol: String = "item",
+                   annotatorCol: String = "annotator",
+                   labelCol: String = "label"): DataFrame = {
+    val vc = ann.groupBy(col(itemCol).as("item"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("votes"))
+    // max over (votes, -label): highest vote count, then LOWEST label —
+    // the deterministic tie-break an engine-portable oracle needs
+    vc.groupBy(col("item"))
+      .agg(max(struct(col("votes").as("v"), (-col("label")).as("nl")))
+             .as("best"),
+           sum(col("votes")).as("n_ann"))
+      .select(col("item"), (-col("best.nl")).cast("long").as("label"),
+        col("best.v").as("votes"), col("n_ann"))
+  }
+
+  /** Per-annotator observed accuracy against a consensus table
+    * (item, label). Returns (annotator, n_items, agree, acc_ppm) where
+    * acc_ppm = agree·R / n (exact floor). The consensus side is the
+    * output of [[majorityVote]] (or any gold table with the same two
+    * columns).
+    */
+  def annotatorAccuracy(ann: DataFrame, consensus: DataFrame,
+                        itemCol: String = "item",
+                        annotatorCol: String = "annotator",
+                        labelCol: String = "label"): DataFrame = {
+    val joined = ann.select(col(itemCol).as("item"),
+        col(annotatorCol).as("annotator"), col(labelCol).as("label"))
+      .join(consensus.select(col("item"), col("label").as("cons")),
+        Seq("item"))
+    joined.groupBy(col("annotator"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("label") === col("cons"), 1L).otherwise(0L))
+          .as("agree"))
+      .select(col("annotator"), col("n_items"), col("agree"),
+        floorDivNN(col("agree") * R, col("n_items")).as("acc_ppm"))
+  }
+
+  /** Reliability-weighted relabeling — one Dawid-Skene round with
+    * majority-vote initialization: each annotator's weight is their ppm
+    * agreement with the plurality consensus; each item is relabeled to
+    * the candidate with the largest summed weight (min-label
+    * tie-break). Returns (item, label, weight_ppm). This is the
+    * scalable core of the EM family — the accuracy M-step and the
+    * weighted-vote E-step are each one shuffle; further EM rounds would
+    * repeat the same two stages, with the annotator-weight table always
+    * tiny (it broadcasts into the relabel join).
+    */
+  def weightedVote(ann: DataFrame, itemCol: String = "item",
+                   annotatorCol: String = "annotator",
+                   labelCol: String = "label"): DataFrame = {
+    val cons = majorityVote(ann, itemCol, annotatorCol, labelCol)
+      .select(col("item"), col("label"))
+    val acc = annotatorAccuracy(ann, cons, itemCol, annotatorCol, labelCol)
+      .select(col("annotator"), col("acc_ppm"))
+    val weighted = ann.select(col(itemCol).as("item"),
+        col(annotatorCol).as("annotator"), col(labelCol).as("label"))
+      .join(broadcast(acc), Seq("annotator"))
+      .groupBy(col("item"), col("label"))
+      .agg(sum(col("acc_ppm")).as("w"))
+    weighted.groupBy(col("item"))
+      .agg(max(struct(col("w").as("w"), (-col("label")).as("nl")))
+             .as("best"))
+      .select(col("item"), (-col("best.nl")).cast("long").as("label"),
+        col("best.w").as("weight_ppm"))
+  }
+
+  /** Per-annotator reliability report vs the plurality consensus:
+    * (annotator, n_items, po_ppm, pe_ppm, kappa_ppm) — observed
+    * agreement, chance agreement from the two marginal label
+    * distributions, and Cohen's kappa, all in exact ppm. pe is the
+    * per-class sum of (annotator marginal · consensus marginal) // R
+    * with each factor floored at R·count // n first — the documented
+    * fixed evaluation order that makes the value engine-portable.
+    * kappa = (po − pe)·R trunc-div (R − pe); a degenerate pe = R (both
+    * sides constant and equal) reports kappa = R. kappa < 0 (worse than
+    * chance) is representable — truncating division keeps the negative
+    * branch identical to DuckDB's `//`.
+    */
+  def annotatorReport(ann: DataFrame, itemCol: String = "item",
+                      annotatorCol: String = "annotator",
+                      labelCol: String = "label"): DataFrame = {
+    val cons = majorityVote(ann, itemCol, annotatorCol, labelCol)
+      .select(col("item"), col("label").as("cons"))
+    val joined = ann.select(col(itemCol).as("item"),
+        col(annotatorCol).as("annotator"), col(labelCol).as("label"))
+      .join(cons, Seq("item"))
+    val base = joined.groupBy(col("annotator"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("label") === col("cons"), 1L).otherwise(0L))
+          .as("agree"))
+    // per-(annotator, class) marginals over the items THIS annotator
+    // labeled (per-annotator consensus marginal, so partial coverage is
+    // handled); both tables are |annotators|×|classes| — tiny
+    val pa = joined.groupBy(col("annotator"), col("label").as("c"))
+      .agg(count(lit(1)).as("na"))
+    val pc = joined.groupBy(col("annotator"), col("cons").as("c"))
+      .agg(count(lit(1)).as("nc"))
+    val pe = pa.join(pc, Seq("annotator", "c"))
+      .join(base.select(col("annotator"), col("n_items")), Seq("annotator"))
+      .select(col("annotator"),
+        floorDivNN(
+          floorDivNN(col("na") * R, col("n_items")) *
+          floorDivNN(col("nc") * R, col("n_items")), lit(R)).as("term"))
+      .groupBy(col("annotator"))
+      .agg(sum(col("term")).as("pe_ppm"))
+    base.join(pe, Seq("annotator"))
+      .select(col("annotator"), col("n_items"),
+        floorDivNN(col("agree") * R, col("n_items")).as("po_ppm"),
+        col("pe_ppm"))
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") >= R, lit(R)).otherwise(
+          truncDiv((col("po_ppm") - col("pe_ppm")) * R,
+            lit(R) - col("pe_ppm"))))
+  }
+
+  /** Bradley-Terry preference strengths via `iters` rounds of Hunter's
+    * MM update, in exact Long ppm:
+    *
+    *   p_i ← W_i·R² // Σ_j n_ij·R² // (p_i + p_j)
+    *
+    * then renormalized to mean R per round (p_i ← p_i·K·R // Σp). W_i is
+    * total wins, n_ij total comparisons between i and j (symmetric).
+    * Returns (player, wins, n_comps, rank_ppm) for every player that
+    * appears in any comparison. A player with zero wins fixes at rank 0
+    * (it is dominated; the MM fixed point is 0 there) — the winner of
+    * any comparison has W ≥ 1, so a played pair always has a positive
+    * rank sum and no division hits zero.
+    *
+    * Scale shape: the per-iteration join is pairs ⋈ ranks ⋈ ranks keyed
+    * on the two player columns, then ONE partial-agg'd shuffle keyed on
+    * player; the normalizer is a one-row scalar aggregate broadcast
+    * back (the accepted broadcast-one-side-scalar shape). The pair
+    * table, wins, and player tables are computed once and persisted
+    * (OpCaches lifecycle); |players| ≪ |comparisons| in every real
+    * preference corpus, so iterations run over the small aggregate, not
+    * the raw comparison volume.
+    */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String = "winner",
+                   loserCol: String = "loser",
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.storage.StorageLevel
+    val c = comparisons.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+    val directed = OpCaches.register(
+      c.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // symmetrize via one explode pass over the directed aggregate (the
+    // Dedup.clusters shape — no second scan of the comparison volume)
+    val sym = OpCaches.register(
+      directed.select(explode(array(
+          struct(col("w").as("i"), col("l").as("j"), col("n")),
+          struct(col("l").as("i"), col("w").as("j"), col("n"))))
+          .as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val players = OpCaches.register(
+      sym.select(col("i").as("player")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val wins = OpCaches.register(
+      players.join(directed.groupBy(col("w").as("player"))
+          .agg(sum(col("n")).as("wins")), Seq("player"), "left")
+        .select(col("player"), coalesce(col("wins"), lit(0L)).as("wins"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nComps = sym.groupBy(col("i").as("player"))
+      .agg(sum(col("n")).as("n_comps"))
+    val k = players.count() // bounded: the player dimension is tiny
+    var ranks = players.withColumn("r", lit(R))
+    var it = 0
+    while (it < iters) {
+      val d = sym
+        .join(ranks.select(col("player").as("i"), col("r").as("ri")),
+          Seq("i"))
+        .join(ranks.select(col("player").as("j"), col("r").as("rj")),
+          Seq("j"))
+        .select(col("i"),
+          floorDivNN(col("n") * R * R, col("ri") + col("rj")).as("term"))
+        .groupBy(col("i")).agg(sum(col("term")).as("dd"))
+      val praw = wins.join(d.withColumnRenamed("i", "player"),
+          Seq("player"))
+        .select(col("player"),
+          floorDivNN(col("wins") * R * R, col("dd")).as("pr"))
+      val tot = praw.agg(sum(col("pr")).as("tot"))
+      ranks = praw.crossJoin(broadcast(tot))
+        .select(col("player"),
+          floorDivNN(col("pr") * k * R, col("tot")).as("r"))
+      it += 1
+    }
+    wins.join(nComps, Seq("player"))
+      .join(ranks, Seq("player"))
+      .select(col("player"), col("wins"), col("n_comps"),
+        col("r").as("rank_ppm"))
+  }
+}

@@ -20,6 +20,53 @@ object ExtQueries {
   private def emb(s: SparkSession, d: String) =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Deterministic noisy-annotation fixture for the label-aggregation
+    * gates (the text_url_parse derive-from-documents pattern): 5
+    * annotators per document, true class = doc_id % 4, planted error
+    * rates 0/10/20/30/80% (a0 perfect … a4 adversarially noisy — its
+    * consensus kappa goes NEGATIVE, exercising the trunc-division
+    * negative branch in the gate). Each annotator's noise set comes from
+    * its own multiplicative hash (multipliers coprime to the modulus) so
+    * noise sets are decorrelated — a shared-shift hash nests the windows
+    * and lets colluding wrong labels hijack the plurality, which an
+    * aggregation fixture must not structurally do. The wrong label
+    * derives from the same per-annotator hash, so two annotators agree
+    * on a wrong label only incidentally (~1/3 of joint noise), never
+    * identically. Mirrored exactly in the DuckDB oracle CTE [[annSql]].
+    */
+  private def annFixture(s: SparkSession, d: String): DataFrame = {
+    val p = element_at(
+      array(lit(31L), lit(37L), lit(41L), lit(43L), lit(47L)),
+      (col("annotator") + 1).cast("int"))
+    val rate = when(col("annotator") === 4, lit(80L))
+      .otherwise(col("annotator") * 10)
+    val h = pmod(col("item") * p + col("annotator") * 17, lit(100L))
+    val c = pmod(col("item"), lit(4L))
+    docs(s, d).select(col("doc_id").as("item"),
+        explode(sequence(lit(0L), lit(4L))).as("annotator"))
+      .select(col("item"), col("annotator"),
+        when(h < rate, pmod(c + 1 + pmod(h, lit(3L)), lit(4L)))
+          .otherwise(c).as("label"))
+  }
+
+  /** Deterministic pairwise-preference fixture for the Bradley-Terry
+    * gate: 64 players with planted strengths s_i = i+1; each document
+    * row yields one comparison between players doc_id % 64 and
+    * (doc_id·7+13) % 64, whose winner is hash-drawn proportional to the
+    * planted strengths — i wins iff (doc_id·31+7) % (s_i+s_j) < s_i, the
+    * exact Bradley-Terry win probability on the integer grid.
+    */
+  private def prefFixture(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(64L)).as("i"),
+        pmod(col("doc_id") * 7 + 13, lit(64L)).as("j"))
+      .where(col("i") =!= col("j"))
+    val won = pmod(col("doc_id") * 31 + 7, col("i") + col("j") + 2) <
+      col("i") + 1
+    b.select(when(won, col("i")).otherwise(col("j")).as("winner"),
+             when(won, col("j")).otherwise(col("i")).as("loser"))
+  }
+
   // Fit-once quantizer models, keyed by fixture dir — the production shape
   // (train once per corpus, reuse across every query batch; VERDICT r3 #3:
   // the per-invocation retrain was ~half of sim_ann_ivf_probe's recorded
@@ -2226,6 +2273,30 @@ object ExtQueries {
           docs(s, d).withColumn("url", url), "url", blocked)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    },
+    "ds_label_majority" -> { (s, d) =>
+      // plurality consensus over the 5-annotator noisy fixture
+      // (min-label tie-break; two partial-agg'd shuffles, no window)
+      graft.ext.Labels.majorityVote(annFixture(s, d))
+        .orderBy(col("item"))
+    },
+    "ds_label_weighted" -> { (s, d) =>
+      // one Dawid-Skene round: majority init -> annotator-accuracy
+      // M-step -> accuracy-weighted E-step relabel (exact ppm weights)
+      graft.ext.Labels.weightedVote(annFixture(s, d))
+        .orderBy(col("item"))
+    },
+    "ds_annotator_report" -> { (s, d) =>
+      // per-annotator reliability: observed/chance agreement + Cohen's
+      // kappa vs consensus, exact ppm (negative kappa representable)
+      graft.ext.Labels.annotatorReport(annFixture(s, d))
+        .orderBy(col("annotator"))
+    },
+    "ds_bradley_terry" -> { (s, d) =>
+      // Bradley-Terry preference strengths, 3 MM iterations in exact
+      // Long ppm — the oracle replays all iterations in DuckDB
+      graft.ext.Labels.bradleyTerry(prefFixture(s, d), iters = 3)
+        .orderBy(col("player"))
     }
   )
 
@@ -2597,6 +2668,22 @@ object ExtQueries {
               min(z) AS min_z, max(z) AS max_z
        FROM z GROUP BY tile ORDER BY tile"""
   }
+
+  /** Shared DuckDB CTE mirroring [[annFixture]] exactly (5 annotators,
+    * true class doc_id % 4, planted a·20% noise, deterministic wrong
+    * label). Declared before the oracle map — vals initialize in
+    * declaration order.
+    */
+  private val annSql: String =
+    """ann AS (SELECT item, annotator,
+         CASE WHEN h < rate THEN ((item % 4) + 1 + (h % 3)) % 4
+              ELSE item % 4 END AS label
+       FROM (SELECT d.doc_id AS item, a.a AS annotator,
+           (d.doc_id * (CASE a.a WHEN 0 THEN 31 WHEN 1 THEN 37
+              WHEN 2 THEN 41 WHEN 3 THEN 43 ELSE 47 END)
+            + a.a * 17) % 100 AS h,
+           CASE WHEN a.a = 4 THEN 80 ELSE a.a * 10 END AS rate
+         FROM documents d, range(5) a(a)) f)"""
 
   val oracle: Map[String, String] = Map(
     // certificate-column gates: the fit itself is not SQL-expressible
@@ -4506,6 +4593,117 @@ object ExtQueries {
     "ds_url_blocklist" ->
       """SELECT doc_id, source FROM documents
          WHERE source || '.com' NOT IN ('src2.com', 'src5.com', 'src12.com')
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "ds_label_majority" ->
+      s"""WITH $annSql,
+         vc AS (SELECT item, label, count(*) AS votes FROM ann
+                GROUP BY item, label),
+         best AS (SELECT item, label, votes,
+             row_number() OVER (PARTITION BY item
+               ORDER BY votes DESC, label ASC) AS rk,
+             sum(votes) OVER (PARTITION BY item) AS n_ann
+           FROM vc)
+         SELECT item, CAST(label AS BIGINT) AS label,
+           CAST(votes AS BIGINT) AS votes, CAST(n_ann AS BIGINT) AS n_ann
+         FROM best WHERE rk = 1 ORDER BY item""",
+    "ds_label_weighted" ->
+      s"""WITH $annSql,
+         vc AS (SELECT item, label, count(*) AS votes FROM ann
+                GROUP BY item, label),
+         best AS (SELECT item, label, row_number() OVER (PARTITION BY item
+             ORDER BY votes DESC, label ASC) AS rk FROM vc),
+         cons AS (SELECT item, label FROM best WHERE rk = 1),
+         acc AS (SELECT a.annotator,
+             (sum(CASE WHEN a.label = c.label THEN 1 ELSE 0 END) * 1000000)
+               // count(*) AS acc_ppm
+           FROM ann a JOIN cons c USING (item) GROUP BY a.annotator),
+         wv AS (SELECT a.item, a.label, sum(acc.acc_ppm) AS w
+           FROM ann a JOIN acc USING (annotator) GROUP BY a.item, a.label),
+         bw AS (SELECT item, label, w, row_number() OVER (PARTITION BY item
+             ORDER BY w DESC, label ASC) AS rk FROM wv)
+         SELECT item, CAST(label AS BIGINT) AS label,
+           CAST(w AS BIGINT) AS weight_ppm
+         FROM bw WHERE rk = 1 ORDER BY item""",
+    "ds_annotator_report" ->
+      s"""WITH $annSql,
+         vc AS (SELECT item, label, count(*) AS votes FROM ann
+                GROUP BY item, label),
+         best AS (SELECT item, label, row_number() OVER (PARTITION BY item
+             ORDER BY votes DESC, label ASC) AS rk FROM vc),
+         cons AS (SELECT item, label AS cons FROM best WHERE rk = 1),
+         j AS (SELECT a.item, a.annotator, a.label, c.cons
+           FROM ann a JOIN cons c USING (item)),
+         b AS (SELECT annotator, count(*) AS n,
+             sum(CASE WHEN label = cons THEN 1 ELSE 0 END) AS agree
+           FROM j GROUP BY annotator),
+         pa AS (SELECT annotator, label AS c, count(*) AS na FROM j
+                GROUP BY annotator, label),
+         pc AS (SELECT annotator, cons AS c, count(*) AS nc FROM j
+                GROUP BY annotator, cons),
+         pe AS (SELECT pa.annotator,
+             sum((((pa.na * 1000000) // b.n) * ((pc.nc * 1000000) // b.n))
+                 // 1000000) AS pe_ppm
+           FROM pa JOIN pc USING (annotator, c) JOIN b USING (annotator)
+           GROUP BY pa.annotator)
+         SELECT b.annotator, CAST(b.n AS BIGINT) AS n_items,
+           CAST((b.agree * 1000000) // b.n AS BIGINT) AS po_ppm,
+           CAST(pe.pe_ppm AS BIGINT) AS pe_ppm,
+           CAST(CASE WHEN pe.pe_ppm >= 1000000 THEN 1000000
+             ELSE (((b.agree * 1000000) // b.n) - pe.pe_ppm) * 1000000
+                  // (1000000 - pe.pe_ppm) END AS BIGINT) AS kappa_ppm
+         FROM b JOIN pe USING (annotator) ORDER BY b.annotator""",
+    "ds_bradley_terry" -> {
+      // replay ALL 3 MM iterations in exact BIGINT ppm (the
+      // graph_pagerank unrolled-CTE pattern); DuckDB's `//` truncates
+      // toward zero exactly like the operator's Long division
+      val iters = 3
+      val sb = new StringBuilder(
+        """WITH base AS (SELECT doc_id, doc_id % 64 AS i,
+               (doc_id*7 + 13) % 64 AS j FROM documents),
+           comp AS (SELECT
+               CASE WHEN (doc_id*31 + 7) % (i + j + 2) < i + 1
+                    THEN i ELSE j END AS w,
+               CASE WHEN (doc_id*31 + 7) % (i + j + 2) < i + 1
+                    THEN j ELSE i END AS l
+             FROM base WHERE i <> j),
+           directed AS (SELECT w, l, count(*) AS n FROM comp GROUP BY w, l),
+           sym AS (SELECT i, j, sum(n) AS n FROM (
+               SELECT w AS i, l AS j, n FROM directed
+               UNION ALL SELECT l AS i, w AS j, n FROM directed) u
+             GROUP BY i, j),
+           players AS (SELECT DISTINCT i AS player FROM sym),
+           wins AS (SELECT p.player, COALESCE(sum(d.n), 0) AS wins
+             FROM players p LEFT JOIN directed d ON d.w = p.player
+             GROUP BY p.player),
+           ncomp AS (SELECT i AS player, sum(n) AS n_comps FROM sym
+                     GROUP BY i),
+           kk AS (SELECT count(*) AS k FROM players),
+           r0 AS (SELECT player, CAST(1000000 AS BIGINT) AS r FROM players)""")
+      for (t <- 1 to iters) {
+        val p = t - 1
+        sb.append(s""",
+           d$t AS (SELECT s.i AS player,
+               sum(s.n * 1000000 * 1000000 // (pi.r + pj.r)) AS dd
+             FROM sym s JOIN r$p pi ON pi.player = s.i
+                        JOIN r$p pj ON pj.player = s.j
+             GROUP BY s.i),
+           pr$t AS (SELECT w.player,
+               (w.wins * 1000000 * 1000000) // d.dd AS pr
+             FROM wins w JOIN d$t d USING (player)),
+           tot$t AS (SELECT sum(pr) AS s FROM pr$t),
+           r$t AS (SELECT player,
+               pr * (SELECT k FROM kk) * 1000000 // (SELECT s FROM tot$t)
+                 AS r
+             FROM pr$t)""")
+      }
+      sb.append(s"""
+         SELECT w.player, CAST(w.wins AS BIGINT) AS wins,
+           CAST(n.n_comps AS BIGINT) AS n_comps,
+           CAST(r.r AS BIGINT) AS rank_ppm
+         FROM wins w JOIN ncomp n USING (player)
+                     JOIN r$iters r USING (player)
+         ORDER BY w.player""")
+      sb.toString
+    }
   )
 }

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Labels
+
+/** Label & preference aggregation (Labels.scala): planted-quality
+  * recovery, deterministic tie-breaks, exact-ppm arithmetic, and
+  * Bradley-Terry ordering recovery from a planted strength model.
+  */
+class Round8dSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** 200 items, true class = item % 4, annotators 0..4 with planted
+    * error rates 0/10/20/30/80% on per-annotator-hash-selected items
+    * (the gate fixture's exact shape, small instance). Decorrelated
+    * multiplicative hashes per annotator — nested noise windows with
+    * colluding wrong labels would structurally hijack the plurality.
+    */
+  private val mults = Array(31L, 37L, 41L, 43L, 47L)
+  private def ann() = {
+    val rows = for {
+      item <- 0L until 200L
+      a <- 0L until 5L
+    } yield {
+      val c = item % 4
+      val h = (item * mults(a.toInt) + a * 17) % 100
+      val rate = if (a == 4) 80L else a * 10
+      val label = if (h < rate) (c + 1 + h % 3) % 4 else c
+      (item, a, label)
+    }
+    rows.toDF("item", "annotator", "label")
+  }
+
+  private def truth(item: Long): Long = item % 4
+
+  test("majorityVote: beats every noisy annotator and ties are " +
+    "min-label deterministic") {
+    val mv = Labels.majorityVote(ann()).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("label")).toMap
+    assert(mv.size == 200)
+    val majAcc = mv.count { case (i, l) => l == truth(i) } / 200.0
+    // expected wrong votes/item = 1.4 of 5 and wrong labels mostly
+    // disagree with each other, so the plurality is right almost always
+    // (prototyped exactly: 0.98 at every fixture size)
+    assert(majAcc > 0.95, s"majority accuracy $majAcc")
+    // majority beats the best non-perfect annotator's accuracy
+    val a1Acc = ann().where(col("annotator") === 1)
+      .collect().count(r =>
+        r.getAs[Long]("label") == truth(r.getAs[Long]("item"))) / 200.0
+    assert(majAcc >= a1Acc)
+    // explicit tie: 1 vote each for labels 2 and 7 -> min label wins
+    val tie = Seq((0L, 0L, 7L), (0L, 1L, 2L)).toDF("item", "annotator",
+      "label")
+    val t = Labels.majorityVote(tie).collect()
+    assert(t.length == 1 && t(0).getAs[Long]("label") == 2L &&
+      t(0).getAs[Long]("votes") == 1L && t(0).getAs[Long]("n_ann") == 2L)
+  }
+
+  test("annotatorAccuracy + weightedVote: planted reliability ordering " +
+    "recovered; weighted consensus at least as accurate as majority") {
+    val a = ann()
+    val cons = Labels.majorityVote(a).select(col("item"), col("label"))
+    val acc = Labels.annotatorAccuracy(a, cons).collect()
+      .map(r => r.getAs[Long]("annotator") -> r.getAs[Long]("acc_ppm"))
+      .toMap
+    // planted 0/10/20/30/80% error rates -> strictly decreasing accuracy
+    assert((0L to 3L).forall(i => acc(i) > acc(i + 1)),
+      s"accuracy not monotone: $acc")
+    // the perfect annotator agrees with the consensus wherever the
+    // consensus is right, so acc(0) is the ceiling
+    assert((1L to 4L).forall(i => acc(0L) >= acc(i)))
+    val wv = Labels.weightedVote(a).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("label")).toMap
+    val mv = Labels.majorityVote(a).collect()
+      .map(r => r.getAs[Long]("item") -> r.getAs[Long]("label")).toMap
+    val wAcc = wv.count { case (i, l) => l == truth(i) }
+    val mAcc = mv.count { case (i, l) => l == truth(i) }
+    assert(wAcc >= mAcc,
+      s"weighted vote ($wAcc/200) worse than majority ($mAcc/200)")
+  }
+
+  test("annotatorReport: kappa monotone in planted quality, negative " +
+    "kappa representable, po/pe exact ppm") {
+    val rep = Labels.annotatorReport(ann()).collect()
+      .map(r => r.getAs[Long]("annotator") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("po_ppm"),
+          r.getAs[Long]("pe_ppm"), r.getAs[Long]("kappa_ppm")))).toMap
+    assert(rep.size == 5)
+    rep.values.foreach { case (n, po, pe, _) =>
+      assert(n == 200L)
+      assert(po >= 0L && po <= 1000000L)
+      assert(pe > 0L && pe < 1000000L) // 4 classes in play, never const
+    }
+    val kappas = (0L to 4L).map(a => rep(a)._4)
+    assert(kappas.zip(kappas.tail).forall { case (hi, lo) => hi > lo },
+      s"kappa not strictly decreasing: $kappas")
+    // the 80%-noise annotator is BELOW chance vs consensus — negative
+    // kappa, so the gate itself exercises the trunc-division negative
+    // branch (the DuckDB `//` semantics match is load-bearing)
+    assert(kappas.last < 0L,
+      s"a4 kappa ${kappas.last} should be negative")
+    // the perfect annotator mismatches consensus only where the
+    // consensus itself is wrong -> near-ceiling kappa (prototyped 973333)
+    assert(kappas.head > 950000L, s"a0 kappa ${kappas.head} too low")
+  }
+
+  test("annotatorReport: kappa goes negative for an adversarial " +
+    "annotator (trunc-division negative branch, the DuckDB `//` match)") {
+    // 3 reliable annotators fix the consensus; the 4th is always wrong
+    val rows = (0L until 60L).flatMap { i =>
+      val c = i % 3
+      Seq((i, 0L, c), (i, 1L, c), (i, 2L, c), (i, 3L, (c + 1) % 3))
+    }
+    val rep = Labels.annotatorReport(
+        rows.toDF("item", "annotator", "label")).collect()
+      .map(r => r.getAs[Long]("annotator") -> r.getAs[Long]("kappa_ppm"))
+      .toMap
+    assert(rep(3L) < 0L, s"adversary kappa ${rep(3L)} should be negative")
+    assert(rep(0L) == 1000000L) // perfect agreement with consensus
+  }
+
+  test("bradleyTerry: planted-strength ordering recovered; wins " +
+    "conserved; crafted transitive chain ranks A > B > C") {
+    // gate-fixture shape: 64 players, strength i+1, 2000 comparisons
+    val comps = (0L until 2000L).flatMap { t =>
+      val i = t % 64
+      val j = (t * 7 + 13) % 64
+      if (i == j) None
+      else {
+        val won = (t * 31 + 7) % (i + j + 2) < i + 1
+        Some(if (won) (i, j) else (j, i))
+      }
+    }.toDF("winner", "loser")
+    val bt = Labels.bradleyTerry(comps, iters = 3).collect()
+    val rank = bt.map(r => r.getAs[Long]("player") ->
+      r.getAs[Long]("rank_ppm")).toMap
+    assert(rank.size == 64)
+    // wins conservation: every comparison produced exactly one win
+    assert(bt.map(_.getAs[Long]("wins")).sum ==
+      comps.count())
+    // n_comps double-counts (each comparison appears for both players)
+    assert(bt.map(_.getAs[Long]("n_comps")).sum == 2 * comps.count())
+    // ordering recovery: the top-strength half clearly outranks the
+    // bottom half, and the extremes are separated
+    val topMean = (48L until 64L).map(rank).sum / 16.0
+    val botMean = (0L until 16L).map(rank).sum / 16.0
+    assert(topMean > 2 * botMean,
+      s"planted ordering not recovered: top=$topMean bot=$botMean")
+    assert(rank(63L) > rank(4L))
+    // crafted transitivity: A>B 9:1, B>C 9:1, no A-C comparisons —
+    // MM propagates through the chain
+    val chain = (Seq.fill(9)((1L, 2L)) ++ Seq((2L, 1L)) ++
+      Seq.fill(9)((2L, 3L)) ++ Seq((3L, 2L))).toDF("winner", "loser")
+    val cr = Labels.bradleyTerry(chain, iters = 5).collect()
+      .map(r => r.getAs[Long]("player") -> r.getAs[Long]("rank_ppm"))
+      .toMap
+    assert(cr(1L) > cr(2L) && cr(2L) > cr(3L), s"chain not ordered: $cr")
+  }
+
+  test("bradleyTerry: determinism (exact ppm — two runs bit-identical) " +
+    "and zero-win player fixes at rank 0") {
+    val comps = Seq((1L, 2L), (1L, 2L), (3L, 2L), (1L, 3L))
+      .toDF("winner", "loser")
+    val a = Labels.bradleyTerry(comps, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = Labels.bradleyTerry(comps, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.sameElements(b))
+    val m = a.map(t => t._1 -> t._4).toMap
+    assert(m(2L) == 0L, s"dominated player rank ${m(2L)} != 0")
+    assert(m(1L) > m(3L)) // 2 wins + head-to-head win over 3
+  }
+}
