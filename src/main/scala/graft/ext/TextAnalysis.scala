@@ -902,6 +902,97 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Per-language Zipf rank-frequency slope — the corpus-health
+    * diagnostic behind "does this slice look like natural language?":
+    * natural text follows freq ∝ rank^s with s ≈ −1 (Zipf 1949);
+    * template/boilerplate-heavy slices flatten toward 0 and
+    * deduplicated-to-death or synthetic slices steepen. Fit is ordinary
+    * least squares on (ln rank, ln count) over each language's top-N
+    * words (ties broken by word — a total order, so the N-boundary is
+    * deterministic), with both logs rounded to integer MILLI-nats
+    * first, so the regression runs in exact Long sums and the slope is
+    * engine-portable (the DSIR micro-nat precedent, 1000× coarser for
+    * headroom: n·Σxy stays far from Long range). slope_ppm uses
+    * truncating division — the slope is NEGATIVE, and DuckDB's `//`
+    * truncates toward zero like Java, where a pmod-floor would diverge.
+    *
+    * Shape: ONE token-volume shuffle into (lang, word) counts; the
+    * rank window partitions by language over the language×vocabulary-
+    * sized count table (never the token volume); one small aggregate.
+    * Languages with fewer than 2 distinct words are dropped (no
+    * variance to fit).
+    */
+  def zipfSlope(df: DataFrame, textCol: String, langCol: String,
+                topN: Int = 64): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def truncDiv(a: Column, b: Column): Column =
+      when(a >= 0, floorDivNN(a, b)).otherwise(-floorDivNN(-a, b))
+    val counts = df
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("c").desc, col("w").asc)))
+      .where(col("rk") <= topN)
+      .select(col("lang"),
+        round(log(col("rk")) * 1000).cast("long").as("x"),
+        round(log(col("c")) * 1000).cast("long").as("y"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("n") >= 2)
+      .select(col("lang"), col("n").as("n_terms"),
+        truncDiv((col("n") * col("sxy") - col("sx") * col("sy")) * 1000000L,
+          col("n") * col("sxx") - col("sx") * col("sx")).as("slope_ppm"))
+  }
+
+  /** Per-term burstiness over the corpus's top-N terms: the
+    * variance-to-mean ratio (index of dispersion) of the term's per-
+    * document counts, zeros included — VMR ≈ 1 is Poisson scatter
+    * (function words), VMR ≫ 1 is bursty (topical content words —
+    * Church & Gale 1995), and a term whose VMR explodes relative to the
+    * corpus norm marks keyword-stuffed spam. Exact integer ppm:
+    * vmr_ppm = (N·Σc² − (Σc)²)·10⁶ // (N·Σc) over N = corpus size —
+    * non-negative by Cauchy-Schwarz, so floor division is exact and
+    * engine-portable.
+    *
+    * Shape: ONE token-volume shuffle into (doc, term) counts (partial-
+    * agg'd), a global top-N cut (TakeOrdered, ties by term — total
+    * order), broadcast membership join back, one per-term aggregate.
+    * The only driver-side value is the corpus row count.
+    */
+  def burstiness(df: DataFrame, textCol: String, idCol: String,
+                 topN: Int = 32): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val nDocs = df.count() // bounded meta-collect (one scalar)
+    val dtc = OpCaches.register(df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .persist())
+    val top = dtc.groupBy(col("w"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_docs"))
+      .orderBy(col("total").desc, col("w").asc).limit(topN)
+    dtc.join(broadcast(top), Seq("w"))
+      .groupBy(col("w"), col("total"), col("n_docs"))
+      .agg(sum(col("c") * col("c")).as("sc2"))
+      .select(col("w"), col("n_docs"), col("total"),
+        floorDivNN(
+          (lit(nDocs) * col("sc2") - col("total") * col("total")) *
+            1000000L,
+          lit(nDocs) * col("total")).as("vmr_ppm"))
+  }
+
   /** Script classes for [[scriptProfile]], in the FIXED priority order
     * dominant-script tie-breaking uses (first listed wins a count tie) —
     * (name, Java regex, DuckDB/RE2 regex). The char classes are

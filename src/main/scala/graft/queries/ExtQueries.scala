@@ -2297,6 +2297,18 @@ object ExtQueries {
       // Long ppm — the oracle replays all iterations in DuckDB
       graft.ext.Labels.bradleyTerry(prefFixture(s, d), iters = 3)
         .orderBy(col("player"))
+    },
+    "text_zipf" -> { (s, d) =>
+      // per-language Zipf rank-frequency slope in exact milli-nat OLS
+      // (negative slope -> the trunc-division branch, DuckDB `//`)
+      TextAnalysis.zipfSlope(docs(s, d), "text", "lang", topN = 64)
+        .orderBy(col("lang"))
+    },
+    "text_burstiness" -> { (s, d) =>
+      // index of dispersion (VMR, zeros included) for the corpus top-16
+      // terms, exact ppm
+      TextAnalysis.burstiness(docs(s, d), "text", "doc_id", topN = 16)
+        .orderBy(col("w"))
     }
   )
 
@@ -4704,6 +4716,44 @@ object ExtQueries {
                      JOIN r$iters r USING (player)
          ORDER BY w.player""")
       sb.toString
-    }
+    },
+    "text_zipf" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(
+             string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         c AS (SELECT lang, w, count(*) AS c FROM t GROUP BY lang, w),
+         r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+             ORDER BY c DESC, w ASC) AS rk FROM c),
+         xy AS (SELECT lang,
+             CAST(round(ln(rk) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1000) AS BIGINT) AS y
+           FROM r WHERE rk <= 64),
+         s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx
+           FROM xy GROUP BY lang)
+         SELECT lang, n AS n_terms,
+           CAST((n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx) AS BIGINT)
+             AS slope_ppm
+         FROM s WHERE n >= 2 ORDER BY lang""",
+    "text_burstiness" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(
+             string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         dtc AS (SELECT doc_id, w, count(*) AS c FROM t
+                 GROUP BY doc_id, w),
+         top AS (SELECT w, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM dtc GROUP BY w ORDER BY total DESC, w LIMIT 16),
+         nn AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT t.w, t.total, t.n_docs,
+             CAST(sum(d.c * d.c) AS BIGINT) AS sc2
+           FROM top t JOIN dtc d ON d.w = t.w
+           GROUP BY t.w, t.total, t.n_docs)
+         SELECT w, n_docs, total,
+           CAST(((SELECT n FROM nn) * sc2 - total * total) * 1000000
+                // ((SELECT n FROM nn) * total) AS BIGINT) AS vmr_ppm
+         FROM s ORDER BY w"""
   )
 }

@@ -9,6 +9,7 @@ import graft.ext.Labels
   */
 class Round8dSpec extends SparkSpecBase {
   import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   /** 200 items, true class = item % 4, annotators 0..4 with planted
     * error rates 0/10/20/30/80% on per-annotator-hash-selected items
@@ -171,5 +172,98 @@ class Round8dSpec extends SparkSpecBase {
     val m = a.map(t => t._1 -> t._4).toMap
     assert(m(2L) == 0L, s"dominated player rank ${m(2L)} != 0")
     assert(m(1L) > m(3L)) // 2 wins + head-to-head win over 3
+  }
+
+  test("zipfSlope: planted power law fits slope ~ -1, flat corpus fits " +
+    "0, below-2-terms languages dropped") {
+    import graft.ext.TextAnalysis
+    // one doc per language; language "pow" holds a planted Zipf corpus:
+    // word w_r repeated floor(240/r) times, r = 1..24
+    val pow = (1 to 24).flatMap(r => Seq.fill(240 / r)(f"w$r%02d"))
+      .mkString(" ")
+    val flat = (1 to 10).flatMap(r => Seq.fill(7)(f"f$r%02d")).mkString(" ")
+    val df = Seq(("pow", pow), ("flat", flat), ("tiny", "lone"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.zipfSlope(df, "text", "lang", topN = 64)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("slope_ppm")))).toMap
+    // single-word language has no variance to fit -> dropped
+    assert(!got.contains("tiny") && got.size == 2)
+    assert(got("flat") == ((10L, 0L)), s"flat: ${got("flat")}")
+    val (n, slope) = got("pow")
+    assert(n == 24L)
+    // floor(240/r) tracks 240/r within rounding -> slope near -1.0
+    assert(slope < -900000L && slope > -1100000L,
+      s"planted Zipf slope $slope not ~ -1e6")
+  }
+
+  test("burstiness: exact VMR for uniform (0), concentrated " +
+    "(N-1 regime) and absent-zeros accounting") {
+    import graft.ext.TextAnalysis
+    // 10 docs; "u" once per doc; "b" 10 times in doc 0 only
+    val docs = (0L until 10L).map { i =>
+      val b = if (i == 0) " " + Seq.fill(10)("b").mkString(" ") else ""
+      (i, "u" + b)
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.burstiness(docs, "text", "doc_id", topN = 4)
+      .collect().map(r => r.getAs[String]("w") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total"),
+          r.getAs[Long]("vmr_ppm")))).toMap
+    assert(got.size == 2)
+    // uniform term: variance 0 -> VMR exactly 0
+    assert(got("u") == ((10L, 10L, 0L)), s"u: ${got("u")}")
+    // all mass in one doc of N: VMR = (N*c2 - t*t)*1e6/(N*t)
+    //                              = (10*100 - 100)*1e6/100 = 9e6
+    assert(got("b") == ((1L, 10L, 9000000L)), s"b: ${got("b")}")
+  }
+
+  test("majorityVoteStream: cross-batch tallies converge to the batch " +
+    "face (a late relabel flips the consensus)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long)]
+      val out = Labels.majorityVoteStream(
+        ms.toDF().toDF("item", "label"))
+      val q = out.writeStream.format("memory").queryName("mv_stream")
+        .outputMode("update").start()
+      try {
+        // batch 1: item 1 leans label 5; item 2 ties 3-vs-9 (min wins)
+        ms.addData((1L, 5L), (1L, 5L), (1L, 7L), (2L, 9L), (2L, 3L))
+        q.processAllAvailable()
+        val b1 = spark.table("mv_stream").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3)))).toMap
+        assert(b1(1L) == ((5L, 2L, 3L)))
+        assert(b1(2L) == ((3L, 1L, 2L))) // tie -> min label
+        // batch 2: two late 7-votes flip item 1; item 2 untouched
+        ms.addData((1L, 7L), (1L, 7L))
+        q.processAllAvailable()
+        val rows = spark.table("mv_stream").collect()
+          .filter(_.getLong(0) == 1L)
+        val latest = rows.maxBy(_.getLong(3)) // n_ann only grows
+        assert((latest.getLong(1), latest.getLong(2), latest.getLong(3))
+          == ((7L, 3L, 5L)))
+        // convergence: the final changelog row per item equals the
+        // batch face over the full annotation set
+        val all = Seq((1L, 5L), (1L, 5L), (1L, 7L), (2L, 9L), (2L, 3L),
+          (1L, 7L), (1L, 7L)).toDF("item", "label")
+        val batch = Labels.majorityVote(all).collect()
+          .map(r => r.getAs[Long]("item") ->
+            ((r.getAs[Long]("label"), r.getAs[Long]("votes"),
+              r.getAs[Long]("n_ann")))).toMap
+        assert(batch(1L) == ((7L, 3L, 5L)))
+        assert(batch(2L) == ((3L, 1L, 2L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }
