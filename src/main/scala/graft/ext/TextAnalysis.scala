@@ -993,6 +993,58 @@ object TextAnalysis {
           lit(nDocs) * col("total")).as("vmr_ppm"))
   }
 
+  /** Classifier calibration report — the reliability diagram + expected
+    * calibration error behind "can I trust this quality score as a
+    * probability?", read before using a model score as a sampling weight
+    * or an accept threshold (an over-confident filter silently skews the
+    * corpus). Scores bucket into `bins` equal-width bins over [lo, hi)
+    * (clamped); per bin: count, positives, mean score (confidence) and
+    * observed positive rate, plus the |conf − acc| gap and the overall
+    * ECE = Σ n_b·gap_b / N repeated on every row (the report is
+    * self-contained). `scoreCol` is a probability-like score in
+    * [lo, hi) = [0, 1) by default — map a raw margin into that range
+    * first (the gate rescales the linear classifier's ±2 margin as
+    * (s+2)/4; with binary-fraction scores and power-of-two constants
+    * every double step is exact, so round(p·10⁶) is engine-portable
+    * with no boundary hazard). All values integer ppm, sums Long; mean
+    * confidence uses truncating division so out-of-convention negative
+    * scores still match DuckDB's `//`.
+    *
+    * Shape: one projection + ONE bins-keyed partial-agg'd shuffle (the
+    * bin cardinality is tiny); the ECE totals are a broadcast one-row
+    * scalar joined back. Streaming-safe shape (a windowed variant is a
+    * trivial groupBy extension).
+    */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int = 8, lo: Double = 0.0,
+                        hi: Double = 1.0): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def truncDiv(a: Column, b: Column): Column =
+      when(a >= 0, floorDivNN(a, b)).otherwise(-floorDivNN(-a, b))
+    val binCol = least(greatest(
+      floor((col(scoreCol) - lo) * bins / (hi - lo)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val g = df.select(binCol.as("bin"),
+        round(col(scoreCol) * 1000000).cast("long").as("sp"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("sp")).as("ssp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        truncDiv(col("ssp"), col("n")).as("conf_ppm"),
+        floorDivNN(col("n_pos") * 1000000L, col("n")).as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    val tot = g.agg(sum(col("n")).as("nn"),
+      sum(col("n") * col("gap_ppm")).as("wg"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_ppm"),
+        col("acc_ppm"), col("gap_ppm"),
+        floorDivNN(col("wg"), col("nn")).as("ece_ppm"))
+  }
+
   /** Script classes for [[scriptProfile]], in the FIXED priority order
     * dominant-script tie-breaking uses (first listed wins a count tie) —
     * (name, Java regex, DuckDB/RE2 regex). The char classes are

@@ -2309,6 +2309,17 @@ object ExtQueries {
       // terms, exact ppm
       TextAnalysis.burstiness(docs(s, d), "text", "doc_id", topN = 16)
         .orderBy(col("w"))
+    },
+    "text_calibration" -> { (s, d) =>
+      // reliability diagram + ECE for the linear classifier's margin
+      // rescaled to [0,1) ((s+2)/4 — exact binary arithmetic), weak
+      // truth = lang='en'; 8 bins, exact ppm
+      val scored = docs(s, d).select(
+        ((TextAnalysis.classifierScore(col("text"), classifierW,
+          bias = 0.03125) + 2.0) / 4.0).as("p"),
+        (col("lang") === "en").as("y"))
+      TextAnalysis.calibrationReport(scored, "p", "y", bins = 8)
+        .orderBy(col("bin"))
     }
   )
 
@@ -4754,6 +4765,39 @@ object ExtQueries {
          SELECT w, n_docs, total,
            CAST(((SELECT n FROM nn) * sc2 - total * total) * 1000000
                 // ((SELECT n FROM nn) * total) AS BIGINT) AS vmr_ppm
-         FROM s ORDER BY w"""
+         FROM s ORDER BY w""",
+    "text_calibration" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS tok FROM documents),
+         w(tok, wt) AS (VALUES ('data', CAST(0.5 AS DOUBLE)),
+             ('query', 0.25), ('fast', 0.375), ('slow', -0.5),
+             ('the', -0.125), ('scan', 0.0625), ('zzznope', 1.0)),
+         m AS (SELECT t.doc_id, sum(w.wt) AS s
+               FROM t JOIN w USING (tok) GROUP BY t.doc_id),
+         sc AS (SELECT d.doc_id,
+             (coalesce(m.s, 0.0) + 0.03125 + 2.0) / 4.0 AS p,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents d LEFT JOIN m USING (doc_id)),
+         bb AS (SELECT
+             CAST(least(greatest(floor((p - 0.0) * 8 / 1.0), 0), 7)
+               AS BIGINT) AS bin,
+             CAST(round(p * 1000000) AS BIGINT) AS sp, y
+           FROM sc),
+         g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(sp) AS BIGINT) AS ssp
+           FROM bb GROUP BY bin),
+         r AS (SELECT bin, n, n_pos,
+             CAST(ssp // n AS BIGINT) AS conf_ppm,
+             CAST((n_pos * 1000000) // n AS BIGINT) AS acc_ppm
+           FROM g),
+         r2 AS (SELECT *, abs(conf_ppm - acc_ppm) AS gap_ppm FROM r),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n * gap_ppm) AS BIGINT) AS wg FROM r2)
+         SELECT bin, n, n_pos, conf_ppm, acc_ppm,
+           CAST(gap_ppm AS BIGINT) AS gap_ppm,
+           CAST((SELECT wg FROM tot) // (SELECT nn FROM tot) AS BIGINT)
+             AS ece_ppm
+         FROM r2 ORDER BY bin"""
   )
 }

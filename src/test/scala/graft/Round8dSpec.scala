@@ -217,6 +217,38 @@ class Round8dSpec extends SparkSpecBase {
     assert(got("b") == ((1L, 10L, 9000000L)), s"b: ${got("b")}")
   }
 
+  test("calibrationReport: perfectly calibrated fixture scores ECE 0 " +
+    "exactly; anti-calibrated bin carries its exact gap") {
+    import graft.ext.TextAnalysis
+    // 16 items per bin at the bin midpoint p=(2b+1)/16 with exactly
+    // 2b+1 positives: conf_ppm = acc_ppm = (2b+1)·62500 -> gap 0, ECE 0
+    val perfect = (0 until 8).flatMap { b =>
+      val p = (2 * b + 1) / 16.0
+      (0 until 16).map(i => (p, i < 2 * b + 1))
+    }.toDF("p", "y")
+    val rep = TextAnalysis.calibrationReport(perfect, "p", "y", bins = 8)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("conf_ppm"), r.getAs[Long]("acc_ppm"),
+          r.getAs[Long]("gap_ppm"), r.getAs[Long]("ece_ppm")))).toMap
+    assert(rep.size == 8)
+    (0 until 8).foreach { b =>
+      val (n, np, conf, acc, gap, ece) = rep(b.toLong)
+      assert(n == 16L && np == 2L * b + 1)
+      assert(conf == (2L * b + 1) * 62500, s"bin $b conf $conf")
+      assert(conf == acc && gap == 0L && ece == 0L)
+    }
+    // overconfident: p=0.9375, all negative -> that bin's gap is the
+    // full 937500 and ECE weights it by bin mass
+    val over = (0 until 16).map(_ => (0.9375, false)).toDF("p", "y")
+    val r2 = TextAnalysis.calibrationReport(over, "p", "y", bins = 8)
+      .collect()
+    assert(r2.length == 1)
+    assert(r2(0).getAs[Long]("bin") == 7L &&
+      r2(0).getAs[Long]("gap_ppm") == 937500L &&
+      r2(0).getAs[Long]("ece_ppm") == 937500L)
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -414,4 +414,44 @@ class ScaleSpec extends SparkSpecBase {
       () => run(20000, 6000, 2000)._2)
     info(f"record linkage: 4k recs $tS%.1f s → 40k recs $tB%.1f s ($cB pairs)")
   }
+
+  test("viral item: weightedVote with 10⁵ annotations raiding ONE item " +
+    "grows ~linearly and tallies the raid exactly") {
+    import graft.ext.Labels
+    // the labeling-program pathology: a crowd raid dumps `raid` votes on
+    // one item (60% label 7, 40% label 8) on top of an organic 5-annotator
+    // corpus. The (item, label) vote count must absorb the hot item
+    // map-side (partial agg), and the annotator-accuracy M-step must
+    // survive an annotator dimension that GROWS with the raid (every
+    // raider is a distinct annotator -> |annotators| ≈ raid size).
+    def run(nItems: Long, raid: Long): ((Long, Long), Double) = {
+      val organic = spark.range(nItems).select(col("id").as("item"),
+          explode(sequence(lit(0L), lit(4L))).as("annotator"))
+        .select(col("item"), col("annotator"),
+          when(pmod(xxhash64(col("item") * 5 + col("annotator")),
+              lit(10)) < 2, pmod(col("item") + 1, lit(4)))
+            .otherwise(pmod(col("item"), lit(4))).as("label"))
+      val raidRows = spark.range(raid).select(lit(0L).as("item"),
+        (col("id") + 100L).as("annotator"),
+        when(pmod(col("id"), lit(10)) < 6, lit(7L)).otherwise(lit(8L))
+          .as("label"))
+      val ann = organic.unionByName(raidRows)
+      time {
+        val wv = Labels.weightedVote(ann)
+        val hot = wv.where(col("item") === 0).collect()(0)
+        wv.count() // full consensus materializes
+        (hot.getAs[Long]("item"), hot.getAs[Long]("label"))
+      }
+    }
+    run(2000, 1000) // warm-up
+    val (hS, tS) = run(20000, 10000)
+    val (hB, tB) = run(200000, 100000)
+    // the raid's 60% label wins the hot item exactly at both sizes
+    assert(hS == ((0L, 7L)), s"small viral consensus $hS")
+    assert(hB == ((0L, 7L)), s"big viral consensus $hB")
+    assertLinear("ds_label_weighted", tS, tB,
+      () => run(200000, 100000)._2)
+    info(f"weightedVote: 100k ann (10k raid) $tS%.1f s → " +
+      f"1M ann (100k raid) $tB%.1f s")
+  }
 }
