@@ -1363,4 +1363,57 @@ object Similarity {
       .select(col("query_id"), col("k_truth"), col("hits"),
         round(col("hits").cast("double") / col("k_truth"), 6).as("recall"))
   }
+
+  /** Embedding drift between two corpus snapshots, per group: the
+    * monitoring row an embedding-dependent pipeline (ANN index, semantic
+    * dedup, hard-negative mining) reads before trusting last month's
+    * index against this month's crawl. For each group the report gives
+    * both snapshot counts and the cosine between the group CENTROIDS —
+    * the first-moment drift signal (1.0 = direction unchanged; a falling
+    * cosine means re-fit the quantizer / rebuild cells).
+    *
+    * Engine-portable by construction: every vector quantizes to integer
+    * per-dimension units (round(x·quant) — exact Long sums thereafter;
+    * cosine is scale-invariant so the SUM vector stands in for the
+    * mean), and the final cosine divides exact Longs in IEEE double
+    * (sqrt is correctly rounded, inputs < 2⁵³) rounded to 6 — bit-equal
+    * in any engine given the same rows, so the gate hash-matches DuckDB.
+    *
+    * Shape: per snapshot ONE (group, dim)-keyed partial-agg'd shuffle
+    * over the exploded vector volume (the tf-idf shape), then a
+    * (group, dim) equi-join and a group-keyed reduce — dims are a
+    * constant factor, nothing is driver-side. Groups present in only
+    * one snapshot report their counts with a null cosine (full outer).
+    */
+  def centroidDrift(v1: DataFrame, v2: DataFrame,
+                    vecCol: String = "embedding",
+                    groupCol: String = "label",
+                    quant: Int = 1000): DataFrame = {
+    require(quant >= 1, s"quant must be >= 1, got $quant")
+    def sums(df: DataFrame, tag: String): DataFrame = df
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim"))
+      .agg(sum(round(col("x") * quant).cast("long")).as(s"s$tag"),
+        count(lit(1)).as(s"n$tag"))
+    val a = sums(v1, "1")
+    val b = sums(v2, "2")
+    val joined = a.join(b, Seq("g", "dim"), "full_outer")
+    joined.groupBy(col("g"))
+      .agg(
+        // per-group row count = any dimension's count; max is safe and
+        // null-tolerant for one-sided groups
+        max(col("n1")).as("n_v1"), max(col("n2")).as("n_v2"),
+        sum(col("s1") * col("s2")).as("dot"),
+        sum(col("s1") * col("s1")).as("q1"),
+        sum(col("s2") * col("s2")).as("q2"))
+      .select(col("g").as(groupCol),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        when(col("q1") > 0 && col("q2") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("q1").cast("double")) *
+             sqrt(col("q2").cast("double"))), 6))
+          .as("centroid_cos"))
+  }
 }

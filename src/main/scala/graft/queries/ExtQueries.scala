@@ -2320,6 +2320,17 @@ object ExtQueries {
         (col("lang") === "en").as("y"))
       TextAnalysis.calibrationReport(scored, "p", "y", bins = 8)
         .orderBy(col("bin"))
+    },
+    "ds_embedding_drift" -> { (s, d) =>
+      // per-label centroid drift between the even/odd vec_id halves
+      // (two crawls of one distribution): exact quantized Long sums,
+      // IEEE-deterministic cosine rounded to 6
+      val e = emb(s, d)
+      Similarity.centroidDrift(
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          e.where(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding", "label", quant = 1000)
+        .orderBy(col("label"))
     }
   )
 
@@ -4798,6 +4809,39 @@ object ExtQueries {
            CAST(gap_ppm AS BIGINT) AS gap_ppm,
            CAST((SELECT wg FROM tot) // (SELECT nn FROM tot) AS BIGINT)
              AS ece_ppm
-         FROM r2 ORDER BY bin"""
+         FROM r2 ORDER BY bin""",
+    "ds_embedding_drift" ->
+      """WITH x1 AS (SELECT label AS g,
+             unnest(range(len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings WHERE vec_id % 2 = 0),
+         x2 AS (SELECT label AS g,
+             unnest(range(len(embedding))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings WHERE vec_id % 2 = 1),
+         s1 AS (SELECT g, dim,
+             CAST(sum(CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(count(*) AS BIGINT) AS n1
+           FROM x1 GROUP BY g, dim),
+         s2 AS (SELECT g, dim,
+             CAST(sum(CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS n2
+           FROM x2 GROUP BY g, dim),
+         j AS (SELECT COALESCE(s1.g, s2.g) AS g, s1.s1, s2.s2,
+               s1.n1, s2.n2
+           FROM s1 FULL OUTER JOIN s2
+             ON s1.g = s2.g AND s1.dim = s2.dim),
+         r AS (SELECT g, max(n1) AS n1, max(n2) AS n2,
+             CAST(sum(s1 * s2) AS BIGINT) AS dot,
+             CAST(sum(s1 * s1) AS BIGINT) AS q1,
+             CAST(sum(s2 * s2) AS BIGINT) AS q2
+           FROM j GROUP BY g)
+         SELECT g AS label, coalesce(n1, 0) AS n_v1,
+           coalesce(n2, 0) AS n_v2,
+           CASE WHEN q1 > 0 AND q2 > 0 THEN
+             round(dot / (sqrt(CAST(q1 AS DOUBLE)) *
+                          sqrt(CAST(q2 AS DOUBLE))), 6) END
+             AS centroid_cos
+         FROM r ORDER BY label"""
   )
 }

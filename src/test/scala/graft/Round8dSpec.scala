@@ -249,6 +249,29 @@ class Round8dSpec extends SparkSpecBase {
       r2(0).getAs[Long]("ece_ppm") == 937500L)
   }
 
+  test("centroidDrift: identical snapshots cos 1, orthogonal drift cos " +
+    "0, 45-degree drift exact, one-sided group null") {
+    import graft.ext.Similarity
+    def e(xs: Float*) = xs.toSeq
+    val v1 = Seq(
+      (0, e(1f, 0f, 0f, 0f)), (0, e(1f, 0f, 0f, 0f)),
+      (1, e(1f, 0f, 0f, 0f)),
+      (2, e(0f, 0f, 1f, 0f)),
+      (3, e(1f, 1f, 0f, 0f))).toDF("label", "embedding")
+    val v2 = Seq(
+      (0, e(1f, 0f, 0f, 0f)),
+      (1, e(0f, 1f, 0f, 0f)),
+      (3, e(1f, 0f, 0f, 0f))).toDF("label", "embedding")
+    val got = Similarity.centroidDrift(v1, v2, "embedding", "label")
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_v1"), r.getAs[Long]("n_v2"),
+          Option(r.getAs[java.lang.Double]("centroid_cos"))))).toMap
+    assert(got(0) == ((2L, 1L, Some(1.0))))   // same direction
+    assert(got(1) == ((1L, 1L, Some(0.0))))   // orthogonal drift
+    assert(got(2) == ((1L, 0L, None)))        // vanished group
+    assert(got(3) == ((1L, 1L, Some(0.707107)))) // 45 degrees, exact round
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
