@@ -1445,6 +1445,37 @@ object Pipeline {
           * 1e6).cast("long").as("lr_unats"))
   }
 
+  /** Preference-pair construction for DPO/reward-model training: given
+    * scored candidate responses grouped by prompt, emit one
+    * (group, chosen, rejected, margin) row per group — the best-scored
+    * candidate vs the worst — keeping only pairs whose score margin
+    * meets `minMargin` (a low-margin pair is label noise; the DPO loss
+    * gets nothing from "both mediocre"). Scores are integer (the ppm
+    * convention), so selection and margin are exact and engine-
+    * portable. Deterministic tie-breaks: chosen = highest score then
+    * LOWEST id; rejected = lowest score then HIGHEST id — an all-tied
+    * group still yields distinct ids (then margin 0, filtered unless
+    * minMargin == 0 is requested explicitly). Groups with a single
+    * candidate cannot form a pair and are dropped.
+    *
+    * Shape: ONE group-keyed partial-agg'd shuffle — both extremes come
+    * from min/max over the same (score, -id) struct, so the hot-prompt
+    * case (10⁶ candidates for one viral prompt) collapses map-side.
+    */
+  def preferencePairs(scored: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val st = struct(col(scoreCol).as("s"), (-col(idCol)).as("ni"))
+    scored.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"), max(st).as("hi"), min(st).as("lo"))
+      .where(col("n") >= 2)
+      .select(col("group"),
+        (-col("hi.ni")).cast("long").as("chosen"),
+        (-col("lo.ni")).cast("long").as("rejected"),
+        (col("hi.s") - col("lo.s")).cast("long").as("margin"))
+      .where(col("margin") >= minMargin)
+  }
+
   /** SCORE face of [[dsirWeights]]: weigh `docs` against a prefit
     * [[dsirFit]] table. The lr table BROADCASTS and the doc side is one
     * narrow explode + one groupBy(id). The model is fixed, so a

@@ -2331,6 +2331,17 @@ object ExtQueries {
           e.where(pmod(col("vec_id"), lit(2)) === 1),
           "embedding", "label", quant = 1000)
         .orderBy(col("label"))
+    },
+    "ds_dpo_pairs" -> { (s, d) =>
+      // DPO pair prep: docs as candidate responses to prompt doc_id % 40
+      // with an integer hash score; best-vs-worst with margin >= 100
+      val scored = docs(s, d).select(
+        pmod(col("doc_id"), lit(40L)).as("prompt"),
+        col("doc_id"),
+        pmod(col("doc_id") * 37 + 11, lit(1000L)).as("score"))
+      Pipeline.preferencePairs(scored, "prompt", "doc_id", "score",
+          minMargin = 100L)
+        .orderBy(col("group"))
     }
   )
 
@@ -4842,6 +4853,25 @@ object ExtQueries {
              round(dot / (sqrt(CAST(q1 AS DOUBLE)) *
                           sqrt(CAST(q2 AS DOUBLE))), 6) END
              AS centroid_cos
-         FROM r ORDER BY label"""
+         FROM r ORDER BY label""",
+    "ds_dpo_pairs" ->
+      """WITH sc AS (SELECT doc_id % 40 AS grp, doc_id,
+             (doc_id * 37 + 11) % 1000 AS score
+           FROM documents),
+         hi AS (SELECT grp, doc_id AS chosen, score AS shi,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY score DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM sc),
+         lo AS (SELECT grp, doc_id AS rejected, score AS slo,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY score ASC, doc_id DESC) AS rk
+           FROM sc)
+         SELECT hi.grp AS "group", CAST(hi.chosen AS BIGINT) AS chosen,
+           CAST(lo.rejected AS BIGINT) AS rejected,
+           CAST(hi.shi - lo.slo AS BIGINT) AS margin
+         FROM hi JOIN lo ON hi.grp = lo.grp AND lo.rk = 1
+         WHERE hi.rk = 1 AND hi.n >= 2 AND hi.shi - lo.slo >= 100
+         ORDER BY hi.grp"""
   )
 }

@@ -272,6 +272,34 @@ class Round8dSpec extends SparkSpecBase {
     assert(got(3) == ((1L, 1L, Some(0.707107)))) // 45 degrees, exact round
   }
 
+  test("preferencePairs: best-vs-worst with exact margins, tie-break " +
+    "determinism, low-margin and singleton groups dropped") {
+    import graft.ext.Pipeline
+    val scored = Seq(
+      (0L, 10L, 500L), (0L, 11L, 100L), (0L, 12L, 900L), // clear pair
+      (1L, 20L, 300L), (1L, 21L, 350L),                   // margin 50
+      (2L, 30L, 700L),                                    // singleton
+      (3L, 40L, 400L), (3L, 41L, 400L), (3L, 42L, 400L)   // all tied
+    ).toDF("prompt", "resp", "score")
+    val pairs = Pipeline.preferencePairs(scored, "prompt", "resp",
+        "score", minMargin = 100L).collect()
+      .map(r => r.getAs[Long]("group") ->
+        ((r.getAs[Long]("chosen"), r.getAs[Long]("rejected"),
+          r.getAs[Long]("margin")))).toMap
+    // group 0: 900 beats 100, margin 800
+    assert(pairs == Map(0L -> ((12L, 11L, 800L))), s"got $pairs")
+    // margin 0 pairs survive ONLY when explicitly requested, with
+    // deterministic distinct ids from an all-tied group
+    val zero = Pipeline.preferencePairs(scored, "prompt", "resp",
+        "score", minMargin = 0L).collect()
+      .map(r => r.getAs[Long]("group") ->
+        ((r.getAs[Long]("chosen"), r.getAs[Long]("rejected"),
+          r.getAs[Long]("margin")))).toMap
+    assert(zero(3L) == ((40L, 42L, 0L))) // min id chosen, max id rejected
+    assert(zero(1L) == ((21L, 20L, 50L)))
+    assert(!zero.contains(2L)) // singleton can never pair
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
