@@ -993,6 +993,33 @@ object TextAnalysis {
           lit(nDocs) * col("total")).as("vmr_ppm"))
   }
 
+  /** Flesch reading-ease readability, integer milli-points:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * the classic cheap syllable proxy — vowel-group runs
+    * ([aeiouyAEIOUY]+), the standard approximation when no
+    * pronunciation lexicon ships with the engine (stated bias: slightly
+    * undercounts hiatus, overcounts silent-e; consistent across a
+    * corpus, which is what a quality FILTER needs). Sentences count
+    * [.!?]+ runs floored at 1 (fragments are one sentence); empty texts
+    * (0 words) report null. Everything is regexp_count integers +
+    * exact floor division — a pure codegen'd map riding the scan, no
+    * shuffle, streaming-safe; the score itself can go negative on
+    * dense jargon (longs subtract, divisions stay non-negative).
+    */
+  def readability(textCol: Column): Column = {
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val words = regexp_count(textCol, lit("[^ ]+")).cast("long")
+    val sentences = greatest(
+      regexp_count(textCol, lit("[.!?]+")).cast("long"), lit(1L))
+    val syl = regexp_count(textCol, lit("[aeiouyAEIOUY]+")).cast("long")
+    val score = lit(206835L) - floorDivNN(lit(1015L) * words, sentences) -
+      floorDivNN(lit(84600L) * syl, words)
+    struct(words.as("words"), sentences.as("sentences"),
+      syl.as("syllables"),
+      when(words > 0, score).as("flesch_milli"))
+  }
+
   /** Classifier calibration report — the reliability diagram + expected
     * calibration error behind "can I trust this quality score as a
     * probability?", read before using a model score as a sampling weight

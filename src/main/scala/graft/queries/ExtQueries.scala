@@ -2342,6 +2342,17 @@ object ExtQueries {
       Pipeline.preferencePairs(scored, "prompt", "doc_id", "score",
           minMargin = 100L)
         .orderBy(col("group"))
+    },
+    "text_readability" -> { (s, d) =>
+      // Flesch reading ease (vowel-group syllable proxy) over text with
+      // planted sentence punctuation — exact integer milli-points
+      val t = concat(col("text"), lit(". Read twice! ok?"))
+      val r = TextAnalysis.readability(t)
+      docs(s, d).select(col("doc_id"), r.getField("words").as("words"),
+          r.getField("sentences").as("sentences"),
+          r.getField("syllables").as("syllables"),
+          r.getField("flesch_milli").as("flesch_milli"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4872,6 +4883,23 @@ object ExtQueries {
            CAST(hi.shi - lo.slo AS BIGINT) AS margin
          FROM hi JOIN lo ON hi.grp = lo.grp AND lo.rk = 1
          WHERE hi.rk = 1 AND hi.n >= 2 AND hi.shi - lo.slo >= 100
-         ORDER BY hi.grp"""
+         ORDER BY hi.grp""",
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id, text || '. Read twice! ok?' AS tx
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(tx, '[^ ]+')) AS BIGINT)
+               AS words,
+             greatest(CAST(len(regexp_extract_all(tx, '[.!?]+'))
+               AS BIGINT), 1) AS sentences,
+             CAST(len(regexp_extract_all(tx, '[aeiouyAEIOUY]+'))
+               AS BIGINT) AS syllables
+           FROM t)
+         SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words > 0 THEN CAST(206835
+             - (1015 * words) // sentences
+             - (84600 * syllables) // words AS BIGINT) END
+             AS flesch_milli
+         FROM c ORDER BY doc_id"""
   )
 }

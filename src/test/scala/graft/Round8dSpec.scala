@@ -300,6 +300,32 @@ class Round8dSpec extends SparkSpecBase {
     assert(!zero.contains(2L)) // singleton can never pair
   }
 
+  test("readability: hand-computed Flesch milli-points, sentence floor, " +
+    "empty text null, codegen'd no-shuffle map") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "the cat sat. the dog ran!"),  // 6 words, 2 sentences, 6 syl
+      (2L, "no punctuation here"),        // floor: 1 sentence
+      (3L, "")                            // empty -> null score
+    ).toDF("id", "text")
+    val r = TextAnalysis.readability(col("text"))
+    val got = df.select(col("id"), r.getField("words").as("w"),
+        r.getField("sentences").as("s"), r.getField("syllables").as("y"),
+        r.getField("flesch_milli").as("f")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), Option(x.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // doc 1: 206835 - 1015*6/2 - 84600*6/6 = 206835 - 3045 - 84600
+    assert(got(1L) == ((6L, 2L, 6L, Some(119190L))), s"doc1 ${got(1L)}")
+    // doc 2: words=3, sentences floored to 1, syllables: o,u,a,io,e,e -> 6
+    //   206835 - 3045 - 84600*6/3 = 34590
+    assert(got(2L) == ((3L, 1L, 6L, Some(34590L))), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((0L, 1L, 0L, None)))
+    // pure map: no Exchange in the plan
+    val plan = df.select(TextAnalysis.readability(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "readability must not shuffle")
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
