@@ -233,10 +233,24 @@ object Labels {
           Seq("player"))
         .select(col("player"),
           floorDivNN(col("wins") * R * R, col("dd")).as("pr"))
-      val tot = praw.agg(sum(col("pr")).as("tot"))
-      ranks = praw.crossJoin(broadcast(tot))
+      // normalizer as a GLOBAL window over praw: the frame is
+      // |players|-sized by contract (a preference program rates a small
+      // model/policy set), so the single-partition window is bounded —
+      // and it keeps each iteration to ONE job instead of a separate
+      // scalar-aggregate job plus a recompute of the same lineage.
+      //
+      // Each iteration SELF-joins ranks (pi ⋈ pj), so an unbarriered
+      // lineage would re-execute 2^iters times — and a persist() is the
+      // WRONG barrier: the data caches but Catalyst still re-analyzes
+      // the whole doubling logical tree per action (measured 10 s vs
+      // ~2 s at 64 players × 3 iterations). The eager localCheckpoint
+      // truncates the plan to a LogicalRDD per round (exact — lineage
+      // truncation cannot change integer arithmetic).
+      ranks = praw
         .select(col("player"),
-          floorDivNN(col("pr") * k * R, col("tot")).as("r"))
+          floorDivNN(col("pr") * k * R,
+            sum(col("pr")).over(Window.partitionBy())).as("r"))
+        .localCheckpoint(true)
       it += 1
     }
     wins.join(nComps, Seq("player"))

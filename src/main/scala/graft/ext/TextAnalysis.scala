@@ -993,6 +993,45 @@ object TextAnalysis {
           lit(nDocs) * col("total")).as("vmr_ppm"))
   }
 
+  /** Distinct-n generation diversity (Li et al. 2016): per group, the
+    * ratio of distinct to total word n-grams in integer ppm — THE
+    * standard scalar for "is the model (or corpus slice) collapsing
+    * onto boilerplate?": near 10⁶ = every n-gram fresh; low = heavy
+    * repetition. Reads on model-response pools per prompt (diversity
+    * eval), corpus slices per source (template detection), and synthetic
+    * data per generator (mode-collapse alarm). N-grams are WITHIN-text
+    * (no cross-document grams; a text shorter than n contributes
+    * nothing).
+    *
+    * Shape: one token-volume explode into (group, gram) with a
+    * partial-agg'd count — repeated grams collapse map-side, which is
+    * exactly the skew case (a collapsed pool repeats few grams) — then
+    * one group-keyed reduce. Exact integers throughout.
+    */
+  def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
+                     n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val toks = split(col(textCol), " ")
+    // guard short texts explicitly: Spark's sequence(0, -1) would emit a
+    // DESCENDING [0, -1], not an empty list
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams =
+      if (n == 1) explode(filter(toks, x => x =!= "")).as("gram")
+      else explode(transform(idx,
+        i => array_join(slice(toks, i + 1, lit(n)), " "))).as("gram")
+    val gc = df.select(col(groupCol).as("g"), grams)
+      .where(col("gram") =!= "")
+      .groupBy(col("g"), col("gram")).agg(count(lit(1)).as("c"))
+    gc.groupBy(col("g"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct"))
+      .select(col("g").as(groupCol), col("total"), col("distinct"),
+        floorDivNN(col("distinct") * 1000000L, col("total"))
+          .as("distinct_ppm"))
+  }
+
   /** Flesch reading-ease readability, integer milli-points:
     * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
     * the classic cheap syllable proxy — vowel-group runs

@@ -2353,6 +2353,11 @@ object ExtQueries {
           r.getField("syllables").as("syllables"),
           r.getField("flesch_milli").as("flesch_milli"))
         .orderBy(col("doc_id"))
+    },
+    "text_distinct_ngrams" -> { (s, d) =>
+      // Distinct-2 diversity per language — the mode-collapse scalar
+      TextAnalysis.distinctNgrams(docs(s, d), "text", "lang", n = 2)
+        .orderBy(col("lang"))
     }
   )
 
@@ -4746,9 +4751,8 @@ object ExtQueries {
            pr$t AS (SELECT w.player,
                (w.wins * 1000000 * 1000000) // d.dd AS pr
              FROM wins w JOIN d$t d USING (player)),
-           tot$t AS (SELECT sum(pr) AS s FROM pr$t),
            r$t AS (SELECT player,
-               pr * (SELECT k FROM kk) * 1000000 // (SELECT s FROM tot$t)
+               pr * (SELECT k FROM kk) * 1000000 // (sum(pr) OVER ())
                  AS r
              FROM pr$t)""")
       }
@@ -4900,6 +4904,19 @@ object ExtQueries {
              - (1015 * words) // sentences
              - (84600 * syllables) // words AS BIGINT) END
              AS flesch_milli
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "text_distinct_ngrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks
+           FROM documents),
+         g AS (SELECT lang, unnest(list_transform(
+             range(0, len(toks) - 1),
+             i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS gram
+           FROM t),
+         c AS (SELECT lang, gram, count(*) AS c FROM g
+           WHERE gram <> '' GROUP BY lang, gram)
+         SELECT lang, CAST(sum(c) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS "distinct",
+           CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS distinct_ppm
+         FROM c GROUP BY lang ORDER BY lang"""
   )
 }

@@ -326,6 +326,29 @@ class Round8dSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), "readability must not shuffle")
   }
 
+  test("distinctNgrams: exact ratios for collapsed vs fresh pools, " +
+    "short-text guard, unigram face") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      ("collapsed", "a b a b a b"),  // bigrams: ab,ba,ab,ba,ab -> 2/5
+      ("fresh", "u v w x"),          // uv,vw,wx -> 3/3
+      ("short", "solo"),             // no bigram -> absent from output
+      ("short", "x")
+    ).toDF("src", "text")
+    val bi = TextAnalysis.distinctNgrams(df, "text", "src", n = 2)
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("total"), r.getAs[Long]("distinct"),
+          r.getAs[Long]("distinct_ppm")))).toMap
+    assert(bi("collapsed") == ((5L, 2L, 400000L)), s"${bi("collapsed")}")
+    assert(bi("fresh") == ((3L, 3L, 1000000L)))
+    assert(!bi.contains("short"), "texts shorter than n must not emit")
+    val uni = TextAnalysis.distinctNgrams(df, "text", "src", n = 1)
+      .collect().map(r => r.getAs[String]("src") ->
+        r.getAs[Long]("distinct_ppm")).toMap
+    assert(uni("collapsed") == 333333L) // a,b over 6 tokens
+    assert(uni("short") == 1000000L)    // solo, x both fresh
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
