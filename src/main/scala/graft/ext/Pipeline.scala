@@ -1445,6 +1445,80 @@ object Pipeline {
           * 1e6).cast("long").as("lr_unats"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean metric — the
+    * distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams"): classic resampling needs n draws per
+    * replicate from a global ordering, but for large n the multinomial
+    * resample count per item converges to Poisson(1), which is
+    * PER-ITEM INDEPENDENT — so every item mints its own weight for
+    * every replicate from a portable hash, one pass, no global state.
+    * The error bar an eval report needs before "model A beats model B
+    * by 0.4 points" means anything.
+    *
+    * Deterministic and engine-portable: weights come from the 60-bit
+    * md5-derived hash of (id, replicate, salt) mod 10⁶ against the
+    * fixed integer Poisson(1) CDF grid (367879, 735759, …, capped at
+    * 8); replicate means are exact Long sums with floor division;
+    * CI bounds are rank statistics over the B replicate means (indices
+    * ⌊B·25/1000⌋ and ⌊B·975/1000⌋, 0-based) — no interpolation, no
+    * doubles anywhere. Returns ONE row: (n_items, point_micro,
+    * ci_lo_micro, ci_hi_micro, n_replicates) where *_micro = mean·10⁶
+    * in the metric's own units (a 0/1 indicator reads as ppm).
+    *
+    * Shape: ONE pass over n×B exploded rows into a B-keyed partial
+    * agg (B is the knob that prices the error bar; weights ≤ 8 keep
+    * Σw·v within Long for |v| ≤ ~10⁸ at a billion rows), then rank
+    * statistics over the B-row frame (bounded — global window is
+    * fine). Streaming-safe per micro-batch inside foreachBatch.
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, metricCol: String,
+                  b: Int = 64, salt: String = ""): DataFrame = {
+    require(b >= 4, s"need b >= 4 replicates, got $b")
+    def floorDivNN(a: Column, bb: Column): Column =
+      ((a - pmod(a, bb)) / bb).cast("long")
+    // negative metrics are legal (a margin, a log-ratio): truncate
+    // toward zero like DuckDB's `//`, never pmod-floor
+    def truncDiv(a: Column, bb: Column): Column =
+      when(a >= 0, floorDivNN(a, bb)).otherwise(-floorDivNN(-a, bb))
+    // Poisson(1) CDF · 1e6, floored — the fixed grid both engines share
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L, 999990L)
+    val rep = df.select(col(idCol).cast("string").as("id"),
+        col(metricCol).cast("long").as("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val h = pmod(portableHash60(concat(col("id"), lit(":"),
+      col("rep").cast("string"), lit(s":bs:$salt"))), lit(1000000L))
+    val w = cdf.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), acc) => when(h < t, k.toLong).otherwise(acc)
+    }
+    val means = rep.select(col("rep"), (w * col("v")).as("wv"), w.as("w"))
+      .groupBy(col("rep"))
+      .agg(sum(col("wv")).as("swv"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0) // an all-zero replicate (P ~ e^-n) drops
+      .select(col("rep"),
+        truncDiv(col("swv") * 1000000L, col("sw")).as("m"))
+    // rank statistics over the B-row replicate frame (bounded by
+    // contract — the global window is over n_replicates rows, never n)
+    val ranked = means.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy(col("m"), col("rep"))))
+    val loIdx = (b * 25) / 1000 + 1  // 1-based row_number
+    val hiIdx = (b * 975) / 1000 + 1
+    val bounds = ranked
+      .agg(max(when(col("rk") === math.min(loIdx, b), col("m")))
+             .as("ci_lo_micro"),
+           max(when(col("rk") === math.min(hiIdx, b), col("m")))
+             .as("ci_hi_micro"),
+           count(lit(1)).as("n_replicates"))
+    val point = df.agg(count(lit(1)).as("n_items"),
+      sum(col(metricCol).cast("long")).as("sv"))
+      .select(col("n_items"),
+        truncDiv(col("sv") * 1000000L, col("n_items")).as("point_micro"))
+    point.crossJoin(broadcast(bounds))
+      .select(col("n_items"), col("point_micro"), col("ci_lo_micro"),
+        col("ci_hi_micro"), col("n_replicates"))
+  }
+
   /** Preference-pair construction for DPO/reward-model training: given
     * scored candidate responses grouped by prompt, emit one
     * (group, chosen, rejected, margin) row per group — the best-scored

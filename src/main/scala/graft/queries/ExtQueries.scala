@@ -2358,6 +2358,14 @@ object ExtQueries {
       // Distinct-2 diversity per language — the mode-collapse scalar
       TextAnalysis.distinctNgrams(docs(s, d), "text", "lang", n = 2)
         .orderBy(col("lang"))
+    },
+    "ds_bootstrap_ci" -> { (s, d) =>
+      // Poisson-bootstrap 95% CI for the corpus English share — exact
+      // hash-drawn Poisson(1) weights, rank-statistic bounds, 64 reps
+      Pipeline.bootstrapCi(
+        docs(s, d).select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "doc_id", "is_en", b = 64)
     }
   )
 
@@ -4917,6 +4925,40 @@ object ExtQueries {
          SELECT lang, CAST(sum(c) AS BIGINT) AS total,
            CAST(count(*) AS BIGINT) AS "distinct",
            CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS distinct_ppm
-         FROM c GROUP BY lang ORDER BY lang"""
+         FROM c GROUP BY lang ORDER BY lang""",
+    "ds_bootstrap_ci" ->
+      """WITH base AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v
+           FROM documents),
+         e AS (SELECT doc_id, v, r.rep FROM base, range(64) r(rep)),
+         hw AS (SELECT v,
+             CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+                  WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+                  WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+                  WHEN h < 999917 THEN 6 WHEN h < 999990 THEN 7
+                  ELSE 8 END AS w, rep
+           FROM (SELECT v, rep,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(rep AS VARCHAR) || ':bs:'), 1, 15) AS BIGINT)
+                 % 1000000 AS h
+             FROM e)),
+         m AS (SELECT rep, (sum(w * v) * 1000000) // sum(w) AS m
+           FROM hw GROUP BY rep HAVING sum(w) > 0),
+         rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rk
+           FROM m),
+         bounds AS (SELECT
+             CAST(max(CASE WHEN rk = 2 THEN m END) AS BIGINT)
+               AS ci_lo_micro,
+             CAST(max(CASE WHEN rk = 63 THEN m END) AS BIGINT)
+               AS ci_hi_micro,
+             CAST(count(*) AS BIGINT) AS n_replicates
+           FROM rk),
+         pt AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST((sum(v) * 1000000) // count(*) AS BIGINT)
+               AS point_micro
+           FROM base)
+         SELECT pt.n_items, pt.point_micro, bounds.ci_lo_micro,
+           bounds.ci_hi_micro, bounds.n_replicates
+         FROM pt, bounds"""
   )
 }

@@ -349,6 +349,39 @@ class Round8dSpec extends SparkSpecBase {
     assert(uni("short") == 1000000L)    // solo, x both fresh
   }
 
+  test("bootstrapCi: CI brackets the point, width shrinks ~1/sqrt(n), " +
+    "constant metric collapses to zero width, bit-identical reruns") {
+    import graft.ext.Pipeline
+    def mk(n: Long) = spark.range(n).select(col("id"),
+      (pmod(col("id") * 131 + 7, lit(100L)) < 30).cast("long").as("v"))
+    val r1 = Pipeline.bootstrapCi(mk(400), "id", "v", b = 64).collect()(0)
+    val (p1, lo1, hi1) = (r1.getAs[Long]("point_micro"),
+      r1.getAs[Long]("ci_lo_micro"), r1.getAs[Long]("ci_hi_micro"))
+    assert(r1.getAs[Long]("n_items") == 400L &&
+      r1.getAs[Long]("n_replicates") == 64L)
+    assert(lo1 <= p1 && p1 <= hi1, s"CI [$lo1,$hi1] misses point $p1")
+    assert(p1 == 300000L) // the planted 30% rate is exact mod 100
+    val r2 = Pipeline.bootstrapCi(mk(6400), "id", "v", b = 64).collect()(0)
+    val w1 = (hi1 - lo1).toDouble
+    val w2 = (r2.getAs[Long]("ci_hi_micro") -
+      r2.getAs[Long]("ci_lo_micro")).toDouble
+    // 16x the data -> ~4x narrower; allow generous slack for the
+    // 64-replicate quantile noise
+    assert(w2 < w1 / 2 && w2 > w1 / 10,
+      s"width did not shrink ~1/sqrt(n): $w1 -> $w2")
+    // constant metric: every resampled mean is the constant
+    val const = spark.range(100).select(col("id"), lit(7L).as("v"))
+    val rc = Pipeline.bootstrapCi(const, "id", "v", b = 16).collect()(0)
+    assert(rc.getAs[Long]("point_micro") == 7000000L &&
+      rc.getAs[Long]("ci_lo_micro") == 7000000L &&
+      rc.getAs[Long]("ci_hi_micro") == 7000000L)
+    // deterministic: hash-drawn weights, rank-statistic bounds
+    val again = Pipeline.bootstrapCi(mk(400), "id", "v", b = 64)
+      .collect()(0)
+    assert(again.getAs[Long]("ci_lo_micro") == lo1 &&
+      again.getAs[Long]("ci_hi_micro") == hi1)
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
