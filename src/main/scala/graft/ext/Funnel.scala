@@ -246,6 +246,70 @@ object Funnel {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] chain — where
+    * the user population settles if the observed per-state transition
+    * behavior holds: the long-run occupancy readout behind "what share
+    * of sessions end up browsing vs purchasing", and the base-rate
+    * denominator anomaly detection on journey mixes wants. `iters`
+    * rounds of power iteration in exact Long ppm (the Graph.pageRank
+    * contract — the gate oracle replays every round in DuckDB):
+    * π'(to) = Σ_from π(from)·n(from,to) // tot(from), renormalized to
+    * mean R per round so floor-division mass leakage can't compound.
+    * States with no outgoing transitions simply forward no mass (the
+    * dangling-node simplification PageRank documents).
+    *
+    * Shape: ONE event-volume window scan builds the (from, to, n)
+    * counts (shared with [[transitionMatrix]]'s plan shape); every
+    * iteration then runs over the state-cardinality-sized matrix —
+    * joins and windows over a handful of rows, never the event volume.
+    * π joins once per round (no self-join), so lineage grows linearly
+    * and needs no checkpoint at realistic iteration counts.
+    */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+                             typeCol: String, tsCol: String,
+                             tieCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val R = 1000000L
+    def floorDivNN(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = graft.ext.OpCaches.register(events
+      .select(col(typeCol).as("f"),
+        lead(col(typeCol), 1).over(w).as("t"))
+      .where(col("t").isNotNull)
+      .groupBy(col("f"), col("t"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .persist())
+    val totals = pairs.groupBy(col("f"))
+      .agg(sum(col("n")).as("tot"))
+    val m = graft.ext.OpCaches.register(
+      pairs.join(totals, Seq("f")).persist())
+    val states = graft.ext.OpCaches.register(
+      pairs.select(col("f").as("state"))
+        .union(pairs.select(col("t").as("state"))).distinct()
+        .persist())
+    val k = states.count() // state alphabet — tiny by construction
+    var pi = states.withColumn("pi", lit(R))
+    var it = 0
+    while (it < iters) {
+      val contrib = m
+        .join(pi.select(col("state").as("f"), col("pi")), Seq("f"))
+        .select(col("t").as("state"),
+          floorDivNN(col("pi") * col("n"), col("tot")).as("c"))
+        .groupBy(col("state")).agg(sum(col("c")).as("mass"))
+      pi = states.join(contrib, Seq("state"), "left")
+        .select(col("state"), coalesce(col("mass"), lit(0L)).as("mass"))
+        .select(col("state"),
+          floorDivNN(col("mass") * k * R,
+            sum(col("mass")).over(Window.partitionBy())).as("pi"))
+      it += 1
+    }
+    pi.select(col("state").as(typeCol), col("pi").as("pi_ppm"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
                        bucketSeconds: Long = 86400L,
                        offsets: Seq[Int] = Seq(1, 7)): DataFrame = {

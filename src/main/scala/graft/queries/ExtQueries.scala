@@ -2366,6 +2366,14 @@ object ExtQueries {
         docs(s, d).select(col("doc_id"),
           (col("lang") === "en").cast("long").as("is_en")),
         "doc_id", "is_en", b = 64)
+    },
+    "ev_stationary" -> { (s, d) =>
+      // long-run state occupancy of the event-type Markov chain —
+      // 3 power-iteration rounds in exact ppm, oracle replays all
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.stationaryDistribution(ev, "user_id", "event_type", "ts",
+          "event_id", iters = 3)
+        .orderBy(col("event_type"))
     }
   )
 
@@ -4959,6 +4967,42 @@ object ExtQueries {
            FROM base)
          SELECT pt.n_items, pt.point_micro, bounds.ci_lo_micro,
            bounds.ci_hi_micro, bounds.n_replicates
-         FROM pt, bounds"""
+         FROM pt, bounds""",
+    "ev_stationary" -> {
+      // replay all 3 power-iteration rounds in exact BIGINT ppm (the
+      // graph_pagerank / ds_bradley_terry unrolled-CTE pattern)
+      val iters = 3
+      val sb = new StringBuilder(
+        """WITH pr AS (SELECT event_type AS f,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+             FROM events),
+           c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
+             WHERE t IS NOT NULL GROUP BY f, t),
+           tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM c
+             GROUP BY f),
+           m AS (SELECT c.f, c.t, c.n, tot.tot FROM c JOIN tot USING (f)),
+           states AS (SELECT f AS state FROM c UNION SELECT t FROM c),
+           kk AS (SELECT count(*) AS k FROM states),
+           p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi
+             FROM states)""")
+      for (i <- 1 to iters) {
+        val p = i - 1
+        sb.append(s""",
+           c$i AS (SELECT m.t AS state,
+               CAST(sum(p.pi * m.n // m.tot) AS BIGINT) AS mass
+             FROM m JOIN p$p p ON p.state = m.f GROUP BY m.t),
+           n$i AS (SELECT s.state, COALESCE(c$i.mass, 0) AS mass
+             FROM states s LEFT JOIN c$i USING (state)),
+           p$i AS (SELECT state,
+               CAST(mass * (SELECT k FROM kk) * 1000000
+                    // (sum(mass) OVER ()) AS BIGINT) AS pi
+             FROM n$i)""")
+      }
+      sb.append(s"""
+         SELECT state AS event_type, pi AS pi_ppm FROM p$iters
+         ORDER BY event_type""")
+      sb.toString
+    }
   )
 }

@@ -382,6 +382,31 @@ class Round8dSpec extends SparkSpecBase {
       again.getAs[Long]("ci_hi_micro") == hi1)
   }
 
+  test("stationaryDistribution: symmetric 2-cycle stays uniform, " +
+    "absorbing state takes all mass, exact ppm") {
+    import graft.ext.Funnel
+    import java.sql.Timestamp
+    def ev(u: Long, seq: String*) = seq.zipWithIndex.map { case (t, i) =>
+      (u, new Timestamp(1000L * i), t, i.toLong)
+    }
+    // a<->b forever: from-a all mass to b and vice versa -> uniform
+    val cyc = ev(1L, "a", "b", "a", "b", "a", "b")
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val pc = Funnel.stationaryDistribution(cyc, "user_id", "event_type",
+        "ts", "event_id", iters = 3).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("pi_ppm"))
+      .toMap
+    assert(pc == Map("a" -> 1000000L, "b" -> 1000000L), s"cycle: $pc")
+    // x -> y once, then y self-loops: y absorbs everything
+    val abs = ev(2L, "x", "y", "y", "y", "y", "y")
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val pa = Funnel.stationaryDistribution(abs, "user_id", "event_type",
+        "ts", "event_id", iters = 3).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("pi_ppm"))
+      .toMap
+    assert(pa == Map("x" -> 0L, "y" -> 2000000L), s"absorbing: $pa")
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
