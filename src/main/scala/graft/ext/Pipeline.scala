@@ -1519,6 +1519,93 @@ object Pipeline {
         col("ci_hi_micro"), col("n_replicates"))
   }
 
+  /** Winsorized mean per group — the robust central-tendency statistic
+    * for heavy-tailed quality features (doc length, link counts, token
+    * budgets), where a handful of mega-documents drag the plain mean:
+    * values clip at the group's exact [loQ, hiQ] percentiles, then the
+    * clipped mean reports in exact micro-units (clipped values quantize
+    * to milli first — percentile interpolation on integer inputs is
+    * exact binary arithmetic (the text_len_quantiles precedent), and
+    * round(x·1000) of such values is engine-portable — so the mean is
+    * Long sums + floor division, no order-dependent double
+    * accumulation). Returns (group, n, lo, hi, wins_mean_micro).
+    *
+    * Shape: one exact-percentile aggregation (group-keyed) + one clip
+    * pass with the tiny bounds table broadcast back. Two scans of the
+    * input by design; at streaming/100 TB scale substitute the KLL
+    * sketch face (`ds_kll_by_lang`) for the bounds pass.
+    */
+  def winsorizedMean(df: DataFrame, valueCol: String, groupCol: String,
+                     loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1, got [$loQ, $hiQ]")
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val bounds = df.groupBy(col(groupCol).as("g"))
+      .agg(percentile(col(valueCol), lit(loQ)).as("lo"),
+           percentile(col(valueCol), lit(hiQ)).as("hi"))
+    df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .join(broadcast(bounds), Seq("g"))
+      .select(col("g"), col("lo"), col("hi"),
+        round(least(greatest(col("v"), col("lo")), col("hi")) * 1000)
+          .cast("long").as("cm"))
+      .groupBy(col("g"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"), sum(col("cm")).as("scm"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        floorDivNN(col("scm") * 1000L, col("n")).as("wins_mean_micro"))
+  }
+
+  /** Pearson chi-square homogeneity test over a two-way categorical
+    * contingency table — the single-number companion to the per-bucket
+    * PSI report: "did the language mix change between snapshot v1 and
+    * v2" with a test statistic a significance table can price. Exact
+    * integer milli-units: per cell, (O·N − rT·cT)²·1000 // (N·rT·cT)
+    * — identical in any engine; the statistic is a sum of exact Longs
+    * (no double accumulation across cells). Returns one row
+    * (n, n_rows, n_cols, dof, chi2_milli).
+    *
+    * Bounds: exact while |O·N − rT·cT|²·1000 fits a Long — cell counts
+    * to ~2·10⁶ at table totals to ~10⁶-scale. Beyond that, χ² is
+    * scale-linear: divide all counts by a common factor first (the
+    * statistic of the scaled table times the factor bounds the
+    * original), or test on a deterministic hash sample.
+    *
+    * Shape: ONE (row, col) count aggregation over the input volume;
+    * everything after runs on the category-cardinality table.
+    */
+  def chiSquareHomogeneity(df: DataFrame, rowCol: String,
+                           colCol: String): DataFrame = {
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val cells = OpCaches.register(df
+      .groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rt = cells.groupBy(col("r")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("r")).as("n_rows"),
+      count_distinct(col("c")).as("n_cols"))
+    // the FULL r×c grid: an unobserved cell (O = 0) still contributes
+    // E = rT·cT/N to the statistic — dropping it understates χ²; the
+    // grid is category-cardinality-sized, so the cross join is tiny
+    rt.crossJoin(ct)
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        floorDivNN(
+          (col("o") * col("n") - col("rt") * col("ct")) *
+          (col("o") * col("n") - col("rt") * col("ct")) * 1000L,
+          col("n") * col("rt") * col("ct")).as("term"))
+      .groupBy(col("n"), col("n_rows"), col("n_cols"))
+      .agg(sum(col("term")).as("chi2_milli"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("chi2_milli"))
+  }
+
   /** Preference-pair construction for DPO/reward-model training: given
     * scored candidate responses grouped by prompt, emit one
     * (group, chosen, rejected, margin) row per group — the best-scored

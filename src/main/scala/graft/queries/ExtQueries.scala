@@ -2374,6 +2374,20 @@ object ExtQueries {
       Funnel.stationaryDistribution(ev, "user_id", "event_type", "ts",
           "event_id", iters = 3)
         .orderBy(col("event_type"))
+    },
+    "ds_winsorized_mean" -> { (s, d) =>
+      // robust per-language doc-length statistic: clip at exact
+      // [p05, p95], mean in exact micro-units
+      Pipeline.winsorizedMean(docs(s, d), "n_chars", "lang")
+        .orderBy(col("lang"))
+    },
+    "ds_chi_square" -> { (s, d) =>
+      // lang-mix homogeneity between the even/odd doc_id halves —
+      // the single-statistic companion to the PSI report
+      Pipeline.chiSquareHomogeneity(
+        docs(s, d).select(pmod(col("doc_id"), lit(2L)).as("version"),
+          col("lang")),
+        "version", "lang")
     }
   )
 
@@ -5003,6 +5017,48 @@ object ExtQueries {
          SELECT state AS event_type, pi AS pi_ppm FROM p$iters
          ORDER BY event_type""")
       sb.toString
-    }
+    },
+    "ds_winsorized_mean" ->
+      """WITH b AS (SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+           FROM documents GROUP BY lang),
+         c AS (SELECT d.lang, b.lo, b.hi,
+             CAST(round(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo),
+               b.hi) * 1000) AS BIGINT) AS cm
+           FROM documents d JOIN b USING (lang))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           round(lo, 6) AS lo, round(hi, 6) AS hi,
+           CAST((sum(cm) * 1000) // count(*) AS BIGINT)
+             AS wins_mean_micro
+         FROM c GROUP BY lang, lo, hi ORDER BY lang""",
+    "ds_chi_square" ->
+      """WITH base AS (SELECT doc_id % 2 AS r, lang AS c FROM documents),
+         cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base
+           GROUP BY r, c),
+         rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells
+           GROUP BY r),
+         ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells
+           GROUP BY c),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+           FROM cells),
+         grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct,
+             COALESCE(cells.o, 0) AS o
+           FROM rt CROSS JOIN ct
+           LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+         terms AS (SELECT
+             ((o * (SELECT n FROM tot) - rt * ct)
+              * (o * (SELECT n FROM tot) - rt * ct) * 1000)
+             // ((SELECT n FROM tot) * rt * ct) AS term
+           FROM grid)
+         SELECT (SELECT n FROM tot) AS n,
+           (SELECT n_rows FROM tot) AS n_rows,
+           (SELECT n_cols FROM tot) AS n_cols,
+           CAST(((SELECT n_rows FROM tot) - 1)
+             * ((SELECT n_cols FROM tot) - 1) AS BIGINT) AS dof,
+           CAST(sum(term) AS BIGINT) AS chi2_milli
+         FROM terms"""
   )
 }

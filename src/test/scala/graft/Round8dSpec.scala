@@ -407,6 +407,42 @@ class Round8dSpec extends SparkSpecBase {
     assert(pa == Map("x" -> 0L, "y" -> 2000000L), s"absorbing: $pa")
   }
 
+  test("winsorizedMean: exact clipped mean with an outlier, exact " +
+    "percentile bounds") {
+    import graft.ext.Pipeline
+    val df = ((1 to 9).map(v => ("g", v.toLong)) :+ (("g", 1000L)))
+      .toDF("grp", "v")
+    val r = Pipeline.winsorizedMean(df, "v", "grp").collect()(0)
+    // sorted [1..9, 1000]: p05 = 1 + 0.45·1 = 1.45,
+    // p95 = 9 + 0.55·991 = 554.05; clipped sum = 1.45 + (2..9) + 554.05
+    // = 599.5 -> mean 59.95 exactly in micro-units
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("lo") == 1.45 && r.getAs[Double]("hi") == 554.05)
+    assert(r.getAs[Long]("wins_mean_micro") == 59950000L)
+    // plain mean is 104.5 — the winsorized statistic resists the tail
+    assert(r.getAs[Long]("wins_mean_micro") < 104500000L)
+  }
+
+  test("chiSquareHomogeneity: identical mixes score exactly 0, " +
+    "perfect separation scores N, zero cells counted") {
+    import graft.ext.Pipeline
+    val same = (0 until 10).flatMap(i =>
+      Seq((0L, "en"), (0L, "zh"), (1L, "en"), (1L, "zh")))
+      .toDF("version", "lang")
+    val r0 = Pipeline.chiSquareHomogeneity(same, "version", "lang")
+      .collect()(0)
+    assert(r0.getAs[Long]("chi2_milli") == 0L &&
+      r0.getAs[Long]("dof") == 1L)
+    // perfect separation in a 2x2 of 20: chi2 = N = 20.000 exactly,
+    // with HALF the statistic coming from the two ZERO cells
+    val sep = ((0 until 10).map(_ => (0L, "en")) ++
+      (0 until 10).map(_ => (1L, "zh"))).toDF("version", "lang")
+    val r1 = Pipeline.chiSquareHomogeneity(sep, "version", "lang")
+      .collect()(0)
+    assert(r1.getAs[Long]("chi2_milli") == 20000L, s"got $r1")
+    assert(r1.getAs[Long]("n") == 20L && r1.getAs[Long]("dof") == 1L)
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
