@@ -1519,6 +1519,49 @@ object Pipeline {
         col("ci_hi_micro"), col("n_replicates"))
   }
 
+  /** Kendall rank correlation (τ-a) between two numeric columns — the
+    * eval-ops agreement scalar: does the expensive ranking (human
+    * preference, BT strength) order items the same way as the cheap one
+    * (win rate, classifier score)? τ-a = (C − D) / (n(n−1)/2) in exact
+    * integer ppm with truncating division (τ is signed — DuckDB `//`
+    * match); pairs tied on EITHER column count as neither concordant
+    * nor discordant (the τ-a convention; the difference from τ-b is the
+    * denominator only, documented rather than hidden behind a sqrt of
+    * doubles).
+    *
+    * Shape: an id-ordered pair self-join — O(n²) pairs BY DESIGN, for
+    * rank LISTS (models, systems, sources: n in the hundreds), not item
+    * corpora; the contract bound is the same as [[Labels.bradleyTerry]]'s
+    * player dimension. Returns one row
+    * (n, n_pairs, concordant, discordant, tau_ppm).
+    */
+  def kendallTau(df: DataFrame, idCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def truncDiv(a: Column, b: Column): Column =
+      when(a >= 0, floorDivNN(a, b)).otherwise(-floorDivNN(-a, b))
+    val base = OpCaches.register(df.select(col(idCol).as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = base.select(col("id").as("ia"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = base.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"))
+    val sgn = (signum(col("xa") - col("xb")) *
+      signum(col("ya") - col("yb"))).cast("long")
+    a.join(b, col("ia") < col("ib"))
+      .select(sgn.as("s"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("discordant"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+      .select(col("n"), col("n_pairs"), col("concordant"),
+        col("discordant"),
+        truncDiv((col("concordant") - col("discordant")) * 1000000L,
+          col("n_pairs")).as("tau_ppm"))
+  }
+
   /** Winsorized mean per group — the robust central-tendency statistic
     * for heavy-tailed quality features (doc length, link counts, token
     * budgets), where a handful of mega-documents drag the plain mean:

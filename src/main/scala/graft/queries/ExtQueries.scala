@@ -2388,6 +2388,15 @@ object ExtQueries {
         docs(s, d).select(pmod(col("doc_id"), lit(2L)).as("version"),
           col("lang")),
         "version", "lang")
+    },
+    "ds_rank_correlation" -> { (s, d) =>
+      // Kendall tau-a between doc length and a hash score over a
+      // 64-item rank list — exact signed ppm
+      Pipeline.kendallTau(
+        docs(s, d).where(col("doc_id") < 64)
+          .select(col("doc_id"), col("n_chars"),
+            pmod(col("doc_id") * 37 + 11, lit(1000L)).as("score")),
+        "doc_id", "n_chars", "score")
     }
   )
 
@@ -5059,6 +5068,24 @@ object ExtQueries {
            CAST(((SELECT n_rows FROM tot) - 1)
              * ((SELECT n_cols FROM tot) - 1) AS BIGINT) AS dof,
            CAST(sum(term) AS BIGINT) AS chi2_milli
-         FROM terms"""
+         FROM terms""",
+    "ds_rank_correlation" ->
+      """WITH base AS (SELECT doc_id AS id, n_chars AS x,
+             (doc_id * 37 + 11) % 1000 AS y
+           FROM documents WHERE doc_id < 64),
+         p AS (SELECT CAST(sign(a.x - b.x) * sign(a.y - b.y) AS BIGINT)
+               AS s
+           FROM base a JOIN base b ON a.id < b.id),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant
+           FROM p),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+         SELECT nn.n, agg.n_pairs, agg.concordant, agg.discordant,
+           CAST((agg.concordant - agg.discordant) * 1000000
+                // agg.n_pairs AS BIGINT) AS tau_ppm
+         FROM agg, nn"""
   )
 }

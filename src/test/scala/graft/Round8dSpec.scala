@@ -443,6 +443,38 @@ class Round8dSpec extends SparkSpecBase {
     assert(r1.getAs[Long]("n") == 20L && r1.getAs[Long]("dof") == 1L)
   }
 
+  test("kendallTau: exact +/-1e6 extremes, ties count as neither, and " +
+    "BT strengths agree with the planted ordering") {
+    import graft.ext.Pipeline
+    val up = (1L to 10L).map(i => (i, i, i * 7)).toDF("id", "x", "y")
+    assert(Pipeline.kendallTau(up, "id", "x", "y").collect()(0)
+      .getAs[Long]("tau_ppm") == 1000000L)
+    val down = (1L to 10L).map(i => (i, i, -i)).toDF("id", "x", "y")
+    assert(Pipeline.kendallTau(down, "id", "x", "y").collect()(0)
+      .getAs[Long]("tau_ppm") == -1000000L)
+    // tie on x in pair (1,2): 0 of 3 pairs discordant, 2 concordant
+    val tied = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 3L))
+      .toDF("id", "x", "y")
+    val t = Pipeline.kendallTau(tied, "id", "x", "y").collect()(0)
+    assert(t.getAs[Long]("n_pairs") == 3L &&
+      t.getAs[Long]("concordant") == 2L &&
+      t.getAs[Long]("discordant") == 0L &&
+      t.getAs[Long]("tau_ppm") == 666666L)
+    // the fitted BT strengths must rank-agree with the planted truth
+    val comps = (0L until 2000L).flatMap { tt =>
+      val i = tt % 64; val j = (tt * 7 + 13) % 64
+      if (i == j) None
+      else Some(if ((tt * 31 + 7) % (i + j + 2) < i + 1) (i, j)
+                else (j, i))
+    }.toDF("winner", "loser")
+    val bt = Labels.bradleyTerry(comps, iters = 3)
+      .select(col("player"), col("rank_ppm"),
+        (col("player") + 1).as("strength"))
+    val tau = Pipeline.kendallTau(bt, "player", "rank_ppm", "strength")
+      .collect()(0).getAs[Long]("tau_ppm")
+    assert(tau > 500000L, s"BT-vs-planted tau $tau too low")
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
