@@ -1519,6 +1519,62 @@ object Pipeline {
         col("ci_hi_micro"), col("n_replicates"))
   }
 
+  /** Per-group face of [[bootstrapCi]] — one CI row per group in the
+    * same single pass (the per-group KMV/KLL face convention): the
+    * eval-report shape "accuracy per language, WITH error bars", where
+    * a 400-item slice's ±5% band and a 40k-item slice's ±0.5% band
+    * must not be read as the same confidence. Identical arithmetic to
+    * the global face; replicate means key on (group, rep) and the rank
+    * statistics run per group over B-row partitions (bounded windows).
+    * A tiny group can lose replicates to all-zero weights (P ≈ e^-n);
+    * the rank indices stay pinned to the nominal `b`, so such a group
+    * honestly reports a null bound rather than a narrower fake CI.
+    */
+  def bootstrapCiByGroup(df: DataFrame, groupCol: String, idCol: String,
+                         metricCol: String, b: Int = 64,
+                         salt: String = ""): DataFrame = {
+    require(b >= 4, s"need b >= 4 replicates, got $b")
+    def floorDivNN(a: Column, bb: Column): Column =
+      ((a - pmod(a, bb)) / bb).cast("long")
+    def truncDiv(a: Column, bb: Column): Column =
+      when(a >= 0, floorDivNN(a, bb)).otherwise(-floorDivNN(-a, bb))
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
+      999917L, 999990L)
+    val rep = df.select(col(groupCol).as("g"),
+        col(idCol).cast("string").as("id"),
+        col(metricCol).cast("long").as("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val h = pmod(portableHash60(concat(col("id"), lit(":"),
+      col("rep").cast("string"), lit(s":bs:$salt"))), lit(1000000L))
+    val w = cdf.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), acc) => when(h < t, k.toLong).otherwise(acc)
+    }
+    val means = rep.select(col("g"), col("rep"), (w * col("v")).as("wv"),
+        w.as("w"))
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("wv")).as("swv"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("g"), col("rep"),
+        truncDiv(col("swv") * 1000000L, col("sw")).as("m"))
+    val ranked = means.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("m"), col("rep"))))
+    val loIdx = math.min((b * 25) / 1000 + 1, b)
+    val hiIdx = math.min((b * 975) / 1000 + 1, b)
+    val bounds = ranked.groupBy(col("g"))
+      .agg(max(when(col("rk") === loIdx, col("m"))).as("ci_lo_micro"),
+           max(when(col("rk") === hiIdx, col("m"))).as("ci_hi_micro"),
+           count(lit(1)).as("n_replicates"))
+    val point = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col(metricCol).cast("long")).as("sv"))
+      .select(col("g"), col("n_items"),
+        truncDiv(col("sv") * 1000000L, col("n_items")).as("point_micro"))
+    point.join(bounds, Seq("g"))
+      .select(col("g").as(groupCol), col("n_items"), col("point_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"), col("n_replicates"))
+  }
+
   /** Kendall rank correlation (τ-a) between two numeric columns — the
     * eval-ops agreement scalar: does the expensive ranking (human
     * preference, BT strength) order items the same way as the cheap one

@@ -953,6 +953,41 @@ object TextAnalysis {
           col("n") * col("sxx") - col("sx") * col("sx")).as("slope_ppm"))
   }
 
+  /** Per-language Gini coefficient of the word-frequency distribution —
+    * the inequality scalar that pairs with [[zipfSlope]]: how
+    * concentrated is the token mass on few types? ~0.4-0.7 is natural
+    * text; → 1 means a handful of types own the corpus (template spam),
+    * → 0 means near-uniform usage (synthetic/shuffled text). Exact
+    * integer ppm via the rank formula over counts sorted ascending
+    * (ties broken by word — total order):
+    * G = (2·Σ rank·c − (n+1)·Σc) / (n·Σc). The rank window partitions
+    * per language over the lang×vocabulary count table, never the token
+    * volume (the zipfSlope shape).
+    */
+  def giniConcentration(df: DataFrame, textCol: String,
+                        langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val counts = df
+      .select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("c").asc, col("w").asc)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("rk") * col("c")).as("rc"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        floorDivNN(
+          (lit(2L) * col("rc") - (col("n_types") + 1) * col("n_tokens")) *
+            1000000L,
+          col("n_types") * col("n_tokens")).as("gini_ppm"))
+  }
+
   /** Per-term burstiness over the corpus's top-N terms: the
     * variance-to-mean ratio (index of dispersion) of the term's per-
     * document counts, zeros included — VMR ≈ 1 is Poisson scatter

@@ -2397,6 +2397,17 @@ object ExtQueries {
           .select(col("doc_id"), col("n_chars"),
             pmod(col("doc_id") * 37 + 11, lit(1000L)).as("score")),
         "doc_id", "n_chars", "score")
+    },
+    "ds_bootstrap_ci_lang" -> { (s, d) =>
+      // per-language doc-length CI in one pass — error bars per slice
+      Pipeline.bootstrapCiByGroup(docs(s, d), "lang", "doc_id",
+          "n_chars", b = 64)
+        .orderBy(col("lang"))
+    },
+    "text_gini" -> { (s, d) =>
+      // word-frequency concentration per language, exact ppm
+      TextAnalysis.giniConcentration(docs(s, d), "text", "lang")
+        .orderBy(col("lang"))
     }
   )
 
@@ -5086,6 +5097,55 @@ object ExtQueries {
          SELECT nn.n, agg.n_pairs, agg.concordant, agg.discordant,
            CAST((agg.concordant - agg.discordant) * 1000000
                 // agg.n_pairs AS BIGINT) AS tau_ppm
-         FROM agg, nn"""
+         FROM agg, nn""",
+    "ds_bootstrap_ci_lang" ->
+      """WITH base AS (SELECT lang, doc_id, n_chars AS v FROM documents),
+         e AS (SELECT lang, doc_id, v, r.rep FROM base, range(64) r(rep)),
+         hw AS (SELECT lang, v,
+             CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+                  WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+                  WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+                  WHEN h < 999917 THEN 6 WHEN h < 999990 THEN 7
+                  ELSE 8 END AS w, rep
+           FROM (SELECT lang, v, rep,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(rep AS VARCHAR) || ':bs:'), 1, 15) AS BIGINT)
+                 % 1000000 AS h
+             FROM e)),
+         m AS (SELECT lang, rep,
+             (sum(w * v) * 1000000) // sum(w) AS m
+           FROM hw GROUP BY lang, rep HAVING sum(w) > 0),
+         rk AS (SELECT lang, m, row_number() OVER (PARTITION BY lang
+             ORDER BY m, rep) AS rk FROM m),
+         bounds AS (SELECT lang,
+             CAST(max(CASE WHEN rk = 2 THEN m END) AS BIGINT)
+               AS ci_lo_micro,
+             CAST(max(CASE WHEN rk = 63 THEN m END) AS BIGINT)
+               AS ci_hi_micro,
+             CAST(count(*) AS BIGINT) AS n_replicates
+           FROM rk GROUP BY lang),
+         pt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+             CAST((sum(v) * 1000000) // count(*) AS BIGINT)
+               AS point_micro
+           FROM base GROUP BY lang)
+         SELECT pt.lang, pt.n_items, pt.point_micro, bounds.ci_lo_micro,
+           bounds.ci_hi_micro, bounds.n_replicates
+         FROM pt JOIN bounds USING (lang) ORDER BY pt.lang""",
+    "text_gini" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(
+             string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+         c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM t
+           GROUP BY lang, w),
+         r AS (SELECT lang, c, CAST(row_number() OVER (
+             PARTITION BY lang ORDER BY c ASC, w ASC) AS BIGINT) AS rk
+           FROM c)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((2 * CAST(sum(rk * c) AS BIGINT)
+                 - (count(*) + 1) * CAST(sum(c) AS BIGINT)) * 1000000
+                // (count(*) * CAST(sum(c) AS BIGINT)) AS BIGINT)
+             AS gini_ppm
+         FROM r GROUP BY lang ORDER BY lang"""
   )
 }

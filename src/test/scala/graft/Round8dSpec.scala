@@ -475,6 +475,50 @@ class Round8dSpec extends SparkSpecBase {
     assert(tau > 500000L, s"BT-vs-planted tau $tau too low")
   }
 
+  test("giniConcentration: uniform usage scores exactly 0, planted " +
+    "concentration scores the exact rank-formula value") {
+    import graft.ext.TextAnalysis
+    val uniform = "a b c d e a b c d e" // every type count 2
+    val conc = (Seq.fill(99)("top") ++
+      (1 to 9).map(i => s"w$i")).mkString(" ")
+    val df = Seq(("u", uniform), ("k", conc)).toDF("lang", "text")
+    val g = TextAnalysis.giniConcentration(df, "text", "lang")
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("gini_ppm")))).toMap
+    assert(g("u") == ((5L, 10L, 0L)))
+    // counts asc [1×9, 99]: G = (2·1035 − 11·108)/(10·108) = 882/1080
+    assert(g("k") == ((10L, 108L, 816666L)), s"got ${g("k")}")
+  }
+
+  test("bootstrapCiByGroup: single-group face equals the global face; " +
+    "smaller slices carry wider bands") {
+    import graft.ext.Pipeline
+    val df = spark.range(800).select(col("id"),
+      when(col("id") < 160, "small").otherwise("big").as("grp"),
+      (pmod(col("id") * 131 + 7, lit(100L)) < 30).cast("long").as("v"))
+    val byG = Pipeline.bootstrapCiByGroup(df, "grp", "id", "v", b = 64)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("point_micro"),
+          r.getAs[Long]("ci_lo_micro"), r.getAs[Long]("ci_hi_micro"))))
+      .toMap
+    val (nS, pS, loS, hiS) = byG("small")
+    val (nB, pB, loB, hiB) = byG("big")
+    assert(nS == 160L && nB == 640L)
+    assert(loS <= pS && pS <= hiS && loB <= pB && pB <= hiB)
+    assert(hiS - loS > hiB - loB,
+      s"small slice band ${hiS - loS} not wider than big ${hiB - loB}")
+    // a constant-group input reproduces the global face bit for bit
+    // (same ids -> same hash-drawn weights -> same replicate means)
+    val one = df.withColumn("grp", lit("all"))
+    val g1 = Pipeline.bootstrapCiByGroup(one, "grp", "id", "v", b = 64)
+      .collect()(0)
+    val g0 = Pipeline.bootstrapCi(df, "id", "v", b = 64).collect()(0)
+    assert(g1.getAs[Long]("point_micro") == g0.getAs[Long]("point_micro"))
+    assert(g1.getAs[Long]("ci_lo_micro") == g0.getAs[Long]("ci_lo_micro"))
+    assert(g1.getAs[Long]("ci_hi_micro") == g0.getAs[Long]("ci_hi_micro"))
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
