@@ -165,6 +165,66 @@ object Labels {
             lit(R) - col("pe_ppm"))))
   }
 
+  /** Krippendorff's alpha (nominal) — the corpus-level reliability
+    * statistic for a whole labeling program: unlike per-annotator kappa
+    * (vs a consensus), alpha reads ALL pairable annotations at once and
+    * tolerates missing data (items annotated by any subset of ≥ 2
+    * annotators enter; singletons drop). The go/no-go number before
+    * trusting a label set at all: ≥ 0.8 publishable, ≤ 0.67 suspect
+    * (Krippendorff 2004).
+    *
+    *   Do = (1/N)·Σ_i [ordered disagreeing pairs within item i]/(n_i−1)
+    *   De = (N² − Σ_c N_c²)/(N(N−1)),  α = 1 − Do/De
+    *
+    * Exact-integer evaluation order (engine-mirrored): the per-item
+    * 1/(n_i−1) weight is evaluated as a MILLI-scaled floor per item —
+    * a documented ≤ 0.001 absolute bias (zero when n_i−1 divides the
+    * pair count, e.g. any balanced design), identical in both engines;
+    * everything after is Long sums, floor division, and one signed
+    * truncating division (α < 0 = systematic disagreement is
+    * representable). De = 0 (every annotation one class) reports α = R
+    * when Do = 0 and null otherwise — the undefined case stays visible
+    * instead of faking a number.
+    *
+    * Shape: one (item, label) count shuffle + one item-keyed reduce
+    * (both partial-agg'd) + label-marginal aggregates over the
+    * class-cardinality table. Returns ONE row:
+    * (n_items_paired, n_annotations, do_ppm, de_ppm, alpha_ppm).
+    */
+  def krippendorffAlpha(ann: DataFrame, itemCol: String = "item",
+                        annotatorCol: String = "annotator",
+                        labelCol: String = "label"): DataFrame = {
+    val nic = ann.groupBy(col(itemCol).as("item"),
+        col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nic"))
+    val perItem = nic.groupBy(col("item"))
+      .agg(sum(col("nic")).as("ni"),
+        sum(col("nic") * (col("nic") - 1)).as("agreePairs"))
+      .where(col("ni") >= 2)
+    val items = OpCaches.register(perItem
+      .select(col("item"), col("ni"),
+        floorDivNN(
+          (col("ni") * (col("ni") - 1) - col("agreePairs")) * 1000L,
+          col("ni") - 1).as("doMilli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val labelTot = nic.join(items.select(col("item")), Seq("item"))
+      .groupBy(col("label")).agg(sum(col("nic")).as("nc"))
+    val tot = items.agg(count(lit(1)).as("n_items_paired"),
+      sum(col("ni")).as("nn"), sum(col("doMilli")).as("doSum"))
+    val de = labelTot.agg(sum(col("nc") * col("nc")).as("sq"))
+    tot.crossJoin(broadcast(de))
+      .select(col("n_items_paired"), col("nn").as("n_annotations"),
+        floorDivNN(col("doSum") * 1000000L, col("nn") * 1000L)
+          .as("do_ppm"),
+        floorDivNN((col("nn") * col("nn") - col("sq")) * 1000000L,
+          col("nn") * (col("nn") - 1)).as("de_ppm"))
+      .withColumn("alpha_ppm",
+        when(col("de_ppm") === 0,
+          when(col("do_ppm") === 0, lit(R)).otherwise(lit(null)))
+        .otherwise(truncDiv((col("de_ppm") - col("do_ppm")) * 1000000L,
+          col("de_ppm"))))
+  }
+
   /** Bradley-Terry preference strengths via `iters` rounds of Hunter's
     * MM update, in exact Long ppm:
     *

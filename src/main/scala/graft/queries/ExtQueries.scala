@@ -2408,6 +2408,14 @@ object ExtQueries {
       // word-frequency concentration per language, exact ppm
       TextAnalysis.giniConcentration(docs(s, d), "text", "lang")
         .orderBy(col("lang"))
+    },
+    "ds_krippendorff" -> { (s, d) =>
+      // corpus-level reliability over the noisy-annotation fixture with
+      // 10% hash-dropped annotations (varying n_i exercises the
+      // per-item pairable weighting)
+      graft.ext.Labels.krippendorffAlpha(
+        annFixture(s, d).where(
+          pmod(col("item") * 7 + col("annotator") * 13, lit(10L)) =!= 0))
     }
   )
 
@@ -5146,6 +5154,37 @@ object ExtQueries {
                  - (count(*) + 1) * CAST(sum(c) AS BIGINT)) * 1000000
                 // (count(*) * CAST(sum(c) AS BIGINT)) AS BIGINT)
              AS gini_ppm
-         FROM r GROUP BY lang ORDER BY lang"""
+         FROM r GROUP BY lang ORDER BY lang""",
+    "ds_krippendorff" ->
+      s"""WITH $annSql,
+         ann2 AS (SELECT * FROM ann
+           WHERE (item * 7 + annotator * 13) % 10 <> 0),
+         nic AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nic
+           FROM ann2 GROUP BY item, label),
+         pi AS (SELECT item, CAST(sum(nic) AS BIGINT) AS ni,
+             CAST(sum(nic * (nic - 1)) AS BIGINT) AS ap
+           FROM nic GROUP BY item HAVING sum(nic) >= 2),
+         it AS (SELECT item, ni,
+             ((ni * (ni - 1) - ap) * 1000) // (ni - 1) AS dom
+           FROM pi),
+         lt AS (SELECT label, CAST(sum(nic) AS BIGINT) AS nc
+           FROM nic JOIN it USING (item) GROUP BY label),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nip,
+             CAST(sum(ni) AS BIGINT) AS nn,
+             CAST(sum(dom) AS BIGINT) AS dos FROM it),
+         de AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sq FROM lt),
+         r AS (SELECT tot.nip, tot.nn,
+             CAST((tot.dos * 1000000) // (tot.nn * 1000) AS BIGINT)
+               AS do_ppm,
+             CAST(((tot.nn * tot.nn - de.sq) * 1000000)
+                  // (tot.nn * (tot.nn - 1)) AS BIGINT) AS de_ppm
+           FROM tot, de)
+         SELECT nip AS n_items_paired, nn AS n_annotations, do_ppm,
+           de_ppm,
+           CAST(CASE WHEN de_ppm = 0 THEN
+               (CASE WHEN do_ppm = 0 THEN 1000000 END)
+             ELSE ((de_ppm - do_ppm) * 1000000) // de_ppm END AS BIGINT)
+             AS alpha_ppm
+         FROM r"""
   )
 }

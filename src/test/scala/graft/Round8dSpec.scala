@@ -519,6 +519,39 @@ class Round8dSpec extends SparkSpecBase {
     assert(g1.getAs[Long]("ci_hi_micro") == g0.getAs[Long]("ci_hi_micro"))
   }
 
+  test("krippendorffAlpha: perfect agreement 1e6, systematic " +
+    "disagreement deeply negative, degenerate De visible, singletons " +
+    "dropped") {
+    // perfect: 3 annotators agree on every item (labels vary by item)
+    val perfect = (0L until 30L).flatMap(i =>
+      (0L until 3L).map(a => (i, a, i % 4))).toDF("item", "annotator",
+      "label")
+    val p = Labels.krippendorffAlpha(perfect).collect()(0)
+    assert(p.getAs[Long]("do_ppm") == 0L &&
+      p.getAs[Long]("alpha_ppm") == 1000000L)
+    // systematic disagreement: two annotators always differ on a
+    // balanced 2-class design -> Do = 1 exactly, alpha deeply negative
+    val anti = (0L until 20L).flatMap(i =>
+      Seq((i, 0L, i % 2), (i, 1L, (i + 1) % 2))).toDF("item",
+      "annotator", "label")
+    val a = Labels.krippendorffAlpha(anti).collect()(0)
+    assert(a.getAs[Long]("do_ppm") == 1000000L)
+    assert(a.getAs[Long]("alpha_ppm") < -900000L,
+      s"alpha ${a.getAs[Long]("alpha_ppm")} not deeply negative")
+    // degenerate: one class everywhere -> De = 0, Do = 0 -> alpha = 1e6
+    val const = (0L until 10L).flatMap(i =>
+      Seq((i, 0L, 1L), (i, 1L, 1L))).toDF("item", "annotator", "label")
+    val c = Labels.krippendorffAlpha(const).collect()(0)
+    assert(c.getAs[Long]("de_ppm") == 0L &&
+      c.getAs[Long]("alpha_ppm") == 1000000L)
+    // singleton items cannot pair and drop from the statistic
+    val withSingleton = perfect.unionByName(
+      Seq((999L, 0L, 2L)).toDF("item", "annotator", "label"))
+    val s = Labels.krippendorffAlpha(withSingleton).collect()(0)
+    assert(s.getAs[Long]("n_items_paired") == 30L &&
+      s.getAs[Long]("n_annotations") == 90L)
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
