@@ -552,6 +552,54 @@ class Round8dSpec extends SparkSpecBase {
       s.getAs[Long]("n_annotations") == 90L)
   }
 
+  test("calibrationStream: cumulative per-bin cells converge to the " +
+    "batch face across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.TextAnalysis
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Double, Boolean)]
+      val out = TextAnalysis.calibrationStream(
+        ms.toDF().toDF("p", "y"), "p", "y", bins = 4)
+      val q = out.writeStream.format("memory").queryName("cal_stream")
+        .outputMode("update").start()
+      try {
+        val b1 = Seq((0.1, true), (0.1, false), (0.6, true))
+        val b2 = Seq((0.1, true), (0.9, false))
+        ms.addData(b1: _*)
+        q.processAllAvailable()
+        ms.addData(b2: _*)
+        q.processAllAvailable()
+        // latest changelog row per bin vs the batch face on all rows
+        val latest = spark.table("cal_stream").collect()
+          .groupBy(_.getLong(0))
+          .map { case (bin, rows) => bin -> rows.maxBy(_.getLong(1)) }
+        val batch = TextAnalysis.calibrationReport(
+            (b1 ++ b2).toDF("p", "y"), "p", "y", bins = 4)
+          .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+        assert(latest.keySet == batch.keySet)
+        batch.foreach { case (bin, br) =>
+          val sr = latest(bin)
+          assert(sr.getLong(1) == br.getAs[Long]("n") &&
+            sr.getLong(2) == br.getAs[Long]("n_pos") &&
+            sr.getLong(3) == br.getAs[Long]("conf_ppm") &&
+            sr.getLong(4) == br.getAs[Long]("acc_ppm") &&
+            sr.getLong(5) == br.getAs[Long]("gap_ppm"),
+            s"bin $bin stream $sr != batch $br")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
