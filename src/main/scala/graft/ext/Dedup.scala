@@ -484,6 +484,72 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs (Broder 1997's other
+    * resemblance measure): |A∩B| / |A| ≥ threshold flags doc A as
+    * (near-)INCLUDED in doc B — the quote-inclusion / partial-copy
+    * detector symmetric Jaccard structurally misses (a 20-word excerpt
+    * inside a 500-word article has Jaccard ≈ 0.04 but containment ≈ 1).
+    * The score is exact integer ppm (intersection COUNT from the
+    * codegen'd sorted-merge kernel, floor-divided by |A|) — no double
+    * reconstruction from a ratio.
+    *
+    * Candidates: A-side prefix filter (a pair at containment t must
+    * share one of A's first ⌊n·(1−t)⌋+1 sorted shingles) joined against
+    * the FULL posting list of the container side, whose hot shingles
+    * are df-capped — the [[minhashPairs]] recall trade, documented: a
+    * contained doc whose entire prefix is df-hot can be missed at tight
+    * caps; gates run with the cap off (exact-recall mode) and
+    * production picks the cap. A cheap size prefilter (|B| ≥ t·|A|)
+    * runs before the kernel.
+    *
+    * Returns (id_a = contained, id_b = container, inter, n_a,
+    * containment_ppm) for ORDERED pairs, both directions when both
+    * clear the threshold (mutual containment = exact duplicate).
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, maxDf: Long = 50,
+                       threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val tPpm = math.round(threshold * 1000000)
+    val sh = OpCaches.register(docs.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k)
+        .as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val prefixLen =
+      (floor(size(col("sh")).cast("double") * (1 - threshold)) + 1)
+        .cast("int")
+    val pref = sh.select(col("id").as("id_a"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+    val full = sh.select(col("id").as("id_b"),
+      explode(col("sh")).as("shingle"))
+    val capped =
+      if (maxDf == Long.MaxValue) full
+      else full.join(
+        full.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDf).select(col("shingle")),
+        Seq("shingle"))
+    val cand = pref.join(capped, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .where(size(col("sh_b")).cast("long") * 1000000L >=
+             size(col("sh_a")).cast("long") * tPpm)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.sorted_intersect_count(
+          col("sh_a"), col("sh_b")).as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"))
+      .withColumn("containment_ppm",
+        floorDivNN(col("inter") * 1000000L, col("n_a")))
+      .where(col("containment_ppm") >= tPpm)
+  }
+
   /** Connected components over near-dup pairs — the clustering step a real
     * dedup pipeline runs between pair detection and survivor selection:
     * near-duplication chains (A~B, B~C with A≁C), and keeping one doc per

@@ -2416,6 +2416,19 @@ object ExtQueries {
       graft.ext.Labels.krippendorffAlpha(
         annFixture(s, d).where(
           pmod(col("item") * 7 + col("annotator") * 13, lit(10L)) =!= 0))
+    },
+    "dedup_containment" -> { (s, d) =>
+      // planted partial-copy corpus: 200 originals + their 20-word
+      // prefixes (id+10000) — asymmetric containment catches the
+      // inclusion Jaccard misses; exact-recall mode (cap off), the
+      // production face keeps the df cap
+      val base = docs(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val prefixes = base.select((col("doc_id") + 10000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      Dedup.containmentPairs(base.unionByName(prefixes), "text",
+          "doc_id", k = 3, maxDf = Long.MaxValue, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -5185,6 +5198,34 @@ object ExtQueries {
                (CASE WHEN do_ppm = 0 THEN 1000000 END)
              ELSE ((de_ppm - do_ppm) * 1000000) // de_ppm END AS BIGINT)
              AS alpha_ppm
-         FROM r"""
+         FROM r""",
+    "dedup_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE doc_id < 200),
+         pref AS (SELECT doc_id + 10000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:20], ' ') AS text
+           FROM base),
+         u AS (SELECT doc_id, text FROM base
+               UNION ALL SELECT doc_id, text FROM pref),
+         t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM u),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(toks) < 3
+                  THEN [coalesce(array_to_string(toks, ' '), '')]
+                  ELSE list_distinct(list_transform(range(len(toks) - 2),
+                         i -> toks[i+1] || ' ' || toks[i+2] || ' '
+                              || toks[i+3])) END AS sh
+           FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           CAST(len(a.sh) AS BIGINT) AS n_a,
+           CAST((len(list_intersect(a.sh, b.sh)) * 1000000)
+                // len(a.sh) AS BIGINT) AS containment_ppm
+         FROM sh a, sh b
+         WHERE a.doc_id <> b.doc_id
+           AND (len(list_intersect(a.sh, b.sh)) * 1000000) // len(a.sh)
+               >= 800000
+         ORDER BY id_a, id_b"""
   )
 }

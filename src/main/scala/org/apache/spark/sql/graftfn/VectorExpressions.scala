@@ -1279,6 +1279,60 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact intersection COUNT of two sorted distinct Long arrays — the
+  * [[SortedJaccard]] merge walk without the union division, returned as
+  * a Long so asymmetric set scores (Broder containment |A∩B|/|A|,
+  * overlap coefficient) stay in exact integer arithmetic downstream
+  * instead of reconstructing the count from a double ratio.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+        ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $inter++; $i++; $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Byte-pair encoding against a fixed ranked merge table (see
   * [[Kernels.bpeEncode]]): `merges` in priority order, earlier = merged
   * first, exactly the merges.txt convention (space-separated pair per
@@ -1726,6 +1780,13 @@ object VectorFunctions {
     */
   def sorted_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Exact intersection count over sorted distinct long arrays (see
+    * [[SortedIntersectCount]]).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Greedy MMR selection over a collected shortlist (see [[MmrSelect]]). */

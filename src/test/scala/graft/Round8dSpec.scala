@@ -600,6 +600,38 @@ class Round8dSpec extends SparkSpecBase {
     }
   }
 
+  test("containmentPairs: asymmetric inclusion found where Jaccard " +
+    "misses, mutual containment for exact dups, df-cap recall trade") {
+    import graft.ext.Dedup
+    val excerpt = (1 to 22).map(i => s"tok$i").mkString(" ")
+    val article = ((1 to 22) ++ (100 to 199)).map(i => s"tok$i")
+      .mkString(" ")
+    val other = (300 to 340).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, article), (3L, other),
+      (4L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id",
+        maxDf = Long.MaxValue, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+        -> r.getAs[Long]("containment_ppm")).toMap
+    // excerpt ⊂ article: all 20 of its 3-gram shingles appear -> 1e6;
+    // the reverse direction is 20/120 and must NOT appear
+    assert(pairs((1L, 2L)) == 1000000L)
+    assert(!pairs.contains((2L, 1L)))
+    // symmetric Jaccard on the same pair is 20/120 — far below 0.8:
+    // this inclusion is invisible to ngramJaccardPairs by construction
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      threshold = 0.8).where(
+        (col("id_a") === 1 && col("id_b") === 2) ||
+        (col("id_a") === 2 && col("id_b") === 1)).count() == 0)
+    // exact duplicates contain each other
+    assert(pairs((3L, 4L)) == 1000000L && pairs((4L, 3L)) == 1000000L)
+    // df-cap recall trade: ALL of doc 1's shingles are shared with doc
+    // 2 (df = 2 everywhere) — a cap of 1 starves the candidate join
+    val capped = Dedup.containmentPairs(docs, "text", "doc_id",
+        maxDf = 1, threshold = 0.8).collect()
+    assert(capped.isEmpty, "df cap 1 must drop all shared-shingle pairs")
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
