@@ -310,6 +310,51 @@ object Funnel {
     pi.select(col("state").as(typeCol), col("pi").as("pi_ppm"))
   }
 
+  /** Conversion-latency distribution — how long the journey from the
+    * FIRST `fromType` event to the FIRST `toType` event at-or-after it
+    * takes, per user, summarized as exact quantiles: the "median time
+    * from signup to first purchase" product readout that [[windowFunnel]]
+    * (did they convert within a window?) and [[sessionStats]] (how long
+    * are visits?) don't answer. Users whose only conversions precede
+    * their first exposure don't count as converted — causality is the
+    * point of the metric.
+    *
+    * Shape: one user-keyed min-aggregate for exposure times, one
+    * filtered user-keyed min for the first at-or-after conversion (the
+    * exposure table re-enters as a join, both sides user-partitioned),
+    * then ONE exact-percentile aggregate over the per-user latency
+    * microseconds (the text_len_quantiles engine-match precedent).
+    * Returns one row: (n_exposed, n_converted, p50_us, p90_us).
+    */
+  def conversionLatency(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, fromType: String,
+                        toType: String): DataFrame = {
+    // NTZ-tolerant exact epoch MICROSECONDS (fixture timestamps carry
+    // sub-second precision; whole-second truncation would diverge from
+    // the oracle's epoch_us)
+    val sec = unix_micros(col(tsCol).cast("timestamp"))
+    val exposed = graft.ext.OpCaches.register(events
+      .where(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(sec).as("t0"))
+      .persist())
+    val converted = events
+      .where(col(typeCol) === toType)
+      .select(col(userCol).as("user"), sec.as("t1"))
+      .join(exposed, Seq("user"))
+      .where(col("t1") >= col("t0"))
+      .groupBy(col("user"), col("t0")) // t0 is constant per user
+      .agg(min(col("t1")).as("t1min"))
+      .select((col("t1min") - col("t0")).as("latency_us"))
+    val nExp = exposed.agg(count(lit(1)).as("n_exposed"))
+    converted.agg(count(lit(1)).as("n_converted"),
+        percentile(col("latency_us"), lit(0.5)).as("p50_us"),
+        percentile(col("latency_us"), lit(0.9)).as("p90_us"))
+      .crossJoin(broadcast(nExp))
+      .select(col("n_exposed"), col("n_converted"), col("p50_us"),
+        col("p90_us"))
+  }
+
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
                        bucketSeconds: Long = 86400L,
                        offsets: Seq[Int] = Seq(1, 7)): DataFrame = {

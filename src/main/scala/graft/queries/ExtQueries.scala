@@ -2429,6 +2429,13 @@ object ExtQueries {
       Dedup.containmentPairs(base.unionByName(prefixes), "text",
           "doc_id", k = 3, maxDf = Long.MaxValue, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    "ev_conversion_latency" -> { (s, d) =>
+      // median/p90 time from first view to first purchase at-or-after
+      // it — exact percentiles over per-user latencies
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.conversionLatency(ev, "user_id", "ts", "event_type",
+        "view", "purchase")
     }
   )
 
@@ -5226,6 +5233,20 @@ object ExtQueries {
          WHERE a.doc_id <> b.doc_id
            AND (len(list_intersect(a.sh, b.sh)) * 1000000) // len(a.sh)
                >= 800000
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "ev_conversion_latency" ->
+      """WITH ex AS (SELECT user_id AS u, min(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         cv AS (SELECT e.user_id AS u, ex.t0,
+             min(epoch_us(e.ts)) AS t1min
+           FROM events e JOIN ex ON ex.u = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= ex.t0
+           GROUP BY e.user_id, ex.t0),
+         lat AS (SELECT t1min - t0 AS latency_us FROM cv)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exposed,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(latency_us, 0.5) AS p50_us,
+           quantile_cont(latency_us, 0.9) AS p90_us
+         FROM lat"""
   )
 }

@@ -632,6 +632,28 @@ class Round8dSpec extends SparkSpecBase {
     assert(capped.isEmpty, "df cap 1 must drop all shared-shingle pairs")
   }
 
+  test("conversionLatency: first-exposure-to-first-conversion exact; " +
+    "pre-exposure conversions and unexposed users excluded") {
+    import graft.ext.Funnel
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(50), "view"), (1L, t(100), "purchase"),
+      (1L, t(500), "purchase"),               // first conversion wins
+      (2L, t(10), "purchase"), (2L, t(20), "view"), // pre-exposure only
+      (3L, t(0), "view"),                      // never converts
+      (4L, t(5), "purchase"),                  // never exposed
+      (5L, t(100), "view"), (5L, t(100), "purchase") // zero latency
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.conversionLatency(ev, "user_id", "ts", "event_type",
+      "view", "purchase").collect()(0)
+    assert(r.getAs[Long]("n_exposed") == 4L)   // users 1, 2, 3, 5
+    assert(r.getAs[Long]("n_converted") == 2L) // users 1 and 5
+    // latencies {0, 100e6} us: p50 interpolates to the midpoint
+    assert(r.getAs[Double]("p50_us") == 50000000.0)
+    assert(r.getAs[Double]("p90_us") == 90000000.0)
+  }
+
   test("majorityVoteStream: cross-batch tallies converge to the batch " +
     "face (a late relabel flips the consensus)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
