@@ -518,8 +518,16 @@ object Dedup {
       graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k)
         .as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+    // Tight prefix bound in EXACT integer arithmetic (ADVICE r8): a pair
+    // at containment ≥ t must share one of A's first n − ⌈t·n⌉ + 1 sorted
+    // shingles. The former floor(n·(1−t))+1 form lost one slot whenever
+    // n·(1−t) was integral (IEEE 1−0.8 = 0.19999…), silently dropping
+    // exactly-at-threshold pairs whose shared shingle was A's smallest —
+    // even in exact-recall (cap-off) mode. ⌈n·tPpm/1e6⌉ via the same ppm
+    // integer base the final filter uses.
+    val nSh = size(col("sh")).cast("long")
     val prefixLen =
-      (floor(size(col("sh")).cast("double") * (1 - threshold)) + 1)
+      (nSh - floorDivNN(nSh * tPpm + lit(999999L), lit(1000000L)) + 1)
         .cast("int")
     val pref = sh.select(col("id").as("id_a"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))

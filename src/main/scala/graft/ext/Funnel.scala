@@ -300,11 +300,19 @@ object Funnel {
         .select(col("t").as("state"),
           floorDivNN(col("pi") * col("n"), col("tot")).as("c"))
         .groupBy(col("state")).agg(sum(col("c")).as("mass"))
+      // Zero-mass guard (ADVICE r8): when every unit of π sits in
+      // absorbing states (no outgoing transitions — terminal funnel
+      // chains), the round's total forwarded mass is 0 and the
+      // renormalizing floor-division would null π for every state.
+      // Redistribute uniformly instead (π = R each, the initial state) —
+      // the chain has converged to "all mass absorbed" and uniform is the
+      // documented restart, mirroring the dangling-node simplification.
+      val massTot = sum(col("mass")).over(Window.partitionBy())
       pi = states.join(contrib, Seq("state"), "left")
         .select(col("state"), coalesce(col("mass"), lit(0L)).as("mass"))
         .select(col("state"),
-          floorDivNN(col("mass") * k * R,
-            sum(col("mass")).over(Window.partitionBy())).as("pi"))
+          when(massTot === 0L, lit(R))
+            .otherwise(floorDivNN(col("mass") * k * R, massTot)).as("pi"))
       it += 1
     }
     pi.select(col("state").as(typeCol), col("pi").as("pi_ppm"))

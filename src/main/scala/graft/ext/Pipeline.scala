@@ -305,21 +305,30 @@ object Pipeline {
       sorted.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // per-source offsets/indices: bounded by the source cardinality
-    val counts = ranked.groupBy(col(sourceCol))
+    // per-source offsets/indices: bounded by the source cardinality.
+    // Ordered by SPARK's own orderBy on the casted column (ADVICE r8) so
+    // the offset table agrees byte-for-byte with the global sort above —
+    // a driver-side Scala sortBy compares UTF-16 code units, which
+    // disagrees with Spark's UTF8-binary order for supplementary
+    // characters. NULL sources keep their own bucket (null-first, same
+    // as the global sort) and match via null-safe <=> rather than
+    // falling through to offset 0.
+    val counts = ranked.groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(count(lit(1)).as("__c"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1))
-      .sortBy(_._1)
+      .orderBy(col("__src"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1))
     val nSources = counts.length.toLong
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    def srcLit(src: Option[String]): Column =
+      src.map(lit(_)).getOrElse(lit(null).cast("string"))
     val offExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, ((src, _), i)) =>
-        when(col(sourceCol).cast("string") === src, lit(offsets(i)))
+        when(col(sourceCol).cast("string") <=> srcLit(src), lit(offsets(i)))
           .otherwise(acc)
     }
     val idxExpr = counts.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, ((src, _), i)) =>
-        when(col(sourceCol).cast("string") === src, lit(i.toLong))
+        when(col(sourceCol).cast("string") <=> srcLit(src), lit(i.toLong))
           .otherwise(acc)
     }
     ranked
@@ -875,9 +884,11 @@ object Pipeline {
     require(rules.nonEmpty, "checkConstraints needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,
       "duplicate rule names would collapse report rows")
+    // coalesce (ADVICE r8): sum over ZERO rows is NULL, so an empty input
+    // must still report 0 violations / pass=true, matching filterFunnel.
     val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
-        .as(s"__v_$name")
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"__v_$name")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = rules.map { case (name, _) =>

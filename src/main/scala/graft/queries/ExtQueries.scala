@@ -5057,8 +5057,9 @@ object ExtQueries {
            n$i AS (SELECT s.state, COALESCE(c$i.mass, 0) AS mass
              FROM states s LEFT JOIN c$i USING (state)),
            p$i AS (SELECT state,
-               CAST(mass * (SELECT k FROM kk) * 1000000
-                    // (sum(mass) OVER ()) AS BIGINT) AS pi
+               CAST(CASE WHEN (sum(mass) OVER ()) = 0 THEN 1000000
+                    ELSE mass * (SELECT k FROM kk) * 1000000
+                         // (sum(mass) OVER ()) END AS BIGINT) AS pi
              FROM n$i)""")
       }
       sb.append(s"""
