@@ -39,10 +39,28 @@ object Bench {
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  /** One full measurement pass: start sentinels → all queries →
+    * streaming replay → end sentinels. Bundled so a contended pass can
+    * be rejected and re-run wholesale (VERDICT r8 #1).
+    */
+  private case class Pass(
+    sentinelStart: Seq[(String, Double)],
+    sentinelEnd: Seq[(String, Double)],
+    sentinelRatio: Double,
+    contended: Boolean,
+    samples: Seq[(String, Seq[Double])],
+    streamRows: Long,
+    streamingSecs: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // contended passes are rejected and re-run up to this many total
+    // attempts; the LAST pass is the recorded one (flagged if still
+    // contended so it is never silently trusted)
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,120 +83,187 @@ object Bench {
     // terminal action (outside its timer) releaseAll() hands the blocks
     // back. The leak guard: after every release, getPersistentRDDs must be
     // empty — any survivor is an operator persist that bypassed the
-    // registry, reported in the JSON so a regression is visible per-round.
+    // registry. ATTRIBUTED per query (VERDICT r8 #2): the first query
+    // after which blocks survive is named in the JSON (`cache_leaked_by`)
+    // so a leak is a one-grep fix, not a round-long hunt.
     var leakedBlocks = 0
-    def releaseAndCheck(): Unit = {
+    val leakedBy = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def releaseAndCheck(after: String): Unit = {
       graft.ext.OpCaches.releaseAll()
-      val left = spark.sparkContext.getPersistentRDDs.size
-      if (left > 0) {
-        leakedBlocks = math.max(leakedBlocks, left)
-        spark.catalog.clearCache() // recover anyway; the JSON records it
+      var left = spark.sparkContext.getPersistentRDDs
+      if (left.nonEmpty) {
+        // grace re-check: localCheckpoint blocks are weak-referenced and
+        // the ContextCleaner drops them on GC — only a block that survives
+        // an explicit GC cycle is a real (strongly-referenced) leak
+        System.gc()
+        Thread.sleep(100)
+        left = spark.sparkContext.getPersistentRDDs
+      }
+      if (left.nonEmpty) {
+        leakedBlocks = math.max(leakedBlocks, left.size)
+        if (!leakedBy.contains(after)) {
+          leakedBy(after) = left.size
+          System.err.println(s"[bench] CACHE LEAK after $after: " +
+            s"${left.size} persisted RDD(s) survived releaseAll+GC")
+          left.values.foreach { r =>
+            System.err.println(s"[bench]   id=${r.id} " +
+              r.toDebugString.linesIterator.take(3).mkString(" | "))
+          }
+        }
+        // recover BOTH cache layers: clearCache drops Dataset caches but
+        // never raw-RDD persists (localCheckpoint), so unpersist those
+        // directly — a standing block must not contaminate later timings
+        spark.catalog.clearCache()
+        left.values.foreach(_.unpersist(blocking = false))
       }
     }
     // one-time corpus encodes (ANN index build) happen in warm-up, not
     // inside a probe query's first timed rep
     try graft.queries.ExtQueries.prebuildIndexes(spark, sfDir)
     catch { case _: Throwable => }
-    releaseAndCheck()
-    // Contention sentinel (round-6 verdict #2): the official artifact
-    // drifted +17% on UNCHANGED queries as the suite grew in one JVM —
-    // box crowding silently absorbed into recorded numbers. Three fixed
-    // headliners run at bench START and again at bench END; if the
-    // end/start median-sum ratio exceeds 1.3, the environment degraded
-    // DURING the run and the artifact says so ("contended": true) —
-    // re-run solo before recording such a bench as evidence.
-    // A sentinel that THROWS records only time-to-throw (~ms) on both
-    // ends, silently degrading the ratio to noise (ADVICE r7). Failed
-    // sentinels land in sentinelFailed, surface in the JSON, and are
-    // EXCLUDED from the ratio (pairwise, so start/end stay comparable).
-    val sentinelNames = Seq("q1_pricing", "src_stream", "sim_topk")
+    releaseAndCheck("prebuild_indexes")
+    // Contention sentinel (round-6 verdict #2, re-armed r9): the official
+    // artifact drifted on UNCHANGED queries as box crowding was silently
+    // absorbed into recorded numbers. Three fixed headliners PLUS a
+    // scaled-down streaming replay (VERDICT r8 #4 — the replay band broke
+    // with no contention evidence of its own) run at pass START and again
+    // at pass END. The gate is TWO-SIDED (VERDICT r8 #1): a box that
+    // starts slow and clears (ratio < 1/1.3) inflates mid-pass rows just
+    // as much as one that degrades (ratio > 1.3), so the flag is
+    // |ln(ratio)| > ln(1.3). A sentinel that THROWS records only
+    // time-to-throw (~ms) on both ends, silently degrading the ratio to
+    // noise (ADVICE r7): failures land in sentinelFailed, surface in the
+    // JSON, and are EXCLUDED from the ratio (pairwise, so start/end stay
+    // comparable).
+    val sentinelNames =
+      Seq("q1_pricing", "src_stream", "sim_topk", "streaming_probe")
     val sentinelFailed = scala.collection.mutable.LinkedHashSet[String]()
     def runSentinel(): Seq[(String, Double)] = sentinelNames.map { n =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try timed(n)(spark, sfDir).count() catch {
-          case e: Throwable =>
-            if (sentinelFailed.add(n))
-              System.err.println(s"[bench] sentinel $n FAILED: ${e.getMessage}")
-        }
-        val secs = (System.nanoTime() - t0) / 1e9
+        val inner: Option[Double] =
+          try {
+            if (n == "streaming_probe") {
+              // 1×-replica twin of the headline replay: same topology and
+              // state path, ~1/10 the rows — cheap enough to run 3× per
+              // end, and its inner ingest timer (fixture load excluded) is
+              // the contention-comparable figure
+              val (_, secs) =
+                StreamingBench.windowedCount(spark, sfDir, replicas = 1,
+                  batches = 2)
+              Some(secs)
+            } else { timed(n)(spark, sfDir).count(); None }
+          } catch {
+            case e: Throwable =>
+              if (sentinelFailed.add(n))
+                System.err.println(
+                  s"[bench] sentinel $n FAILED: ${e.getMessage}")
+              None
+          }
+        val secs = inner.getOrElse((System.nanoTime() - t0) / 1e9)
         graft.ext.OpCaches.releaseAll()
         secs
       }
       n -> median3(runs)
     }
-    val sentinelStart = runSentinel()
-    // A failing query must be VISIBLE, not a silently-recorded
-    // time-to-failure (r5 lesson: a fixture type change broke one query
-    // and streaming for a full round of bench records before anyone saw
-    // an error). Failures print the cause and land in "failed" below.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val samples: Seq[(String, Seq[Double])] =
-      timed.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val runs = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch {
-            case e: Throwable =>
-              if (failed.add(name))
-                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    def runPass(): Pass = {
+      val sentinelStart = runSentinel()
+      // A failing query must be VISIBLE, not a silently-recorded
+      // time-to-failure (r5 lesson: a fixture type change broke one query
+      // and streaming for a full round of bench records before anyone saw
+      // an error). Failures print the cause and land in "failed" below.
+      val samples: Seq[(String, Seq[Double])] =
+        timed.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val runs = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                if (failed.add(name))
+                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            releaseAndCheck(name)
+            secs
           }
-          val secs = (System.nanoTime() - t0) / 1e9
-          releaseAndCheck()
-          secs
+          name -> runs
         }
-        name -> runs
+      // streaming micro-bench: replay the events fixture through the
+      // MemoryStream-backed env into the windowed-count topology (the
+      // anomaly-detection shape) and time ingest → final state.
+      // 10×-replayed corpus; the timer inside covers ingest only, so the
+      // rows/s figure measures the engine rather than fixture loading or
+      // micro-batch scheduling (VERDICT r2 #8). Streaming runs once: its
+      // 990k-row replay is its own aggregate measurement, not a one-shot
+      // query timing.
+      val (streamRows, streamingSecs) =
+        try StreamingBench.windowedCount(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming FAILED: ${e.getMessage}")
+          failed.add("streaming_windowed_count")
+          (0L, -1.0)
+        }
+      val sentinelEnd = runSentinel()
+      val sentinelRatio = {
+        val ok = sentinelNames.filterNot(sentinelFailed).toSet
+        val s0 = sentinelStart.collect { case (n, t) if ok(n) => t }.sum
+        val s1 = sentinelEnd.collect { case (n, t) if ok(n) => t }.sum
+        if (s0 > 0) s1 / s0 else -1.0
       }
-    val medians = samples.map { case (n, xs) => n -> median3(xs) }
-    val (gate, perf) = medians.partition(kv => gateModeQueries(kv._1))
-    // streaming micro-bench: replay the events fixture through the
-    // MemoryStream-backed env into the windowed-count topology (the
-    // anomaly-detection shape) and time ingest → final state.
-    // 10×-replayed corpus; the timer inside covers ingest only, so the
-    // rows/s figure measures the engine rather than fixture loading or
-    // micro-batch scheduling (VERDICT r2 #8). Streaming runs once: its
-    // 990k-row replay is its own aggregate measurement, not a one-shot
-    // query timing.
-    val (streamRows, streamingSecs) =
-      try StreamingBench.windowedCount(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming FAILED: ${e.getMessage}")
-        failed.add("streaming_windowed_count")
-        (0L, -1.0)
-      }
-    val rowsPerSec =
-      if (streamingSecs > 0) streamRows / streamingSecs else -1.0
-    val sentinelEnd = runSentinel()
-    val sentinelRatio = {
-      val ok = sentinelNames.filterNot(sentinelFailed).toSet
-      val s0 = sentinelStart.collect { case (n, t) if ok(n) => t }.sum
-      val s1 = sentinelEnd.collect { case (n, t) if ok(n) => t }.sum
-      if (s0 > 0) s1 / s0 else -1.0
+      val contended = sentinelRatio > 0 &&
+        math.abs(math.log(sentinelRatio)) > math.log(1.3)
+      Pass(sentinelStart, sentinelEnd, sentinelRatio, contended,
+        samples, streamRows, streamingSecs)
     }
-    val contended = sentinelRatio > 1.3
-    if (contended)
+    val ratios = scala.collection.mutable.ArrayBuffer[Double]()
+    var pass = runPass()
+    ratios += pass.sentinelRatio
+    var attempts = 1
+    while (pass.contended && attempts < maxAttempts) {
       System.err.println(
-        f"[bench] CONTENDED: sentinel end/start ratio $sentinelRatio%.2f " +
-          "— environment degraded during the run; re-run solo before " +
-          "recording this bench")
-    val perfAll = perf :+ ("streaming_windowed_count" -> streamingSecs)
+        f"[bench] pass $attempts REJECTED: sentinel |ln(end/start)| " +
+          f"ratio ${pass.sentinelRatio}%.2f outside [1/1.3, 1.3] — " +
+          "re-running the full measurement pass")
+      pass = runPass()
+      ratios += pass.sentinelRatio
+      attempts += 1
+    }
+    if (pass.contended)
+      System.err.println(
+        f"[bench] CONTENDED after $attempts attempt(s): sentinel " +
+          f"end/start ratio ${pass.sentinelRatio}%.2f — environment " +
+          "unstable across the whole window; re-run solo before " +
+          "recording this bench as evidence")
+    val medians = pass.samples.map { case (n, xs) => n -> median3(xs) }
+    val (gate, perf) = medians.partition(kv => gateModeQueries(kv._1))
+    val rowsPerSec =
+      if (pass.streamingSecs > 0) pass.streamRows / pass.streamingSecs
+      else -1.0
+    val perfAll = perf :+ ("streaming_windowed_count" -> pass.streamingSecs)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
-    val samplesJson = samples.map { case (k, xs) =>
+    val samplesJson = pass.samples.map { case (k, xs) =>
       "\"" + k + "\":[" + xs.map(x => f"$x%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = perfAll.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val leakedByJson = leakedBy
+      .map { case (k, v) => "\"" + k + s"""\":$v""" }.mkString("{", ",", "}")
+    val ratiosJson = ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""queries":${jmap(perfAll)},"gate_queries":${jmap(gate)},""" +
       f""""samples":$samplesJson,"reps":$reps,"cache_leaked_blocks":$leakedBlocks,""" +
+      f""""cache_leaked_by":$leakedByJson,""" +
       f""""failed":$failedJson,""" +
-      f""""sentinel_start":${jmap(sentinelStart)},""" +
-      f""""sentinel_end":${jmap(sentinelEnd)},""" +
-      f""""sentinel_ratio":$sentinelRatio%.3f,"contended":$contended,""" +
+      f""""sentinel_start":${jmap(pass.sentinelStart)},""" +
+      f""""sentinel_end":${jmap(pass.sentinelEnd)},""" +
+      f""""sentinel_ratio":${pass.sentinelRatio}%.3f,""" +
+      f""""contended":${pass.contended},"attempts":$attempts,""" +
+      f""""attempt_ratios":$ratiosJson,""" +
       f""""sentinel_failed":${sentinelFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      f""""streaming_rows":$streamRows,"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
+      f""""streaming_rows":${pass.streamRows},"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
     // line in "[info] ". The forked run now passes stdout through bare
     // (build.sbt: run/outputStrategy=StdoutOutput); also persist to a

@@ -899,6 +899,63 @@ object Dedup {
     rebuildFromRemovable(base, removable, idCol, k)
   }
 
+  /** Per-PASSAGE keeper face of [[dedupSubstrings]] — opt-in exact
+    * contiguity (the one documented divergence of the default face from
+    * the suffix-array answer, reference Lee et al. 2022 ExactSubstr).
+    * Same duplicated-window detection, but keeper sites are promoted
+    * from single windows to their ISLANDS: a maximal run of consecutive
+    * duplicated window positions survives IN FULL wherever it contains
+    * at least one globally-first (min (doc, pos)) window, and is removed
+    * whole where it contains none. Every duplicated window's keeper
+    * therefore survives inside one CONTIGUOUS passage — tangled partial
+    * overlaps (the same window recurring in 3+ contexts) can no longer
+    * shred the surviving copy across documents, which is exactly the
+    * case the default per-window face gives up (Round8Spec pins it).
+    * The trade is bounded over-keep: the keeper's whole island survives,
+    * so neighboring duplicated windows in that one island are kept too
+    * (≤ one island per keeper; verbatim boilerplate — coinciding keeper
+    * sites — is bit-identical to the default face).
+    *
+    * Scale shape: identical token-volume count+min shuffle as
+    * [[dedupSubstrings]]; the island pass adds ONE extra shuffle over
+    * the duplicated-window tail only (hash-partition by doc for the
+    * rank; the per-(doc, island) keeper flag reuses that partitioning —
+    * clustering by doc satisfies (doc, island), so no second exchange).
+    */
+  def dedupSubstringsKeepPassage(docs: DataFrame, textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    import org.apache.spark.sql.expressions.Window
+    val k = minTokens
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    def wins = base.select(col("id"),
+        posexplode(graft.functions.VectorFunctions
+          .word_ngram_hashes60_pos(col("__t"), k)))
+      .toDF("id", "pos", "h")
+    val dups = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("id"), col("pos"))).as("__keep"))
+      .where(col("__occ") >= 2)
+      .select(col("h"), col("__keep.id").as("__kid"),
+        col("__keep.pos").as("__kpos"))
+    val marked = wins.join(dups, Seq("h"))
+      .select(col("id"), col("pos"),
+        when(col("id") === col("__kid") && col("pos") === col("__kpos"), 1)
+          .otherwise(0).as("__kp"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - rank); both windows run on the one doc-keyed exchange
+    val isl = marked.withColumn("__isl",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+    val removable = isl
+      .withColumn("__hk", max(col("__kp")).over(
+        Window.partitionBy(col("id"), col("__isl"))))
+      .where(col("__hk") === 0)
+      .select(col("id"), col("pos"))
+    rebuildFromRemovable(base, removable, idCol, k)
+  }
+
   /** Shared tail of the substring-dedup faces: removable (id, pos)
     * window starts reduce per document (bounded by doc length) and the
     * codegen'd linear [[org.apache.spark.sql.graftfn.RemoveCoveredTokens]]

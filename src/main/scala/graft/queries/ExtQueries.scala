@@ -579,6 +579,24 @@ object ExtQueries {
       Dedup.dedupSubstrings(docs(s, d), "text", "doc_id", minTokens = 8)
         .orderBy(col("doc_id"))
     },
+    "dedup_substr_passage" -> { (s, d) =>
+      // per-PASSAGE keeper face on a planted tangled-overlap corpus where
+      // the two faces genuinely differ: prefix docs (+20000) own the
+      // passage's first windows, twin 18-word docs (+40000/+50000) tangle
+      // keepers across contexts — the default per-window face shreds the
+      // first full copy (only its untangled tail survives); this face
+      // keeps the island holding its keeper windows whole, so the first
+      // full copy survives contiguously and the twin drops entirely
+      val base = docs(s, d).where(col("doc_id") < 50)
+      def cut(n: Int, off: Long) = base.select(
+        (col("doc_id") + off).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, n), " ").as("text"))
+      Dedup.dedupSubstringsKeepPassage(
+          cut(10, 20000).unionByName(cut(18, 40000))
+            .unionByName(cut(18, 50000)),
+          "text", "doc_id", minTokens = 8)
+        .orderBy(col("doc_id"))
+    },
     "dedup_semantic_fitted" -> { (s, d) =>
       // dedup_semantic_probe's code path — the pre-trained-centroid
       // overload over a memoized fitIvf model — in exact-recall mode: a
@@ -3836,6 +3854,58 @@ object ExtQueries {
          tok AS (SELECT doc_id, CAST(i AS INT) AS ti,
                    toks[CAST(i + 1 AS INT)] AS tk
                  FROM t, unnest(range(len(toks))) AS r(i)),
+         kept AS (SELECT tok.doc_id, tok.ti, tok.tk FROM tok
+                  LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                               AND tok.ti = cov.ti
+                  WHERE cov.ti IS NULL),
+         agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS ct,
+                        count(*) AS n_kept FROM kept GROUP BY doc_id),
+         tn AS (SELECT doc_id, len(toks) AS n FROM t)
+         SELECT tn.doc_id, coalesce(agg.ct, '') AS clean_text,
+                CAST(tn.n - coalesce(agg.n_kept, 0) AS BIGINT)
+                  AS n_tokens_removed
+         FROM tn LEFT JOIN agg USING (doc_id)
+         ORDER BY tn.doc_id""",
+    "dedup_substr_passage" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         u AS (SELECT doc_id + 20000 AS doc_id,
+                 array_to_string(string_split(text, ' ')[1:10], ' ') AS text
+               FROM b
+               UNION ALL
+               SELECT doc_id + 40000,
+                 array_to_string(string_split(text, ' ')[1:18], ' ') FROM b
+               UNION ALL
+               SELECT doc_id + 50000,
+                 array_to_string(string_split(text, ' ')[1:18], ' ') FROM b),
+         t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM u),
+         w AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                   toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')),
+                   1, 15) AS BIGINT) AS h
+               FROM t, unnest(range(greatest(len(toks) - 7, 0))) AS u2(i)),
+         d AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY h) AS occ,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, pos) AS rn
+               FROM w),
+         m AS (SELECT doc_id, pos,
+                 CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kp
+               FROM d WHERE occ >= 2),
+         i AS (SELECT doc_id, pos, kp,
+                 pos - CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY pos) AS INT) AS isl
+               FROM m),
+         hk AS (SELECT doc_id, pos,
+                  max(kp) OVER (PARTITION BY doc_id, isl) AS hkp
+                FROM i),
+         rem AS (SELECT doc_id, pos FROM hk WHERE hkp = 0),
+         cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS ti
+                 FROM rem, unnest(range(8)) AS r(j)),
+         tok AS (SELECT doc_id, CAST(i2 AS INT) AS ti,
+                   toks[CAST(i2 + 1 AS INT)] AS tk
+                 FROM t, unnest(range(len(toks))) AS r2(i2)),
          kept AS (SELECT tok.doc_id, tok.ti, tok.tk FROM tok
                   LEFT JOIN cov ON tok.doc_id = cov.doc_id
                                AND tok.ti = cov.ti

@@ -77,6 +77,51 @@ class Round9Spec extends SparkSpecBase {
     assert(bySrc.values.flatten.toSet == Set(0L, 1L, 2L), s"$bySrc")
   }
 
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def cleaned(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_removed")))
+      .toMap
+
+  test("dedupSubstringsKeepPassage: the Round8Spec tangled-overlap case " +
+    "keeps ONE contiguous copy of the passage (per-passage keeper face)") {
+    // same fixture Round8Spec pins for the default face: doc3's island
+    // {0,1,2} holds its keeper window (pb pc pd)@1, so the whole island
+    // — the full passage — survives in doc3; doc4's island holds no
+    // keeper and drops whole. The default face empties BOTH.
+    val d = docsDf(
+      1L -> "pa pb pc x1 x2",
+      2L -> "y1 pc pd pe",
+      3L -> "pa pb pc pd pe",
+      4L -> "pa pb pc pd pe")
+    val out = cleaned(
+      Dedup.dedupSubstringsKeepPassage(d, "text", "doc_id", minTokens = 3))
+    assert(out(1L) == ("pa pb pc x1 x2", 0L))
+    assert(out(2L) == ("y1 pc pd pe", 0L))
+    assert(out(3L) == ("pa pb pc pd pe", 0L)) // keeper island survives whole
+    assert(out(4L) == ("", 5L))               // keeper-less island drops whole
+    // the contiguity guarantee the default face gives up:
+    assert(out.values.exists(_._1.contains("pb pc pd")))
+  }
+
+  test("dedupSubstringsKeepPassage: verbatim duplicates (coinciding " +
+    "keeper sites) are bit-identical to the default per-window face") {
+    val d = docsDf(
+      1L -> "s1 s2 s3 s4 u1 u2",
+      2L -> "v1 s1 s2 s3 s4 v2",
+      3L -> "s1 s2 s3 s4 u1 u2")
+    val exact = cleaned(
+      Dedup.dedupSubstringsKeepPassage(d, "text", "doc_id", minTokens = 4))
+    val dflt = cleaned(
+      Dedup.dedupSubstrings(d, "text", "doc_id", minTokens = 4))
+    assert(exact == dflt)
+    assert(exact(1L) == ("s1 s2 s3 s4 u1 u2", 0L))
+    assert(exact(2L) == ("v1 v2", 4L))
+    assert(exact(3L) == ("", 6L))
+  }
+
   test("checkConstraints: empty input reports 0 violations / pass=true " +
     "(not NULL)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
