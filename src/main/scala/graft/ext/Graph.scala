@@ -85,7 +85,9 @@ object Graph {
             lit(dampDen))).as("rank_ppm"))
       it += 1
       if (it % checkpointEvery == 0 && it < iters)
-        ranks = ranks.localCheckpoint(true)
+        // registered so releaseAll reclaims the block (CacheManager
+        // never tracks localCheckpoint persists)
+        ranks = OpCaches.registerCheckpoint(ranks.localCheckpoint(true))
     }
     ranks
   }

@@ -306,11 +306,14 @@ object Labels {
       // ~2 s at 64 players × 3 iterations). The eager localCheckpoint
       // truncates the plan to a LogicalRDD per round (exact — lineage
       // truncation cannot change integer arithmetic).
-      ranks = praw
+      // registerCheckpoint: the checkpoint block lives outside the
+      // CacheManager; without registration the final round's block
+      // outlives the query (bench cache_leaked_blocks, VERDICT r8 #2)
+      ranks = OpCaches.registerCheckpoint(praw
         .select(col("player"),
           floorDivNN(col("pr") * k * R,
             sum(col("pr")).over(Window.partitionBy())).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       it += 1
     }
     wins.join(nComps, Seq("player"))

@@ -415,6 +415,124 @@ class ScaleSpec extends SparkSpecBase {
     info(f"record linkage: 4k recs $tS%.1f s → 40k recs $tB%.1f s ($cB pairs)")
   }
 
+  /** 100× linearity gate (VERDICT r8 #5: the brief's bar is 100×
+    * survival, not 10×): linear growth means tBig ≈ 100·tSmall; 2.5×
+    * grace for fixed overhead plus absolute slack. A quadratic escape is
+    * 10,000× and a soft n^1.5 one is 1,000× — both fail loud. Same
+    * one-retry flake protocol as [[assertLinear]].
+    */
+  private def assertLinear100(name: String, tSmall: Double, tBig0: Double,
+                              reBig: () => Double): Unit = {
+    val bound = 250.0 * math.max(tSmall, 0.15) + 15.0
+    val tBig =
+      if (tBig0 <= bound) tBig0
+      else {
+        info(f"$name breached on first timing ($tBig0%.2f s > $bound%.2f s)" +
+          " — re-measuring once to rule out a transient")
+        math.min(tBig0, reBig())
+      }
+    assert(tBig <= bound,
+      f"$name grew superlinearly at 100×: $tSmall%.2f s → $tBig%.2f s")
+  }
+
+  test("100× hot corpus-hit: dedupSubstringsIncremental from 1.6k to " +
+    "160k batch docs (10⁵ copies of one corpus passage) — exact " +
+    "removal at both sizes, ~linear growth") {
+    // the 10x-of-10x face of the hot-corpus-hit shape above: the flagged
+    // hash table stays 33 rows at EVERY batch size, so the only thing
+    // allowed to grow is the one batch-token-volume shuffle
+    val passage = (1 to 40).map(i => s"q$i").mkString(" ")
+    def run(nOrganic: Long, nDup: Long): (Long, Double) = {
+      val corpus = Seq((1L, s"c0 $passage c1")).toDF("doc_id", "text")
+      val idx = Dedup.substringIndex(corpus, "text", minTokens = 8)
+      val organic = spark.range(nOrganic).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(54)),
+          j => concat(lit("v"),
+            pmod(xxhash64(col("id") * 1000 + j), lit(800)))), " ")
+          .as("text"))
+      val dup = spark.range(nDup).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat_ws(" ",
+          array_join(transform(
+            sequence(lit(1), pmod(col("id"), lit(10)) + 1),
+            j => concat(lit("f"), xxhash64(col("id") * 37 + j))), " "),
+          lit(passage),
+          concat(lit("g"), xxhash64(col("id")))).as("text"))
+      val batch = organic.unionByName(dup)
+      val (row, t) = time {
+        Dedup.dedupSubstringsIncremental(batch, idx, "text", "doc_id",
+            minTokens = 8)
+          .where(col("doc_id") >= 10000000L)
+          .agg(sum(col("n_tokens_removed")).as("rm"),
+            count(lit(1)).as("n")).collect()(0)
+      }
+      assert(row.getAs[Long]("n") == nDup)
+      (row.getAs[Long]("rm"), t)
+    }
+    run(300, 500) // warm-up
+    val (rS, tS) = run(600, 1000)
+    val (rB, tB) = run(60000, 100000)
+    assert(rS == 40L * 1000L, s"1× hit removal inexact: $rS")
+    assert(rB == 40L * 100000L, s"100× hit removal inexact: $rB")
+    assertLinear100("dedup_incremental_substr_100x", tS, tB,
+      () => run(60000, 100000)._2)
+    info(f"incremental substr 100×: 1.6k-doc batch $tS%.2f s → " +
+      f"160k-doc batch $tB%.1f s (removed $rB)")
+  }
+
+  test("100× df-hot prefix: containmentPairs from 300 to 30k docs where " +
+    "every doc opens with the same boilerplate (universal shingles, " +
+    "df = corpus size) — df-cap prunes the hot postings, planted " +
+    "containments exact, ~linear growth") {
+    // the containment pathology: a df-hot shingle in an A-side PREFIX
+    // fans out to that shingle's FULL posting list — uncapped that is
+    // n_A × n_B candidate rows (quadratic). With the cap the hot
+    // shingles leave the posting list entirely and candidates come only
+    // from the planted docs' distinctive (df=2) shingles. Threshold 0.5
+    // makes the prefix window (n − ⌈n/2⌉ + 1 ≈ 6 of 11 slots) provably
+    // wider than the 4 universal pure-boilerplate shingles, so every
+    // planted pair is found through a distinctive shingle REGARDLESS of
+    // where the hot hashes sort — exactness does not ride on hash luck.
+    def mk(nPairs: Long) = {
+      val boiler = "bb1 bb2 bb3 bb4 bb5 bb6"
+      val contained = spark.range(nPairs).select(
+        col("id").as("doc_id"),
+        concat(lit(boiler + " "),
+          array_join(transform(sequence(lit(1), lit(7)),
+            j => concat(lit("d"), xxhash64(col("id") * 100 + j))), " "))
+          .as("text"))
+      val containers = spark.range(nPairs).select(
+        (col("id") + 5000000L).as("doc_id"),
+        concat(lit(boiler + " "),
+          array_join(transform(sequence(lit(1), lit(7)),
+            j => concat(lit("d"), xxhash64(col("id") * 100 + j))), " "),
+          lit(" "),
+          array_join(transform(sequence(lit(1), lit(12)),
+            j => concat(lit("e"), xxhash64(col("id") * 177 + j))), " "))
+          .as("text"))
+      contained.unionByName(containers)
+    }
+    def run(nPairs: Long): (Long, Double) = {
+      val (c, t) = time(
+        Dedup.containmentPairs(mk(nPairs), "text", "doc_id",
+          k = 3, maxDf = 50, threshold = 0.5).count())
+      graft.ext.OpCaches.releaseAll()
+      (c, t)
+    }
+    run(100) // warm-up
+    val (cS, tS) = run(150)
+    val (cB, tB) = run(15000)
+    // exactly the planted (contained → container) direction clears 0.5:
+    // A in B = 11/11; B in A = 11/23 = 0.478; cross-doc overlaps are the
+    // 4 pure-boilerplate shingles (≤ 4/11 = 0.36)
+    assert(cS == 150L, s"1× containment count $cS != 150")
+    assert(cB == 15000L, s"100× containment count $cB != 15000")
+    assertLinear100("dedup_containment_100x", tS, tB,
+      () => run(15000)._2)
+    info(f"containment 100×: 300 docs $tS%.2f s → 30k docs $tB%.1f s")
+  }
+
   test("viral item: weightedVote with 10⁵ annotations raiding ONE item " +
     "grows ~linearly and tallies the raid exactly") {
     import graft.ext.Labels
