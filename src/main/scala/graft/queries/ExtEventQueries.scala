@@ -1,0 +1,595 @@
+package graft.queries
+
+import graft.ext.{Dedup, Funnel, IntervalJoin, Layout, Multimodal, Pipeline, Similarity, Sketches, TextAnalysis, TimeSeries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import ExtShared._
+
+/** Event/time family: funnels, sessionization, retention, Markov
+  * transitions/stationary, sketches over events, time-series anomaly +
+  * resample, as-of/interval joins, WET ingestion, PageRank.
+  *
+  * Gate queries with their DuckDB oracles CO-LOCATED (one file per
+  * family, split from the former monolithic ExtQueries — VERDICT r8
+  * #7); [[ExtQueries]] merges every family fail-loud on duplicate
+  * keys. Shared fixtures/memos/SQL builders live in [[ExtShared]].
+  */
+private[queries] object ExtEventQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- time series ----
+    "ts_anomaly_robust" -> { (s, d) =>
+      // median/MAD robust z: the burst-resistant flagging face (zMin
+      // lower than the σ gate since MAD units are tighter)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      TimeSeries.anomalousWindowsRobust(ev, "event_type", "ts",
+          bucketSeconds = 3600L, zMin = 2.0)
+        .select(col("key").as("event_type"), col("bucket_start"), col("n"),
+                round(col("rz"), 4).as("rz"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
+    "ts_anomaly" -> { (s, d) =>
+      // the reference's flagship example domain (anomaly_detection.clj) as
+      // a batch diagnostic: hourly volume per event type, flag hours >= 2
+      // population-z above that type's own mean (z rounded for the oracle)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      TimeSeries.anomalousWindows(ev, "event_type", "ts",
+          bucketSeconds = 3600L, zMin = 2.0)
+        .select(col("key").as("event_type"), col("bucket_start"), col("n"),
+                round(col("z"), 4).as("z"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
+    "ts_resample" -> { (s, d) =>
+      // hourly per-user activity grid with gap fill + 3-hour rolling sum:
+      // quiet hours appear as explicit zeros (what a fixed-rate model needs)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      // bounded verify output: per-key grids are independent, so filtering
+      // at the source is identical to filtering the result — and reaches
+      // the parquet scan as a pushed predicate (a post-grid filter sits
+      // above the Window alias and never pushes past it)
+      val grid = TimeSeries.resampleCounts(
+        ev.where(col("user_id") < 40), "user_id", "ts", 3600L)
+      grid.select(col("key").as("user_id"), col("bucket_start"), col("n"),
+          TimeSeries.rollingSum(grid, "key", "bucket_start", "n", 3)
+            .cast("long").as("n_roll3"))
+        .orderBy(col("user_id"), col("bucket_start"))
+    },
+    "ev_json_props" -> { (s, d) =>
+      // semi-structured payload extraction: JSON props → typed column → agg
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("k")).cast("long").as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    "join_asof" -> { (s, d) =>
+      // point-in-time join: each click paired with the user's most recent
+      // prior (or simultaneous) purchase
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ext.AsOfJoin.asOf(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Map("event_id" -> "purchase_id", "value" -> "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+                col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    "join_interval" -> { (s, d) =>
+      // range join as a binned equi-join (no BroadcastNestedLoopJoin):
+      // for each q=50 lineitem's [shipdate, shipdate + linenumber*2d]
+      // window, the orders dated inside it. 14-day bins ≥ the longest
+      // window → explode factor ≤ 2. Window lengths chosen so the match
+      // count (≈ |intervals| × window × order-rate) stays bench-lean:
+      // both sides grow with sf, so matches grow ~quadratically.
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val intervals = li.where(col("l_quantity") === 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("long").as("win_start"),
+          (col("l_shipdate").cast("timestamp").cast("long") +
+            col("l_linenumber").cast("long") * lit(2L * 86400)).as("win_end"))
+      val points = o.select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("p"))
+      IntervalJoin.pointInInterval(points, intervals,
+          "p", "win_start", "win_end", binWidth = 14L * 86400)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+             min(col("o_orderkey")).as("first_okey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    "join_interval_overlap" -> { (s, d) =>
+      // interval×interval overlap join per supplier; each overlapping pair
+      // emits from its first shared bin only (exactly once, no dedup stage)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      def ivals(q: Int, p: String) = li.where(col("l_quantity") === q)
+        .select(col("l_suppkey"), col("l_orderkey").as(s"${p}_okey"),
+          col("l_linenumber").as(s"${p}_ln"),
+          col("l_shipdate").cast("timestamp").cast("long").as(s"${p}_start"),
+          (col("l_shipdate").cast("timestamp").cast("long") +
+            col("l_linenumber").cast("long") * lit(2L * 86400)).as(s"${p}_end"))
+      IntervalJoin.intervalOverlap(ivals(50, "a"), ivals(49, "b"),
+          "a_start", "a_end", "b_start", "b_end",
+          binWidth = 14L * 86400, keys = Seq("l_suppkey"))
+        .select(col("a_okey"), col("a_ln"), col("b_okey"), col("b_ln"),
+          (least(col("a_end"), col("b_end")) -
+           greatest(col("a_start"), col("b_start"))).as("overlap_secs"))
+        .orderBy(col("a_okey"), col("a_ln"), col("b_okey"), col("b_ln"))
+    },
+    "src_wet" -> { (s, d) =>
+      // raw-crawl interchange round-trip: serialize the documents table
+      // into 8 WET blobs (WARC/1.0 conversion records, byte-accurate
+      // Content-Length framing), then parse the blobs back with the
+      // distributed record walker — the oracle is the original table
+      val blobs = graft.sources.Wet.toBlobs(docs(s, d),
+        "doc_id", "lang", "text", nBlobs = 8)
+      graft.sources.Wet.parseBlobs(blobs)
+        .select(graft.sources.Wet.docIdFromUri(col("uri")).as("doc_id"),
+          col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    "graph_pagerank" -> { (s, d) =>
+      // damped PageRank over a deterministic 2-out link graph derived
+      // from the documents table (the crawl-quality-prior shape); exact
+      // Long ppm arithmetic — the oracle replays all 3 iterations
+      val dd = docs(s, d)
+      val n = dd.count()
+      val e1 = dd.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 3, lit(n)).as("dst"))
+      val e2 = dd.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 1, lit(n)).as("dst"))
+      graft.ext.Graph.pageRank(e1.union(e2), "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    },
+    "ev_sessionize" -> { (s, d) =>
+      // 30-minute-gap sessionization: session ids ON the events
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.sessionize(ev, Seq("user_id"), "ts", gapSeconds = 1800,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    "ev_session_stats" -> { (s, d) =>
+      // per-session rollup of the same sessionization
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.sessionStats(
+          Funnel.sessionize(ev, Seq("user_id"), "ts", gapSeconds = 1800,
+            tieBreak = Seq("event_id")),
+          Seq("user_id"), "ts")
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    "ev_funnel" -> { (s, d) =>
+      // view → click → purchase within 24h, chain window from first event
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.windowFunnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        .select(col("user").as("user_id"), col("depth"))
+        .orderBy(col("user_id"))
+    },
+    "ev_top_paths" -> { (s, d) =>
+      // most common 3-step event-type sequences; (ts, event_id) is the
+      // unique per-user order so the path multiset is deterministic
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.topPaths(ev, "user_id", "event_type", "ts", "event_id",
+        k = 3, topN = 20)
+    },
+    "ev_transitions" -> { (s, d) =>
+      // row-normalized event-type transition matrix over per-user order
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.transitionMatrix(ev, "user_id", "event_type", "ts",
+        "event_id")
+    },
+    "ev_retention" -> { (s, d) =>
+      // daily cohorts with D1/D7 retention over the events month
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.retentionCohorts(ev, "user_id", "ts")
+        .orderBy(col("cohort"))
+    },
+    "ev_kmv_distinct" -> { (s, d) =>
+      // KMV bottom-k distinct sketch, shuffle-free treeAggregate fit;
+      // k=4096 ≥ the fixture's distinct-user count, so the sketch holds
+      // every distinct hash and the estimate is exact (the gate mode)
+      import s.implicits._
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Seq(Sketches.kmvFit(ev, "user_id").estimate).toDF("n_users")
+    },
+    "ev_cms_counts" -> { (s, d) =>
+      // Count-Min point-frequency estimates: one shuffle-free treeAggregate
+      // pass; width 4096 is collision-free for the 5-key query set, so the
+      // min-over-rows estimates are exact (the gate mode)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val model = Sketches.countMinFit(ev, "event_type")
+      Sketches.cmsEstimate(ev.select("event_type").distinct(),
+          "event_type", model)
+        .select(col("event_type"), col("cms_est").as("n"))
+        .orderBy(col("event_type"))
+    },
+    "ev_heavy_hitters" -> { (s, d) =>
+      // one-pass Misra-Gries hot-key detection, no full-key shuffle; at
+      // capacity 64 >= 5 distinct event types no partition ever
+      // decrements, so the estimates are exact (the gate mode)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Sketches.heavyHitters(ev, "event_type", k = 5, capacity = 64)
+    },
+    "ev_kmv_by_type" -> { (s, d) =>
+      // per-group distinct-count sketch UDAF (the fan-out /
+      // super-spreader report): distinct users per event type in ONE
+      // hash aggregation — the wire carries bottom-k hash trees, never
+      // the distinct values (countDistinct shuffles every distinct
+      // (group, value) pair); k=4096 >= every group's distinct users at
+      // fixture scale, so the estimates are exact (the gate mode)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val agg = Sketches.kmvDistinctUdaf(4096)
+      ev.where(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(agg(col("user_id").cast("string")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    "ev_kll_quantiles" -> { (s, d) =>
+      // KLL quantile sketch (the quantile member of the sketch family),
+      // shuffle-free treeAggregate fit; k=131072 >= the sf0.1 events
+      // rows, so nothing ever compacts and every answer is the exact
+      // lower order statistic (the gate mode); compare exact percentile,
+      // which sorts every value through a shuffle
+      import s.implicits._
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val m = Sketches.kllFit(ev, "value", k = 131072)
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(q => (q, m.quantile(q)))
+        .toDF("q", "v").orderBy(col("q"))
+    },
+    "ev_kll_quantiles_probe" -> { (s, d) =>
+      // production face: bounded k=256 — a ~4 KB summary regardless of
+      // corpus size. Estimates depend on sketch merge order, so the gate
+      // pins the INVARIANT instead of the value: each estimate's exact
+      // rank lands within 5% of its target rank (KLL's O(1/k) family
+      // bound; measured max ~1% at this k). The exact ranks cost one
+      // extra aggregation pass — gate-only evidence; production consumes
+      // the estimates directly.
+      import s.implicits._
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val m = Sketches.kllFit(ev, "value", k = 256)
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val ests = qs.map(q => (q, m.quantile(q)))
+      val rankCols = ests.map { case (q, e) =>
+        sum(when(col("value") <= e, 1L).otherwise(0L))
+          .as("r" + (q * 100).toInt) }
+      val row = ev.where(col("value").isNotNull && !isnan(col("value")))
+        .agg(rankCols.head, rankCols.tail: _*).collect()(0)
+      ests.zipWithIndex.map { case ((q, _), i) =>
+        val target = math.max(1L, math.ceil(q * m.n).toLong)
+        val err = math.abs(row.getLong(i) - target)
+        (q, err <= math.max(1L, (0.05 * m.n).toLong), m.n)
+      }.toDF("q", "ok", "n").orderBy(col("q"))
+    },
+    "ev_stationary" -> { (s, d) =>
+      // long-run state occupancy of the event-type Markov chain —
+      // 3 power-iteration rounds in exact ppm, oracle replays all
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.stationaryDistribution(ev, "user_id", "event_type", "ts",
+          "event_id", iters = 3)
+        .orderBy(col("event_type"))
+    },
+    "ev_conversion_latency" -> { (s, d) =>
+      // median/p90 time from first view to first purchase at-or-after
+      // it — exact percentiles over per-user latencies
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.conversionLatency(ev, "user_id", "ts", "event_type",
+        "view", "purchase")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts_anomaly_robust" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         m AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+               FROM f GROUP BY event_type),
+         dv AS (SELECT f.event_type, f.bucket, f.n, m.med
+                FROM f JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_cont(abs(n - med), 0.5) AS mad
+                FROM dv GROUP BY event_type)
+         SELECT dv.event_type, dv.bucket * 3600 AS bucket_start, dv.n,
+                round((dv.n - dv.med) / md.mad, 4) AS rz
+         FROM dv JOIN md USING (event_type)
+         WHERE md.mad > 0 AND (dv.n - dv.med) / md.mad >= 2.0
+         ORDER BY dv.event_type, bucket_start""",
+    "ts_anomaly" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         z AS (SELECT event_type, bucket, n,
+                 avg(n) OVER (PARTITION BY event_type) AS mu,
+                 stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+               FROM f)
+         SELECT event_type, bucket * 3600 AS bucket_start, n,
+                round((n - mu) / sigma, 4) AS z
+         FROM z WHERE sigma > 0 AND (n - mu) / sigma >= 2.0
+         ORDER BY event_type, bucket_start""",
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events WHERE user_id < 40),
+         c AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY user_id, bucket),
+         s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY user_id),
+         g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.user_id, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.user_id = c.user_id AND g.bucket = c.bucket)
+         SELECT user_id, bucket * 3600 AS bucket_start, n,
+                CAST(sum(n) OVER (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_roll3
+         FROM f ORDER BY user_id, bucket_start""",
+    "ev_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "join_asof" ->
+      """SELECT l.event_id, l.user_id,
+           r.event_id AS purchase_id, r.value AS purchase_value
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "join_interval" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o.o_orderkey) AS first_okey
+         FROM lineitem l JOIN orders o
+           ON epoch(o.o_orderdate) BETWEEN epoch(l.l_shipdate)
+              AND epoch(l.l_shipdate) + l.l_linenumber * 2 * 86400
+         WHERE l.l_quantity = 50
+         GROUP BY l.l_orderkey, l.l_linenumber
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "join_interval_overlap" ->
+      """WITH a AS (SELECT l_suppkey, l_orderkey AS a_okey,
+             l_linenumber AS a_ln, epoch(l_shipdate) AS s,
+             epoch(l_shipdate) + l_linenumber * 2 * 86400 AS e
+           FROM lineitem WHERE l_quantity = 50),
+         b AS (SELECT l_suppkey, l_orderkey AS b_okey,
+             l_linenumber AS b_ln, epoch(l_shipdate) AS s,
+             epoch(l_shipdate) + l_linenumber * 2 * 86400 AS e
+           FROM lineitem WHERE l_quantity = 49)
+         SELECT a.a_okey, a.a_ln, b.b_okey, b.b_ln,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+             AS overlap_secs
+         FROM a JOIN b ON a.l_suppkey = b.l_suppkey
+           AND a.s <= b.e AND b.s <= a.e
+         ORDER BY a.a_okey, a.a_ln, b.b_okey, b.b_ln""",
+    "src_wet" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+    "graph_pagerank" -> {
+      val iters = 3
+      val sb = new StringBuilder(
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+           e AS (SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn)
+                   AS dst FROM documents
+                 UNION ALL
+                 SELECT doc_id, (doc_id * 13 + 1) % (SELECT n FROM nn)
+                 FROM documents),
+           nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes)""")
+      for (i <- 1 to iters) {
+        val p = i - 1
+        sb.append(
+          s""",
+           c$i AS (SELECT e.dst, sum(r.r // d.deg) AS s
+             FROM e JOIN r$p r ON r.v = e.src JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+           r$i AS (SELECT nodes.v,
+               CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.v)""")
+      }
+      sb.append(
+        s"""
+           SELECT v AS node, r AS rank_ppm FROM r$iters ORDER BY node""")
+      sb.toString
+    },
+    "ev_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS ns
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         FROM o ORDER BY user_id, event_id""",
+    "ev_session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS ns
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM o)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u AS (SELECT DISTINCT user_id FROM e),
+         d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+         d2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b
+                  ON b.user_id = a.user_id
+                WHERE a.event_type = 'view' AND b.event_type = 'click'
+                  AND b.us >= a.us AND b.us - a.us <= 86400000000),
+         d3 AS (SELECT DISTINCT a.user_id FROM e a
+                JOIN e b ON b.user_id = a.user_id
+                JOIN e c ON c.user_id = a.user_id
+                WHERE a.event_type = 'view' AND b.event_type = 'click'
+                  AND c.event_type = 'purchase'
+                  AND b.us >= a.us AND c.us >= b.us
+                  AND c.us - a.us <= 86400000000)
+         SELECT u.user_id,
+           CAST(CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                     WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                     WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                     ELSE 0 END AS BIGINT) AS depth
+         FROM u ORDER BY user_id""",
+    "ev_top_paths" ->
+      """WITH o AS (SELECT event_type,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+                CAST(count(*) AS BIGINT) AS n
+         FROM o WHERE t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+    "ev_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS to_type
+         FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY from_type)
+         SELECT c.from_type, c.to_type, c.n,
+                round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+         FROM c JOIN t USING (from_type)
+         ORDER BY c.from_type, c.to_type""",
+    "ev_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket
+           FROM events),
+         cohorts AS (SELECT user_id, min(bucket) AS cohort
+                     FROM days GROUP BY user_id)
+         SELECT c.cohort,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN d.bucket = c.cohort + 1
+                                    THEN d.user_id END) AS BIGINT)
+             AS retained_1,
+           CAST(count(DISTINCT CASE WHEN d.bucket = c.cohort + 7
+                                    THEN d.user_id END) AS BIGINT)
+             AS retained_7
+         FROM days d JOIN cohorts c USING (user_id)
+         GROUP BY c.cohort ORDER BY c.cohort""",
+    "ev_kmv_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE user_id IS NOT NULL""",
+    "ev_cms_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
+    "ev_heavy_hitters" ->
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS est
+         FROM events GROUP BY 1 ORDER BY est DESC, key LIMIT 5""",
+    "ev_kmv_by_type" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
+    "ev_kll_quantiles" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                     WHERE value IS NOT NULL AND NOT isnan(value)),
+         s AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rk
+               FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         qs(q) AS (VALUES (0.25),(0.5),(0.75),(0.9),(0.99))
+         SELECT CAST(qs.q AS DOUBLE) AS q, CAST(min(s.v) AS DOUBLE) AS v
+         FROM qs, nn, s
+         WHERE s.rk >= greatest(1, CAST(ceil(qs.q * nn.n) AS BIGINT))
+         GROUP BY qs.q ORDER BY q""",
+    "ev_kll_quantiles_probe" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events
+                     WHERE value IS NOT NULL AND NOT isnan(value)),
+         qs(q) AS (VALUES (0.25),(0.5),(0.75),(0.9),(0.99))
+         SELECT CAST(qs.q AS DOUBLE) AS q, TRUE AS ok, nn.n AS n
+         FROM qs, nn ORDER BY q""",
+    "ev_stationary" -> {
+      // replay all 3 power-iteration rounds in exact BIGINT ppm (the
+      // graph_pagerank / ds_bradley_terry unrolled-CTE pattern)
+      val iters = 3
+      val sb = new StringBuilder(
+        """WITH pr AS (SELECT event_type AS f,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+             FROM events),
+           c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr
+             WHERE t IS NOT NULL GROUP BY f, t),
+           tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM c
+             GROUP BY f),
+           m AS (SELECT c.f, c.t, c.n, tot.tot FROM c JOIN tot USING (f)),
+           states AS (SELECT f AS state FROM c UNION SELECT t FROM c),
+           kk AS (SELECT count(*) AS k FROM states),
+           p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi
+             FROM states)""")
+      for (i <- 1 to iters) {
+        val p = i - 1
+        sb.append(s""",
+           c$i AS (SELECT m.t AS state,
+               CAST(sum(p.pi * m.n // m.tot) AS BIGINT) AS mass
+             FROM m JOIN p$p p ON p.state = m.f GROUP BY m.t),
+           n$i AS (SELECT s.state, COALESCE(c$i.mass, 0) AS mass
+             FROM states s LEFT JOIN c$i USING (state)),
+           p$i AS (SELECT state,
+               CAST(CASE WHEN (sum(mass) OVER ()) = 0 THEN 1000000
+                    ELSE mass * (SELECT k FROM kk) * 1000000
+                         // (sum(mass) OVER ()) END AS BIGINT) AS pi
+             FROM n$i)""")
+      }
+      sb.append(s"""
+         SELECT state AS event_type, pi AS pi_ppm FROM p$iters
+         ORDER BY event_type""")
+      sb.toString
+    },
+    "ev_conversion_latency" ->
+      """WITH ex AS (SELECT user_id AS u, min(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+         cv AS (SELECT e.user_id AS u, ex.t0,
+             min(epoch_us(e.ts)) AS t1min
+           FROM events e JOIN ex ON ex.u = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= ex.t0
+           GROUP BY e.user_id, ex.t0),
+         lat AS (SELECT t1min - t0 AS latency_us FROM cv)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exposed,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(latency_us, 0.5) AS p50_us,
+           quantile_cont(latency_us, 0.9) AS p90_us
+         FROM lat"""
+  )
+}
