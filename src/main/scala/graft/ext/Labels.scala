@@ -116,6 +116,76 @@ object Labels {
         col("best.w").as("weight_ppm"))
   }
 
+  /** Multi-round Dawid-Skene-style EM with full CONFUSION MATRICES —
+    * the upgrade from [[weightedVote]]'s single accuracy scalar: an
+    * annotator who systematically confuses two classes, or one whose
+    * errors CORRELATE with the consensus's own errors, is modeled per
+    * (truth, said) cell, so a label can count as evidence for a truth
+    * the annotator never says honestly (an anti-labeler's "0" supports
+    * truth 1 once conf(a, 1, 0) is learned — the case the accuracy
+    * scalar structurally cannot express; spec-pinned: a 2-perfect /
+    * 2-anti / 1-consensus-hijacking fixture where BOTH majority and
+    * weightedVote sit at 70% and this recovers 100%).
+    *
+    * Hard EM with LINEAR POOLING: init = plurality [[majorityVote]];
+    * each round recomputes confusion cells conf_ppm(a, t, said) =
+    * n(a, t, said)·R // n(a, t) from the current assignment (M-step)
+    * and re-assigns each item to argmax_t Σ_a conf_ppm(a, t, said_ai)
+    * with min-label tie-break (E-step). Dawid & Skene 1979 pool by
+    * naive-Bayes PRODUCT; the sum is the transcendental-free form that
+    * keeps every round in exact integer ppm, aggregation-order
+    * independent, and bit-replayable in DuckDB (the module contract —
+    * the gate oracle unrolls all rounds). Returns (item, label,
+    * score_ppm) after `iters` rounds.
+    *
+    * Scale shape per round: the M-step joins the annotation volume to
+    * the item-keyed assignment (both sides item-partitioned) and
+    * reduces to the |annotators|·|labels|² confusion table (tiny →
+    * broadcasts); the E-step is one bounded |labels|-factor cross join
+    * over the annotation volume into one (item, t) partial-agg shuffle.
+    * The carried assignment joins ONCE per round, so lineage grows
+    * linearly and needs no checkpoint barrier at gate iteration counts
+    * (the stationaryDistribution convention, NOT the Bradley-Terry
+    * self-join case).
+    */
+  def dawidSkene(ann: DataFrame, iters: Int = 2,
+                 itemCol: String = "item",
+                 annotatorCol: String = "annotator",
+                 labelCol: String = "label"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val a = OpCaches.register(ann.select(col(itemCol).as("item"),
+        col(annotatorCol).as("annotator"), col(labelCol).as("label"))
+      .persist())
+    val alphabet = OpCaches.register(
+      a.select(col("label").as("t")).distinct().persist())
+    var assign = majorityVote(a).select(col("item"), col("label"))
+    var out: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val truthed = a.join(assign.select(col("item"),
+        col("label").as("t")), Seq("item"))
+      val cells = truthed
+        .groupBy(col("annotator"), col("t"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val tots = truthed.groupBy(col("annotator"), col("t"))
+        .agg(count(lit(1)).as("tot"))
+      val conf = cells.join(tots, Seq("annotator", "t"))
+        .select(col("annotator"), col("t"), col("label"),
+          floorDivNN(col("n") * R, col("tot")).as("w"))
+      val scored = a.crossJoin(broadcast(alphabet))
+        .join(broadcast(conf), Seq("annotator", "t", "label"), "left")
+        .groupBy(col("item"), col("t"))
+        .agg(sum(coalesce(col("w"), lit(0L))).as("s"))
+      out = scored.groupBy(col("item"))
+        .agg(max(struct(col("s").as("s"), (-col("t")).as("nl"))).as("best"))
+        .select(col("item"), (-col("best.nl")).cast("long").as("label"),
+          col("best.s").as("score_ppm"))
+      assign = out.select(col("item"), col("label"))
+      it += 1
+    }
+    out
+  }
+
   /** Per-annotator reliability report vs the plurality consensus:
     * (annotator, n_items, po_ppm, pe_ppm, kappa_ppm) — observed
     * agreement, chance agreement from the two marginal label

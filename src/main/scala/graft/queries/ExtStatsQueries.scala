@@ -218,6 +218,12 @@ private[queries] object ExtStatsQueries {
       graft.ext.Labels.annotatorReport(annFixture(s, d))
         .orderBy(col("annotator"))
     },
+    "ds_dawid_skene" -> { (s, d) =>
+      // full confusion-matrix EM (2 rounds, exact integer ppm, linear
+      // pooling): the oracle unrolls majority init + both M/E rounds
+      graft.ext.Labels.dawidSkene(annFixture(s, d), iters = 2)
+        .orderBy(col("item"))
+    },
     "ds_bradley_terry" -> { (s, d) =>
       // Bradley-Terry preference strengths, 3 MM iterations in exact
       // Long ppm — the oracle replays all iterations in DuckDB
@@ -293,7 +299,52 @@ private[queries] object ExtStatsQueries {
     }
   )
 
+  /** Full DuckDB replay of [[graft.ext.Labels.dawidSkene]]: majority
+    * init, then `iters` unrolled M/E rounds in exact BIGINT ppm (the
+    * ev_stationary / ds_bradley_terry unrolled-CTE pattern).
+    */
+  private def dawidSkeneSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH $annSql,
+         alphabet AS (SELECT DISTINCT label AS t FROM ann),
+         vc AS (SELECT item, label, count(*) AS votes FROM ann
+                GROUP BY item, label),
+         as0 AS (SELECT item, label FROM (
+             SELECT item, label, row_number() OVER (PARTITION BY item
+               ORDER BY votes DESC, label ASC) AS rk FROM vc)
+           WHERE rk = 1)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+         tr$i AS (SELECT a.item, a.annotator, a.label, s.label AS t
+           FROM ann a JOIN as$p s USING (item)),
+         cells$i AS (SELECT annotator, t, label, count(*) AS n
+           FROM tr$i GROUP BY annotator, t, label),
+         tots$i AS (SELECT annotator, t, count(*) AS tot
+           FROM tr$i GROUP BY annotator, t),
+         conf$i AS (SELECT c.annotator, c.t, c.label,
+             (c.n * 1000000) // tt.tot AS w
+           FROM cells$i c JOIN tots$i tt USING (annotator, t)),
+         sc$i AS (SELECT a.item, al.t, sum(COALESCE(cf.w, 0)) AS s
+           FROM ann a CROSS JOIN alphabet al
+           LEFT JOIN conf$i cf ON cf.annotator = a.annotator
+             AND cf.t = al.t AND cf.label = a.label
+           GROUP BY a.item, al.t),
+         as$i AS (SELECT item, label, s FROM (
+             SELECT item, t AS label, s,
+               row_number() OVER (PARTITION BY item
+                 ORDER BY s DESC, t ASC) AS rk FROM sc$i)
+           WHERE rk = 1)""")
+    }
+    sb.append(s"""
+         SELECT item, CAST(label AS BIGINT) AS label,
+           CAST(s AS BIGINT) AS score_ppm
+         FROM as$iters ORDER BY item""")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "ds_dawid_skene" -> dawidSkeneSql(2),
     "ds_sorted_neighborhood" ->
       """WITH r AS (SELECT doc_id, text,
            row_number() OVER (ORDER BY text, doc_id) - 1 AS rk

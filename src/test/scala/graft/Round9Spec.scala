@@ -122,6 +122,56 @@ class Round9Spec extends SparkSpecBase {
     assert(exact(3L) == ("", 6L))
   }
 
+  test("dawidSkene: confusion matrices recover what accuracy-scalar " +
+    "weighting cannot — anti-annotators become negative evidence and a " +
+    "consensus-hijacking annotator is dethroned") {
+    import graft.ext.Labels
+    // truth = item % 2. a0,a1 perfect; a2,a3 perfectly ANTI (say
+    // 1-truth); a4 honest except on a hash-chosen 30% of items. Where a4
+    // errs, the anti coalition + a4 outvote the honest pair, so majority
+    // is wrong on exactly those items (70% accuracy) — and because the
+    // consensus follows a4's errors, a4's observed agreement is 100%,
+    // so weightedVote keeps the same 70% (1.0 + 0.3 + 0.3 > 0.7 + 0.7).
+    // Full confusion matrices learn conf(a2, t, 1-t) ~ 1e6: the antis'
+    // votes flip into evidence FOR the truth and round 2 lands 100%.
+    val rows = for {
+      item <- 0L until 200L
+      a <- 0L until 5L
+    } yield {
+      val t = item % 2
+      val a4wrong = (item * 31) % 10 < 3
+      val label = a match {
+        case 0 | 1 => t
+        case 2 | 3 => 1 - t
+        case _ => if (a4wrong) 1 - t else t
+      }
+      (item, a, label)
+    }
+    val ann = rows.toDF("item", "annotator", "label")
+    def acc(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("item"), col("label")).collect()
+        .count(r => r.getLong(1) == r.getLong(0) % 2) / 200.0
+    val mvAcc = acc(Labels.majorityVote(ann))
+    val wvAcc = acc(Labels.weightedVote(ann))
+    val dsAcc = acc(Labels.dawidSkene(ann, iters = 2))
+    assert(mvAcc == 0.7, s"majority $mvAcc")
+    assert(wvAcc == 0.7, s"weightedVote $wvAcc")
+    assert(dsAcc == 1.0, s"dawidSkene $dsAcc")
+  }
+
+  test("dawidSkene: unanimous perfect annotators yield the truth with " +
+    "the exact full-confidence score (n_annotators x 1e6 ppm)") {
+    import graft.ext.Labels
+    val ann = (for { i <- 0L until 40L; a <- 0L until 3L }
+      yield (i, a, i % 4)).toDF("item", "annotator", "label")
+    val out = Labels.dawidSkene(ann, iters = 2).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert(r.getAs[Long]("label") == r.getAs[Long]("item") % 4)
+      assert(r.getAs[Long]("score_ppm") == 3000000L, s"$r")
+    }
+  }
+
   test("checkConstraints: empty input reports 0 violations / pass=true " +
     "(not NULL)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
