@@ -25,6 +25,41 @@ object Pipeline {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Order-independent corpus reproducibility digest — the promote gate
+    * a 100 TB pipeline runs before swapping a regenerated table in: did
+    * the rerun produce EXACTLY the same rows? Returns ONE row
+    * (n_rows, xor_h, sum_h): the count, bit-XOR, and exact DECIMAL(38,0)
+    * sum of the portable 60-bit row hash over `cols` (unit-separator
+    * joined; NULL cells map to a ␀ sentinel so (NULL) and ('') digest
+    * differently). All three aggregates are commutative+associative, so
+    * the digest is independent of row order, partitioning, and
+    * parallelism — byte-identical corpora give equal digests regardless
+    * of how they were computed, and any added/dropped/changed row moves
+    * at least one component (XOR alone cancels even-multiplicity
+    * duplicate rows; the exact sum catches exactly those).
+    *
+    * 100 TB shape: one narrow hash map + ONE partial-agg'd scalar
+    * aggregate — map-side combine reduces every partition to three
+    * numbers, nothing else shuffles. Engine-portability note: restrict
+    * `cols` to string/integer columns when the digest must be replayed
+    * in another engine (float/timestamp STRING renderings are
+    * engine-specific); within Spark any type digests reproducibly.
+    */
+  def corpusDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "corpusDigest needs at least one column")
+    val parts = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("␀")))
+    val joined = parts.reduce((a, b) => concat(a, lit("\u001f"), b))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.select(portableHash60(joined).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        // empty input: aggregates over zero rows are NULL — report the
+        // identity elements instead (the checkConstraints convention)
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_h"),
+        coalesce(sum(col("h").cast(dec38)), lit(0L).cast(dec38))
+          .as("sum_h"))
+  }
+
   /** Deterministic train/val/test split by id hash: stable across runs,
     * machines, and engines (no RNG, no zipWithIndex). `fractions` are
     * cumulative-bucket widths over 1e6 buckets; rows hash into the first

@@ -160,6 +160,12 @@ private[queries] object ExtDataQueries {
           Seq("doc_id", "lang", "source", "n_chars", "text"))
         .orderBy(col("col_name"))
     },
+    "ds_corpus_digest" -> { (s, d) =>
+      // order-independent reproducibility digest: count + bit-XOR +
+      // exact decimal sum of the portable row hash — equal digests <=>
+      // identical row multisets, under ANY partitioning/ordering
+      Pipeline.corpusDigest(docs(s, d), Seq("doc_id", "lang", "text"))
+    },
     "ds_filter_funnel" -> { (s, d) =>
       // curation-ablation funnel: five cleaning stages counted in
       // isolation AND cumulatively in ONE scan (stack unpivot of the
@@ -468,6 +474,17 @@ private[queries] object ExtDataQueries {
             CAST(max($c) AS VARCHAR) AS max_value FROM documents""")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
     },
+    "ds_corpus_digest" ->
+      """WITH h AS (SELECT CAST('0x' || substr(md5(
+             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
+             COALESCE(CAST(lang AS VARCHAR), '␀') || chr(31) ||
+             COALESCE(CAST(text AS VARCHAR), '␀')), 1, 15) AS BIGINT)
+             AS h
+           FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_h,
+           CAST(COALESCE(sum(h), 0) AS DECIMAL(38,0)) AS sum_h
+         FROM h""",
     "ds_filter_funnel" ->
       """WITH p AS (SELECT
              COALESCE(text IS NOT NULL AND length(text) > 0, FALSE) AS p1,

@@ -172,6 +172,39 @@ class Round9Spec extends SparkSpecBase {
     }
   }
 
+  test("corpusDigest: invariant under partitioning/order, moved by any " +
+    "row change, catches even-multiplicity duplicates XOR alone cannot") {
+    val base = (1L to 100L).map(i => (i, s"lang${i % 3}", s"text body $i"))
+    def dig(rows: Seq[(Long, String, String)], parts: Int = 4) = {
+      val r = Pipeline.corpusDigest(
+        rows.toDF("doc_id", "lang", "text").repartition(parts),
+        Seq("doc_id", "lang", "text")).collect()(0)
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_h"),
+        r.getAs[java.math.BigDecimal]("sum_h"))
+    }
+    val d0 = dig(base)
+    // order + partitioning invariance
+    assert(dig(base.reverse, 1) == d0)
+    assert(dig(scala.util.Random.shuffle(base), 13) == d0)
+    // one changed cell moves the digest
+    assert(dig(base.updated(50, (51L, "lang0", "text body 51 CHANGED"))) != d0)
+    // a dropped row moves it
+    assert(dig(base.drop(1)) != d0)
+    // an even-multiplicity duplicate pair cancels in XOR but not in the
+    // exact sum (or the count) — the reason the digest carries all three
+    val duped = base ++ Seq(base.head, base.head)
+    val dd = dig(duped)
+    assert(dd._2 == d0._2, "duplicate pair should cancel in XOR")
+    assert(dd != d0, "sum/count must still catch the duplicate pair")
+    // NULL cell digests differently from empty string
+    val withNull = base.updated(0, (1L, null: String, "text body 1"))
+    val withEmpty = base.updated(0, (1L, "", "text body 1"))
+    assert(dig(withNull) != dig(withEmpty))
+    // empty input: identity elements, not NULLs
+    val e = dig(Seq.empty)
+    assert(e._1 == 0L && e._2 == 0L && e._3.longValueExact() == 0L)
+  }
+
   test("checkConstraints: empty input reports 0 violations / pass=true " +
     "(not NULL)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
