@@ -60,6 +60,29 @@ object Pipeline {
           .as("sum_h"))
   }
 
+  /** Per-group face of [[corpusDigest]] — one digest row per `byCol`
+    * value, so a partitioned 100 TB table promotes incrementally: only
+    * partitions whose (n_rows, xor_h, sum_h) moved need re-validation or
+    * re-publication, and a partition-level diff of two table versions is
+    * a join of two digest tables instead of a row-level anti-join over
+    * the corpus. NULL group keys digest as their own group (they are
+    * data, not absence of a group). Same one-scan partial-agg'd shape,
+    * keyed by the group column.
+    */
+  def corpusDigestBy(df: DataFrame, cols: Seq[String],
+                     byCol: String): DataFrame = {
+    require(cols.nonEmpty, "corpusDigestBy needs at least one column")
+    val parts = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("␀")))
+    val joined = parts.reduce((a, b) => concat(a, lit("\u001f"), b))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.select(col(byCol), portableHash60(joined).as("h"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_h"),
+        sum(col("h").cast(dec38)).as("sum_h"))
+  }
+
   /** Deterministic train/val/test split by id hash: stable across runs,
     * machines, and engines (no RNG, no zipWithIndex). `fractions` are
     * cumulative-bucket widths over 1e6 buckets; rows hash into the first

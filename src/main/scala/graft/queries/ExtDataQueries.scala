@@ -166,6 +166,13 @@ private[queries] object ExtDataQueries {
       // identical row multisets, under ANY partitioning/ordering
       Pipeline.corpusDigest(docs(s, d), Seq("doc_id", "lang", "text"))
     },
+    "ds_corpus_digest_by" -> { (s, d) =>
+      // per-partition promote gate: one digest row per lang, so a
+      // regenerated partitioned table republishes only moved partitions
+      Pipeline.corpusDigestBy(docs(s, d), Seq("doc_id", "lang", "text"),
+          "lang")
+        .orderBy(col("lang"))
+    },
     "ds_filter_funnel" -> { (s, d) =>
       // curation-ablation funnel: five cleaning stages counted in
       // isolation AND cumulatively in ONE scan (stack unpivot of the
@@ -485,6 +492,17 @@ private[queries] object ExtDataQueries {
            CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_h,
            CAST(COALESCE(sum(h), 0) AS DECIMAL(38,0)) AS sum_h
          FROM h""",
+    "ds_corpus_digest_by" ->
+      """WITH h AS (SELECT lang, CAST('0x' || substr(md5(
+             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
+             COALESCE(CAST(lang AS VARCHAR), '␀') || chr(31) ||
+             COALESCE(CAST(text AS VARCHAR), '␀')), 1, 15) AS BIGINT)
+             AS h
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_h,
+           CAST(sum(h) AS DECIMAL(38,0)) AS sum_h
+         FROM h GROUP BY lang ORDER BY lang""",
     "ds_filter_funnel" ->
       """WITH p AS (SELECT
              COALESCE(text IS NOT NULL AND length(text) > 0, FALSE) AS p1,

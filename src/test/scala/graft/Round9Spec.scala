@@ -205,6 +205,24 @@ class Round9Spec extends SparkSpecBase {
     assert(e._1 == 0L && e._2 == 0L && e._3.longValueExact() == 0L)
   }
 
+  test("corpusDigestBy: per-group digests roll up exactly to the global " +
+    "digest (count/sum add, xor xors), NULL keys keep their own group") {
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 7 == 0) null else s"g${i % 3}", s"t$i"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val by = Pipeline.corpusDigestBy(df, Seq("doc_id", "lang", "text"),
+      "lang").collect()
+    assert(by.map(r => Option(r.getString(0))).toSet ==
+      Set(None, Some("g0"), Some("g1"), Some("g2")))
+    val g = Pipeline.corpusDigest(df, Seq("doc_id", "lang", "text"))
+      .collect()(0)
+    assert(by.map(_.getAs[Long]("n_rows")).sum == g.getAs[Long]("n_rows"))
+    assert(by.map(_.getAs[Long]("xor_h")).reduce(_ ^ _) ==
+      g.getAs[Long]("xor_h"))
+    assert(by.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("sum_h")))
+      .sum == BigDecimal(g.getAs[java.math.BigDecimal]("sum_h")))
+  }
+
   test("checkConstraints: empty input reports 0 violations / pass=true " +
     "(not NULL)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
