@@ -172,8 +172,13 @@ object Labels {
       val conf = cells.join(tots, Seq("annotator", "t"))
         .select(col("annotator"), col("t"), col("label"),
           floorDivNN(col("n") * R, col("tot")).as("w"))
+      // no broadcast HINT on conf: it is |annotators|·|labels|² — tiny
+      // for a curated annotator pool, but a crowd raid makes the
+      // annotator dimension grow with the data (the ScaleSpec raid row),
+      // so size-based planning must keep the right to shuffle it
+      // (the dedupSpans convention). The label alphabet IS bounded.
       val scored = a.crossJoin(broadcast(alphabet))
-        .join(broadcast(conf), Seq("annotator", "t", "label"), "left")
+        .join(conf, Seq("annotator", "t", "label"), "left")
         .groupBy(col("item"), col("t"))
         .agg(sum(coalesce(col("w"), lit(0L))).as("s"))
       out = scored.groupBy(col("item"))

@@ -533,6 +533,49 @@ class ScaleSpec extends SparkSpecBase {
     info(f"containment 100×: 300 docs $tS%.2f s → 30k docs $tB%.1f s")
   }
 
+  test("viral raid vs confusion EM: dawidSkene with a raid that GROWS " +
+    "the annotator dimension — confusion table shuffles instead of " +
+    "broadcasting, organic consensus exact, ~linear growth") {
+    import graft.ext.Labels
+    // the DS-specific pathology on top of the weightedVote raid: every
+    // raider is a DISTINCT annotator, so the confusion table scales with
+    // the raid (|annotators|x|labels|^2) — a forced broadcast would pin
+    // it on the driver; size-based planning must keep the right to
+    // shuffle the E-step join.
+    def run(nItems: Long, raid: Long): (Long, Double) = {
+      val organic = spark.range(nItems).select(col("id").as("item"),
+          explode(sequence(lit(0L), lit(4L))).as("annotator"))
+        .select(col("item"), col("annotator"),
+          when(pmod(xxhash64(col("item") * 5 + col("annotator")),
+              lit(10)) < 2, pmod(col("item") + 1, lit(4)))
+            .otherwise(pmod(col("item"), lit(4))).as("label"))
+      val raidRows = spark.range(raid).select(lit(0L).as("item"),
+        (col("id") + 100L).as("annotator"),
+        when(pmod(col("id"), lit(10)) < 6, lit(7L)).otherwise(lit(8L))
+          .as("label"))
+      val ann = organic.unionByName(raidRows)
+      val (rows, t) = time {
+        val ds = Labels.dawidSkene(ann, iters = 2)
+        val sample = ds.where(col("item").isin(1L, 2L, 3L)).collect()
+        ds.count()
+        sample
+      }
+      graft.ext.OpCaches.releaseAll()
+      // organic items recover truth (item % 4) — raiders never labeled
+      // them, so their confusion cells add zero evidence there
+      rows.foreach(r => assert(
+        r.getAs[Long]("label") == r.getAs[Long]("item") % 4,
+        s"organic consensus broken: $r"))
+      (rows.length.toLong, t)
+    }
+    run(2000, 1000) // warm-up
+    val (_, tS) = run(20000, 10000)
+    val (_, tB) = run(200000, 100000)
+    assertLinear("ds_dawid_skene", tS, tB, () => run(200000, 100000)._2)
+    info(f"dawidSkene raid: 100k ann (10k raiders) $tS%.1f s → " +
+      f"1M ann (100k raiders) $tB%.1f s")
+  }
+
   test("viral item: weightedVote with 10⁵ annotations raiding ONE item " +
     "grows ~linearly and tallies the raid exactly") {
     import graft.ext.Labels
