@@ -44,6 +44,13 @@ object Pipeline {
     * `cols` to string/integer columns when the digest must be replayed
     * in another engine (float/timestamp STRING renderings are
     * engine-specific); within Spark any type digests reproducibly.
+    *
+    * STREAMING-SAFE as-is (spec-asserted): handed a streaming frame, the
+    * same plan runs as an always-on ingest-integrity monitor — Spark
+    * keeps the three commutative partials as state (three numbers,
+    * forever, no watermark), and in complete/update mode the latest row
+    * is the digest of everything ingested so far, equal to the batch
+    * digest of the union of all micro-batches.
     */
   def corpusDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "corpusDigest needs at least one column")
@@ -81,6 +88,32 @@ object Pipeline {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("xor_h"),
         sum(col("h").cast(dec38)).as("sum_h"))
+  }
+
+  /** Partition-level diff of two [[corpusDigestBy]] tables — the
+    * promote decision itself: which partitions of a regenerated table
+    * changed, appeared, or vanished, WITHOUT touching corpus rows. One
+    * row per group key with `status` ∈ 'same' | 'changed' | 'added' |
+    * 'removed' ('added' = present only in `next`) and both sides' row
+    * counts (−1 for the absent side, so the report stays integer-typed
+    * and engine-portable). Two digest tables join full-outer on the
+    * group key — group-cardinality-sized, trivially broadcastable; the
+    * 100 TB corpora behind them are never re-read.
+    */
+  def digestDiff(prev: DataFrame, next: DataFrame,
+                 byCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.select(col(byCol),
+      col("n_rows").as(s"${tag}_n"), col("xor_h").as(s"${tag}_x"),
+      col("sum_h").as(s"${tag}_s"))
+    side(prev, "p").join(side(next, "n"), Seq(byCol), "full_outer")
+      .select(col(byCol),
+        when(col("p_n").isNull, lit("added"))
+          .when(col("n_n").isNull, lit("removed"))
+          .when(col("p_n") === col("n_n") && col("p_x") === col("n_x") &&
+                col("p_s") === col("n_s"), lit("same"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("p_n"), lit(-1L)).as("n_rows_prev"),
+        coalesce(col("n_n"), lit(-1L)).as("n_rows_next"))
   }
 
   /** Deterministic train/val/test split by id hash: stable across runs,

@@ -173,6 +173,22 @@ private[queries] object ExtDataQueries {
           "lang")
         .orderBy(col("lang"))
     },
+    "ds_digest_diff" -> { (s, d) =>
+      // the promote decision: diff two per-source digest tables of a
+      // "regenerated" corpus (src2 newly appears, src5 vanishes, src1's
+      // text changed, everything else byte-identical) — all four
+      // statuses exercised without re-reading corpus rows
+      val dd = docs(s, d)
+      val prev = Pipeline.corpusDigestBy(
+        dd.where(col("source") =!= "src2"), Seq("doc_id", "text"),
+        "source")
+      val next = Pipeline.corpusDigestBy(
+        dd.where(col("source") =!= "src5")
+          .withColumn("text", when(col("source") === "src1",
+            concat(col("text"), lit("!"))).otherwise(col("text"))),
+        Seq("doc_id", "text"), "source")
+      Pipeline.digestDiff(prev, next, "source").orderBy(col("source"))
+    },
     "ds_filter_funnel" -> { (s, d) =>
       // curation-ablation funnel: five cleaning stages counted in
       // isolation AND cumulatively in ONE scan (stack unpivot of the
@@ -503,6 +519,34 @@ private[queries] object ExtDataQueries {
            CAST(bit_xor(h) AS BIGINT) AS xor_h,
            CAST(sum(h) AS DECIMAL(38,0)) AS sum_h
          FROM h GROUP BY lang ORDER BY lang""",
+    "ds_digest_diff" ->
+      """WITH hp AS (SELECT source, CAST('0x' || substr(md5(
+             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
+             COALESCE(CAST(text AS VARCHAR), '␀')), 1, 15) AS BIGINT)
+             AS h
+           FROM documents WHERE source <> 'src2'),
+         pd AS (SELECT source, count(*) AS n, bit_xor(h) AS x,
+                CAST(sum(h) AS DECIMAL(38,0)) AS s
+                FROM hp GROUP BY source),
+         hn AS (SELECT source, CAST('0x' || substr(md5(
+             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
+             COALESCE(CAST(CASE WHEN source = 'src1' THEN text || '!'
+                                ELSE text END AS VARCHAR), '␀')),
+             1, 15) AS BIGINT) AS h
+           FROM documents WHERE source <> 'src5'),
+         nd AS (SELECT source, count(*) AS n, bit_xor(h) AS x,
+                CAST(sum(h) AS DECIMAL(38,0)) AS s
+                FROM hn GROUP BY source)
+         SELECT COALESCE(pd.source, nd.source) AS source,
+           CASE WHEN pd.n IS NULL THEN 'added'
+                WHEN nd.n IS NULL THEN 'removed'
+                WHEN pd.n = nd.n AND pd.x = nd.x AND pd.s = nd.s
+                  THEN 'same'
+                ELSE 'changed' END AS status,
+           CAST(COALESCE(pd.n, -1) AS BIGINT) AS n_rows_prev,
+           CAST(COALESCE(nd.n, -1) AS BIGINT) AS n_rows_next
+         FROM pd FULL OUTER JOIN nd ON pd.source = nd.source
+         ORDER BY source""",
     "ds_filter_funnel" ->
       """WITH p AS (SELECT
              COALESCE(text IS NOT NULL AND length(text) > 0, FALSE) AS p1,

@@ -223,6 +223,50 @@ class Round9Spec extends SparkSpecBase {
       .sum == BigDecimal(g.getAs[java.math.BigDecimal]("sum_h")))
   }
 
+  test("corpusDigest over a stream: the latest complete-mode row equals " +
+    "the batch digest of everything ingested (ingest-integrity monitor)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Pipeline.corpusDigest(ms.toDF().toDF("id", "s"),
+        Seq("id", "s"))
+      .writeStream.format("memory").queryName("dig9")
+      .outputMode("complete").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((3L, "c"), (1L, "a")) // duplicate row arrives again
+      q.processAllAvailable()
+      val got = spark.table("dig9").collect()(0)
+      val want = Pipeline.corpusDigest(
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (1L, "a")).toDF("id", "s"),
+        Seq("id", "s")).collect()(0)
+      assert(got.getAs[Long]("n_rows") == want.getAs[Long]("n_rows"))
+      assert(got.getAs[Long]("xor_h") == want.getAs[Long]("xor_h"))
+      assert(got.getAs[java.math.BigDecimal]("sum_h") ==
+        want.getAs[java.math.BigDecimal]("sum_h"))
+    } finally q.stop()
+  }
+
+  test("digestDiff: added/removed/changed/same statuses from two " +
+    "per-group digest tables, corpus never re-read") {
+    val prev = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g2"),
+      (4L, "d", "g3")).toDF("id", "s", "g")
+    val next = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "CHANGED", "g2"),
+      (5L, "e", "g4")).toDF("id", "s", "g")
+    val diff = Pipeline.digestDiff(
+        Pipeline.corpusDigestBy(prev, Seq("id", "s"), "g"),
+        Pipeline.corpusDigestBy(next, Seq("id", "s"), "g"), "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getAs[Long]("n_rows_prev"),
+          r.getAs[Long]("n_rows_next"))).toMap
+    assert(diff == Map(
+      "g1" -> ("same", 2L, 2L),
+      "g2" -> ("changed", 1L, 1L),
+      "g3" -> ("removed", 1L, -1L),
+      "g4" -> ("added", -1L, 1L)))
+  }
+
   test("checkConstraints: empty input reports 0 violations / pass=true " +
     "(not NULL)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
