@@ -136,7 +136,10 @@ object Labels {
     * keeps every round in exact integer ppm, aggregation-order
     * independent, and bit-replayable in DuckDB (the module contract —
     * the gate oracle unrolls all rounds). Returns (item, label,
-    * score_ppm) after `iters` rounds.
+    * score_ppm, margin_ppm) after `iters` rounds — `margin_ppm` is the
+    * winner's lead over the runner-up candidate (= the full score when
+    * only one candidate exists), the routing signal a labeling program
+    * uses to send low-confidence items back for more annotations.
     *
     * Scale shape per round: the M-step joins the annotation volume to
     * the item-keyed assignment (both sides item-partitioned) and
@@ -181,10 +184,18 @@ object Labels {
         .join(conf, Seq("annotator", "t", "label"), "left")
         .groupBy(col("item"), col("t"))
         .agg(sum(coalesce(col("w"), lit(0L))).as("s"))
+      // per-item candidate list is bounded by the label alphabet, so the
+      // sorted collect is O(|labels|) per item — (s desc, label asc), the
+      // same deterministic order as the max-struct tie-break
       out = scored.groupBy(col("item"))
-        .agg(max(struct(col("s").as("s"), (-col("t")).as("nl"))).as("best"))
-        .select(col("item"), (-col("best.nl")).cast("long").as("label"),
-          col("best.s").as("score_ppm"))
+        .agg(sort_array(collect_list(struct(col("s").as("s"),
+          (-col("t")).as("nt"))), asc = false).as("arr"))
+        .select(col("item"),
+          (-col("arr")(0).getField("nt")).cast("long").as("label"),
+          col("arr")(0).getField("s").as("score_ppm"),
+          (col("arr")(0).getField("s") -
+            coalesce(col("arr")(1).getField("s"), lit(0L)))
+            .as("margin_ppm"))
       assign = out.select(col("item"), col("label"))
       it += 1
     }

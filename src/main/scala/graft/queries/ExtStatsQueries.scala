@@ -336,10 +336,16 @@ private[queries] object ExtStatsQueries {
                  ORDER BY s DESC, t ASC) AS rk FROM sc$i)
            WHERE rk = 1)""")
     }
-    sb.append(s"""
-         SELECT item, CAST(label AS BIGINT) AS label,
-           CAST(s AS BIGINT) AS score_ppm
-         FROM as$iters ORDER BY item""")
+    sb.append(s""",
+         fin AS (SELECT item, t, s,
+             row_number() OVER (PARTITION BY item
+               ORDER BY s DESC, t ASC) AS rk FROM sc$iters)
+         SELECT f1.item, CAST(f1.t AS BIGINT) AS label,
+           CAST(f1.s AS BIGINT) AS score_ppm,
+           CAST(f1.s - COALESCE(f2.s, 0) AS BIGINT) AS margin_ppm
+         FROM fin f1 LEFT JOIN fin f2
+           ON f1.item = f2.item AND f2.rk = 2
+         WHERE f1.rk = 1 ORDER BY f1.item""")
     sb.toString
   }
 

@@ -77,6 +77,30 @@ class Round9Spec extends SparkSpecBase {
     assert(bySrc.values.flatten.toSet == Set(0L, 1L, 2L), s"$bySrc")
   }
 
+  test("interleaveBySources: supplementary-plane source names order " +
+    "identically in the offset table and the global sort (UTF-8 vs " +
+    "UTF-16 divergence pinned)") {
+    // U+FFFC (high BMP) sorts BELOW U+1F600 in UTF-8 byte order (Spark)
+    // but ABOVE it in UTF-16 code-unit order (a driver-side Scala
+    // sortBy) — the exact misalignment ADVICE r8 flagged. The fix
+    // collects the offset table through Spark's own orderBy, so the
+    // rotation must come out dense and collision-free.
+    val rows = (0 until 4).flatMap { i =>
+      Seq((s"a$i", "￼src"), (s"b$i", "😀src"), (s"c$i", "zsrc"))
+    }
+    val out = Pipeline.interleaveBySources(
+        rows.toDF("doc_id", "src"), "src", "doc_id")
+      .select(col("src"), col("interleave_pos")).collect()
+    val pos = out.map(_.getAs[Long]("interleave_pos")).sorted
+    assert(pos.toSeq == (0L until 12L),
+      s"positions not a dense rotation: ${pos.toSeq}")
+    val bySrc = out.groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(_.getAs[Long]("interleave_pos") % 3).toSet }
+    assert(bySrc.values.forall(_.size == 1), s"$bySrc")
+    assert(bySrc.values.flatten.toSet == Set(0L, 1L, 2L), s"$bySrc")
+  }
+
   private def docsDf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
@@ -169,6 +193,9 @@ class Round9Spec extends SparkSpecBase {
     out.foreach { r =>
       assert(r.getAs[Long]("label") == r.getAs[Long]("item") % 4)
       assert(r.getAs[Long]("score_ppm") == 3000000L, s"$r")
+      // perfect annotators put zero mass on every other candidate, so
+      // the routing margin is the full score
+      assert(r.getAs[Long]("margin_ppm") == 3000000L, s"$r")
     }
   }
 
