@@ -1867,6 +1867,40 @@ object Dedup {
         .word_ngram_hashes60(col(textCol), n)))
   }
 
+  /** Multi-suite contamination census — every benchmark in ONE corpus
+    * pass: a lab decontaminates against MANY eval suites at once, and
+    * re-scanning 100 TB of training text per suite is the naive cost
+    * this face removes. All suites' n-gram postings union (tagged by
+    * suite name), broadcast ONCE, and join the single training-side
+    * gram explode; per (train doc, suite) the report carries how many
+    * of that suite's documents were hit and the max/total distinct
+    * shared n-grams — the inputs to a per-suite drop threshold.
+    * Returns (train_id, suite, n_eval_docs, n_shared_max,
+    * n_shared_total). Feed `where(...)` + anti-join for the drop, as
+    * [[decontaminate]] does for one suite.
+    */
+  def contaminationBySuite(train: DataFrame,
+                           suites: Seq[(String, DataFrame)],
+                           textCol: String, idCol: String, n: Int = 13,
+                           broadcastEval: Boolean = true): DataFrame = {
+    require(suites.nonEmpty, "contaminationBySuite needs >= 1 suite")
+    require(suites.map(_._1).distinct.size == suites.size,
+      "duplicate suite names would merge census rows")
+    val t = ngramSets(train, textCol, idCol, n, "train_id")
+    val e0 = suites.map { case (name, df) =>
+      ngramSets(df, textCol, idCol, n, "eval_id")
+        .select(lit(name).as("suite"), col("eval_id"), col("__g"))
+    }.reduce(_ unionByName _)
+    val e = if (broadcastEval) broadcast(e0) else e0
+    t.join(e, Seq("__g"))
+      .groupBy(col("train_id"), col("suite"), col("eval_id"))
+      .agg(count(lit(1)).cast("long").as("__s"))
+      .groupBy(col("train_id"), col("suite"))
+      .agg(count(lit(1)).cast("long").as("n_eval_docs"),
+        max(col("__s")).as("n_shared_max"),
+        sum(col("__s")).cast("long").as("n_shared_total"))
+  }
+
   /** Drop every training document sharing more than `maxSharedNgrams`
     * distinct word n-grams with ANY evaluation document (default 0: any
     * overlap contaminates). Anti-join by train id — training text never

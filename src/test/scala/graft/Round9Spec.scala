@@ -294,6 +294,32 @@ class Round9Spec extends SparkSpecBase {
       "g4" -> ("added", -1L, 1L)))
   }
 
+  test("contaminationBySuite: one corpus pass tags per-suite hits with " +
+    "eval-doc and shared-gram counts; clean docs absent") {
+    // suite A owns passage a1..a5 (two docs: a full copy and one
+    // sharing only that passage); suite B owns b1..b5. Train doc 1
+    // leaks BOTH passages, doc 2 only A's, doc 3 is clean.
+    val train = docsDf(
+      1L -> "x1 a1 a2 a3 a4 a5 x2 b1 b2 b3 b4 b5",
+      2L -> "y1 a1 a2 a3 a4 a5 y2",
+      3L -> "z1 z2 z3 z4 z5 z6 z7")
+    val suiteA = docsDf(100L -> "a1 a2 a3 a4 a5",
+                        101L -> "q1 a1 a2 a3 a4 a5 q2")
+    val suiteB = docsDf(200L -> "b1 b2 b3 b4 b5")
+    val out = Dedup.contaminationBySuite(train,
+        Seq("A" -> suiteA, "B" -> suiteB), "text", "doc_id", n = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getString(1)) ->
+        (r.getAs[Long]("n_eval_docs"), r.getAs[Long]("n_shared_max"),
+          r.getAs[Long]("n_shared_total"))).toMap
+    // doc1 x suite A: both A docs share the 1 distinct 5-gram a1..a5
+    assert(out((1L, "A")) == ((2L, 1L, 2L)), s"$out")
+    assert(out((1L, "B")) == ((1L, 1L, 1L)), s"$out")
+    assert(out((2L, "A")) == ((2L, 1L, 2L)), s"$out")
+    assert(!out.contains((2L, "B")) && !out.keys.exists(_._1 == 3L),
+      s"clean rows leaked: $out")
+  }
+
   test("checkConstraints: empty input reports 0 violations / pass=true " +
     "(not NULL)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
