@@ -576,6 +576,48 @@ class ScaleSpec extends SparkSpecBase {
       f"1M ann (100k raiders) $tB%.1f s")
   }
 
+  test("universal leak gram: contaminationBySuite where EVERY train doc " +
+    "carries a suite passage — hot-gram fan-out stays linear in train " +
+    "volume, census exact") {
+    import graft.ext.Dedup
+    // the contamination pathology: a boilerplate passage lives in a
+    // benchmark doc AND in every training doc, so its gram is the
+    // hottest possible join key. Fan-out is train-volume × (eval docs
+    // holding the gram) — the eval side is small by construction, so
+    // growth must stay linear in the corpus.
+    val leak = (1 to 6).map(i => s"L$i").mkString(" ") // 2 distinct 5-grams
+    def run(n: Long): (Long, Double) = {
+      val train = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit(leak + " "),
+          array_join(transform(sequence(lit(1), lit(30)),
+            j => concat(lit("w"),
+              pmod(xxhash64(col("id") * 1000 + j), lit(800)))), " "))
+          .as("text"))
+      val suite = Seq((900000L, leak), (900001L, "c1 c2 c3 c4 c5 c6"))
+        .toDF("doc_id", "text")
+      val (rows, t) = time {
+        val census = Dedup.contaminationBySuite(train,
+          Seq("bench" -> suite), "text", "doc_id", n = 5)
+        val sample = census.where(col("train_id") === 0L).collect()
+        val total = census.count()
+        (sample, total)
+      }
+      // every train doc hits exactly the one leaking eval doc with the
+      // passage's 2 distinct 5-grams
+      assert(rows._2 == n, s"census rows ${rows._2} != $n")
+      val r0 = rows._1(0)
+      assert(r0.getAs[Long]("n_eval_docs") == 1L &&
+        r0.getAs[Long]("n_shared_max") == 2L &&
+        r0.getAs[Long]("n_shared_total") == 2L, s"$r0")
+      (rows._2, t)
+    }
+    run(2000) // warm-up
+    val (_, tS) = run(20000)
+    val (_, tB) = run(200000)
+    assertLinear("ds_contamination_suites", tS, tB, () => run(200000)._2)
+    info(f"contamination census: 20k docs $tS%.1f s → 200k docs $tB%.1f s")
+  }
+
   test("viral item: weightedVote with 10⁵ annotations raiding ONE item " +
     "grows ~linearly and tallies the raid exactly") {
     import graft.ext.Labels
