@@ -28,10 +28,11 @@ object Pipeline {
   /** Order-independent corpus reproducibility digest — the promote gate
     * a 100 TB pipeline runs before swapping a regenerated table in: did
     * the rerun produce EXACTLY the same rows? Returns ONE row
-    * (n_rows, xor_h, sum_h): the count, bit-XOR, and exact DECIMAL(38,0)
-    * sum of the portable 60-bit row hash over `cols` (unit-separator
-    * joined; NULL cells map to a ␀ sentinel so (NULL) and ('') digest
-    * differently). All three aggregates are commutative+associative, so
+    * (n_rows, xor_h, sum_h_hi, sum_h_lo): the count, bit-XOR, and exact
+    * sum of the portable 60-bit row hash over `cols` (length-prefixed
+    * cell encoding — see [[digestRowEncoding]] — so distinct rows can
+    * never alias, and NULL ≠ '' ≠ "␀"; the sum is exact DECIMAL(38,0)
+    * internally, emitted as BIGINT hi/lo divmod 2^62). All aggregates are commutative+associative, so
     * the digest is independent of row order, partitioning, and
     * parallelism — byte-identical corpora give equal digests regardless
     * of how they were computed, and any added/dropped/changed row moves
@@ -39,7 +40,7 @@ object Pipeline {
     * duplicate rows; the exact sum catches exactly those).
     *
     * 100 TB shape: one narrow hash map + ONE partial-agg'd scalar
-    * aggregate — map-side combine reduces every partition to three
+    * aggregate — map-side combine reduces every partition to four
     * numbers, nothing else shuffles. Engine-portability note: restrict
     * `cols` to string/integer columns when the digest must be replayed
     * in another engine (float/timestamp STRING renderings are
@@ -47,24 +48,54 @@ object Pipeline {
     *
     * STREAMING-SAFE as-is (spec-asserted): handed a streaming frame, the
     * same plan runs as an always-on ingest-integrity monitor — Spark
-    * keeps the three commutative partials as state (three numbers,
+    * keeps the commutative partials as state (a handful of numbers,
     * forever, no watermark), and in complete/update mode the latest row
     * is the digest of everything ingested so far, equal to the batch
     * digest of the union of all micro-batches.
     */
+  /** Row encoding for the digest family: each cell is length-prefixed
+    * (`<n_chars>:<value>`; NULL is the bare `␀` token, which cannot
+    * collide with a prefixed value because those start with a digit),
+    * then cells join on a unit separator. Length prefixes make the
+    * joined string uniquely decodable, so distinct row tuples can never
+    * concatenate to the same string — ("ab","c") and ("a","bc") now
+    * encode differently even under separator injection, and a literal
+    * "␀" cell encodes as "1:␀" ≠ NULL's bare "␀". Both Spark and
+    * DuckDB `length` count Unicode code points, so the encoding replays
+    * byte-identically in the oracle engine.
+    */
+  private[graft] def digestRowEncoding(cols: Seq[String]): Column = {
+    val parts = cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("␀"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    parts.reduce((a, b) => concat(a, lit("\u001f"), b))
+  }
+
+  /** 2^62 — the hi/lo split base for the digest sum. The exact sum of
+    * 60-bit row hashes exceeds 2^63 at corpus scale (DECIMAL(38,0)
+    * internally), but downstream consumers (row hashers, other engines)
+    * are BIGINT-safe, so the digest emits the sum as two BIGINTs:
+    * `sum_h_hi = sum div 2^62`, `sum_h_lo = sum mod 2^62`. Lossless
+    * (hi·2^62 + lo reconstructs the exact sum for any corpus under
+    * ~2^63 rows) and still order-independent.
+    */
+  private[graft] val DigestSplitBase = 4611686018427387904L // 2^62
+
   def corpusDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "corpusDigest needs at least one column")
-    val parts = cols.map(c =>
-      coalesce(col(c).cast("string"), lit("␀")))
-    val joined = parts.reduce((a, b) => concat(a, lit("\u001f"), b))
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    df.select(portableHash60(joined).as("h"))
+    df.select(portableHash60(digestRowEncoding(cols)).as("h"))
       .agg(count(lit(1)).as("n_rows"),
         // empty input: aggregates over zero rows are NULL — report the
         // identity elements instead (the checkConstraints convention)
         coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_h"),
         coalesce(sum(col("h").cast(dec38)), lit(0L).cast(dec38))
-          .as("sum_h"))
+          .as("s"))
+      .select(col("n_rows"), col("xor_h"),
+        expr(s"s div ${DigestSplitBase}L").as("sum_h_hi"),
+        pmod(col("s"), lit(DigestSplitBase)).cast("long").as("sum_h_lo"))
   }
 
   /** Per-group face of [[corpusDigest]] — one digest row per `byCol`
@@ -79,15 +110,15 @@ object Pipeline {
   def corpusDigestBy(df: DataFrame, cols: Seq[String],
                      byCol: String): DataFrame = {
     require(cols.nonEmpty, "corpusDigestBy needs at least one column")
-    val parts = cols.map(c =>
-      coalesce(col(c).cast("string"), lit("␀")))
-    val joined = parts.reduce((a, b) => concat(a, lit("\u001f"), b))
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    df.select(col(byCol), portableHash60(joined).as("h"))
+    df.select(col(byCol), portableHash60(digestRowEncoding(cols)).as("h"))
       .groupBy(col(byCol))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("xor_h"),
-        sum(col("h").cast(dec38)).as("sum_h"))
+        sum(col("h").cast(dec38)).as("s"))
+      .select(col(byCol), col("n_rows"), col("xor_h"),
+        expr(s"s div ${DigestSplitBase}L").as("sum_h_hi"),
+        pmod(col("s"), lit(DigestSplitBase)).cast("long").as("sum_h_lo"))
   }
 
   /** Partition-level diff of two [[corpusDigestBy]] tables — the
@@ -104,13 +135,14 @@ object Pipeline {
                  byCol: String): DataFrame = {
     def side(df: DataFrame, tag: String) = df.select(col(byCol),
       col("n_rows").as(s"${tag}_n"), col("xor_h").as(s"${tag}_x"),
-      col("sum_h").as(s"${tag}_s"))
+      col("sum_h_hi").as(s"${tag}_sh"), col("sum_h_lo").as(s"${tag}_sl"))
     side(prev, "p").join(side(next, "n"), Seq(byCol), "full_outer")
       .select(col(byCol),
         when(col("p_n").isNull, lit("added"))
           .when(col("n_n").isNull, lit("removed"))
           .when(col("p_n") === col("n_n") && col("p_x") === col("n_x") &&
-                col("p_s") === col("n_s"), lit("same"))
+                col("p_sh") === col("n_sh") && col("p_sl") === col("n_sl"),
+            lit("same"))
           .otherwise(lit("changed")).as("status"),
         coalesce(col("p_n"), lit(-1L)).as("n_rows_prev"),
         coalesce(col("n_n"), lit(-1L)).as("n_rows_next"))

@@ -497,45 +497,70 @@ private[queries] object ExtDataQueries {
             CAST(max($c) AS VARCHAR) AS max_value FROM documents""")
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
     },
+    // length-prefixed cell encoding (`<n_chars>:<value>`, NULL -> bare
+    // '␀') mirrors Pipeline.digestRowEncoding; sum splits into BIGINT
+    // hi/lo at 2^62 to stay out of >2^63 wide-decimal territory
     "ds_corpus_digest" ->
       """WITH h AS (SELECT CAST('0x' || substr(md5(
-             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
-             COALESCE(CAST(lang AS VARCHAR), '␀') || chr(31) ||
-             COALESCE(CAST(text AS VARCHAR), '␀')), 1, 15) AS BIGINT)
-             AS h
+             CASE WHEN doc_id IS NULL THEN '␀' ELSE
+               CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR) END || chr(31) ||
+             CASE WHEN lang IS NULL THEN '␀' ELSE
+               CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+             chr(31) ||
+             CASE WHEN text IS NULL THEN '␀' ELSE
+               CAST(length(text) AS VARCHAR) || ':' || text END),
+             1, 15) AS BIGINT) AS h
            FROM documents)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_h,
-           CAST(COALESCE(sum(h), 0) AS DECIMAL(38,0)) AS sum_h
+           CAST(COALESCE(sum(h), 0) // 4611686018427387904 AS BIGINT)
+             AS sum_h_hi,
+           CAST(COALESCE(sum(h), 0) % 4611686018427387904 AS BIGINT)
+             AS sum_h_lo
          FROM h""",
     "ds_corpus_digest_by" ->
       """WITH h AS (SELECT lang, CAST('0x' || substr(md5(
-             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
-             COALESCE(CAST(lang AS VARCHAR), '␀') || chr(31) ||
-             COALESCE(CAST(text AS VARCHAR), '␀')), 1, 15) AS BIGINT)
-             AS h
+             CASE WHEN doc_id IS NULL THEN '␀' ELSE
+               CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR) END || chr(31) ||
+             CASE WHEN lang IS NULL THEN '␀' ELSE
+               CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+             chr(31) ||
+             CASE WHEN text IS NULL THEN '␀' ELSE
+               CAST(length(text) AS VARCHAR) || ':' || text END),
+             1, 15) AS BIGINT) AS h
            FROM documents)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(bit_xor(h) AS BIGINT) AS xor_h,
-           CAST(sum(h) AS DECIMAL(38,0)) AS sum_h
+           CAST(sum(h) // 4611686018427387904 AS BIGINT) AS sum_h_hi,
+           CAST(sum(h) % 4611686018427387904 AS BIGINT) AS sum_h_lo
          FROM h GROUP BY lang ORDER BY lang""",
     "ds_digest_diff" ->
       """WITH hp AS (SELECT source, CAST('0x' || substr(md5(
-             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
-             COALESCE(CAST(text AS VARCHAR), '␀')), 1, 15) AS BIGINT)
-             AS h
+             CASE WHEN doc_id IS NULL THEN '␀' ELSE
+               CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR) END || chr(31) ||
+             CASE WHEN text IS NULL THEN '␀' ELSE
+               CAST(length(text) AS VARCHAR) || ':' || text END),
+             1, 15) AS BIGINT) AS h
            FROM documents WHERE source <> 'src2'),
          pd AS (SELECT source, count(*) AS n, bit_xor(h) AS x,
-                CAST(sum(h) AS DECIMAL(38,0)) AS s
+                sum(h) AS s
                 FROM hp GROUP BY source),
          hn AS (SELECT source, CAST('0x' || substr(md5(
-             COALESCE(CAST(doc_id AS VARCHAR), '␀') || chr(31) ||
-             COALESCE(CAST(CASE WHEN source = 'src1' THEN text || '!'
-                                ELSE text END AS VARCHAR), '␀')),
+             CASE WHEN doc_id IS NULL THEN '␀' ELSE
+               CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR) END || chr(31) ||
+             CASE WHEN t2 IS NULL THEN '␀' ELSE
+               CAST(length(t2) AS VARCHAR) || ':' || t2 END),
              1, 15) AS BIGINT) AS h
-           FROM documents WHERE source <> 'src5'),
+           FROM (SELECT doc_id, source,
+                   CASE WHEN source = 'src1' THEN text || '!'
+                        ELSE text END AS t2
+                 FROM documents WHERE source <> 'src5')),
          nd AS (SELECT source, count(*) AS n, bit_xor(h) AS x,
-                CAST(sum(h) AS DECIMAL(38,0)) AS s
+                sum(h) AS s
                 FROM hn GROUP BY source)
          SELECT COALESCE(pd.source, nd.source) AS source,
            CASE WHEN pd.n IS NULL THEN 'added'

@@ -31,11 +31,12 @@ class Round9PropertySpec extends SparkSpecBase {
   private val corpusGen: Gen[List[(Long, String)]] =
     Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, rowGen))
 
-  private def digest(rows: Seq[(Long, String)]): (Long, Long, BigDecimal) = {
+  private def digest(rows: Seq[(Long, String)]): (Long, Long, BigInt) = {
     val r = Pipeline.corpusDigest(rows.toDF("id", "s").repartition(3),
       Seq("id", "s")).collect()(0)
     (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_h"),
-      BigDecimal(r.getAs[java.math.BigDecimal]("sum_h")))
+      BigInt(r.getAs[Long]("sum_h_hi")) * BigInt(Pipeline.DigestSplitBase) +
+        BigInt(r.getAs[Long]("sum_h_lo")))
   }
 
   test("corpusDigest: digests are equal exactly when the row MULTISETS " +

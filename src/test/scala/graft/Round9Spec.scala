@@ -199,6 +199,11 @@ class Round9Spec extends SparkSpecBase {
     }
   }
 
+  /** Recombine the BIGINT hi/lo split back into the exact sum. */
+  private def digestSum(r: org.apache.spark.sql.Row): BigInt =
+    BigInt(r.getAs[Long]("sum_h_hi")) * BigInt(Pipeline.DigestSplitBase) +
+      BigInt(r.getAs[Long]("sum_h_lo"))
+
   test("corpusDigest: invariant under partitioning/order, moved by any " +
     "row change, catches even-multiplicity duplicates XOR alone cannot") {
     val base = (1L to 100L).map(i => (i, s"lang${i % 3}", s"text body $i"))
@@ -206,8 +211,7 @@ class Round9Spec extends SparkSpecBase {
       val r = Pipeline.corpusDigest(
         rows.toDF("doc_id", "lang", "text").repartition(parts),
         Seq("doc_id", "lang", "text")).collect()(0)
-      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_h"),
-        r.getAs[java.math.BigDecimal]("sum_h"))
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_h"), digestSum(r))
     }
     val d0 = dig(base)
     // order + partitioning invariance
@@ -227,9 +231,17 @@ class Round9Spec extends SparkSpecBase {
     val withNull = base.updated(0, (1L, null: String, "text body 1"))
     val withEmpty = base.updated(0, (1L, "", "text body 1"))
     assert(dig(withNull) != dig(withEmpty))
+    // separator injection cannot alias distinct rows: the length-prefix
+    // cell encoding is uniquely decodable, so a cell CONTAINING the
+    // separator differs from the same bytes split across two cells
+    val injA = Seq((1L, "ab", "c"))
+    val injB = Seq((1L, "a", "bc"))
+    assert(dig(injA) != dig(injB))
+    // a literal ␀ cell is not the same as a NULL cell
+    assert(dig(Seq((1L, "␀", "t"))) != dig(Seq((1L, null: String, "t"))))
     // empty input: identity elements, not NULLs
     val e = dig(Seq.empty)
-    assert(e._1 == 0L && e._2 == 0L && e._3.longValueExact() == 0L)
+    assert(e._1 == 0L && e._2 == 0L && e._3 == BigInt(0))
   }
 
   test("corpusDigestBy: per-group digests roll up exactly to the global " +
@@ -246,8 +258,7 @@ class Round9Spec extends SparkSpecBase {
     assert(by.map(_.getAs[Long]("n_rows")).sum == g.getAs[Long]("n_rows"))
     assert(by.map(_.getAs[Long]("xor_h")).reduce(_ ^ _) ==
       g.getAs[Long]("xor_h"))
-    assert(by.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("sum_h")))
-      .sum == BigDecimal(g.getAs[java.math.BigDecimal]("sum_h")))
+    assert(by.map(digestSum).sum == digestSum(g))
   }
 
   test("corpusDigest over a stream: the latest complete-mode row equals " +
@@ -270,8 +281,7 @@ class Round9Spec extends SparkSpecBase {
         Seq("id", "s")).collect()(0)
       assert(got.getAs[Long]("n_rows") == want.getAs[Long]("n_rows"))
       assert(got.getAs[Long]("xor_h") == want.getAs[Long]("xor_h"))
-      assert(got.getAs[java.math.BigDecimal]("sum_h") ==
-        want.getAs[java.math.BigDecimal]("sum_h"))
+      assert(digestSum(got) == digestSum(want))
     } finally q.stop()
   }
 
