@@ -469,8 +469,19 @@ object Dedup {
     val sh = OpCaches.register(docs.select(col(idCol).as("id"),
       graft.functions.VectorFunctions.word_shingle_hashes(col(textCol), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)) // reused: posting + 2 verify joins
+    // Tight prefix bound in EXACT integer arithmetic (the containmentPairs
+    // form, ADVICE r9): ⌊n·(1−t)⌋+1 ≡ n − ⌈t·n⌉ + 1 in exact math, but the
+    // floating form floor(n·(1−t))+1 loses one prefix slot whenever n·(1−t)
+    // is integral (IEEE 1−0.8 = 0.19999…), silently dropping
+    // exactly-at-threshold pairs whose only shared shingle is the last
+    // prefix slot. ⌈n·tPpm/1e6⌉ in the same ppm base the verify uses.
+    def floorDivNN(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val tPpm = math.round(threshold * 1000000)
+    val nSh = size(col("sh")).cast("long")
     val prefixLen =
-      (floor(size(col("sh")).cast("double") * (1 - threshold)) + 1).cast("int")
+      (nSh - floorDivNN(nSh * tPpm + lit(999999L), lit(1000000L)) + 1)
+        .cast("int")
     val posting = sh.select(col("id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
     val cand = posting

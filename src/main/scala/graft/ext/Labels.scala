@@ -146,10 +146,13 @@ object Labels {
     * reduces to the |annotators|·|labels|² confusion table (tiny →
     * broadcasts); the E-step is one bounded |labels|-factor cross join
     * over the annotation volume into one (item, t) partial-agg shuffle.
-    * The carried assignment joins ONCE per round, so lineage grows
-    * linearly and needs no checkpoint barrier at gate iteration counts
-    * (the stationaryDistribution convention, NOT the Bradley-Terry
-    * self-join case).
+    * The carried assignment feeds BOTH confusion aggregations (cells
+    * and totals), so an unbarriered lineage doubles per round — the
+    * Bradley-Terry shape, not the linear stationaryDistribution one.
+    * Each round therefore barriers the new assignment with an eager
+    * localCheckpoint (item-cardinality frame, two narrow columns),
+    * registered so the blocks release with the query (VERDICT r9 #2;
+    * ScaleSpec pins iters=8 within ~4× of iters=2).
     */
   def dawidSkene(ann: DataFrame, iters: Int = 2,
                  itemCol: String = "item",
@@ -196,7 +199,15 @@ object Labels {
           (col("arr")(0).getField("s") -
             coalesce(col("arr")(1).getField("s"), lit(0L)))
             .as("margin_ppm"))
-      assign = out.select(col("item"), col("label"))
+      // barrier the carried assignment: it is referenced twice next
+      // round (cells + tots), so the plan doubles per EM round without
+      // truncation — persist() would cache data but still re-analyze
+      // the doubled tree (the measured Bradley-Terry failure mode).
+      // The final round skips the barrier: `out` is returned lazily and
+      // a checkpoint would eagerly execute it inside the operator.
+      if (it < iters - 1)
+        assign = OpCaches.registerCheckpoint(
+          out.select(col("item"), col("label")).localCheckpoint(true))
       it += 1
     }
     out

@@ -576,6 +576,54 @@ class ScaleSpec extends SparkSpecBase {
       f"1M ann (100k raiders) $tB%.1f s")
   }
 
+  test("EM depth: dawidSkene at iters=8 stays within ~4× of iters=2 " +
+    "(per-round checkpoint barrier — no 2^iters plan doubling), " +
+    "checkpoint blocks released") {
+    import graft.ext.Labels
+    // the carried assignment feeds BOTH confusion aggregations each
+    // round, so without the per-round barrier the logical tree doubles
+    // per EM round: iters=8 would re-analyze/re-execute a 2^8-leaf
+    // lineage (the measured Bradley-Terry failure mode). With the
+    // barrier, cost is ~linear in iters: 4× rounds ≲ 4× wall.
+    val ann = spark.range(20000).select(col("id").as("item"),
+        explode(sequence(lit(0L), lit(4L))).as("annotator"))
+      .select(col("item"), col("annotator"),
+        when(pmod(xxhash64(col("item") * 5 + col("annotator")),
+            lit(10)) < 2, pmod(col("item") + 1, lit(4)))
+          .otherwise(pmod(col("item"), lit(4))).as("label"))
+      .localCheckpoint(true) // fixture off the timing path
+    def run(iters: Int): (Array[org.apache.spark.sql.Row], Double) = {
+      val (rows, t) = time {
+        val ds = Labels.dawidSkene(ann, iters = iters)
+        val sample = ds.where(col("item").isin(1L, 2L, 3L)).collect()
+        ds.count()
+        sample
+      }
+      graft.ext.OpCaches.releaseAll()
+      (rows, t)
+    }
+    run(2) // codegen warm-up, untimed
+    val (r2, t2) = run(2)
+    val (r8raw, t8raw) = run(8)
+    // EM from plurality init on this fixture converges by round 2, so
+    // deeper iteration must not move the labels
+    assert(r2.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      r8raw.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    r2.foreach(r => assert(r.getAs[Long]("label") == r.getAs[Long]("item") % 4))
+    val bound = 4.0 * math.max(t2, 0.5) + 5.0
+    val t8 = if (t8raw <= bound) t8raw else math.min(t8raw, run(8)._2)
+    assert(t8 <= bound,
+      f"dawidSkene iters=8 superlinear vs iters=2: $t2%.2f s → $t8%.2f s")
+    // the barrier's localCheckpoint blocks must not outlive releaseAll;
+    // the fixture's own checkpoint lives outside the CacheManager too,
+    // so release it the same way OpCaches does
+    org.apache.spark.sql.graftfn.CheckpointRdd.of(ann)
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+    info(f"dawidSkene depth: iters=2 $t2%.1f s → iters=8 $t8%.1f s")
+  }
+
   test("universal leak gram: contaminationBySuite where EVERY train doc " +
     "carries a suite passage — hot-gram fan-out stays linear in train " +
     "volume, census exact") {
