@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -199,6 +199,58 @@ object Multimodal {
         Row(id, encodeImage(img, format))
       }
     }
+  }
+
+  /** Synthesize a textured PPM corpus with PLANTED near-duplicate
+    * structure — the [[phashPairs]] gate fixture: ids group in threes
+    * (g = id/3); member id%3 == 0 is the group's base texture, == 1 the
+    * same texture with one small 3×3 brightness bump (a genuine
+    * near-duplicate: a few Hamming bits away on the 64-bit pHash), == 2
+    * an unrelated texture (far). Textures are splitmix-mixed from the
+    * group seed (the Round5b lesson: a non-mixing generator gives every
+    * image one alternating sign pattern and pathological median bits),
+    * so the planted pair set {(3g, 3g+1)} is a pure function of the id
+    * set — exactly what a SQL oracle can predict without decoding
+    * anything. Deterministic: no RNG state, byte-identical across runs,
+    * JVMs, and partitionings.
+    */
+  def synthesizeNearDupImages(docs: DataFrame,
+                              idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    implicit val enc = Encoders.row(outSchema)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, nearDupPpm(id))
+      }
+    }
+  }
+
+  private[ext] def nearDupPpm(id: Long): Array[Byte] = {
+    val w = 64; val h = 64
+    val g = id / 3; val m = (id % 3).toInt
+    def tex(seed: Long, i: Int): Int = {
+      var z = seed + i.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) & 0xff).toInt
+    }
+    // members 0 and 1 share the group texture; member 2 is its own
+    val seed = g * 1000003L + (if (m == 2) 777L else 0L)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val bump = if (m == 1 && x < 3 && y < 3) 18 else 0
+      px(i * 3) = math.min(255, tex(seed, i) + bump).toByte
+      px(i * 3 + 1) = tex(seed + 1, i).toByte
+      px(i * 3 + 2) = tex(seed + 2, i).toByte
+      i += 1
+    }
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
   }
 
   /** Real-decode stats for image payloads: dimensions, channels, and the
@@ -714,22 +766,31 @@ object Multimodal {
     * candidates verify on the exact `bit_count(xor)`. Only (id, phash)
     * rows shuffle — never pixels.
     */
+  /** The 16 bands × 4 bits of a 64-bit signature, as the array the
+    * banding posexplodes — extracted so the pigeonhole property (any
+    * pair within `maxBits` < 16 differing bits shares at least one
+    * identical band) is spec-testable against the exact expression the
+    * operator runs.
+    */
+  private[graft] val PhashBandCount = 16
+  private[graft] def phashBands(sig: Column): Column = {
+    val width = 64 / PhashBandCount
+    array((0 until PhashBandCount).map { b =>
+      shiftright(sig, b * width).bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+  }
+
   def phashPairs(media: DataFrame, maxBits: Int = 10,
                  payloadCol: String = "payload",
                  idCol: String = "media_id"): DataFrame = {
-    val chunks = 16
-    val width = 4
-    require(maxBits >= 0 && maxBits < chunks,
-      s"pigeonhole recall needs maxBits < $chunks bands, got $maxBits")
+    require(maxBits >= 0 && maxBits < PhashBandCount,
+      s"pigeonhole recall needs maxBits < $PhashBandCount bands, got $maxBits")
     val sig = OpCaches.register(
       phash(media, payloadCol, idCol)
         .where(col("phash").isNotNull)
         .select(col(idCol).as("id"), col("phash").as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until chunks).map { b =>
-        shiftright(col("sig"), b * width).bitwiseAND(lit((1L << width) - 1))
-      }: _*)))
+    val banded = sig.select(col("id"), posexplode(phashBands(col("sig"))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bits")
     Dedup.bucketPairs(banded, Seq("chunk", "bits"))
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")),

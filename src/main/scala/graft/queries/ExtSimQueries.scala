@@ -351,6 +351,21 @@ private[queries] object ExtSimQueries {
           aggregate(col("features"), lit(0L), (a, x) =>
             a + pow(round(x * col("n_bytes")), 2).cast("long")).as("sum_sq"))
         .orderBy(col("media_id"))
+    },
+    // image near-dup end-to-end: REAL PPM decode → pHash → 16×4 banding →
+    // exact bit_count(xor) verify. The synthesized corpus plants its pair
+    // structure as a pure function of the id set (groups of three: base,
+    // 3×3-bump near-dup, unrelated texture), so the oracle predicts the
+    // exact pair rows without decoding anything; the hash itself is pinned
+    // by Round5b/Round10 specs (planted max 2 bits, non-planted min 16 —
+    // wide margins around the maxBits = 6 gate threshold).
+    "mm_phash_pairs" -> { (s, d) =>
+      val media = Multimodal.synthesizeNearDupImages(
+        docs(s, d).where(col("doc_id") < 300))
+      Multimodal.phashPairs(media, maxBits = 6)
+        .select(col("id_a"), col("id_b"),
+          (col("hamming") <= 6).as("near"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -575,6 +590,12 @@ private[queries] object ExtSimQueries {
          SELECT m.media_id, CAST(16 AS INT) AS dim,
                 coalesce(s.sum_sq, 0) AS sum_sq
          FROM m LEFT JOIN s ON m.media_id = s.media_id
-         ORDER BY m.media_id"""
+         ORDER BY m.media_id""",
+    "mm_phash_pairs" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS near
+         FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+         WHERE a.doc_id % 3 = 0
+         ORDER BY id_a, id_b"""
   )
 }

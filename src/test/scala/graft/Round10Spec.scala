@@ -55,4 +55,72 @@ class Round10Spec extends SparkSpecBase {
       s"expected the at-threshold pair, got ${pairs.toSeq}")
     assert(pairs(0).getAs[Double]("jaccard") == 0.8)
   }
+
+  test("synthesizeNearDupImages: planted near-dup pairs sit within the " +
+    "gate's maxBits, everything else sits far outside (margin for the " +
+    "mm_phash_pairs oracle)") {
+    import graft.ext.Multimodal
+    // 100 groups of 3 = the mm_phash_pairs fixture (doc_id < 300)
+    val media = Multimodal.synthesizeNearDupImages(
+      spark.range(300).select(col("id").as("doc_id")))
+    val hs = Multimodal.phash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.size == 300)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearHams = (0 until 100).map(g => ham(hs(3L * g), hs(3L * g + 1)))
+    // every planted pair within the gate threshold...
+    assert(nearHams.max <= 6, s"planted pair drifted: max ${nearHams.max}")
+    // ...and at least one genuinely non-identical (the banding does work)
+    assert(nearHams.exists(_ > 0), "all planted pairs hashed identically")
+    // every non-planted pair far outside (no accidental near-dups in the
+    // fixture — deterministic, so this pins the oracle's exact row set)
+    val ids = (0L until 300L).toArray
+    var minFar = 64
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if (!(a / 3 == b / 3 && a % 3 == 0 && b % 3 == 1)) {
+        val d = ham(hs(a), hs(b))
+        if (d < minFar) minFar = d
+      }
+    }
+    assert(minFar > 6, s"non-planted pair within gate threshold: $minFar")
+    info(s"planted hamming max ${nearHams.max}, " +
+      s"non-planted min $minFar (threshold 6)")
+  }
+
+  test("phashBands pigeonhole: any two signatures within maxBits < 16 " +
+    "Hamming bits share at least one identical band (banded recall = 1)") {
+    import graft.ext.Multimodal
+    // deterministic adversarial spread: flip exactly 15 bits (the worst
+    // case the 16-band scheme must cover), positions splitmix-derived
+    val rows = (0 until 500).map { s =>
+      def mix(x: Long): Long = {
+        var z = x + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val sig = mix(s.toLong)
+      var flipped = sig
+      var k = 0
+      var bitsDone = Set.empty[Int]
+      while (bitsDone.size < 15) {
+        val pos = (mix(s.toLong * 131 + k) >>> 58).toInt // 0..63
+        if (!bitsDone(pos)) { flipped ^= 1L << pos; bitsDone += pos }
+        k += 1
+      }
+      (sig, flipped)
+    }
+    val shared = rows.toDF("a", "b")
+      .select(size(array_intersect(
+        zip_with(Multimodal.phashBands(col("a")),
+          sequence(lit(0), lit(15)),
+          (v, i) => struct(i.as("i"), v.as("v"))),
+        zip_with(Multimodal.phashBands(col("b")),
+          sequence(lit(0), lit(15)),
+          (v, i) => struct(i.as("i"), v.as("v"))))).as("n"))
+      .agg(min(col("n"))).as[Int].collect()(0)
+    assert(shared >= 1,
+      "15-bit-distant pair shared no band — pigeonhole broken")
+  }
 }
