@@ -1889,6 +1889,16 @@ object Dedup {
     * Returns (train_id, suite, n_eval_docs, n_shared_max,
     * n_shared_total). Feed `where(...)` + anti-join for the drop, as
     * [[decontaminate]] does for one suite.
+    *
+    * Broadcast-size caveat (ADVICE r9): with `broadcastEval = true` the
+    * UNION of every suite's exploded postings broadcasts — the size
+    * grows with suite count × eval token volume, so a census over
+    * hundreds of suites can exceed the broadcast/driver budget even
+    * when each individual suite would broadcast fine. Pass
+    * `broadcastEval = false` for pathological aggregate volumes: that
+    * does NOT force a shuffle, it removes the hint and lets size-based
+    * planning decide (the dawidSkene confusion-table convention — AQE
+    * still broadcasts a small union, and shuffles a huge one).
     */
   def contaminationBySuite(train: DataFrame,
                            suites: Seq[(String, DataFrame)],
@@ -1910,6 +1920,76 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_eval_docs"),
         max(col("__s")).as("n_shared_max"),
         sum(col("__s")).cast("long").as("n_shared_total"))
+  }
+
+  /** STREAMING face of [[contaminationBySuite]] — decontaminate on
+    * INGEST: real pipelines census new training documents as they
+    * arrive instead of re-scanning the corpus per release. The suites
+    * are static (benchmarks change rarely); their unioned postings
+    * collect ONCE into a driver map broadcast to executors — the same
+    * budget the batch face's broadcast join spends — and each incoming
+    * doc's census is then a pure narrow map over its own distinct
+    * n-gram set. Because every output row depends on exactly one input
+    * row, the plan is STATELESS (no streaming aggregation, no
+    * watermark, works in append mode), and the union of per-batch
+    * censuses equals the batch census of the union (spec-asserted).
+    * Works identically on a batch frame.
+    *
+    * Returns the batch face's exact schema: (train_id, suite,
+    * n_eval_docs, n_shared_max, n_shared_total); clean docs emit no
+    * rows.
+    */
+  def contaminationBySuiteStream(train: DataFrame,
+                                 suites: Seq[(String, DataFrame)],
+                                 textCol: String, idCol: String,
+                                 n: Int = 13): DataFrame = {
+    require(suites.nonEmpty, "contaminationBySuiteStream needs >= 1 suite")
+    require(suites.map(_._1).distinct.size == suites.size,
+      "duplicate suite names would merge census rows")
+    val spark = train.sparkSession
+    // gram -> (suiteIdx, evalOrdinal) postings; eval ids only need to be
+    // distinct within a suite, so they compress to dense ordinals
+    val postings: Map[Long, Array[(Int, Int)]] = {
+      val rows = suites.zipWithIndex.flatMap { case ((_, df), si) =>
+        ngramSets(df, textCol, idCol, n, "eval_id")
+          .select(col("eval_id").cast("string"), col("__g"))
+          .collect()
+          .map(r => (si, r.getString(0), r.getLong(1)))
+      }
+      val ord = rows.map { case (si, eid, _) => (si, eid) }.distinct
+        .zipWithIndex.toMap
+      rows.groupBy(_._3).map { case (g, ps) =>
+        g -> ps.map { case (si, eid, _) => (si, ord((si, eid))) }
+          .distinct.toArray
+      }
+    }
+    val bc = spark.sparkContext.broadcast(postings)
+    val suiteNames = suites.map(_._1).toArray
+    val census = udf((gs: Seq[Long]) => {
+      if (gs == null) Array.empty[(String, Long, Long, Long)]
+      else {
+        // distinct shared grams per (suite, eval doc): the doc's gram
+        // set is distinct (WordNgramHashes60), so a plain accumulate
+        // counts each shared gram once
+        val perEval = scala.collection.mutable.HashMap
+          .empty[(Int, Int), Long]
+        gs.foreach { g =>
+          bc.value.get(g).foreach(_.foreach { k =>
+            perEval.update(k, perEval.getOrElse(k, 0L) + 1L) })
+        }
+        perEval.toSeq.groupBy(_._1._1).toArray.sortBy(_._1)
+          .map { case (si, hits) =>
+            (suiteNames(si), hits.size.toLong,
+              hits.map(_._2).max, hits.map(_._2).sum)
+          }
+      }
+    })
+    train.select(col(idCol).as("train_id"),
+        explode(census(graft.functions.VectorFunctions
+          .word_ngram_hashes60(col(textCol), n))).as("c"))
+      .select(col("train_id"), col("c._1").as("suite"),
+        col("c._2").as("n_eval_docs"), col("c._3").as("n_shared_max"),
+        col("c._4").as("n_shared_total"))
   }
 
   /** Drop every training document sharing more than `maxSharedNgrams`

@@ -123,4 +123,43 @@ class Round10Spec extends SparkSpecBase {
     assert(shared >= 1,
       "15-bit-distant pair shared no band — pigeonhole broken")
   }
+
+  test("contaminationBySuiteStream: stateless ingest census — the union " +
+    "of per-batch censuses equals the batch census of the union") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val suiteA = Seq((900L, "a1 a2 a3 a4 a5 a6"),
+      (901L, "x0 a1 a2 a3 a4 a5")).toDF("doc_id", "text")
+    val suiteB = Seq((910L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val suites = Seq("A" -> suiteA, "B" -> suiteB)
+    // batch 1: doc 1 leaks both suites, doc 2 only A; batch 2: doc 3
+    // clean, doc 4 leaks B
+    val b1 = Seq((1L, "z1 a1 a2 a3 a4 a5 a6 z2 b1 b2 b3 b4 b5"),
+      (2L, "y1 a1 a2 a3 a4 a5 y2"))
+    val b2 = Seq((3L, "clean words only nothing shared here at all"),
+      (4L, "q1 b1 b2 b3 b4 b5 q2"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Dedup.contaminationBySuiteStream(
+        ms.toDF().toDF("doc_id", "text"), suites, "text", "doc_id", n = 5)
+      .writeStream.format("memory").queryName("census10")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val got = spark.table("census10").collect().map(key).toSet
+      val want = Dedup.contaminationBySuite((b1 ++ b2).toDF("doc_id", "text"),
+        suites, "text", "doc_id", n = 5).collect().map(key).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream census $got != batch census $want")
+      // and the streaming face agrees with the batch face row-for-row
+      // when handed the same BATCH frame (one code path, two modes)
+      val batchViaStream = Dedup.contaminationBySuiteStream(
+        (b1 ++ b2).toDF("doc_id", "text"), suites, "text", "doc_id", n = 5)
+        .collect().map(key).toSet
+      assert(batchViaStream == want)
+    } finally q.stop()
+  }
 }

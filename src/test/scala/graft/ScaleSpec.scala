@@ -666,6 +666,45 @@ class ScaleSpec extends SparkSpecBase {
     info(f"contamination census: 20k docs $tS%.1f s → 200k docs $tB%.1f s")
   }
 
+  test("100× universal leak gram: contaminationBySuite from 2k to 200k " +
+    "train docs, every doc carrying the suite passage — ~linear growth, " +
+    "per-doc census exact at both sizes") {
+    import graft.ext.Dedup
+    // the 10×-of-10× face of the hot-gram shape above: the eval side is
+    // 2 docs at EVERY size, so the only thing allowed to grow is the
+    // train-side gram explode and the (train_id, suite) partial agg.
+    val leak = (1 to 6).map(i => s"L$i").mkString(" ") // 2 distinct 5-grams
+    def run(n: Long): (Long, Double) = {
+      val train = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit(leak + " "),
+          array_join(transform(sequence(lit(1), lit(30)),
+            j => concat(lit("w"),
+              pmod(xxhash64(col("id") * 1000 + j), lit(800)))), " "))
+          .as("text"))
+      val suite = Seq((900000L, leak), (900001L, "c1 c2 c3 c4 c5 c6"))
+        .toDF("doc_id", "text")
+      val (rows, t) = time {
+        val census = Dedup.contaminationBySuite(train,
+          Seq("bench" -> suite), "text", "doc_id", n = 5)
+        val sample = census.where(col("train_id") === 0L).collect()
+        (sample, census.count())
+      }
+      assert(rows._2 == n, s"census rows ${rows._2} != $n")
+      val r0 = rows._1(0)
+      assert(r0.getAs[Long]("n_eval_docs") == 1L &&
+        r0.getAs[Long]("n_shared_max") == 2L &&
+        r0.getAs[Long]("n_shared_total") == 2L, s"$r0")
+      (rows._2, t)
+    }
+    run(500) // warm-up
+    val (_, tS) = run(2000)
+    val (_, tB) = run(200000)
+    assertLinear100("ds_contamination_suites_100x", tS, tB,
+      () => run(200000)._2)
+    info(f"contamination census 100×: 2k docs $tS%.2f s → " +
+      f"200k docs $tB%.1f s")
+  }
+
   test("viral item: weightedVote with 10⁵ annotations raiding ONE item " +
     "grows ~linearly and tallies the raid exactly") {
     import graft.ext.Labels
