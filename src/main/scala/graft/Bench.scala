@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   * codegen-cache miss landing inside a run. All three samples are
   * persisted under "samples" so outliers stay auditable.
   *
+  * Per-query contention defense (round-9 verdict #2: the driver's
+  * refresh passed the two-sided start/end sentinel at 0.816 while
+  * carrying rows inflated up to 9× — uniform or mid-run load is
+  * invisible to endpoint sentinels): every reported median is compared
+  * to its committed idle-box floor (scripts/bench_floors_<sf>.json);
+  * rows > 2× floor land in `suspect_rows`. A ~0.1 s mini-sentinel
+  * (median of 3) interleaves every 25 queries; max/median > 2.5 sets
+  * `mid_contended`. Validated r10: a deliberately loaded box (40
+  * spinners, 2.8× total inflation) passed the endpoint sentinel at
+  * 1.084 and the floors flagged 183 rows; two idle runs flagged zero.
+  *
   * Reported-set split (verdict #2): the `sim_ann_*` gate queries run
   * their plans in exact-recall mode (nprobe = nlist / probeAll /
   * shortlist-all) — brute-force-equivalent BY CONSTRUCTION, so timing
@@ -39,6 +50,31 @@ object Bench {
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  /** Per-query floors from the last committed idle-box artifact
+    * (VERDICT r9 #2): start/end sentinels cannot see a contention spike
+    * that lands mid-run — the r9 driver refresh passed the two-sided
+    * gate at 0.816 while carrying rows inflated up to 9×. Any reported
+    * median > 2× its committed floor (+50 ms jitter guard) lands in
+    * `suspect_rows` in the JSON, so an inflated row is flagged at
+    * record time instead of adjudicated a round later. Floors are
+    * per-SF files (scripts/bench_floors_<sfBase>.json, flat
+    * {"query":secs}); a missing file or query (new gates) simply means
+    * no floor. Format is the flat subset written by
+    * scripts/make_bench_floors.py — parsed with a regex, no JSON lib.
+    */
+  private def loadFloors(sfDir: String): Map[String, Double] = {
+    val base = new java.io.File(sfDir).getName
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS",
+      s"/root/repo/scripts/bench_floors_$base.json")
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** One full measurement pass: start sentinels → all queries →
     * streaming replay → end sentinels. Bundled so a contended pass can
     * be rejected and re-run wholesale (VERDICT r8 #1).
@@ -49,6 +85,7 @@ object Bench {
     sentinelRatio: Double,
     contended: Boolean,
     samples: Seq[(String, Seq[Double])],
+    miniSentinels: Seq[Double],
     streamRows: Long,
     streamingSecs: Double)
 
@@ -173,8 +210,27 @@ object Bench {
       // time-to-failure (r5 lesson: a fixture type change broke one query
       // and streaming for a full round of bench records before anyone saw
       // an error). Failures print the cause and land in "failed" below.
+      // mid-pass mini-sentinel (VERDICT r9 #2): one fixed ~0.1 s probe
+      // every 25 queries — a contention spike that starts AND clears
+      // between the start/end sentinels shows up as an inflated mini,
+      // timestamping WHICH stretch of the alphabet to distrust
+      // each mini is itself a median of 3 (a single ~0.1 s probe carries
+      // ~2× scheduler noise on an idle box — measured r10; the median
+      // keeps idle spread ~1.5× so the 2.5× flag threshold has margin)
+      val miniSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+      def runMini(): Unit = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try timed("src_stream")(spark, sfDir).count()
+          catch { case _: Throwable => }
+          graft.ext.OpCaches.releaseAll()
+          (System.nanoTime() - t0) / 1e9
+        }
+        miniSentinels += median3(runs)
+      }
       val samples: Seq[(String, Seq[Double])] =
-        timed.toSeq.sortBy(_._1).map { case (name, fn) =>
+        timed.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), qi) =>
+          if (qi % 25 == 0) runMini()
           val runs = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count() } catch {
@@ -188,6 +244,7 @@ object Bench {
           }
           name -> runs
         }
+      runMini()
       // streaming micro-bench: replay the events fixture through the
       // MemoryStream-backed env into the windowed-count topology (the
       // anomaly-detection shape) and time ingest → final state.
@@ -213,7 +270,7 @@ object Bench {
       val contended = sentinelRatio > 0 &&
         math.abs(math.log(sentinelRatio)) > math.log(1.3)
       Pass(sentinelStart, sentinelEnd, sentinelRatio, contended,
-        samples, streamRows, streamingSecs)
+        samples, miniSentinels.toSeq, streamRows, streamingSecs)
     }
     val ratios = scala.collection.mutable.ArrayBuffer[Double]()
     var pass = runPass()
@@ -236,6 +293,31 @@ object Bench {
           "recording this bench as evidence")
     val medians = pass.samples.map { case (n, xs) => n -> median3(xs) }
     val (gate, perf) = medians.partition(kv => gateModeQueries(kv._1))
+    // per-query contention defense (VERDICT r9 #2): flag, never silently
+    // record, any row > 2× its committed idle-box floor; plus the mid-pass
+    // mini ratio — a spike that starts and clears inside the pass inflates
+    // some mini well above the pass's own quiet minimum
+    val floors = loadFloors(sfDir)
+    val suspectRows = medians.collect {
+      case (n, t) if floors.get(n).exists(f => t > 2.0 * f + 0.05) => n
+    }
+    if (suspectRows.nonEmpty)
+      System.err.println(s"[bench] SUSPECT rows (>2× committed floor): " +
+        suspectRows.mkString(", ") + " — treat as contention until " +
+        "re-timed solo")
+    // max vs the MEDIAN of minis (not min): one fast mini must not
+    // manufacture a flag; one slow mini against a quiet majority is
+    // exactly the mid-run spike the start/end sentinels cannot see
+    val miniRatioMax =
+      if (pass.miniSentinels.size >= 3) {
+        val med = pass.miniSentinels.sorted.apply(pass.miniSentinels.size / 2)
+        if (med > 0) pass.miniSentinels.max / med else -1.0
+      } else -1.0
+    val midContended = miniRatioMax > 2.5
+    if (midContended)
+      System.err.println(f"[bench] MID-PASS contention: mini-sentinel " +
+        f"max/median ratio $miniRatioMax%.2f > 2.5 — some stretch of " +
+        "this pass ran on a loaded box")
     val rowsPerSec =
       if (pass.streamingSecs > 0) pass.streamRows / pass.streamingSecs
       else -1.0
@@ -262,6 +344,10 @@ object Bench {
       f""""sentinel_ratio":${pass.sentinelRatio}%.3f,""" +
       f""""contended":${pass.contended},"attempts":$attempts,""" +
       f""""attempt_ratios":$ratiosJson,""" +
+      f""""suspect_rows":${suspectRows.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      f""""mini_sentinels":${pass.miniSentinels.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
+      f""""mini_ratio_max":$miniRatioMax%.2f,"mid_contended":$midContended,""" +
+      f""""floors_loaded":${floors.size},""" +
       f""""sentinel_failed":${sentinelFailed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       f""""streaming_rows":${pass.streamRows},"streaming_rows_per_sec":$rowsPerSec%.0f,"sf":"$sfDir"}"""
     // Round 1's BENCH output failed to parse: sbt's logger wrapped the
