@@ -771,6 +771,28 @@ object TextAnalysis {
     piiRules.foldLeft(textCol) { case (c, (_, pat, repl)) =>
       regexp_replace(c, pat, repl) }
 
+  /** Credit-card redaction with Luhn validation — the scrubber piece a
+    * plain regex cannot express: a 13-19-digit run replaces with `<CC>`
+    * ONLY if it checksums like a real card number (ISO/IEC 7812), so
+    * ordinary long numbers (order ids, unix-nanos timestamps) survive.
+    * This checked redaction is the C4/Dolma-style refinement over
+    * [[redactPii]]'s recall-leaning patterns: the other categories
+    * over-redact safely, but a digits-only rule without the checksum
+    * would eat every long number in a technical corpus. Codegen'd
+    * single-pass kernel (graftfn.RedactLuhnRuns) — a pure narrow map
+    * riding the scan, streaming-safe. Run together with [[redactPii]]
+    * (order immaterial: their match domains are disjoint — every
+    * [[piiRules]] replacement token is non-numeric).
+    */
+  def redactCreditCards(textCol: Column): Column =
+    graft.functions.VectorFunctions.redact_luhn_runs(textCol, 13, 19, "<CC>")
+
+  /** Luhn checksum validity of a digit-string column (the
+    * [[redactCreditCards]] predicate, exposed for candidate auditing).
+    */
+  def luhnValid(digits: Column): Column =
+    graft.functions.VectorFunctions.luhn_valid(digits)
+
   /** Top collocations by pointwise mutual information (Church & Hanks
     * 1990): word bigrams whose joint probability beats independence,
     * `pmi = ln( (c_ab/N_bi) / ((c_a/N_w)·(c_b/N_w)) )`, with a minimum

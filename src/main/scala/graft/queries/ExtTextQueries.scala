@@ -501,6 +501,38 @@ private[queries] object ExtTextQueries {
           c.getField("phones").as("n_phones"))
         .orderBy(col("doc_id"))
     },
+    "text_cc_redact" -> { (s, d) =>
+      // Luhn-checked credit-card scrub gate: three digit runs plant per
+      // doc — a 16-digit id-derived run (mixed validity), a
+      // variable-length run sweeping 10..21 digits across the 13-19
+      // candidate boundary, and a known-valid card (4111111111111111,
+      // always redacted). Fixture text carries no 4+-digit runs
+      // (verified at all three SFs), so the planted runs are the only
+      // candidates; the oracle Luhn-checks each with its own
+      // list-lambda checksum and reconstructs the redacted text.
+      val d1 = lpad(pmod(col("doc_id") * 2654435761L,
+        lit(10000000000000000L)).cast("string"), 16, "0")
+      val len2 = (lit(10) + pmod(col("doc_id"), lit(12))).cast("int")
+      val d2 = lpad(pmod(col("doc_id") * 7919L + 13L,
+        lit(1000000000000000000L)).cast("string"), 21, "3")
+        .substr(lit(1), len2)
+      val base = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" pay "), d1, lit(" or "), d2,
+          lit(" ref 4111111111111111 end")).as("t"))
+      val cand = base.select(col("doc_id"),
+          explode(regexp_extract_all(col("t"), lit("\\d+"), lit(0)))
+            .as("run"))
+        .where(length(col("run")).between(13, 19))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(TextAnalysis.luhnValid(col("run")), 1L)
+            .otherwise(0L)).as("n_valid"))
+      base.join(cand, Seq("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.redactCreditCards(col("t")).as("redacted"),
+          col("n_candidates"), col("n_valid"))
+        .orderBy(col("doc_id"))
+    },
     "text_compress_gate" -> { (s, d) =>
       // Deflate certificate gate (VERDICT r7 #3 — the last non-probe
       // bench-only row): the ratio VALUE is deterministic per zlib build
@@ -1121,6 +1153,69 @@ private[queries] object ExtTextQueries {
                 CAST(len(m) AS BIGINT) AS n_blocked
          FROM h ORDER BY doc_id"""
     },
+    // Luhn lambda inlined twice (one-statement oracle, no macros): the
+    // counts mirror the extraction independently (regexp + checksum);
+    // the redacted text reconstructs by construction (fixture text has
+    // no 4+-digit runs at any SF, so only planted runs can redact)
+    "text_cc_redact" ->
+      """WITH p AS (SELECT doc_id, text,
+           lpad(CAST((doc_id * 2654435761) % 10000000000000000
+                AS VARCHAR), 16, '0') AS d1,
+           substr(lpad(CAST((doc_id * 7919 + 13) % 1000000000000000000
+                  AS VARCHAR), 21, '3'), 1,
+                  CAST(10 + doc_id % 12 AS INT)) AS d2
+           FROM documents),
+         t AS (SELECT doc_id, text, d1, d2,
+           text || ' pay ' || d1 || ' or ' || d2 ||
+             ' ref 4111111111111111 end' AS t0
+           FROM p),
+         runs AS (SELECT doc_id, unnest(regexp_extract_all(t0, '\d+'))
+             AS run FROM t),
+         cand AS (SELECT doc_id, run,
+             list_sum(list_transform(range(length(run)), i ->
+               CASE WHEN (length(run) - 1 - i) % 2 = 1
+                 THEN CASE WHEN 2 * CAST(substr(run, CAST(i + 1 AS INT),
+                        1) AS INT) > 9
+                   THEN 2 * CAST(substr(run, CAST(i + 1 AS INT), 1)
+                        AS INT) - 9
+                   ELSE 2 * CAST(substr(run, CAST(i + 1 AS INT), 1)
+                        AS INT) END
+                 ELSE CAST(substr(run, CAST(i + 1 AS INT), 1) AS INT)
+               END)) % 10 = 0 AS ok
+           FROM runs WHERE length(run) BETWEEN 13 AND 19),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid
+           FROM cand GROUP BY doc_id),
+         red AS (SELECT doc_id,
+           text || ' pay ' ||
+           CASE WHEN list_sum(list_transform(range(length(d1)), i ->
+               CASE WHEN (length(d1) - 1 - i) % 2 = 1
+                 THEN CASE WHEN 2 * CAST(substr(d1, CAST(i + 1 AS INT),
+                        1) AS INT) > 9
+                   THEN 2 * CAST(substr(d1, CAST(i + 1 AS INT), 1)
+                        AS INT) - 9
+                   ELSE 2 * CAST(substr(d1, CAST(i + 1 AS INT), 1)
+                        AS INT) END
+                 ELSE CAST(substr(d1, CAST(i + 1 AS INT), 1) AS INT)
+               END)) % 10 = 0 THEN '<CC>' ELSE d1 END ||
+           ' or ' ||
+           CASE WHEN length(d2) BETWEEN 13 AND 19 AND
+             list_sum(list_transform(range(length(d2)), i ->
+               CASE WHEN (length(d2) - 1 - i) % 2 = 1
+                 THEN CASE WHEN 2 * CAST(substr(d2, CAST(i + 1 AS INT),
+                        1) AS INT) > 9
+                   THEN 2 * CAST(substr(d2, CAST(i + 1 AS INT), 1)
+                        AS INT) - 9
+                   ELSE 2 * CAST(substr(d2, CAST(i + 1 AS INT), 1)
+                        AS INT) END
+                 ELSE CAST(substr(d2, CAST(i + 1 AS INT), 1) AS INT)
+               END)) % 10 = 0 THEN '<CC>' ELSE d2 END ||
+           ' ref <CC> end' AS redacted
+           FROM t)
+         SELECT red.doc_id, red.redacted, agg.n_candidates, agg.n_valid
+         FROM red JOIN agg ON red.doc_id = agg.doc_id
+         ORDER BY red.doc_id""",
     "text_pii_redact" ->
       """WITH p AS (SELECT doc_id,
            text || ' contact bob.smith+x@mail-host.example.com or '

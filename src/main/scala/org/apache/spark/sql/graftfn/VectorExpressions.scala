@@ -246,6 +246,59 @@ object Kernels {
     } finally d.end()
   }
 
+  /** Luhn checksum validity of a pure-ASCII-digit string (ISO/IEC
+    * 7812): from the rightmost digit, double every second digit
+    * (subtracting 9 when the double exceeds 9) and sum; valid iff
+    * sum % 10 == 0. Empty or any non-digit character → false (callers
+    * extract digit runs; anything else is not a candidate).
+    */
+  def luhnValid(input: UTF8String): Boolean = {
+    val n = input.numChars()
+    if (n == 0) return false
+    val s = input.toString
+    var sum = 0
+    var alt = false
+    var i = s.length - 1
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Redact Luhn-valid digit runs (see [[graftfn.RedactLuhnRuns]]):
+    * every MAXIMAL run of ASCII digits with length in [minLen, maxLen]
+    * that passes the Luhn check is replaced by `token`; everything else
+    * (too short, too long, checksum-invalid) passes through. Single
+    * linear pass, no regex backtracking.
+    */
+  def redactLuhnRuns(input: UTF8String, minLen: Int, maxLen: Int,
+                     token: UTF8String): UTF8String = {
+    val s = input.toString
+    val tok = token.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9')
+          j += 1
+        val run = s.substring(i, j)
+        if (run.length >= minLen && run.length <= maxLen &&
+            luhnValid(UTF8String.fromString(run))) sb.append(tok)
+        else sb.append(run)
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def wordShingles(input: UTF8String, k: Int): ArrayData = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)
     val out =
@@ -1110,6 +1163,63 @@ case class RemoveCoveredTokens(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Luhn checksum validity of a digit string — the credit-card filter a
+  * pre-training scrubber runs on candidate digit runs so ordinary long
+  * numbers (order ids, timestamps) are not over-redacted. Engine-
+  * portable: DuckDB mirrors the checksum with a list_transform lambda
+  * (gate `text_cc_redact`). false for empty/non-digit input.
+  */
+case class LuhnValid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "luhn_valid"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.luhnValid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.luhnValid($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Conditional credit-card redaction: every maximal ASCII-digit run of
+  * length [minLen, maxLen] that Luhn-validates is replaced by `token`;
+  * invalid or out-of-range runs pass through untouched — the behavior a
+  * plain `regexp_replace` cannot express (replacement is conditional on
+  * a checksum). One linear codegen'd pass riding the scan: a pure
+  * narrow map, no shuffle, streaming-safe — the [[redactPii]] class.
+  */
+case class RedactLuhnRuns(child: Expression, minLen: Int, maxLen: Int,
+                          token: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(minLen >= 1 && maxLen >= minLen,
+    s"need 1 <= minLen <= maxLen, got [$minLen, $maxLen]")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "redact_luhn_runs"
+
+  private lazy val tok = UTF8String.fromString(token)
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.redactLuhnRuns(input.asInstanceOf[UTF8String], minLen, maxLen,
+      tok)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokRef = ctx.addReferenceObj("tok", tok,
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".redactLuhnRuns($c, $minLen, $maxLen, $tokRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordShingleHashes(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(k >= 1, s"word_shingle_hashes needs k >= 1, got $k")
@@ -1766,6 +1876,18 @@ object VectorFunctions {
   /** Unicode NFC canonical composition (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
+  /** Luhn checksum validity of a digit string (see [[LuhnValid]]). */
+  def luhn_valid(s: Column): Column =
+    ExpressionUtils.column(LuhnValid(ExpressionUtils.expression(s)))
+
+  /** Conditional redaction of Luhn-valid digit runs (see
+    * [[RedactLuhnRuns]]).
+    */
+  def redact_luhn_runs(text: Column, minLen: Int, maxLen: Int,
+                       token: String): Column =
+    ExpressionUtils.column(RedactLuhnRuns(
+      ExpressionUtils.expression(text), minLen, maxLen, token))
 
   /** Whole minhash signature in one pass (see [[MinHashLanes]]). */
   def minhash_lanes(hashes: Column, lanes: Int): Column =

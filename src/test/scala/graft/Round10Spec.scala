@@ -124,6 +124,46 @@ class Round10Spec extends SparkSpecBase {
       "15-bit-distant pair shared no band — pigeonhole broken")
   }
 
+  test("luhnValid + redactCreditCards: checksum truth table against an " +
+    "independent fold, boundary lengths, conditional replacement") {
+    import graft.ext.TextAnalysis
+    // independent Luhn reference (functional fold, vs the kernel's
+    // imperative loop)
+    def ref(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit) && {
+      s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val cases = Seq("4111111111111111", "4111111111111112",
+      "79927398713", "79927398710", "1234567890123452", "", "abc",
+      "4111 1111", "0000000000000000") ++
+      (0 until 50).map(i => (math.abs(i * 2654435761L) %
+        1000000000000000L).toString)
+    val got = cases.toDF("s")
+      .select(col("s"), TextAnalysis.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach(c => assert(got(c) == ref(c), s"luhn('$c')"))
+
+    val texts = Seq(
+      // valid 16-digit card -> redacted; invalid twin -> kept
+      (1L, "pay 4111111111111111 not 4111111111111112 ok"),
+      // 12 digits (too short) and 20 digits (too long) never redact,
+      // even when the checksum happens to hold
+      (2L, "a 411111111111 b 41111111111111111115 c"),
+      // 13-digit valid (4222222222222) and adjacent punctuation
+      (3L, "x4222222222222. amount:19, t=1699999999999999999"),
+      // digits split by separators are separate (short) runs
+      (4L, "4111-1111-1111-1111"))
+    val out = texts.toDF("id", "t")
+      .select(col("id"), TextAnalysis.redactCreditCards(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "pay <CC> not 4111111111111112 ok")
+    assert(out(2L) == "a 411111111111 b 41111111111111111115 c")
+    assert(out(3L) == "x<CC>. amount:19, t=1699999999999999999")
+    assert(out(4L) == "4111-1111-1111-1111")
+  }
+
   test("multi-instance IQ routing: two state servers over isolated " +
     "sessions each own one shard; the ring handler hops to the owner " +
     "over REAL HTTP and serves locally when self owns the key") {
