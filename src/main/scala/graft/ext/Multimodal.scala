@@ -683,6 +683,17 @@ object Multimodal {
     * Hamming bits — the image analog of SimHash on text. StrictMath
     * cosines keep the hash identical across JVMs/architectures.
     */
+  /** DCT-II basis table for [[phash64]]: cosTab(u)(x) =
+    * cos((2x+1)·u·π/64) for the 8 output frequencies × 32 positions.
+    * The naive loop called StrictMath.cos ~131k times per image (the
+    * dominant cost — ~39M transcendental calls for a 300-image gate);
+    * the table is the SAME StrictMath values computed once, so hashes
+    * are bit-identical.
+    */
+  private val phashCosTab: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64))
+
   private[ext] def phash64(w: Int, h: Int, px: Array[Byte]): Long = {
     val S = 32
     val g = new Array[Double](S * S)
@@ -720,13 +731,14 @@ object Multimodal {
       var u = 0
       while (u < 8) {
         var s = 0.0
+        val cu = phashCosTab(u)
+        val cv = phashCosTab(v)
         var y = 0
         while (y < S) {
+          val cvy = cv(y)
           var x = 0
           while (x < S) {
-            s += g(y * S + x) *
-              StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2 * S)) *
-              StrictMath.cos((2 * y + 1) * v * StrictMath.PI / (2 * S))
+            s += g(y * S + x) * cu(x) * cvy
             x += 1
           }
           y += 1
