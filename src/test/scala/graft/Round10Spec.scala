@@ -124,6 +124,35 @@ class Round10Spec extends SparkSpecBase {
       "15-bit-distant pair shared no band — pigeonhole broken")
   }
 
+  test("corpusDigestBy over a stream: complete-mode per-group rows equal " +
+    "the batch digests of everything ingested (partitioned-table " +
+    "ingest-integrity monitor)") {
+    import graft.ext.Pipeline
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = Pipeline.corpusDigestBy(ms.toDF().toDF("id", "g", "s"),
+        Seq("id", "s"), "g")
+      .writeStream.format("memory").queryName("digby10")
+      .outputMode("complete").start()
+    try {
+      ms.addData((1L, "a", "x"), (2L, "b", "y"))
+      q.processAllAvailable()
+      ms.addData((3L, "a", "z"), (1L, "a", "x")) // group a grows + dupes
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val got = spark.table("digby10").collect().map(key).toMap
+      val want = Pipeline.corpusDigestBy(
+        Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z"), (1L, "a", "x"))
+          .toDF("id", "g", "s"), Seq("id", "s"), "g")
+        .collect().map(key).toMap
+      assert(got == want, s"$got != $want")
+      assert(got("a")._1 == 3L && got("b")._1 == 1L)
+    } finally q.stop()
+  }
+
   test("luhnValid + redactCreditCards: checksum truth table against an " +
     "independent fold, boundary lengths, conditional replacement") {
     import graft.ext.TextAnalysis

@@ -435,6 +435,30 @@ class ScaleSpec extends SparkSpecBase {
       f"$name grew superlinearly at 100×: $tSmall%.2f s → $tBig%.2f s")
   }
 
+  test("100× mega-bucket: minhashPairs from 1.3k to 130k docs (10⁵ " +
+    "bit-identical boilerplate docs) — hot-bucket cap holds, ~linear " +
+    "growth") {
+    // the 10×-of-10× face of the mega-bucket shape above: every MinHash
+    // band of the identical docs collides at EVERY size, so the
+    // hot-bucket cap is the only thing between the banding and a
+    // quadratic pair explosion.
+    def run(nOrganic: Long, identical: Long): (Long, Double) = {
+      val d = synthDocs(nOrganic, identical)
+      val (c, t) = time(Dedup.minhashPairs(d, "text", "doc_id").count())
+      graft.ext.OpCaches.releaseAll()
+      (c, t)
+    }
+    run(200, 500) // codegen warm-up, untimed
+    val (cS, tS) = run(300, 1000)
+    val (cB, tB) = run(30000, 100000)
+    assert(cS >= 999L, s"small mega-bucket under-paired: $cS")
+    assert(cB >= 99999L, s"big mega-bucket under-paired: $cB")
+    assertLinear100("dedup_minhash_100x", tS, tB,
+      () => run(30000, 100000)._2)
+    info(f"minhash 100×: 1.3k docs $tS%.2f s → 130k docs $tB%.1f s " +
+      f"(pairs $cB)")
+  }
+
   test("100× hot corpus-hit: dedupSubstringsIncremental from 1.6k to " +
     "160k batch docs (10⁵ copies of one corpus passage) — exact " +
     "removal at both sizes, ~linear growth") {
