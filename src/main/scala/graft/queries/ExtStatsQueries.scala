@@ -141,6 +141,20 @@ private[queries] object ExtStatsQueries {
           "text", "doc_id", n = 5)
         .orderBy(col("train_id"), col("suite"))
     },
+    "ds_contamination_suites_stream" -> { (s, d) =>
+      // the STREAMING census code path (driver postings map + stateless
+      // narrow map — Dedup.contaminationBySuiteStream) run on a batch
+      // frame: same semantics as ds_contamination_suites by
+      // construction, oracle-checked here on its OWN code path (the
+      // MemoryStream spec covers cross-batch behavior)
+      val dd = docs(s, d)
+      Dedup.contaminationBySuiteStream(dd,
+          Seq("suite_a" -> dd.where(col("doc_id") < 10),
+              "suite_b" -> dd.where(col("doc_id") >= 10 &&
+                col("doc_id") < 20)),
+          "text", "doc_id", n = 5)
+        .orderBy(col("train_id"), col("suite"))
+    },
     "ds_url_dedup" -> { (s, d) =>
       // doc_id % 40 collides every doc onto one of 40 shared pages; odd
       // ids carry a case/www/tracking variant of the even ids' URL — only
@@ -362,6 +376,38 @@ private[queries] object ExtStatsQueries {
     sb.toString
   }
 
+  /** One oracle for BOTH census code paths: the batch broadcast-join
+    * face (`ds_contamination_suites`) and the streaming driver-map face
+    * (`ds_contamination_suites_stream`) must produce identical censuses.
+    */
+  private val contaminationSuitesSql: String = {
+    val gram5 = (1 to 5).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+       g AS (SELECT doc_id, list_distinct(list_transform(
+               range(len(toks) - 4),
+               i -> CAST('0x' || substr(md5($gram5), 1, 15) AS BIGINT)))
+               AS gs
+             FROM t WHERE len(toks) >= 5),
+       tr AS (SELECT doc_id AS train_id, unnest(gs) AS g FROM g),
+       ev AS (SELECT 'suite_a' AS suite, doc_id AS eval_id,
+                unnest(gs) AS g FROM g WHERE doc_id < 10
+              UNION ALL
+              SELECT 'suite_b', doc_id, unnest(gs) FROM g
+              WHERE doc_id >= 10 AND doc_id < 20),
+       pairs AS (SELECT tr.train_id, ev.suite, ev.eval_id,
+                   count(*) AS s
+                 FROM tr JOIN ev USING (g)
+                 GROUP BY tr.train_id, ev.suite, ev.eval_id)
+       SELECT train_id, suite,
+         CAST(count(*) AS BIGINT) AS n_eval_docs,
+         CAST(max(s) AS BIGINT) AS n_shared_max,
+         CAST(sum(s) AS BIGINT) AS n_shared_total
+       FROM pairs GROUP BY train_id, suite
+       ORDER BY train_id, suite"""
+  }
+
   val oracle: Map[String, String] = Map(
     "ds_dawid_skene" -> dawidSkeneSql(2),
     "ds_sorted_neighborhood" ->
@@ -532,33 +578,8 @@ private[queries] object ExtStatsQueries {
              PARTITION BY canon ORDER BY n_chars DESC, doc_id) AS rk
          FROM u)
          SELECT doc_id, lang, source FROM r WHERE rk = 1 ORDER BY doc_id""",
-    "ds_contamination_suites" -> {
-      val gram5 = (1 to 5).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
-      s"""WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             FROM documents),
-         g AS (SELECT doc_id, list_distinct(list_transform(
-                 range(len(toks) - 4),
-                 i -> CAST('0x' || substr(md5($gram5), 1, 15) AS BIGINT)))
-                 AS gs
-               FROM t WHERE len(toks) >= 5),
-         tr AS (SELECT doc_id AS train_id, unnest(gs) AS g FROM g),
-         ev AS (SELECT 'suite_a' AS suite, doc_id AS eval_id,
-                  unnest(gs) AS g FROM g WHERE doc_id < 10
-                UNION ALL
-                SELECT 'suite_b', doc_id, unnest(gs) FROM g
-                WHERE doc_id >= 10 AND doc_id < 20),
-         pairs AS (SELECT tr.train_id, ev.suite, ev.eval_id,
-                     count(*) AS s
-                   FROM tr JOIN ev USING (g)
-                   GROUP BY tr.train_id, ev.suite, ev.eval_id)
-         SELECT train_id, suite,
-           CAST(count(*) AS BIGINT) AS n_eval_docs,
-           CAST(max(s) AS BIGINT) AS n_shared_max,
-           CAST(sum(s) AS BIGINT) AS n_shared_total
-         FROM pairs GROUP BY train_id, suite
-         ORDER BY train_id, suite"""
-    },
+    "ds_contamination_suites" -> contaminationSuitesSql,
+    "ds_contamination_suites_stream" -> contaminationSuitesSql,
     "ds_contamination_report" -> contaminationSql(
       """SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
          FROM tr JOIN ev USING (g)
