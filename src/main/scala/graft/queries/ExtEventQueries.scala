@@ -84,6 +84,44 @@ private[queries] object ExtEventQueries {
         .orderBy(col("event_id"))
     },
 
+    "join_asof_fwd" -> { (s, d) =>
+      // forward as-of: each click paired with the user's NEXT purchase
+      // at-or-after it (the next-event lookup; merge_asof
+      // direction='forward')
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ext.AsOfJoin.asOf(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Map("event_id" -> "purchase_id",
+            "value" -> "purchase_value"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+                col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    "join_asof_tol" -> { (s, d) =>
+      // bounded as-of: the prior purchase matches ONLY within 2 days —
+      // the stale-feature guard (out-of-tolerance rows keep NULLs, like
+      // merge_asof's tolerance)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ext.AsOfJoin.asOf(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Map("event_id" -> "purchase_id",
+            "value" -> "purchase_value"),
+          tolerance = Some(expr("INTERVAL '2' DAY")))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+                col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     "join_interval" -> { (s, d) =>
       // range join as a binned equi-join (no BroadcastNestedLoopJoin):
       // for each q=50 lineitem's [shipdate, shipdate + linenumber*2d]
@@ -357,6 +395,29 @@ private[queries] object ExtEventQueries {
     "join_asof" ->
       """SELECT l.event_id, l.user_id,
            r.event_id AS purchase_id, r.value AS purchase_value
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "join_asof_fwd" ->
+      """SELECT l.event_id, l.user_id,
+           r.event_id AS purchase_id, r.value AS purchase_value
+         FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
+         ORDER BY l.event_id""",
+    "join_asof_tol" ->
+      """SELECT l.event_id, l.user_id,
+           CASE WHEN l.ts - r.ts > INTERVAL 2 DAY THEN NULL
+                ELSE r.event_id END AS purchase_id,
+           CASE WHEN l.ts - r.ts > INTERVAL 2 DAY THEN NULL
+                ELSE r.value END AS purchase_value
          FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
                FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN

@@ -124,6 +124,34 @@ class Round10Spec extends SparkSpecBase {
       "15-bit-distant pair shared no band — pigeonhole broken")
   }
 
+  test("asOf direction + tolerance: forward picks the earliest at-or-" +
+    "after, ties match both ways, out-of-tolerance matches null out") {
+    import graft.ext.AsOfJoin
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (1L, 350L, "l3"),
+      (2L, 50L, "l4")).toDF("k", "t", "lv")
+    val right = Seq((1L, 100L, "r100"), (1L, 220L, "r220"),
+      (1L, 300L, "r300")).toDF("k", "t", "rv")
+    def run(dir: String, tol: Option[Long]) =
+      AsOfJoin.asOf(left, right, Seq("k"), "t", "t",
+          Map("rv" -> "m"), direction = dir,
+          tolerance = tol.map(lit(_)))
+        .collect().map(r => r.getAs[String]("lv") ->
+          Option(r.getAs[String]("m"))).toMap
+    // backward: latest right <= left; tie at t=100 matches
+    assert(run("backward", None) == Map("l1" -> Some("r100"),
+      "l2" -> Some("r100"), "l3" -> Some("r300"), "l4" -> None))
+    // forward: earliest right >= left; tie at t=100 matches; nothing
+    // after 350 or for key 2
+    assert(run("forward", None) == Map("l1" -> Some("r100"),
+      "l2" -> Some("r220"), "l3" -> None, "l4" -> None))
+    // tolerance 60 (numeric ts): l2's backward match r100 is 100 away ->
+    // nulled; l3's r300 is 50 away -> kept
+    assert(run("backward", Some(60L)) == Map("l1" -> Some("r100"),
+      "l2" -> None, "l3" -> Some("r300"), "l4" -> None))
+    assert(run("forward", Some(60L)) == Map("l1" -> Some("r100"),
+      "l2" -> Some("r220"), "l3" -> None, "l4" -> None))
+  }
+
   test("corpusDigestBy over a stream: complete-mode per-group rows equal " +
     "the batch digests of everything ingested (partitioned-table " +
     "ingest-integrity monitor)") {
