@@ -39,8 +39,11 @@ object AsOfJoin {
     * @param leftTs    left event-time column
     * @param rightTs   right event-time column
     * @param rightVals right columns to carry (renamed as given)
-    * @param direction "backward" (latest right ≤ leftTs, default) or
-    *                  "forward" (earliest right ≥ leftTs)
+    * @param direction "backward" (latest right ≤ leftTs, default),
+    *                  "forward" (earliest right ≥ leftTs), or "nearest"
+    *                  (whichever of the two is closer; equal distance —
+    *                  including an exact-ts tie — prefers backward, the
+    *                  merge_asof convention)
     * @param tolerance max |leftTs − matchedTs| as a Column of the ts
     *                  difference's type — an INTERVAL literal for
     *                  timestamp columns (`expr("INTERVAL '3' DAY")`), a
@@ -55,8 +58,8 @@ object AsOfJoin {
            rightVals: Map[String, String],
            direction: String = "backward",
            tolerance: Option[Column] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     // All right values travel as ONE packed struct carried by a single
     // last(ignoreNulls) — the matched row's values stay atomic, so a right
     // column that is legitimately NULL is not backfilled from an older row
@@ -83,21 +86,37 @@ object AsOfJoin {
     // equal-ts right rows deterministic (struct order = lexicographic by
     // field). "forward" reverses only the time axis: traversal then visits
     // rows with ts ≥ current first, so the carried pack is the earliest
-    // at-or-after right row.
-    val tsOrder =
-      if (direction == "backward") col("__ts").asc else col("__ts").desc
-    val w = Window.partitionBy(keys.map(col): _*)
+    // at-or-after right row. "nearest" computes both carries — two window
+    // sorts over the SAME key partitioning, still ONE exchange — and picks
+    // the closer match per row.
+    def w(tsOrder: Column) = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__isLeft").asc, col("__rpack").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val back = last(col("__rpack"), ignoreNulls = true).over(w(col("__ts").asc))
+    val fwd = last(col("__rpack"), ignoreNulls = true).over(w(col("__ts").desc))
+    val carry = direction match {
+      case "backward" => back
+      case "forward" => fwd
+      case _ =>
+        val bc = back
+        val fc = fwd
+        when(fc.isNull, bc).when(bc.isNull, fc)
+          .when(col("__ts") - bc.getField("__mts") <=
+                fc.getField("__mts") - col("__ts"), bc) // tie → backward
+          .otherwise(fc)
+    }
     val matched = lTagged.unionByName(rTagged)
-      .withColumn("__c", last(col("__rpack"), ignoreNulls = true).over(w))
+      .withColumn("__c", carry)
       .where(col("__isLeft") === 1)
     val bounded = tolerance match {
       case None => matched
       case Some(tol) =>
-        val dist =
-          if (direction == "backward") col("__ts") - col("__c.__mts")
-          else col("__c.__mts") - col("__ts")
+        val dist = direction match {
+          case "backward" => col("__ts") - col("__c.__mts")
+          case "forward" => col("__c.__mts") - col("__ts")
+          case _ => greatest(col("__ts") - col("__c.__mts"),
+            col("__c.__mts") - col("__ts")) // |distance|
+        }
         matched.withColumn("__c",
           when(dist <= tol, col("__c"))) // out of tolerance → NULL match
     }

@@ -122,6 +122,24 @@ private[queries] object ExtEventQueries {
         .orderBy(col("event_id"))
     },
 
+    "join_asof_near" -> { (s, d) =>
+      // nearest as-of: whichever purchase is closer in time, before or
+      // after; equal distance prefers backward (merge_asof convention)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ext.AsOfJoin.asOf(clicks, purchases,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightVals = Map("event_id" -> "purchase_id",
+            "value" -> "purchase_value"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+                col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     "join_interval" -> { (s, d) =>
       // range join as a binned equi-join (no BroadcastNestedLoopJoin):
       // for each q=50 lineitem's [shipdate, shipdate + linenumber*2d]
@@ -425,6 +443,29 @@ private[queries] object ExtEventQueries {
                FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+    "join_asof_near" ->
+      """WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                 value
+               FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT l.event_id, l.user_id, l.ts AS lts, r.ts AS bts,
+                 r.event_id AS bid, r.value AS bval
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.ts AS fts, r.event_id AS fid,
+                 r.value AS fval
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+         SELECT b.event_id, b.user_id,
+           CASE WHEN fts IS NULL THEN bid WHEN bts IS NULL THEN fid
+                WHEN lts - bts <= fts - lts THEN bid ELSE fid END
+             AS purchase_id,
+           CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
+                WHEN lts - bts <= fts - lts THEN bval ELSE fval END
+             AS purchase_value
+         FROM b JOIN f ON b.event_id = f.event_id
+         ORDER BY b.event_id""",
     "join_interval" ->
       """SELECT l.l_orderkey, l.l_linenumber,
            CAST(count(*) AS BIGINT) AS n_orders,

@@ -150,6 +150,22 @@ class Round10Spec extends SparkSpecBase {
       "l2" -> None, "l3" -> Some("r300"), "l4" -> None))
     assert(run("forward", Some(60L)) == Map("l1" -> Some("r100"),
       "l2" -> Some("r220"), "l3" -> None, "l4" -> None))
+    // nearest: l2 (200) has r100 at 100 vs r220 at 20 -> r220; l3 (350)
+    // has r300 at 50 and nothing after -> r300; exact-ts tie (l1) and
+    // equal-distance both prefer backward
+    assert(run("nearest", None) == Map("l1" -> Some("r100"),
+      "l2" -> Some("r220"), "l3" -> Some("r300"), "l4" -> None))
+    // equal distance -> backward: left at 260 is 40 from r220 and 40
+    // from r300
+    val tie = AsOfJoin.asOf(Seq((1L, 260L, "lt")).toDF("k", "t", "lv"),
+        right, Seq("k"), "t", "t", Map("rv" -> "m"),
+        direction = "nearest")
+      .collect()(0).getAs[String]("m")
+    assert(tie == "r220", s"equal distance must prefer backward: $tie")
+    // nearest + tolerance 30: l2's r220 (20 away) kept, l3's r300 (50
+    // away) nulled
+    assert(run("nearest", Some(30L)) == Map("l1" -> Some("r100"),
+      "l2" -> Some("r220"), "l3" -> None, "l4" -> None))
   }
 
   test("corpusDigestBy over a stream: complete-mode per-group rows equal " +
