@@ -37,6 +37,49 @@ object TimeSeries {
               coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-key VALUE series resampled onto a regular grid with
+    * last-observation-carried-forward (LOCF): each key's observations
+    * land in buckets (the LATEST observation per bucket wins — ties at
+    * equal ts break on the larger value, deterministically), the grid
+    * spans the key's first..last bucket, and empty buckets carry the
+    * most recent earlier value — the regularization sensor/metric
+    * pipelines run before fixed-rate models. Counts get zeros
+    * ([[resampleCounts]]); measurements get carried values (this).
+    * NULL observations are dropped first (a missing reading is no
+    * observation, not a zero). Returns (key, bucket_start, v,
+    * observed); `v` is never NULL (each key's first grid bucket is its
+    * first observation).
+    *
+    * Scale shape: one map-side-combined (key, bucket) max-struct
+    * shuffle, the [[resampleCounts]] sequence-explode grid (rows ≤
+    * span/bucket per key), and one per-key window for the carry — only
+    * (key, long, value) rows ever shuffle; LOCF moves values without
+    * arithmetic, so results are engine-exact.
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, bucketSeconds: Long): DataFrame = {
+    val bucket =
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
+    val obs = events
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), bucket.as("bucket"),
+        col(tsCol).as("__ts"), col(valueCol).as("__v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(struct(col("__ts"), col("__v"))).as("__last"))
+      .select(col("key"), col("bucket"), col("__last.__v").as("v_obs"))
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val carry = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .select(col("key"),
+        (col("bucket") * bucketSeconds).as("bucket_start"),
+        last(col("v_obs"), ignoreNulls = true).over(carry).as("v"),
+        col("v_obs").isNotNull.as("observed"))
+  }
+
   /** Rolling sum of the last `window` buckets (current included) over an
     * already-regular series — integer-valued, so results are deterministic
     * and engine-portable (a rolling MEAN would differ in last-ulp float

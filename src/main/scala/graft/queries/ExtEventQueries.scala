@@ -56,6 +56,19 @@ private[queries] object ExtEventQueries {
             .cast("long").as("n_roll3"))
         .orderBy(col("user_id"), col("bucket_start"))
     },
+    "ts_resample_locf" -> { (s, d) =>
+      // daily per-user purchase-value grid with last-observation-carried-
+      // forward: quiet days repeat the latest reading (what a fixed-rate
+      // model needs from a measurement series; counts get zeros instead —
+      // ts_resample)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      TimeSeries.resampleLocf(
+          ev.where(col("event_type") === "purchase"), "user_id", "ts",
+          "value", 86400L)
+        .select(col("key").as("user_id"), col("bucket_start"), col("v"),
+          col("observed"))
+        .orderBy(col("user_id"), col("bucket_start"))
+    },
     "ev_json_props" -> { (s, d) =>
       // semi-structured payload extraction: JSON props → typed column → agg
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -420,6 +433,31 @@ private[queries] object ExtEventQueries {
                FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+    "ts_resample_locf" ->
+      """WITH e AS (SELECT user_id AS key,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS bucket,
+             CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         o AS (SELECT key, bucket, value AS v_obs FROM (
+             SELECT *, row_number() OVER (PARTITION BY key, bucket
+                 ORDER BY ts DESC, value DESC) AS rn FROM e)
+           WHERE rn = 1),
+         span AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+                  FROM o GROUP BY key),
+         grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket
+                  FROM span),
+         j AS (SELECT g.key, g.bucket, o.v_obs
+               FROM grid g LEFT JOIN o
+                 ON g.key = o.key AND g.bucket = o.bucket)
+         SELECT key AS user_id,
+           CAST(bucket * 86400 AS BIGINT) AS bucket_start,
+           last_value(v_obs IGNORE NULLS) OVER (PARTITION BY key
+             ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           v_obs IS NOT NULL AS observed
+         FROM j ORDER BY user_id, bucket_start""",
     "join_asof_fwd" ->
       """SELECT l.event_id, l.user_id,
            r.event_id AS purchase_id, r.value AS purchase_value

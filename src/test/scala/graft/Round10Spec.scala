@@ -168,6 +168,30 @@ class Round10Spec extends SparkSpecBase {
       "l2" -> Some("r220"), "l3" -> None, "l4" -> None))
   }
 
+  test("resampleLocf: within-bucket latest wins, gaps carry forward, " +
+    "NULL observations drop, first bucket always observed") {
+    import graft.ext.TimeSeries
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), java.lang.Double.valueOf(1.0)),
+      (1L, ts("2024-01-01 15:00:00"), java.lang.Double.valueOf(2.0)), // same bucket, later -> wins
+      (1L, ts("2024-01-04 09:00:00"), java.lang.Double.valueOf(9.0)), // 2-day gap carries 2.0
+      (1L, ts("2024-01-02 12:00:00"), null: java.lang.Double),        // dropped
+      (2L, ts("2024-01-01 00:00:00"), java.lang.Double.valueOf(7.0))
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleLocf(ev, "k", "t", "v", 86400L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    val d0 = ts("2024-01-01 00:00:00").getTime / 1000 / 86400
+    assert(out((1L, d0)) == (2.0, true))      // latest-in-bucket
+    assert(out((1L, d0 + 1)) == (2.0, false)) // null obs dropped -> carried
+    assert(out((1L, d0 + 2)) == (2.0, false)) // gap carries
+    assert(out((1L, d0 + 3)) == (9.0, true))
+    assert(out((2L, d0)) == (7.0, true))
+    assert(out.size == 5)
+  }
+
   test("corpusDigestBy over a stream: complete-mode per-group rows equal " +
     "the batch digests of everything ingested (partitioned-table " +
     "ingest-integrity monitor)") {
