@@ -840,6 +840,45 @@ object Pipeline {
       .drop("__rep", "cluster_id")
   }
 
+  /** Deterministic k-fold assignment for cross-validation:
+    * `fold = pmod(h60(id:salt), k)` — the k-way generalization of
+    * [[splitByHash]] (which carves named fractions; CV needs k
+    * interchangeable, exhaustive, disjoint folds). Pure narrow map —
+    * no shuffle, no RNG state — reproducible across runs, engines, and
+    * partitionings, and stable under corpus growth: an id keeps its
+    * fold when rows are added or dropped around it, so fold-wise
+    * metrics stay comparable across corpus versions.
+    */
+  def foldsByHash(df: DataFrame, idCol: String, k: Int,
+                  salt: String = ""): DataFrame = {
+    require(k > 1, s"k-fold needs k > 1, got $k")
+    requireFresh(df, "foldsByHash", "fold")
+    df.withColumn("fold",
+      pmod(portableHash60(concat(col(idCol).cast("string"), lit(salt))),
+        lit(k.toLong)).cast("int"))
+  }
+
+  /** Leakage-safe k-fold: near-duplicate documents (an edge list, e.g.
+    * [[Dedup.ngramJaccardPairs]]) land in the SAME fold via their
+    * cluster representative's hash — otherwise every near-dup pair that
+    * straddles a fold boundary leaks its twin into the held-out fold
+    * and inflates CV scores, exactly the [[splitByCluster]] failure
+    * mode k-fold inherits. Same shape: cluster min-label propagation,
+    * a left join (size-based planning decides broadcast — the cluster
+    * map covers only docs WITH a near-dup), then the narrow fold hash
+    * on the representative.
+    */
+  def foldsByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    requireFresh(docs, "foldsByCluster", "__rep", "cluster_id")
+    val cl = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    val withRep = docs
+      .join(cl, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("cluster_id"), col(idCol)))
+    foldsByHash(withRep, "__rep", k, salt)
+      .drop("__rep", "cluster_id")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse runs of
     * whitespace to single spaces, trim. Portable regex subset (identical
     * semantics in Java regex and RE2/DuckDB).

@@ -118,6 +118,182 @@ object TimeSeries {
               ((col("n") - col("mu")) / col("sigma")).as("z"))
   }
 
+  /** Lag/difference features over an already-regular series: for each
+    * requested lag `L`, adds `d<L>` = v − v[t−L] within the key (NULL for
+    * the first L rows of each key, where no lagged value exists). Lag 1
+    * is the first difference (detrending); lag = period is the
+    * seasonal-naive residual (hour-over-day, day-over-week) — the
+    * standard pre-model transforms for volume series. Integer-valued
+    * input stays integer, so results are engine-exact.
+    *
+    * Scale shape: all lags share ONE window (same partition/order), so
+    * Spark plans a single hash exchange + single sort regardless of how
+    * many lags are requested; nothing but the series columns shuffle.
+    */
+  def diffFeatures(series: DataFrame, keyCol: String, orderCol: String,
+                   valCol: String, lags: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    lags.foldLeft(series) { (df, l) =>
+      df.withColumn(s"d$l", col(valCol) - lag(col(valCol), l).over(w))
+    }
+  }
+
+  /** One-sided CUSUM level-shift statistic over a regular series:
+    * `C_t = max(0, C_{t−1} + v_t − k)` — the sequential-detection
+    * standard for "the rate went up and stayed up" (a single spike decays
+    * back at `k` per bucket; a sustained shift accumulates). The
+    * recursion looks stateful but has a closed window form:
+    * `C_t = S_t − min_{i≤t} S_i` where `S_t = Σ_{j≤t}(v_j − k)` —
+    * a running sum and a running min, both plain window aggregates.
+    * With integer values and integer drift `k` everything stays BIGINT:
+    * engine-exact, no float drift. Emits the statistic for every bucket
+    * plus an `alarm` flag at `C_t ≥ h`.
+    *
+    * Scale shape: one hash exchange on the key + one sort feeds both
+    * running aggregates (same window frame); no second shuffle, no
+    * iteration — the closed form replaces what would otherwise be a
+    * per-key sequential fold.
+    */
+  def cusum(series: DataFrame, keyCol: String, orderCol: String,
+            valCol: String, drift: Long, threshold: Long): DataFrame = {
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = sum(col(valCol).cast("long") - lit(drift)).over(run)
+    // min over the running frame includes the current row; C_t is
+    // therefore ≥ 0 by construction (min ≤ S_t)
+    series.withColumn("c", (s - min(s).over(run)).cast("long"))
+      .withColumn("alarm", col("c") >= lit(threshold))
+  }
+
+  /** [[cusum]] with a data-derived drift: each key's allowance is
+    * `max(floor(median + sigmaMult·√median), 1)` — the median tracks
+    * that key's typical level and the √median term its Poisson-order
+    * noise, so one parameterization stays meaningful whether the series
+    * runs at 1/bucket or 10⁴/bucket (a fixed `k` either saturates or
+    * never fires when volume scales 100×; an allowance without the
+    * noise term alarms on ordinary fluctuation once counts are large).
+    * The clamp to ≥1 keeps sparse series — median 0 — from alarming on
+    * every event. The allowance floors to an exact BIGINT (median and
+    * √ of small integers are exact in double), so the statistic stays
+    * integer-exact end to end.
+    *
+    * Scale shape: one tiny per-key median agg (exact percentile — the
+    * [[anomalousWindowsRobust]] pattern) broadcast back onto the series,
+    * then the single exchange + sort of [[cusum]]'s closed form.
+    */
+  def cusumAdaptive(series: DataFrame, keyCol: String, orderCol: String,
+                    valCol: String, sigmaMult: Double,
+                    threshold: Long): DataFrame = {
+    val medExpr = expr(s"percentile($valCol, 0.5)")
+    val med = series.groupBy(col(keyCol))
+      .agg(greatest(floor(medExpr + lit(sigmaMult) * sqrt(medExpr))
+        .cast("long"), lit(1L)).as("__k"))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = sum(col(valCol).cast("long") - col("__k")).over(run)
+    series.join(broadcast(med), Seq(keyCol))
+      .withColumn("c", (s - min(s).over(run)).cast("long"))
+      .withColumn("alarm", col("c") >= lit(threshold))
+      .drop("__k")
+  }
+
+  /** Per-key autocorrelation of a regular integer series at each lag in
+    * `lags`: Pearson r between (v_t, v_{t+L}) over the m overlapping
+    * pairs, computed from BIGINT moment sums —
+    * r = (m·Σxy − Σx·Σy) / sqrt((m·Σx² − (Σx)²)(m·Σy² − (Σy)²)) —
+    * so the only float operations are one subtraction/multiply/sqrt
+    * chain over exact integers, identical in any engine (the built-in
+    * `corr` would accumulate in engine-specific order). Keys/lags where
+    * either margin is constant (zero variance) return NULL r. The ACF at
+    * the candidate period is THE seasonality test a resampled volume
+    * series gets before a seasonal model.
+    *
+    * Scale shape: the lag pairing is a self-window (`lead` over the
+    * series' existing key hash/sort — one exchange shared by all lags),
+    * then one map-side-combined (key, lag) moment agg; only five BIGINTs
+    * per (key, lag) survive. BIGINT overflow needs Σx² ≳ 9·10¹⁸ — i.e.
+    * per-key count·max(v)² beyond ~10⁹·10⁵ — far past any per-key volume
+    * series; corpus size doesn't enter (keys partition it).
+    */
+  def acf(series: DataFrame, keyCol: String, orderCol: String,
+          valCol: String, lags: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val v = col(valCol).cast("long")
+    val paired = series.select(
+      col(keyCol).as("key") +: v.as("x") +:
+        lags.map(l => lead(v, l).over(w).as(s"y$l")): _*)
+    val perLag = lags.map { l =>
+      val y = col(s"y$l")
+      paired.where(y.isNotNull).groupBy(col("key"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+             sum(y).as("sy"), sum(col("x") * col("x")).as("sxx"),
+             sum(y * y).as("syy"), sum(col("x") * y).as("sxy"))
+        .select(col("key"), lit(l).as("lag"),
+          col("m").cast("long").as("m"), {
+            val num = (col("m") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            val dx = (col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            val dy = (col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double")
+            when(col("m") > 1 && dx > 0 && dy > 0,
+              num / sqrt(dx * dy)).as("r")
+          })
+    }
+    perLag.reduce(_ union _)
+  }
+
+  /** Per-key VALUE series resampled onto a regular grid with LINEAR
+    * interpolation across gaps (the measurement-series alternative to
+    * [[resampleLocf]]'s step function): observed buckets keep their
+    * latest reading; a gap bucket gets
+    * `prev + (next − prev) · (t − t_prev) / (t_next − t_prev)`.
+    * The grid spans first..last observation per key, so every gap has
+    * both neighbors — `v` is never NULL. The fraction is the same
+    * double expression in any engine; callers that hash-compare across
+    * engines should round `v`.
+    *
+    * Scale shape: identical to [[resampleLocf]] plus one extra window
+    * pass in the OPPOSITE direction (following frame) for the next
+    * neighbor — still a single hash exchange on the key (both windows
+    * share partitioning; the second sort is a re-sort, not a shuffle).
+    */
+  def resampleInterp(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, bucketSeconds: Long): DataFrame = {
+    val bucket =
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long")
+    val obs = events
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), bucket.as("bucket"),
+        col(tsCol).as("__ts"), col(valueCol).as("__v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(struct(col("__ts"), col("__v"))).as("__last"))
+      .select(col("key"), col("bucket"), col("__last.__v").as("v_obs"))
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val back = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withObsBucket = grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("ob", when(col("v_obs").isNotNull, col("bucket")))
+    val j = withObsBucket
+      .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(back))
+      .withColumn("pb", last(col("ob"), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(fwd))
+      .withColumn("nb", first(col("ob"), ignoreNulls = true).over(fwd))
+    j.select(col("key"),
+      (col("bucket") * bucketSeconds).as("bucket_start"),
+      when(col("v_obs").isNotNull, col("v_obs").cast("double"))
+        .otherwise(col("pv").cast("double") +
+          (col("nv").cast("double") - col("pv").cast("double")) *
+            (col("bucket") - col("pb")).cast("double") /
+            (col("nb") - col("pb")).cast("double")).as("v"),
+      col("v_obs").isNotNull.as("observed"))
+  }
+
   /** Robust variant of [[anomalousWindows]]: median/MAD instead of
     * mean/stddev — a burst no longer inflates its own baseline, so a
     * series that is quiet except for one incident still flags the

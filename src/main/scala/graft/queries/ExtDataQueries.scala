@@ -70,6 +70,24 @@ private[queries] object ExtDataQueries {
              min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("split"))
     },
+    "ds_kfold" -> { (s, d) =>
+      // deterministic 5-fold CV assignment by id hash: folds are
+      // disjoint, exhaustive, and stable under corpus growth
+      Pipeline.foldsByHash(docs(s, d), "doc_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).cast("long").as("n"),
+             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("fold"))
+    },
+    "ds_kfold_safe" -> { (s, d) =>
+      // leakage-safe 5-fold: near-dup docs (ngram-jaccard pairs) share a
+      // fold via their cluster representative's hash
+      val dd = docs(s, d)
+      Pipeline.foldsByCluster(dd,
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id"), "doc_id", k = 5)
+        .select(col("doc_id"), col("fold"))
+        .orderBy(col("doc_id"))
+    },
     "ds_chunk" -> { (s, d) =>
       // overlapping char-window chunking (512/64): training context prep
       Pipeline.chunkByChars(docs(s, d), chunkChars = 512, overlapChars = 64)
@@ -750,6 +768,30 @@ private[queries] object ExtDataQueries {
                         / n_chars, 9), doc_id) AS rk
            FROM w)
          WHERE rk <= 5 ORDER BY lang, doc_id""",
+    "ds_kfold" ->
+      """WITH h AS (SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 5 AS fold
+           FROM documents)
+         SELECT CAST(fold AS INTEGER) AS fold,
+                CAST(count(*) AS BIGINT) AS n,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM h GROUP BY fold ORDER BY fold""",
+    "ds_kfold_safe" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
+         e AS (SELECT id_a AS src, id_b AS dst FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach AS (SELECT src, dst FROM e
+                   UNION
+                   SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+                 FROM reach GROUP BY src),
+         rep AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS r
+                 FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+         SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 15)
+             AS BIGINT) % 5 AS INTEGER) AS fold
+         FROM rep ORDER BY doc_id""",
     "ds_split_safe" ->
       s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
          e AS (SELECT id_a AS src, id_b AS dst FROM pr

@@ -69,6 +69,55 @@ private[queries] object ExtEventQueries {
           col("observed"))
         .orderBy(col("user_id"), col("bucket_start"))
     },
+    "ts_diff" -> { (s, d) =>
+      // lag/difference features over the regular grid: d1 = first
+      // difference (detrend), d24 = day-over-day seasonal residual on
+      // hourly buckets — integer-exact, NULL where no lagged row exists
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(
+        ev.where(col("user_id") < 40), "user_id", "ts", 3600L)
+      TimeSeries.diffFeatures(grid, "key", "bucket_start", "n",
+          lags = Seq(1, 24))
+        .select(col("key").as("user_id"), col("bucket_start"), col("n"),
+                col("d1"), col("d24"))
+        .orderBy(col("user_id"), col("bucket_start"))
+    },
+    "ts_cusum" -> { (s, d) =>
+      // sustained-level-shift detection: one-sided CUSUM over hourly
+      // per-type volume, drift = that type's own median + 1·√median
+      // (scale-adaptive, ≥1), alarm at 8 accumulated excess events —
+      // the closed window form (running sum − running min), integer-exact
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(ev, "event_type", "ts", 3600L)
+      TimeSeries.cusumAdaptive(grid, "key", "bucket_start", "n",
+          sigmaMult = 1.0, threshold = 8L)
+        .select(col("key").as("event_type"), col("bucket_start"),
+                col("n"), col("c"), col("alarm"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
+    "ts_acf" -> { (s, d) =>
+      // seasonality test: per-type autocorrelation of the hourly series
+      // at lag 1 (persistence) and lag 24 (daily period), from exact
+      // BIGINT moment sums; r rounded for the cross-engine hash
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(ev, "event_type", "ts", 3600L)
+      TimeSeries.acf(grid, "key", "bucket_start", "n", lags = Seq(1, 24))
+        .select(col("key").as("event_type"), col("lag"), col("m"),
+                round(col("r"), 6).as("r"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+    "ts_resample_interp" -> { (s, d) =>
+      // daily per-user purchase-value grid with LINEAR interpolation
+      // across gaps (the smooth-measurement alternative to LOCF's step);
+      // v rounded for the cross-engine hash
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      TimeSeries.resampleInterp(
+          ev.where(col("event_type") === "purchase"), "user_id", "ts",
+          "value", 86400L)
+        .select(col("key").as("user_id"), col("bucket_start"),
+                round(col("v"), 6).as("v"), col("observed"))
+        .orderBy(col("user_id"), col("bucket_start"))
+    },
     "ev_json_props" -> { (s, d) =>
       // semi-structured payload extraction: JSON props → typed column → agg
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -417,6 +466,133 @@ private[queries] object ExtEventQueries {
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                   AS n_roll3
          FROM f ORDER BY user_id, bucket_start""",
+    "ts_diff" ->
+      """WITH e AS (SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events WHERE user_id < 40),
+         c AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY user_id, bucket),
+         s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY user_id),
+         g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.user_id, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.user_id = c.user_id AND g.bucket = c.bucket)
+         SELECT user_id, bucket * 3600 AS bucket_start, n,
+                n - lag(n, 1) OVER (PARTITION BY user_id ORDER BY bucket)
+                  AS d1,
+                n - lag(n, 24) OVER (PARTITION BY user_id ORDER BY bucket)
+                  AS d24
+         FROM f ORDER BY user_id, bucket_start""",
+    "ts_cusum" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         m AS (SELECT event_type,
+                 greatest(CAST(floor(median(n) + sqrt(median(n)))
+                   AS BIGINT), 1) AS k
+               FROM f GROUP BY event_type),
+         r AS (SELECT f.event_type, f.bucket, f.n,
+                 sum(f.n - m.k) OVER (PARTITION BY f.event_type
+                   ORDER BY f.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS srun
+               FROM f JOIN m ON f.event_type = m.event_type),
+         q AS (SELECT event_type, bucket, n,
+                 CAST(srun - min(srun) OVER (PARTITION BY event_type
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+               FROM r)
+         SELECT event_type, bucket * 3600 AS bucket_start, n, c,
+                c >= 8 AS alarm
+         FROM q ORDER BY event_type, bucket_start""",
+    "ts_acf" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         p AS (SELECT event_type AS key, n AS x,
+                 lead(n, 1) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS y1,
+                 lead(n, 24) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS y24
+               FROM f),
+         a AS (
+           SELECT key, CAST(1 AS INTEGER) AS lag,
+                  CAST(count(*) AS BIGINT) AS m,
+                  sum(x) AS sx, sum(y1) AS sy, sum(x*x) AS sxx,
+                  sum(y1*y1) AS syy, sum(x*y1) AS sxy
+           FROM p WHERE y1 IS NOT NULL GROUP BY key
+           UNION ALL
+           SELECT key, CAST(24 AS INTEGER) AS lag,
+                  CAST(count(*) AS BIGINT) AS m,
+                  sum(x) AS sx, sum(y24) AS sy, sum(x*x) AS sxx,
+                  sum(y24*y24) AS syy, sum(x*y24) AS sxy
+           FROM p WHERE y24 IS NOT NULL GROUP BY key)
+         SELECT key AS event_type, lag, m,
+           CASE WHEN m > 1 AND (m*sxx - sx*sx) > 0 AND (m*syy - sy*sy) > 0
+             THEN round(CAST(m*sxy - sx*sy AS DOUBLE) /
+                   sqrt(CAST(m*sxx - sx*sx AS DOUBLE) *
+                        CAST(m*syy - sy*sy AS DOUBLE)), 6)
+           END AS r
+         FROM a ORDER BY event_type, lag""",
+    "ts_resample_interp" ->
+      """WITH e AS (SELECT user_id AS key,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS bucket,
+             CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         o AS (SELECT key, bucket, value AS v_obs FROM (
+             SELECT *, row_number() OVER (PARTITION BY key, bucket
+                 ORDER BY ts DESC, value DESC) AS rn FROM e)
+           WHERE rn = 1),
+         span AS (SELECT key, min(bucket) AS lo, max(bucket) AS hi
+                  FROM o GROUP BY key),
+         grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bucket
+                  FROM span),
+         j AS (SELECT g.key, g.bucket, o.v_obs
+               FROM grid g LEFT JOIN o
+                 ON g.key = o.key AND g.bucket = o.bucket),
+         w AS (SELECT key, bucket, v_obs,
+             last_value(v_obs IGNORE NULLS) OVER (PARTITION BY key
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v_obs IS NOT NULL THEN bucket END
+               IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(v_obs IGNORE NULLS) OVER (PARTITION BY key
+               ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v_obs IS NOT NULL THEN bucket END
+               IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+           FROM j)
+         SELECT key AS user_id,
+           CAST(bucket * 86400 AS BIGINT) AS bucket_start,
+           round(CASE WHEN v_obs IS NOT NULL THEN CAST(v_obs AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE) +
+               (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE)) *
+               CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+             END, 6) AS v,
+           v_obs IS NOT NULL AS observed
+         FROM w ORDER BY user_id, bucket_start""",
     "ev_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
