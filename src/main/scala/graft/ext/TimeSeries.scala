@@ -208,10 +208,11 @@ object TimeSeries {
     * the candidate period is THE seasonality test a resampled volume
     * series gets before a seasonal model.
     *
-    * Scale shape: the lag pairing is a self-window (`lead` over the
-    * series' existing key hash/sort — one exchange shared by all lags),
-    * then one map-side-combined (key, lag) moment agg; only five BIGINTs
-    * per (key, lag) survive. BIGINT overflow needs Σx² ≳ 9·10¹⁸ — i.e.
+    * Scale shape: ONE pass — every lag's `lead` shares one window (one
+    * exchange + one sort), an explode turns the lag columns into
+    * (lag, y) rows (narrow, fan-out = |lags|), and one map-side-combined
+    * (key, lag) moment agg reduces them; only five BIGINTs per
+    * (key, lag) survive. BIGINT overflow needs Σx² ≳ 9·10¹⁸ — i.e.
     * per-key count·max(v)² beyond ~10⁹·10⁵ — far past any per-key volume
     * series; corpus size doesn't enter (keys partition it).
     */
@@ -222,25 +223,27 @@ object TimeSeries {
     val paired = series.select(
       col(keyCol).as("key") +: v.as("x") +:
         lags.map(l => lead(v, l).over(w).as(s"y$l")): _*)
-    val perLag = lags.map { l =>
-      val y = col(s"y$l")
-      paired.where(y.isNotNull).groupBy(col("key"))
-        .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-             sum(y).as("sy"), sum(col("x") * col("x")).as("sxx"),
-             sum(y * y).as("syy"), sum(col("x") * y).as("sxy"))
-        .select(col("key"), lit(l).as("lag"),
-          col("m").cast("long").as("m"), {
-            val num = (col("m") * col("sxy") - col("sx") * col("sy"))
-              .cast("double")
-            val dx = (col("m") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")
-            val dy = (col("m") * col("syy") - col("sy") * col("sy"))
-              .cast("double")
-            when(col("m") > 1 && dx > 0 && dy > 0,
-              num / sqrt(dx * dy)).as("r")
-          })
-    }
-    perLag.reduce(_ union _)
+    val long = paired.select(col("key"), col("x"),
+      explode(array(lags.map(l =>
+        struct(lit(l).as("lag"), col(s"y$l").as("y"))): _*)).as("ly"))
+      .select(col("key"), col("x"), col("ly.lag").as("lag"),
+        col("ly.y").as("y"))
+    val y = col("y")
+    long.where(y.isNotNull).groupBy(col("key"), col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+           sum(y).as("sy"), sum(col("x") * col("x")).as("sxx"),
+           sum(y * y).as("syy"), sum(col("x") * y).as("sxy"))
+      .select(col("key"), col("lag"),
+        col("m").cast("long").as("m"), {
+          val num = (col("m") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+          val dx = (col("m") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")
+          val dy = (col("m") * col("syy") - col("sy") * col("sy"))
+            .cast("double")
+          when(col("m") > 1 && dx > 0 && dy > 0,
+            num / sqrt(dx * dy)).as("r")
+        })
   }
 
   /** Per-key VALUE series resampled onto a regular grid with LINEAR
