@@ -165,6 +165,50 @@ object TimeSeries {
       .withColumn("alarm", col("c") >= lit(threshold))
   }
 
+  /** Streaming face of [[cusum]] — the always-on level-shift monitor a
+    * pipeline runs on ingest (batch CUSUM tells you the rate shifted
+    * yesterday; this one pages while it is shifting). Carries ONE long
+    * per key (the running statistic) across micro-batches via
+    * `flatMapGroupsWithState` and emits `(key, t, v, c, alarm)` per
+    * input bucket in append mode. Within a batch, a key's rows fold in
+    * `orderCol` order; across batches, buckets are assumed to arrive in
+    * non-decreasing order (the monitoring case — the resampled series
+    * is produced bucket by bucket). Given in-order input the emitted
+    * rows equal the batch [[cusum]] row-for-row (spec-asserted), and
+    * the same code path runs in batch mode (Spark executes
+    * flatMapGroupsWithState over static frames too).
+    *
+    * Scale shape: state is a single BIGINT per key, forever — no event
+    * buffering, no watermark needed; one hash exchange on the key per
+    * micro-batch. Keys are carried as strings (the portable group key).
+    */
+  def cusumStream(series: DataFrame, keyCol: String, orderCol: String,
+                  valCol: String, drift: Long,
+                  threshold: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(keyCol).cast("string").as("key"),
+        col(orderCol).cast("long").as("t"),
+        col(valCol).cast("long").as("v"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var c = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+            c = math.max(0L, c + v - drift)
+            (key, t, v, c, c >= threshold)
+          }
+          state.update(c)
+          out.iterator
+      }
+      .toDF("key", "t", "v", "c", "alarm")
+  }
+
   /** [[cusum]] with a data-derived drift: each key's allowance is
     * `max(floor(median + sigmaMult·√median), 1)` — the median tracks
     * that key's typical level and the √median term its Poisson-order

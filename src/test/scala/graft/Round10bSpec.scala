@@ -91,6 +91,46 @@ class Round10bSpec extends SparkSpecBase {
       "zero-variance series must yield NULL r, not a division blowup")
   }
 
+  test("cusumStream: cross-batch statistic equals the batch cusum " +
+    "row-for-row on in-order input, and alarms fire mid-stream") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 60).map(i => ("svc", i.toLong, 2L + noise(i))) ++
+      (60 until 80).map(i => ("svc", i.toLong, 9L + noise(i))) ++
+      (0 until 40).map(i => ("db", i.toLong, 1L + noise(i * 3)))
+    // split at t=70 so the planted shift STRADDLES the batch boundary:
+    // the carried state must keep accumulating across it
+    val (b1, b2) = (all.filter(_._2 < 70), all.filterNot(_._2 < 70))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val q = TimeSeries.cusumStream(ms.toDF().toDF("key", "t", "v"),
+        "key", "t", "v", drift = 4L, threshold = 6L)
+      .writeStream.format("memory").queryName("cusum10b")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1))
+      def vals(r: org.apache.spark.sql.Row) =
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      val got = spark.table("cusum10b").collect()
+        .map(r => key(r) -> vals(r)).toMap
+      val want = TimeSeries.cusum(all.toDF("key", "t", "v"),
+          "key", "t", "v", drift = 4L, threshold = 6L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(got == want, "stream != batch")
+      assert(got.exists { case ((k, t), (_, _, a)) => a && k == "svc" },
+        "planted shift never alarmed in the stream")
+      // same code path in batch mode: one semantics, two execution modes
+      val batchViaStream = TimeSeries.cusumStream(all.toDF("key", "t", "v"),
+          "key", "t", "v", drift = 4L, threshold = 6L)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(batchViaStream == want)
+    } finally q.stop()
+  }
+
   test("foldsByCluster: near-dup cluster members share a fold, fold ids " +
     "cover 0..k-1, and unclustered docs keep their own-id fold") {
     val docs = (0L until 200L).map(i => (i, s"unique text body $i " +
