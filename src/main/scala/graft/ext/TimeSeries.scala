@@ -223,19 +223,24 @@ object TimeSeries {
     *
     * Scale shape: one tiny per-key median agg (exact percentile — the
     * [[anomalousWindowsRobust]] pattern) broadcast back onto the series,
-    * then the single exchange + sort of [[cusum]]'s closed form.
+    * then the single exchange + sort of [[cusum]]'s closed form. The
+    * input series persists once and feeds both the median and the join
+    * (without it the whole upstream lineage — typically a
+    * [[resampleCounts]] grid — would compute twice).
     */
   def cusumAdaptive(series: DataFrame, keyCol: String, orderCol: String,
                     valCol: String, sigmaMult: Double,
                     threshold: Long): DataFrame = {
+    val cached = OpCaches.register(series
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val medExpr = expr(s"percentile($valCol, 0.5)")
-    val med = series.groupBy(col(keyCol))
+    val med = cached.groupBy(col(keyCol))
       .agg(greatest(floor(medExpr + lit(sigmaMult) * sqrt(medExpr))
         .cast("long"), lit(1L)).as("__k"))
     val run = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s = sum(col(valCol).cast("long") - col("__k")).over(run)
-    series.join(broadcast(med), Seq(keyCol))
+    cached.join(broadcast(med), Seq(keyCol))
       .withColumn("c", (s - min(s).over(run)).cast("long"))
       .withColumn("alarm", col("c") >= lit(threshold))
       .drop("__k")
