@@ -768,4 +768,56 @@ class ScaleSpec extends SparkSpecBase {
     info(f"weightedVote: 100k ann (10k raid) $tS%.1f s → " +
       f"1M ann (100k raid) $tB%.1f s")
   }
+
+  test("100× mega-key series: cusumAdaptive over ONE key owning a " +
+    "2M-bucket series — planted shift detected exactly at both sizes, " +
+    "~linear growth") {
+    import graft.ext.TimeSeries
+    // the time-series pathology: one runaway key (a global counter, a
+    // default tenant) owns a series 100× longer than everyone else's.
+    // The per-key window sort is single-partition BY SEMANTICS (a
+    // sequential statistic needs the key's history in order), so the
+    // only acceptable growth is the n·log n of that one sort — a
+    // quadratic escape (e.g. re-deriving the median per row) fails
+    // loud. Real-deployment note: per-key series length is bounded by
+    // span/bucket (10 years hourly ≈ 88k buckets) — volume scales the
+    // KEY COUNT, which partitions perfectly; this row stresses the one
+    // key that doesn't.
+    def run(n: Long): ((Long, Long), Double) = {
+      val base = pmod(xxhash64(col("id")), lit(4L)) + 2L
+      // planted sustained shift over the [0.8n, 0.9n) window
+      val hot = spark.range(n).select(lit("hot").as("key"),
+        col("id").as("t"),
+        when(col("id") >= (n * 8) / 10 && col("id") < (n * 9) / 10,
+          base + 9L).otherwise(base).as("v"))
+      val cold = spark.range(n).select(
+        concat(lit("k"), pmod(col("id"), lit(50L))).as("key"),
+        (col("id") / 50L).cast("long").as("t"),
+        base.as("v"))
+      time {
+        val out = TimeSeries.cusumAdaptive(hot.unionByName(cold),
+          "key", "t", "v", sigmaMult = 1.0, threshold = 25L)
+        val alarms = out.where(col("alarm")).groupBy(col("key"))
+          .agg(count(lit(1)).as("a")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val res = (out.count(), alarms.getOrElse("hot", 0L))
+        graft.ext.OpCaches.releaseAll()
+        res
+      }
+    }
+    run(2000) // warm-up
+    val ((rowsS, aS), tS) = run(20000)
+    val ((rowsB, aB), tB) = run(2000000)
+    assert(rowsS == 40000L && rowsB == 4000000L)
+    // the shift window is 0.1n buckets at +9/bucket over a ≤1 allowance
+    // slack: once latched it stays latched through the window, and the
+    // accumulated excess (~8.5·0.1n) drains at only (k−mean)≈0.5/bucket
+    // afterwards — far slower than the 0.1n tail — so the tail alarms
+    // too: alarms ≈ 0.2n at both sizes, never less than the window
+    assert(aS > 1900 && aS <= 4100, s"small planted shift alarms: $aS")
+    assert(aB > 190000 && aB <= 410000, s"big planted shift alarms: $aB")
+    assertLinear100("ts_cusum_100x", tS, tB, () => run(2000000)._2)
+    info(f"cusumAdaptive 100×: 20k-bucket hot series $tS%.2f s → " +
+      f"2M-bucket $tB%.1f s (hot alarms $aB)")
+  }
 }
