@@ -414,6 +414,37 @@ object Funnel {
       .drop("__new_sess")
   }
 
+  /** Burst collapse (event debouncing): keep the FIRST event of every
+    * gap-delimited burst and drop the rest — the double-fire/bot-retry
+    * cleanup an event pipeline runs before counting anything (a user
+    * mashing a button 40 times in 3 s is one click). A burst is a
+    * [[sessionize]] session at `gapSeconds`: an event joins the burst
+    * while it stays within the gap of its PREDECESSOR (chained — a
+    * long-lived burst keeps suppressing; debounce-against-last-KEPT is
+    * a different, sequential semantic this operator deliberately does
+    * not implement). Emits the input columns plus `burst_size` on each
+    * kept row — the suppressed multiplicity, which monitoring wants.
+    *
+    * Scale shape: the [[sessionize]] window plus a first-per-burst
+    * flag from the SAME window pass (lag + running sum + row flag share
+    * one exchange + sort), then a (key, session) count joined back
+    * map-side — the count frame is bursts-sized, hash-joined on the
+    * already-shuffled key.
+    */
+  def collapseBursts(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                     gapSeconds: Long,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    val sess = sessionize(events, keyCols, tsCol, gapSeconds, tieBreak)
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col(tsCol).asc +: tieBreak.map(col(_).asc))
+    val w = Window.partitionBy((keyCols :+ "session_idx").map(col): _*)
+    sess
+      .withColumn("burst_size", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(w.orderBy(ord: _*)))
+      .where(col("__rn") === 1)
+      .drop("__rn", "session_idx")
+  }
+
   /** Per-session rollup over a [[sessionize]]d frame: event count, start,
     * end, and duration in seconds. Partial-agg'd shuffle on the session
     * identity.

@@ -879,6 +879,53 @@ object Pipeline {
       .drop("__rep", "cluster_id")
   }
 
+  /** K-anonymity audit over quasi-identifier columns: for each distinct
+    * quasi-identifier combination, its population `n` and whether it
+    * violates the k threshold (`n < k` — fewer than k individuals share
+    * the combination, so any of them is re-identifiable from it). The
+    * privacy gate a dataset passes before release: zero violating rows,
+    * or the violating combinations get generalized/suppressed. NULL is
+    * a value here (an absent ZIP code still narrows a person down), so
+    * the grouping keeps NULL groups.
+    *
+    * Scale shape: one map-side-combined groupBy on the quasi columns —
+    * output is combination-count-sized, not corpus-sized; no joins, no
+    * windows. Skewed combinations (millions share one) combine map-side
+    * by construction.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("violates", col("n") < k)
+  }
+
+  /** Per-group quantile normalization: map each row's `valueCol` to its
+    * percent rank WITHIN `groupCol` — `q = (rank − 1)/(n − 1)`, min rank
+    * for ties, 0 for single-row groups (SQL `percent_rank` semantics in
+    * any engine). The cross-source score equalizer: quality scores from
+    * different sources/models live on incomparable scales, and mixing
+    * policies ("keep the top 30% of EACH source") need the within-source
+    * quantile, not the raw score. Deterministic — ties share a rank, so
+    * no tie-break ordering leaks into the result.
+    *
+    * Scale shape: one window (hash exchange on the group + sort by
+    * value). Heavy-tailed group sizes bound the sort per group; a single
+    * runaway group is the [[TimeSeries]] mega-key shape — linear, one
+    * task. For rank-free normalization at extreme skew, bucket against a
+    * KLL sketch instead ([[Sketches]]).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        outCol: String = "q"): DataFrame = {
+    requireFresh(df, "quantileNormalize", outCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn(outCol, percent_rank().over(w))
+  }
+
   /** Text normalization for training corpora: lowercase, collapse runs of
     * whitespace to single spaces, trim. Portable regex subset (identical
     * semantics in Java regex and RE2/DuckDB).

@@ -295,6 +295,40 @@ object TimeSeries {
         })
   }
 
+  /** Seasonal adjustment by phase means: each row's `resid` is its value
+    * minus the mean of its (key, phase) cell — phase = bucket mod period
+    * (hour-of-day for period 24 on hourly buckets, day-of-week for 7 on
+    * daily). The residual is what's left after the daily/weekly rhythm:
+    * anomaly detection over `resid` stops re-flagging every rush hour
+    * ([[diffFeatures]]' lag-period difference needs only one pass but
+    * doubles the noise; the phase-mean subtracts a stable profile).
+    * `mean` is Σv/n with the division the ONLY float op (exact integer
+    * sums first), so it replays engine-exact up to one double division —
+    * callers hashing across engines round `resid`.
+    *
+    * Scale shape: one map-side-combined (key, phase) mean agg (≤
+    * period rows per key survive) broadcast-joined back onto the series
+    * — no window, no sort; the series scans once per side, so persist
+    * upstream grids if they are expensive.
+    */
+  def seasonalAdjust(series: DataFrame, keyCol: String, orderCol: String,
+                     valCol: String, period: Int,
+                     bucketSeconds: Long = 1L): DataFrame = {
+    require(period > 1, s"period must be > 1, got $period")
+    // orderCol is in seconds when it's a resample grid's bucket_start —
+    // divide back to bucket index first (exact integer floor division)
+    val o = col(orderCol).cast("long")
+    val idx = ((o - pmod(o, lit(bucketSeconds))) / bucketSeconds)
+      .cast("long")
+    val withPhase = series.withColumn("phase",
+      pmod(idx, lit(period.toLong)))
+    val prof = withPhase.groupBy(col(keyCol), col("phase"))
+      .agg((sum(col(valCol).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("phase_mean"))
+    withPhase.join(broadcast(prof), Seq(keyCol, "phase"))
+      .withColumn("resid", col(valCol).cast("double") - col("phase_mean"))
+  }
+
   /** Per-key VALUE series resampled onto a regular grid with LINEAR
     * interpolation across gaps (the measurement-series alternative to
     * [[resampleLocf]]'s step function): observed buckets keep their

@@ -88,6 +88,25 @@ private[queries] object ExtDataQueries {
         .select(col("doc_id"), col("fold"))
         .orderBy(col("doc_id"))
     },
+    "ds_k_anonymity" -> { (s, d) =>
+      // privacy release gate: population of every (nation, segment)
+      // quasi-identifier combination, flagged where fewer than k=30
+      // customers share it (re-identifiable)
+      Pipeline.kAnonymity(s.read.parquet(s"$d/customer.parquet"),
+          Seq("c_nationkey", "c_mktsegment"), k = 30L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    },
+    "ds_quantile_norm" -> { (s, d) =>
+      // cross-source score equalizer: document length mapped to its
+      // percent rank WITHIN the language (min rank for ties — no
+      // tie-break ordering leaks); q rounded for the cross-engine hash
+      Pipeline.quantileNormalize(
+          docs(s, d).withColumn("len", length(col("text")).cast("long")),
+          "lang", "len")
+        .select(col("doc_id"), col("lang"), col("len"),
+                round(col("q"), 9).as("q"))
+        .orderBy(col("doc_id"))
+    },
     "ds_chunk" -> { (s, d) =>
       // overlapping char-window chunking (512/64): training context prep
       Pipeline.chunkByChars(docs(s, d), chunkChars = 512, overlapChars = 64)
@@ -768,6 +787,17 @@ private[queries] object ExtDataQueries {
                         / n_chars, 9), doc_id) AS rk
            FROM w)
          WHERE rk <= 5 ORDER BY lang, doc_id""",
+    "ds_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) < 30 AS violates
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+    "ds_quantile_norm" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+           round(percent_rank() OVER (PARTITION BY lang
+             ORDER BY length(text)), 9) AS q
+         FROM documents ORDER BY doc_id""",
     "ds_kfold" ->
       """WITH h AS (SELECT doc_id,
            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)

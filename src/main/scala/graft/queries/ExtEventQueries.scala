@@ -118,6 +118,30 @@ private[queries] object ExtEventQueries {
                 round(col("v"), 6).as("v"), col("observed"))
         .orderBy(col("user_id"), col("bucket_start"))
     },
+    "ts_seasonal_adjust" -> { (s, d) =>
+      // hour-of-day seasonal adjustment: residual = hourly count minus
+      // that type's mean for the same phase (period 24) — anomaly
+      // detection over resid stops re-flagging every rush hour
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(ev, "event_type", "ts", 3600L)
+      TimeSeries.seasonalAdjust(grid, "key", "bucket_start", "n",
+          period = 24, bucketSeconds = 3600L)
+        .select(col("key").as("event_type"), col("bucket_start"),
+                col("n"), col("phase"), round(col("resid"), 6).as("resid"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
+    "ev_debounce" -> { (s, d) =>
+      // burst collapse: first event of each 4h-gap burst per
+      // (user, type) survives, with the suppressed multiplicity —
+      // the double-fire/bot-retry cleanup before any counting
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.collapseBursts(ev.where(col("user_id") < 40),
+          Seq("user_id", "event_type"), "ts", gapSeconds = 14400L,
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                col("burst_size").cast("long").as("burst_size"))
+        .orderBy(col("event_id"))
+    },
     "ev_json_props" -> { (s, d) =>
       // semi-structured payload extraction: JSON props → typed column → agg
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -593,6 +617,47 @@ private[queries] object ExtEventQueries {
              END, 6) AS v,
            v_obs IS NOT NULL AS observed
          FROM w ORDER BY user_id, bucket_start""",
+    "ts_seasonal_adjust" ->
+      """WITH e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         p AS (SELECT event_type, bucket, n, bucket % 24 AS phase FROM f),
+         m AS (SELECT event_type, phase,
+                 CAST(sum(n) AS DOUBLE) / count(*) AS phase_mean
+               FROM p GROUP BY event_type, phase)
+         SELECT p.event_type, p.bucket * 3600 AS bucket_start, p.n,
+                p.phase, round(p.n - m.phase_mean, 6) AS resid
+         FROM p JOIN m ON p.event_type = m.event_type AND p.phase = m.phase
+         ORDER BY p.event_type, bucket_start""",
+    "ev_debounce" ->
+      """WITH s AS (SELECT user_id, event_type, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 14400000000
+                  THEN 1 ELSE 0 END AS fresh
+           FROM events WHERE user_id < 40
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)),
+         b AS (SELECT user_id, event_type, event_id, fresh,
+                 sum(fresh) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS burst
+               FROM s),
+         z AS (SELECT user_id, event_type, event_id, fresh,
+                 CAST(count(*) OVER (PARTITION BY user_id, event_type,
+                   burst) AS BIGINT) AS burst_size
+               FROM b)
+         SELECT user_id, event_type, event_id, burst_size
+         FROM z WHERE fresh = 1 ORDER BY event_id""",
     "ev_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

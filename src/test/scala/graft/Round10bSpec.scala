@@ -155,6 +155,85 @@ class Round10bSpec extends SparkSpecBase {
       plain.filterNot(kv => clustered(kv._1)))
   }
 
+  test("seasonalAdjust: a perfectly periodic series has zero residual " +
+    "everywhere; a planted anomaly carries (almost) all of its own " +
+    "deviation") {
+    // 10 full days of hourly counts following an exact 24h profile
+    val base = (0 until 240).map(i => ("svc", i.toLong * 3600L,
+      (10 + (i % 24)).toLong))
+    val out0 = TimeSeries.seasonalAdjust(base.toDF("key", "t", "v"),
+        "key", "t", "v", period = 24, bucketSeconds = 3600L)
+      .select("resid").collect().map(_.getDouble(0))
+    assert(out0.forall(_ == 0.0), "periodic series must adjust to zero")
+    // plant +24 on one bucket: its residual is +24·(9/10) (the spike
+    // lifts its own phase mean by 24/10), everyone else in that phase
+    // drops by 24/10, other phases untouched
+    val spiked = base.updated(100, ("svc", 100L * 3600L, base(100)._3 + 24L))
+    val out1 = TimeSeries.seasonalAdjust(spiked.toDF("key", "t", "v"),
+        "key", "t", "v", period = 24, bucketSeconds = 3600L)
+      .collect().map(r => r.getAs[Long]("t") / 3600L ->
+        r.getAs[Double]("resid")).toMap
+    // expected values via the same double arithmetic (Σv then one
+    // division): phase-4 mean lifts from 14 to 14 + 24/10
+    val vPhase = (10 + 100 % 24).toDouble
+    val mean = (vPhase * 10 + 24) / 10.0
+    assert(out1(100L) == vPhase + 24 - mean)
+    assert(out1(100L - 24) == vPhase - mean &&
+      out1(100L + 24) == vPhase - mean)
+    assert(out1(101L) == 0.0 && out1(99L) == 0.0)
+  }
+
+  test("collapseBursts: chained events within the gap collapse to the " +
+    "first with exact multiplicity; a gap EXACTLY at the threshold " +
+    "stays in the burst (strict > starts a new one)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gap = 60L
+    val ev = Seq(
+      // burst A: chain 0, 50, 100, 160 (each step <= 60) -> one burst
+      (1L, "c", 10L, ts(0)), (1L, "c", 11L, ts(50)),
+      (1L, "c", 12L, ts(100)), (1L, "c", 13L, ts(160)),
+      // exactly-at-gap: 160 -> 220 is == 60 -> SAME burst
+      (1L, "c", 14L, ts(220)),
+      // 221 -> 282 is 61 > 60 -> new burst
+      (1L, "c", 15L, ts(282)),
+      // other key: independent
+      (2L, "c", 20L, ts(0))
+    ).toDF("user_id", "event_type", "event_id", "ts")
+    val kept = graft.ext.Funnel.collapseBursts(ev,
+        Seq("user_id", "event_type"), "ts", gapSeconds = gap,
+        tieBreak = Seq("event_id"))
+      .select("event_id", "burst_size").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(10L -> 5L, 15L -> 1L, 20L -> 1L),
+      s"burst collapse wrong: $kept")
+  }
+
+  test("kAnonymity: combination populations and violation flags are " +
+    "exact, and NULL is a distinct quasi-identifier value") {
+    val df = (Seq.fill(5)(("10001", "m")) ++ Seq.fill(2)(("10001", "f")) ++
+      Seq.fill(3)((null: String, "m"))).toDF("zip", "sex")
+    val out = graft.ext.Pipeline.kAnonymity(df, Seq("zip", "sex"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("10001", "m")) == (5L, false))
+    assert(out(("10001", "f")) == (2L, true))
+    assert(out((null, "m")) == (3L, false),
+      "NULL quasi-value must form its own audited group")
+  }
+
+  test("quantileNormalize: q = (rank-1)/(n-1) with min rank for ties, " +
+    "0 for single-row groups, groups independent") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L),
+      ("a", 40L), ("b", 99L)).toDF("src", "score")
+    val out = graft.ext.Pipeline.quantileNormalize(df, "src", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a").map(t => t._2 -> t._3)
+    assert(a.toSet == Set(10L -> 0.0, 20L -> 0.25, 30L -> 0.75, 40L -> 1.0))
+    assert(a.count(_._1 == 20L) == 2, "both tied rows survive")
+    assert(out.filter(_._1 == "b").map(_._3).toSeq == Seq(0.0),
+      "single-row group maps to 0, not NaN")
+  }
+
   test("resampleInterp: gap buckets interpolate linearly between their " +
     "neighbors, observed buckets keep their reading, and the grid/dedup " +
     "semantics match resampleLocf's (latest-in-bucket wins)") {
