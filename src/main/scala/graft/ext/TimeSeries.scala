@@ -143,8 +143,12 @@ object TimeSeries {
     * standard for "the rate went up and stayed up" (a single spike decays
     * back at `k` per bucket; a sustained shift accumulates). The
     * recursion looks stateful but has a closed window form:
-    * `C_t = S_t − min_{i≤t} S_i` where `S_t = Σ_{j≤t}(v_j − k)` —
-    * a running sum and a running min, both plain window aggregates.
+    * `C_t = S_t − min(0, min_{i≤t} S_i)` where `S_t = Σ_{j≤t}(v_j − k)`
+    * — a running sum and a running min, both plain window aggregates.
+    * The `min(0, ·)` keeps the EMPTY prefix (S₀ = 0) in the minimum:
+    * without it a series whose first values exceed the drift
+    * under-reports (caught by the ScalaCheck law, series [3], k = 0:
+    * recursion says 3, a bare running min says 0).
     * With integer values and integer drift `k` everything stays BIGINT:
     * engine-exact, no float drift. Emits the statistic for every bucket
     * plus an `alarm` flag at `C_t ≥ h`.
@@ -159,9 +163,10 @@ object TimeSeries {
     val run = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s = sum(col(valCol).cast("long") - lit(drift)).over(run)
-    // min over the running frame includes the current row; C_t is
-    // therefore ≥ 0 by construction (min ≤ S_t)
-    series.withColumn("c", (s - min(s).over(run)).cast("long"))
+    // the floor of the min is the EMPTY prefix's S₀ = 0; the frame min
+    // includes the current row, so C_t ≥ 0 by construction
+    series.withColumn("c",
+        (s - least(lit(0L), min(s).over(run))).cast("long"))
       .withColumn("alarm", col("c") >= lit(threshold))
   }
 
@@ -209,6 +214,51 @@ object TimeSeries {
       .toDF("key", "t", "v", "c", "alarm")
   }
 
+  /** Exponentially-weighted moving average per key —
+    * `y_t = y_{t−1} + α·(v_t − y_{t−1})`, `y_0 = v_0` — the smoothing
+    * half of the classic monitoring pair ([[cusumStream]] detects level
+    * SHIFTS; the EWMA is the live estimate dashboards and alerting
+    * thresholds read). The recursion has no closed window form with
+    * float α (each step reweights all history), so this IS the
+    * sequential fold — one `flatMapGroupsWithState` kernel that runs
+    * identically over a stream (state = one double per key, forever)
+    * and over a static frame (same code path, spec-pinned parity).
+    * Emits (key, t, v, ewma) per row in append mode; within a batch a
+    * key's rows fold in `orderCol` order, across batches arrival order
+    * must be non-decreasing (the monitoring case).
+    *
+    * Scale shape: one hash exchange on the key per micro-batch; state
+    * never grows. The per-key in-memory sort bounds the BATCH size per
+    * key, not the series length — history lives in the one carried
+    * double.
+    */
+  def ewmaStream(series: DataFrame, keyCol: String, orderCol: String,
+                 valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(keyCol).cast("string").as("key"),
+        col(orderCol).cast("long").as("t"),
+        col(valCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[Double]) =>
+          var y = state.getOption.getOrElse(Double.NaN)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+            y = if (y.isNaN) v else y + alpha * (v - y)
+            (key, t, v, y)
+          }
+          state.update(y)
+          out.iterator
+      }
+      .toDF("key", "t", "v", "ewma")
+  }
+
   /** [[cusum]] with a data-derived drift: each key's allowance is
     * `max(floor(median + sigmaMult·√median), 1)` — the median tracks
     * that key's typical level and the √median term its Poisson-order
@@ -241,7 +291,8 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s = sum(col(valCol).cast("long") - col("__k")).over(run)
     cached.join(broadcast(med), Seq(keyCol))
-      .withColumn("c", (s - min(s).over(run)).cast("long"))
+      .withColumn("c",
+        (s - least(lit(0L), min(s).over(run))).cast("long"))
       .withColumn("alarm", col("c") >= lit(threshold))
       .drop("__k")
   }

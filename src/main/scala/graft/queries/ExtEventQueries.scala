@@ -531,9 +531,9 @@ private[queries] object ExtEventQueries {
                    AS srun
                FROM f JOIN m ON f.event_type = m.event_type),
          q AS (SELECT event_type, bucket, n,
-                 CAST(srun - min(srun) OVER (PARTITION BY event_type
-                   ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 CAST(srun - least(0, min(srun) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                    AS BIGINT) AS c
                FROM r)
          SELECT event_type, bucket * 3600 AS bucket_start, n, c,

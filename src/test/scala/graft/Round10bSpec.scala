@@ -131,6 +131,42 @@ class Round10bSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("ewmaStream: cross-batch smoothing equals the sequential fold, " +
+    "alpha=1 is the identity, constant series stays constant") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 120).map(i =>
+      ("m", i.toLong, (2 + noise(i)).toDouble)) ++
+      (0 until 40).map(i => ("flat", i.toLong, 7.0))
+    val (b1, b2) = (all.filter(_._2 < 60), all.filterNot(_._2 < 60))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val q = TimeSeries.ewmaStream(ms.toDF().toDF("key", "t", "v"),
+        "key", "t", "v", alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma10b")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("ewma10b").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      // driver-side sequential reference (bit-identical fold order)
+      all.groupBy(_._1).foreach { case (k, rows) =>
+        var y = Double.NaN
+        rows.sortBy(_._2).foreach { case (_, t, v) =>
+          y = if (y.isNaN) v else y + 0.25 * (v - y)
+          assert(got((k, t)) == y, s"key=$k t=$t")
+        }
+      }
+      assert((0L until 40L).forall(t => got(("flat", t)) == 7.0),
+        "constant series must smooth to itself")
+      // alpha = 1 reproduces the input exactly (batch mode, same path)
+      val ident = TimeSeries.ewmaStream(all.toDF("key", "t", "v"),
+          "key", "t", "v", alpha = 1.0)
+        .collect().forall(r => r.getDouble(2) == r.getDouble(3))
+      assert(ident, "alpha=1 must be the identity")
+    } finally q.stop()
+  }
+
   test("foldsByCluster: near-dup cluster members share a fold, fold ids " +
     "cover 0..k-1, and unclustered docs keep their own-id fold") {
     val docs = (0L until 200L).map(i => (i, s"unique text body $i " +
