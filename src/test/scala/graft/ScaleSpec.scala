@@ -820,4 +820,42 @@ class ScaleSpec extends SparkSpecBase {
     info(f"cusumAdaptive 100×: 20k-bucket hot series $tS%.2f s → " +
       f"2M-bucket $tB%.1f s (hot alarms $aB)")
   }
+
+  test("100× celebrity key: asOf join where ONE key owns both entire " +
+    "sides — every match exact at both sizes, ~linear growth") {
+    import graft.ext.AsOfJoin
+    // the as-of pathology the AsOfJoin docstring names: a celebrity key
+    // serializes its whole history through one window task. The union +
+    // single-carry form must stay n·log n there — a per-row probe or a
+    // range join would blow up quadratically. Planted pattern: rights at
+    // even seconds 2i carrying value i, lefts at odd seconds 2i+1 → the
+    // backward match of left i is EXACTLY right i, so
+    // Σ matched values = n(n−1)/2 — exactness is a one-number check at
+    // any scale, no row-by-row compare needed.
+    def run(n: Long): ((Long, Long), Double) = {
+      val right = spark.range(n).select(lit("celeb").as("k"),
+        timestamp_seconds(col("id") * 2).as("ts"), col("id").as("v"))
+      val left = spark.range(n).select(lit("celeb").as("k"),
+        timestamp_seconds(col("id") * 2 + 1).as("ts"),
+        col("id").as("click_id"))
+      time {
+        val j = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+          Map("v" -> "matched_v"))
+        val agg = j.agg(
+          sum(col("matched_v")).as("s"),
+          count(when(col("matched_v").isNull, 1)).as("nulls")).collect()(0)
+        (agg.getLong(0), agg.getLong(1))
+      }
+    }
+    run(2000) // warm-up
+    val ((sS, nullS), tS) = run(20000)
+    val ((sB, nullB), tB) = run(2000000)
+    assert(nullS == 0L && sS == 20000L * 19999L / 2,
+      s"small celebrity as-of wrong: sum=$sS nulls=$nullS")
+    assert(nullB == 0L && sB == 2000000L * 1999999L / 2,
+      s"big celebrity as-of wrong: sum=$sB nulls=$nullB")
+    assertLinear100("join_asof_100x", tS, tB, () => run(2000000)._2)
+    info(f"asOf 100×: 20k+20k rows $tS%.2f s → 2M+2M $tB%.1f s " +
+      "(one key, one window task)")
+  }
 }
