@@ -87,4 +87,39 @@ object IntervalJoin {
                                   floorDiv(col(rStart), binWidth)))
       .drop("__bin")
   }
+
+  /** Coverage-gap audit over per-key validity intervals: one row per
+    * uncovered hole — a stretch strictly inside [key's first start,
+    * key's last end] that no interval covers. THE continuity check for
+    * SCD2 dimensions and sensor-validity tables ("was every instant
+    * between first and last sight covered by some row?"); overlapping
+    * and nested intervals are fine (a hole opens only when the running
+    * max of ends falls short of the next start). Closed-interval
+    * convention matching [[pointInInterval]]: adjacent rows [0,5],[6,9]
+    * leave no hole (every integral instant is covered); [0,5],[7,9]
+    * leave the one-instant hole [6,6]. Bound columns must be integral;
+    * output is (keys..., gap_start, gap_end, gap_len) with
+    * gap_len = gap_end − gap_start + 1 in the bounds' unit.
+    *
+    * Scale shape: one hash exchange on the key + one sort by start
+    * feeds both the running max(end) and the lag — a single window
+    * pass, integer-exact; output is holes-sized, not corpus-sized.
+    */
+  def coverageGaps(intervals: DataFrame, keys: Seq[String],
+                   startCol: String, endCol: String): DataFrame = {
+    require(keys.nonEmpty, "coverageGaps needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol).asc, col(endCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = max(col(endCol).cast("long")).over(w)
+    intervals
+      .withColumn("__cov", covered)
+      .where(col("__cov").isNotNull &&
+        col(startCol).cast("long") > col("__cov") + 1L)
+      .select(keys.map(col) :+
+        (col("__cov") + 1L).as("gap_start") :+
+        (col(startCol).cast("long") - 1L).as("gap_end") :+
+        (col(startCol).cast("long") - col("__cov") - 1L).as("gap_len"): _*)
+  }
 }

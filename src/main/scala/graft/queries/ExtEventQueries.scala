@@ -226,6 +226,22 @@ private[queries] object ExtEventQueries {
         .orderBy(col("event_id"))
     },
 
+    "ds_coverage_gaps" -> { (s, d) =>
+      // SCD2/validity continuity audit: per-supplier holes in the union
+      // of [shipdate, shipdate + linenumber d] activity windows, rolled
+      // up per key (count / total / longest, in days)
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val day = col("l_shipdate").cast("timestamp").cast("long")
+      val sd = ((day - pmod(day, lit(86400L))) / 86400L).cast("long")
+      val iv = li.select(col("l_suppkey"), sd.as("s"),
+        (sd + col("l_linenumber")).as("e"))
+      IntervalJoin.coverageGaps(iv, Seq("l_suppkey"), "s", "e")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+             sum(col("gap_len")).cast("long").as("gap_days"),
+             max(col("gap_len")).cast("long").as("max_gap"))
+        .orderBy(col("l_suppkey"))
+    },
     "join_interval" -> { (s, d) =>
       // range join as a binned equi-join (no BroadcastNestedLoopJoin):
       // for each q=50 lineitem's [shipdate, shipdate + linenumber*2d]
@@ -490,6 +506,24 @@ private[queries] object ExtEventQueries {
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                   AS n_roll3
          FROM f ORDER BY user_id, bucket_start""",
+    "ds_coverage_gaps" ->
+      """WITH iv AS (SELECT l_suppkey,
+             CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400)
+               AS BIGINT) AS s,
+             CAST(floor(epoch(CAST(l_shipdate AS TIMESTAMP)) / 86400)
+               AS BIGINT) + l_linenumber AS e
+           FROM lineitem),
+         w AS (SELECT l_suppkey, s, e,
+                 max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS cov
+               FROM iv),
+         gaps AS (SELECT l_suppkey, s - cov - 1 AS gap_len
+                  FROM w WHERE cov IS NOT NULL AND s > cov + 1)
+         SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(sum(gap_len) AS BIGINT) AS gap_days,
+                CAST(max(gap_len) AS BIGINT) AS max_gap
+         FROM gaps GROUP BY l_suppkey ORDER BY l_suppkey""",
     "ts_diff" ->
       """WITH e AS (SELECT user_id,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket

@@ -270,6 +270,27 @@ class Round10bSpec extends SparkSpecBase {
       "single-row group maps to 0, not NaN")
   }
 
+  test("coverageGaps: holes between covered spans are exact; overlap, " +
+    "nesting, adjacency, and duplicate intervals emit no phantom gaps") {
+    val iv = Seq(
+      // key a: [0,5] [3,7] (overlap) [6,9] (adjacent) | hole [10,14] |
+      //        [15,20] [16,17] (nested) | hole [21,21] | [22,22]
+      ("a", 0L, 5L), ("a", 3L, 7L), ("a", 6L, 9L),
+      ("a", 15L, 20L), ("a", 16L, 17L), ("a", 22L, 22L),
+      // key b: duplicate rows then a far interval -> ONE gap, emitted once
+      ("b", 0L, 4L), ("b", 0L, 4L), ("b", 100L, 101L),
+      // key c: single interval -> no gaps
+      ("c", 7L, 9L)
+    ).toDF("k", "s", "e")
+    val got = graft.ext.IntervalJoin.coverageGaps(iv, Seq("k"), "s", "e")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("a", 10L, 14L, 5L), ("a", 21L, 21L, 1L),
+      ("b", 5L, 99L, 95L)), s"gaps wrong: ${got.toSeq}")
+  }
+
   test("resampleInterp: gap buckets interpolate linearly between their " +
     "neighbors, observed buckets keep their reading, and the grid/dedup " +
     "semantics match resampleLocf's (latest-in-bucket wins)") {
