@@ -109,6 +109,62 @@ class Round10bPropertySpec extends SparkSpecBase {
     })
   }
 
+  // ---- coverageGaps: reference-fold equivalence ----
+
+  test("coverageGaps law: equals an independent sort-and-sweep " +
+    "reference on random interval sets (overlaps and duplicates " +
+    "included)") {
+    val ivGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 120L), Gen.choose(0L, 25L))
+        .map { case (s, len) => (s, s + len) }))
+    holds(Prop.forAll(ivGen) { ivs =>
+      val got = graft.ext.IntervalJoin.coverageGaps(
+          ivs.map { case (s, e) => ("k", s, e) }.toDF("k", "s", "e"),
+          Seq("k"), "s", "e")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      // reference: sweep sorted intervals, record holes between the
+      // running covered frontier and the next start
+      var frontier = Long.MinValue
+      val ref = scala.collection.mutable.Set[(Long, Long)]()
+      ivs.sorted.foreach { case (s, e) =>
+        if (frontier != Long.MinValue && s > frontier + 1)
+          ref += ((frontier + 1, s - 1))
+        frontier = math.max(frontier, e)
+      }
+      got == ref.toSet
+    })
+  }
+
+  // ---- resampleInterp: interpolation stays inside its neighbors ----
+
+  test("resampleInterp law: every gap value lies between its two " +
+    "neighbors, and observed buckets reproduce their reading") {
+    val obsGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 40L), Gen.choose(-100, 100).map(_ / 4.0))))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // one obs per bucket
+      .suchThat(_.size >= 2)
+    holds(Prop.forAll(obsGen) { obs =>
+      val ev = obs.map { case (day, v) =>
+        (1L, new java.sql.Timestamp(day * 86400000L), v) }
+        .toDF("k", "ts", "v")
+      val out = TimeSeries.resampleInterp(ev, "k", "ts", "v", 86400L)
+        .collect().map(r => r.getLong(1) / 86400L ->
+          (r.getDouble(2), r.getBoolean(3))).toMap
+      val byDay = obs.toMap
+      val days = obs.map(_._1).sorted
+      out.forall { case (d, (v, seen)) =>
+        if (seen) v == byDay(d)
+        else {
+          val prev = days.filter(_ < d).max
+          val next = days.filter(_ > d).min
+          val (lo, hi) = (math.min(byDay(prev), byDay(next)),
+            math.max(byDay(prev), byDay(next)))
+          v >= lo - 1e-9 && v <= hi + 1e-9
+        }
+      } && days.forall(d => out(d)._2)
+    })
+  }
+
   // ---- seasonalAdjust: residuals vanish per phase cell ----
 
   test("seasonalAdjust law: residuals sum to ~0 within every " +
