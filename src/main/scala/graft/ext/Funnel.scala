@@ -445,6 +445,56 @@ object Funnel {
       .drop("__rn", "session_idx")
   }
 
+  /** Streaming face of [[collapseBursts]] — debounce on ingest: a row is
+    * emitted iff it starts a new burst (no predecessor, or the gap from
+    * the previous event exceeds `gapSeconds`). State is ONE long per key
+    * (the last event time in seconds), carried across micro-batches;
+    * within a batch a key's rows fold in timestamp order, across batches
+    * arrival must be non-decreasing (the ingest case). The kept SET
+    * equals the batch face's on in-order input (spec-asserted);
+    * `burst_size` is the one thing this face cannot emit — a burst's
+    * size is future knowledge at its first event (use the batch face,
+    * or count downstream per kept-row epoch).
+    *
+    * Scale shape: one hash exchange on the key per micro-batch; no
+    * event buffering, no watermark needed.
+    */
+  def collapseBurstsStream(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String, gapSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "collapseBurstsStream needs a key column")
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val packed = events.select(
+      concat_ws(" ", keyCols.map(c => col(c).cast("string")): _*)
+        .as("__k"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+      struct(events.columns.map(col): _*).as("__row"))
+    val enc = org.apache.spark.sql.Encoders.row(packed.schema)
+    val outEnc = org.apache.spark.sql.Encoders.row(
+      events.schema)
+    val kept = packed.as(enc)
+      .groupByKey(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[org.apache.spark.sql.Row],
+         state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_.getLong(1)).flatMap { r =>
+            val t = r.getLong(1)
+            val fresh = last == Long.MinValue ||
+              t - last > gapSeconds * 1000000L
+            last = t
+            if (fresh) Some(r.getStruct(2)) else None
+          }
+          state.update(last)
+          out.iterator
+      }(org.apache.spark.sql.Encoders.scalaLong, outEnc)
+    kept
+  }
+
   /** Per-session rollup over a [[sessionize]]d frame: event count, start,
     * end, and duration in seconds. Partial-agg'd shuffle on the session
     * identity.

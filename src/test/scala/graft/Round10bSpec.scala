@@ -270,6 +270,39 @@ class Round10bSpec extends SparkSpecBase {
       "single-row group maps to 0, not NaN")
   }
 
+  test("collapseBurstsStream: the kept set equals the batch face across " +
+    "a burst that straddles the batch boundary") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key 1: bursts [0,50,100] and [400]; key 2: [30], [300, 320]
+    val all = Seq((1L, 10L, 0L), (1L, 11L, 50L), (1L, 12L, 100L),
+      (1L, 13L, 400L), (2L, 20L, 30L), (2L, 21L, 300L), (2L, 22L, 320L))
+    // split at t=100 so key 1's first burst STRADDLES the boundary: the
+    // carried last-ts must suppress the t=100 row in batch 2
+    val (b1, b2) = (all.filter(_._3 < 100), all.filterNot(_._3 < 100))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val src = ms.toDF().toDF("u", "id", "sec")
+      .select(col("u"), col("id"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val q = graft.ext.Funnel.collapseBurstsStream(src, Seq("u"), "ts",
+        gapSeconds = 60L)
+      .writeStream.format("memory").queryName("debounce10b")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("debounce10b").collect()
+        .map(_.getAs[Long]("id")).toSet
+      val want = graft.ext.Funnel.collapseBursts(
+          all.map { case (u, id, s) => (u, id, ts(s)) }.toDF("u", "id", "ts"),
+          Seq("u"), "ts", gapSeconds = 60L, tieBreak = Seq("id"))
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == want && want == Set(10L, 13L, 20L, 21L),
+        s"stream kept $got, batch kept $want")
+    } finally q.stop()
+  }
+
   test("coverageGaps: holes between covered spans are exact; overlap, " +
     "nesting, adjacency, and duplicate intervals emit no phantom gaps") {
     val iv = Seq(
