@@ -118,6 +118,19 @@ private[queries] object ExtEventQueries {
                 round(col("v"), 6).as("v"), col("observed"))
         .orderBy(col("user_id"), col("bucket_start"))
     },
+    "ts_ewma" -> { (s, d) =>
+      // EWMA smoothing of the hourly per-type series (α=0.25, y₀=v₀) —
+      // the SEQUENTIAL streaming kernel run in batch mode, hash-checked
+      // against a per-key recursive-CTE fold in DuckDB (a rare direct
+      // oracle over a stateful kernel); ewma rounded for the hash
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(ev, "event_type", "ts", 3600L)
+      TimeSeries.ewmaStream(grid, "key", "bucket_start", "n", alpha = 0.25)
+        .select(col("key").as("event_type"), col("t").as("bucket_start"),
+                col("v").cast("long").as("n"),
+                round(col("ewma"), 9).as("ewma"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
     "ts_seasonal_adjust" -> { (s, d) =>
       // hour-of-day seasonal adjustment: residual = hourly count minus
       // that type's mean for the same phase (period 24) — anomaly
@@ -651,6 +664,33 @@ private[queries] object ExtEventQueries {
              END, 6) AS v,
            v_obs IS NOT NULL AS observed
          FROM w ORDER BY user_id, bucket_start""",
+    "ts_ewma" ->
+      """WITH RECURSIVE e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         base AS (SELECT event_type, bucket, n,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY bucket) AS rn
+                  FROM f),
+         rec AS (
+           SELECT event_type, bucket, n, rn, CAST(n AS DOUBLE) AS ewma
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.event_type, b.bucket, b.n, b.rn,
+                  r.ewma + 0.25 * (CAST(b.n AS DOUBLE) - r.ewma)
+           FROM rec r JOIN base b
+             ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+         SELECT event_type, bucket * 3600 AS bucket_start, n,
+                round(ewma, 9) AS ewma
+         FROM rec ORDER BY event_type, bucket_start""",
     "ts_seasonal_adjust" ->
       """WITH e AS (SELECT event_type,
              CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS bucket
