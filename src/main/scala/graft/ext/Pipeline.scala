@@ -926,6 +926,40 @@ object Pipeline {
       .withColumn(outCol, percent_rank().over(w))
   }
 
+  /** Window-free quantile normalization against fitted per-group KLL
+    * sketches — the extreme-skew path [[quantileNormalize]]'s docstring
+    * points at: `q = rankOf(v) / n` (estimated CDF, count-≤-v over
+    * group size — SQL `cume_dist` semantics, max rank for ties; note
+    * [[quantileNormalize]] is `percent_rank`, min rank — different tie
+    * convention by construction). With `k ≥` the group size the sketch
+    * is EXACT (`compactions == 0`) and q is the exact cume_dist; at
+    * scale the sketch bounds rank error by the KLL contract while the
+    * plan stays a PURE NARROW MAP over a broadcast model map — no
+    * window, no sort, no shuffle; a runaway group costs nothing extra.
+    * Rows whose group has no fitted sketch get NULL q.
+    */
+  def quantileNormalizeBySketch(df: DataFrame, groupCol: String,
+                                valueCol: String,
+                                models: Map[String, Sketches.KllModel],
+                                outCol: String = "q"): DataFrame = {
+    requireFresh(df, "quantileNormalizeBySketch", outCol)
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(models)
+    val probe = udf { (g: String, v: java.lang.Double) =>
+      val out: java.lang.Double =
+        if (g == null || v == null) null
+        else bc.value.get(g) match {
+          case Some(m) if m.n > 0L =>
+            java.lang.Double.valueOf(
+              m.rankOf(v.doubleValue()).toDouble / m.n)
+          case _ => null
+        }
+      out
+    }
+    df.withColumn(outCol,
+      probe(col(groupCol).cast("string"), col(valueCol).cast("double")))
+  }
+
   /** Text normalization for training corpora: lowercase, collapse runs of
     * whitespace to single spaces, trim. Portable regex subset (identical
     * semantics in Java regex and RE2/DuckDB).

@@ -550,6 +550,29 @@ object Sketches {
       .toModel
   }
 
+  /** Per-group KLL MODEL fit (not just quantile estimates): one hash
+    * aggregation with map-side partial sketches, one bounded
+    * driver-collect of (group → model) — the fit-collect is
+    * group-count-sized by the KLL space contract (O(k log(n/k))
+    * doubles per group), the [[countMinFit]]/[[kmvFit]] convention.
+    * Feed the result to [[Pipeline.quantileNormalizeBySketch]] for
+    * window-free rank normalization.
+    */
+  def kllFitByKey(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Int = 2048): Map[String, KllModel] = {
+    require(k >= 8, s"k must be >= 8, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull && !isnan(col("v")))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => java.lang.Double.valueOf(t._2))(Encoders.DOUBLE)
+      .agg(new KllModelAgg(k).toColumn)
+      .collect().toMap
+  }
+
   /** The groupBy face: a typed `Aggregator` wrapped as a UDAF, so
     * per-group quantiles run in ONE hash aggregation with map-side
     * partial sketches — `docs.groupBy("lang").agg(kllQuantilesUdaf(k,
@@ -716,6 +739,28 @@ private[ext] class MgStreamProcessor(capacity: Int)
   * requested quantile estimates. A group whose values are all null/NaN
   * (empty sketch) yields NaNs — rank semantics need at least one value.
   */
+/** [[Sketches.kllFitByKey]]'s aggregator: same partial-sketch shape as
+  * [[KllAgg]] but finishes with the MODEL, so callers can probe ranks,
+  * not just pre-chosen quantiles.
+  */
+private[ext] class KllModelAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      java.lang.Double, Sketches.KllBuilder, Sketches.KllModel] {
+  def zero: Sketches.KllBuilder = new Sketches.KllBuilder(k)
+  def reduce(b: Sketches.KllBuilder,
+             v: java.lang.Double): Sketches.KllBuilder = {
+    if (v != null && !v.isNaN) b.update(v.doubleValue())
+    b
+  }
+  def merge(a: Sketches.KllBuilder,
+            b: Sketches.KllBuilder): Sketches.KllBuilder = a.merge(b)
+  def finish(b: Sketches.KllBuilder): Sketches.KllModel = b.toModel
+  def bufferEncoder: org.apache.spark.sql.Encoder[Sketches.KllBuilder] =
+    Encoders.kryo[Sketches.KllBuilder]
+  def outputEncoder: org.apache.spark.sql.Encoder[Sketches.KllModel] =
+    Encoders.kryo[Sketches.KllModel]
+}
+
 private[ext] class KllAgg(k: Int, qs: Seq[Double])
     extends org.apache.spark.sql.expressions.Aggregator[
       java.lang.Double, Sketches.KllBuilder, Seq[Double]] {

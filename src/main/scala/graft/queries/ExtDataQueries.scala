@@ -107,6 +107,22 @@ private[queries] object ExtDataQueries {
                 round(col("q"), 9).as("q"))
         .orderBy(col("doc_id"))
     },
+    "ds_quantile_norm_sketch" -> { (s, d) =>
+      // window-free rank normalization: per-lang KLL models fit in one
+      // hash agg, probed as a pure narrow map (no sort — the extreme-
+      // skew path). k >= any group size -> the sketch is exact and q is
+      // exactly cume_dist (count-<=-v / n; max rank for ties)
+      val dd = docs(s, d).withColumn("len",
+        length(col("text")).cast("long"))
+      val models = graft.ext.Sketches.kllFitByKey(dd, "lang", "len",
+        k = 8192)
+      require(models.values.forall(_.exact),
+        "gate mode requires exact sketches (k >= group size)")
+      Pipeline.quantileNormalizeBySketch(dd, "lang", "len", models)
+        .select(col("doc_id"), col("lang"), col("len"),
+                round(col("q"), 9).as("q"))
+        .orderBy(col("doc_id"))
+    },
     "ds_chunk" -> { (s, d) =>
       // overlapping char-window chunking (512/64): training context prep
       Pipeline.chunkByChars(docs(s, d), chunkChars = 512, overlapChars = 64)
@@ -796,6 +812,11 @@ private[queries] object ExtDataQueries {
     "ds_quantile_norm" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
            round(percent_rank() OVER (PARTITION BY lang
+             ORDER BY length(text)), 9) AS q
+         FROM documents ORDER BY doc_id""",
+    "ds_quantile_norm_sketch" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+           round(cume_dist() OVER (PARTITION BY lang
              ORDER BY length(text)), 9) AS q
          FROM documents ORDER BY doc_id""",
     "ds_kfold" ->

@@ -324,6 +324,44 @@ class Round10bSpec extends SparkSpecBase {
       ("b", 5L, 99L, 95L)), s"gaps wrong: ${got.toSeq}")
   }
 
+  test("quantileNormalizeBySketch: exact sketches reproduce cume_dist " +
+    "(max rank for ties); approximate sketches stay within the KLL " +
+    "rank bound; unfitted groups yield NULL") {
+    val rows = (Seq.tabulate(40)(i => ("a", i.toLong)) ++
+      Seq(("a", 10L), ("a", 10L)) ++ // ties at 10
+      Seq(("b", 5L))).toDF("src", "score")
+    val exact = graft.ext.Sketches.kllFitByKey(rows, "src", "score",
+      k = 1024)
+    assert(exact.values.forall(_.exact))
+    val out = graft.ext.Pipeline.quantileNormalizeBySketch(
+        rows, "src", "score", exact)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("q"))
+    // group a has 42 values; score 10 appears 3x -> cume_dist = 13/42
+    out.filter(t => t._1 == ("a", 10L)).foreach { case (_, q) =>
+      assert(q == 13.0 / 42.0, s"tie cume_dist wrong: $q")
+    }
+    assert(out.find(_._1 == ("b", 5L)).get._2 == 1.0)
+    // a group with no fitted model -> NULL q
+    val missing = graft.ext.Pipeline.quantileNormalizeBySketch(
+        Seq(("zz", 1L)).toDF("src", "score"), "src", "score", exact)
+      .collect()(0)
+    assert(missing.isNullAt(missing.fieldIndex("q")))
+    // approximate mode: 20k values at k=64 -> compactions happen, and
+    // every estimated q stays within the coarse 5% rank envelope
+    val big = Seq.tabulate(20000)(i => ("a", i.toLong))
+      .toDF("src", "score")
+    val approx = graft.ext.Sketches.kllFitByKey(big, "src", "score",
+      k = 64)
+    assert(!approx("a").exact, "20k values at k=64 must compact")
+    val qs = graft.ext.Pipeline.quantileNormalizeBySketch(
+        big, "src", "score", approx)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("q"))
+    assert(qs.forall { case (v, q) =>
+      math.abs(q - (v + 1).toDouble / 20000) < 0.05 },
+      "approximate rank left the 5% envelope")
+  }
+
   test("resampleInterp: gap buckets interpolate linearly between their " +
     "neighbors, observed buckets keep their reading, and the grid/dedup " +
     "semantics match resampleLocf's (latest-in-bucket wins)") {
