@@ -414,6 +414,49 @@ object Funnel {
       .drop("__new_sess")
   }
 
+  /** Discrete hazard / survival curve over user lifetimes — the
+    * retention analysis [[retentionCohorts]] doesn't give: for each
+    * lifetime bucket `t` (buckets since the user's FIRST event), how
+    * many users were still at risk (lifetime ≥ t), how many churned
+    * exactly there (last event in bucket t), and the discrete hazard
+    * `⌊churned·10⁶/n_risk⌋` in exact ppm. The Kaplan-Meier survival
+    * estimate is `Π(1 − hazard)` over the prefix — deliberately NOT
+    * emitted: a float product chain is libm-dependent and breaks
+    * cross-engine hashing, while (n_risk, churned, hazard_ppm) is
+    * integer-exact and carries the same information.
+    *
+    * Scale shape: one map-side-combined per-user min/max agg (users
+    * shuffle once), a lifetime-bucket count (tiny — ≤ span/bucket
+    * rows), and one window over that bounded frame for the suffix sum
+    * (n_risk = users with lifetime ≥ t); no per-user window, no sort
+    * over the corpus.
+    */
+  def hazardCurve(events: DataFrame, userCol: String, tsCol: String,
+                  bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(us).as("__first"), max(us).as("__last"))
+    val span = col("__last") - col("__first")
+    val bucketUs = bucketSeconds * 1000000L
+    val lifetime = ((span - pmod(span, lit(bucketUs))) / bucketUs)
+      .cast("long")
+    val d = perUser.select(lifetime.as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).cast("long").as("churned"))
+    val suffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the window frame is lifetime-bucket-sized (≤ span/bucket rows),
+    // so the single-partition global window is a bounded aggregate,
+    // not a corpus sort
+    d.withColumn("n_risk", sum(col("churned")).over(suffix).cast("long"))
+      .withColumn("hazard_ppm",
+        ((col("churned") * 1000000L -
+          pmod(col("churned") * 1000000L, col("n_risk"))) / col("n_risk"))
+          .cast("long"))
+      .select(col("t"), col("n_risk"), col("churned"), col("hazard_ppm"))
+  }
+
   /** Burst collapse (event debouncing): keep the FIRST event of every
     * gap-delimited burst and drop the rest — the double-fire/bot-retry
     * cleanup an event pipeline runs before counting anything (a user

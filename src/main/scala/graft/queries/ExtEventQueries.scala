@@ -155,6 +155,19 @@ private[queries] object ExtEventQueries {
                 col("burst_size").cast("long").as("burst_size"))
         .orderBy(col("event_id"))
     },
+    "ev_hazard" -> { (s, d) =>
+      // survival analysis over (user, activity-type) lifetimes: per
+      // daily bucket since the subject's first event — subjects still
+      // at risk, subjects churning exactly there, discrete hazard in
+      // exact ppm (Kaplan-Meier's inputs; the float survival product
+      // is deliberately not emitted — libm-dependent)
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.hazardCurve(
+          ev.withColumn("subject",
+            concat_ws("#", col("user_id"), col("event_type"))),
+          "subject", "ts", bucketSeconds = 86400L)
+        .orderBy(col("t"))
+    },
     "ev_json_props" -> { (s, d) =>
       // semi-structured payload extraction: JSON props → typed column → agg
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -732,6 +745,23 @@ private[queries] object ExtEventQueries {
                FROM b)
          SELECT user_id, event_type, event_id, burst_size
          FROM z WHERE fresh = 1 ORDER BY event_id""",
+    "ev_hazard" ->
+      """WITH u AS (SELECT user_id, event_type,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS l
+           FROM events GROUP BY user_id, event_type),
+         lt AS (SELECT CAST((l - f) // 86400000000 AS BIGINT) AS t
+                FROM u),
+         d AS (SELECT t, CAST(count(*) AS BIGINT) AS churned
+               FROM lt GROUP BY t),
+         r AS (SELECT t, churned,
+                 CAST(sum(churned) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+               FROM d)
+         SELECT t, n_risk, churned,
+                CAST(churned * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+         FROM r ORDER BY t""",
     "ev_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

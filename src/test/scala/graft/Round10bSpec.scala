@@ -303,6 +303,29 @@ class Round10bSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hazardCurve: crafted lifetimes yield exact risk sets, churn " +
+    "counts, and ppm hazards; the curve conserves the population") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // lifetimes in days: u1,u2 -> 0 (single-day), u3 -> 2, u4,u5 -> 3
+    val ev = Seq(
+      (1L, ts(5)), (1L, ts(5)),
+      (2L, ts(9)),
+      (3L, ts(0)), (3L, ts(1)), (3L, ts(2)),
+      (4L, ts(10)), (4L, ts(13)),
+      (5L, ts(20)), (5L, ts(21)), (5L, ts(23))
+    ).toDF("user_id", "ts")
+    val got = graft.ext.Funnel.hazardCurve(ev, "user_id", "ts", 86400L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      0L -> (5L, 2L, 400000L),   // 5 at risk, 2 churn day-0: 2/5
+      2L -> (3L, 1L, 333333L),   // 3 at risk, 1 churns: floor(1e6/3)
+      3L -> (2L, 2L, 1000000L)), // last bucket always hazards out
+      s"hazard curve wrong: $got")
+    assert(got.values.map(_._2).sum == 5L, "churn must conserve users")
+  }
+
   test("coverageGaps: holes between covered spans are exact; overlap, " +
     "nesting, adjacency, and duplicate intervals emit no phantom gaps") {
     val iv = Seq(
