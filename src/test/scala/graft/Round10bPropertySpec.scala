@@ -165,6 +165,34 @@ class Round10bPropertySpec extends SparkSpecBase {
     })
   }
 
+  // ---- hazardCurve: reference-fold equivalence ----
+
+  test("hazardCurve law: equals an independent lifetime-histogram " +
+    "reference on random event sets, and churn conserves the " +
+    "population") {
+    val evGen = Gen.choose(1, 25).flatMap(nUsers =>
+      Gen.listOfN(nUsers, Gen.nonEmptyListOf(Gen.choose(0L, 40L)))
+        .map(_.zipWithIndex.flatMap { case (days, u) =>
+          days.map(d => (u.toLong, d)) }))
+    holds(Prop.forAll(evGen) { rows =>
+      val df = rows.map { case (u, d) =>
+        (u, new java.sql.Timestamp(d * 86400000L)) }.toDF("u", "ts")
+      val got = graft.ext.Funnel.hazardCurve(df, "u", "ts", 86400L)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val life = rows.groupBy(_._1).values
+        .map(g => g.map(_._2).max - g.map(_._2).min)
+      val hist = life.groupBy(identity).map { case (t, g) =>
+        t -> g.size.toLong }
+      val ref = hist.map { case (t, d) =>
+        val risk = life.count(_ >= t).toLong
+        t -> (risk, d, d * 1000000L / risk)
+      }
+      got == ref && got.values.map(_._2).sum == life.size
+    })
+  }
+
   // ---- seasonalAdjust: residuals vanish per phase cell ----
 
   test("seasonalAdjust law: residuals sum to ~0 within every " +
