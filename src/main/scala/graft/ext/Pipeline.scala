@@ -902,6 +902,32 @@ object Pipeline {
       .withColumn("violates", col("n") < k)
   }
 
+  /** L-diversity audit — [[kAnonymity]]'s stronger sibling: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak if
+    * everyone in it shares the SAME sensitive value ("all 50 patients in
+    * this ZIP+age bucket have the same diagnosis" — membership alone
+    * reveals it). For each distinct quasi combination: its population
+    * `n`, the number of DISTINCT sensitive values `n_sensitive` (NULL
+    * counts as a value — an absent diagnosis is itself informative), and
+    * the violation flag `n_sensitive < l`. Release gate: zero violating
+    * rows, or generalize/suppress the flagged combinations.
+    *
+    * Scale shape: one partial-agg'd groupBy on the quasi columns — the
+    * distinct-sensitive count is per-group exact (Spark plans the
+    * two-phase distinct aggregation via Expand); output is
+    * combination-count-sized, never corpus-sized.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        (count_distinct(col(sensitiveCol)) +
+          max(col(sensitiveCol).isNull.cast("long"))).as("n_sensitive"))
+      .withColumn("violates", col("n_sensitive") < l)
+  }
+
   /** Per-group quantile normalization: map each row's `valueCol` to its
     * percent rank WITHIN `groupCol` — `q = (rank − 1)/(n − 1)`, min rank
     * for ties, 0 for single-row groups (SQL `percent_rank` semantics in

@@ -1,0 +1,213 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution-comparison statistics — the hypothesis-test
+  * companions to the drift report family ([[Pipeline.driftPsi]] buckets,
+  * [[Pipeline.chiSquareHomogeneity]] categorical χ²): given one numeric
+  * quality signal observed under two corpus versions / sources, "did the
+  * distribution move, and by how much" as a single defensible number.
+  *
+  * - [[ksTest]]: two-sample Kolmogorov-Smirnov D — the max ECDF gap, the
+  *   standard location-AND-shape drift test for numeric columns.
+  * - [[mannWhitneyU]]: Mann-Whitney U / Wilcoxon rank-sum with the exact
+  *   tie-averaged ranks, plus the common-language effect size
+  *   U/(n_a·n_b) — "how often does a random doc from B score above one
+  *   from A" — the robust A/B comparison when means lie (heavy tails).
+  * - [[jsDivergence]]: Jensen-Shannon divergence between two categorical
+  *   mixes (language, source, quality tier) in milli-nats — symmetric,
+  *   bounded by ln 2, defined even where one side has zero mass (unlike
+  *   raw KL, which PSI's smoothing papers over).
+  *
+  * Everything reports in exact integer units (ppm / milli-nats, trunc
+  * division — DuckDB `//` semantics) over exact Long counts, so results
+  * are aggregation-order-independent and engine-portable; the only
+  * doubles are single IEEE divisions and `round(ln·1000)` milli-nat
+  * quantizations (the [[TextAnalysis.zipfSlope]] precedent).
+  *
+  * Scale shape (KS/MWU): ONE value-keyed partial-agg'd shuffle collapses
+  * the row volume to the distinct-value table (repeated values combine
+  * map-side), then a DISTRIBUTED prefix sum over that table — range
+  * partition by value, per-partition totals collect (one Long pair per
+  * partition), broadcast offsets, per-partition running sums (the
+  * [[Pipeline.packSequences]] pattern) — no single-partition window, so
+  * a continuous-valued column with corpus-cardinality distinct values
+  * still spreads. JSD is one (side, category) count shuffle and
+  * category-sized arithmetic after.
+  */
+object Stats {
+
+  private def floorDivNN(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+  private def truncDiv(a: Column, b: Column): Column =
+    when(a >= 0, floorDivNN(a, b)).otherwise(-floorDivNN(-a, b))
+
+  /** Distinct-value cumulative side counts: for each distinct `v` (a
+    * Long — quantize doubles upstream), the per-side counts at v and the
+    * cumulative counts up to AND INCLUDING v in value order:
+    * (v, ca, cb, cuma, cumb). The shared engine under [[ksTest]] and
+    * [[mannWhitneyU]].
+    */
+  private[ext] def cumSideCounts(df: DataFrame, valueCol: String,
+                                 sideA: Column, sideB: Column): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val per = df
+      .where((sideA || sideB) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"),
+        sideA.cast("long").as("ia"), sideB.cast("long").as("ib"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      // pin the sampled range boundaries: the totals pass and the
+      // running pass must see the identical partitioning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OpCaches.register)
+    val pidTotals = per
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nParts = per.rdd.getNumPartitions
+    val offA = new Array[Long](nParts + 1)
+    val offB = new Array[Long](nParts + 1)
+    (0 until nParts).foreach { p =>
+      val (ta, tb) = pidTotals.getOrElse(p, (0L, 0L))
+      offA(p + 1) = offA(p) + ta
+      offB(p + 1) = offB(p) + tb
+    }
+    val bcA = spark.sparkContext.broadcast(offA)
+    val bcB = spark.sparkContext.broadcast(offB)
+    val outSchema = StructType(Seq(
+      StructField("v", LongType, nullable = true),
+      StructField("ca", LongType, nullable = false),
+      StructField("cb", LongType, nullable = false),
+      StructField("cuma", LongType, nullable = false),
+      StructField("cumb", LongType, nullable = false)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    per.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var ra = bcA.value(pid)
+      var rb = bcB.value(pid)
+      it.map { r =>
+        val ca = r.getLong(1); val cb = r.getLong(2)
+        ra += ca; rb += cb
+        Row(r.get(0), ca, cb, ra, rb)
+      }
+    }.toDF()
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the `valueCol`
+    * distributions of rows where `groupCol = a` vs `= b`:
+    * D = max over observed values of |F̂_a(v) − F̂_b(v)|, reported in
+    * exact ppm — `d_ppm = max_v |cuma·n_b − cumb·n_a| · 10⁶ //
+    * (n_a·n_b)` — together with `at_v`, the SMALLEST value attaining the
+    * max (a deterministic witness: where the distributions diverge
+    * most). Values cast to Long (quantize continuous signals upstream;
+    * KS on the quantized grid is the KS of the binned distributions).
+    * Returns one row (n_a, n_b, d_ppm, at_v).
+    *
+    * The max-gap argument only needs evaluation at observed points
+    * (ECDFs are right-continuous step functions, constant in between),
+    * so the statistic is exact, not a sample. Significance: reject at
+    * level α when D > c(α)·√((n_a+n_b)/(n_a·n_b)), c(0.05) ≈ 1.358 —
+    * priced by the caller against the returned exact D.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             a: Any, b: Any): DataFrame = {
+    val cum = cumSideCounts(df, valueCol,
+      col(groupCol) === lit(a), col(groupCol) === lit(b))
+    val tot = cum.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
+          .as("gap"),
+        col("v"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("m"))
+      .select(col("n_a"), col("n_b"),
+        floorDivNN(col("m.gap") * 1000000L, col("n_a") * col("n_b"))
+          .as("d_ppm"),
+        (-col("m.nv")).as("at_v"))
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the `valueCol`
+    * distributions of `groupCol = a` vs `= b`, with the EXACT
+    * tie-averaged rank convention: every rank is carried in doubled
+    * units (2·rank is always integral under midranks), so
+    * `u_a_x2 = 2·U_a` and `u_b_x2 = 2·U_b` are exact Longs with
+    * `u_a_x2 + u_b_x2 = 2·n_a·n_b` (spec-pinned conservation). The
+    * common-language effect size `cles_ppm = U_a·10⁶ // (n_a·n_b)` —
+    * P(random a-row > random b-row) + ½P(tie) — is the scale-free
+    * answer "how often does version A score higher". Returns one row
+    * (n_a, n_b, u_a_x2, u_b_x2, cles_ppm).
+    *
+    * Derivation on the distinct-value table: midrank·2 at value v =
+    * 2·(all-rows cumulative before v) + (ties at v) + 1; the rank-sum
+    * R_a·2 = Σ_v ca(v)·midrank2(v); U_a·2 = R_a·2 − n_a·(n_a+1).
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   a: Any, b: Any): DataFrame = {
+    val cum = cumSideCounts(df, valueCol,
+      col(groupCol) === lit(a), col(groupCol) === lit(b))
+    val t = col("ca") + col("cb")
+    val cumBefore = col("cuma") + col("cumb") - t
+    val midrank2 = cumBefore * 2L + t + 1L
+    cum
+      .select(col("ca"), col("cb"), (col("ca") * midrank2).as("ra2"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ra2")).as("r_a_x2"))
+      .select(col("n_a"), col("n_b"),
+        (col("r_a_x2") - col("n_a") * (col("n_a") + 1L)).as("u_a_x2"))
+      .select(col("n_a"), col("n_b"), col("u_a_x2"),
+        (col("n_a") * col("n_b") * 2L - col("u_a_x2")).as("u_b_x2"),
+        floorDivNN(col("u_a_x2") * 1000000L,
+          col("n_a") * col("n_b") * 2L).as("cles_ppm"))
+  }
+
+  /** Jensen-Shannon divergence between the categorical `catCol` mixes
+    * of `groupCol = p` vs `= q`, in milli-nats:
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2. Per category the KL
+    * ratio p_i/m_i = 2·c_i·n_q / (c_i·n_q + d_i·n_p) is a ratio of
+    * exact Longs — one IEEE division, one `round(ln·1000)` milli-nat
+    * quantization (the zipfSlope precedent), then everything is Long
+    * sums and trunc division: kl_p_milli = Σ c_i·L_i // n_p. Categories
+    * with zero mass on one side contribute 0 to that side and
+    * ln 2 ≈ 693 milli-nats per unit mass to the other — JSD never blows
+    * up, which is why it (not raw KL) is the corpus-mix drift metric.
+    * Returns one row (n_p, n_q, n_cats, kl_p_milli, kl_q_milli,
+    * jsd_milli).
+    *
+    * Scale shape: one (category, side) count aggregation (map-side
+    * combined); arithmetic after runs on the category cardinality.
+    */
+  def jsDivergence(df: DataFrame, catCol: String, groupCol: String,
+                   p: Any, q: Any): DataFrame = {
+    val cells = df
+      .where(col(groupCol) === lit(p) || col(groupCol) === lit(q))
+      .groupBy(col(catCol).as("cat"))
+      .agg(sum((col(groupCol) === lit(p)).cast("long")).as("c"),
+           sum((col(groupCol) === lit(q)).cast("long")).as("d"))
+    val tot = cells.agg(sum(col("c")).as("n_p"), sum(col("d")).as("n_q"),
+      count(lit(1)).as("n_cats"))
+    val withTot = cells.crossJoin(broadcast(tot))
+    val lp = round(log((col("c") * col("n_q") * 2L).cast("double") /
+      (col("c") * col("n_q") + col("d") * col("n_p"))) * 1000)
+      .cast("long")
+    val lq = round(log((col("d") * col("n_p") * 2L).cast("double") /
+      (col("c") * col("n_q") + col("d") * col("n_p"))) * 1000)
+      .cast("long")
+    withTot
+      .select(col("n_p"), col("n_q"), col("n_cats"),
+        when(col("c") > 0, col("c") * lp).otherwise(0L).as("tp"),
+        when(col("d") > 0, col("d") * lq).otherwise(0L).as("tq"))
+      .groupBy(col("n_p"), col("n_q"), col("n_cats"))
+      .agg(sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
+      .select(col("n_p"), col("n_q"), col("n_cats"),
+        truncDiv(col("sp"), col("n_p")).as("kl_p_milli"),
+        truncDiv(col("sq"), col("n_q")).as("kl_q_milli"),
+        truncDiv(truncDiv(col("sp"), col("n_p")) +
+          truncDiv(col("sq"), col("n_q")), lit(2L)).as("jsd_milli"))
+  }
+}

@@ -96,6 +96,14 @@ private[queries] object ExtDataQueries {
           Seq("c_nationkey", "c_mktsegment"), k = 30L)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     },
+    "ds_l_diversity" -> { (s, d) =>
+      // l-diversity: a nation bucket is re-identifying if its customers
+      // span fewer than l=5 market segments — the sensitive-value
+      // concentration leak k-anonymity alone misses
+      Pipeline.lDiversity(s.read.parquet(s"$d/customer.parquet"),
+          Seq("c_nationkey"), "c_mktsegment", l = 5L)
+        .orderBy(col("c_nationkey"))
+    },
     "ds_quantile_norm" -> { (s, d) =>
       // cross-source score equalizer: document length mapped to its
       // percent rank WITHIN the language (min rank for ties — no
@@ -809,6 +817,16 @@ private[queries] object ExtDataQueries {
            count(*) < 30 AS violates
          FROM customer GROUP BY c_nationkey, c_mktsegment
          ORDER BY c_nationkey, c_mktsegment""",
+    "ds_l_diversity" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_mktsegment)
+             + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sensitive,
+           (count(DISTINCT c_mktsegment)
+             + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END))
+             < 5 AS violates
+         FROM customer GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
     "ds_quantile_norm" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
            round(percent_rank() OVER (PARTITION BY lang

@@ -323,6 +323,32 @@ private[queries] object ExtStatsQueries {
       graft.ext.Labels.krippendorffAlpha(
         annFixture(s, d).where(
           pmod(col("item") * 7 + col("annotator") * 13, lit(10L)) =!= 0))
+    },
+    "ds_ks_test" -> { (s, d) =>
+      // two-sample KS over doc length between the even/odd doc_id
+      // halves — the numeric-column companion to ds_chi_square; exact
+      // ppm D plus the smallest value attaining the max gap
+      graft.ext.Stats.ksTest(
+        docs(s, d).select(col("n_chars"),
+          pmod(col("doc_id"), lit(2L)).as("half")),
+        "n_chars", "half", 0L, 1L)
+    },
+    "ds_mwu" -> { (s, d) =>
+      // Mann-Whitney U over doc length, same halves fixture — exact
+      // tie-averaged doubled-unit U stats + common-language effect size
+      graft.ext.Stats.mannWhitneyU(
+        docs(s, d).select(col("n_chars"),
+          pmod(col("doc_id"), lit(2L)).as("half")),
+        "n_chars", "half", 0L, 1L)
+    },
+    "ds_js_divergence" -> { (s, d) =>
+      // Jensen-Shannon divergence between the language mixes of the
+      // even/odd halves, milli-nats — the symmetric bounded drift
+      // scalar next to PSI/chi-square
+      graft.ext.Stats.jsDivergence(
+        docs(s, d).select(col("lang"),
+          pmod(col("doc_id"), lit(2L)).as("half")),
+        "lang", "half", 0L, 1L)
     }
   )
 
@@ -935,6 +961,88 @@ private[queries] object ExtStatsQueries {
                (CASE WHEN do_ppm = 0 THEN 1000000 END)
              ELSE ((de_ppm - do_ppm) * 1000000) // de_ppm END AS BIGINT)
              AS alpha_ppm
-         FROM r"""
+         FROM r""",
+    "ds_ks_test" ->
+      """WITH base AS (SELECT n_chars AS v, doc_id % 2 AS half
+           FROM documents),
+         per AS (SELECT v,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+           FROM base GROUP BY v),
+         cum AS (SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+           FROM per),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM per),
+         gaps AS (SELECT v,
+             abs(cuma * (SELECT n_b FROM tot)
+                 - cumb * (SELECT n_a FROM tot)) AS gap
+           FROM cum),
+         mx AS (SELECT max(gap) AS g FROM gaps)
+         SELECT tot.n_a, tot.n_b,
+           CAST(mx.g * 1000000 // (tot.n_a * tot.n_b) AS BIGINT)
+             AS d_ppm,
+           CAST((SELECT min(v) FROM gaps WHERE gap = mx.g) AS BIGINT)
+             AS at_v
+         FROM tot, mx""",
+    "ds_mwu" ->
+      """WITH base AS (SELECT n_chars AS v, doc_id % 2 AS half
+           FROM documents),
+         per AS (SELECT v,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+           FROM base GROUP BY v),
+         cum AS (SELECT v, ca, cb,
+             sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS before
+           FROM per),
+         agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(sum(ca * (before * 2 + ca + cb + 1)) AS BIGINT)
+               AS r_a_x2
+           FROM cum)
+         SELECT n_a, n_b,
+           CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+           CAST(n_a * n_b * 2 - (r_a_x2 - n_a * (n_a + 1)) AS BIGINT)
+             AS u_b_x2,
+           CAST((r_a_x2 - n_a * (n_a + 1)) * 1000000
+                // (n_a * n_b * 2) AS BIGINT) AS cles_ppm
+         FROM agg""",
+    "ds_js_divergence" ->
+      """WITH base AS (SELECT lang AS cat, doc_id % 2 AS half
+           FROM documents),
+         cells AS (SELECT cat,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d
+           FROM base GROUP BY cat),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_p,
+             CAST(sum(d) AS BIGINT) AS n_q,
+             CAST(count(*) AS BIGINT) AS n_cats FROM cells),
+         terms AS (SELECT
+             CASE WHEN c > 0 THEN c * CAST(round(ln(
+                 CAST(c * (SELECT n_q FROM tot) * 2 AS DOUBLE)
+                 / (c * (SELECT n_q FROM tot)
+                    + d * (SELECT n_p FROM tot))) * 1000) AS BIGINT)
+               ELSE 0 END AS tp,
+             CASE WHEN d > 0 THEN d * CAST(round(ln(
+                 CAST(d * (SELECT n_p FROM tot) * 2 AS DOUBLE)
+                 / (c * (SELECT n_q FROM tot)
+                    + d * (SELECT n_p FROM tot))) * 1000) AS BIGINT)
+               ELSE 0 END AS tq
+           FROM cells),
+         sums AS (SELECT CAST(sum(tp) AS BIGINT) AS sp,
+             CAST(sum(tq) AS BIGINT) AS sq FROM terms)
+         SELECT tot.n_p, tot.n_q, tot.n_cats,
+           CAST(sums.sp // tot.n_p AS BIGINT) AS kl_p_milli,
+           CAST(sums.sq // tot.n_q AS BIGINT) AS kl_q_milli,
+           CAST((sums.sp // tot.n_p + sums.sq // tot.n_q) // 2
+             AS BIGINT) AS jsd_milli
+         FROM tot, sums"""
   )
 }

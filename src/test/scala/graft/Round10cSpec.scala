@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Pipeline, Stats}
+
+/** Round 10c: two-sample distribution statistics (KS / Mann-Whitney /
+  * Jensen-Shannon) and the l-diversity release gate.
+  */
+class Round10cSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ksTest: crafted offset samples give the hand-computed max ECDF " +
+    "gap and the smallest witness value") {
+    // A = {1..10}, B = {6..15}: at v=5 cumA=5, cumB=0 → gap 50/100 = 0.5;
+    // the same gap repeats at v=10, so at_v must pick 5 (smallest)
+    val df = ((1 to 10).map(v => (v.toLong, "a")) ++
+      (6 to 15).map(v => (v.toLong, "b"))).toDF("v", "side")
+    val r = Stats.ksTest(df, "v", "side", "a", "b").collect()(0)
+    assert(r.getLong(0) == 10 && r.getLong(1) == 10)
+    assert(r.getLong(2) == 500000L, s"d_ppm ${r.getLong(2)}")
+    assert(r.getLong(3) == 5L, s"at_v ${r.getLong(3)}")
+  }
+
+  test("ksTest: identical samples give D = 0") {
+    val df = ((1 to 20).map(v => (v.toLong, "a")) ++
+      (1 to 20).map(v => (v.toLong, "b"))).toDF("v", "side")
+    val r = Stats.ksTest(df, "v", "side", "a", "b").collect()(0)
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("mannWhitneyU: hand-computed midrank example with ties, plus " +
+    "the U_a + U_b = 2·n_a·n_b conservation law") {
+    // A = {1,2,2}, B = {2,3}: midranks 1, 3, 3 / 3, 5 →
+    // R_a = 7, U_a = 7 − 6 = 1 (one a=b tie pair counting ½ ×2)
+    val df = (Seq(1L, 2L, 2L).map((_, "a")) ++ Seq(2L, 3L).map((_, "b")))
+      .toDF("v", "side")
+    val r = Stats.mannWhitneyU(df, "v", "side", "a", "b").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 2L, s"u_a_x2 ${r.getLong(2)}")    // 2·U_a
+    assert(r.getLong(3) == 10L, s"u_b_x2 ${r.getLong(3)}")
+    assert(r.getLong(2) + r.getLong(3) == 2 * 3 * 2)
+    assert(r.getLong(4) == 166666L, s"cles_ppm ${r.getLong(4)}")
+  }
+
+  test("mannWhitneyU: fully separated samples give U_a = 0 and " +
+    "cles_ppm = 0 (every a below every b)") {
+    val df = ((1 to 8).map(v => (v.toLong, "a")) ++
+      (100 to 107).map(v => (v.toLong, "b"))).toDF("v", "side")
+    val r = Stats.mannWhitneyU(df, "v", "side", "a", "b").collect()(0)
+    assert(r.getLong(2) == 0L && r.getLong(4) == 0L)
+    assert(r.getLong(3) == 2L * 8 * 8)
+  }
+
+  test("two-sample stats are partition-invariant (the distributed " +
+    "prefix sum sees different range partitionings)") {
+    val base = (0 until 500).map(i =>
+      (((i * 2654435761L) >>> 7) % 50, if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "side")
+    val one = base.repartition(1)
+    val many = base.repartition(13)
+    assert(Stats.ksTest(one, "v", "side", "a", "b").collect().toSeq ==
+      Stats.ksTest(many, "v", "side", "a", "b").collect().toSeq)
+    assert(Stats.mannWhitneyU(one, "v", "side", "a", "b")
+        .collect().toSeq ==
+      Stats.mannWhitneyU(many, "v", "side", "a", "b").collect().toSeq)
+  }
+
+  test("jsDivergence: identical mixes give 0; disjoint supports give " +
+    "ln 2 = 693 milli-nats (the JSD upper bound)") {
+    val same = (Seq.fill(30)("x") ++ Seq.fill(20)("y")).zipWithIndex
+      .flatMap { case (c, _) => Seq((c, "p"), (c, "q")) }
+      .toDF("cat", "ver")
+    val rs = Stats.jsDivergence(same, "cat", "ver", "p", "q").collect()(0)
+    assert(rs.getLong(3) == 0L && rs.getLong(4) == 0L &&
+      rs.getLong(5) == 0L)
+    val disj = (Seq.fill(25)(("only_p", "p")) ++
+      Seq.fill(40)(("only_q", "q"))).toDF("cat", "ver")
+    val rd = Stats.jsDivergence(disj, "cat", "ver", "p", "q").collect()(0)
+    assert(rd.getLong(3) == 693L && rd.getLong(4) == 693L &&
+      rd.getLong(5) == 693L, s"disjoint JSD row $rd")
+  }
+
+  test("jsDivergence: a planted one-category shift moves JSD strictly " +
+    "above 0 and below the ln 2 bound") {
+    val p = Seq.fill(80)("x") ++ Seq.fill(20)("y")
+    val q = Seq.fill(50)("x") ++ Seq.fill(50)("y")
+    val df = (p.map((_, "p")) ++ q.map((_, "q"))).toDF("cat", "ver")
+    val r = Stats.jsDivergence(df, "cat", "ver", "p", "q").collect()(0)
+    assert(r.getLong(5) > 0L && r.getLong(5) < 693L,
+      s"jsd_milli ${r.getLong(5)}")
+  }
+
+  test("lDiversity: a k-anonymous group with a concentrated sensitive " +
+    "value violates; NULL counts as a sensitive value") {
+    val df = Seq(
+      // group g1: 4 people, all the same diagnosis — k-anonymous at
+      // k=4 yet l-violating at l=2
+      ("g1", "flu"), ("g1", "flu"), ("g1", "flu"), ("g1", "flu"),
+      // group g2: 3 people, 2 distinct values → passes l=2
+      ("g2", "flu"), ("g2", "cold"), ("g2", "cold"),
+      // group g3: one real value + NULL → NULL is a value → 2 → passes
+      ("g3", "flu"), ("g3", null)
+    ).toDF("zip", "diag")
+    val out = Pipeline.lDiversity(df, Seq("zip"), "diag", l = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("g1") == ((4L, 1L, true)))
+    assert(out("g2") == ((3L, 2L, false)))
+    assert(out("g3") == ((2L, 2L, false)))
+  }
+}
