@@ -79,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordNgramHashes60(es(0), intArg("word_ngram_hashes60", es(1)))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "sorted_jaccard" -> (es => SortedJaccard(es(0), es(1))),
+    "ngram_overlap" -> (es =>
+      NgramOverlapCounts(es(0), es(1), intArg("ngram_overlap", es(2)))),
     "minhash_lanes" -> (es => MinHashLanes(es(0), intArg("minhash_lanes", es(1)))),
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),
     "word_bigrams" -> (es => WordBigrams(es(0))),

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Reference-vs-candidate text evaluation metrics — the scoring half of
+  * an eval pipeline (the data half being contamination/decontamination):
+  * given paired (reference, model output) texts, ROUGE-N per pair and
+  * corpus-level BLEU, both from the shared clipped n-gram overlap kernel
+  * (`graftfn.NgramOverlapCounts`, Papineni 2002 clipping) and both in
+  * exact integer units so scores are engine-portable and
+  * aggregation-order-independent.
+  *
+  * Scale shape: the kernel is a codegen'd NARROW map — per-pair metrics
+  * ride the scan with zero shuffle; corpus BLEU adds one partial-agg'd
+  * reduction of 2+2·maxN Longs. A 10⁹-pair eval set costs one pass.
+  */
+object EvalMetrics {
+
+  private def floorDivNN(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+  private def truncDiv(a: Column, b: Column): Column =
+    when(a >= 0, floorDivNN(a, b)).otherwise(-floorDivNN(-a, b))
+
+  /** Per-pair ROUGE-N in exact ppm: clipped n-gram matches over the
+    * reference gram count (recall — the ROUGE headline number), over the
+    * candidate gram count (precision), and their harmonic mean
+    * `f1 = 2·m/(t_ref + t_cand)` (exact, since P and Q share the
+    * numerator m). Zero-gram sides score 0, not NULL — an empty
+    * candidate IS a zero-recall answer. Returns
+    * (id, n_ref, n_cand, overlap, p_ppm, r_ppm, f1_ppm).
+    */
+  def rougeN(df: DataFrame, idCol: String, refCol: String,
+             candCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"rougeN needs 1 <= n <= 8, got $n")
+    val c = VectorFunctions.ngram_overlap(col(refCol), col(candCol), n)
+    val m = col("__c").getItem(2 + 2 * (n - 1))
+    val tCand = col("__c").getItem(3 + 2 * (n - 1))
+    val tRef = greatest(col("__c").getItem(0) - (n - 1), lit(0L))
+    def ratioPpm(num: Column, den: Column): Column =
+      when(den > 0, floorDivNN(num * 1000000L, den)).otherwise(0L)
+    df.select(col(idCol).as("id"), c.as("__c"))
+      .select(col("id"),
+        col("__c").getItem(0).as("n_ref"),
+        col("__c").getItem(1).as("n_cand"),
+        m.as("overlap"),
+        ratioPpm(m, tCand).as("p_ppm"),
+        ratioPpm(m, tRef).as("r_ppm"),
+        ratioPpm(m * 2L, tRef + tCand).as("f1_ppm"))
+  }
+
+  /** Corpus BLEU components + log-BLEU in milli-nats: clipped matches
+    * and totals per gram order summed over the corpus (the Papineni
+    * corpus form — sum counts THEN divide, never average per-sentence
+    * scores), the brevity penalty's log
+    * `bp_milli = min(0, (cand_len − ref_len)·1000 // cand_len)` and
+    * `log_bleu_milli = bp_milli + (Σ_n round(1000·ln(m_n/t_n))) // maxN`
+    * — NULL when any order has zero matches (log BLEU is −∞ there;
+    * sentence-level smoothing is deliberately not applied to the corpus
+    * statistic). `exp(log_bleu_milli / 1000)` is BLEU; the components
+    * are exact Longs, the only floats are per-order IEEE divisions and
+    * milli-nat log quantization (the zipfSlope precedent). Returns one
+    * row (n_pairs, ref_len, cand_len, m_1, t_1, …, bp_milli,
+    * log_bleu_milli).
+    */
+  def bleuCorpus(df: DataFrame, refCol: String, candCol: String,
+                 maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bleuCorpus needs 1<=maxN<=8: $maxN")
+    val c = VectorFunctions.ngram_overlap(col(refCol), col(candCol), maxN)
+    val sums =
+      Seq(sum(col("__c").getItem(0)).as("ref_len"),
+          sum(col("__c").getItem(1)).as("cand_len")) ++
+      (1 to maxN).flatMap(n => Seq(
+        sum(col("__c").getItem(2 + 2 * (n - 1))).as(s"m_$n"),
+        sum(col("__c").getItem(3 + 2 * (n - 1))).as(s"t_$n")))
+    val agg = df.select(c.as("__c"))
+      .agg(count(lit(1)).as("n_pairs"), sums: _*)
+    val bp = when(col("cand_len") >= col("ref_len") || col("cand_len") === 0,
+        lit(0L))
+      .otherwise(truncDiv((col("cand_len") - col("ref_len")) * 1000L,
+        col("cand_len")))
+    val logPrecs = (1 to maxN).map(n =>
+      when(col(s"m_$n") > 0,
+        round(log(col(s"m_$n").cast("double") / col(s"t_$n")) * 1000)
+          .cast("long")))
+    val logSum = logPrecs.reduce(_ + _) // NULL-propagating: any m_n = 0
+    agg.select((col("n_pairs") +: col("ref_len") +: col("cand_len") +:
+      (1 to maxN).flatMap(n => Seq(col(s"m_$n"), col(s"t_$n")))) :+
+      bp.as("bp_milli") :+
+      (bp + truncDiv(logSum, lit(maxN.toLong))).as("log_bleu_milli"): _*)
+  }
+
+  /** BLEU as a double in [0, 1] appended to the [[bleuCorpus]] row —
+    * the human-readable face (exp is not engine-portable; the gated
+    * surface is the component row).
+    */
+  def bleuScore(components: DataFrame): DataFrame =
+    components.withColumn("bleu",
+      when(col("log_bleu_milli").isNotNull,
+        exp(col("log_bleu_milli").cast("double") / 1000.0)))
+}

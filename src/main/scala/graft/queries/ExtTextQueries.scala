@@ -625,8 +625,43 @@ private[queries] object ExtTextQueries {
       // word-frequency concentration per language, exact ppm
       TextAnalysis.giniConcentration(docs(s, d), "text", "lang")
         .orderBy(col("lang"))
+    },
+    "text_rouge" -> { (s, d) =>
+      // per-pair ROUGE-2 against a synthetic "model output": the text
+      // truncated to ⌊4/5⌋ of its words with every 7th word replaced by
+      // 'the' — deterministic, mirrored token-for-token by the oracle;
+      // exact ppm P/R/F1 from clipped bigram overlap
+      graft.ext.EvalMetrics.rougeN(
+          evalPairFixture(docs(s, d)), "doc_id", "ref", "cand", n = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    "text_bleu" -> { (s, d) =>
+      // corpus BLEU-4 components over the same fixture: clipped match /
+      // total counts per order (exact Longs), log brevity penalty and
+      // log-BLEU in milli-nats — sum-then-divide corpus form
+      graft.ext.EvalMetrics.bleuCorpus(
+        evalPairFixture(docs(s, d)), "ref", "cand", maxN = 4)
     }
   )
+
+  /** Deterministic (reference, candidate) eval fixture: cand = the text
+    * truncated to max(len·4 // 5, min(len, 1)) words, every 7th surviving
+    * word replaced by 'the' — enough deletion for a brevity penalty and
+    * enough substitution for sub-1 precisions at every gram order.
+    */
+  private def evalPairFixture(dd: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    val n = size(toks).cast("long")
+    val k = greatest(((n * 4L - pmod(n * 4L, lit(5L))) / 5L).cast("long"),
+      least(n, lit(1L)))
+    val cand = array_join(
+      transform(slice(toks, lit(1), k.cast("int")),
+        (w, i) => when(pmod(i, lit(7)) === 0, lit("the")).otherwise(w)),
+      " ")
+    dd.select(col("doc_id"), col("text").as("ref"), cand.as("cand"))
+  }
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langScoreSql,
@@ -1428,6 +1463,99 @@ private[queries] object ExtTextQueries {
                  - (count(*) + 1) * CAST(sum(c) AS BIGINT)) * 1000000
                 // (count(*) * CAST(sum(c) AS BIGINT)) AS BIGINT)
              AS gini_ppm
-         FROM r GROUP BY lang ORDER BY lang"""
+         FROM r GROUP BY lang ORDER BY lang""",
+    "text_rouge" -> rougeSql,
+    "text_bleu" -> bleuSql
   )
+
+  /** The (ref, cand) eval fixture in DuckDB — token-for-token mirror of
+    * the Spark-side `evalPairFixture`.
+    */
+  private lazy val evalFixtureSql: String =
+    """t AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS rt
+         FROM documents),
+       f AS (SELECT doc_id, rt,
+         list_transform(range(greatest(len(rt) * 4 // 5,
+             least(len(rt), 1))),
+           i -> CASE WHEN i % 7 = 0 THEN 'the' ELSE rt[i + 1] END) AS ct
+         FROM t)"""
+
+  /** n-gram list over DuckDB list `l` for order `n` (1-based indexing,
+    * empty below n tokens).
+    */
+  private def gramsOf(l: String, n: Int): String = {
+    val parts = (1 to n).map(j => s"$l[i + $j]").mkString(" || ' ' || ")
+    s"list_transform(range(greatest(len($l) - ${n - 1}, 0)), i -> $parts)"
+  }
+
+  private lazy val rougeSql: String =
+    s"""WITH $evalFixtureSql,
+       rg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT doc_id, unnest(${gramsOf("rt", 2)}) AS g FROM f)
+         GROUP BY doc_id, g),
+       cg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT doc_id, unnest(${gramsOf("ct", 2)}) AS g FROM f)
+         GROUP BY doc_id, g),
+       mt AS (SELECT doc_id, CAST(sum(least(rg.c, cg.c)) AS BIGINT) AS m
+         FROM rg JOIN cg USING (doc_id, g) GROUP BY doc_id),
+       base AS (SELECT doc_id, CAST(len(rt) AS BIGINT) AS n_ref,
+           CAST(len(ct) AS BIGINT) AS n_cand,
+           CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS tr,
+           CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS tc
+         FROM f)
+       SELECT b.doc_id, b.n_ref, b.n_cand,
+         coalesce(mt.m, 0) AS overlap,
+         CAST(CASE WHEN b.tc > 0
+           THEN coalesce(mt.m, 0) * 1000000 // b.tc ELSE 0 END AS BIGINT)
+           AS p_ppm,
+         CAST(CASE WHEN b.tr > 0
+           THEN coalesce(mt.m, 0) * 1000000 // b.tr ELSE 0 END AS BIGINT)
+           AS r_ppm,
+         CAST(CASE WHEN b.tr + b.tc > 0
+           THEN coalesce(mt.m, 0) * 2 * 1000000 // (b.tr + b.tc)
+           ELSE 0 END AS BIGINT) AS f1_ppm
+       FROM base b LEFT JOIN mt USING (doc_id) ORDER BY doc_id"""
+
+  private lazy val bleuSql: String = {
+    val orders = 1 to 4
+    val gramCtes = orders.map { n =>
+      s"""rg$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(${gramsOf("rt", n)}) AS g FROM f)
+           GROUP BY doc_id, g),
+         cg$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(${gramsOf("ct", n)}) AS g FROM f)
+           GROUP BY doc_id, g),
+         mt$n AS (SELECT CAST(coalesce(sum(least(rg$n.c, cg$n.c)), 0)
+             AS BIGINT) AS m
+           FROM rg$n JOIN cg$n USING (doc_id, g))"""
+    }.mkString(",\n")
+    val totals = orders.map(n =>
+      s"CAST(coalesce(sum(greatest(len(ct) - ${n - 1}, 0)), 0) AS BIGINT)" +
+        s" AS t_$n").mkString(", ")
+    val mCols = orders.map(n => s"(SELECT m FROM mt$n) AS m_$n")
+      .mkString(", ")
+    val logTerms = orders.map(n =>
+      s"""CASE WHEN m_$n > 0 THEN CAST(round(ln(
+           CAST(m_$n AS DOUBLE) / t_$n) * 1000) AS BIGINT) END""")
+      .mkString(" + ")
+    s"""WITH $evalFixtureSql,
+       $gramCtes,
+       agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(len(rt)) AS BIGINT) AS ref_len,
+           CAST(sum(len(ct)) AS BIGINT) AS cand_len, $totals
+         FROM f),
+       c AS (SELECT agg.*, $mCols FROM agg),
+       bp AS (SELECT c.*,
+           CAST(CASE WHEN c.cand_len >= c.ref_len OR c.cand_len = 0
+             THEN 0
+             ELSE (c.cand_len - c.ref_len) * 1000 // c.cand_len END
+             AS BIGINT) AS bp_milli
+         FROM c)
+       SELECT n_pairs, ref_len, cand_len,
+         ${orders.map(n => s"m_$n, t_$n").mkString(", ")},
+         bp_milli,
+         CAST(bp_milli + ($logTerms) // 4 AS BIGINT) AS log_bleu_milli
+       FROM bp"""
+  }
 }

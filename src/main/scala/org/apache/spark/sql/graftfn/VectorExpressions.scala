@@ -623,6 +623,66 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** Clipped word-n-gram overlap counts between a reference and a
+    * candidate text — the shared per-pair kernel under ROUGE-N and BLEU:
+    * returns `[n_ref_tokens, n_cand_tokens, m_1, t_1, …, m_maxN, t_maxN]`
+    * where `t_n = max(candTokens − n + 1, 0)` (total candidate n-grams)
+    * and `m_n = Σ_g min(count_ref(g), count_cand(g))` (the CLIPPED
+    * matches — a candidate repeating one reference gram five times gets
+    * credit once per reference occurrence, the Papineni 2002 clipping).
+    * Tokens split on single spaces, empties dropped (the repo's
+    * tokenizer convention, mirrored by the DuckDB oracles). One pass
+    * tokenizes both sides; per n, one counting HashMap over the
+    * reference grams.
+    */
+  def ngramOverlapCounts(ref: UTF8String, cand: UTF8String,
+                         maxN: Int): ArrayData = {
+    val rt = ref.toString.split(' ').filter(_.nonEmpty)
+    val ct = cand.toString.split(' ').filter(_.nonEmpty)
+    val out = new Array[Long](2 + 2 * maxN)
+    out(0) = rt.length.toLong
+    out(1) = ct.length.toLong
+    val sb = new java.lang.StringBuilder(64)
+    def gram(toks: Array[String], i: Int, n: Int): String = {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      sb.toString
+    }
+    var n = 1
+    while (n <= maxN) {
+      val t = math.max(ct.length - n + 1, 0)
+      var m = 0L
+      if (t > 0 && rt.length - n + 1 > 0) {
+        val counts = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i <= rt.length - n) {
+          val g = gram(rt, i, n)
+          val c = counts.get(g)
+          counts.put(g, if (c == null) Int.box(1) else Int.box(c + 1))
+          i += 1
+        }
+        i = 0
+        while (i <= ct.length - n) {
+          val c = counts.get(gram(ct, i, n))
+          if (c != null && c > 0) {
+            m += 1
+            counts.put(gram(ct, i, n), Int.box(c - 1))
+          }
+          i += 1
+        }
+      }
+      out(2 + 2 * (n - 1)) = m
+      out(3 + 2 * (n - 1)) = t.toLong
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Unicode NFC normalization (canonical composition) — the dedup-key
     * and URL/text-canonicalization prerequisite: visually-identical
     * strings with decomposed combining marks ("e" + U+0301 vs "é") hash
@@ -1395,6 +1455,40 @@ case class SortedJaccard(left: Expression, right: Expression)
   * overlap coefficient) stay in exact integer arithmetic downstream
   * instead of reconstructing the count from a double ratio.
   */
+/** Clipped word-n-gram overlap counts for ROUGE-N / BLEU (see
+  * [[Kernels.ngramOverlapCounts]]): `ngram_overlap(ref, cand, maxN)` →
+  * `array<bigint>` `[ref_tokens, cand_tokens, m_1, t_1, …, m_maxN,
+  * t_maxN]`. A codegen'd narrow map — per-pair eval metrics ride the
+  * scan with no shuffle; the corpus-BLEU reduction after it is a
+  * partial-agg'd sum of 2+2·maxN Longs.
+  */
+case class NgramOverlapCounts(left: Expression, right: Expression,
+                              maxN: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(maxN >= 1 && maxN <= 8,
+    s"ngram_overlap needs 1 <= maxN <= 8, got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "ngram_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.ngramOverlapCounts(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".ngramOverlapCounts($a, $b, $maxN);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -1838,6 +1932,14 @@ object VectorFunctions {
   def simhash60(text: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(text)))
 
+  /** Clipped n-gram overlap counts for ROUGE/BLEU (see
+    * [[NgramOverlapCounts]]).
+    */
+  def ngram_overlap(ref: Column, cand: Column, maxN: Int): Column =
+    ExpressionUtils.column(NgramOverlapCounts(
+      ExpressionUtils.expression(ref), ExpressionUtils.expression(cand),
+      maxN))
+
   /** Deflate compression ratio (see [[DeflateRatio]]). */
   def deflate_ratio(text: Column): Column =
     ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text)))
@@ -2011,6 +2113,10 @@ object VectorFunctions {
           foldableInt("word_shingle_hashes", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_jaccard", exprs => SortedJaccard(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_overlap", exprs =>
+        NgramOverlapCounts(exprs(0), exprs(1),
+          foldableInt("ngram_overlap", exprs(2))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_lanes", exprs =>
         MinHashLanes(exprs(0), foldableInt("minhash_lanes", exprs(1))), "scala_udf")
