@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "minhash_lanes" -> (es => MinHashLanes(es(0), intArg("minhash_lanes", es(1)))),
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),
     "word_bigrams" -> (es => WordBigrams(es(0))),
+    "word_ngrams" -> (es => WordNgrams(es(0), intArg("word_ngrams", es(1)))),
     "mmr_select" -> (es =>
       MmrSelect(es(0), intArg("mmr_select", es(1)),
         VectorFunctions.foldableDouble("mmr_select", es(2)))),

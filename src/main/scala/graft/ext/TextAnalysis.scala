@@ -1514,6 +1514,96 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("c"))
       .where(col("c") >= minCount)
 
+  /** Stupid-Backoff trigram LM fit (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale distributed LM
+    * recipe: raw relative frequencies with a fixed backoff multiplier
+    * instead of normalized discounting, chosen precisely because it fits
+    * AND scores with nothing but distributed count tables). All three
+    * gram orders count in ONE union'd partial-agg'd shuffle — rows
+    * (g, o, c) with o ∈ {1, 2, 3}; repeated grams collapse map-side.
+    * `minCount` prunes per gram (the count-cutoff entropy pruning the
+    * paper applies at the 10¹²-token scale); keep 1 for exact scoring.
+    */
+  def sbTrigramFit(docs: DataFrame, textCol: String,
+                   minCount: Long = 1): DataFrame = {
+    def order(n: Int): DataFrame =
+      docs.select(explode(graft.functions.VectorFunctions
+          .word_ngrams(col(textCol), n)).as("g"))
+        .select(col("g"), lit(n).as("o"))
+    order(1).union(order(2)).union(order(3))
+      .groupBy(col("g"), col("o"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .where(col("c") >= minCount)
+  }
+
+  /** Per-document Stupid-Backoff trigram score against a [[sbTrigramFit]]
+    * count table: per trigram
+    * `S(w₃|w₁w₂) = c₁₂₃/c₁₂` when the trigram is attested, else
+    * `α·c₂₃/c₂` when the bigram is, else `α²·c₃/N` (OOV words take a
+    * documented `oovPseudo` pseudo-count — stupid backoff itself has no
+    * OOV mass). The per-doc rollup reports
+    * `sb_ppl = exp(−mean ln S)` rounded to 4 decimals (the
+    * [[perplexity]] determinism convention — S is not a normalized
+    * probability, but the geometric-mean inverse score ranks fluency the
+    * same way). Returns (id, n_trigrams, sb_ppl); docs under 3 tokens
+    * have no trigram and are absent.
+    *
+    * 100 TB shape: each doc trigram explodes into its FIVE count probes
+    * (trigram, both bigrams, both unigrams) which meet the model in ONE
+    * equi-join on (g, o) — not five separate joins over the trigram
+    * volume; the model stays distributed (a 10⁹-row web LM never
+    * fit-collects) and persists across its single consumer. N derives
+    * from the unigram rows by re-aggregation, broadcast as one row.
+    */
+  def sbScore(docs: DataFrame, lm0: DataFrame, textCol: String,
+              idCol: String, alpha: Double = 0.4,
+              oovPseudo: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val lm = OpCaches.register(lm0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nTotal = lm.where(col("o") === 1)
+      .agg(sum(col("c")).cast("double").as("__n"))
+    val w = split(col("g3"), " ")
+    val probes = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.VectorFunctions
+          .word_ngrams(col(textCol), 3)).as(Seq("pos", "g3")))
+      .select(col("id"), col("pos"), explode(array(
+        struct(lit(0).as("k"), col("g3").as("g"), lit(3).as("o")),
+        struct(lit(1).as("k"),
+          concat(w.getItem(0), lit(" "), w.getItem(1)).as("g"),
+          lit(2).as("o")),
+        struct(lit(2).as("k"),
+          concat(w.getItem(1), lit(" "), w.getItem(2)).as("g"),
+          lit(2).as("o")),
+        struct(lit(3).as("k"), w.getItem(1).as("g"), lit(1).as("o")),
+        struct(lit(4).as("k"), w.getItem(2).as("g"), lit(1).as("o"))
+      )).as("p"))
+      .select(col("id"), col("pos"), col("p.k").as("k"),
+        col("p.g").as("g"), col("p.o").as("o"))
+    def cOf(k: Int): Column =
+      coalesce(max(when(col("k") === k, col("c"))), lit(0L))
+    val perTrigram = probes
+      .join(lm, Seq("g", "o"), "left")
+      .groupBy(col("id"), col("pos"))
+      .agg(cOf(0).as("c123"), cOf(1).as("c12"), cOf(2).as("c23"),
+        cOf(3).as("c2"), cOf(4).as("c3"))
+    val s =
+      when(col("c123") > 0,
+        col("c123").cast("double") / col("c12"))
+      .when(col("c23") > 0,
+        lit(alpha) * (col("c23").cast("double") / col("c2")))
+      .otherwise(lit(alpha * alpha) *
+        (when(col("c3") > 0, col("c3").cast("double"))
+          .otherwise(lit(oovPseudo)) / col("__n")))
+    perTrigram
+      .crossJoin(broadcast(nTotal))
+      .select(col("id"), log(s).as("lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        round(exp(-sum(col("lp")) / count(lit(1))), 4).as("sb_ppl"))
+  }
+
   /** Per-document perplexity under the document's own `byCol`-group model
     * from [[bigramLmFitBy]] — grouped add-k smoothing: context totals and
     * vocabulary size are PER GROUP, so a Spanish doc is never judged by

@@ -642,6 +642,23 @@ private[queries] object ExtTextQueries {
       // log-BLEU in milli-nats — sum-then-divide corpus form
       graft.ext.EvalMetrics.bleuCorpus(
         evalPairFixture(docs(s, d)), "ref", "cand", maxN = 4)
+    },
+    "text_sb_trigram" -> { (s, d) =>
+      // Stupid-Backoff trigram scoring (Brants 2007): fit on the clean
+      // corpus, score a perturbed candidate corpus (every 7th word →
+      // the OOV token 'zzunk') — the substitutions drive every backoff
+      // branch: trigram hit, bigram backoff, unigram backoff, OOV floor
+      val dd = docs(s, d)
+      val lm = TextAnalysis.sbTrigramFit(dd, "text")
+      val toks = filter(split(col("text"), " "), w => w =!= "")
+      val cand = array_join(
+        transform(toks,
+          (w, i) => when(pmod(i, lit(7)) === 0, lit("zzunk"))
+            .otherwise(w)), " ")
+      TextAnalysis.sbScore(
+          dd.select(col("doc_id"), cand.as("text")), lm, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1465,8 +1482,53 @@ private[queries] object ExtTextQueries {
              AS gini_ppm
          FROM r GROUP BY lang ORDER BY lang""",
     "text_rouge" -> rougeSql,
-    "text_bleu" -> bleuSql
+    "text_bleu" -> bleuSql,
+    "text_sb_trigram" -> sbTrigramSql
   )
+
+  /** Full DuckDB replay of the Stupid-Backoff gate: clean-corpus count
+    * tables at all three orders, perturbed candidate trigrams, the
+    * backoff CASE with literal `0.4 * 0.4 *` (left-assoc — bit-matches
+    * Scala's `alpha * alpha`), and the OOV pseudo-count 0.5.
+    */
+  private lazy val sbTrigramSql: String =
+    s"""WITH t AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         FROM documents),
+       cnd AS (SELECT doc_id, list_transform(range(len(tk)),
+           i -> CASE WHEN i % 7 = 0 THEN 'zzunk' ELSE tk[i + 1] END)
+           AS ck
+         FROM t),
+       c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM
+           (SELECT unnest(tk) AS g FROM t) GROUP BY g),
+       nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+       c2t AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM
+           (SELECT unnest(${gramsOf("tk", 2)}) AS g FROM t) GROUP BY g),
+       c3t AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM
+           (SELECT unnest(${gramsOf("tk", 3)}) AS g FROM t) GROUP BY g),
+       dt AS (SELECT doc_id, ck,
+           unnest(range(greatest(len(ck) - 2, 0))) AS i FROM cnd),
+       dg AS (SELECT doc_id, i, ck[i + 1] AS w1, ck[i + 2] AS w2,
+           ck[i + 3] AS w3 FROM dt),
+       sc AS (SELECT dg.doc_id, dg.i, t3.c AS c123, b12.c AS c12,
+           b23.c AS c23, u2.c AS c2, u3.c AS c3
+         FROM dg
+         LEFT JOIN c3t t3 ON t3.g = dg.w1 || ' ' || dg.w2 || ' ' || dg.w3
+         LEFT JOIN c2t b12 ON b12.g = dg.w1 || ' ' || dg.w2
+         LEFT JOIN c2t b23 ON b23.g = dg.w2 || ' ' || dg.w3
+         LEFT JOIN c1 u2 ON u2.g = dg.w2
+         LEFT JOIN c1 u3 ON u3.g = dg.w3),
+       lp AS (SELECT doc_id, CASE
+           WHEN coalesce(c123, 0) > 0
+             THEN ln(CAST(c123 AS DOUBLE) / c12)
+           WHEN coalesce(c23, 0) > 0
+             THEN ln(0.4 * (CAST(c23 AS DOUBLE) / c2))
+           ELSE ln(0.4 * 0.4 * (coalesce(CAST(c3 AS DOUBLE), 0.5)
+                / (SELECT n FROM nn))) END AS lp
+         FROM sc)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(exp(-sum(lp) / count(*)), 4) AS sb_ppl
+       FROM lp GROUP BY doc_id ORDER BY doc_id"""
 
   /** The (ref, cand) eval fixture in DuckDB — token-for-token mirror of
     * the Spark-side `evalPairFixture`.

@@ -718,6 +718,30 @@ object Kernels {
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
+  /** Ordered positional word n-gram STRINGS, repeats kept — the
+    * general-n LM-fit form of [[wordBigrams]] (trigram counts for the
+    * Stupid-Backoff scorer). Empty below n tokens.
+    */
+  def wordNgrams(input: UTF8String, n: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    val m = math.max(toks.length - n + 1, 0)
+    val out = new Array[UTF8String](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
   def wordBigramHashes(input: UTF8String): ArrayData = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)
     val n = math.max(toks.length - 1, 0)
@@ -1326,6 +1350,28 @@ case class WordBigrams(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.wordBigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Positional word n-gram strings, repeats kept (see
+  * [[Kernels.wordNgrams]]) — the general-n LM-fit tokenizer.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1 && n <= 8, s"word_ngrams needs 1 <= n <= 8, got $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels.wordNgrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1948,6 +1994,10 @@ object VectorFunctions {
   def word_bigrams(text: Column): Column =
     ExpressionUtils.column(WordBigrams(ExpressionUtils.expression(text)))
 
+  /** Positional word n-gram strings, repeats kept (see [[WordNgrams]]). */
+  def word_ngrams(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+
   /** Winnowing fingerprints (see [[WinnowFingerprint]]). */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), k, w))
@@ -2124,6 +2174,9 @@ object VectorFunctions {
       "word_bigram_hashes", exprs => WordBigramHashes(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_bigrams", exprs => WordBigrams(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs =>
+        WordNgrams(exprs(0), foldableInt("word_ngrams", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mmr_select", exprs =>
         MmrSelect(exprs(0), foldableInt("mmr_select", exprs(1)),
