@@ -928,6 +928,73 @@ object Pipeline {
       .withColumn("violates", col("n_sensitive") < l)
   }
 
+  /** Chat-transcript audit + flattening — the SFT-data ingest gate: each
+    * row carries a JSON conversation (`[{"role": …, "content": …}, …]`);
+    * emit per-row schema/shape flags and, for valid rows, the flattened
+    * training text. Flags (each honest on malformed input — a parse
+    * failure is `parse_ok = false`, never an exception):
+    *
+    *  - `parse_ok`: parses as a non-empty JSON array of objects
+    *  - `has_system`: first message is a `system` turn (allowed, not
+    *    required)
+    *  - `alternates`: after the optional system turn, roles strictly
+    *    alternate user/assistant starting with user
+    *  - `ends_assistant`: last turn is the assistant's (a training
+    *    example needs a completion)
+    *  - `no_empty`: every content is present and non-empty
+    *  - `valid` = parse_ok ∧ n_turns ≥ 2 ∧ alternates ∧ ends_assistant
+    *    ∧ no_empty
+    *
+    * `flat` renders valid rows as `<|role|>\ncontent` turns joined by
+    * newlines (the template is fixed — swap downstream if a tokenizer
+    * needs special tokens); invalid rows get NULL. Returns (id, n_turns,
+    * parse_ok, has_system, alternates, ends_assistant, no_empty, valid,
+    * flat).
+    *
+    * Scale shape: a pure narrow map (from_json + array HOFs) — no
+    * shuffle, streaming-safe as-is. Note Spark's `from_json` wraps a
+    * bare top-level JSON OBJECT as a one-element array (legacy behavior)
+    * — such rows parse but fail `n_turns ≥ 2`.
+    */
+  def chatAudit(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val msgs = from_json(col(jsonCol), schema)
+    val base = df.select(col(idCol).as("id"), msgs.as("__m"))
+      .withColumn("__n", coalesce(size(col("__m")).cast("long"), lit(0L)))
+    val roles = transform(col("__m"), m => m.getField("role"))
+    val parseOk = col("__m").isNotNull && col("__n") > 0
+    val off = when(coalesce(get(roles, lit(0)) === "system", lit(false)),
+      lit(1)).otherwise(lit(0))
+    val altList = transform(roles, (r, i) =>
+      when(i < off, lit(true)).otherwise(coalesce(
+        r === when(pmod(i - off, lit(2)) === 0, "user")
+          .otherwise("assistant"), lit(false))))
+    val contentOk = transform(col("__m"), m =>
+      m.getField("content").isNotNull &&
+        length(m.getField("content")) > 0)
+    val flags = base.select(col("id"), col("__m"), col("__n"),
+      parseOk.as("parse_ok"),
+      coalesce(get(roles, lit(0)) === "system", lit(false))
+        .as("has_system"),
+      (parseOk && coalesce(forall(altList, b => b), lit(true)))
+        .as("alternates"),
+      (parseOk && coalesce(
+        get(roles, (col("__n") - 1L).cast("int")) === "assistant",
+        lit(false))).as("ends_assistant"),
+      (parseOk && coalesce(forall(contentOk, b => b), lit(true)))
+        .as("no_empty"))
+    val valid = col("parse_ok") && col("__n") >= 2 && col("alternates") &&
+      col("ends_assistant") && col("no_empty")
+    flags.select(col("id"), col("__n").as("n_turns"), col("parse_ok"),
+      col("has_system"), col("alternates"), col("ends_assistant"),
+      col("no_empty"), valid.as("valid"),
+      when(valid, array_join(transform(col("__m"), m =>
+        concat(lit("<|"), m.getField("role"), lit("|>\n"),
+          m.getField("content"))), "\n")).as("flat"))
+  }
+
   /** Per-group quantile normalization: map each row's `valueCol` to its
     * percent rank WITHIN `groupCol` — `q = (rank − 1)/(n − 1)`, min rank
     * for ties, 0 for single-row groups (SQL `percent_rank` semantics in

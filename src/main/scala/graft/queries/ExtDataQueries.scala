@@ -104,6 +104,32 @@ private[queries] object ExtDataQueries {
           Seq("c_nationkey"), "c_mktsegment", l = 5L)
         .orderBy(col("c_nationkey"))
     },
+    "ds_chat_audit" -> { (s, d) =>
+      // SFT chat-transcript ingest gate over a 5-variant JSON fixture:
+      // system-led valid, plain valid, broken alternation, empty
+      // assistant content, malformed JSON — flags + flattened text
+      val c1 = concat(lit("c"), substring(
+        regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 20))
+      val c2 = reverse(c1)
+      val v = pmod(col("doc_id"), lit(5L))
+      def turn(role: String, c: org.apache.spark.sql.Column) = concat(
+        lit("{\"role\":\"" + role + "\",\"content\":\""), c, lit("\"}"))
+      val j = when(v === 0, concat(lit("["), turn("system", lit("sys")),
+          lit(","), turn("user", c1), lit(","), turn("assistant", c2),
+          lit("]")))
+        .when(v === 1, concat(lit("["), turn("user", c1), lit(","),
+          turn("assistant", c2), lit("]")))
+        .when(v === 2, concat(lit("["), turn("user", c1), lit(","),
+          turn("user", c2), lit("]")))
+        .when(v === 3, concat(lit("["), turn("user", c1), lit(","),
+          turn("assistant", lit("")), lit("]")))
+        .otherwise(lit("not json"))
+      Pipeline.chatAudit(
+          docs(s, d).select(col("doc_id"), j.as("chat")),
+          "doc_id", "chat")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
     "ds_quantile_norm" -> { (s, d) =>
       // cross-source score equalizer: document length mapped to its
       // percent rank WITHIN the language (min rank for ties — no
@@ -827,6 +853,72 @@ private[queries] object ExtDataQueries {
              < 5 AS violates
          FROM customer GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "ds_chat_audit" ->
+      """WITH fx AS (SELECT doc_id,
+           'c' || substring(regexp_replace(lower(text), '[^a-z ]', '',
+             'g'), 1, 20) AS c1,
+           reverse('c' || substring(regexp_replace(lower(text),
+             '[^a-z ]', '', 'g'), 1, 20)) AS c2,
+           doc_id % 5 AS v
+           FROM documents),
+         ch AS (SELECT doc_id, CASE
+             WHEN v = 0 THEN '[{"role":"system","content":"sys"},'
+               || '{"role":"user","content":"' || c1
+               || '"},{"role":"assistant","content":"' || c2 || '"}]'
+             WHEN v = 1 THEN '[{"role":"user","content":"' || c1
+               || '"},{"role":"assistant","content":"' || c2 || '"}]'
+             WHEN v = 2 THEN '[{"role":"user","content":"' || c1
+               || '"},{"role":"user","content":"' || c2 || '"}]'
+             WHEN v = 3 THEN '[{"role":"user","content":"' || c1
+               || '"},{"role":"assistant","content":""}]'
+             ELSE 'not json' END AS j
+           FROM fx),
+         p AS (SELECT doc_id, j, CASE WHEN json_valid(j)
+             THEN json_type(j) = 'ARRAY' ELSE FALSE END AS is_arr
+           FROM ch),
+         r AS (SELECT doc_id, j, is_arr,
+             CASE WHEN is_arr THEN CAST(json_array_length(j) AS BIGINT)
+               ELSE 0 END AS n,
+             CASE WHEN is_arr THEN list_transform(
+               range(CAST(json_array_length(j) AS BIGINT)),
+               i -> json_extract_string(j, '$[' || i || '].role'))
+               END AS roles,
+             CASE WHEN is_arr THEN list_transform(
+               range(CAST(json_array_length(j) AS BIGINT)),
+               i -> json_extract_string(j, '$[' || i || '].content'))
+               END AS contents
+           FROM p),
+         f AS (SELECT doc_id, j, n, is_arr AND n > 0 AS parse_ok,
+             coalesce(roles[1] = 'system', FALSE) AS has_system,
+             CASE WHEN is_arr AND n > 0 THEN coalesce(list_aggregate(
+               list_transform(range(n - (CASE WHEN roles[1] = 'system'
+                   THEN 1 ELSE 0 END)),
+                 i -> coalesce(roles[i + 1 + (CASE WHEN
+                     roles[1] = 'system' THEN 1 ELSE 0 END)]
+                   = CASE WHEN i % 2 = 0 THEN 'user'
+                     ELSE 'assistant' END, FALSE)), 'bool_and'), TRUE)
+               ELSE FALSE END AS alternates,
+             CASE WHEN is_arr AND n > 0
+               THEN coalesce(roles[-1] = 'assistant', FALSE)
+               ELSE FALSE END AS ends_assistant,
+             CASE WHEN is_arr AND n > 0 THEN coalesce(list_aggregate(
+               list_transform(contents,
+                 c -> c IS NOT NULL AND length(c) > 0), 'bool_and'),
+               TRUE) ELSE FALSE END AS no_empty
+           FROM r),
+         g AS (SELECT doc_id, j, n, parse_ok, has_system, alternates,
+             ends_assistant, no_empty,
+             parse_ok AND n >= 2 AND alternates AND ends_assistant
+               AND no_empty AS valid
+           FROM f)
+         SELECT doc_id, n AS n_turns, parse_ok, has_system, alternates,
+           ends_assistant, no_empty, valid,
+           CASE WHEN valid THEN array_to_string(list_transform(range(n),
+             i -> '<|' || json_extract_string(j, '$[' || i || '].role')
+               || '|>' || chr(10)
+               || json_extract_string(j, '$[' || i || '].content')),
+             chr(10)) END AS flat
+         FROM g ORDER BY doc_id""",
     "ds_quantile_norm" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
            round(percent_rank() OVER (PARTITION BY lang

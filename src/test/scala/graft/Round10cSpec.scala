@@ -90,6 +90,45 @@ class Round10cSpec extends SparkSpecBase {
       s"jsd_milli ${r.getLong(5)}")
   }
 
+  test("chatAudit: flag truth table over crafted transcripts — " +
+    "malformed JSON, empty array, missing keys, alternation breaks, " +
+    "missing completion, empty content") {
+    val rows = Seq(
+      1L -> """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]""",
+      2L -> """[{"role":"system","content":"s"},{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]""",
+      3L -> """[{"role":"user","content":"hi"},{"role":"user","content":"again"},{"role":"assistant","content":"x"}]""",
+      4L -> """[{"role":"assistant","content":"yo"}]""",
+      5L -> "not json",
+      6L -> "[]",
+      7L -> """[{"role":"user","content":""},{"role":"assistant","content":"x"}]""",
+      8L -> """[{"role":"user","content":"hi"},{"role":"assistant"}]""",
+      9L -> """[{"role":"user","content":"hi"},{"role":"assistant","content":"a"},{"role":"user","content":"more"}]""",
+      10L -> """[{"role":"system","content":"s"}]"""
+    ).toDF("id", "chat")
+    val out = graft.ext.Pipeline.chatAudit(rows, "id", "chat")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = {
+      val r = out(id)
+      (r.getLong(1), r.getBoolean(2), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7))
+    } // (n_turns, parse_ok, alternates, ends_assistant, no_empty, valid)
+    assert(flags(1L) == ((2L, true, true, true, true, true)))
+    assert(flags(2L) == ((3L, true, true, true, true, true)))
+    assert(out(2L).getBoolean(3), "has_system")
+    assert(flags(3L) == ((3L, true, false, true, true, false)))
+    assert(flags(4L) == ((1L, true, false, true, true, false)))
+    assert(flags(5L) == ((0L, false, false, false, false, false)))
+    assert(flags(6L) == ((0L, false, false, false, false, false)))
+    assert(flags(7L) == ((2L, true, true, true, false, false)))
+    assert(flags(8L) == ((2L, true, true, true, false, false)))
+    assert(flags(9L) == ((3L, true, true, false, true, false)))
+    // only-system: core is empty (alternation vacuous), fails n >= 2
+    assert(flags(10L) == ((1L, true, true, false, true, false)))
+    // flat renders only valid rows, in the fixed template
+    assert(out(1L).getString(8) == "<|user|>\nhi\n<|assistant|>\nyo")
+    assert(out(3L).isNullAt(8) && out(5L).isNullAt(8))
+  }
+
   test("lDiversity: a k-anonymous group with a concentrated sensitive " +
     "value violates; NULL counts as a sensitive value") {
     val df = Seq(
