@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),
     "word_bigrams" -> (es => WordBigrams(es(0))),
     "word_ngrams" -> (es => WordNgrams(es(0), intArg("word_ngrams", es(1)))),
+    "wordpiece_encode" -> (es =>
+      WordpieceEncode(es(0),
+        VectorFunctions.foldableStrings("wordpiece_encode", es(1)),
+        VectorFunctions.foldableString("wordpiece_encode", es(2)),
+        intArg("wordpiece_encode", es(3)))),
     "mmr_select" -> (es =>
       MmrSelect(es(0), intArg("mmr_select", es(1)),
         VectorFunctions.foldableDouble("mmr_select", es(2)))),

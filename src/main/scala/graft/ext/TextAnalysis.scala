@@ -1850,6 +1850,33 @@ object TextAnalysis {
   def decodeBpe(pieces: Column): Column = decodePieces(pieces)
   def decodeUnigram(pieces: Column): Column = decodePieces(pieces)
 
+  /** WordPiece greedy longest-match encoding over a fixed vocabulary —
+    * the THIRD tokenizer family (the BERT lineage) next to BPE and
+    * Unigram. Whitespace words encode independently; continuation
+    * pieces carry `##`; unmatchable or over-long words become `unk`
+    * whole. A codegen'd narrow map (the vocabulary is a reference-object
+    * HashSet), streaming-safe.
+    */
+  def wordpieceEncode(textCol: Column, vocab: Seq[String],
+                      unk: String = "[UNK]",
+                      maxWordChars: Int = 200): Column =
+    graft.functions.VectorFunctions.wordpiece_encode(textCol, vocab,
+      unk, maxWordChars)
+
+  /** [[wordpieceEncode]]'s inverse on UNK-free output: strip `##` and
+    * glue continuations, join words with single spaces. (UNK pieces
+    * decode as the literal unk token — the original word is gone.)
+    */
+  def decodeWordpiece(pieces: Column): Column =
+    ltrim(concat_ws("", // each piece renders " word-start" or "##-glue"
+      // (array_join skips nothing here: pieces are non-null strings)
+      transformPiecesForDecode(pieces)))
+
+  private def transformPiecesForDecode(pieces: Column): Column =
+    transform(pieces, p =>
+      when(p.startsWith("##"), substring(p, 3, Int.MaxValue))
+        .otherwise(concat(lit(" "), p)))
+
   /** What `decode ∘ encode` returns: the pre-tokenizer's normalization
     * of `text` — runs of spaces collapse into the single leading space a
     * pre-token may carry, and orphan (trailing) spaces drop. Identity on

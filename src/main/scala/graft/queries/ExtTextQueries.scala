@@ -659,8 +659,47 @@ private[queries] object ExtTextQueries {
           dd.select(col("doc_id"), cand.as("text")), lm, "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+    "text_wordpiece" -> { (s, d) =>
+      // WordPiece greedy encode, gated by CERTIFICATES (the
+      // text_unigram_learn pattern — greedy longest-match is an
+      // in-word loop DuckDB can't replay): full a-z char coverage makes
+      // every cleaned word encodable, so the engine-computed
+      // decode-roundtrip, word-segmentation and greedy-maximality
+      // booleans must all be TRUE; n_words keys the content
+      val clean = regexp_replace(lower(col("text")), "[^a-z ]", "")
+      val staged = docs(s, d).select(col("doc_id"), clean.as("clean"),
+        TextAnalysis.wordpieceEncode(clean, wpVocab).as("ps"))
+      val words = filter(split(col("clean"), " "), w => w =!= "")
+      val vlit = typedlit(wpVocab)
+      val greedy = forall(transform(col("ps"), (p, i) => {
+        val nxt = get(col("ps"), i + 1)
+        when(nxt.isNull || !nxt.startsWith("##"), lit(true))
+          .otherwise(!array_contains(vlit,
+            concat(p, substring(nxt, 3, 1))))
+      }), b => b)
+      staged.select(col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          (TextAnalysis.decodeWordpiece(col("ps")) ===
+            array_join(words, " ")).as("roundtrip_ok"),
+          (size(filter(col("ps"), p => !p.startsWith("##")))
+            .cast("long") === size(words).cast("long"))
+            .as("segmentation_ok"),
+          coalesce(greedy, lit(true)).as("greedy_maximal_ok"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Fixed WordPiece gate vocabulary: full a-z coverage at both word
+    * start and continuation (so nothing UNKs), plus multi-char pieces
+    * that force real greedy decisions.
+    */
+  private lazy val wpVocab: Seq[String] = {
+    val chars = ('a' to 'z').map(_.toString)
+    chars ++ chars.map("##" + _) ++
+      Seq("the", "an", "in", "re", "on", "wh", "##ing", "##ed", "##er",
+        "##es", "##ly", "##nd", "##at", "##ich", "##he")
+  }
 
   /** Deterministic (reference, candidate) eval fixture: cand = the text
     * truncated to max(len·4 // 5, min(len, 1)) words, every 7th surviving
@@ -1483,7 +1522,15 @@ private[queries] object ExtTextQueries {
          FROM r GROUP BY lang ORDER BY lang""",
     "text_rouge" -> rougeSql,
     "text_bleu" -> bleuSql,
-    "text_sb_trigram" -> sbTrigramSql
+    "text_sb_trigram" -> sbTrigramSql,
+    "text_wordpiece" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+             x -> x <> '')) AS BIGINT) AS n_words,
+           TRUE AS roundtrip_ok, TRUE AS segmentation_ok,
+           TRUE AS greedy_maximal_ok
+         FROM documents ORDER BY doc_id"""
   )
 
   /** Full DuckDB replay of the Stupid-Backoff gate: clean-corpus count

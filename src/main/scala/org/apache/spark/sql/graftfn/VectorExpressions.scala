@@ -683,6 +683,55 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** WordPiece greedy longest-match-first encoding (the BERT tokenizer's
+    * WordpieceTokenizer contract): per whitespace word, repeatedly match
+    * the LONGEST vocabulary piece at the cursor — continuation pieces
+    * carry the `##` prefix — and emit `unk` for the WHOLE word when any
+    * position has no match or the word exceeds `maxChars` code units
+    * (the reference implementation's max_input_chars_per_word guard).
+    * Matching is on UTF-16 code units; a match can never split a
+    * surrogate pair unless the vocabulary itself contains lone
+    * surrogates (invalid strings), so the unit/codepoint distinction is
+    * unobservable for real vocabularies.
+    */
+  def wordpieceEncode(input: UTF8String, vocab: java.util.HashSet[String],
+                      unk: String, maxChars: Int): ArrayData = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    val out = new java.util.ArrayList[AnyRef](toks.length * 2)
+    val unkU = UTF8String.fromString(unk)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      if (w.length > maxChars) out.add(unkU)
+      else {
+        val pieces = new java.util.ArrayList[String](4)
+        var start = 0
+        var bad = false
+        while (start < w.length && !bad) {
+          var end = w.length
+          var found: String = null
+          while (end > start && found == null) {
+            val sub =
+              (if (start > 0) "##" else "") + w.substring(start, end)
+            if (vocab.contains(sub)) found = sub else end -= 1
+          }
+          if (found == null) bad = true
+          else { pieces.add(found); start = end }
+        }
+        if (bad) out.add(unkU)
+        else {
+          var i = 0
+          while (i < pieces.size()) {
+            out.add(UTF8String.fromString(pieces.get(i))); i += 1
+          }
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size()))
+      .asInstanceOf[Array[Any]])
+  }
+
   /** Unicode NFC normalization (canonical composition) — the dedup-key
     * and URL/text-canonicalization prerequisite: visually-identical
     * strings with decomposed combining marks ("e" + U+0301 vs "é") hash
@@ -1624,6 +1673,50 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** WordPiece greedy longest-match-first tokenization against a fixed
+  * vocabulary (see [[Kernels.wordpieceEncode]]) — the THIRD real-world
+  * tokenizer family next to [[BpeEncode]] and [[UnigramEncode]] (the
+  * BERT lineage). The vocabulary rides into generated code as one
+  * reference-object HashSet, so the encode is a pure map riding the
+  * scan: no join, no shuffle.
+  */
+case class WordpieceEncode(child: Expression, vocab: Seq[String],
+                           unk: String, maxChars: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(vocab.nonEmpty, "wordpiece_encode needs a non-empty vocabulary")
+  require(vocab.forall(_.nonEmpty),
+    "wordpiece_encode pieces must be non-empty strings")
+  require(unk.nonEmpty, "wordpiece_encode needs a non-empty unk token")
+  require(maxChars >= 1, s"maxChars must be >= 1, got $maxChars")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_encode"
+
+  @transient private lazy val table: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordpieceEncode(input.asInstanceOf[UTF8String], table,
+      unk, maxChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("wpVocab", table,
+      "java.util.HashSet<String>")
+    val unkRef = ctx.addReferenceObj("wpUnk", unk, "String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".wordpieceEncode($c, $vocabRef, $unkRef, $maxChars);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unigram-LM Viterbi tokenization against a (piece, logProb) vocabulary
   * (see [[Kernels.unigramEncode]]) — the encode side of
   * `TextAnalysis.learnUnigram`, and the second real-world tokenizer
@@ -1986,6 +2079,12 @@ object VectorFunctions {
       ExpressionUtils.expression(ref), ExpressionUtils.expression(cand),
       maxN))
 
+  /** WordPiece greedy longest-match encode (see [[WordpieceEncode]]). */
+  def wordpiece_encode(text: Column, vocab: Seq[String],
+                       unk: String = "[UNK]", maxChars: Int = 200): Column =
+    ExpressionUtils.column(WordpieceEncode(
+      ExpressionUtils.expression(text), vocab, unk, maxChars))
+
   /** Deflate compression ratio (see [[DeflateRatio]]). */
   def deflate_ratio(text: Column): Column =
     ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text)))
@@ -2178,6 +2277,12 @@ object VectorFunctions {
       "word_ngrams", exprs =>
         WordNgrams(exprs(0), foldableInt("word_ngrams", exprs(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wordpiece_encode", exprs =>
+        WordpieceEncode(exprs(0),
+          foldableStrings("wordpiece_encode", exprs(1)),
+          foldableString("wordpiece_encode", exprs(2)),
+          foldableInt("wordpiece_encode", exprs(3))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mmr_select", exprs =>
         MmrSelect(exprs(0), foldableInt("mmr_select", exprs(1)),
           foldableDouble("mmr_select", exprs(2))), "scala_udf")
@@ -2286,6 +2391,24 @@ object VectorFunctions {
   }
 
   /** Fold a SQL argument that must be a literal string. */
+  /** Fold a SQL argument that must be a literal array of strings (the
+    * WordPiece vocabulary shape).
+    */
+  def foldableStrings(fn: String, e: Expression): Seq[String] = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"$fn expects a literal array of strings, got: ${e.sql}")
+    if (!e.foldable) fail()
+    (e.eval(), e.dataType) match {
+      case (arr: ArrayData, ArrayType(StringType, _)) =>
+        (0 until arr.numElements()).map { i =>
+          val u = arr.getUTF8String(i)
+          if (u == null) fail()
+          u.toString
+        }
+      case _ => fail()
+    }
+  }
+
   def foldableString(fn: String, e: Expression): String = {
     def fail(what: String): Nothing = throw new IllegalArgumentException(
       s"$fn expects a literal string argument, got $what: ${e.sql}")
