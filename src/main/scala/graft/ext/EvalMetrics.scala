@@ -99,4 +99,74 @@ object EvalMetrics {
     components.withColumn("bleu",
       when(col("log_bleu_milli").isNotNull,
         exp(col("log_bleu_milli").cast("double") / 1000.0)))
+
+  /** Ranked-retrieval evaluation at cutoff k — the metrics that price
+    * the BM25 / ANN / RRF retrieval faces: per query, from a ranked run
+    * (query, doc, rank) and graded relevance labels (query, doc, rel),
+    *
+    *  - `n_rel`, `hits` (relevant docs retrieved at rank ≤ k),
+    *    `recall_ppm = hits·10⁶ // n_rel`
+    *  - `rr_ppm = 10⁶ // (first relevant rank ≤ k)` (0 when none — the
+    *    MRR@k convention; the corpus MRR is the mean of this column)
+    *  - `dcg_micro = Σ_{rank≤k, rel>0} round(rel·10⁶ / log₂(rank+1))`,
+    *    `idcg_micro` over the ideal (rel-descending) ordering, and
+    *    `ndcg_ppm = dcg·10⁶ // idcg`
+    *
+    * Each DCG term quantizes to micro-units BEFORE summing, so the sums
+    * are exact Longs (aggregation-order-free); log₂ is the only float
+    * (one IEEE division inside, per the milli-nat precedent). The
+    * driving row set is the queries with ≥ 1 positive label (a query
+    * with nothing relevant has no defined recall/MRR/nDCG); a labeled
+    * query the run never retrieved reports zeros honestly.
+    *
+    * Scale shape: one (query, doc) equi-join of run against labels, one
+    * query-keyed partial agg; the ideal ordering is a row_number window
+    * over the LABELS (bounded per query), never over the run.
+    */
+  def retrievalMetrics(run: DataFrame, labels: DataFrame,
+                       queryCol: String, docCol: String, rankCol: String,
+                       relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val lb = OpCaches.register(labels
+      .select(col(queryCol).as("q"), col(docCol).as("doc"),
+        col(relCol).cast("long").as("rel"))
+      .where(col("rel") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dcgTerm = (rel: Column, pos: Column) =>
+      round(rel.cast("double") * 1000000L / log2(pos.cast("double") + 1))
+        .cast("long")
+    val ideal = lb
+      .withColumn("i", row_number().over(Window.partitionBy(col("q"))
+        .orderBy(col("rel").desc, col("doc").asc)))
+      .where(col("i") <= k)
+      .groupBy(col("q"))
+      .agg(sum(dcgTerm(col("rel"), col("i"))).as("idcg_micro"))
+    val nRel = lb.groupBy(col("q"))
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    val scored = run
+      .select(col(queryCol).as("q"), col(docCol).as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .where(col("rank") <= k)
+      .join(lb, Seq("q", "doc"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy(col("q"))
+      .agg(sum((col("rel") > 0).cast("long")).as("hits"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum(when(col("rel") > 0,
+          dcgTerm(col("rel"), col("rank"))).otherwise(0L))
+          .as("dcg_micro"))
+    nRel.join(scored, Seq("q"), "left")
+      .join(ideal, Seq("q"), "left")
+      .select(col("q").as(queryCol), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        floorDivNN(coalesce(col("hits"), lit(0L)) * 1000000L,
+          col("n_rel")).as("recall_ppm"),
+        coalesce(floorDivNN(lit(1000000L), col("first_rel")), lit(0L))
+          .as("rr_ppm"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        floorDivNN(coalesce(col("dcg_micro"), lit(0L)) * 1000000L,
+          col("idcg_micro")).as("ndcg_ppm"))
+  }
 }

@@ -366,6 +366,29 @@ private[queries] object ExtSimQueries {
         .select(col("id_a"), col("id_b"),
           (col("hamming") <= 6).as("near"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+    "sim_retrieval_eval" -> { (s, d) =>
+      // recall@10 / MRR@10 / nDCG@10 over a deterministic synthetic
+      // run (hash-ordered ranking within 20 query groups) and graded
+      // labels (rel 2 on doc_id%7=0, rel 1 on doc_id%5=0) — the metric
+      // layer that prices the BM25/ANN/RRF retrieval faces
+      val dd = docs(s, d)
+      val base = dd.select(col("doc_id"),
+        pmod(col("doc_id"), lit(20L)).as("q"),
+        pmod(col("doc_id") * 37 + 11, lit(1000L)).as("h"))
+      val run = base.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select(col("q"), col("doc_id").as("doc"), col("rank"))
+      val labels = dd.select(pmod(col("doc_id"), lit(20L)).as("q"),
+        col("doc_id").as("doc"),
+        when(pmod(col("doc_id"), lit(7L)) === 0, 2L)
+          .when(pmod(col("doc_id"), lit(5L)) === 0, 1L)
+          .otherwise(0L).as("rel"))
+      graft.ext.EvalMetrics.retrievalMetrics(run, labels,
+          "q", "doc", "rank", "rel", k = 10)
+        .orderBy(col("q"))
     }
   )
 
@@ -596,6 +619,51 @@ private[queries] object ExtSimQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS near
          FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
          WHERE a.doc_id % 3 = 0
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "sim_retrieval_eval" ->
+      """WITH base AS (SELECT doc_id, doc_id % 20 AS q,
+           (doc_id * 37 + 11) % 1000 AS h FROM documents),
+         run AS (SELECT q, doc_id AS doc,
+             CAST(row_number() OVER (PARTITION BY q
+               ORDER BY h, doc_id) AS BIGINT) AS rank
+           FROM base),
+         lb AS (SELECT doc_id % 20 AS q, doc_id AS doc,
+             CASE WHEN doc_id % 7 = 0 THEN 2
+                  WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS rel
+           FROM documents),
+         lbp AS (SELECT q, doc, CAST(rel AS BIGINT) AS rel FROM lb
+           WHERE rel > 0),
+         ideal AS (SELECT q, CAST(sum(CAST(round(
+               CAST(rel * 1000000 AS DOUBLE) / log2(i + 1))
+               AS BIGINT)) AS BIGINT) AS idcg_micro
+           FROM (SELECT q, rel, row_number() OVER (PARTITION BY q
+               ORDER BY rel DESC, doc ASC) AS i FROM lbp)
+           WHERE i <= 10 GROUP BY q),
+         nrel AS (SELECT q, CAST(count(*) AS BIGINT) AS n_rel FROM lbp
+           GROUP BY q),
+         scored AS (SELECT r.q,
+             CAST(sum(CASE WHEN coalesce(lbp.rel, 0) > 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS hits,
+             min(CASE WHEN coalesce(lbp.rel, 0) > 0 THEN r.rank END)
+               AS first_rel,
+             CAST(sum(CASE WHEN coalesce(lbp.rel, 0) > 0
+               THEN CAST(round(CAST(lbp.rel * 1000000 AS DOUBLE)
+                 / log2(r.rank + 1)) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS dcg_micro
+           FROM run r LEFT JOIN lbp ON lbp.q = r.q AND lbp.doc = r.doc
+           WHERE r.rank <= 10 GROUP BY r.q)
+         SELECT nrel.q, nrel.n_rel,
+           coalesce(scored.hits, 0) AS hits,
+           CAST(coalesce(scored.hits, 0) * 1000000 // nrel.n_rel
+             AS BIGINT) AS recall_ppm,
+           CAST(coalesce(1000000 // scored.first_rel, 0) AS BIGINT)
+             AS rr_ppm,
+           coalesce(scored.dcg_micro, 0) AS dcg_micro,
+           ideal.idcg_micro,
+           CAST(coalesce(scored.dcg_micro, 0) * 1000000
+             // ideal.idcg_micro AS BIGINT) AS ndcg_ppm
+         FROM nrel LEFT JOIN scored USING (q)
+         LEFT JOIN ideal USING (q)
+         ORDER BY q"""
   )
 }

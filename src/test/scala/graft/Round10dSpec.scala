@@ -76,6 +76,40 @@ class Round10dSpec extends SparkSpecBase {
     assert(r.getLong(r.fieldIndex("bp_milli")) == 0L)
   }
 
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG at k=3 with " +
+    "graded relevance, plus the zero-retrieved and unlabeled-query " +
+    "edges") {
+    val run = Seq(
+      (1L, 9L, 1L), (1L, 2L, 2L), (1L, 1L, 3L), (1L, 8L, 4L),
+      (1L, 3L, 5L),
+      (2L, 7L, 1L), (2L, 6L, 2L),         // q2 retrieves nothing relevant
+      (3L, 4L, 1L)                        // q3 has no labels → absent
+    ).toDF("q", "doc", "rank")
+    val labels = Seq(
+      (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 5L, 1L)
+    ).toDF("q", "doc", "rel")
+    val out = EvalMetrics.retrievalMetrics(run, labels,
+      "q", "doc", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "driving set = labeled queries")
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L) // n_rel, hits
+    assert(r1.getLong(3) == 666666L)                   // recall 2/3
+    assert(r1.getLong(4) == 500000L)                   // first rel rank 2
+    val dcg = math.round(1000000.0 / (math.log(3) / math.log(2))) +
+      1000000L // rel1@rank2 + rel2@rank3 (log2(4)=2 → 2e6/2)
+    // ideal order [2,1,1]: 2e6/log2(2) + 1e6/log2(3) + 1e6/log2(4)
+    val idcg = 2000000L +
+      math.round(1000000.0 / (math.log(3) / math.log(2))) + 500000L
+    assert(r1.getLong(5) == dcg, s"dcg ${r1.getLong(5)} != $dcg")
+    assert(r1.getLong(6) == idcg, s"idcg ${r1.getLong(6)} != $idcg")
+    assert(r1.getLong(7) == dcg * 1000000L / idcg)
+    val r2 = out(2L)
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L &&
+      r2.getLong(4) == 0L && r2.getLong(5) == 0L && r2.getLong(7) == 0L)
+  }
+
   test("ngram_overlap participates in whole-stage codegen via the " +
     "static kernel, and the SQL face resolves") {
     val gen = org.apache.spark.sql.execution.debug.codegenString(
