@@ -129,6 +129,34 @@ class Round10cSpec extends SparkSpecBase {
     assert(out(3L).isNullAt(8) && out(5L).isNullAt(8))
   }
 
+  test("chatAudit runs unchanged on a STREAMING frame (pure narrow " +
+    "map, no state) and matches the batch flags per row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      1L -> """[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]""",
+      2L -> "not json",
+      3L -> """[{"role":"user","content":"hi"},{"role":"user","content":"x"}]""")
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val audited = graft.ext.Pipeline.chatAudit(
+      ms.toDF().toDF("id", "chat"), "id", "chat")
+    val q = audited.writeStream.format("memory")
+      .queryName("chat_audit_stream").outputMode("append").start()
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("chat_audit_stream")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      val want = graft.ext.Pipeline.chatAudit(
+        rows.toDF("id", "chat"), "id", "chat")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+      assert(got == want && got == Map(1L -> true, 2L -> false,
+        3L -> false))
+    } finally q.stop()
+  }
+
   test("lDiversity: a k-anonymous group with a concentrated sensitive " +
     "value violates; NULL counts as a sensitive value") {
     val df = Seq(

@@ -858,4 +858,48 @@ class ScaleSpec extends SparkSpecBase {
     info(f"asOf 100×: 20k+20k rows $tS%.2f s → 2M+2M $tB%.1f s " +
       "(one key, one window task)")
   }
+
+  test("100× continuous value: ksTest + mannWhitneyU where EVERY value " +
+    "is distinct — the distinct-value table is corpus-sized, the " +
+    "distributed prefix sum must spread it; closed-form exact at both " +
+    "sizes") {
+    import graft.ext.Stats
+    // the two-sample-stat pathology: a continuous signal (latency
+    // micros, a float score) never repeats, so the map-side combine
+    // buys nothing and the cumulative pass runs over ALL n rows. A
+    // naive global running-sum window serializes that into ONE task;
+    // the packSequences-style range-partitioned prefix sum is the
+    // shape under test. Alternating parity sides give closed forms:
+    // max ECDF gap = 1 step → d_ppm = 10⁶ // (n/2); U_a = m(m−1)/2
+    // pairs doubled = m(m−1) with m = n/2.
+    def run(n: Long): ((Long, Long, Long, Long), Double) = {
+      val df = spark.range(n).select(col("id").as("v"),
+        when(pmod(col("id"), lit(2L)) === 0, "a").otherwise("b")
+          .as("side"))
+      time {
+        val ks = Stats.ksTest(df, "v", "side", "a", "b").collect()(0)
+        val mw = Stats.mannWhitneyU(df, "v", "side", "a", "b")
+          .collect()(0)
+        val res = (ks.getLong(2), ks.getLong(3), mw.getLong(2),
+          mw.getLong(4))
+        graft.ext.OpCaches.releaseAll()
+        res
+      }
+    }
+    run(2000) // warm-up
+    val ((dS, atS, uS, clesS), tS) = run(40000)
+    val ((dB, atB, uB, clesB), tB) = run(4000000)
+    def expect(n: Long): (Long, Long, Long, Long) = {
+      val m = n / 2
+      (1000000L / m, 0L, m * (m - 1), m * (m - 1) * 1000000L /
+        (2L * m * m))
+    }
+    assert((dS, atS, uS, clesS) == expect(40000),
+      s"small KS/MWU wrong: ($dS, $atS, $uS, $clesS)")
+    assert((dB, atB, uB, clesB) == expect(4000000),
+      s"big KS/MWU wrong: ($dB, $atB, $uB, $clesB)")
+    assertLinear100("two_sample_100x", tS, tB, () => run(4000000)._2)
+    info(f"ksTest+mannWhitneyU 100×: 40k all-distinct rows $tS%.2f s " +
+      f"→ 4M $tB%.1f s (distributed prefix sum)")
+  }
 }
