@@ -928,6 +928,47 @@ object Pipeline {
       .withColumn("violates", col("n_sensitive") < l)
   }
 
+  /** Differentially-private noisy group counts — the Laplace mechanism
+    * for count queries (L1 sensitivity 1): per group combination,
+    * release `noisy_milli = 1000·c + round(1000·Lap(1/ε))` and NOT the
+    * true count. The Laplace draw is the inverse CDF
+    * `−(1/ε)·sign(u−½)·ln(1−2|u−½|)` over `u = (h + ½)/10⁶` with `h`
+    * the portable 60-bit hash of the (length-prefixed) group key and
+    * the release salt — deterministic, so a release is reproducible and
+    * engine-portable (the bootstrapCi hash-draw convention).
+    *
+    * PRIVACY CAVEAT (enforced loud): determinism makes the salt the
+    * entire entropy source — the mechanism is ε-DP only if the salt is
+    * secret and FRESH per release; reusing a salt across two releases
+    * of overlapping data composes the budgets, and publishing it
+    * destroys the guarantee entirely. `salt` is therefore required.
+    * Groups absent from the data are absent from the release (standard
+    * for known-domain count queries; enumerate the domain upstream and
+    * left-join if absent groups must also be noised).
+    *
+    * Scale shape: one partial-agg'd groupBy; the noise is a narrow map
+    * over the combination-sized aggregate.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double, salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpNoisyCounts needs group columns")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(salt.nonEmpty,
+      "dpNoisyCounts requires a fresh secret salt: the deterministic " +
+        "draw is only DP if the salt is never reused or published")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val h = pmod(portableHash60(concat(digestRowEncoding(groupCols),
+      lit("\u001fdp:" + salt))), lit(1000000L))
+    val u = (h.cast("double") + 0.5) / 1000000.0
+    val d = u - 0.5
+    val lap = -lit(1.0 / epsilon) * signum(d) *
+      log(lit(1.0) - lit(2.0) * abs(d))
+    counts.select(groupCols.map(col) :+
+      (col("__c") * 1000L + round(lap * 1000).cast("long"))
+        .as("noisy_milli"): _*)
+  }
+
   /** Chat-transcript audit + flattening — the SFT-data ingest gate: each
     * row carries a JSON conversation (`[{"role": …, "content": …}, …]`);
     * emit per-row schema/shape flags and, for valid rows, the flattened

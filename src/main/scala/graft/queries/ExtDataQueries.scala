@@ -104,6 +104,14 @@ private[queries] object ExtDataQueries {
           Seq("c_nationkey"), "c_mktsegment", l = 5L)
         .orderBy(col("c_nationkey"))
     },
+    "ds_dp_counts" -> { (s, d) =>
+      // DP release of per-language counts: Laplace(1/0.5) noise from
+      // the salted portable hash — reproducible, engine-portable, and
+      // the true count never leaves the operator
+      Pipeline.dpNoisyCounts(docs(s, d), Seq("lang"),
+          epsilon = 0.5, salt = "r10-release-1")
+        .orderBy(col("lang"))
+    },
     "ds_chat_audit" -> { (s, d) =>
       // SFT chat-transcript ingest gate over a 5-variant JSON fixture:
       // system-led valid, plain valid, broken alternation, empty
@@ -853,6 +861,25 @@ private[queries] object ExtDataQueries {
              < 5 AS violates
          FROM customer GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "ds_dp_counts" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+         enc AS (SELECT lang, n,
+             (CASE WHEN lang IS NULL THEN '␀'
+               ELSE length(lang) || ':' || lang END) || chr(31) || 'dp:r10-release-1'
+               AS e
+           FROM c),
+         hh AS (SELECT lang, n,
+             CAST('0x' || substr(md5(e), 1, 15) AS BIGINT) % 1000000
+               AS h
+           FROM enc),
+         lap AS (SELECT lang, n,
+             (CAST(h AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS d
+           FROM hh)
+         SELECT lang, CAST(n * 1000 + round(
+             -(1.0 / 0.5) * sign(d) * ln(1.0 - 2.0 * abs(d)) * 1000)
+             AS BIGINT) AS noisy_milli
+         FROM lap ORDER BY lang""",
     "ds_chat_audit" ->
       """WITH fx AS (SELECT doc_id,
            'c' || substring(regexp_replace(lower(text), '[^a-z ]', '',

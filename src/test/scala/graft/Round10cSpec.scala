@@ -129,6 +129,39 @@ class Round10cSpec extends SparkSpecBase {
     assert(out(3L).isNullAt(8) && out(5L).isNullAt(8))
   }
 
+  test("dpNoisyCounts: driver-replicated Laplace draw, noise bounded " +
+    "by the grid tail, deterministic per salt, redrawn across salts, " +
+    "loud on a missing salt") {
+    val df = (0 until 200).map(i => ("g" + (i % 8), i)).toDF("g", "x")
+    val eps = 0.5
+    def noisy(salt: String) = graft.ext.Pipeline
+      .dpNoisyCounts(df, Seq("g"), eps, salt)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = noisy("s1")
+    assert(a == noisy("s1"), "not deterministic for a fixed salt")
+    assert(a != noisy("s2"), "salt did not redraw the noise")
+    // driver replication of the exact formula for every group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.foreach { case (g, got) =>
+      val enc = s"${g.length}:$g" + "\u001fdp:s1"
+      val hex = md.digest(enc.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) % 1000000L
+      val u = (h.toDouble + 0.5) / 1000000.0
+      val d = u - 0.5
+      val lap = -(1.0 / eps) * math.signum(d) *
+        math.log(1.0 - 2.0 * math.abs(d))
+      val want = 25L * 1000L + math.round(lap * 1000)
+      assert(got == want, s"group $g: got $got want $want")
+      // grid tail bound: |noise| <= (1/eps)·ln(10^6) milli-nats
+      assert(math.abs(got - 25000L) <= math.round(2.0 *
+        math.log(1000000.0) * 1000) + 1, s"noise out of bound: $got")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Pipeline.dpNoisyCounts(df, Seq("g"), eps, "")
+    }
+  }
+
   test("chatAudit runs unchanged on a STREAMING frame (pure narrow " +
     "map, no state) and matches the batch flags per row") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
