@@ -85,6 +85,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "word_bigram_hashes" -> (es => WordBigramHashes(es(0))),
     "word_bigrams" -> (es => WordBigrams(es(0))),
     "word_ngrams" -> (es => WordNgrams(es(0), intArg("word_ngrams", es(1)))),
+    "span_uncorrupt" -> (es => SpanUncorrupt(es(0), es(1))),
+    "span_corrupt" -> (es =>
+      SpanCorrupt(es(0), es(1), intArg("span_corrupt", es(2)),
+        intArg("span_corrupt", es(3)),
+        VectorFunctions.foldableString("span_corrupt", es(4)))),
     "wordpiece_encode" -> (es =>
       WordpieceEncode(es(0),
         VectorFunctions.foldableStrings("wordpiece_encode", es(1)),

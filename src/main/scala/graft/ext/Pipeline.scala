@@ -928,6 +928,45 @@ object Pipeline {
       .withColumn("violates", col("n_sensitive") < l)
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * pretraining-objective rewrite: each document's whitespace tokens
+    * get deterministic hash-drawn mask spans (start probability
+    * `maskRate/meanSpan` per out-of-span position, span length
+    * `1 + h % (2·meanSpan−1)`, mean `meanSpan`); spans collapse to
+    * `<extra_id_k>` sentinels in `input` and are listed in `targets`
+    * in the exact T5 target format. RNG-free (the epochShuffle
+    * convention): the draw hashes (id, position, salt), so the output
+    * is partition/engine-invariant and re-drawable per epoch by
+    * changing the salt. Returns (id, input, targets, n_tokens,
+    * n_masked, n_spans). Caveat: text already containing `<extra_id_`
+    * tokens aliases the sentinel namespace — clean first.
+    *
+    * Scale shape: one codegen'd NARROW map riding the corpus scan —
+    * zero shuffle, streaming-safe.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  maskRate: Double = 0.15, meanSpan: Int = 3,
+                  salt: String = ""): DataFrame = {
+    require(maskRate > 0 && maskRate <= 1,
+      s"maskRate in (0,1], got $maskRate")
+    val startPpm = math.round(maskRate / meanSpan * 1000000).toInt
+    val arr = graft.functions.VectorFunctions.span_corrupt(
+      col(idCol).cast("string"), col(textCol), startPpm, meanSpan, salt)
+    df.select(col(idCol).as("id"), arr.as("__a"))
+      .select(col("id"),
+        col("__a").getItem(0).as("input"),
+        col("__a").getItem(1).as("targets"),
+        col("__a").getItem(2).cast("long").as("n_tokens"),
+        col("__a").getItem(3).cast("long").as("n_masked"),
+        col("__a").getItem(4).cast("long").as("n_spans"))
+  }
+
+  /** [[spanCorrupt]] reconstruction: splice targets back into input —
+    * the roundtrip certificate face.
+    */
+  def spanUncorrupt(input: Column, targets: Column): Column =
+    graft.functions.VectorFunctions.span_uncorrupt(input, targets)
+
   /** Differentially-private noisy group counts — the Laplace mechanism
     * for count queries (L1 sensitivity 1): per group combination,
     * release `noisy_milli = 1000·c + round(1000·Lap(1/ε))` and NOT the

@@ -104,6 +104,29 @@ private[queries] object ExtDataQueries {
           Seq("c_nationkey"), "c_mktsegment", l = 5L)
         .orderBy(col("c_nationkey"))
     },
+    "ds_span_corrupt" -> { (s, d) =>
+      // T5 span corruption, gated by CERTIFICATES (the hash-drawn span
+      // walk is an in-doc sequential loop DuckDB can't replay):
+      // splicing targets back into input must reconstruct the cleaned
+      // text exactly, and the sentinel bookkeeping must be consistent;
+      // n_tokens keys the content
+      val clean = array_join(filter(split(
+        regexp_replace(lower(col("text")), "[^a-z ]", ""), " "),
+        w => w =!= ""), " ")
+      val base = docs(s, d).select(col("doc_id"), clean.as("t"))
+      val sc = Pipeline.spanCorrupt(base, "doc_id", "t",
+        maskRate = 0.15, meanSpan = 3, salt = "r10")
+      sc.join(base, sc("id") === base("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          (Pipeline.spanUncorrupt(col("input"), col("targets")) ===
+            col("t")).as("roundtrip_ok"),
+          (size(filter(split(col("input"), " "),
+            w => w.startsWith("<extra_id_"))).cast("long") ===
+            col("n_spans") &&
+            col("targets").endsWith(concat(lit("<extra_id_"),
+              col("n_spans"), lit(">")))).as("sentinels_ok"))
+        .orderBy(col("doc_id"))
+    },
     "ds_dp_counts" -> { (s, d) =>
       // DP release of per-language counts: Laplace(1/0.5) noise from
       // the salted portable hash — reproducible, engine-portable, and
@@ -861,6 +884,13 @@ private[queries] object ExtDataQueries {
              < 5 AS violates
          FROM customer GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "ds_span_corrupt" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+           TRUE AS roundtrip_ok, TRUE AS sentinels_ok
+         FROM documents ORDER BY doc_id""",
     "ds_dp_counts" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
            FROM documents GROUP BY lang),

@@ -683,6 +683,97 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): walk the
+    * whitespace tokens of `text`; at each position OUTSIDE an active
+    * span, start a span when
+    * `h60(key ␟ pos ␟ salt) % 10⁶ < startPpm` — the per-position hash
+    * makes the draw deterministic, partition-independent and
+    * engine-replayable (the bootstrapCi convention) — with span length
+    * `1 + h2 % (2·meanSpan − 1)` (mean = meanSpan). Each span collapses
+    * to `<extra_id_k>` in the input (k in first-occurrence order), and
+    * the targets string lists `<extra_id_k> masked tokens …` ended by
+    * the final sentinel — the exact T5 target format. Expected mask
+    * coverage is `startPpm·meanSpan / 10⁶` over out-of-span positions
+    * (the caller picks startPpm = rate/meanSpan).
+    * Returns `[input, targets, n_tokens, n_masked, n_spans]` as a
+    * string array (counts rendered decimal — one kernel call, split by
+    * the Column face).
+    */
+  def spanCorrupt(key: UTF8String, text: UTF8String, startPpm: Int,
+                  meanSpan: Int, salt: String): ArrayData = {
+    val toks = text.toString.split(' ').filter(_.nonEmpty)
+    val in = new java.lang.StringBuilder(text.numBytes() + 16)
+    val tg = new java.lang.StringBuilder(64)
+    var i = 0
+    var spanId = 0
+    var masked = 0
+    val keyS = key.toString
+    while (i < toks.length) {
+      val hb = (keyS + "\u001f" + i + "\u001f" + salt)
+        .getBytes("UTF-8")
+      val h = PortableHash.h60(hb, 0, hb.length)
+      if (h % 1000000L < startPpm) {
+        val len = 1 + ((h >>> 20) % (2 * meanSpan - 1).toLong).toInt
+        if (in.length > 0) in.append(' ')
+        in.append("<extra_id_").append(spanId).append('>')
+        tg.append("<extra_id_").append(spanId).append('>')
+        var j = 0
+        while (j < len && i < toks.length) {
+          tg.append(' ').append(toks(i))
+          masked += 1; i += 1; j += 1
+        }
+        tg.append(' ')
+        spanId += 1
+      } else {
+        if (in.length > 0) in.append(' ')
+        in.append(toks(i))
+        i += 1
+      }
+    }
+    tg.append("<extra_id_").append(spanId).append('>')
+    new GenericArrayData(Array[Any](
+      UTF8String.fromString(in.toString),
+      UTF8String.fromString(tg.toString),
+      UTF8String.fromString(toks.length.toString),
+      UTF8String.fromString(masked.toString),
+      UTF8String.fromString(spanId.toString)))
+  }
+
+  /** [[spanCorrupt]] inverse: splice each `<extra_id_k>` span's target
+    * tokens back into the input — the reconstruction certificate.
+    * Returns the rebuilt single-spaced text; malformed inputs rebuild
+    * best-effort (unknown sentinels pass through).
+    */
+  def spanUncorrupt(input: UTF8String, targets: UTF8String): UTF8String = {
+    val spans = new java.util.HashMap[String, String]()
+    val tg = targets.toString
+    // targets = <extra_id_0> tok tok <extra_id_1> tok ... <extra_id_n>
+    var cur: String = null
+    val sb = new java.lang.StringBuilder(32)
+    tg.split(' ').filter(_.nonEmpty).foreach { t =>
+      if (t.startsWith("<extra_id_") && t.endsWith(">")) {
+        if (cur != null) spans.put(cur, sb.toString)
+        cur = t; sb.setLength(0)
+      } else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(t)
+      }
+    }
+    if (cur != null) spans.put(cur, sb.toString)
+    val out = new java.lang.StringBuilder(input.numBytes() * 2)
+    input.toString.split(' ').filter(_.nonEmpty).foreach { t =>
+      val rep =
+        if (t.startsWith("<extra_id_") && t.endsWith(">"))
+          spans.getOrDefault(t, t)
+        else t
+      if (rep.nonEmpty) {
+        if (out.length > 0) out.append(' ')
+        out.append(rep)
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   /** WordPiece greedy longest-match-first encoding (the BERT tokenizer's
     * WordpieceTokenizer contract): per whitespace word, repeatedly match
     * the LONGEST vocabulary piece at the cursor — continuation pieces
@@ -1673,6 +1764,66 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** T5 span corruption (see [[Kernels.spanCorrupt]]): a codegen'd
+  * narrow map — the pretraining-objective rewrite rides the corpus
+  * scan with zero shuffle, deterministic per (key, salt).
+  */
+case class SpanCorrupt(left: Expression, right: Expression,
+                       startPpm: Int, meanSpan: Int, salt: String)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(startPpm >= 0 && startPpm <= 1000000,
+    s"span_corrupt needs 0 <= startPpm <= 1e6, got $startPpm")
+  require(meanSpan >= 1 && meanSpan <= 64,
+    s"span_corrupt needs 1 <= meanSpan <= 64, got $meanSpan")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_corrupt"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.spanCorrupt(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], startPpm, meanSpan, salt)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("scSalt", salt, "String")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".spanCorrupt($a, $b, $startPpm, $meanSpan, $saltRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Span-corruption inverse (see [[Kernels.spanUncorrupt]]) — the
+  * reconstruction certificate's engine half.
+  */
+case class SpanUncorrupt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "span_uncorrupt"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.spanUncorrupt(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".spanUncorrupt($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** WordPiece greedy longest-match-first tokenization against a fixed
   * vocabulary (see [[Kernels.wordpieceEncode]]) — the THIRD real-world
   * tokenizer family next to [[BpeEncode]] and [[UnigramEncode]] (the
@@ -2079,6 +2230,18 @@ object VectorFunctions {
       ExpressionUtils.expression(ref), ExpressionUtils.expression(cand),
       maxN))
 
+  /** T5 span corruption (see [[SpanCorrupt]]). */
+  def span_corrupt(key: Column, text: Column, startPpm: Int,
+                   meanSpan: Int, salt: String): Column =
+    ExpressionUtils.column(SpanCorrupt(ExpressionUtils.expression(key),
+      ExpressionUtils.expression(text), startPpm, meanSpan, salt))
+
+  /** Span-corruption reconstruction (see [[SpanUncorrupt]]). */
+  def span_uncorrupt(input: Column, targets: Column): Column =
+    ExpressionUtils.column(SpanUncorrupt(
+      ExpressionUtils.expression(input),
+      ExpressionUtils.expression(targets)))
+
   /** WordPiece greedy longest-match encode (see [[WordpieceEncode]]). */
   def wordpiece_encode(text: Column, vocab: Seq[String],
                        unk: String = "[UNK]", maxChars: Int = 200): Column =
@@ -2276,6 +2439,15 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs =>
         WordNgrams(exprs(0), foldableInt("word_ngrams", exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_uncorrupt", exprs =>
+        SpanUncorrupt(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "span_corrupt", exprs =>
+        SpanCorrupt(exprs(0), exprs(1),
+          foldableInt("span_corrupt", exprs(2)),
+          foldableInt("span_corrupt", exprs(3)),
+          foldableString("span_corrupt", exprs(4))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wordpiece_encode", exprs =>
         WordpieceEncode(exprs(0),

@@ -52,6 +52,73 @@ class Round10fSpec extends SparkSpecBase {
       .collect()(0).getString(0) == "[UNK]")
   }
 
+  test("spanCorrupt: roundtrip reconstruction on every doc, T5 target " +
+    "format, deterministic and partition-invariant, salt redraws") {
+    val docs = (0 until 300).map(i => (i.toLong,
+      (0 until 40).map(j => s"w${(i * 131 + j * 7) % 97}")
+        .mkString(" "))).toDF("doc_id", "t")
+    def run(salt: String, parts: Int) = graft.ext.Pipeline
+      .spanCorrupt(docs.repartition(parts), "doc_id", "t", 0.15, 3, salt)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val a = run("s1", 1)
+    assert(a == run("s1", 7), "not partition-invariant")
+    assert(a != run("s2", 1), "salt did not redraw the spans")
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val rebuilt = graft.ext.Pipeline.spanCorrupt(docs, "doc_id", "t",
+        0.15, 3, "s1")
+      .select(col("id"), graft.ext.Pipeline.spanUncorrupt(col("input"),
+        col("targets")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == orig, "roundtrip failed")
+    // format: targets always terminate with sentinel n_spans; coverage
+    // lands in a loose band around the 15% target over the corpus
+    a.values.foreach { case (_, tg, _, _, nSpans) =>
+      assert(tg.endsWith(s"<extra_id_$nSpans>"), tg)
+    }
+    val masked = a.values.map(_._4).sum.toDouble
+    val toks = a.values.map(_._3).sum.toDouble
+    assert(masked / toks > 0.08 && masked / toks < 0.25,
+      s"corpus mask coverage ${masked / toks} outside [0.08, 0.25]")
+  }
+
+  test("spanCorrupt edge cases: empty text, single token, and unknown " +
+    "sentinels passing through spanUncorrupt") {
+    val df = Seq((1L, ""), (2L, "solo")).toDF("doc_id", "t")
+    val out = graft.ext.Pipeline.spanCorrupt(df, "doc_id", "t",
+        0.15, 3, "s")
+      .select(col("id"), col("input"), col("targets"), col("n_tokens"),
+        graft.ext.Pipeline.spanUncorrupt(col("input"), col("targets"))
+          .as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L)._3 == 0L && out(1L)._4 == "")
+    assert(out(2L)._4 == "solo")
+    import spark.implicits._
+    val pass = Seq(("a <extra_id_9> b", "<extra_id_0>")).toDF("i", "t")
+      .select(graft.ext.Pipeline.spanUncorrupt(col("i"), col("t")))
+      .collect()(0).getString(0)
+    assert(pass == "a <extra_id_9> b", pass)
+  }
+
+  test("span_corrupt participates in whole-stage codegen and the SQL " +
+    "face resolves") {
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      spark.range(2).select(graft.functions.VectorFunctions.span_corrupt(
+        col("id").cast("string"), lit("a b c d e f g h"),
+        50000, 3, "s").as("a")).queryExecution.executedPlan)
+    assert(gen.contains("Kernels.spanCorrupt"),
+      "span_corrupt fell out of whole-stage codegen")
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = spark.sql("SELECT span_uncorrupt(" +
+      "'a <extra_id_0> d', '<extra_id_0> b c <extra_id_1>') AS r")
+      .collect()(0).getString(0)
+    assert(viaSql == "a b c d", viaSql)
+  }
+
   test("wordpiece_encode participates in whole-stage codegen and the " +
     "SQL face resolves with a literal array vocabulary") {
     val gen = org.apache.spark.sql.execution.debug.codegenString(
