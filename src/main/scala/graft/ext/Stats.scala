@@ -166,6 +166,87 @@ object Stats {
           col("n_a") * col("n_b") * 2L).as("cles_ppm"))
   }
 
+  /** Per-group two-sample KS drift table — [[ksTest]] for every group
+    * at once (the per-language drift report shape): one row per
+    * `byCol` value with that group's (n_a, n_b, d_ppm, at_v). Counts
+    * collapse to the (group, value) table in ONE partial-agg'd shuffle;
+    * the cumulative pass is a window PER GROUP (bounded by the group's
+    * distinct values — a runaway group is the quantileNormalize
+    * one-task-sort shape; use the global [[ksTest]]'s distributed
+    * prefix sum when a single group's distinct values are
+    * corpus-sized).
+    */
+  def ksTestByGroup(df: DataFrame, valueCol: String, byCol: String,
+                    groupCol: String, a: Any, b: Any): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .where((col(groupCol) === lit(a) || col(groupCol) === lit(b)) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(byCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(sum((col(groupCol) === lit(a)).cast("long")).as("ca"),
+           sum((col(groupCol) === lit(b)).cast("long")).as("cb"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.select(col("g"), col("v"),
+      sum(col("ca")).over(w).as("cuma"),
+      sum(col("cb")).over(w).as("cumb"))
+    val tot = per.groupBy(col("g"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.join(tot, Seq("g"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
+          .as("gap"),
+        col("v"))
+      .groupBy(col("g"), col("n_a"), col("n_b"))
+      .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("m"))
+      .select(col("g").as(byCol), col("n_a"), col("n_b"),
+        floorDivNN(col("m.gap") * 1000000L, col("n_a") * col("n_b"))
+          .as("d_ppm"),
+        (-col("m.nv")).as("at_v"))
+  }
+
+  /** Per-group robust scaling (median/MAD z-scores) — the
+    * outlier-immune companion to mean/σ standardization for
+    * heavy-tailed quality signals: per group, the exact median and the
+    * exact MAD (median of |v − median|), then
+    * `z_milli = (v·1000 − med_milli) · 1000 // max(mad_milli, 1)` in
+    * exact integer milli-units (values quantize to milli first — the
+    * winsorizedMean exactness argument; a zero-MAD group, over half
+    * its mass on one value, floors the denominator at 1 milli and is
+    * flagged `mad_zero`). Returns every input row plus
+    * (med_milli, mad_milli, z_milli, mad_zero).
+    *
+    * Shape: two exact-percentile group aggregations (group-keyed, tiny
+    * outputs) broadcast back onto the row stream — the winsorizedMean
+    * two-pass; substitute the KLL sketch face at streaming/100 TB.
+    */
+  def robustScale(df: DataFrame, valueCol: String,
+                  groupCol: String): DataFrame = {
+    val vMilli = round(col(valueCol).cast("double") * 1000).cast("long")
+    val med = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), vMilli.as("vm"))
+      .groupBy(col("g"))
+      .agg(percentile(col("vm"), lit(0.5)).as("medd"))
+      .select(col("g"), round(col("medd")).cast("long").as("med_milli"))
+    val withMed = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), vMilli.as("vm"))
+      .join(broadcast(med), Seq("g"))
+    val mad = withMed
+      .select(col("g"), abs(col("vm") - col("med_milli")).as("ad"))
+      .groupBy(col("g"))
+      .agg(percentile(col("ad"), lit(0.5)).as("madd"))
+      .select(col("g"), round(col("madd")).cast("long").as("mad_milli"))
+    df.select(df.columns.map(col) :+
+        col(groupCol).as("__g") :+ vMilli.as("__vm"): _*)
+      .join(broadcast(med.withColumnRenamed("g", "__g")), Seq("__g"))
+      .join(broadcast(mad.withColumnRenamed("g", "__g")), Seq("__g"))
+      .withColumn("z_milli", truncDiv(
+        (col("__vm") - col("med_milli")) * 1000L,
+        greatest(col("mad_milli"), lit(1L))))
+      .withColumn("mad_zero", col("mad_milli") === 0L)
+      .drop("__g", "__vm")
+  }
+
   /** Jensen-Shannon divergence between the categorical `catCol` mixes
     * of `groupCol = p` vs `= q`, in milli-nats:
     * JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2. Per category the KL

@@ -341,6 +341,26 @@ private[queries] object ExtStatsQueries {
           pmod(col("doc_id"), lit(2L)).as("half")),
         "n_chars", "half", 0L, 1L)
     },
+    "ds_ks_by_group" -> { (s, d) =>
+      // the per-language drift table: one KS row per language between
+      // the even/odd halves — where exactly did this language's length
+      // distribution move
+      graft.ext.Stats.ksTestByGroup(
+        docs(s, d).select(col("lang"), col("n_chars"),
+          pmod(col("doc_id"), lit(2L)).as("half")),
+        "n_chars", "lang", "half", 0L, 1L)
+        .orderBy(col("lang"))
+    },
+    "ds_robust_scale" -> { (s, d) =>
+      // per-language median/MAD z-scores of doc length — the
+      // outlier-immune standardization for heavy-tailed signals
+      graft.ext.Stats.robustScale(
+          docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", "lang")
+        .select(col("doc_id"), col("lang"), col("med_milli"),
+          col("mad_milli"), col("z_milli"), col("mad_zero"))
+        .orderBy(col("doc_id"))
+    },
     "ds_js_divergence" -> { (s, d) =>
       // Jensen-Shannon divergence between the language mixes of the
       // even/odd halves, milli-nats — the symmetric bounded drift
@@ -1012,6 +1032,49 @@ private[queries] object ExtStatsQueries {
            CAST((r_a_x2 - n_a * (n_a + 1)) * 1000000
                 // (n_a * n_b * 2) AS BIGINT) AS cles_ppm
          FROM agg""",
+    "ds_ks_by_group" ->
+      """WITH base AS (SELECT lang AS g, n_chars AS v, doc_id % 2 AS half
+           FROM documents),
+         per AS (SELECT g, v,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+           FROM base GROUP BY g, v),
+         cum AS (SELECT g, v,
+             sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+             sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb
+           FROM per),
+         tot AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM per GROUP BY g),
+         gaps AS (SELECT cum.g, cum.v, tot.n_a, tot.n_b,
+             abs(cum.cuma * tot.n_b - cum.cumb * tot.n_a) AS gap
+           FROM cum JOIN tot USING (g)),
+         mx AS (SELECT g, max(gap) AS mg FROM gaps GROUP BY g)
+         SELECT gaps.g AS lang, gaps.n_a, gaps.n_b,
+           CAST(mx.mg * 1000000 // (gaps.n_a * gaps.n_b) AS BIGINT)
+             AS d_ppm,
+           CAST(min(gaps.v) AS BIGINT) AS at_v
+         FROM gaps JOIN mx ON mx.g = gaps.g AND gaps.gap = mx.mg
+         GROUP BY gaps.g, gaps.n_a, gaps.n_b, mx.mg
+         ORDER BY lang""",
+    "ds_robust_scale" ->
+      """WITH vm AS (SELECT doc_id, lang,
+             CAST(round(CAST(n_chars AS DOUBLE) * 1000) AS BIGINT) AS vm
+           FROM documents),
+         med AS (SELECT lang,
+             CAST(round(quantile_cont(vm, 0.5)) AS BIGINT) AS med_milli
+           FROM vm GROUP BY lang),
+         mad AS (SELECT vm.lang,
+             CAST(round(quantile_cont(abs(vm.vm - med.med_milli), 0.5))
+               AS BIGINT) AS mad_milli
+           FROM vm JOIN med USING (lang) GROUP BY vm.lang)
+         SELECT vm.doc_id, vm.lang, med.med_milli, mad.mad_milli,
+           CAST((vm.vm - med.med_milli) * 1000
+             // greatest(mad.mad_milli, 1) AS BIGINT) AS z_milli,
+           mad.mad_milli = 0 AS mad_zero
+         FROM vm JOIN med USING (lang) JOIN mad USING (lang)
+         ORDER BY doc_id""",
     "ds_js_divergence" ->
       """WITH base AS (SELECT lang AS cat, doc_id % 2 AS half
            FROM documents),

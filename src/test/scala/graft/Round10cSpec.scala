@@ -65,6 +65,40 @@ class Round10cSpec extends SparkSpecBase {
       Stats.mannWhitneyU(many, "v", "side", "a", "b").collect().toSeq)
   }
 
+  test("ksTestByGroup: per-group rows match the global ksTest run on " +
+    "each group alone — shifted group detects, identical group is 0") {
+    val g1 = (1 to 10).map(v => ("g1", v.toLong, "a")) ++
+      (6 to 15).map(v => ("g1", v.toLong, "b"))
+    val g2 = (1 to 20).flatMap(v =>
+      Seq(("g2", v.toLong, "a"), ("g2", v.toLong, "b")))
+    val df = (g1 ++ g2).toDF("lang", "v", "side")
+    val out = Stats.ksTestByGroup(df, "v", "lang", "side", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("g1") == ((10L, 10L, 500000L, 5L)))
+    assert(out("g2")._3 == 0L)
+    val solo = Stats.ksTest(df.where(col("lang") === "g1"),
+      "v", "side", "a", "b").collect()(0)
+    assert((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+      solo.getLong(3)) == out("g1"), "grouped face diverged from global")
+  }
+
+  test("robustScale: the outlier cannot inflate its own scale, and a " +
+    "zero-MAD group floors the denominator and flags mad_zero") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("g1", _)) ++
+      Seq(5L, 5L, 5L, 9L).map(("g2", _))).toDF("g", "v")
+    val out = Stats.robustScale(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    // g1: med 3, MAD 1 → the 100 outlier scores (100−3)/1 = 97
+    assert(out(("g1", 100L)) == ((3000L, 1000L, 97000L, false)))
+    assert(out(("g1", 2L)) == ((3000L, 1000L, -1000L, false)))
+    // g2: med 5, |v−med| = [0,0,0,4] → MAD 0 → floor + flag
+    assert(out(("g2", 5L))._4 && out(("g2", 5L))._3 == 0L)
+    assert(out(("g2", 9L)) == ((5000L, 0L, 4000000L, true)))
+  }
+
   test("jsDivergence: identical mixes give 0; disjoint supports give " +
     "ln 2 = 693 milli-nats (the JSD upper bound)") {
     val same = (Seq.fill(30)("x") ++ Seq.fill(20)("y")).zipWithIndex
