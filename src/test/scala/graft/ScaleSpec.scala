@@ -859,6 +859,42 @@ class ScaleSpec extends SparkSpecBase {
       "(one key, one window task)")
   }
 
+  test("mega-doc: sbScore where ONE document owns a 200k-token text — " +
+    "5 probes per trigram through one join, ~linear at 10×") {
+    import graft.ext.TextAnalysis
+    // the LM-scoring pathology: one runaway document (a concatenated
+    // dump) explodes into 5·n probe rows for a single id. The probe
+    // union must stay linear — the groupBy(id, pos) spreads the doc
+    // across partitions (pos is in the key), so nothing serializes.
+    def run(n: Int): (Long, Double) = {
+      val mega = spark.range(1).select(lit(0L).as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(n)),
+          j => concat(lit("w"), pmod(xxhash64(j), lit(500)))), " ")
+          .as("text"))
+      val normal = spark.range(200).select((col("id") + 1).as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(50)),
+          j => concat(lit("w"),
+            pmod(xxhash64(col("id") * 100 + j), lit(500)))), " ")
+          .as("text"))
+      val corpus = mega.unionByName(normal)
+      time {
+        val lm = TextAnalysis.sbTrigramFit(corpus, "text")
+        val out = TextAnalysis.sbScore(corpus, lm, "text", "doc_id")
+          .where(col("id") === 0L).collect()(0)
+        val res = out.getLong(1)
+        graft.ext.OpCaches.releaseAll()
+        res
+      }
+    }
+    run(2000) // warm-up
+    val (nS, tS) = run(20000)
+    val (nB, tB) = run(200000)
+    assert(nS == 19998L && nB == 199998L,
+      s"mega-doc trigram counts wrong: $nS / $nB")
+    assertLinear("sb_score_megadoc", tS, tB, () => run(200000)._2)
+    info(f"sbScore mega-doc: 20k tokens $tS%.2f s → 200k $tB%.2f s")
+  }
+
   test("100× continuous value: ksTest + mannWhitneyU where EVERY value " +
     "is distinct — the distinct-value table is corpus-sized, the " +
     "distributed prefix sum must spread it; closed-form exact at both " +
