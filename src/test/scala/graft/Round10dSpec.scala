@@ -110,6 +110,29 @@ class Round10dSpec extends SparkSpecBase {
       r2.getLong(4) == 0L && r2.getLong(5) == 0L && r2.getLong(7) == 0L)
   }
 
+  test("rougeN runs unchanged on a STREAMING frame (codegen'd narrow " +
+    "map, no state) and matches the batch scores per row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = Seq((1L, "the cat sat down", "the cat the cat"),
+      (2L, "a b c d e", "a b c d e"))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = EvalMetrics.rougeN(ms.toDF().toDF("id", "ref", "cand"),
+        "id", "ref", "cand", n = 2)
+      .writeStream.format("memory").queryName("rouge_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("rouge_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(6)).toMap
+      val want = EvalMetrics.rougeN(rows.toDF("id", "ref", "cand"),
+        "id", "ref", "cand", 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(6)).toMap
+      assert(got == want && got(2L) == 1000000L)
+    } finally q.stop()
+  }
+
   test("ngram_overlap participates in whole-stage codegen via the " +
     "static kernel, and the SQL face resolves") {
     val gen = org.apache.spark.sql.execution.debug.codegenString(

@@ -104,6 +104,29 @@ class Round10fSpec extends SparkSpecBase {
     assert(pass == "a <extra_id_9> b", pass)
   }
 
+  test("spanCorrupt runs unchanged on a STREAMING frame (narrow map, " +
+    "no state) and matches the batch rewrite per row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = Seq((1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t"))
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.ext.Pipeline.spanCorrupt(
+        ms.toDF().toDF("doc_id", "t"), "doc_id", "t", 0.3, 2, "s")
+      .writeStream.format("memory").queryName("span_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("span_stream").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      val want = graft.ext.Pipeline.spanCorrupt(
+        rows.toDF("doc_id", "t"), "doc_id", "t", 0.3, 2, "s").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("span_corrupt participates in whole-stage codegen and the SQL " +
     "face resolves") {
     val gen = org.apache.spark.sql.execution.debug.codegenString(
