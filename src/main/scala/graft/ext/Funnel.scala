@@ -457,6 +457,46 @@ object Funnel {
       .select(col("t"), col("n_risk"), col("churned"), col("hazard_ppm"))
   }
 
+  /** Kaplan-Meier log-survival curve on top of [[hazardCurve]]: per
+    * lifetime bucket t, the cumulative log of the product-limit
+    * estimate `S(t) = Π_{u ≤ t} (1 − h_u)` in milli-nats —
+    * `log_surv_milli = Σ round(1000·ln((n_risk − churned)/n_risk))` —
+    * exact Long sums of per-bucket milli-nat quantizations (the
+    * zipfSlope convention), so the curve is engine-portable where the
+    * raw float product is not; `exp(log_surv_milli/1000)` recovers S.
+    * Once a bucket churns EVERYONE at risk (h = 1) survival is exactly
+    * 0 and ln is −∞: that bucket and everything after report NULL
+    * log-survival with `surv_zero = true` — honest, not a clamp.
+    * Returns (t, n_risk, churned, hazard_ppm, log_surv_milli,
+    * surv_zero).
+    *
+    * Scale shape: [[hazardCurve]]'s bounded lifetime-bucket frame plus
+    * one more bounded window pass — nothing corpus-sized.
+    */
+  def survivalCurve(events: DataFrame, userCol: String, tsCol: String,
+                    bucketSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hazardCurve(events, userCol, tsCol, bucketSeconds)
+    val term = when(col("churned") < col("n_risk"),
+      round(log((col("n_risk") - col("churned")).cast("double") /
+        col("n_risk")) * 1000).cast("long"))
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the first bucket with churned == n_risk kills survival from
+    // there on; min over the whole (bounded) frame
+    val wFull = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h.withColumn("__term", term)
+      .withColumn("__zero_t",
+        min(when(col("churned") === col("n_risk"), col("t"))).over(wFull))
+      .withColumn("log_surv_milli",
+        when(col("__zero_t").isNull || col("t") < col("__zero_t"),
+          sum(col("__term")).over(wAll)))
+      .withColumn("surv_zero",
+        col("__zero_t").isNotNull && col("t") >= col("__zero_t"))
+      .drop("__term", "__zero_t")
+  }
+
   /** Burst collapse (event debouncing): keep the FIRST event of every
     * gap-delimited burst and drop the rest — the double-fire/bot-retry
     * cleanup an event pipeline runs before counting anything (a user

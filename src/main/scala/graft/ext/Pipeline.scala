@@ -577,6 +577,66 @@ object Pipeline {
     }.toSeq.toDF(keyCol, "avail", "alloc", "keep_ppm")
   }
 
+  /** Neyman-optimal stratified sample allocation: split a total sample
+    * `budget` across strata proportionally to `N_h·σ_h` — the
+    * allocation minimizing the stratified-mean variance (vs
+    * proportional allocation, which ignores within-stratum spread; a
+    * high-variance stratum earns more of the budget). Exact integer
+    * derivation: `N_h·σ_h = √(N_h·Σv² − (Σv)²)` over Long sums; the
+    * integer √ is `floor(sqrt(·))`, identical in any engine while the
+    * radicand stays under 2⁵³ (quantize values upstream if
+    * `N_h·Σv²` approaches it — checked loud). Budget splits by
+    * LARGEST-REMAINDER rounding (exact: `alloc_h = budget·w_h // Σw`,
+    * leftovers to the biggest remainders, stratum-name tie-break), so
+    * `Σ alloc = budget` always. `alloc_capped = min(alloc, N_h)` —
+    * Neyman can demand more than a stratum holds; route the surplus
+    * through [[waterfill]] when the cap binds. Returns one row per
+    * stratum: (stratum, n, w, alloc, alloc_capped). Zero-variance
+    * strata get w = 0 (they need ONE sample in theory — take
+    * alloc_capped ∨ 1 by policy).
+    *
+    * Shape: one partial-agg'd groupBy to strata-sized sums, then
+    * strata-sized windows — nothing corpus-sized.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val sums = df
+      .select(col(strataCol).cast("string").as("stratum"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ssq"))
+    val rad = col("n") * col("ssq") - col("s") * col("s")
+    val guarded = sums.select(col("stratum"), col("n"),
+      when(rad <= (1L << 53), rad).otherwise(
+        raise_error(concat(lit("neymanAllocation: radicand over 2^53 " +
+          "for stratum "), col("stratum"),
+          lit(" - quantize values upstream")))).as("rad"))
+    val w = floor(sqrt(col("rad").cast("double"))).cast("long")
+    val weighted = guarded.select(col("stratum"), col("n"), w.as("w"))
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = weighted
+      .withColumn("__tw", sum(col("w")).over(wAll))
+      .withColumn("__q", when(col("__tw") > 0,
+        floorDivNN0(col("w") * budget, col("__tw"))).otherwise(0L))
+      .withColumn("__r", when(col("__tw") > 0,
+        pmod(col("w") * budget, col("__tw"))).otherwise(0L))
+      .withColumn("__left",
+        lit(budget) - sum(col("__q")).over(wAll))
+      .withColumn("__rk", row_number().over(Window
+        .orderBy(col("__r").desc, col("stratum").asc)).cast("long"))
+    base.select(col("stratum"), col("n"), col("w"),
+        (col("__q") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .withColumn("alloc_capped", least(col("alloc"), col("n")))
+  }
+
+  private def floorDivNN0(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
   /** Downsample to a token budget: rows of each weighted key survive at
     * the integer ppm rate [[allocateBudget]] derived, by the same
     * portable hash-threshold draw as [[sampleByMixture]] — so the kept

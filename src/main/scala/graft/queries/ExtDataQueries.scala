@@ -104,6 +104,14 @@ private[queries] object ExtDataQueries {
           Seq("c_nationkey"), "c_mktsegment", l = 5L)
         .orderBy(col("c_nationkey"))
     },
+    "ds_neyman" -> { (s, d) =>
+      // Neyman-optimal stratified allocation of a 100-sample budget
+      // across languages by N_h·sigma_h of doc length — exact integer
+      // sqrt weights, largest-remainder rounding (sums to the budget)
+      Pipeline.neymanAllocation(docs(s, d), "lang", "n_chars",
+          budget = 100L)
+        .orderBy(col("stratum"))
+    },
     "ds_span_corrupt" -> { (s, d) =>
       // T5 span corruption, gated by CERTIFICATES (the hash-drawn span
       // walk is an in-doc sequential loop DuckDB can't replay):
@@ -884,6 +892,32 @@ private[queries] object ExtDataQueries {
              < 5 AS violates
          FROM customer GROUP BY c_nationkey
          ORDER BY c_nationkey""",
+    "ds_neyman" ->
+      """WITH sums AS (SELECT lang AS stratum,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq
+           FROM documents GROUP BY lang),
+         wt AS (SELECT stratum, n,
+             CAST(floor(sqrt(CAST(n * ssq - s * s AS DOUBLE)))
+               AS BIGINT) AS w
+           FROM sums),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
+         b AS (SELECT stratum, n, w,
+             CASE WHEN tot.tw > 0 THEN w * 100 // tot.tw ELSE 0 END
+               AS q,
+             CASE WHEN tot.tw > 0 THEN (w * 100) % tot.tw ELSE 0 END
+               AS r
+           FROM wt, tot),
+         lft AS (SELECT 100 - CAST(sum(q) AS BIGINT) AS lf FROM b),
+         rk AS (SELECT b.*, row_number() OVER (ORDER BY r DESC,
+             stratum ASC) AS rk FROM b)
+         SELECT stratum, n, w,
+           CAST(q + CASE WHEN rk <= (SELECT lf FROM lft) THEN 1
+             ELSE 0 END AS BIGINT) AS alloc,
+           CAST(least(q + CASE WHEN rk <= (SELECT lf FROM lft) THEN 1
+             ELSE 0 END, n) AS BIGINT) AS alloc_capped
+         FROM rk ORDER BY stratum""",
     "ds_span_corrupt" ->
       """SELECT doc_id,
            CAST(len(list_filter(string_split(

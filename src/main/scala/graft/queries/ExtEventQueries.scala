@@ -168,6 +168,18 @@ private[queries] object ExtEventQueries {
           "subject", "ts", bucketSeconds = 86400L)
         .orderBy(col("t"))
     },
+    "ev_survival" -> { (s, d) =>
+      // Kaplan-Meier log-survival in milli-nats on top of the hazard
+      // curve — engine-portable where the float product-limit chain is
+      // not; the final bucket churns everyone (h = 1), so survival hits
+      // exact 0 there and reports NULL + surv_zero honestly
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      Funnel.survivalCurve(
+          ev.withColumn("subject",
+            concat_ws("#", col("user_id"), col("event_type"))),
+          "subject", "ts", bucketSeconds = 86400L)
+        .orderBy(col("t"))
+    },
     "ev_json_props" -> { (s, d) =>
       // semi-structured payload extraction: JSON props → typed column → agg
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
@@ -762,6 +774,37 @@ private[queries] object ExtEventQueries {
          SELECT t, n_risk, churned,
                 CAST(churned * 1000000 // n_risk AS BIGINT) AS hazard_ppm
          FROM r ORDER BY t""",
+    "ev_survival" ->
+      """WITH u AS (SELECT user_id, event_type,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) AS f,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS l
+           FROM events GROUP BY user_id, event_type),
+         lt AS (SELECT CAST((l - f) // 86400000000 AS BIGINT) AS t
+                FROM u),
+         d AS (SELECT t, CAST(count(*) AS BIGINT) AS churned
+               FROM lt GROUP BY t),
+         r AS (SELECT t, churned,
+                 CAST(sum(churned) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+               FROM d),
+         t2 AS (SELECT t, n_risk, churned,
+                 CAST(churned * 1000000 // n_risk AS BIGINT)
+                   AS hazard_ppm,
+                 CASE WHEN churned < n_risk THEN CAST(round(ln(
+                     CAST(n_risk - churned AS DOUBLE) / n_risk) * 1000)
+                   AS BIGINT) END AS term
+               FROM r),
+         z AS (SELECT min(CASE WHEN churned = n_risk THEN t END) AS zt
+               FROM t2)
+         SELECT t, n_risk, churned, hazard_ppm,
+           CASE WHEN (SELECT zt FROM z) IS NULL
+                  OR t < (SELECT zt FROM z)
+             THEN CAST(sum(term) OVER (ORDER BY t) AS BIGINT) END
+             AS log_surv_milli,
+           (SELECT zt FROM z) IS NOT NULL AND t >= (SELECT zt FROM z)
+             AS surv_zero
+         FROM t2 ORDER BY t""",
     "ev_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -163,6 +163,56 @@ class Round10cSpec extends SparkSpecBase {
     assert(out(3L).isNullAt(8) && out(5L).isNullAt(8))
   }
 
+  test("survivalCurve: hand-computed Kaplan-Meier on crafted " +
+    "lifetimes — log-survival matches the product limit, the final " +
+    "all-churn bucket reports NULL + surv_zero") {
+    // lifetimes (seconds): a=0, b=0, c=1, d=2 → buckets t=0 (churn 2 of
+    // 4), t=1 (1 of 2), t=2 (1 of 1 — h=1, survival 0)
+    val ev = Seq(("a", 0L), ("a", 0L), ("b", 0L),
+      ("c", 0L), ("c", 1L), ("d", 0L), ("d", 2L))
+      .toDF("u", "sec")
+      .select(col("u"), timestamp_seconds(col("sec")).as("ts"))
+    val out = graft.ext.Funnel.survivalCurve(ev, "u", "ts",
+        bucketSeconds = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5))).toMap
+    val l2 = math.round(math.log(0.5) * 1000) // -693
+    assert(out(0L) == ((4L, 2L, Some(l2), false)))
+    assert(out(1L) == ((2L, 1L, Some(2 * l2), false)))
+    assert(out(2L) == ((1L, 1L, None, true)))
+    // KM without censoring = empirical survivor fraction:
+    // exp(ls(t)/1000) ≈ #(lifetime > t)/N
+    assert(math.abs(math.exp(l2 / 1000.0) - 0.5) < 2e-3)
+    assert(math.abs(math.exp(2 * l2 / 1000.0) - 0.25) < 2e-3)
+  }
+
+  test("neymanAllocation: high-variance strata earn budget, " +
+    "largest-remainder sums exactly to it, zero-variance strata get " +
+    "w = 0, and the cap binds at the stratum size") {
+    // g1: spread values (var > 0, 4 rows); g2: constant (var 0);
+    // g3: tiny but very spread (cap binds)
+    val df = (Seq(0L, 10L, 20L, 30L).map(("g1", _)) ++
+      Seq.fill(5)(("g2", 7L)) ++ Seq(("g3", 0L), ("g3", 1000L)))
+      .toDF("g", "v")
+    val out = graft.ext.Pipeline.neymanAllocation(df, "g", "v", 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // weights: w = floor(sqrt(n·ssq − s²))
+    def w(vs: Seq[Long]) = math.sqrt(
+      (vs.size * vs.map(x => x * x).sum - math.pow(vs.sum.toDouble, 2))
+    ).toLong
+    assert(out("g1")._2 == w(Seq(0L, 10L, 20L, 30L)))
+    assert(out("g2")._2 == 0L)
+    assert(out("g3")._2 == w(Seq(0L, 1000L)))
+    assert(out.values.map(_._3).sum == 10L, "allocs must sum to budget")
+    // g3's weight (1000) dwarfs g1's (~44): Neyman demands ~all of the
+    // budget there, but only 2 rows exist — the cap binds
+    assert(out("g3")._3 > out("g3")._1 && out("g3")._4 == out("g3")._1)
+    assert(out("g2")._3 == 0L)
+  }
+
   test("dpNoisyCounts: driver-replicated Laplace draw, noise bounded " +
     "by the grid tail, deterministic per salt, redrawn across salts, " +
     "loud on a missing salt") {
