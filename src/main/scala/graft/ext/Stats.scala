@@ -219,6 +219,10 @@ object Stats {
     * Shape: two exact-percentile group aggregations (group-keyed, tiny
     * outputs) broadcast back onto the row stream — the winsorizedMean
     * two-pass; substitute the KLL sketch face at streaming/100 TB.
+    *
+    * NULL handling: NULL values inside a group pass through with NULL
+    * z_milli; a group whose values are ALL NULL has no median and its
+    * rows are dropped (no honest z exists for them).
     */
   def robustScale(df: DataFrame, valueCol: String,
                   groupCol: String): DataFrame = {
