@@ -259,6 +259,56 @@ object TimeSeries {
       .toDF("key", "t", "v", "ewma")
   }
 
+  /** Holt linear-trend (double exponential) smoothing — [[ewmaStream]]'s
+    * sibling for series with drift, where a plain EWMA lags a ramp
+    * forever: per key, level `l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})`
+    * and trend `b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}`, emitting the
+    * one-step-ahead forecast `l_t + b_t` — the live capacity-planning
+    * number. Deterministic initialization `l_0 = v_0, b_0 = 0` (the
+    * trend warms up through β — SQL-replayable, unlike lookahead inits
+    * that peek at v₁). Like EWMA the float recursion has no closed
+    * window form, so this is ONE sequential kernel per key — state =
+    * two doubles — with the SAME code path batch and streaming
+    * (flatMapGroupsWithState; batch mode runs it per key group).
+    * Returns (key, t, v, level, trend, forecast).
+    *
+    * Pick α, β with exact binary representations (0.25, 0.125) when
+    * the output must replay bit-identically in another engine.
+    */
+  def holtStream(series: DataFrame, keyCol: String, orderCol: String,
+                 valCol: String, alpha: Double,
+                 beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(keyCol).cast("string").as("key"),
+        col(orderCol).cast("long").as("t"),
+        col(valCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[(Double, Double)]) =>
+          var (l, b) = state.getOption.getOrElse((Double.NaN, 0.0))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+            if (l.isNaN) { l = v; b = 0.0 }
+            else {
+              val lNew = alpha * v + (1 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1 - beta) * b
+              l = lNew
+            }
+            (key, t, v, l, b, l + b)
+          }
+          state.update((l, b))
+          out.iterator
+      }
+      .toDF("key", "t", "v", "level", "trend", "forecast")
+  }
+
   /** [[cusum]] with a data-derived drift: each key's allowance is
     * `max(floor(median + sigmaMult·√median), 1)` — the median tracks
     * that key's typical level and the √median term its Poisson-order

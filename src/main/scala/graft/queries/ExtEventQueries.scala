@@ -131,6 +131,22 @@ private[queries] object ExtEventQueries {
                 round(col("ewma"), 9).as("ewma"))
         .orderBy(col("event_type"), col("bucket_start"))
     },
+    "ts_holt" -> { (s, d) =>
+      // Holt linear-trend smoothing of the hourly per-type series
+      // (α=0.25, β=0.125 — exact binary constants; l₀=v₀, b₀=0): the
+      // two-accumulator sequential kernel hash-checked against a
+      // per-key recursive-CTE fold carrying BOTH level and trend
+      val ev = new graft.compile.ParquetEnv(s, d).load("events")
+      val grid = TimeSeries.resampleCounts(ev, "event_type", "ts", 3600L)
+      TimeSeries.holtStream(grid, "key", "bucket_start", "n",
+          alpha = 0.25, beta = 0.125)
+        .select(col("key").as("event_type"), col("t").as("bucket_start"),
+                col("v").cast("long").as("n"),
+                round(col("level"), 9).as("level"),
+                round(col("trend"), 9).as("trend"),
+                round(col("forecast"), 9).as("forecast"))
+        .orderBy(col("event_type"), col("bucket_start"))
+    },
     "ts_seasonal_adjust" -> { (s, d) =>
       // hour-of-day seasonal adjustment: residual = hourly count minus
       // that type's mean for the same phase (period 24) — anomaly
@@ -715,6 +731,39 @@ private[queries] object ExtEventQueries {
              ON b.event_type = r.event_type AND b.rn = r.rn + 1)
          SELECT event_type, bucket * 3600 AS bucket_start, n,
                 round(ewma, 9) AS ewma
+         FROM rec ORDER BY event_type, bucket_start""",
+    "ts_holt" ->
+      """WITH RECURSIVE e AS (SELECT event_type,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type, bucket),
+         s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+               FROM c GROUP BY event_type),
+         g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket
+               FROM s),
+         f AS (SELECT g.event_type, g.bucket, coalesce(c.n, 0) AS n
+               FROM g LEFT JOIN c
+                 ON g.event_type = c.event_type AND g.bucket = c.bucket),
+         base AS (SELECT event_type, bucket, n,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY bucket) AS rn
+                  FROM f),
+         rec AS (
+           SELECT event_type, bucket, n, rn,
+                  CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT bb.event_type, bb.bucket, bb.n, bb.rn,
+                  0.25 * CAST(bb.n AS DOUBLE) + 0.75 * (r.l + r.b),
+                  0.125 * ((0.25 * CAST(bb.n AS DOUBLE)
+                            + 0.75 * (r.l + r.b)) - r.l) + 0.875 * r.b
+           FROM rec r JOIN base bb
+             ON bb.event_type = r.event_type AND bb.rn = r.rn + 1)
+         SELECT event_type, bucket * 3600 AS bucket_start, n,
+                round(l, 9) AS level, round(b, 9) AS trend,
+                round(l + b, 9) AS forecast
          FROM rec ORDER BY event_type, bucket_start""",
     "ts_seasonal_adjust" ->
       """WITH e AS (SELECT event_type,

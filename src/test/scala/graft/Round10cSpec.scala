@@ -163,6 +163,72 @@ class Round10cSpec extends SparkSpecBase {
     assert(out(3L).isNullAt(8) && out(5L).isNullAt(8))
   }
 
+  test("holtStream: driver-fold parity, constant series pins trend 0, " +
+    "a pure ramp's forecast converges to the next true value, and " +
+    "cross-batch streaming state matches the batch fold") {
+    import graft.ext.TimeSeries
+    val alpha = 0.25; val beta = 0.125
+    def fold(vs: Seq[Double]): Seq[(Double, Double)] = {
+      var l = Double.NaN; var b = 0.0
+      vs.map { v =>
+        if (l.isNaN) { l = v; b = 0.0 }
+        else {
+          val lNew = alpha * v + (1 - alpha) * (l + b)
+          b = beta * (lNew - l) + (1 - beta) * b
+          l = lNew
+        }
+        (l, b)
+      }
+    }
+    val vs = (0 until 80).map(i => (3.0 + (i % 5)) * (1 + i / 40))
+    val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "t", "v")
+    val got = TimeSeries.holtStream(df, "key", "t", "v", alpha, beta)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    fold(vs.map(_.toDouble)).zipWithIndex.foreach { case ((l, b), i) =>
+      assert(got(i.toLong) == ((l, b)), s"t=$i")
+    }
+    // constant series: level locks to the constant, trend stays 0
+    val const = (0 until 30).map(i => ("c", i.toLong, 7.0))
+      .toDF("key", "t", "v")
+    TimeSeries.holtStream(const, "key", "t", "v", alpha, beta)
+      .collect().foreach { r =>
+        assert(r.getDouble(3) == 7.0 && r.getDouble(4) == 0.0)
+      }
+    // ramp v_t = 2t: trend converges to the slope, so the one-step
+    // forecast approaches the next true value (EWMA would lag forever)
+    val ramp = (0 until 120).map(i => ("r", i.toLong, 2.0 * i))
+      .toDF("key", "t", "v")
+    val last = TimeSeries.holtStream(ramp, "key", "t", "v", alpha, beta)
+      .orderBy(col("t")).collect().last
+    assert(math.abs(last.getDouble(5) - 2.0 * 120) < 0.3,
+      s"ramp forecast ${last.getDouble(5)} vs 240")
+    // cross-batch streaming: (level, trend) carried in state across a
+    // batch boundary reproduces the batch fold bit for bit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)]
+    val q = TimeSeries.holtStream(ms.toDF().toDF("key", "t", "v"),
+        "key", "t", "v", alpha, beta)
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("append").start()
+    try {
+      val rows = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      ms.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("holt_stream").collect()
+        .map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4)))
+        .toMap
+      fold(vs.map(_.toDouble)).zipWithIndex.foreach { case ((l, b), i) =>
+        assert(streamed(i.toLong) == ((l, b)),
+          s"stream diverged from batch at t=$i")
+      }
+    } finally q.stop()
+  }
+
   test("survivalCurve: hand-computed Kaplan-Meier on crafted " +
     "lifetimes — log-survival matches the product limit, the final " +
     "all-churn bucket reports NULL + surv_zero") {
