@@ -119,9 +119,15 @@ object EvalMetrics {
     * with nothing relevant has no defined recall/MRR/nDCG); a labeled
     * query the run never retrieved reports zeros honestly.
     *
-    * Scale shape: one (query, doc) equi-join of run against labels, one
-    * query-keyed partial agg; the ideal ordering is a row_number window
-    * over the LABELS (bounded per query), never over the run.
+    * The run is deduplicated on (query, doc) keeping the MINIMUM rank
+    * before scoring — a doc a sloppy retriever returns at several ranks
+    * ≤ k counts once (at its best position), so `hits ≤ n_rel`,
+    * `recall_ppm ≤ 10⁶`, and `dcg ≤ idcg` hold unconditionally.
+    *
+    * Scale shape: one (query, doc) partial-agg'd dedup of the run, one
+    * (query, doc) equi-join against labels, one query-keyed partial
+    * agg; the ideal ordering is a row_number window over the LABELS
+    * (bounded per query), never over the run.
     */
   def retrievalMetrics(run: DataFrame, labels: DataFrame,
                        queryCol: String, docCol: String, rankCol: String,
@@ -148,6 +154,8 @@ object EvalMetrics {
       .select(col(queryCol).as("q"), col(docCol).as("doc"),
         col(rankCol).cast("long").as("rank"))
       .where(col("rank") <= k)
+      .groupBy(col("q"), col("doc"))
+      .agg(min(col("rank")).as("rank"))
       .join(lb, Seq("q", "doc"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
       .groupBy(col("q"))

@@ -582,10 +582,13 @@ object Pipeline {
     * allocation minimizing the stratified-mean variance (vs
     * proportional allocation, which ignores within-stratum spread; a
     * high-variance stratum earns more of the budget). Exact integer
-    * derivation: `N_h·σ_h = √(N_h·Σv² − (Σv)²)` over Long sums; the
-    * integer √ is `floor(sqrt(·))`, identical in any engine while the
-    * radicand stays under 2⁵³ (quantize values upstream if
-    * `N_h·Σv²` approaches it — checked loud). Budget splits by
+    * derivation: `N_h·σ_h = √(N_h·Σv² − (Σv)²)` — the sums and the
+    * radicand are computed in DECIMAL(38,0) so `N_h·Σv²` and `(Σv)²`
+    * cannot wrap a Long silently (a decimal overflow nulls, which the
+    * range check turns into a loud raise); the integer √ is
+    * `floor(sqrt(·))`, identical in any engine while the radicand
+    * stays in [0, 2⁵³] (quantize values upstream if `N_h·Σv²`
+    * approaches it — checked loud). Budget splits by
     * LARGEST-REMAINDER rounding (exact: `alloc_h = budget·w_h // Σw`,
     * leftovers to the biggest remainders, stratum-name tie-break), so
     * `Σ alloc = budget` always. `alloc_capped = min(alloc, N_h)` —
@@ -593,7 +596,10 @@ object Pipeline {
     * through [[waterfill]] when the cap binds. Returns one row per
     * stratum: (stratum, n, w, alloc, alloc_capped). Zero-variance
     * strata get w = 0 (they need ONE sample in theory — take
-    * alloc_capped ∨ 1 by policy).
+    * alloc_capped ∨ 1 by policy). When EVERY stratum has zero variance
+    * (Σw = 0 — Neyman provides no signal) the budget splits evenly:
+    * `budget // k` each plus the remainder round-robin by stratum
+    * name, so `Σ alloc = budget` holds in that case too.
     *
     * Shape: one partial-agg'd groupBy to strata-sized sums, then
     * strata-sized windows — nothing corpus-sized.
@@ -602,17 +608,23 @@ object Pipeline {
                        budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
+    // DECIMAL(38,0) end-to-end: v² for any Long v fits (≤ ~8.5e37),
+    // the sums widen without wrapping, and a true decimal overflow
+    // yields null — which the range check below raises on loudly
+    // instead of letting a wrapped Long masquerade as a valid radicand.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val sums = df
       .select(col(strataCol).cast("string").as("stratum"),
-        col(valueCol).cast("long").as("v"))
+        col(valueCol).cast("long").cast(dec).as("v"))
       .groupBy(col("stratum"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("ssq"))
-    val rad = col("n") * col("ssq") - col("s") * col("s")
+    val rad = col("n").cast(dec) * col("ssq") - col("s") * col("s")
     val guarded = sums.select(col("stratum"), col("n"),
-      when(rad <= (1L << 53), rad).otherwise(
-        raise_error(concat(lit("neymanAllocation: radicand over 2^53 " +
-          "for stratum "), col("stratum"),
+      when(rad >= 0 && rad <= lit(1L << 53).cast(dec),
+        rad.cast("long")).otherwise(
+        raise_error(concat(lit("neymanAllocation: radicand outside " +
+          "[0, 2^53] for stratum "), col("stratum"),
           lit(" - quantize values upstream")))).as("rad"))
     val w = floor(sqrt(col("rad").cast("double"))).cast("long")
     val weighted = guarded.select(col("stratum"), col("n"), w.as("w"))
@@ -620,8 +632,13 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val base = weighted
       .withColumn("__tw", sum(col("w")).over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      // Σw = 0 fallback: even split; the leftover pass below hands the
+      // remainder to the first (budget mod k) strata by name — so the
+      // Σ alloc = budget invariant holds with or without signal.
       .withColumn("__q", when(col("__tw") > 0,
-        floorDivNN0(col("w") * budget, col("__tw"))).otherwise(0L))
+        floorDivNN0(col("w") * budget, col("__tw")))
+        .otherwise(floorDivNN0(lit(budget), col("__k"))))
       .withColumn("__r", when(col("__tw") > 0,
         pmod(col("w") * budget, col("__tw"))).otherwise(0L))
       .withColumn("__left",

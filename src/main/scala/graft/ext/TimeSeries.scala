@@ -185,7 +185,12 @@ object TimeSeries {
     *
     * Scale shape: state is a single BIGINT per key, forever — no event
     * buffering, no watermark needed; one hash exchange on the key per
-    * micro-batch. Keys are carried as strings (the portable group key).
+    * micro-batch (where a key's rows sort in memory — bounded by the
+    * micro-batch, never the series). Keys are carried as strings (the
+    * portable group key). Handed a STATIC frame, the same recursion
+    * runs as a pure iterator fold over a `repartition(key) +
+    * sortWithinPartitions(key, t)` pre-pass — O(1) task memory however
+    * long a key's series is (a mega-key never materializes).
     */
   def cusumStream(series: DataFrame, keyCol: String, orderCol: String,
                   valCol: String, drift: Long,
@@ -194,25 +199,53 @@ object TimeSeries {
       OutputMode}
     val spark = series.sparkSession
     import spark.implicits._
-    series.select(col(keyCol).cast("string").as("key"),
+    val prep = series.select(col(keyCol).cast("string").as("key"),
         col(orderCol).cast("long").as("t"),
         col(valCol).cast("long").as("v"))
       .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long, Long)],
-         state: GroupState[Long]) =>
-          var c = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+    val folded =
+      if (!series.isStreaming)
+        batchKeyedFold(prep) { it =>
+          var cur: Option[String] = None
+          var c = 0L
+          it.map { case (k, t, v) =>
+            if (!cur.contains(k)) { cur = Some(k); c = 0L }
             c = math.max(0L, c + v - drift)
-            (key, t, v, c, c >= threshold)
+            (k, t, v, c, c >= threshold)
           }
-          state.update(c)
-          out.iterator
-      }
-      .toDF("key", "t", "v", "c", "alarm")
+        }
+      else prep
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+          (key: String, rows: Iterator[(String, Long, Long)],
+           state: GroupState[Long]) =>
+            var c = state.getOption.getOrElse(0L)
+            val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+              c = math.max(0L, c + v - drift)
+              (key, t, v, c, c >= threshold)
+            }
+            state.update(c)
+            out.iterator
+        }
+    folded.toDF("key", "t", "v", "c", "alarm")
   }
+
+  /** Static-frame face of the sequential kernels: hash-exchange on the
+    * `key` column, sort (key, t) WITHIN partitions only (no global
+    * sort), then a pure iterator fold — rows stream through the fold
+    * one at a time, so task memory is the fold's own state (one or two
+    * numbers per live key), independent of how long any key's series
+    * is. The fold function must reset its state when the key changes
+    * (rows of one key are contiguous after the sort).
+    */
+  private def batchKeyedFold[I: org.apache.spark.sql.Encoder,
+                             O: org.apache.spark.sql.Encoder](
+      prep: org.apache.spark.sql.Dataset[I])(
+      fold: Iterator[I] => Iterator[O]): org.apache.spark.sql.Dataset[O] =
+    prep.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("t"))
+      .mapPartitions(fold)
 
   /** Exponentially-weighted moving average per key —
     * `y_t = y_{t−1} + α·(v_t − y_{t−1})`, `y_0 = v_0` — the smoothing
@@ -230,7 +263,9 @@ object TimeSeries {
     * Scale shape: one hash exchange on the key per micro-batch; state
     * never grows. The per-key in-memory sort bounds the BATCH size per
     * key, not the series length — history lives in the one carried
-    * double.
+    * double. Handed a STATIC frame, the recursion runs as a pure
+    * iterator fold over `repartition(key) + sortWithinPartitions(key,
+    * t)` — O(1) task memory, a mega-key never materializes.
     */
   def ewmaStream(series: DataFrame, keyCol: String, orderCol: String,
                  valCol: String, alpha: Double): DataFrame = {
@@ -239,24 +274,36 @@ object TimeSeries {
       OutputMode}
     val spark = series.sparkSession
     import spark.implicits._
-    series.select(col(keyCol).cast("string").as("key"),
+    val prep = series.select(col(keyCol).cast("string").as("key"),
         col(orderCol).cast("long").as("t"),
         col(valCol).cast("double").as("v"))
       .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long, Double)],
-         state: GroupState[Double]) =>
-          var y = state.getOption.getOrElse(Double.NaN)
-          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+    val folded =
+      if (!series.isStreaming)
+        batchKeyedFold(prep) { it =>
+          var cur: Option[String] = None
+          var y = Double.NaN
+          it.map { case (k, t, v) =>
+            if (!cur.contains(k)) { cur = Some(k); y = Double.NaN }
             y = if (y.isNaN) v else y + alpha * (v - y)
-            (key, t, v, y)
+            (k, t, v, y)
           }
-          state.update(y)
-          out.iterator
-      }
-      .toDF("key", "t", "v", "ewma")
+        }
+      else prep
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+          (key: String, rows: Iterator[(String, Long, Double)],
+           state: GroupState[Double]) =>
+            var y = state.getOption.getOrElse(Double.NaN)
+            val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+              y = if (y.isNaN) v else y + alpha * (v - y)
+              (key, t, v, y)
+            }
+            state.update(y)
+            out.iterator
+        }
+    folded.toDF("key", "t", "v", "ewma")
   }
 
   /** Holt linear-trend (double exponential) smoothing — [[ewmaStream]]'s
@@ -284,29 +331,47 @@ object TimeSeries {
       OutputMode}
     val spark = series.sparkSession
     import spark.implicits._
-    series.select(col(keyCol).cast("string").as("key"),
+    val prep = series.select(col(keyCol).cast("string").as("key"),
         col(orderCol).cast("long").as("t"),
         col(valCol).cast("double").as("v"))
       .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long, Double)],
-         state: GroupState[(Double, Double)]) =>
-          var (l, b) = state.getOption.getOrElse((Double.NaN, 0.0))
-          val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+    val folded =
+      if (!series.isStreaming)
+        batchKeyedFold(prep) { it =>
+          var cur: Option[String] = None
+          var l = Double.NaN
+          var b = 0.0
+          it.map { case (k, t, v) =>
+            if (!cur.contains(k)) { cur = Some(k); l = Double.NaN; b = 0.0 }
             if (l.isNaN) { l = v; b = 0.0 }
             else {
               val lNew = alpha * v + (1 - alpha) * (l + b)
               b = beta * (lNew - l) + (1 - beta) * b
               l = lNew
             }
-            (key, t, v, l, b, l + b)
+            (k, t, v, l, b, l + b)
           }
-          state.update((l, b))
-          out.iterator
-      }
-      .toDF("key", "t", "v", "level", "trend", "forecast")
+        }
+      else prep
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+          (key: String, rows: Iterator[(String, Long, Double)],
+           state: GroupState[(Double, Double)]) =>
+            var (l, b) = state.getOption.getOrElse((Double.NaN, 0.0))
+            val out = rows.toSeq.sortBy(_._2).map { case (_, t, v) =>
+              if (l.isNaN) { l = v; b = 0.0 }
+              else {
+                val lNew = alpha * v + (1 - alpha) * (l + b)
+                b = beta * (lNew - l) + (1 - beta) * b
+                l = lNew
+              }
+              (key, t, v, l, b, l + b)
+            }
+            state.update((l, b))
+            out.iterator
+        }
+    folded.toDF("key", "t", "v", "level", "trend", "forecast")
   }
 
   /** [[cusum]] with a data-derived drift: each key's allowance is

@@ -131,8 +131,11 @@ private[queries] object ExtDataQueries {
           (size(filter(split(col("input"), " "),
             w => w.startsWith("<extra_id_"))).cast("long") ===
             col("n_spans") &&
-            col("targets").endsWith(concat(lit("<extra_id_"),
-              col("n_spans"), lit(">")))).as("sentinels_ok"))
+            // whole-token anchor: endsWith would also accept an
+            // off-by-10x terminal sentinel (<extra_id_13> for n=3)
+            element_at(split(col("targets"), " "), -1) ===
+              concat(lit("<extra_id_"), col("n_spans"), lit(">")))
+            .as("sentinels_ok"))
         .orderBy(col("doc_id"))
     },
     "ds_dp_counts" -> { (s, d) =>
@@ -904,8 +907,8 @@ private[queries] object ExtDataQueries {
            FROM sums),
          tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
          b AS (SELECT stratum, n, w,
-             CASE WHEN tot.tw > 0 THEN w * 100 // tot.tw ELSE 0 END
-               AS q,
+             CASE WHEN tot.tw > 0 THEN w * 100 // tot.tw
+               ELSE 100 // (SELECT count(*) FROM wt) END AS q,
              CASE WHEN tot.tw > 0 THEN (w * 100) % tot.tw ELSE 0 END
                AS r
            FROM wt, tot),

@@ -821,6 +821,55 @@ class ScaleSpec extends SparkSpecBase {
       f"2M-bucket $tB%.1f s (hot alarms $aB)")
   }
 
+  test("100× mega-key series: ewmaStream/holtStream batch faces over " +
+    "ONE key owning a 2M-row series — iterator fold, fixed points " +
+    "exact at both sizes, ~linear growth") {
+    import graft.ext.TimeSeries
+    // r10 verdict hazard #1: the batch faces used to rows.toSeq.sortBy
+    // a key's ENTIRE series inside one flatMapGroupsWithState task.
+    // The static path is now a repartition + sortWithinPartitions +
+    // mapPartitions iterator fold — O(1) task memory — and this row
+    // pins it: one hot key owns a series 100× longer than everyone
+    // else's. Planted math: on the ramp v_t = t, EWMA(α=1/2) converges
+    // to EXACTLY t−1 in IEEE doubles (y_t = t−1+2^{−t}; once y = t−2
+    // exactly, y' = t−2+0.5·2 = t−1), and Holt(α=1/2, β=1/4) reaches
+    // its fixed point level = t, trend = 1, forecast = t+1 — both
+    // only hold if the fold visited every row IN t ORDER, so the
+    // endpoint value certifies the within-partition sort end-to-end.
+    def run(n: Long): ((Double, Double), Double) = {
+      val hot = spark.range(n).select(lit("hot").as("key"),
+        col("id").as("t"), col("id").cast("double").as("v"))
+      val cold = spark.range(n).select(
+        concat(lit("k"), pmod(col("id"), lit(50L))).as("key"),
+        (col("id") / 50L).cast("long").as("t"),
+        lit(3.0).as("v"))
+      val in = hot.unionByName(cold)
+      time {
+        val e = TimeSeries.ewmaStream(in, "key", "t", "v", alpha = 0.5)
+          .where(col("key") === "hot" && col("t") === (n - 1))
+          .select(col("ewma")).collect()(0).getDouble(0)
+        val h = TimeSeries.holtStream(in, "key", "t", "v",
+            alpha = 0.5, beta = 0.25)
+          .where(col("key") === "hot" && col("t") === (n - 1))
+          .select(col("forecast")).collect()(0).getDouble(0)
+        (e, h)
+      }
+    }
+    run(2000) // warm-up
+    val ((eS, hS), tS) = run(20000)
+    val ((eB, hB), tB) = run(2000000)
+    assert(eS == 20000.0 - 2 && eB == 2000000.0 - 2,
+      s"ewma ramp endpoint: $eS / $eB")
+    // Holt's contraction is a complex-eigenvalue spiral (|λ| = √½) —
+    // it converges to the t+1 fixed point but may hover an ulp off
+    assert(math.abs(hS - 20000.0) < 1e-6 &&
+      math.abs(hB - 2000000.0) < 1e-6,
+      s"holt ramp forecast endpoint: $hS / $hB")
+    assertLinear100("ts_ewma_100x", tS, tB, () => run(2000000)._2)
+    info(f"ewma+holt batch fold 100×: 20k-row hot series $tS%.2f s → " +
+      f"2M-row $tB%.1f s")
+  }
+
   test("100× celebrity key: asOf join where ONE key owns both entire " +
     "sides — every match exact at both sizes, ~linear growth") {
     import graft.ext.AsOfJoin
