@@ -375,6 +375,27 @@ object SinkSpec {
   * `state` starts at `init` per key; `process(state, row) => (newState,
   * emitted rows)`.
   */
+/** Ext-operator stage — the LLM-pipeline front door. Not in the reference
+  * grammar: the reference's core rationale is "topology as data"
+  * (`README.md:25-37`) but its operators stop at the Kafka Streams surface;
+  * this node lets a corpus-level graft.ext stage (dedup, quality filter,
+  * PII redaction, ANN...) appear INSIDE a topology value, so a whole
+  * training-data pipeline is one inspectable, rewritable AST tree rather
+  * than a topology that dead-ends into library calls. `name` keeps the node
+  * printable/debuggable (the fn itself is opaque); `keys` overrides the key
+  * columns when the transform re-keys (default: upstream keys that survive
+  * in the output schema). The event-time column is kept iff it survives.
+  * The fn receives the BATCH or STREAMING frame as compiled — a stage used
+  * in both modes must be valid in both (narrow maps and filters always
+  * are; see [[graft.ast.pipeline]] for mode-dispatching wrappers).
+  */
+final case class TransformOp(
+    up: KNode,
+    name: String,
+    fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+    keys: Seq[String] = Nil
+) extends KNode
+
 final case class ProcessOp(
     up: KNode,
     init: () => Array[Byte],

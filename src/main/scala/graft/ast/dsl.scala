@@ -55,6 +55,14 @@ object dsl {
     def toStream: ToStreamOp = ToStreamOp(n)
     def toStream(keys: Column*): ToStreamOp = ToStreamOp(n, keys)
     def repartition(cfg: Repartitioned): RepartitionOp = RepartitionOp(n, cfg)
+    /** Generic ext-operator stage (see [[TransformOp]]); named wrappers for
+      * the common pipeline stages live in [[graft.ast.pipeline]].
+      */
+    def transform(name: String,
+                  fn: org.apache.spark.sql.DataFrame =>
+                      org.apache.spark.sql.DataFrame,
+                  keys: Seq[String] = Nil): TransformOp =
+      TransformOp(n, name, fn, keys)
     def select(cols: Column*): SelectOp = SelectOp(n, cols)
     def sort(cols: Column*): SortOp = SortOp(n, cols)
 

@@ -1,0 +1,141 @@
+package graft.ast
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Named [[TransformOp]] wrappers for the pipeline-shaped graft.ext
+  * operators — the stages a training-data topology threads between source
+  * and sink. The reference's identity is "topology as data"
+  * (`README.md:25-37`, `core.clj:43-53`); these make the LLM-pipeline
+  * surface part of that data: `stream("documents").dedupExact().
+  * qualityFilter().piiRedact().langFilter(Set("en"))` is one AST value —
+  * inspectable, composable, compiled batch or streaming.
+  *
+  * Mode dispatch: every wrapper is streaming-valid. Narrow maps/filters
+  * (quality, langid, redaction, token count, classifier) run identically in
+  * both modes; [[PipelineOps.dedupExact]] dispatches — batch keeps the
+  * min-id representative per identical text via a left-semi join, streaming
+  * keys state on the 8-byte text hash inside the watermark horizon
+  * (`dropDuplicatesWithinWatermark` — state bounded by the delay, never the
+  * corpus).
+  */
+object pipeline {
+
+  implicit final class PipelineOps(private val n: KNode) extends AnyVal {
+
+    /** Exact-duplicate removal stage. Batch: one doc survives per distinct
+      * `textCol` (smallest `idCol` — deterministic), via [[Dedup.exact]]'s
+      * hash-grouped keep set and a left-semi join (8-byte shuffle keys, the
+      * documents never shuffle twice). Streaming: first record per text
+      * hash within `watermarkDelay` of `tsCol` survives
+      * ([[Dedup.exactStream]] shape — state per distinct hash, evicted at
+      * the horizon). `tsCol`/`watermarkDelay` are only read in streaming
+      * mode.
+      */
+    def dedupExact(textCol: String = "text", idCol: String = "doc_id",
+                   tsCol: String = "ts",
+                   watermarkDelay: String = "10 minutes"): TransformOp =
+      TransformOp(n, "dedup_exact", { df =>
+        if (df.isStreaming)
+          df.withColumn("__text_hash", xxhash64(col(textCol)))
+            .withWatermark(tsCol, watermarkDelay)
+            .dropDuplicatesWithinWatermark("__text_hash")
+            .drop("__text_hash")
+        else {
+          val keep = Dedup.exact(df, textCol, idCol)
+            .select(col("keep_id").as(idCol))
+          df.join(keep, Seq(idCol), "left_semi")
+        }
+      })
+
+    /** C4-rule quality gate ([[TextAnalysis.c4Rules]]): drop documents
+      * failing the published heuristics (length band, mean word length,
+      * stopword floor, repetition ceiling). Pure codegen'd filter — rides
+      * the scan in either mode.
+      */
+    def qualityFilter(textCol: String = "text", minWords: Int = 20,
+                      maxRepetition: Double = 0.6): TransformOp =
+      TransformOp(n, "quality_filter", df => df.filter(
+        TextAnalysis.c4Rules(col(textCol), minWords = minWords,
+          maxRepetition = maxRepetition).getField("keep")))
+
+    /** Gopher-rule quality gate ([[TextAnalysis.gopherRules]]) — the layout
+      * /symbol-spam complement to [[qualityFilter]].
+      */
+    def gopherFilter(textCol: String = "text",
+                     minWords: Int = 50): TransformOp =
+      TransformOp(n, "gopher_filter", df => df.filter(
+        TextAnalysis.gopherRules(col(textCol), minWords = minWords)
+          .getField("keep")))
+
+    /** Keep only documents whose n-gram language ID lands in `langs`. */
+    def langFilter(langs: Set[String],
+                   textCol: String = "text"): TransformOp =
+      TransformOp(n, "lang_filter", df => df.filter(
+        TextAnalysis.langId(col(textCol))
+          .isin(langs.toSeq.map(x => x: Any): _*)))
+
+    /** PII scrub stage: pattern redaction ([[TextAnalysis.redactPii]]) plus
+      * Luhn-checked credit-card redaction — replaces `textCol` in place.
+      * Narrow codegen'd map.
+      */
+    def piiRedact(textCol: String = "text"): TransformOp =
+      TransformOp(n, "pii_redact", df => df.withColumn(textCol,
+        TextAnalysis.redactCreditCards(
+          TextAnalysis.redactPii(col(textCol)))))
+
+    /** Append a whitespace token count column — the budget currency every
+      * downstream mixture/packing stage reads.
+      */
+    def tokenCount(textCol: String = "text",
+                   as: String = "n_tokens"): TransformOp =
+      TransformOp(n, "token_count", df => df.withColumn(as,
+        TextAnalysis.tokenCount(col(textCol))))
+
+    /** Band-pass filter on whitespace token count — the cheap length gate
+      * that runs before any scoring.
+      */
+    def lengthFilter(minTokens: Long, maxTokens: Long,
+                     textCol: String = "text"): TransformOp =
+      TransformOp(n, "length_filter", df => df.filter(
+        TextAnalysis.tokenCount(col(textCol))
+          .between(minTokens, maxTokens)))
+
+    /** Quality-classifier gate: keep documents whose hashed-feature linear
+      * model probability ≥ `minProb` ([[TextAnalysis.classifierProb]] over
+      * explicit word weights — fit upstream with fitLinearHashed).
+      */
+    def classifierFilter(weights: Seq[(String, Double)], bias: Double,
+                         minProb: Double,
+                         textCol: String = "text"): TransformOp =
+      TransformOp(n, "classifier_filter", df => df.filter(
+        TextAnalysis.classifierProb(col(textCol), weights, bias)
+          >= minProb))
+
+    /** Append the winnowing document fingerprint array
+      * ([[TextAnalysis.fingerprints]]) — the near-dup pre-key later stages
+      * band on.
+      */
+    def fingerprint(textCol: String = "text", k: Int = 5, w: Int = 4,
+                    as: String = "fingerprints"): TransformOp =
+      TransformOp(n, "fingerprint", df => df.withColumn(as,
+        TextAnalysis.fingerprints(col(textCol), k, w)))
+
+    /** MinHash near-duplicate removal stage (batch only — banding needs the
+      * corpus): drop the non-minimal side of every detected near-dup pair
+      * ([[Dedup.minhashPairs]] → [[Dedup.survivors]]).
+      */
+    def dedupNearMinhash(textCol: String = "text",
+                         idCol: String = "doc_id",
+                         threshold: Double = 0.8): TransformOp =
+      TransformOp(n, "dedup_near_minhash", { df =>
+        require(!df.isStreaming,
+          "dedup_near_minhash is a batch stage (banding needs the corpus);" +
+            " use dedupExact or incremental dedup faces in streaming mode")
+        Dedup.survivors(df,
+          Dedup.minhashPairs(df, textCol, idCol, threshold = threshold),
+          idCol)
+      })
+  }
+}

@@ -322,6 +322,16 @@ object Compiler {
     case r: ReduceOp => graft.state.UserAggregates.reduce(r, env)
     case a: AggregateOp[_] => graft.state.UserAggregates.aggregate(a, env)
     case s: SessionAggregateOp[_] => graft.state.SessionKernels.run(s, env)
+    case TransformOp(up, name, fn, keys) =>
+      val f = compile(up, env)
+      val out = fn(f.df)
+      val cols = out.columns.toSet
+      val newKeys = if (keys.nonEmpty) keys else f.keys.filter(cols)
+      require(newKeys.forall(cols),
+        s"transform '$name': declared key columns ${keys.mkString(",")} " +
+          s"missing from output schema ${out.columns.mkString(",")}")
+      KFrame(out, newKeys, f.eventTime.filter(cols), f.isTable)
+
     case p: ProcessOp => graft.state.Processors.run(p, env)
 
     // ---- joins ---------------------------------------------------------

@@ -53,6 +53,7 @@ object Normalizer {
     case n: AggregateOp[_] => n.copy(grouped = f(n.grouped))
     case n: SessionAggregateOp[_] => n.copy(grouped = f(n.grouped))
     case n: ProcessOp => n.copy(up = f(n.up))
+    case n: TransformOp => n.copy(up = f(n.up))
     case n: JoinOp => n.copy(left = f(n.left), right = f(n.right))
   }
 }

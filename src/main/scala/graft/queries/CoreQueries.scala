@@ -164,6 +164,21 @@ object CoreQueries {
           .peek(_ => seen.add(1))
           .sort(col("event_id")))(s, d)
     },
+    "op_transform" -> { (s, d) =>
+      // TransformOp: LLM-pipeline stages (graft.ext) as first-class
+      // topology nodes — exact dedup (min-id survivor per identical
+      // text), token-length band filter, token-count enrichment, all
+      // inside ONE AST value (the reference's topology-as-data rationale,
+      // README.md:25-37, extended to the corpus operators)
+      import graft.ast.pipeline._
+      run(
+        stream(Seq("documents"), Consumed(keys = Seq("doc_id")))
+          .dedupExact(textCol = "text", idCol = "doc_id")
+          .lengthFilter(3, 1000000)
+          .tokenCount(as = "n_tokens")
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+          .sort(col("doc_id")))(s, d)
+    },
     "op_serde_json" -> { (s, d) =>
       // value serde: decode the JSON props column, aggregate a field
       val propsSchema = StructType(Seq(StructField("k", LongType)))
@@ -677,6 +692,16 @@ object CoreQueries {
          GROUP BY event_type ORDER BY event_type""",
     "op_peek" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""",
+    "op_transform" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id
+           FROM documents GROUP BY text)
+         SELECT d.doc_id, d.lang,
+           CAST(len(list_filter(string_split(d.text, ' '),
+             x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents d JOIN keep USING (doc_id)
+         WHERE len(list_filter(string_split(d.text, ' '),
+           x -> x <> '')) BETWEEN 3 AND 1000000
+         ORDER BY d.doc_id""",
     "op_serde_json" ->
       """SELECT user_id, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY user_id ORDER BY user_id""",

@@ -351,6 +351,20 @@ private[queries] object ExtStatsQueries {
         "n_chars", "lang", "half", 0L, 1L)
         .orderBy(col("lang"))
     },
+    "ds_ks_census_stream" -> { (s, d) =>
+      // the ALWAYS-ON face of ds_ks_by_group: the ingest-monitor kernel
+      // (flatMapGroupsWithState side-count census, two Longs of state
+      // per (group, value) cell) run in batch mode, finished by the
+      // shared ksByGroupFromCounts arithmetic — same statistic, same
+      // oracle, proving the streaming monitor's census is exact
+      graft.ext.Stats.ksByGroupFromCounts(
+        graft.ext.Stats.ksCensusStream(
+          docs(s, d).select(col("lang"), col("n_chars"),
+            pmod(col("doc_id"), lit(2L)).as("half")),
+          "n_chars", "lang", "half", 0L, 1L))
+        .withColumnRenamed("g", "lang")
+        .orderBy(col("lang"))
+    },
     "ds_robust_scale" -> { (s, d) =>
       // per-language median/MAD z-scores of doc length — the
       // outlier-immune standardization for heavy-tailed signals
@@ -1032,6 +1046,32 @@ private[queries] object ExtStatsQueries {
            CAST((r_a_x2 - n_a * (n_a + 1)) * 1000000
                 // (n_a * n_b * 2) AS BIGINT) AS cles_ppm
          FROM agg""",
+    "ds_ks_census_stream" ->
+      """WITH base AS (SELECT lang AS g, n_chars AS v, doc_id % 2 AS half
+           FROM documents),
+         per AS (SELECT g, v,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+           FROM base GROUP BY g, v),
+         cum AS (SELECT g, v,
+             sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+             sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb
+           FROM per),
+         tot AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM per GROUP BY g),
+         gaps AS (SELECT cum.g, cum.v, tot.n_a, tot.n_b,
+             abs(cum.cuma * tot.n_b - cum.cumb * tot.n_a) AS gap
+           FROM cum JOIN tot USING (g)),
+         mx AS (SELECT g, max(gap) AS mg FROM gaps GROUP BY g)
+         SELECT gaps.g AS lang, gaps.n_a, gaps.n_b,
+           CAST(mx.mg * 1000000 // (gaps.n_a * gaps.n_b) AS BIGINT)
+             AS d_ppm,
+           CAST(min(gaps.v) AS BIGINT) AS at_v
+         FROM gaps JOIN mx ON mx.g = gaps.g AND gaps.gap = mx.mg
+         GROUP BY gaps.g, gaps.n_a, gaps.n_b, mx.mg
+         ORDER BY lang""",
     "ds_ks_by_group" ->
       """WITH base AS (SELECT lang AS g, n_chars AS v, doc_id % 2 AS half
            FROM documents),

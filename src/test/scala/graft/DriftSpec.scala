@@ -109,4 +109,78 @@ class DriftSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("ksCensusStream: per-cell latest census across batches feeds " +
+    "ksByGroupFromCounts to exactly the batch ksTestByGroup on the " +
+    "union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (group g, value v, side) rows — two languages, drifted odd side
+    def mk(n: Int, shift: Int): Seq[(String, Long, Long)] =
+      (0 until n).map { i =>
+        val g = if (i % 2 == 0) "en" else "de"
+        val side = (i / 2) % 2
+        (g, (i % 25 + side * shift).toLong, side.toLong)
+      }
+    val b1 = mk(400, 5)
+    val b2 = mk(300, 9)
+    val ms = MemoryStream[(String, Long, Long)]
+    val out = graft.ext.Stats.ksCensusStream(
+      ms.toDF().toDF("lang", "n_chars", "half"),
+      "n_chars", "lang", "half", 0L, 1L)
+    val q = out.writeStream.format("memory").queryName("ks_census")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // counts are monotone: latest per cell = max over the appended log
+    val census = spark.table("ks_census").groupBy("g", "v")
+      .agg(max("ca").as("ca"), max("cb").as("cb"))
+    val live = graft.ext.Stats.ksByGroupFromCounts(census)
+      .orderBy("g").collect().map(_.toSeq)
+    val batch = graft.ext.Stats.ksTestByGroup(
+      (b1 ++ b2).toDF("lang", "n_chars", "half"),
+      "n_chars", "lang", "half", 0L, 1L)
+      .orderBy("lang").collect().map(_.toSeq)
+    assert(live.length == 2 && live.sameElements(batch),
+      s"live=${live.mkString(";")} batch=${batch.mkString(";")}")
+  }
+
+  test("jsCensusStream: per-category latest census across batches feeds " +
+    "jsDivergenceFromCounts to exactly the batch jsDivergence on the " +
+    "union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // side 0 spreads over 7 categories, side 1 concentrates on 2 —
+    // a real mix shift (JSD well above one milli-nat)
+    def mk(n: Int, off: Int): Seq[(String, Long)] =
+      (0 until n).map { i =>
+        val side = i % 2
+        val cat = if (side == 0) "l" + (i % 7) else "l" + (i % 2 + off)
+        (cat, side.toLong)
+      }
+    val b1 = mk(500, 0)
+    val b2 = mk(301, 1)
+    val ms = MemoryStream[(String, Long)]
+    val out = graft.ext.Stats.jsCensusStream(
+      ms.toDF().toDF("lang", "half"), "lang", "half", 0L, 1L)
+    val q = out.writeStream.format("memory").queryName("js_census")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val census = spark.table("js_census").groupBy("cat")
+      .agg(max("c").as("c"), max("d").as("d"))
+    val live = graft.ext.Stats.jsDivergenceFromCounts(census)
+      .collect().map(_.toSeq)
+    val batch = graft.ext.Stats.jsDivergence(
+      (b1 ++ b2).toDF("lang", "half"), "lang", "half", 0L, 1L)
+      .collect().map(_.toSeq)
+    assert(live.length == 1 && live.sameElements(batch),
+      s"live=${live.mkString(";")} batch=${batch.mkString(";")}")
+    // the drifted mix diverges: JSD strictly positive
+    assert(live(0)(5).asInstanceOf[Long] > 0L)
+  }
 }
