@@ -1235,16 +1235,18 @@ object Pipeline {
     // null text is treated as empty: length(null) would null the chunk
     // count and posexplode zero rows — silently losing the doc id
     val txt = coalesce(col(textCol), lit(""))
-    // n = max(1, ceil((len - overlap) / stride)): every chunk advances a
-    // full stride; the last starts while > overlap chars remain, so no
-    // suffix is orphaned and a short (or null) doc yields exactly one chunk
-    val nc = greatest(lit(1L),
-      ceil((length(txt) - lit(overlapChars)).cast("double") / stride)
-        .cast("long"))
+    // chunk grid: starts every `stride` code points, width chunkChars,
+    // count max(1, ceil((len - overlap) / stride)) — no suffix orphaned,
+    // a short (or null) doc yields exactly one chunk. ONE pass via the
+    // char_chunks kernel: the previous transform(sequence)+substr form
+    // re-walked the string per chunk (substr offsets are code-point
+    // counts — O(start) each on multibyte text), turning a 10 MB
+    // document into minutes; the kernel is linear in output size
+    // (pinned by AdversarialTextSpec's 10 MB row; grid identical, the
+    // ds_chunk DuckDB oracle is unchanged).
     docs.select(col(idCol),
-        posexplode(transform(sequence(lit(0L), nc - 1), i =>
-          substr(txt, (i * stride + 1).cast("int"),
-                 lit(chunkChars)))))
+        posexplode(graft.functions.VectorFunctions
+          .char_chunks(txt, chunkChars, stride)))
       .toDF(idCol, "chunk_idx", "chunk_text")
   }
 
@@ -1260,15 +1262,16 @@ object Pipeline {
     require(overlapWords >= 0 && chunkWords > overlapWords,
       s"need 0 <= overlap ($overlapWords) < chunk size ($chunkWords)")
     val stride = chunkWords - overlapWords
-    // null → empty, same contract as chunkByChars: one empty chunk
-    val toks = split(coalesce(col(textCol), lit("")), " ")
-    val nc = greatest(lit(1L),
-      ceil((size(toks) - lit(overlapWords)).cast("double") / stride)
-        .cast("long"))
+    // null → empty, same contract as chunkByChars: one empty chunk.
+    // ONE pass via the word_chunks kernel: the previous transform +
+    // array_join(slice(split(...))) form re-evaluated the split() for
+    // every window (interpreted HOF lambdas get no CSE) — quadratic on
+    // long documents (AdversarialTextSpec's 10 MB row hung it); grid and
+    // split semantics unchanged, the ds_chunk_words oracle pins them.
     docs.select(col(idCol),
-        posexplode(transform(sequence(lit(0L), nc - 1), i =>
-          array_join(slice(toks, (i * stride + 1).cast("int"),
-                           lit(chunkWords)), " "))))
+        posexplode(graft.functions.VectorFunctions
+          .word_chunks(coalesce(col(textCol), lit("")),
+            chunkWords, stride)))
       .toDF(idCol, "chunk_idx", "chunk_text")
   }
 

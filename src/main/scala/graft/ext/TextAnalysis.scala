@@ -208,8 +208,11 @@ object TextAnalysis {
     */
   def repetitionRatio(textCol: Column): Column = {
     val t = toks(textCol)
-    lit(1.0) - size(array_distinct(t)).cast("double") /
-      greatest(size(t).cast("double"), lit(1.0))
+    // empty doc = 0 repetition, not 1: with no tokens the distinct/total
+    // ratio degenerates and the bare formula scored "fully repetitious"
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(t)).cast("double") /
+        size(t).cast("double"))
   }
 
   /** Whitespace token count (exact) — the cheap budget estimator. */

@@ -251,6 +251,14 @@ private[queries] object ExtStatsQueries {
       graft.ext.Labels.dawidSkene(annFixture(s, d), iters = 2)
         .orderBy(col("item"))
     },
+    "ds_dawid_skene_deep" -> { (s, d) =>
+      // the SAME EM at iters=4 — oracle-checks the per-iteration
+      // localCheckpoint barrier's CORRECTNESS at depth (r10 next #6:
+      // the barrier was previously only timed by the iters=8 ScaleSpec
+      // row, never hash-checked beyond 2 rounds)
+      graft.ext.Labels.dawidSkene(annFixture(s, d), iters = 4)
+        .orderBy(col("item"))
+    },
     "ds_bradley_terry" -> { (s, d) =>
       // Bradley-Terry preference strengths, 3 MM iterations in exact
       // Long ppm — the oracle replays all iterations in DuckDB
@@ -470,6 +478,7 @@ private[queries] object ExtStatsQueries {
 
   val oracle: Map[String, String] = Map(
     "ds_dawid_skene" -> dawidSkeneSql(2),
+    "ds_dawid_skene_deep" -> dawidSkeneSql(4),
     "ds_sorted_neighborhood" ->
       """WITH r AS (SELECT doc_id, text,
            row_number() OVER (ORDER BY text, doc_id) - 1 AS rk

@@ -788,10 +788,13 @@ private[queries] object ExtTextQueries {
          FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "text_repetition" ->
       """SELECT doc_id,
-         round(1.0 - CAST(len(list_distinct(list_filter(string_split(text, ' '),
-             x -> x <> ''))) AS DOUBLE)
-           / greatest(CAST(len(list_filter(string_split(text, ' '),
-             x -> x <> '')) AS DOUBLE), 1.0), 4) AS rep_ratio
+         CASE WHEN len(list_filter(string_split(text, ' '),
+             x -> x <> '')) = 0 THEN 0.0
+           ELSE round(1.0
+             - CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                 x -> x <> ''))) AS DOUBLE)
+             / CAST(len(list_filter(string_split(text, ' '),
+                 x -> x <> '')) AS DOUBLE), 4) END AS rep_ratio
          FROM documents ORDER BY doc_id""",
     "text_len_quantiles" ->
       """SELECT lang,

@@ -862,6 +862,82 @@ object Kernels {
     * general-n LM-fit form of [[wordBigrams]] (trigram counts for the
     * Stupid-Backoff scorer). Empty below n tokens.
     */
+  /** One-pass overlapping char chunks (see [[CharChunks]]). Code-point
+    * positions; surrogate pairs never split (appends copy whole code
+    * points). Builders open in position order and share one width, so
+    * they also FINISH in order — the head check suffices.
+    */
+  def charChunks(input: UTF8String, chunkChars: Int, stride: Int): ArrayData = {
+    val s = input.toString
+    val n16 = s.length
+    if (n16 == 0)
+      return new GenericArrayData(
+        Array[Any](UTF8String.fromString("")))
+    final class B(val sb: java.lang.StringBuilder, var rem: Int)
+    val cpLen = s.codePointCount(0, n16)
+    val overlap = chunkChars - stride
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val open = new java.util.ArrayList[B](chunkChars / stride + 2)
+    var i = 0 // UTF-16 offset
+    var p = 0 // code-point index
+    while (i < n16) {
+      if (p % stride == 0 && (p == 0 || p < cpLen - overlap))
+        open.add(new B(new java.lang.StringBuilder(
+          math.min(chunkChars * 2, 1 << 16)), chunkChars))
+      val w = if (Character.isHighSurrogate(s.charAt(i)) &&
+        i + 1 < n16 && Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1
+      var j = 0
+      while (j < open.size) {
+        val b = open.get(j)
+        b.sb.append(s, i, i + w)
+        b.rem -= 1
+        j += 1
+      }
+      while (!open.isEmpty && open.get(0).rem == 0) {
+        out += UTF8String.fromString(open.get(0).sb.toString)
+        open.remove(0)
+      }
+      i += w
+      p += 1
+    }
+    var k = 0
+    while (k < open.size) {
+      out += UTF8String.fromString(open.get(k).sb.toString)
+      k += 1
+    }
+    new GenericArrayData(out.toArray[UTF8String].asInstanceOf[Array[Any]])
+  }
+
+  /** One-pass overlapping word chunks (see [[WordChunks]]): split once
+    * (single-space, empty tokens kept — Spark split/DuckDB string_split
+    * parity), then each window is a direct token-range join. Work =
+    * output size.
+    */
+  def wordChunks(input: UTF8String, chunkWords: Int, stride: Int): ArrayData = {
+    val toks = input.toString.split(" ", -1)
+    val n = toks.length
+    val overlap = chunkWords - stride
+    val nc = math.max(1L,
+      math.ceil((n - overlap).toDouble / stride).toLong).toInt
+    val out = new Array[UTF8String](nc)
+    val sb = new java.lang.StringBuilder(256)
+    var i = 0
+    while (i < nc) {
+      sb.setLength(0)
+      val s0 = i * stride
+      val e = math.min(s0.toLong + chunkWords, n.toLong).toInt
+      var j = s0
+      while (j < e) {
+        if (j > s0) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
   def wordNgrams(input: UTF8String, n: Int): ArrayData = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)
     val m = math.max(toks.length - n + 1, 0)
@@ -1498,6 +1574,72 @@ case class WordBigrams(child: Expression)
 /** Positional word n-gram strings, repeats kept (see
   * [[Kernels.wordNgrams]]) — the general-n LM-fit tokenizer.
   */
+/** Overlapping fixed-width character chunks in ONE pass over the string —
+  * the `transform(sequence(...), i => substr(...))` formulation this
+  * replaces re-walks the string from position 0 for EVERY chunk
+  * (UTF8String offsets are code-point counts, so each substr is O(start)
+  * on multibyte text): O(n²/stride) on a 10 MB document ≈ minutes.
+  * Here chunk builders open at every `stride` code points and each code
+  * point appends to the ≤ ⌈chunkChars/stride⌉ currently-open builders —
+  * total work is exactly the output size. Chunk grid (code-point
+  * positions i·stride, width chunkChars, count max(1,
+  * ⌈(len−overlap)/stride⌉)) is IDENTICAL to the substr formulation —
+  * the ds_chunk DuckDB oracle pins it.
+  */
+case class CharChunks(child: Expression, chunkChars: Int, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(stride >= 1 && chunkChars >= stride,
+    s"char_chunks needs 1 <= stride <= chunkChars, got " +
+      s"stride=$stride chunkChars=$chunkChars")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charChunks(input.asInstanceOf[UTF8String], chunkChars, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".charChunks($c, $chunkChars, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[CharChunks]]'s word sibling: overlapping `chunkWords`-token windows
+  * advancing by `stride` tokens, splitting ONCE — the
+  * `transform(sequence, i => array_join(slice(split(text), ...)))`
+  * formulation this replaces re-evaluated the split() for EVERY window
+  * (interpreted HOF lambdas get no common-subexpression elimination),
+  * going quadratic on long documents. Split semantics match Spark's
+  * 2-arg `split(text, " ")` and DuckDB `string_split`: single-space
+  * separators, empty tokens kept — the ds_chunk_words oracle pins the
+  * grid.
+  */
+case class WordChunks(child: Expression, chunkWords: Int, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(stride >= 1 && chunkWords >= stride,
+    s"word_chunks needs 1 <= stride <= chunkWords, got " +
+      s"stride=$stride chunkWords=$chunkWords")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.wordChunks(input.asInstanceOf[UTF8String], chunkWords, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".wordChunks($c, $chunkWords, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordNgrams(child: Expression, n: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(n >= 1 && n <= 8, s"word_ngrams needs 1 <= n <= 8, got $n")
@@ -2259,6 +2401,16 @@ object VectorFunctions {
   /** Positional word n-gram strings, repeats kept (see [[WordNgrams]]). */
   def word_ngrams(text: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(text), n))
+
+  /** One-pass overlapping char chunks (see [[CharChunks]]). */
+  def char_chunks(text: Column, chunkChars: Int, stride: Int): Column =
+    ExpressionUtils.column(CharChunks(
+      ExpressionUtils.expression(text), chunkChars, stride))
+
+  /** One-pass overlapping word chunks (see [[WordChunks]]). */
+  def word_chunks(text: Column, chunkWords: Int, stride: Int): Column =
+    ExpressionUtils.column(WordChunks(
+      ExpressionUtils.expression(text), chunkWords, stride))
 
   /** Winnowing fingerprints (see [[WinnowFingerprint]]). */
   def winnow_fingerprint(text: Column, k: Int, w: Int): Column =
