@@ -98,13 +98,16 @@ object Bench {
     // contended so it is never silently trusted)
     val maxAttempts =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // big-SF sweeps: split multi-row-group fixture files across tasks
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(v => builder.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: run every query once on the smallest fixture so
     // per-query numbers measure the plan in steady state, not Janino

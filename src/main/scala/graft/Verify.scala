@@ -12,12 +12,16 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // big-SF sweeps: split multi-row-group fixture files across tasks
+    // (default 128 MB packs a whole sf1 table into one scan partition)
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(v => b.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

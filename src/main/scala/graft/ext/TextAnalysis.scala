@@ -528,22 +528,29 @@ object TextAnalysis {
       s"lr must be a positive power of two (exact-arithmetic contract), got $lr")
     require(clamp > 0 && clamp * WGrid == math.rint(clamp * WGrid),
       s"clamp must sit on the 1/65536 weight grid, got $clamp")
+    // hash each token ONCE: the token → bucket assignment is
+    // iteration-invariant, so the persisted projection carries the
+    // bucket-id array and every iteration is pure int/double arithmetic
+    // (previously the md5 ran per token per iteration — it dominated
+    // the 10× data-scale sweep). Assignment (h60 % buckets, empty
+    // tokens skipped) and accumulation order are unchanged, so the fit
+    // is bit-identical to the unrolled-SQL oracle.
     val base = docs
       .select(labelCol.cast("double").as("y"),
-              split(col(textCol), " ").as("toks"))
+              graft.functions.VectorFunctions.token_buckets(
+                split(col(textCol), " "), buckets).as("bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = base.count().toDouble
       require(n > 0, "fitLinearHashed needs a non-empty training corpus")
       var w = Array.fill(buckets)(0.0)
       for (_ <- 1 to iters) {
-        val s = graft.functions.VectorFunctions.linear_score_hashed(
-          col("toks"), w.toSeq, 0.0)
+        val s = graft.functions.VectorFunctions.linear_score_buckets(
+          col("bk"), w.toSeq, 0.0)
         val grad = base
           .select((round((col("y") - s) * RGrid) / RGrid).as("r"),
-                  explode(filter(col("toks"), t => t =!= "")).as("tok"))
-          .groupBy(pmod(Pipeline.portableHash60(col("tok")), lit(buckets))
-            .cast("int").as("bucket"))
+                  explode(col("bk")).as("bucket"))
+          .groupBy(col("bucket"))
           .agg(sum(col("r")).as("g"))
           .collect() // bounded: ≤ `buckets` rows
         val g = Array.fill(buckets)(0.0)

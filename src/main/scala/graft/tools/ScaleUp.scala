@@ -138,12 +138,20 @@ object ScaleUp {
   }
 
   /** Write as ONE parquet FILE at `path` (not a directory) — the
-    * fixture layout check_oracle.py and the driver read.
+    * fixture layout check_oracle.py and the driver read. Row groups are
+    * capped at 8 MB so the file stays SPLITTABLE: a single-row-group
+    * 100 MB file serializes every scan to one task (measured: the sf1
+    * sweep ran single-threaded until this), which is also the property
+    * a real 100 TB layout must never have. Readers pair this with
+    * `spark.sql.files.maxPartitionBytes` ≈ the row-group size
+    * (SPARK_GRAFT_MAX_PARTITION_BYTES in Verify/Bench).
     */
   private def writeOne(df: DataFrame, path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".tmpdir"
-    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    df.repartition(1).write.mode("overwrite")
+      .option("parquet.block.size", (8L * 1024 * 1024).toString)
+      .parquet(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
       .filter(p => p.endsWith(".parquet") && p.contains("part-"))
     require(part.length == 1, s"expected one part file, got ${part.length}")

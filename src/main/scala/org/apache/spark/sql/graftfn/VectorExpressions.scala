@@ -1166,6 +1166,44 @@ object Kernels {
     acc
   }
 
+  /** Hash-bucket ids of the non-empty tokens (see [[TokenBuckets]]):
+    * the iteration-INVARIANT half of [[linearScoreHashed]] — an
+    * iterative fitter hashes each token exactly once instead of once
+    * per iteration (md5 per token per iteration dominated the sf1
+    * fit). Same empty-token-skip contract, same `h60 % m` assignment.
+    */
+  def tokenBuckets(toks: ArrayData, m: Int): ArrayData = {
+    val n = toks.numElements()
+    val buf = new Array[Int](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) {
+        buf(k) = (PortableHash.h60(t) % m).toInt
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, k))
+  }
+
+  /** [[linearScoreHashed]] over PRE-HASHED bucket ids (see
+    * [[LinearScoreBuckets]]): identical accumulation order and
+    * arithmetic, zero hashing.
+    */
+  def linearScoreBuckets(ids: ArrayData, w: Array[Double],
+                         bias: Double): Double = {
+    var acc = bias
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      acc += w(ids.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
   /** PQ asymmetric-distance cosine (see [[PqAdcScore]]): with the query's
     * per-subspace dot-product table `lut` and norm `qn`, a candidate's
     * approximate cosine is `Σ lut[mi][code[mi]] / (qn · sqrt(Σ
@@ -2149,6 +2187,66 @@ case class LinearScoreHashed(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** Bucket-id assignment of the non-empty tokens — `pmod(h60(tok), m)` as
+  * array<int>, hashing each token ONCE so iterative fitters don't pay
+  * md5 per token per iteration (see [[Kernels.tokenBuckets]]).
+  */
+case class TokenBuckets(child: Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(buckets >= 1, s"token_buckets needs buckets >= 1, got $buckets")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "token_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.tokenBuckets(input.asInstanceOf[ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".tokenBuckets($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[LinearScoreHashed]] over pre-hashed bucket ids (array<int>) —
+  * identical accumulation, zero hashing per evaluation.
+  */
+case class LinearScoreBuckets(child: Expression, weights: Seq[Double],
+                              bias: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(weights.nonEmpty, "linear_score_buckets needs a non-empty bucket array")
+  require(weights.forall(java.lang.Double.isFinite) &&
+      java.lang.Double.isFinite(bias),
+    "linear_score_buckets needs finite bucket weights and bias")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "linear_score_buckets"
+
+  @transient private lazy val table: Array[Double] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.linearScoreBuckets(input.asInstanceOf[ArrayData], table, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bucketWeights", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftfn.Kernels" +
+        s".linearScoreBuckets($c, $tableRef, ${bias}D);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization asymmetric-distance scoring (Jégou et al., TPAMI
   * 2011) as a codegen'd ternary expression: `pq_adc_score(lut, qn, code)`
   * where `lut` is the query's per-subspace dot-product table
@@ -2500,6 +2598,17 @@ object VectorFunctions {
                           bias: Double = 0.0): Column =
     ExpressionUtils.column(
       LinearScoreHashed(ExpressionUtils.expression(toks), weights, bias))
+
+  /** Bucket ids of non-empty tokens, hashed once (see [[TokenBuckets]]). */
+  def token_buckets(toks: Column, buckets: Int): Column =
+    ExpressionUtils.column(
+      TokenBuckets(ExpressionUtils.expression(toks), buckets))
+
+  /** [[linear_score_hashed]] over pre-hashed bucket ids. */
+  def linear_score_buckets(ids: Column, weights: Seq[Double],
+                           bias: Double = 0.0): Column =
+    ExpressionUtils.column(
+      LinearScoreBuckets(ExpressionUtils.expression(ids), weights, bias))
 
   /** PQ asymmetric-distance cosine over (lut, qn, code) with model centroid
     * norms as a codegen reference object (see [[PqAdcScore]]).
