@@ -632,6 +632,38 @@ object Sketches {
   }
 }
 
+/** Per-GROUP KLL sketch as transformWithState state — the keyed sibling
+  * of [[Sketches.kllStream]]'s single global cell: state is one
+  * [[Sketches.KllBuilder]] per group (fixed size), each batch folds the
+  * group's new values and emits the group's updated robust summary row
+  * (g, n, p25, p50, p75). Distribution-keyed monitors (per-language
+  * quality scores, per-source lengths) read location/scale from this;
+  * group cardinality is report-sized by the same contract as
+  * [[Stats.jsCensusStream]].
+  */
+private[ext] class KllByKeyProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Double), (String, Long, Double, Double, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+
+  @transient private var sk: ValueState[Sketches.KllBuilder] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sk = getHandle.getValueState[Sketches.KllBuilder]("kll",
+      org.apache.spark.sql.Encoders.kryo[Sketches.KllBuilder], TTLConfig.NONE)
+
+  override def handleInputRows(g: String, rows: Iterator[(String, Double)],
+      timers: TimerValues): Iterator[(String, Long, Double, Double, Double)] = {
+    val b = if (sk.exists()) sk.get() else new Sketches.KllBuilder(k)
+    rows.foreach { case (_, v) => b.update(v) }
+    sk.update(b)
+    val m = b.toModel
+    Iterator.single((g, m.n, m.quantile(0.25), m.quantile(0.5),
+      m.quantile(0.75)))
+  }
+}
+
 /** Per-shard KMV bottom-k set as transformWithState state (sorted Long
   * array, rewritten per batch — ≤ k Longs by contract).
   */

@@ -311,6 +311,41 @@ object Stats {
       .drop("__g", "__vm")
   }
 
+  /** STREAMING face of [[robustScale]]'s location/scale census — the
+    * always-on per-group monitor ([[robustScale]] itself is two exact
+    * percentile passes, impossible over a stream): one KLL sketch of
+    * state per group (`transformWithState`, fixed size), emitting each
+    * touched group's updated `(g, n, p25_milli, med_milli, p75_milli,
+    * iqr_milli)` every micro-batch. Values quantize to milli-units
+    * BEFORE sketching (the [[robustScale]] grid); with `k ≥` the
+    * group's count the sketch is exact and `med_milli` equals the batch
+    * face's ceil-rank median (spec-asserted on the union of batches).
+    * Scale via IQR rather than MAD — MAD needs a second pass over
+    * |v − med| which a stream cannot replay; for symmetric
+    * distributions MAD ≈ IQR/2 (document the estimator switch wherever
+    * thresholds transfer). Batch mode runs the same kernel.
+    */
+  def robustScaleStream(df: DataFrame, valueCol: String, groupCol: String,
+                        k: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(k >= 8, s"k must be >= 8, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        round(col(valueCol).cast("double") * 1000).as("vm"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new KllByKeyProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("g", "n", "p25", "med", "p75")
+      .select(col("g"), col("n"),
+        col("p25").cast("long").as("p25_milli"),
+        col("med").cast("long").as("med_milli"),
+        col("p75").cast("long").as("p75_milli"),
+        (col("p75") - col("p25")).cast("long").as("iqr_milli"))
+  }
+
   /** Jensen-Shannon divergence between the categorical `catCol` mixes
     * of `groupCol = p` vs `= q`, in milli-nats:
     * JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2. Per category the KL
