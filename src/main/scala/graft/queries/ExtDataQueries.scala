@@ -190,8 +190,15 @@ private[queries] object ExtDataQueries {
       // exactly cume_dist (count-<=-v / n; max rank for ties)
       val dd = docs(s, d).withColumn("len",
         length(col("text")).cast("long"))
+      // gate mode sizes k from the DATA (max group count + 1), not a
+      // constant — a fixed 8192 stopped being exact the first time the
+      // fixture scaled past it (caught by the sf1 sweep). Production
+      // callers size k for the accuracy target instead; this keeps the
+      // gate a true cume_dist cross-check at any SF.
+      val maxGroup = dd.groupBy(col("lang"))
+        .count().agg(max("count")).collect()(0).getLong(0)
       val models = graft.ext.Sketches.kllFitByKey(dd, "lang", "len",
-        k = 8192)
+        k = math.max(8192L, maxGroup + 1L).toInt)
       require(models.values.forall(_.exact),
         "gate mode requires exact sketches (k >= group size)")
       Pipeline.quantileNormalizeBySketch(dd, "lang", "len", models)

@@ -86,10 +86,14 @@ object ScaleUp {
         .withColumn("l_partkey", col("l_partkey") + k * ps)
         .withColumn("l_suppkey", col("l_suppkey") + k * ss)
     }, s"$out/lineitem.parquet")
+    // events stay TIME-ORDERED in the file: the source fixture is, and a
+    // naive union of copies rewinds event time at every copy boundary —
+    // any watermark-driven replay over the file then measures late-drop,
+    // not aggregation (caught by the sf1 streaming-probe sentinel)
     writeOne(copies(ev) { (d, k) =>
       d.withColumn("event_id", col("event_id") + k * es)
         .withColumn("user_id", col("user_id") + k * us)
-    }, s"$out/events.parquet")
+    }.orderBy(col("ts"), col("event_id")), s"$out/events.parquet")
 
     // documents: copy 0 verbatim; copy k interleaves words with a
     // hash-offset partner (odd offsets, coprime to any doc count)
