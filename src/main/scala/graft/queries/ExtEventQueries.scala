@@ -407,12 +407,20 @@ private[queries] object ExtEventQueries {
         .orderBy(col("cohort"))
     },
     "ev_kmv_distinct" -> { (s, d) =>
-      // KMV bottom-k distinct sketch, shuffle-free treeAggregate fit;
-      // k=4096 ≥ the fixture's distinct-user count, so the sketch holds
-      // every distinct hash and the estimate is exact (the gate mode)
+      // KMV bottom-k distinct sketch, shuffle-free treeAggregate fit.
+      // Gate mode sizes k from the DATA (distinct count + 1, floored at
+      // 4096) so the sketch never saturates and the estimate is exact
+      // at ANY fixture scale — the constant 4096 silently started
+      // estimating (15203 vs 15000) the first time the fixture's users
+      // passed it (caught by the sf1 sweep). Production sizes k for the
+      // error target instead; the unsaturated-mode exactness is what
+      // this gate cross-checks.
       import s.implicits._
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
-      Seq(Sketches.kmvFit(ev, "user_id").estimate).toDF("n_users")
+      val nd = ev.select(col("user_id")).where(col("user_id").isNotNull)
+        .distinct().count()
+      val k = math.max(4096L, nd + 1L).toInt
+      Seq(Sketches.kmvFit(ev, "user_id", k).estimate).toDF("n_users")
     },
     "ev_cms_counts" -> { (s, d) =>
       // Count-Min point-frequency estimates: one shuffle-free treeAggregate
@@ -437,10 +445,15 @@ private[queries] object ExtEventQueries {
       // super-spreader report): distinct users per event type in ONE
       // hash aggregation — the wire carries bottom-k hash trees, never
       // the distinct values (countDistinct shuffles every distinct
-      // (group, value) pair); k=4096 >= every group's distinct users at
-      // fixture scale, so the estimates are exact (the gate mode)
+      // (group, value) pair); gate mode sizes k from the DATA (max
+      // per-group distinct + 1, floored at 4096 — same sf1-sweep fix as
+      // ev_kmv_distinct), so the estimates are exact at any scale
       val ev = new graft.compile.ParquetEnv(s, d).load("events")
-      val agg = Sketches.kmvDistinctUdaf(4096)
+      val maxD = ev.where(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nd"))
+        .agg(max(col("nd"))).collect()(0).getLong(0)
+      val agg = Sketches.kmvDistinctUdaf(math.max(4096L, maxD + 1L).toInt)
       ev.where(col("event_type").isNotNull)
         .groupBy(col("event_type"))
         .agg(agg(col("user_id").cast("string")).as("n_users"))

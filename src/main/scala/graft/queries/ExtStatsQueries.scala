@@ -503,10 +503,22 @@ private[queries] object ExtStatsQueries {
                  list_distinct(list_filter(string_split(name, ' '),
                    x -> x <> '')) AS toks
                FROM recs),
-         p AS (SELECT a.rid AS id_a, b.rid AS id_b, a.toks AS ta,
-                 b.toks AS tb, a.grp AS ga, b.grp AS gb
+         blk AS (SELECT lang, source, count(*) AS bn, min(rid) AS bmin
+               FROM t GROUP BY lang, source),
+         p0 AS (SELECT a.rid AS id_a, b.rid AS id_b
                FROM t a JOIN t b ON a.lang = b.lang
-                 AND a.source = b.source AND a.rid < b.rid),
+                 AND a.source = b.source AND a.rid < b.rid
+                 JOIN blk k ON k.lang = a.lang AND k.source = a.source
+               WHERE k.bn <= 1000
+               UNION
+               SELECT k.bmin, a.rid
+               FROM t a JOIN blk k ON k.lang = a.lang
+                 AND k.source = a.source
+               WHERE k.bn > 1000 AND a.rid <> k.bmin),
+         p AS (SELECT p0.id_a, p0.id_b, ta.toks AS ta, tb.toks AS tb,
+                 ta.grp AS ga, tb.grp AS gb
+               FROM p0 JOIN t ta ON ta.rid = p0.id_a
+                 JOIN t tb ON tb.rid = p0.id_b),
          i AS (SELECT id_a, id_b, ga, gb, ta, tb,
                  len(list_filter(ta, x -> list_contains(tb, x))) AS inter
                FROM p),
@@ -531,10 +543,18 @@ private[queries] object ExtStatsQueries {
          rk AS (SELECT rid,
                  row_number() OVER (ORDER BY name, rid) AS rk
                FROM t),
+         blk AS (SELECT lang, source, count(*) AS bn, min(rid) AS bmin
+               FROM t GROUP BY lang, source),
          cand AS (
            SELECT a.rid AS id_a, b.rid AS id_b
            FROM t a JOIN t b ON a.lang = b.lang
              AND a.source = b.source AND a.rid < b.rid
+             JOIN blk k ON k.lang = a.lang AND k.source = a.source
+           WHERE k.bn <= 1000
+           UNION
+           SELECT k.bmin, a.rid
+           FROM t a JOIN blk k ON k.lang = a.lang AND k.source = a.source
+           WHERE k.bn > 1000 AND a.rid <> k.bmin
            UNION
            SELECT least(r1.rid, r2.rid), greatest(r1.rid, r2.rid)
            FROM rk r1 JOIN rk r2
