@@ -204,7 +204,8 @@ object Dedup {
     * connectivity is preserved.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxBits: Int = 3): DataFrame = {
+                   maxBits: Int = 3,
+                   cap: Int = maxBucketFanout): DataFrame = {
     val chunks = maxBits + 1
     val width = 60 / chunks
     val sig = OpCaches.register(
@@ -215,7 +216,13 @@ object Dedup {
         shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "bits")
-    val cand = bucketPairs(banded, Seq("chunk", "bits"))
+    // cap: the hot-band star-pair defense ([[bucketPairs]]). Pigeonhole
+    // recall is 1 only while every band bucket fits the cap — gates run
+    // cap-off (exact-recall mode, the containmentPairs precedent);
+    // production picks the cap. The sf1 sweep caught the silent recall
+    // loss: a 10× corpus pushed band buckets past 1000 and the capped
+    // survivors diverged from the brute-force oracle.
+    val cand = bucketPairs(banded, Seq("chunk", "bits"), cap)
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

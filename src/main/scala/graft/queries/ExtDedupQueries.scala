@@ -34,8 +34,12 @@ private[queries] object ExtDedupQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     "dedup_simhash" -> { (s, d) =>
+      // cap = MaxValue: exact-recall gate mode — the brute-force oracle
+      // has recall 1, so the banding must too (production keeps the
+      // hot-band star cap; sf1 sweep caught the capped divergence)
       val dd = docs(s, d)
-      Dedup.survivors(dd, Dedup.simhashPairs(dd, "text", "doc_id")
+      Dedup.survivors(dd, Dedup.simhashPairs(dd, "text", "doc_id",
+            cap = Int.MaxValue)
           .withColumnRenamed("hamming", "jaccard"), "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
