@@ -32,6 +32,14 @@ object pipeline {
       * ([[Dedup.exactStream]] shape — state per distinct hash, evicted at
       * the horizon). `tsCol`/`watermarkDelay` are only read in streaming
       * mode.
+      *
+      * Both faces key on the 64-bit text hash ALONE (same contract as
+      * [[Dedup.exact]]): a 64-bit collision between two distinct texts
+      * silently drops one of them with no equality verification — at
+      * 10⁹ documents the birthday bound puts the expected number of
+      * colliding pairs near 0.03; acceptable for corpus dedup, not for
+      * exactly-once ledgers. Verify equality downstream if a collision
+      * is unacceptable.
       */
     def dedupExact(textCol: String = "text", idCol: String = "doc_id",
                    tsCol: String = "ts",

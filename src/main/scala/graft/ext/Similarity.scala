@@ -310,6 +310,16 @@ object Similarity {
   def fitIvf(corpus: DataFrame, nlist: Int = 16,
              vecCol: String = "embedding", seed: Long = 42L,
              maxTrain: Long = 20000L): IvfModel = {
+    val (_, sample) = trainSample(corpus, vecCol, seed, maxTrain)
+    IvfModel(lloydFit(sample, nlist, new scala.util.Random(seed), iters = 5))
+  }
+
+  /** Capped training sample for the quantizer fits: (corpus size, sampled
+    * vectors). One count + one sample-collect job; the collect is bounded
+    * by `maxTrain` by construction.
+    */
+  private def trainSample(corpus: DataFrame, vecCol: String, seed: Long,
+                          maxTrain: Long): (Long, Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("cv"))
@@ -318,6 +328,44 @@ object Similarity {
     val sample = vecs.sample(withReplacement = false, frac, seed)
       .as[Seq[Double]].collect().map(_.toArray)
     require(sample.nonEmpty, "IVF training sample is empty")
+    (n, sample)
+  }
+
+  /** Corpus-sized nlist policy — cells of ~`targetCellSize` expected
+    * occupancy. A FIXED nlist over a growing corpus is the quadratic
+    * trap for the knn-join faces: candidate volume is
+    * |queries| · |corpus| · nprobe / nlist, so holding nlist constant
+    * while both sides grow k× grows candidates k² (the r11 sf1 sweep
+    * measured the fixed-16 `sim_knn_join_probe` at 19.2× wall for 10×
+    * data). With nlist ∝ n/targetCellSize, candidates are
+    * |queries| · targetCellSize · nprobe — linear in the corpus.
+    * Clamped below by `minNlist` (probe granularity) and above by
+    * `maxNlist` AND the training-sample size (more centroids than
+    * training vectors would mint empty cells). Past
+    * maxNlist · targetCellSize rows, raise `maxTrain`/`maxNlist` or go
+    * two-level (IVF over shard-local IVF) — the policy keeps the clamp
+    * explicit rather than silently re-quadratic.
+    */
+  def autoNlist(n: Long, targetCellSize: Int = 128, minNlist: Int = 16,
+                maxNlist: Int = 1 << 14): Int = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1")
+    val want = (n + targetCellSize - 1) / targetCellSize
+    math.min(maxNlist.toLong, math.max(minNlist.toLong, want)).toInt
+  }
+
+  /** [[fitIvf]] with [[autoNlist]] sizing — fit the quantizer with nlist
+    * derived from the corpus row count (one extra use of the count the
+    * training sample already needs, so same two Spark jobs). This is the
+    * fit the corpus-scale pair-mining faces ([[ivfKnnJoin]],
+    * [[knnSelfJoin]]) should use; the fixed-nlist [[fitIvf]] remains for
+    * query-batch top-k where the corpus is the stable side.
+    */
+  def fitIvfAuto(corpus: DataFrame, targetCellSize: Int = 128,
+                 vecCol: String = "embedding", seed: Long = 42L,
+                 maxTrain: Long = 20000L): IvfModel = {
+    val (n, sample) = trainSample(corpus, vecCol, seed, maxTrain)
+    val nlist = autoNlist(n, targetCellSize,
+      maxNlist = math.min(1 << 14, sample.length))
     IvfModel(lloydFit(sample, nlist, new scala.util.Random(seed), iters = 5))
   }
 
@@ -446,7 +494,12 @@ object Similarity {
     *
     * At 100 TB this is THE shape for corpus-scale semantic dedup or
     * retrieval pair mining: both sides shuffle once by 32-bit cell id
-    * (vectors move once), join parallelism = nlist × `salt`. Cells are
+    * (vectors move once), join parallelism = nlist × `salt`. **Size nlist
+    * from the corpus** ([[fitIvfAuto]]/[[autoNlist]]): candidate volume is
+    * |queries| · |corpus| · nprobe / nlist, so a fixed nlist over a growing
+    * corpus is quadratic (measured: 19.2× wall at 10× data with nlist
+    * pinned at 16), while nlist ∝ n/targetCellSize keeps it linear.
+    * Cells are
     * Voronoi regions, so dense regions of embedding space become heavy
     * cells; `salt > 1` splits each cell's corpus rows across `salt`
     * sub-buckets (corpus side hashed by id, query side replicated ×salt)

@@ -232,8 +232,13 @@ object Stats {
     * `census.groupBy("g","v").agg(max("ca").as("ca"), max("cb")
     * .as("cb"))` over the sink table into [[ksByGroupFromCounts]] for
     * the live statistic (spec-asserted equal to the batch
-    * [[ksTestByGroup]] on the union of all batches). Runs identically
-    * on a static frame (same kernel, per-key fold).
+    * [[ksTestByGroup]] on the union of all batches — up to the census's
+    * STRING group key: the kernel casts `byCol` to string for a stable
+    * state-store key type, so for a numeric `byCol` the census `g`
+    * column is the string rendering of the batch face's native key;
+    * per-group statistics are identical, only the key column's type
+    * differs). Runs identically on a static frame (same kernel, per-key
+    * fold).
     *
     * Scale shape: state is bounded by the quantized grid × groups
     * (quantize upstream — same contract as the batch face), one hash

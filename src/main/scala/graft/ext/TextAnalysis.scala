@@ -1070,10 +1070,21 @@ object TextAnalysis {
     * (no cross-document grams; a text shorter than n contributes
     * nothing).
     *
-    * Shape: one token-volume explode into (group, gram) with a
-    * partial-agg'd count — repeated grams collapse map-side, which is
-    * exactly the skew case (a collapsed pool repeats few grams) — then
-    * one group-keyed reduce. Exact integers throughout.
+    * Shape — TWO-LEVEL, neither side shuffles token volume (the r11 sf1
+    * sweep measured the one-exchange (group, gram) count at 22× wall for
+    * 10× data once distinct-gram cardinality outgrew the partial-agg hash
+    * budget and the exchange fell back to sorting raw gram volume):
+    *  - `total` is computed NARROWLY — Σ per-document gram counts, a
+    *    fixed-width (group, long) aggregation; no gram ever leaves its
+    *    scan task.
+    *  - `distinct` dedups at the document level first (`array_distinct`
+    *    per text — the skew case is repetition WITHIN a collapsed pool,
+    *    which this collapses before the explode), so the single exchange
+    *    carries per-partition-distinct (group, gram) pairs, not token
+    *    volume.
+    * Both reduce to one row per group and meet in a trivially small join.
+    * Exact integers throughout; results identical to the one-exchange
+    * form by construction (count of distinct grams / count of grams).
     */
   def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
                      n: Int = 2): DataFrame = {
@@ -1085,15 +1096,20 @@ object TextAnalysis {
     // DESCENDING [0, -1], not an empty list
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
-    val grams =
-      if (n == 1) explode(filter(toks, x => x =!= "")).as("gram")
-      else explode(transform(idx,
-        i => array_join(slice(toks, i + 1, lit(n)), " "))).as("gram")
-    val gc = df.select(col(groupCol).as("g"), grams)
-      .where(col("gram") =!= "")
-      .groupBy(col("g"), col("gram")).agg(count(lit(1)).as("c"))
-    gc.groupBy(col("g"))
-      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct"))
+    val gramsArr =
+      if (n == 1) filter(toks, x => x =!= "")
+      else filter(transform(idx,
+        i => array_join(slice(toks, i + 1, lit(n)), " ")), g => g =!= "")
+    val perDoc = df.select(col(groupCol).as("g"), gramsArr.as("ga"))
+    val totals = perDoc.groupBy(col("g"))
+      .agg(sum(size(col("ga")).cast("long")).as("total"))
+    val dist = perDoc
+      .select(col("g"), explode(array_distinct(col("ga"))).as("gram"))
+      .distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("distinct"))
+    // inner join: a group whose texts yield zero grams has no distinct
+    // row and is absent from the result, matching the one-exchange form
+    totals.join(dist, Seq("g"))
       .select(col("g").as(groupCol), col("total"), col("distinct"),
         floorDivNN(col("distinct") * 1000000L, col("total"))
           .as("distinct_ppm"))

@@ -111,16 +111,24 @@ object ExtQueries {
     },
     "sim_knn_join_probe" -> { (s, d) =>
       // production pair-mining shape: approximate probes over the
-      // materialized cell-partitioned index, corpus-as-queries
-      Similarity.ivfKnnJoin(ivfIdx(s, d, 16), emb(s, d), k = 5,
-          ivfModel(s, d, nlist = 16), nprobe = 3, salt = 2)
+      // materialized cell-partitioned index, corpus-as-queries. nlist is
+      // CORPUS-SIZED (Similarity.autoNlist — cells of ~128 expected
+      // occupancy): the r11 sweep measured the fixed-16 variant at 19.2×
+      // wall for 10× data because candidate pairs ∝ n²·nprobe/nlist;
+      // with nlist ∝ n the candidate volume is linear. At the sf0.1
+      // floor corpus autoNlist resolves to 16, so floors stay comparable.
+      Similarity.ivfKnnJoin(ivfIdxAuto(s, d), emb(s, d), k = 5,
+          ivfModelAuto(s, d), nprobe = 3, salt = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     },
     "dedup_semantic_probe" -> { (s, d) =>
-      // full corpus, 16 cells: the SemDeDup shape the gate mode verifies;
-      // memoized fit-once centroids (the production shape)
+      // full corpus, corpus-sized cell count: the SemDeDup shape the gate
+      // mode verifies; memoized fit-once centroids (the production shape).
+      // autoNlist (≡ 16 at the sf0.1 floor corpus) — SemDeDup scales k
+      // with the corpus for exactly this reason: within-cell pair volume
+      // is n²/nlist, quadratic under any FIXED cell count.
       val e = emb(s, d)
-      e.join(Dedup.semanticPairs(e, ivfModel(s, d, nlist = 16),
+      e.join(Dedup.semanticPairs(e, ivfModelAuto(s, d),
                "embedding", "vec_id", threshold = 0.95)
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")

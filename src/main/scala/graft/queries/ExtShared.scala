@@ -79,6 +79,14 @@ private[queries] object ExtShared {
   def ivfModel(s: SparkSession, d: String, nlist: Int) =
     ivfModels.computeIfAbsent(s"$d:$nlist",
       _ => Similarity.fitIvf(emb(s, d), nlist))
+  // corpus-sized quantizer for the pair-mining faces (autoNlist: cells of
+  // ~128 expected occupancy) — at the sf0.1 floor corpus (2 k vectors) it
+  // resolves to the same nlist = 16 as the fixed fit, so the committed
+  // bench floors stay comparable; at 10× data it scales the cell count
+  // instead of the cell size (the r11 sweep's quadratic-candidates fix)
+  def ivfModelAuto(s: SparkSession, d: String) =
+    ivfModels.computeIfAbsent(s"$d:auto",
+      _ => Similarity.fitIvfAuto(emb(s, d)))
   def pqModel(s: SparkSession, d: String) =
     pqModels.computeIfAbsent(d, _ => Similarity.fitPq(emb(s, d)))
   def sqModel(s: SparkSession, d: String) =
@@ -125,6 +133,10 @@ private[queries] object ExtShared {
   def ivfIdx(s: SparkSession, d: String, nlist: Int) =
     indexed(s, s"ivf_${nlist}_$d", partCols = Seq("cell"))(
       Similarity.ivfIndex(emb(s, d), ivfModel(s, d, nlist)))
+  // the corpus-sized-nlist index the knn-join probe face queries
+  def ivfIdxAuto(s: SparkSession, d: String) =
+    indexed(s, s"ivf_auto_$d", partCols = Seq("cell"))(
+      Similarity.ivfIndex(emb(s, d), ivfModelAuto(s, d)))
   def sqIdx(s: SparkSession, d: String) =
     indexed(s, s"sq_$d")(Similarity.sqIndex(emb(s, d), sqModel(s, d)))
   def pqIdx(s: SparkSession, d: String) =
@@ -145,7 +157,8 @@ private[queries] object ExtShared {
     * state a production pipeline runs (index on disk, query-only cost).
     */
   def prebuildIndexes(s: SparkSession, d: String): Unit = {
-    ivfIdx(s, d, 16); sqIdx(s, d); pqIdx(s, d); lshIdx(s, d); bqIdx(s, d)
+    ivfIdx(s, d, 16); ivfIdxAuto(s, d); sqIdx(s, d); pqIdx(s, d)
+    lshIdx(s, d); bqIdx(s, d)
     bm25Idx(s, d); gramIdx(s, d)
     // trained models are fit-once/memoized exactly like the quantizers —
     // warm them here too so timed reps measure the steady state (the

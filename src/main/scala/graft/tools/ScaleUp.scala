@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   *  - fact tables shift every primary AND foreign key by
   *    `copy · (max_key + 1)` so referential integrity holds per copy
   *    and nothing collides across copies;
-  *  - `documents.text` for copy k > 0 interleaves each doc's words
-  *    with a hash-picked partner doc's words — keeps the token
-  *    distribution and length profile without minting 10-way
-  *    near-duplicate groups (verbatim replication would quadratically
-  *    inflate every pair-mining gate, which is a different pathology —
-  *    ScaleSpec's planted mega-bucket rows own that axis);
+  *  - `documents.text` for copy k > 0 applies a per-copy VOCABULARY
+  *    PERMUTATION π_k to every token (bijection vocab → vocab, seeded
+  *    by the copy index). Within a copy this preserves similarity
+  *    structure EXACTLY — n-grams are equal iff the originals were, so
+  *    Jaccard/shingle/simhash relations and the planted near-dup
+  *    groups survive per copy — while across copies two transforms of
+  *    the same doc share tokens only at the random-permutation
+  *    baseline. Near-dup pair volume therefore grows LINEARLY in the
+  *    factor, the honest 10× shape. (The r11 word-interleaving left
+  *    each copy sharing ~half its token mass with its sources, so
+  *    near-dup density grew super-linearly and fixture artifacts
+  *    masqueraded as engine super-linearity.) Lengths are preserved
+  *    per doc; corpus vocabulary stays the source vocabulary;
+  *    verbatim replication would instead mint 10-way dup groups —
+  *    ScaleSpec's planted mega-bucket rows own that axis;
   *  - `embeddings.embedding` for copy k > 0 rotates the vector by
   *    7k dims — norms and the label structure survive, near-identity
   *    pairs don't replicate.
@@ -89,40 +98,68 @@ object ScaleUp {
     // events stay TIME-ORDERED in the file: the source fixture is, and a
     // naive union of copies rewinds event time at every copy boundary —
     // any watermark-driven replay over the file then measures late-drop,
-    // not aggregation (caught by the sf1 streaming-probe sentinel)
+    // not aggregation (caught by the sf1 streaming-probe sentinel). The
+    // ordering is enforced INSIDE writeOne (sortWithinPartitions after
+    // the repartition(1)) — a pre-shuffle orderBy is not contractually
+    // preserved through a round-robin repartition.
     writeOne(copies(ev) { (d, k) =>
       d.withColumn("event_id", col("event_id") + k * es)
         .withColumn("user_id", col("user_id") + k * us)
-    }.orderBy(col("ts"), col("event_id")), s"$out/events.parquet")
+    }, s"$out/events.parquet", sortCols = Seq("ts", "event_id"))
 
-    // documents: copy 0 verbatim; copy k interleaves words with a
-    // hash-offset partner (odd offsets, coprime to any doc count)
+    // documents: copy 0 verbatim; copy k >= 1 token-maps through the
+    // per-copy vocabulary permutation π_k (see the object doc — within-
+    // copy similarity structure exact, cross-copy overlap at the random
+    // baseline, so near-dup pair volume grows linearly in the factor)
     val docs = rd("documents")
-    val nd = docs.count()
     val ds = stride(docs, "doc_id")
-    val partner = docs.select(col("doc_id").as("p_id"),
-      col("text").as("p_text"))
+    import org.apache.spark.sql.expressions.Window
+    // dense alphabetical rank over the corpus vocabulary; the single-
+    // partition window is fine in this offline tool — vocabulary is
+    // Heaps-law bounded, orders of magnitude below token volume
+    val ranked = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("w"))))
+      .persist()
+    ranked.count()
+    // π_k: the word at alphabetical rank r maps to the word at rank r of
+    // the hash-of-(word, copy) ordering — a deterministic bijection
+    // vocab -> vocab (row_number ties broken on w are impossible to
+    // collide: w is distinct)
+    def permutation(k: Int): DataFrame =
+      ranked.select(col("w"), col("r")).join(
+        ranked.select(col("w").as("w2"),
+          row_number().over(Window.orderBy(
+            xxhash64(concat(col("w"), lit(s"#$k"))), col("w"))).as("r")),
+        Seq("r"))
+        .select(col("w"), col("w2"))
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
       else {
-        val off = 2L * (k * 1327L % nd) + 1L
-        val joined = docs
-          .withColumn("p_id", pmod(col("doc_id") + off, lit(nd)))
-          .join(partner, Seq("p_id"), "left")
-        val merged = array_join(flatten(zip_with(
-          split(col("text"), " "),
-          split(coalesce(col("p_text"), lit("")), " "),
-          (a, b) => array(coalesce(a, lit("")), coalesce(b, lit(""))))),
-          " ")
-        val cleaned = trim(regexp_replace(merged, " +", " "))
-        joined.select(
-          (col("doc_id") + k * ds).as("doc_id"),
-          cleaned.as("text"),
-          col("lang"), col("source"),
-          length(cleaned).as("n_chars"))
+        val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val mapped = toks
+          .join(broadcast(permutation(k)), Seq("w"), "left")
+          .select(col("doc_id"), col("lang"), col("source"), col("pos"),
+            coalesce(col("w2"), col("w")).as("w2"))
+        val rebuilt = mapped
+          .groupBy(col("doc_id"), col("lang"), col("source"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w2")))),
+            s => s.getField("w2")), " ").as("text"))
+        rebuilt.select((col("doc_id") + k * ds).as("doc_id"),
+          col("text"), col("lang"), col("source"),
+          length(col("text")).as("n_chars"))
       }
     }
-    writeOne(docCopies.reduce(_ unionByName _), s"$out/documents.parquet")
+    // 2 MB row groups: documents is the one table whose per-row payload
+    // is large enough that 8 MB groups left the sf1 file ~2 splits wide —
+    // the r11 sweep measured the scan-bound rows (src_wet, contamination)
+    // at 18-28x because 10x data met <=2x scan parallelism
+    writeOne(docCopies.reduce(_ unionByName _), s"$out/documents.parquet",
+      blockBytes = 2L * 1024 * 1024)
+    ranked.unpersist()
 
     // embeddings: rotate by 7k dims per copy
     val emb = rd("embeddings")
@@ -148,13 +185,23 @@ object ScaleUp {
     * sweep ran single-threaded until this), which is also the property
     * a real 100 TB layout must never have. Readers pair this with
     * `spark.sql.files.maxPartitionBytes` ≈ the row-group size
-    * (SPARK_GRAFT_MAX_PARTITION_BYTES in Verify/Bench).
+    * (SPARK_GRAFT_MAX_PARTITION_BYTES in Verify/Bench). `sortCols`, when
+    * given, is applied WITHIN the single output partition after the
+    * repartition — the only shuffle-proof way to a globally sorted file
+    * (an upstream orderBy is not contractually preserved through the
+    * round-robin repartition(1)).
     */
-  private def writeOne(df: DataFrame, path: String): Unit = {
+  private def writeOne(df: DataFrame, path: String,
+                       sortCols: Seq[String] = Nil,
+                       blockBytes: Long = 8L * 1024 * 1024): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".tmpdir"
-    df.repartition(1).write.mode("overwrite")
-      .option("parquet.block.size", (8L * 1024 * 1024).toString)
+    val one = df.repartition(1)
+    val sorted =
+      if (sortCols.isEmpty) one
+      else one.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.mode("overwrite")
+      .option("parquet.block.size", blockBytes.toString)
       .parquet(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
       .filter(p => p.endsWith(".parquet") && p.contains("part-"))

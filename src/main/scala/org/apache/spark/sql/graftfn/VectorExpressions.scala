@@ -1198,7 +1198,16 @@ object Kernels {
     var i = 0
     val n = ids.numElements()
     while (i < n) {
-      acc += w(ids.getInt(i))
+      val id = ids.getInt(i)
+      // bucket-count contract: ids must come from token_buckets(_, m)
+      // with m == weights.length — a mismatched m would otherwise throw
+      // a raw AIOOBE from codegen'd code (or silently mis-score when
+      // weights is the longer side)
+      if (id < 0 || id >= w.length)
+        throw new IllegalArgumentException(
+          s"linear_score_buckets: bucket id $id outside [0, ${w.length})" +
+            " — token_buckets must be computed with m = weights.length")
+      acc += w(id)
       i += 1
     }
     acc
