@@ -2,7 +2,7 @@ package graft.ast
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Similarity, Stats, TextAnalysis}
 
 /** Named [[TransformOp]] wrappers for the pipeline-shaped graft.ext
   * operators — the stages a training-data topology threads between source
@@ -145,5 +145,126 @@ object pipeline {
           Dedup.minhashPairs(df, textCol, idCol, threshold = threshold),
           idCol)
       })
+
+    /** SemDeDup semantic near-duplicate removal stage (batch only — the
+      * cell fit and within-cell pairing need the corpus): fit a
+      * corpus-sized coarse quantizer ([[Similarity.fitIvfAuto]] —
+      * SemDeDup scales its cluster count with the corpus for exactly
+      * the reason [[Similarity.autoNlist]] documents: within-cell pair
+      * volume is n²/nlist, quadratic under any fixed cell count), then
+      * drop the non-minimal side of every within-cell pair with cosine
+      * ≥ `threshold` ([[Dedup.semanticPairs]] → [[Dedup.survivors]]).
+      */
+    def semanticDedup(vecCol: String = "embedding",
+                      idCol: String = "doc_id",
+                      threshold: Double = 0.95,
+                      targetCellSize: Int = 128,
+                      minNlist: Int = 16): TransformOp =
+      TransformOp(n, "semantic_dedup", { df =>
+        require(!df.isStreaming,
+          "semantic_dedup is a batch stage (the cell fit and within-cell" +
+            " pairing need the corpus); use dedupExact or incremental" +
+            " dedup faces in streaming mode")
+        Dedup.survivors(df,
+          Dedup.semanticPairs(df,
+            Similarity.fitIvfAuto(df, targetCellSize, vecCol,
+              minNlist = minNlist),
+            vecCol, idCol, threshold),
+          idCol)
+      })
+
+    /** Sequence-packing stage (batch only — bin offsets are a corpus
+      * prefix-sum): append each document's token count `tok`, its global
+      * token offset `start` (id-ordered cumulative sum via
+      * [[graft.ext.Pipeline.packSequences]]' distributed two-pass
+      * prefix-sum — no single-partition window), and the `budget`-sized
+      * bins it lands in (`first_bin`/`last_bin`).
+      */
+    def pack(budget: Long, idCol: String = "doc_id",
+             textCol: String = "text"): TransformOp =
+      TransformOp(n, "pack", { df =>
+        require(!df.isStreaming,
+          "pack is a batch stage (bin offsets are a corpus prefix-sum);" +
+            " pack per micro-batch via foreachBatch in streaming" +
+            " topologies")
+        val packed = graft.ext.Pipeline.packSequences(df, idCol,
+            TextAnalysis.tokenCount(col(textCol)), budget)
+          .withColumnRenamed("id", idCol)
+        df.join(packed, Seq(idCol))
+      })
+
+    /** ANN top-k enrichment stage (batch only — the per-query top-k is a
+      * corpus-wide reduce; run per micro-batch via foreachBatch in a
+      * streaming topology): append each row's `k` nearest `corpus`
+      * neighbors as a sorted struct array `(rank, neighbor_id, cos)` in
+      * column `as` (null when no probed cell held a neighbor). The
+      * retrieval plan is the no-broadcast [[Similarity.ivfKnnJoin]]
+      * shape — corpus-sized nlist ([[Similarity.fitIvfAuto]]), both
+      * sides shuffled once by cell id, bounded CollectTopK heaps —
+      * against a corpus encoded inline here; a steady-state pipeline
+      * materializes [[Similarity.ivfIndex]] once and queries that.
+      */
+    def annTopK(corpus: DataFrame, k: Int = 10, nprobe: Int = 3,
+                targetCellSize: Int = 128,
+                vecCol: String = "embedding", idCol: String = "doc_id",
+                corpusIdCol: String = "vec_id",
+                as: String = "neighbors"): TransformOp =
+      TransformOp(n, "ann_top_k", { df =>
+        require(!df.isStreaming,
+          "ann_top_k is a batch stage (the per-query top-k reduce is a" +
+            " corpus aggregation); run it per micro-batch via" +
+            " foreachBatch in streaming topologies")
+        val model = Similarity.fitIvfAuto(corpus, targetCellSize, vecCol)
+        // the two id columns share one namespace inside the join kernel —
+        // a row never retrieves the corpus row carrying its own id (the
+        // pair-mining kernel's self-exclusion)
+        val index = Similarity
+          .ivfIndex(corpus, model, vecCol, corpusIdCol)
+          .withColumnRenamed(corpusIdCol, idCol)
+        val hits = Similarity.ivfKnnJoin(index, df, k,
+            model, nprobe, salt = 1, vecCol = vecCol, idCol = idCol)
+          .groupBy(col("query_id").as(idCol))
+          .agg(sort_array(collect_list(struct(col("rank"),
+            col("neighbor_id"), col("cos")))).as(as))
+        df.join(hits, Seq(idCol), "left")
+      })
+
+    /** Always-on KS drift-monitor node ([[Stats.ksCensusStream]]): the
+      * topology branch that turns the flowing records into the KS
+      * side-count census changelog — two Longs of state per (group,
+      * quantized value) cell, identical kernel batch or streaming.
+      * Point it at a side sink and price it with
+      * [[Stats.ksByGroupFromCounts]] over the sink's per-cell latest
+      * rows; the main flow continues from the upstream node (declare
+      * the monitor as its own branch of the topology).
+      */
+    def monitorKsDrift(valueCol: String, byCol: String, groupCol: String,
+                       a: Any, b: Any): TransformOp =
+      TransformOp(n, "monitor_ks_drift",
+        df => Stats.ksCensusStream(df, valueCol, byCol, groupCol, a, b),
+        keys = Seq("g", "v"))
+
+    /** Always-on mix-drift monitor node ([[Stats.jsCensusStream]]): the
+      * categorical side-count census for the Jensen-Shannon divergence
+      * — two Longs of state per category; price the sink's per-cat
+      * latest rows with [[Stats.jsDivergenceFromCounts]].
+      */
+    def monitorJsDrift(catCol: String, groupCol: String, p: Any,
+                       q: Any): TransformOp =
+      TransformOp(n, "monitor_js_drift",
+        df => Stats.jsCensusStream(df, catCol, groupCol, p, q),
+        keys = Seq("cat"))
+
+    /** Always-on location/scale monitor node
+      * ([[Stats.robustScaleStream]]): one KLL sketch of state per
+      * group, emitting each touched group's updated (n, p25, median,
+      * p75, IQR) summary every micro-batch — the per-language/-source
+      * length and quality-score monitor of an ingest topology.
+      */
+    def monitorRobustScale(valueCol: String, groupCol: String,
+                           k: Int = 2048): TransformOp =
+      TransformOp(n, "monitor_robust_scale",
+        df => Stats.robustScaleStream(df, valueCol, groupCol, k),
+        keys = Seq("g"))
   }
 }

@@ -362,10 +362,10 @@ object Similarity {
     */
   def fitIvfAuto(corpus: DataFrame, targetCellSize: Int = 128,
                  vecCol: String = "embedding", seed: Long = 42L,
-                 maxTrain: Long = 20000L): IvfModel = {
+                 maxTrain: Long = 20000L, minNlist: Int = 16): IvfModel = {
     val (n, sample) = trainSample(corpus, vecCol, seed, maxTrain)
-    val nlist = autoNlist(n, targetCellSize,
-      maxNlist = math.min(1 << 14, sample.length))
+    val nlist = autoNlist(n, targetCellSize, minNlist = minNlist,
+      maxNlist = math.max(minNlist, math.min(1 << 14, sample.length)))
     IvfModel(lloydFit(sample, nlist, new scala.util.Random(seed), iters = 5))
   }
 

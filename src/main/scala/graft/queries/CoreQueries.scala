@@ -179,6 +179,35 @@ object CoreQueries {
           .select(col("doc_id"), col("lang"), col("n_tokens"))
           .sort(col("doc_id")))(s, d)
     },
+    "op_pipeline" -> { (s, d) =>
+      // FLAGSHIP: the whole LLM training-data pipeline as ONE AST value —
+      // source → exact dedup → C4 quality gate → PII redaction →
+      // embedding join → semantic dedup → sequence packing — every stage
+      // a named TransformOp node (topology-as-data carried to the full
+      // corpus surface). Gate mode: the id bound keeps the exact
+      // semantic pass affordable, and minNlist = 1 with an unbounded
+      // targetCellSize pins ONE cell so the within-cell pairing is the
+      // exact all-pairs DuckDB replays (the dedup_semantic precedent);
+      // production uses the corpus-sized default cells.
+      import graft.ast.pipeline._
+      val embs = ExtShared.emb(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val cleaned = stream(Seq("documents"), Consumed(keys = Seq("doc_id")))
+        .filter(col("doc_id") < 800)
+        .dedupExact(textCol = "text", idCol = "doc_id")
+        .qualityFilter()
+        .piiRedact()
+      val enriched = TransformOp(cleaned, "join_embeddings",
+        df => df.join(broadcast(embs), Seq("doc_id")))
+      run(
+        enriched
+          .semanticDedup(vecCol = "embedding", idCol = "doc_id",
+            threshold = 0.95, targetCellSize = Int.MaxValue, minNlist = 1)
+          .pack(budget = 1024)
+          .select(col("doc_id"), col("lang"), col("tok"), col("start"),
+            col("first_bin"), col("last_bin"))
+          .sort(col("doc_id")))(s, d)
+    },
     "op_serde_json" -> { (s, d) =>
       // value serde: decode the JSON props column, aggregate a field
       val propsSchema = StructType(Seq(StructField("k", LongType)))
@@ -702,6 +731,62 @@ object CoreQueries {
          WHERE len(list_filter(string_split(d.text, ' '),
            x -> x <> '')) BETWEEN 3 AND 1000000
          ORDER BY d.doc_id""",
+    // full pipeline replay: min-id dedup -> C4 keep (thresholds on the
+    // 4dp-rounded ratios, exactly c4Rules' arithmetic) -> PII regex chain
+    // (identity on this digit-free corpus but replayed faithfully; Luhn
+    // CC redaction is digit-gated, so it is exactly identity here — the
+    // text_cc_redact gate owns its replay) -> exact all-pairs semantic
+    // drop -> id-ordered prefix-sum packing
+    "op_pipeline" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents
+           WHERE doc_id < 800),
+         keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+         d1 AS (SELECT b.doc_id, b.lang, b.text
+           FROM base b JOIN keep USING (doc_id)),
+         t AS (SELECT doc_id, lang, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM d1),
+         q AS (SELECT doc_id, lang, text FROM t
+           WHERE len(toks) BETWEEN 20 AND 100000
+             AND round(list_sum(list_transform(toks, w -> length(w)))
+               * 1.0 / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
+             AND round(len(list_filter(toks, w -> lower(w) IN
+               ('the','a','and','of','to','in','is','it'))) * 1.0
+               / greatest(len(toks), 1), 4) >= 0.02
+             AND round(1.0 - len(list_distinct(toks)) * 1.0
+               / greatest(len(toks), 1), 4) <= 0.6
+             AND list_max(list_transform(toks, w -> length(w))) <= 20),
+         r AS (SELECT doc_id, lang,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+             '\+\d{9,15}\b', '<PHONE>', 'g') AS text
+           FROM q),
+         sem AS (SELECT r.doc_id, r.lang, r.text, e.embedding
+           FROM r JOIN embeddings e ON e.vec_id = r.doc_id),
+         dropped AS (SELECT DISTINCT b.doc_id FROM sem a, sem b
+           WHERE a.doc_id < b.doc_id
+             AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) >= 0.95),
+         surv AS (SELECT doc_id, lang, text FROM sem
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         c AS (SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS tok
+           FROM surv),
+         s AS (SELECT doc_id, lang, tok,
+           COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start
+           FROM c)
+         SELECT doc_id, lang, tok, CAST(start AS BIGINT) AS start,
+           CAST(start // 1024 AS BIGINT) AS first_bin,
+           CAST((start + greatest(tok, 1) - 1) // 1024 AS BIGINT)
+             AS last_bin
+         FROM s ORDER BY doc_id""",
     "op_serde_json" ->
       """SELECT user_id, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY user_id ORDER BY user_id""",

@@ -391,6 +391,63 @@ private[queries] object ExtStatsQueries {
         docs(s, d).select(col("lang"),
           pmod(col("doc_id"), lit(2L)).as("half")),
         "lang", "half", 0L, 1L)
+    },
+    "ds_js_census_stream" -> { (s, d) =>
+      // the ALWAYS-ON face of ds_js_divergence (the ds_ks_census_stream
+      // pattern): the categorical side-count census kernel — two Longs
+      // of state per category in flatMapGroupsWithState — run in batch
+      // mode, priced by the shared jsDivergenceFromCounts finisher.
+      // Same statistic, same oracle, proving the streaming mix-drift
+      // monitor's census is exact.
+      graft.ext.Stats.jsDivergenceFromCounts(
+        graft.ext.Stats.jsCensusStream(
+          docs(s, d).select(col("lang"),
+            pmod(col("doc_id"), lit(2L)).as("half")),
+          "lang", "half", 0L, 1L))
+    },
+    "ds_robust_scale_stream" -> { (s, d) =>
+      // the ALWAYS-ON face of ds_robust_scale's location/scale census:
+      // one KLL sketch of state per group (transformWithState) run in
+      // batch mode. Gate mode sizes k from the DATA (max group count
+      // + 1, the ds_quantile_norm_sketch / ev_kmv sf1-sweep precedent)
+      // so the sketch is exact and every quantile is the ceil-rank
+      // order statistic DuckDB can replay; production callers size k
+      // for the accuracy target instead.
+      val dd = docs(s, d).select(col("lang"), col("n_chars"))
+      val maxGroup = dd.groupBy(col("lang")).count()
+        .agg(max("count")).collect()(0).getLong(0)
+      // transformWithState needs the full streaming state-store machinery
+      // (RocksDB provider + state-store coordinator) even for a single
+      // batch, so the gate drives the kernel through a REAL one-micro-
+      // batch streaming query over the fixture rows — the monitor's
+      // deployment shape with the whole corpus as the first batch. The
+      // collect is gate-only and fixture-bounded; the conf switch is
+      // scoped by the eager materialization.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try {
+        val ms = MemoryStream[(String, Long)]
+        ms.addData(dd.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1))): _*)
+        val out = graft.ext.Stats.robustScaleStream(
+          ms.toDF().toDF("lang", "n_chars"), "n_chars", "lang",
+          k = math.max(2048L, maxGroup + 1L).toInt)
+        val qn = "rs_census_gate"
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        val res = s.table(qn).localCheckpoint(eager = true)
+        s.catalog.dropTempView(qn)
+        res.withColumnRenamed("g", "lang").orderBy(col("lang"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
   )
 
@@ -1175,6 +1232,61 @@ private[queries] object ExtStatsQueries {
            CAST(sums.sq // tot.n_q AS BIGINT) AS kl_q_milli,
            CAST((sums.sp // tot.n_p + sums.sq // tot.n_q) // 2
              AS BIGINT) AS jsd_milli
-         FROM tot, sums"""
+         FROM tot, sums""",
+    // census → finisher == the batch statistic: same replay as
+    // ds_js_divergence (counts are commutative, so the census is the
+    // plain GROUP BY)
+    "ds_js_census_stream" ->
+      """WITH base AS (SELECT lang AS cat, doc_id % 2 AS half
+           FROM documents),
+         cells AS (SELECT cat,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d
+           FROM base GROUP BY cat),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_p,
+             CAST(sum(d) AS BIGINT) AS n_q,
+             CAST(count(*) AS BIGINT) AS n_cats FROM cells),
+         terms AS (SELECT
+             CASE WHEN c > 0 THEN c * CAST(round(ln(
+                 CAST(c * (SELECT n_q FROM tot) * 2 AS DOUBLE)
+                 / (c * (SELECT n_q FROM tot)
+                    + d * (SELECT n_p FROM tot))) * 1000) AS BIGINT)
+               ELSE 0 END AS tp,
+             CASE WHEN d > 0 THEN d * CAST(round(ln(
+                 CAST(d * (SELECT n_p FROM tot) * 2 AS DOUBLE)
+                 / (c * (SELECT n_q FROM tot)
+                    + d * (SELECT n_p FROM tot))) * 1000) AS BIGINT)
+               ELSE 0 END AS tq
+           FROM cells),
+         sums AS (SELECT CAST(sum(tp) AS BIGINT) AS sp,
+             CAST(sum(tq) AS BIGINT) AS sq FROM terms)
+         SELECT tot.n_p, tot.n_q, tot.n_cats,
+           CAST(sums.sp // tot.n_p AS BIGINT) AS kl_p_milli,
+           CAST(sums.sq // tot.n_q AS BIGINT) AS kl_q_milli,
+           CAST((sums.sp // tot.n_p + sums.sq // tot.n_q) // 2
+             AS BIGINT) AS jsd_milli
+         FROM tot, sums""",
+    // exact-mode (k > group count) sketch quantiles are ceil-rank order
+    // statistics on the milli grid: value at 1-based rank
+    // max(1, ceil(q*n)) of the group's sorted values
+    "ds_robust_scale_stream" ->
+      """WITH base AS (SELECT lang AS g,
+             CAST(n_chars AS BIGINT) * 1000 AS vm FROM documents),
+         ranked AS (SELECT g, vm,
+             row_number() OVER (PARTITION BY g ORDER BY vm) AS rn,
+             count(*) OVER (PARTITION BY g) AS n FROM base),
+         qs AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.25 * n) AS BIGINT)) THEN vm END) AS p25_milli,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.5 * n) AS BIGINT)) THEN vm END) AS med_milli,
+             max(CASE WHEN rn = greatest(1,
+               CAST(ceil(0.75 * n) AS BIGINT)) THEN vm END) AS p75_milli
+           FROM ranked GROUP BY g)
+         SELECT g AS lang, n, p25_milli, med_milli, p75_milli,
+           p75_milli - p25_milli AS iqr_milli
+         FROM qs ORDER BY lang"""
   )
 }
