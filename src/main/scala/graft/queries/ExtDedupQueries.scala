@@ -457,14 +457,17 @@ private[queries] object ExtDedupQueries {
            CASE WHEN len(toks) < 3 THEN [coalesce(array_to_string(toks, ' '), '')]
                 ELSE list_distinct(list_transform(range(len(toks) - 2),
                        i -> $grams)) END AS sh
-           FROM t)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
-         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-           AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
-               / greatest(len(a.sh), len(b.sh)) >= 0.7
-           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-               >= 0.7
+           FROM t),
+         shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+         prc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n AS na, b.n AS nb, count(*) AS inter
+           FROM shx a JOIN shx b ON a.g = b.g
+           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+             AND CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n)
+                 >= 0.7
+           GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b FROM prc
+         WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          ORDER BY id_a, id_b"""
     },
     "dedup_containment" ->

@@ -1037,23 +1037,37 @@ private[queries] object ExtEventQueries {
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    // Window form of the ∃ view ≤ click ≤ purchase (window ≤ 1 day)
+    // funnel — equivalent to the triple self-join it replaced (which
+    // was quadratic-to-cubic per user and timed out in the r11 sf1
+    // sweep): with lv(x) = latest view at-or-before x, the best view
+    // witness for a click is lv(click), and for a purchase it is
+    // lv(c*) of the LATEST click c* ≤ the purchase (lv is monotone in
+    // the click time, so the running max over clicks' lv values IS
+    // lv(c*)). RANGE frames make same-timestamp peers visible, exactly
+    // matching the b.us >= a.us / c.us >= b.us inequalities.
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
            FROM events
            WHERE event_type IN ('view', 'click', 'purchase')),
+         w AS (SELECT user_id, us, event_type,
+             max(CASE WHEN event_type = 'view' THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+           FROM e),
+         w2 AS (SELECT user_id, us, event_type, lv,
+             max(CASE WHEN event_type = 'click' THEN lv END) OVER
+               (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcv
+           FROM w),
          u AS (SELECT DISTINCT user_id FROM e),
          d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
-         d2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b
-                  ON b.user_id = a.user_id
-                WHERE a.event_type = 'view' AND b.event_type = 'click'
-                  AND b.us >= a.us AND b.us - a.us <= 86400000000),
-         d3 AS (SELECT DISTINCT a.user_id FROM e a
-                JOIN e b ON b.user_id = a.user_id
-                JOIN e c ON c.user_id = a.user_id
-                WHERE a.event_type = 'view' AND b.event_type = 'click'
-                  AND c.event_type = 'purchase'
-                  AND b.us >= a.us AND c.us >= b.us
-                  AND c.us - a.us <= 86400000000)
+         d2 AS (SELECT DISTINCT user_id FROM w
+                WHERE event_type = 'click' AND lv IS NOT NULL
+                  AND us - lv <= 86400000000),
+         d3 AS (SELECT DISTINCT user_id FROM w2
+                WHERE event_type = 'purchase' AND lcv IS NOT NULL
+                  AND us - lcv <= 86400000000)
          SELECT u.user_id,
            CAST(CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
                      WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2

@@ -571,6 +571,17 @@ private[queries] object ExtShared {
   /** Brute-force exact-Jaccard pair CTEs (t, sh, pr with id_a < id_b) —
     * shared by the survivors oracle and the clustering oracle.
     */
+  /** Exact Jaccard near-dup pairs as a CTE chain ending in `pr (id_a,
+    * id_b)` — inverted-index + counting form: explode each doc's DISTINCT
+    * k-gram shingles, self-join on the shingle (a pair at J ≥ t > 0 must
+    * share one), count shared shingles per length-compatible pair, and
+    * finish the Jaccard from counts (inter / (|A| + |B| − inter)).
+    * Equivalent to the earlier brute-force all-pairs form for t > 0 (a
+    * pair sharing zero shingles cannot reach a positive threshold) but
+    * linear in shared-shingle volume instead of quadratic in documents —
+    * the r11 sf1 sweep's replays of the cross-join form timed out at
+    * 50 k docs; this form adjudicates the same rows in ~20 s.
+    */
   def jaccardPairsCte(k: Int, threshold: Double): String = {
     val grams = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""t AS (SELECT doc_id,
@@ -581,13 +592,17 @@ private[queries] object ExtShared {
                 ELSE list_distinct(list_transform(range(len(toks) - ${k - 1}),
                        i -> $grams)) END AS sh
            FROM t),
-       pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
-             WHERE a.doc_id < b.doc_id
-               AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
-                   / greatest(len(a.sh), len(b.sh)) >= $threshold
-               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                   >= $threshold)"""
+       shx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+       prc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.n AS na, b.n AS nb, count(*) AS inter
+               FROM shx a JOIN shx b
+                 ON a.g = b.g AND a.doc_id < b.doc_id
+               WHERE CAST(least(a.n, b.n) AS DOUBLE)
+                     / greatest(a.n, b.n) >= $threshold
+               GROUP BY 1, 2, 3, 4),
+       pr AS (SELECT id_a, id_b FROM prc
+              WHERE CAST(inter AS DOUBLE) / (na + nb - inter)
+                    >= $threshold)"""
   }
 
   def jaccardSurvivorsSql(k: Int, threshold: Double): String =
@@ -755,6 +770,12 @@ private[queries] object ExtShared {
     * is written as the SQL expression, not a precomputed Scala double, so
     * both engines evaluate the identical IEEE subtraction.
     */
+  /** `short` and every `selu$i` are MATERIALIZED: the greedy chain
+    * references `selu${"$"}{i-1}` twice per step (score subquery + NOT
+    * EXISTS) and DuckDB inlines plain CTEs, so without materialization
+    * the corpus-wide relevance scan re-evaluates ~2^k times (the r11
+    * sf1 sweep's sim_mmr replay timed out on exactly this).
+    */
   def mmrSql(k: Int, shortlist: Int, lam: Double): String = {
     val steps = (2 to k).map { i =>
       s"""sc$i AS (SELECT s.query_id, s.id, s.v, s.rel,
@@ -767,7 +788,8 @@ private[queries] object ExtShared {
          sel$i AS (SELECT query_id, id, v, rel, $i AS rank, score FROM
            (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY score DESC, id) AS r FROM sc$i) WHERE r = 1),
-         selu$i AS (SELECT * FROM selu${i - 1} UNION ALL SELECT * FROM sel$i)"""
+         selu$i AS MATERIALIZED (SELECT * FROM selu${i - 1}
+           UNION ALL SELECT * FROM sel$i)"""
     }.mkString(",\n")
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -775,13 +797,13 @@ private[queries] object ExtShared {
            CAST(e.embedding AS DOUBLE[]) AS v,
            list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS rel
            FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-       short AS (SELECT query_id, id, v, rel FROM
+       short AS MATERIALIZED (SELECT query_id, id, v, rel FROM
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY rel DESC, id) AS rn FROM cand) WHERE rn <= $shortlist),
        sel1 AS (SELECT query_id, id, v, rel, 1 AS rank, rel AS score FROM
          (SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY rel DESC, id) AS r FROM short) WHERE r = 1),
-       selu1 AS (SELECT * FROM sel1),
+       selu1 AS MATERIALIZED (SELECT * FROM sel1),
        $steps
        SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS neighbor_id,
               round(score, 6) AS score

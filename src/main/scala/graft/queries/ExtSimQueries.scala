@@ -425,11 +425,14 @@ private[queries] object ExtSimQueries {
     "sim_ann_pq" -> simBruteSql,
     // brute-force SELF-join ground truth: gate-mode (nprobe = nlist)
     // candidate-completeness makes the salted shuffle KNN join ≡ this
+    // MATERIALIZED cast: one double[] conversion per vector, not per
+    // pair — at 20 k × 20 k the per-pair cast dominated the replay
     "sim_knn_join" ->
-      """WITH scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])) AS cos
-             FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+      """WITH v AS MATERIALIZED (SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, c.e) AS cos
+             FROM v q, v c WHERE c.vec_id <> q.vec_id),
          ranked AS (SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, neighbor_id) AS rank

@@ -153,12 +153,7 @@ object ScaleUp {
           length(col("text")).as("n_chars"))
       }
     }
-    // 2 MB row groups: documents is the one table whose per-row payload
-    // is large enough that 8 MB groups left the sf1 file ~2 splits wide —
-    // the r11 sweep measured the scan-bound rows (src_wet, contamination)
-    // at 18-28x because 10x data met <=2x scan parallelism
-    writeOne(docCopies.reduce(_ unionByName _), s"$out/documents.parquet",
-      blockBytes = 2L * 1024 * 1024)
+    writeOne(docCopies.reduce(_ unionByName _), s"$out/documents.parquet")
     ranked.unpersist()
 
     // embeddings: rotate by 7k dims per copy
@@ -180,10 +175,14 @@ object ScaleUp {
 
   /** Write as ONE parquet FILE at `path` (not a directory) — the
     * fixture layout check_oracle.py and the driver read. Row groups are
-    * capped at 8 MB so the file stays SPLITTABLE: a single-row-group
-    * 100 MB file serializes every scan to one task (measured: the sf1
-    * sweep ran single-threaded until this), which is also the property
-    * a real 100 TB layout must never have. Readers pair this with
+    * capped at 2 MB so EVERY table stays SPLITTABLE at sweep scale: a
+    * single-row-group file serializes every scan to one task (measured
+    * twice now — the r11 sweep ran single-threaded until groups were
+    * capped at 8 MB, and 8 MB still left sf1 events/embeddings/documents
+    * at 1-5 splits, starving local[32] on scan-bound rows), which is
+    * also the property a real 100 TB layout must never have (there the
+    * group size is 128 MB+ and splittability comes from file count).
+    * Readers pair this with
     * `spark.sql.files.maxPartitionBytes` ≈ the row-group size
     * (SPARK_GRAFT_MAX_PARTITION_BYTES in Verify/Bench). `sortCols`, when
     * given, is applied WITHIN the single output partition after the
@@ -193,7 +192,7 @@ object ScaleUp {
     */
   private def writeOne(df: DataFrame, path: String,
                        sortCols: Seq[String] = Nil,
-                       blockBytes: Long = 8L * 1024 * 1024): Unit = {
+                       blockBytes: Long = 2L * 1024 * 1024): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + ".tmpdir"
     val one = df.repartition(1)
