@@ -464,8 +464,12 @@ object Dedup {
     *
     * The df cap stays as the 100 TB scale guard: a prefix shingle shared by
     * more than maxDf docs generates no pairs (quadratic-bucket protection —
-    * a documented recall caveat on adversarially skewed vocabularies,
-    * irrelevant when near-dup prefixes are rare, as natural text makes them).
+    * a documented recall caveat on skewed vocabularies). MEASURED, not
+    * hypothetical: the r12 sf1 sweep (50 k docs over a 31-word synthetic
+    * vocabulary) pushed prefix buckets past the default cap and the capped
+    * run silently missed ~1.1 k of 2.4 k true pairs — the simhash-cap
+    * defect class. Correctness gates therefore run `maxDf = Long.MaxValue`
+    * (exact-recall mode); production sizes the cap for its vocabulary.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, maxDf: Long = 50,

@@ -84,7 +84,8 @@ private[queries] object ExtDataQueries {
       // fold via their cluster representative's hash
       val dd = docs(s, d)
       Pipeline.foldsByCluster(dd,
-          Dedup.ngramJaccardPairs(dd, "text", "doc_id"), "doc_id", k = 5)
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+            maxDf = Long.MaxValue), "doc_id", k = 5)
         .select(col("doc_id"), col("fold"))
         .orderBy(col("doc_id"))
     },
@@ -450,7 +451,8 @@ private[queries] object ExtDataQueries {
       // the same split via their cluster representative's hash
       val dd = docs(s, d)
       Pipeline.splitByCluster(dd,
-          Dedup.ngramJaccardPairs(dd, "text", "doc_id"), "doc_id",
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+            maxDf = Long.MaxValue), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))

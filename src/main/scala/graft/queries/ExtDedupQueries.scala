@@ -44,8 +44,15 @@ private[queries] object ExtDedupQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     "dedup_ngram_jaccard" -> { (s, d) =>
+      // maxDf = MaxValue: exact-recall gate mode for the WHOLE jaccard
+      // gate family (also corpus/clusters/report/kfold_safe/split_safe) —
+      // the brute-force oracle has recall 1, so the prefix index must
+      // too. The r12 sf1 sweep caught the default df cap silently
+      // dropping hot prefix buckets at 50 k docs (the simhash-cap
+      // precedent); production keeps a vocabulary-sized cap.
       val dd = docs(s, d)
-      Dedup.survivors(dd, Dedup.ngramJaccardPairs(dd, "text", "doc_id"), "doc_id")
+      Dedup.survivors(dd, Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+            maxDf = Long.MaxValue), "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     "dedup_embedding" -> { (s, d) =>
@@ -105,7 +112,8 @@ private[queries] object ExtDedupQueries {
       // the full dedup pipeline in one operator: pair detection →
       // clustering → keep the longest doc per cluster (ties → smallest id)
       val dd = docs(s, d)
-      Dedup.canonicalize(dd, Dedup.ngramJaccardPairs(dd, "text", "doc_id"),
+      Dedup.canonicalize(dd, Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+            maxDf = Long.MaxValue),
           "doc_id", prefer = Seq(length(col("text")).desc))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -165,7 +173,8 @@ private[queries] object ExtDedupQueries {
       // near-dup clusters, singletons accounted (n_docs sums to corpus)
       val dd = docs(s, d)
       Dedup.dedupReport(dd,
-          Dedup.ngramJaccardPairs(dd, "text", "doc_id")
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+            maxDf = Long.MaxValue)
             .select(col("id_a"), col("id_b")),
           "doc_id")
         .orderBy(col("cluster_size"))
@@ -174,7 +183,8 @@ private[queries] object ExtDedupQueries {
       // near-dup clustering: connected components over the exact-verified
       // Jaccard pairs (chains dedupe as one cluster, not pairwise)
       val dd = docs(s, d)
-      val pairs = Dedup.ngramJaccardPairs(dd, "text", "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(dd, "text", "doc_id",
+            maxDf = Long.MaxValue)
         .select(col("id_a"), col("id_b"))
       Dedup.clusters(pairs)
         .groupBy(col("cluster_id"))
