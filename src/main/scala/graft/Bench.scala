@@ -46,7 +46,17 @@ object Bench {
         "sim_ann_sq_indexed", "sim_ann_pq_indexed", "sim_knn_join",
         // k >= n retains the full multiset — brute-force-equivalent
         // exact mode of ev_kll_quantiles_probe
-        "ev_kll_quantiles")
+        "ev_kll_quantiles",
+        // cap-off exact-recall modes of the near-dup pair kernels (the
+        // r12 sf1 adjudication: gates hash-match recall-1 oracles, so
+        // the prefix df cap / hot-band star cap are off — candidate
+        // volume is quadratic BY CONSTRUCTION on the saturated fixture
+        // vocabulary). Production faces with the documented caps are
+        // the dedup_ngram_jaccard_probe / dedup_simhash_probe perf rows;
+        // clusters/report/kfold/split ride the same cap-off pair kernel.
+        "dedup_ngram_jaccard", "dedup_corpus", "dedup_clusters",
+        "dedup_report", "ds_kfold_safe", "ds_split_safe",
+        "dedup_simhash")
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

@@ -142,6 +142,26 @@ object ExtQueries {
         dd.where(pmod(col("doc_id"), lit(2)) === 1),
         dd.where(pmod(col("doc_id"), lit(2)) === 0))
         .select(col("doc_id"))
+    },
+    // Production faces of the near-dup pair kernels whose GATES run
+    // cap-off exact-recall mode (the r12 sf1 adjudication moved those
+    // gates to the gate lane — their cost is quadratic-candidate BY
+    // CONSTRUCTION so the oracle can have recall 1). These probe rows
+    // carry the documented production caps: df-capped prefix postings /
+    // the hot-band star cap keep candidate volume bounded per bucket.
+    // The clusters/report/kfold/split gates ride the same pair kernel,
+    // so one probe per kernel covers the family's production scaling.
+    "dedup_ngram_jaccard_probe" -> { (s, d) =>
+      val dd = docs(s, d)
+      Dedup.survivors(dd,
+          Dedup.ngramJaccardPairs(dd, "text", "doc_id"), "doc_id")
+        .select(col("doc_id"))
+    },
+    "dedup_simhash_probe" -> { (s, d) =>
+      val dd = docs(s, d)
+      Dedup.survivors(dd, Dedup.simhashPairs(dd, "text", "doc_id")
+          .withColumnRenamed("hamming", "jaccard"), "doc_id")
+        .select(col("doc_id"))
     }
   )
 }
