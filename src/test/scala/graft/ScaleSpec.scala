@@ -987,4 +987,38 @@ class ScaleSpec extends SparkSpecBase {
     info(f"ksTest+mannWhitneyU 100×: 40k all-distinct rows $tS%.2f s " +
       f"→ 4M $tB%.1f s (distributed prefix sum)")
   }
+
+  test("autoNlist policy: knn-join candidate volume grows LINEARLY at " +
+    "10× corpus while the fixed-nlist counterfactual is quadratic — " +
+    "deterministic cell-census counts, no wall clock") {
+    // organic hash-mixed vectors, no planted cluster (the skewed-cell
+    // pathology is the Voronoi row's axis; this row pins the PARAMETER
+    // POLICY the r12 sweep fix introduced for sim_knn_join_probe)
+    def emb(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          pmod(xxhash64(col("id") * 64 + j), lit(2000))
+            .cast("double") / 1000.0 - 1.0)
+          .cast("array<float>").as("embedding"))
+    // Σ per-cell count² — the self-join candidate-pair proxy (both join
+    // sides meet per cell; nprobe is a constant multiplier)
+    def cand(n: Long, model: Similarity.IvfModel): Long =
+      Similarity.ivfIndex(emb(n), model).groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+    val small = cand(2000, Similarity.fitIvfAuto(emb(2000)))
+    val autoBig = cand(20000, Similarity.fitIvfAuto(emb(20000)))
+    val fixedBig = cand(20000, Similarity.fitIvf(emb(20000), nlist = 16))
+    // policy resolves to the floor at the small corpus and scales cells
+    // (not cell sizes) at 10×
+    assert(Similarity.autoNlist(2000) == 16 &&
+      Similarity.autoNlist(20000) == 157)
+    // linear: ×10 data ⇒ ≲ ×10 candidates (2× slack for fit skew)
+    assert(autoBig <= 20L * small,
+      s"autoNlist candidates super-linear: $small -> $autoBig")
+    // the counterfactual a fixed nlist produces is ~quadratic (×100)
+    assert(fixedBig >= 3L * autoBig,
+      s"expected fixed-nlist blowup, got $fixedBig vs auto $autoBig")
+    info(s"candidate proxy: 2k corpus $small → 20k auto $autoBig " +
+      s"(fixed-16 counterfactual $fixedBig)")
+  }
 }
