@@ -208,6 +208,7 @@ object pipeline {
                 targetCellSize: Int = 128,
                 vecCol: String = "embedding", idCol: String = "doc_id",
                 corpusIdCol: String = "vec_id",
+                excludeSelf: Boolean = true,
                 as: String = "neighbors"): TransformOp =
       TransformOp(n, "ann_top_k", { df =>
         require(!df.isStreaming,
@@ -215,14 +216,17 @@ object pipeline {
             " corpus aggregation); run it per micro-batch via" +
             " foreachBatch in streaming topologies")
         val model = Similarity.fitIvfAuto(corpus, targetCellSize, vecCol)
-        // the two id columns share one namespace inside the join kernel —
-        // a row never retrieves the corpus row carrying its own id (the
-        // pair-mining kernel's self-exclusion)
+        // `excludeSelf = true` (default) treats equal id VALUES as the
+        // same entity — right when the corpus IS the flowing table
+        // (self-enrichment). Pass false when `corpusIdCol` is an
+        // unrelated namespace, or a row would silently lose the corpus
+        // neighbor that happens to carry its own id value.
         val index = Similarity
           .ivfIndex(corpus, model, vecCol, corpusIdCol)
           .withColumnRenamed(corpusIdCol, idCol)
         val hits = Similarity.ivfKnnJoin(index, df, k,
-            model, nprobe, salt = 1, vecCol = vecCol, idCol = idCol)
+            model, nprobe, salt = 1, vecCol = vecCol, idCol = idCol,
+            excludeSelf = excludeSelf)
           .groupBy(col("query_id").as(idCol))
           .agg(sort_array(collect_list(struct(col("rank"),
             col("neighbor_id"), col("cos")))).as(as))

@@ -364,8 +364,11 @@ object Similarity {
                  vecCol: String = "embedding", seed: Long = 42L,
                  maxTrain: Long = 20000L, minNlist: Int = 16): IvfModel = {
     val (n, sample) = trainSample(corpus, vecCol, seed, maxTrain)
-    val nlist = autoNlist(n, targetCellSize, minNlist = minNlist,
-      maxNlist = math.max(minNlist, math.min(1 << 14, sample.length)))
+    // the sample-size cap wins over the floor: a tiny corpus must not
+    // mint more centroids than it has training vectors
+    val cap = math.min(1 << 14, sample.length)
+    val nlist = autoNlist(n, targetCellSize,
+      minNlist = math.min(minNlist, cap), maxNlist = cap)
     IvfModel(lloydFit(sample, nlist, new scala.util.Random(seed), iters = 5))
   }
 
@@ -513,11 +516,18 @@ object Similarity {
     * with all salt buckets — so no dedup pass is needed.
     * `nprobe = nlist` is the exact gate mode (every pair scored), same
     * pattern as the `*TopK` exact modes.
+    *
+    * `excludeSelf` drops pairs whose ids are EQUAL — correct when both
+    * sides share one id namespace (the self-join / same-corpus case);
+    * set it false when the query and index ids are unrelated namespaces,
+    * or a query would silently lose the corpus row that happens to carry
+    * its own id value.
     */
   def ivfKnnJoin(index: DataFrame, queries: DataFrame, k: Int,
                  model: IvfModel, nprobe: Int, salt: Int = 1,
                  vecCol: String = "embedding",
-                 idCol: String = "vec_id"): DataFrame = {
+                 idCol: String = "vec_id",
+                 excludeSelf: Boolean = true): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val assigned = index.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"), col("cell"),
@@ -529,11 +539,12 @@ object Similarity {
         explode(probeCellsCol(model, nprobe)(col("qv"))))
       .withColumn("__salt",
         explode(sequence(lit(0), lit(salt - 1))))
+    val met = assigned.join(probed, Seq("cell", "__salt"))
+    val paired = if (excludeSelf)
+      met.where(col("neighbor_id") =!= col("query_id")) else met
     rankTopK(
-      assigned.join(probed, Seq("cell", "__salt"))
-        .where(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-                cosine(col("qv"), col("cv")).as("cos")), k)
+      paired.select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos")), k)
   }
 
   /** Semantic-pair mining self-join: every corpus row is a query against

@@ -159,8 +159,8 @@ object ExtQueries {
     },
     "dedup_simhash_probe" -> { (s, d) =>
       val dd = docs(s, d)
-      Dedup.survivors(dd, Dedup.simhashPairs(dd, "text", "doc_id")
-          .withColumnRenamed("hamming", "jaccard"), "doc_id")
+      Dedup.survivors(dd, Dedup.simhashPairs(dd, "text", "doc_id"),
+          "doc_id")
         .select(col("doc_id"))
     }
   )

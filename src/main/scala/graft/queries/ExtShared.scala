@@ -561,16 +561,6 @@ private[queries] object ExtShared {
         FROM mx ORDER BY doc_id"""
   }
 
-  /** Brute-force all-pairs exact-Jaccard survivors over word k-shingle sets
-    * — the oracle for the LSH dedup paths, valid because their banding
-    * params give recall ~1 at gate scale (validated empirically at
-    * sf0.01/0.1) and candidate verification makes precision exact. The
-    * least/greatest length-ratio prefilter is exactness-preserving:
-    * |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|).
-    */
-  /** Brute-force exact-Jaccard pair CTEs (t, sh, pr with id_a < id_b) —
-    * shared by the survivors oracle and the clustering oracle.
-    */
   /** Exact Jaccard near-dup pairs as a CTE chain ending in `pr (id_a,
     * id_b)` — inverted-index + counting form: explode each doc's DISTINCT
     * k-gram shingles, self-join on the shingle (a pair at J ≥ t > 0 must
@@ -769,8 +759,8 @@ private[queries] object ExtShared {
     * the incremental max the native expression maintains. `(1 - lam)`
     * is written as the SQL expression, not a precomputed Scala double, so
     * both engines evaluate the identical IEEE subtraction.
-    */
-  /** `short` and every `selu$i` are MATERIALIZED: the greedy chain
+    *
+    * `short` and every `selu$i` are MATERIALIZED: the greedy chain
     * references `selu${"$"}{i-1}` twice per step (score subquery + NOT
     * EXISTS) and DuckDB inlines plain CTEs, so without materialization
     * the corpus-wide relevance scan re-evaluates ~2^k times (the r11

@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   *    factor, the honest 10× shape. (The r11 word-interleaving left
   *    each copy sharing ~half its token mass with its sources, so
   *    near-dup density grew super-linearly and fixture artifacts
-  *    masqueraded as engine super-linearity.) Lengths are preserved
-  *    per doc; corpus vocabulary stays the source vocabulary;
-  *    verbatim replication would instead mint 10-way dup groups —
-  *    ScaleSpec's planted mega-bucket rows own that axis;
+  *    masqueraded as engine super-linearity.) TOKEN counts are
+  *    preserved per doc (character lengths shift with the substituted
+  *    words, so n_chars is recomputed and char-level statistics drift
+  *    slightly per copy); corpus vocabulary stays the source
+  *    vocabulary; verbatim replication would instead mint 10-way dup
+  *    groups — ScaleSpec's planted mega-bucket rows own that axis;
   *  - `embeddings.embedding` for copy k > 0 rotates the vector by
   *    7k dims — norms and the label structure survive, near-identity
   *    pairs don't replicate.
@@ -137,8 +139,13 @@ object ScaleUp {
     val docCopies = (0 until factor).map { k =>
       if (k == 0) docs
       else {
+        // coalesce: a NULL-text row must survive the explode→regroup
+        // round-trip (as text '', n_chars 0) rather than silently drop
+        // from copies k >= 1 and break the rows == factor × source
+        // invariant
         val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          posexplode(split(coalesce(col("text"), lit("")), " "))
+            .as(Seq("pos", "w")))
         val mapped = toks
           .join(broadcast(permutation(k)), Seq("w"), "left")
           .select(col("doc_id"), col("lang"), col("source"), col("pos"),

@@ -90,8 +90,7 @@ class Round12Spec extends SparkSpecBase {
       val e = intercept[IllegalArgumentException] {
         Compiler.compile(ast, env)
       }
-      assert(e.getMessage.contains(name.replace('_', '_')),
-        s"$name: ${e.getMessage}")
+      assert(e.getMessage.contains(name), s"$name: ${e.getMessage}")
     }
   }
 
