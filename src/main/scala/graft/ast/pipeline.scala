@@ -2,7 +2,8 @@ package graft.ast
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Similarity, Stats, TextAnalysis}
+import org.apache.spark.storage.StorageLevel
+import graft.ext.{Dedup, OpCaches, Similarity, Stats, TextAnalysis}
 
 /** Named [[TransformOp]] wrappers for the pipeline-shaped graft.ext
   * operators — the stages a training-data topology threads between source
@@ -165,9 +166,15 @@ object pipeline {
           "semantic_dedup is a batch stage (the cell fit and within-cell" +
             " pairing need the corpus); use dedupExact or incremental" +
             " dedup faces in streaming mode")
-        Dedup.survivors(df,
-          Dedup.semanticPairs(df,
-            Similarity.fitIvfAuto(df, targetCellSize, vecCol,
+        // barrier: the stage fans its input out three ways (both sides
+        // of the pair verify + the survivor anti-join) — without the
+        // persist the whole upstream pipeline lineage re-executes per
+        // reference (and the fit's sample/count add two more)
+        val cached = OpCaches.register(
+          df.persist(StorageLevel.MEMORY_AND_DISK))
+        Dedup.survivors(cached,
+          Dedup.semanticPairs(cached,
+            Similarity.fitIvfAuto(cached, targetCellSize, vecCol,
               minNlist = minNlist),
             vecCol, idCol, threshold),
           idCol)
@@ -187,10 +194,13 @@ object pipeline {
           "pack is a batch stage (bin offsets are a corpus prefix-sum);" +
             " pack per micro-batch via foreachBatch in streaming" +
             " topologies")
-        val packed = graft.ext.Pipeline.packSequences(df, idCol,
+        // barrier: df feeds the two-pass prefix-sum AND the join back
+        val cached = OpCaches.register(
+          df.persist(StorageLevel.MEMORY_AND_DISK))
+        val packed = graft.ext.Pipeline.packSequences(cached, idCol,
             TextAnalysis.tokenCount(col(textCol)), budget)
           .withColumnRenamed("id", idCol)
-        df.join(packed, Seq(idCol))
+        cached.join(packed, Seq(idCol))
       })
 
     /** ANN top-k enrichment stage (batch only — the per-query top-k is a
@@ -215,6 +225,10 @@ object pipeline {
           "ann_top_k is a batch stage (the per-query top-k reduce is a" +
             " corpus aggregation); run it per micro-batch via" +
             " foreachBatch in streaming topologies")
+        // barrier: df feeds both the probe side of the knn join and
+        // the enrichment join back onto itself
+        val cached = OpCaches.register(
+          df.persist(StorageLevel.MEMORY_AND_DISK))
         val model = Similarity.fitIvfAuto(corpus, targetCellSize, vecCol)
         // `excludeSelf = true` (default) treats equal id VALUES as the
         // same entity — right when the corpus IS the flowing table
@@ -224,13 +238,13 @@ object pipeline {
         val index = Similarity
           .ivfIndex(corpus, model, vecCol, corpusIdCol)
           .withColumnRenamed(corpusIdCol, idCol)
-        val hits = Similarity.ivfKnnJoin(index, df, k,
+        val hits = Similarity.ivfKnnJoin(index, cached, k,
             model, nprobe, salt = 1, vecCol = vecCol, idCol = idCol,
             excludeSelf = excludeSelf)
           .groupBy(col("query_id").as(idCol))
           .agg(sort_array(collect_list(struct(col("rank"),
             col("neighbor_id"), col("cos")))).as(as))
-        df.join(hits, Seq(idCol), "left")
+        cached.join(hits, Seq(idCol), "left")
       })
 
     /** Always-on KS drift-monitor node ([[Stats.ksCensusStream]]): the
