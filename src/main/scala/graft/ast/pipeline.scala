@@ -142,8 +142,14 @@ object pipeline {
         require(!df.isStreaming,
           "dedup_near_minhash is a batch stage (banding needs the corpus);" +
             " use dedupExact or incremental dedup faces in streaming mode")
-        Dedup.survivors(df,
-          Dedup.minhashPairs(df, textCol, idCol, threshold = threshold),
+        // barrier: the pair kernel and the survivor anti-join both read
+        // the input — persist so the upstream pipeline executes once
+        // (minhashPairs' internal persist covers only its shingle frame)
+        val cached = OpCaches.register(
+          df.persist(StorageLevel.MEMORY_AND_DISK))
+        Dedup.survivors(cached,
+          Dedup.minhashPairs(cached, textCol, idCol,
+            threshold = threshold),
           idCol)
       })
 
