@@ -161,12 +161,21 @@ object pipeline {
       * volume is n²/nlist, quadratic under any fixed cell count), then
       * drop the non-minimal side of every within-cell pair with cosine
       * ≥ `threshold` ([[Dedup.semanticPairs]] → [[Dedup.survivors]]).
+      *
+      * `cap` is the hot-cell star-pair guard ([[Dedup.bucketPairs]]): a
+      * Voronoi cell larger than `cap` emits only star pairs to its min
+      * id, so dedup within that cell degrades to the star's reach — the
+      * fixed-cap recall trade every near-dup kernel documents. Gate /
+      * exact-recall consumers pass `Int.MaxValue` (the simhashPairs
+      * cap-off precedent); production keeps the default and relies on
+      * corpus-sized cells (`targetCellSize` ≪ `cap`) to stay under it.
       */
     def semanticDedup(vecCol: String = "embedding",
                       idCol: String = "doc_id",
                       threshold: Double = 0.95,
                       targetCellSize: Int = 128,
-                      minNlist: Int = 16): TransformOp =
+                      minNlist: Int = 16,
+                      cap: Int = Dedup.maxBucketFanout): TransformOp =
       TransformOp(n, "semantic_dedup", { df =>
         require(!df.isStreaming,
           "semantic_dedup is a batch stage (the cell fit and within-cell" +
@@ -182,7 +191,7 @@ object pipeline {
           Dedup.semanticPairs(cached,
             Similarity.fitIvfAuto(cached, targetCellSize, vecCol,
               minNlist = minNlist),
-            vecCol, idCol, threshold),
+            vecCol, idCol, threshold, cap),
           idCol)
       })
 
@@ -192,6 +201,12 @@ object pipeline {
       * [[graft.ext.Pipeline.packSequences]]' distributed two-pass
       * prefix-sum — no single-partition window), and the `budget`-sized
       * bins it lands in (`first_bin`/`last_bin`).
+      *
+      * Output columns `tok`/`start`/`first_bin`/`last_bin` are RESERVED:
+      * the stage fails loud if the flowing frame already carries one
+      * (e.g. an upstream `tokenCount(as = "tok")`) rather than silently
+      * emitting ambiguous duplicates through the join. A null `textCol`
+      * packs as 0 tokens (the row still occupies its id-ordered slot).
       */
     def pack(budget: Long, idCol: String = "doc_id",
              textCol: String = "text"): TransformOp =
@@ -200,11 +215,18 @@ object pipeline {
           "pack is a batch stage (bin offsets are a corpus prefix-sum);" +
             " pack per micro-batch via foreachBatch in streaming" +
             " topologies")
+        val reserved = Seq("tok", "start", "first_bin", "last_bin")
+        val clash = reserved.filter(df.columns.contains)
+        require(clash.isEmpty,
+          s"pack appends reserved columns ${reserved.mkString(", ")};" +
+            s" the input already carries ${clash.mkString(", ")} —" +
+            " rename the upstream column(s) before packing")
         // barrier: df feeds the two-pass prefix-sum AND the join back
         val cached = OpCaches.register(
           df.persist(StorageLevel.MEMORY_AND_DISK))
         val packed = graft.ext.Pipeline.packSequences(cached, idCol,
-            TextAnalysis.tokenCount(col(textCol)), budget)
+            coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0L)),
+            budget)
           .withColumnRenamed("id", idCol)
         cached.join(packed, Seq(idCol))
       })
@@ -219,12 +241,19 @@ object pipeline {
       * sides shuffled once by cell id, bounded CollectTopK heaps —
       * against a corpus encoded inline here; a steady-state pipeline
       * materializes [[Similarity.ivfIndex]] once and queries that.
+      *
+      * `excludeSelf` defaults from the id-column NAMES: `None` resolves
+      * to `corpusIdCol == idCol` — a shared column name implies a shared
+      * id namespace (self-enrichment, drop the trivial self-match);
+      * distinct names imply unrelated namespaces (equal values are a
+      * coincidence, keep the neighbor). Override with `Some(...)` when
+      * the names lie about the namespaces.
       */
     def annTopK(corpus: DataFrame, k: Int = 10, nprobe: Int = 3,
                 targetCellSize: Int = 128,
                 vecCol: String = "embedding", idCol: String = "doc_id",
                 corpusIdCol: String = "vec_id",
-                excludeSelf: Boolean = true,
+                excludeSelf: Option[Boolean] = None,
                 as: String = "neighbors"): TransformOp =
       TransformOp(n, "ann_top_k", { df =>
         require(!df.isStreaming,
@@ -236,17 +265,21 @@ object pipeline {
         val cached = OpCaches.register(
           df.persist(StorageLevel.MEMORY_AND_DISK))
         val model = Similarity.fitIvfAuto(corpus, targetCellSize, vecCol)
-        // `excludeSelf = true` (default) treats equal id VALUES as the
-        // same entity — right when the corpus IS the flowing table
-        // (self-enrichment). Pass false when `corpusIdCol` is an
-        // unrelated namespace, or a row would silently lose the corpus
-        // neighbor that happens to carry its own id value.
+        // excludeSelf treats equal id VALUES as the same entity — right
+        // when the corpus IS the flowing table (self-enrichment), a
+        // silent recall hole when `corpusIdCol` is an unrelated
+        // namespace (a row would lose the corpus neighbor that happens
+        // to carry its own id value). The default therefore derives
+        // from the column names — self-exclusion iff corpusIdCol ==
+        // idCol; pass Some(...) to override when the NAMES differ but
+        // the namespaces coincide (or vice versa).
+        val exSelf = excludeSelf.getOrElse(corpusIdCol == idCol)
         val index = Similarity
           .ivfIndex(corpus, model, vecCol, corpusIdCol)
           .withColumnRenamed(corpusIdCol, idCol)
         val hits = Similarity.ivfKnnJoin(index, cached, k,
             model, nprobe, salt = 1, vecCol = vecCol, idCol = idCol,
-            excludeSelf = excludeSelf)
+            excludeSelf = exSelf)
           .groupBy(col("query_id").as(idCol))
           .agg(sort_array(collect_list(struct(col("rank"),
             col("neighbor_id"), col("cos")))).as(as))

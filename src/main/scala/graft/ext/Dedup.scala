@@ -1362,26 +1362,37 @@ object Dedup {
     * Precision is exact (cosine-verified); recall misses only pairs split
     * across cells — `nclusters = 1` closes that (exact all-pairs through
     * the identical plan, the correctness-gate mode).
+    *
+    * Recall caveat: cells larger than `cap` (default [[maxBucketFanout]])
+    * emit only star pairs to the cell-min id (see [[bucketPairs]]) — a
+    * skewed Voronoi cell past the cap degrades pair output to a spanning
+    * set. Gate/exact consumers pass `cap = Int.MaxValue` (recall-1 mode,
+    * the simhashPairs precedent); production keeps the documented cap.
     */
   def semanticPairs(emb: DataFrame, vecCol: String = "embedding",
                     idCol: String = "vec_id", nclusters: Int = 16,
                     threshold: Double = 0.95, seed: Long = 42L,
-                    maxTrain: Int = 10000): DataFrame =
+                    maxTrain: Int = 10000,
+                    cap: Int = maxBucketFanout): DataFrame =
     semanticPairs(emb,
       Similarity.fitIvf(emb, nclusters, vecCol, seed, maxTrain.toLong),
-      vecCol, idCol, threshold)
+      vecCol, idCol, threshold, cap)
 
   /** Pre-trained-centroid overload (fit once with [[Similarity.fitIvf]],
     * reuse across batches — same fit-once shape as the ANN quantizers).
+    * Same hot-cell `cap` contract as the primary overload — explicit
+    * here (Scala bars default args on two overloads of one name):
+    * production passes [[maxBucketFanout]], gates pass `Int.MaxValue`.
     */
   def semanticPairs(emb: DataFrame, model: Similarity.IvfModel,
                     vecCol: String, idCol: String,
-                    threshold: Double): DataFrame = {
+                    threshold: Double,
+                    cap: Int): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"),
                           col(vecCol).cast("array<double>").as("v"))
     val cell = udf(Similarity.nearestOf(model.centers) _)
     val assigned = vecs.select(col("id"), cell(col("v")).as("cell"))
-    val cand = bucketPairs(assigned, Seq("cell"))
+    val cand = bucketPairs(assigned, Seq("cell"), cap)
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

@@ -202,7 +202,8 @@ object CoreQueries {
       run(
         enriched
           .semanticDedup(vecCol = "embedding", idCol = "doc_id",
-            threshold = 0.95, targetCellSize = Int.MaxValue, minNlist = 1)
+            threshold = 0.95, targetCellSize = Int.MaxValue, minNlist = 1,
+            cap = Int.MaxValue)
           .pack(budget = 1024)
           .select(col("doc_id"), col("lang"), col("tok"), col("start"),
             col("first_bin"), col("last_bin"))

@@ -66,7 +66,7 @@ private[queries] object ExtDedupQueries {
       // plan; the id bound keeps the quadratic exact mode affordable at
       // bench scale (the probe below runs the full corpus, 16 cells)
       val e = emb(s, d).where(col("vec_id") < 1000)
-      e.join(Dedup.semanticPairs(e, nclusters = 1)
+      e.join(Dedup.semanticPairs(e, nclusters = 1, cap = Int.MaxValue)
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
@@ -103,7 +103,8 @@ private[queries] object ExtDedupQueries {
       // clustered plan ≡ brute force (the sim_ann_* gate convention)
       val e = emb(s, d).where(col("vec_id") < 1000)
       e.join(Dedup.semanticPairs(e, ivfModel(s, d, nlist = 1),
-               "embedding", "vec_id", threshold = 0.95)
+               "embedding", "vec_id", threshold = 0.95,
+               cap = Int.MaxValue)
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))

@@ -129,7 +129,8 @@ object ExtQueries {
       // is n²/nlist, quadratic under any FIXED cell count.
       val e = emb(s, d)
       e.join(Dedup.semanticPairs(e, ivfModelAuto(s, d),
-               "embedding", "vec_id", threshold = 0.95)
+               "embedding", "vec_id", threshold = 0.95,
+               cap = Dedup.maxBucketFanout)
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")
         .select(col("vec_id"))

@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
   *    and nothing collides across copies;
   *  - `documents.text` for copy k > 0 applies a per-copy VOCABULARY
   *    PERMUTATION π_k to every token (bijection vocab → vocab, seeded
-  *    by the copy index). Within a copy this preserves similarity
-  *    structure EXACTLY — n-grams are equal iff the originals were, so
-  *    Jaccard/shingle/simhash relations and the planted near-dup
-  *    groups survive per copy — while across copies two transforms of
-  *    the same doc share tokens only at the random-permutation
-  *    baseline. Near-dup pair volume therefore grows LINEARLY in the
-  *    factor, the honest 10× shape. (The r11 word-interleaving left
+  *    by the copy index). Within a copy this preserves TOKEN-SET
+  *    similarity structure EXACTLY — n-grams are equal iff the
+  *    originals were, so Jaccard/shingle relations and the planted
+  *    near-dup groups survive per copy — while across copies two
+  *    transforms of the same doc share tokens only at the
+  *    random-permutation baseline. SimHash relations are preserved
+  *    STATISTICALLY, not exactly: signatures hash token IDENTITIES, so
+  *    a permuted copy's hamming distances shift and pairs sitting at
+  *    the maxBits boundary can flip in or out per copy (oracles are
+  *    recomputed on the scaled data, so gates stay exact regardless).
+  *    Near-dup pair volume therefore grows LINEARLY in the factor
+  *    (exactly for the Jaccard/shingle family, in expectation for
+  *    simhash), the honest 10× shape. (The r11 word-interleaving left
   *    each copy sharing ~half its token mass with its sources, so
   *    near-dup density grew super-linearly and fixture artifacts
   *    masqueraded as engine super-linearity.) TOKEN counts are

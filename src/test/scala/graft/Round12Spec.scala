@@ -45,7 +45,8 @@ class Round12Spec extends SparkSpecBase {
       df => df.join(broadcast(emb), Seq("doc_id")))
     val ast = enriched
       .semanticDedup(vecCol = "embedding", idCol = "doc_id",
-        threshold = 0.95, targetCellSize = Int.MaxValue, minNlist = 1)
+        threshold = 0.95, targetCellSize = Int.MaxValue, minNlist = 1,
+        cap = Int.MaxValue)
       .pack(budget = 512)
     val compiled = Compiler.compile(ast, env)
     assert(compiled.keys == Seq("doc_id"))
@@ -105,7 +106,12 @@ class Round12Spec extends SparkSpecBase {
       .transform("as_docs",
         df => df.withColumnRenamed("vec_id", "doc_id"),
         keys = Seq("doc_id"))
-      .annTopK(emb, k = 5, nprobe = 16, idCol = "doc_id")
+      // the query ids ARE corpus vec_ids under a renamed column, so the
+      // name-derived default (distinct names → keep self matches) must
+      // be overridden explicitly — the exact contract ADVICE r12 asked
+      // the stage to enforce
+      .annTopK(emb, k = 5, nprobe = 16, idCol = "doc_id",
+        excludeSelf = Some(true))
     val out = Compiler.compile(ast, env).df
     assert(out.count() == 20)
     val rows = out.select(col("doc_id"), col("neighbors")).collect()
