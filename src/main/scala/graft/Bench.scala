@@ -44,6 +44,9 @@ object Bench {
     Set("sim_ann_ivf", "sim_ann_lsh", "sim_ann_sq", "sim_ann_pq",
         "sim_ann_ivf_indexed", "sim_ann_lsh_indexed",
         "sim_ann_sq_indexed", "sim_ann_pq_indexed", "sim_knn_join",
+        // every (shard, sub-cell) probed = brute force through the
+        // two-level plan; sim_knn_join_two_level_probe is the perf row
+        "sim_knn_join_two_level",
         // k >= n retains the full multiset — brute-force-equivalent
         // exact mode of ev_kll_quantiles_probe
         "ev_kll_quantiles",

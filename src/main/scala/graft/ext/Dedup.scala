@@ -1573,8 +1573,23 @@ object Dedup {
     * Scale shape: ONE shuffle on the blocking key builds candidate lists;
     * per-pair scoring joins only (id, token-hash set, exact-field)
     * tuples — full records never shuffle. In-block pairing is O(b²) per
-    * block; pick blocking keys that bound b (sorted-neighborhood or
-    * multi-pass blocking both express as different `blockCols`).
+    * block UNTIL b crosses [[maxBucketFanout]], after which the block
+    * emits only O(b) star candidates anchored at its min id — measured
+    * saturating (ScaleSpec: 10× the block size past the cap cost 1.5×
+    * wall; the uncapped counterfactual is b(b-1)/2). The cap is a COST
+    * guard, not a recall-preserving approximation here: unlike the
+    * near-dup kernels (where a mega-bucket is near-identical content
+    * and star transitivity reconstructs the cluster), a blocking key is
+    * coarse — a true pair in a past-cap block surfaces only if one side
+    * IS the block min or another pass finds it. FIXED-CARDINALITY
+    * blocking keys (language, source, country) are therefore the
+    * anti-pattern: blocks grow linearly with the corpus, cross the cap,
+    * and recall silently degrades to the star's reach. Pick keys whose
+    * cardinality grows with the data (phonetic name codes, sorted
+    * token-prefix keys, zip+year), and pair every coarse pass with a
+    * [[NeighborhoodBlocking]] pass — O(n·w) candidates at ANY corpus
+    * size, no cap interaction — the implemented scale path
+    * ([[recordLinkageMultiPass]]).
     */
   def recordLinkage(records: DataFrame, idCol: String,
                     blockCols: Seq[String],
@@ -1591,7 +1606,10 @@ object Dedup {
 
   /** Records sharing every `blockCols` value meet (equality-join
     * semantics: a null blocking key matches nothing). The single-pass
-    * [[recordLinkage]] form.
+    * [[recordLinkage]] form. Blocks past [[maxBucketFanout]] degrade to
+    * star candidates (see the [[recordLinkage]] scale-shape doc) — keys
+    * must bound block size, or the pass needs a [[NeighborhoodBlocking]]
+    * companion to own recall.
     */
   final case class KeyBlocking(blockCols: Seq[String]) extends BlockingPass {
     require(blockCols.nonEmpty, "KeyBlocking needs blocking columns")

@@ -342,9 +342,12 @@ object Similarity {
     * Clamped below by `minNlist` (probe granularity) and above by
     * `maxNlist` AND the training-sample size (more centroids than
     * training vectors would mint empty cells). Past
-    * maxNlist · targetCellSize rows, raise `maxTrain`/`maxNlist` or go
-    * two-level (IVF over shard-local IVF) — the policy keeps the clamp
-    * explicit rather than silently re-quadratic.
+    * maxNlist · targetCellSize rows, raise `maxTrain`/`maxNlist` — or
+    * move to the IMPLEMENTED next rung, [[fitIvfTwoLevel]] /
+    * [[ivfKnnJoinTwoLevel]] (coarse shard quantizer over autoNlist-sized
+    * sub-quantizers: total cells keep tracking n/targetCellSize at any
+    * corpus size; ScaleSpec pins candidate linearity in the past-clamp
+    * regime where this single-level policy measurably re-quadratics).
     */
   def autoNlist(n: Long, targetCellSize: Int = 128, minNlist: Int = 16,
                 maxNlist: Int = 1 << 14): Int = {
@@ -557,6 +560,176 @@ object Similarity {
                   idCol: String = "vec_id"): DataFrame =
     ivfKnnJoin(ivfIndex(corpus, model, vecCol, idCol), corpus, k,
       model, nprobe, salt, vecCol, idCol)
+
+  /** Two-level (sharded) IVF quantizer — the scale rung PAST the
+    * [[autoNlist]] clamp (VERDICT r12 next #2). Single-level IVF keeps
+    * knn-join candidates linear only while nlist can track the corpus;
+    * past `maxNlist · targetCellSize` rows (~2.1 M at the defaults) the
+    * clamp pins nlist, cells grow linearly again, and candidate volume
+    * goes re-quadratic. Here a coarse SHARD quantizer (nshards =
+    * ⌈n / (maxNlist · targetCellSize)⌉) splits the corpus into
+    * sub-corpora that each fit under the clamp, and every shard trains
+    * its own [[autoNlist]]-sized sub-quantizer — total cells
+    * ≈ n / targetCellSize at ANY corpus size, so within-cell candidate
+    * volume stays linear. Assignment cost per vector is
+    * nshards + subNlist distance evaluations instead of a single
+    * brute-force scan over n/targetCellSize centroids — the other
+    * reason real systems (faiss IMI) go hierarchical.
+    *
+    * Fit shape (all stages bounded): one capped sample + driver Lloyd
+    * for the coarse level (2 jobs, ≤ `maxTrainPerShard` vectors); one
+    * small per-shard count aggregate (≤ nshards rows); one stratified
+    * sample capped at `maxTrainPerShard` PER SHARD feeding a
+    * `groupByKey(shard).mapGroups` Lloyd — each shard's fit runs WHERE
+    * ITS SAMPLE SITS (one executor task per shard, the distributed
+    * complement of the driver-side [[fitIvf]]); one collect of
+    * (shard, centers). Driver/broadcast footprint is the CODEBOOK:
+    * totalCells × dim doubles (~1 GB at 2^18 cells × 512 dims) — past
+    * that, keep the codebook as a DataFrame and turn assignment into a
+    * join; this model object documents its own ceiling rather than
+    * silently degrading.
+    */
+  case class IvfTwoLevelModel(coarse: IvfModel, subs: Array[IvfModel]) {
+    def nshards: Int = coarse.nlist
+    def totalCells: Int = subs.map(_.nlist).sum
+    /** Packed 64-bit cell id: (shard << 32) | subcell — collision-free,
+      * join-key-friendly.
+      */
+    private[ext] def cellOf(v: Seq[Double]): Long = {
+      val sh = nearestOf(coarse.centers)(v)
+      (sh.toLong << 32) | nearestOf(subs(sh).centers)(v).toLong
+    }
+    /** The `nprobeShards` nearest shards, each contributing its `nprobe`
+      * nearest sub-cells — the two-level probe set (≤ nprobeShards ·
+      * nprobe packed cell ids). `nprobeShards = nshards` with `nprobe ≥`
+      * every sub nlist probes EVERY cell — the exact gate mode (each
+      * (query, corpus) pair then meets exactly once, since cells
+      * partition the corpus).
+      */
+    private[ext] def probeCells(v: Seq[Double], nprobeShards: Int,
+                                nprobe: Int): Seq[Long] = {
+      val a = v.toArray
+      def nearestK(centers: Array[Array[Double]], k: Int): Seq[Int] =
+        centers.zipWithIndex.map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
+          (i, d)
+        }.sortBy(_._2).take(math.min(k, centers.length)).map(_._1).toSeq
+      nearestK(coarse.centers, nprobeShards).flatMap { sh =>
+        nearestK(subs(sh).centers, nprobe)
+          .map(sc => (sh.toLong << 32) | sc.toLong)
+      }
+    }
+  }
+
+  /** Train the two-level quantizer (see [[IvfTwoLevelModel]]). With
+    * nshards = 1 (corpus under the clamp) this degenerates to the
+    * single-level [[fitIvfAuto]] policy through the identical plan.
+    * `idCol` seeds the deterministic stratified sample.
+    */
+  def fitIvfTwoLevel(corpus: DataFrame, targetCellSize: Int = 128,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id", seed: Long = 42L,
+                     maxTrainPerShard: Long = 20000L, minNlist: Int = 16,
+                     maxNlist: Int = 1 << 14): IvfTwoLevelModel = {
+    require(targetCellSize >= 1 && minNlist >= 1 && maxNlist >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (n, coarseSample) =
+      trainSample(corpus, vecCol, seed, maxTrainPerShard)
+    val wantShards = (n + maxNlist.toLong * targetCellSize - 1) /
+      (maxNlist.toLong * targetCellSize)
+    val nshards = math.max(1L,
+      math.min(wantShards, coarseSample.length.toLong)).toInt
+    val coarse = IvfModel(
+      lloydFit(coarseSample, nshards, new scala.util.Random(seed),
+        iters = 5))
+    // shard assignment is the same narrow map the index build runs
+    val shardOf = udf { (v: Seq[Double]) => nearestOf(coarse.centers)(v) }
+    val assigned = corpus
+      .select(shardOf(col(vecCol).cast("array<double>")).as("shard"),
+        col(vecCol).cast("array<double>").as("cv"))
+    // per-shard row counts: ≤ nshards rows collected (sizes the sub
+    // quantizers from TRUE shard populations, not sample sizes)
+    val counts = assigned.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fractions = counts.map { case (sh, c) =>
+      sh -> math.min(1.0, maxTrainPerShard.toDouble / math.max(1L, c))
+    }
+    // one executor task per shard: Lloyd over the shard's ≤
+    // maxTrainPerShard-row sample (binomial overshoot is hard-capped in
+    // the group iterator), seeded per shard for determinism
+    val fitted = assigned.stat.sampleBy("shard", fractions, seed)
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val pts = it.map(_._2.toArray).take(maxTrainPerShard.toInt).toArray
+        val subNlist = math.max(1, math.min(
+          autoNlist(counts.getOrElse(sh, 0L), targetCellSize,
+            math.min(minNlist, pts.length), maxNlist),
+          pts.length))
+        (sh, lloydFit(pts, subNlist,
+          new scala.util.Random(seed ^ (sh.toLong * 0x9e3779b97f4a7c15L)),
+          iters = 5).map(_.toSeq).toSeq)
+      }
+      .collect()
+      .map { case (sh, cs) => sh -> IvfModel(cs.map(_.toArray).toArray) }
+      .toMap
+    // a shard the corpus never hit (empty Voronoi region of the coarse
+    // fit) degenerates to one cell at the coarse center
+    val subs = Array.tabulate(coarse.nlist)(sh =>
+      fitted.getOrElse(sh, IvfModel(Array(coarse.centers(sh)))))
+    IvfTwoLevelModel(coarse, subs)
+  }
+
+  /** ENCODE-ONCE face of the two-level index: (idCol, cell as packed
+    * long, vecCol as array<double>) — one narrow map against the
+    * broadcast codebook closure, the [[ivfIndex]] shape with the
+    * hierarchical assignment.
+    */
+  def ivfIndexTwoLevel(corpus: DataFrame, model: IvfTwoLevelModel,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val cell = udf { (v: Seq[Double]) => model.cellOf(v) }
+    corpus.select(col(idCol),
+      cell(col(vecCol).cast("array<double>")).as("cell"),
+      col(vecCol).cast("array<double>").as(vecCol))
+  }
+
+  /** Corpus×corpus KNN join over the two-level index — the
+    * [[ivfKnnJoin]] plan (both sides shuffled ONCE on the packed cell
+    * id, bounded CollectTopK heaps, `salt` sub-buckets against Voronoi
+    * skew) with candidate volume |queries| · targetCellSize ·
+    * nprobeShards · nprobe at ANY corpus size — linear past the
+    * single-level clamp. `nprobeShards = model.nshards` with `nprobe`
+    * ≥ every sub nlist is the exact gate mode.
+    */
+  def ivfKnnJoinTwoLevel(index: DataFrame, queries: DataFrame, k: Int,
+                         model: IvfTwoLevelModel, nprobeShards: Int,
+                         nprobe: Int, salt: Int = 1,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id",
+                         excludeSelf: Boolean = true): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(nprobeShards >= 1 && nprobe >= 1)
+    val probe = udf { (q: Seq[Double]) =>
+      model.probeCells(q, nprobeShards, nprobe)
+    }
+    val assigned = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("cell"),
+      pmod(xxhash64(col(idCol)), lit(salt)).cast("int").as("__salt"))
+    val probed = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probe(col("qv"))))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    val met = assigned.join(probed, Seq("cell", "__salt"))
+    val paired = if (excludeSelf)
+      met.where(col("neighbor_id") =!= col("query_id")) else met
+    rankTopK(
+      paired.select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos")), k)
+  }
 
   /** Scalar-quantized (SQ8) top-k — the compressed-scan ANN tier: each
     * corpus vector is encoded once as 8-bit codes against per-dimension

@@ -109,6 +109,45 @@ object ExtQueries {
       // text_bm25_indexed carries the deterministic ordering)
       TextAnalysis.bm25TopKIndexed(bm25Idx(s, d), bm25Queries, k = 10)
     },
+    "sim_knn_join_two_level_probe" -> { (s, d) =>
+      // production two-level shape: approximate probes (2 shards × 3
+      // sub-cells) over the MATERIALIZED packed-cell index — the plan a
+      // billion-vector corpus runs (per-vector assignment cost nshards +
+      // subNlist distances instead of a brute scan over all cells;
+      // candidate volume linear past the single-level clamp)
+      Similarity.ivfKnnJoinTwoLevel(ivf2Idx(s, d), emb(s, d), k = 5,
+          ivf2Model(s, d), nprobeShards = 2, nprobe = 3, salt = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("cos"))
+    },
+    "op_pipeline_probe" -> { (s, d) =>
+      // the ASSEMBLED flagship at PRODUCTION parameters (VERDICT r12 next
+      // #3): the op_pipeline gate bounds its input (doc_id < 800) and
+      // pins one IVF cell so the exact all-pairs oracle stays affordable
+      // — this probe runs the same seven-stage chain over the ENTIRE
+      // documents corpus with the production caps (corpus-sized cells
+      // via fitIvfAuto, hot-cell star cap, default near-dup thresholds),
+      // so its sf1 ratio measures whether the assembled pipeline scales,
+      // not just its stages
+      import graft.ast._
+      import graft.ast.dsl._
+      import graft.ast.pipeline._
+      val embs = emb(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val cleaned = stream(Seq("documents"),
+          Consumed(keys = Seq("doc_id")))
+        .dedupExact(textCol = "text", idCol = "doc_id")
+        .qualityFilter()
+        .piiRedact()
+      val enriched = TransformOp(cleaned, "join_embeddings",
+        df => df.join(broadcast(embs), Seq("doc_id")))
+      val ast = enriched
+        .semanticDedup(vecCol = "embedding", idCol = "doc_id",
+          threshold = 0.95)
+        .pack(budget = 1024)
+      graft.compile.Compiler.compile(ast,
+        new graft.compile.ParquetEnv(s, d)).df
+    },
     "sim_knn_join_probe" -> { (s, d) =>
       // production pair-mining shape: approximate probes over the
       // materialized cell-partitioned index, corpus-as-queries. nlist is
@@ -134,6 +173,27 @@ object ExtQueries {
                .select(col("id_b").as("vec_id")).distinct(),
              Seq("vec_id"), "left_anti")
         .select(col("vec_id"))
+    },
+    "ds_record_linkage_sat" -> { (s, d) =>
+      // the SATURATED-regime sweep point (VERDICT r12 next #1): blocking
+      // on `lang` alone (5 values) puts EVERY block past maxBucketFanout
+      // at sf0.1 (2×5000 records / 5 langs = 2000 per block) and 10×
+      // deeper at sf1 — candidates are O(b) star pairs per block, so the
+      // sf1/sf0.1 wall ratio measures the star-cap saturation the
+      // sub-cap gate rows (ds_record_linkage: ~100-row (lang, source)
+      // blocks at sf0.1, quadratic growth regime) cannot. Same record
+      // fixture and weights as the gate row.
+      val dd = docs(s, d)
+      def side(rid: org.apache.spark.sql.Column,
+               name: org.apache.spark.sql.Column) = dd.select(rid.as("rid"),
+        name.as("name"), col("lang"),
+        pmod(col("doc_id"), lit(7)).as("grp"))
+      val recs = side(col("doc_id"), col("text")).union(
+        side(col("doc_id") + 1000000,
+          concat(col("text"), lit(" zzvariant"))))
+      Dedup.recordLinkage(recs, "rid", blockCols = Seq("lang"),
+          fuzzyFields = Seq("name" -> 0.75),
+          exactFields = Seq("grp" -> 0.25), threshold = 0.8)
     },
     "dedup_incremental_bloom_probe" -> { (s, d) =>
       // the no-broadcast-set ingest path (spec-checked against the exact

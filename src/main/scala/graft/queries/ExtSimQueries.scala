@@ -115,6 +115,23 @@ private[queries] object ExtSimQueries {
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "sim_knn_join_two_level" -> { (s, d) =>
+      // the sharded-IVF rung past the autoNlist clamp (VERDICT r12 next
+      // #2) in EXACT gate mode: the memoized fixture model's tiny
+      // maxNlist engages the clamp (nshards > 1), and probing every
+      // shard's every sub-cell scores each (query, corpus) pair exactly
+      // once — cells partition the corpus, so output ≡ the brute-force
+      // oracle regardless of the fit (the sim_ann_* exact-mode
+      // convention); the probe twin runs the approximate parameters
+      val e = emb(s, d)
+      val m = ivf2Model(s, d)
+      Similarity.ivfKnnJoinTwoLevel(
+          Similarity.ivfIndexTwoLevel(e, m), e, k = 5, m,
+          nprobeShards = m.nshards, nprobe = 4, salt = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+                col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "sim_ann_ivf_indexed" -> { (s, d) =>
       val e = emb(s, d)
       Similarity.ivfTopKIndexed(ivfIdx(s, d, 16),
@@ -428,6 +445,21 @@ private[queries] object ExtSimQueries {
     // MATERIALIZED cast: one double[] conversion per vector, not per
     // pair — at 20 k × 20 k the per-pair cast dominated the replay
     "sim_knn_join" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.e, c.e) AS cos
+             FROM v q, v c WHERE c.vec_id <> q.vec_id),
+         ranked AS (SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+             FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the two-level exact mode scores the identical pair universe (cells
+    // partition the corpus; every cell probed) — same brute-force replay
+    "sim_knn_join_two_level" ->
       """WITH v AS MATERIALIZED (SELECT vec_id,
                CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

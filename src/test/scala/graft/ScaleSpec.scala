@@ -1021,4 +1021,139 @@ class ScaleSpec extends SparkSpecBase {
     info(s"candidate proxy: 2k corpus $small → 20k auto $autoBig " +
       s"(fixed-16 counterfactual $fixedBig)")
   }
+
+  test("two-level IVF past the nlist clamp (VERDICT r12 #2): knn-join " +
+    "candidate volume stays LINEAR in the > maxNlist·targetCellSize " +
+    "regime where the clamped single-level re-quadratics — deterministic " +
+    "cell-census counts") {
+    // same organic generator as the autoNlist row; a deliberately tiny
+    // maxNlist (16 cells of 8 ⇒ clamp at 128 rows) puts BOTH corpora far
+    // past the clamp, the regime the single-level policy documents as
+    // its own cliff (Similarity.scala autoNlist doc)
+    def emb(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          pmod(xxhash64(col("id") * 64 + j), lit(2000))
+            .cast("double") / 1000.0 - 1.0)
+          .cast("array<float>").as("embedding"))
+    def cand2(n: Long, m: Similarity.IvfTwoLevelModel): Long =
+      Similarity.ivfIndexTwoLevel(emb(n), m).groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+    def cand1(n: Long, m: Similarity.IvfModel): Long =
+      Similarity.ivfIndex(emb(n), m).groupBy("cell").count()
+        .agg(sum(col("count") * col("count"))).collect()(0).getLong(0)
+    val mS = Similarity.fitIvfTwoLevel(emb(2000), targetCellSize = 8,
+      maxNlist = 16)
+    val mB = Similarity.fitIvfTwoLevel(emb(20000), targetCellSize = 8,
+      maxNlist = 16)
+    // shard count tracks the corpus past the clamp: ⌈n / (16·8)⌉
+    assert(mS.nshards == 16 && mB.nshards == 157,
+      s"shards: ${mS.nshards}, ${mB.nshards}")
+    // total cells keep tracking n/targetCellSize where single-level
+    // nlist is pinned at 16
+    assert(mB.totalCells >= 5 * mS.totalCells,
+      s"cells stopped scaling: ${mS.totalCells} -> ${mB.totalCells}")
+    val cS = cand2(2000, mS)
+    val cB = cand2(20000, mB)
+    // linear: ×10 data ⇒ ≲ ×10 candidates (2× slack for fit skew)
+    assert(cB <= 20L * cS, s"two-level candidates super-linear: $cS -> $cB")
+    // the clamped single-level counterfactual is ~quadratic in the same
+    // regime (nlist pinned at 16 while the corpus grew 10×)
+    val fixedBig = cand1(20000,
+      Similarity.fitIvf(emb(20000), nlist = 16))
+    assert(fixedBig >= 3L * cB,
+      s"expected clamped single-level blowup, got $fixedBig vs $cB")
+    info(s"candidate proxy past the clamp: 2k corpus $cS (16 shards, " +
+      s"${mS.totalCells} cells) → 20k $cB (157 shards, ${mB.totalCells} " +
+      s"cells); clamped single-level counterfactual $fixedBig")
+  }
+
+  test("recordLinkage star-cap saturation (VERDICT r12 #1): a block past " +
+    "maxBucketFanout emits O(b) star candidates — deterministic pair " +
+    "volume, cluster connectivity via star transitivity on dense blocks, " +
+    "NeighborhoodBlocking recovers heterogeneous-block recall, wall " +
+    "saturates ~linearly in the saturated regime") {
+    val cap = Dedup.maxBucketFanout
+    assert(cap == 1000)
+    // one blocking value per `blk`; all-identical names + equal grp, the
+    // boilerplate shape that actually mints mega-blocks (every pair
+    // scores 1.0, so emitted rows == candidate rows — the pair volume is
+    // directly observable)
+    def dense(b: Long, blk: String, idBase: Long): DataFrame =
+      spark.range(b).select((col("id") + idBase).as("rid"),
+        lit(blk).as("blk"), lit(s"dense name $blk").as("name"),
+        lit(0L).as("grp"))
+    def link(recs: DataFrame): DataFrame =
+      Dedup.recordLinkage(recs, "rid", blockCols = Seq("blk"),
+        fuzzyFields = Seq("name" -> 0.75), exactFields = Seq("grp" -> 0.25),
+        threshold = 0.8)
+
+    // (a) pair volume = (cap-regime all-pairs) + O(b) stars, exactly:
+    // a 2500-row block past the cap contributes b-1 star pairs (all
+    // anchored at the block-min id), a 10-row block contributes its
+    // exact C(10,2) — the formula the 100 TB cost argument rests on
+    val b = 2500L
+    val mixed = dense(b, "mega", 0L).unionByName(dense(10L, "tiny", 100000L))
+    val got = link(mixed).collect()
+    assert(got.length == (b - 1 + 45).toInt,
+      s"pair volume off: ${got.length} != ${b - 1 + 45}")
+    val megaPairs = got.filter(_.getAs[Long]("id_b") < 100000L)
+    assert(megaPairs.length == (b - 1).toInt &&
+      megaPairs.forall(_.getAs[Long]("id_a") == 0L),
+      "mega-block candidates are not the min-id star")
+    // saturated growth is linear: 2b-row block -> 2b-1 pairs
+    assert(link(dense(2 * b, "mega", 0L)).count() == 2 * b - 1)
+    // the uncapped counterfactual is quadratic: b(b-1)/2 candidates
+    val uncapped = Dedup.bucketPairs(
+      dense(b, "mega", 0L).select(col("rid").as("id"), col("blk")),
+      Seq("blk"), cap = Int.MaxValue).count()
+    assert(uncapped == b * (b - 1) / 2,
+      s"counterfactual: $uncapped != ${b * (b - 1) / 2}")
+
+    // (b) recall through the star: on a DENSE block every star pair
+    // clears the threshold, so connected components reconstruct the
+    // full entity set — one cluster holding all b members
+    val comp = Dedup.clusters(link(dense(b, "mega", 0L)))
+    val sizes = comp.groupBy(col("cluster_id")).count().collect()
+    assert(sizes.length == 1 && sizes(0).getLong(1) == b,
+      s"star transitivity broke: ${sizes.mkString(",")}")
+
+    // (c) the honest limit: on a HETEROGENEOUS block past the cap, a
+    // true pair not anchored at the block min is LOST under exact-key
+    // blocking alone (star pairs score below threshold) — and the
+    // documented scale path, an added NeighborhoodBlocking pass,
+    // recovers exactly it. Fixed-cardinality blocking keys are the
+    // anti-pattern; this pins both halves of that guidance.
+    val hetero = spark.range(1500).select(col("id").as("rid"),
+        lit("blk").as("blk"),
+        concat(lit("ua"), col("id"), lit(" ub"), col("id")).as("name"),
+        lit(0L).as("grp"))
+      .withColumn("name", when(col("rid").isin(700L, 701L),
+        lit("dup key dup val")).otherwise(col("name")))
+    assert(link(hetero).count() == 0L,
+      "expected zero links: stars score 0.25, true pair unanchored")
+    val multi = Dedup.recordLinkageMultiPass(hetero, "rid",
+      Seq(Dedup.KeyBlocking(Seq("blk")),
+        Dedup.NeighborhoodBlocking("name", windowSize = 1)),
+      fuzzyFields = Seq("name" -> 0.75), exactFields = Seq("grp" -> 0.25),
+      threshold = 0.8).collect()
+    assert(multi.length == 1 && multi(0).getAs[Long]("id_a") == 700L &&
+      multi(0).getAs[Long]("id_b") == 701L,
+      s"neighborhood pass did not recover the pair: ${multi.mkString(",")}")
+
+    // (d) wall clock IN the saturated regime: 10× the block size past
+    // the cap must cost ~10×, not 100× (candidates are O(b) stars)
+    def wall(n: Long): Double = {
+      val (_, t) = time(link(dense(n, "mega", 0L)).count())
+      graft.ext.OpCaches.releaseAll()
+      t
+    }
+    wall(5000L) // warm-up, untimed
+    val tS = wall(20000L)
+    val tB = wall(200000L)
+    assertLinear("record_linkage_saturated", tS, tB, () => wall(200000L))
+    info(f"saturated linkage wall: 20k-row block $tS%.2f s → 200k-row " +
+      f"block $tB%.2f s (stars only; uncapped counterfactual at 2.5k " +
+      f"was $uncapped pairs)")
+  }
 }
