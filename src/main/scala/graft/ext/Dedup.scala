@@ -707,10 +707,15 @@ object Dedup {
     val prevPar = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopPar)
     try {
+      // Per-round barrier is localCheckpoint(true), NOT persist: each
+      // round reads `labels` twice (neighbor-min join + pointer jump), so
+      // a persisted-but-unbarriered loop doubles the logical tree per
+      // round — the measured iterative-self-join analysis blowup. The
+      // eager checkpoint truncates lineage to a LogicalRDD (blocks are
+      // weak-referenced; the ContextCleaner reclaims superseded rounds).
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var persisted = labels // the currently-cached frame backing `labels`
+        .localCheckpoint(true)
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIters) {
@@ -719,22 +724,35 @@ object Dedup {
           .groupBy(col("src").as("id"))
           .agg(min(col("nlbl")).as("nmin"))
         // carry the old label through, so the convergence check is a filter
-        // on the (persisted) next frame rather than a second join per round
-        val next = labels.join(nbMin, Seq("id"), "left")
+        // on the checkpointed next frame rather than a second join per round
+        val hop = labels.join(nbMin, Seq("id"), "left")
           .select(col("id"),
             least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
             col("lbl").as("old"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // POINTER JUMP (path halving): also adopt the current label's own
+        // label. One-hop propagation alone converges in O(diameter)
+        // rounds — a >maxIters-diameter chain (10⁶ near-identical docs
+        // linked pairwise is exactly that shape) would previously exit
+        // the round cap SILENTLY MISLABELED (the fixed-cap defect class,
+        // caught by this round's cap audit). With the jump, label chains
+        // halve per round: maxIters = 20 covers diameter ~2²⁰, and the
+        // convergence require below turns any residue loud.
+        val jumped = hop.join(
+            labels.select(col("id").as("lbl"), col("lbl").as("jlbl")),
+            Seq("lbl"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("jlbl"), col("lbl"))).as("lbl"),
+            col("old"))
+        val next = jumped.localCheckpoint(true)
         changed = next.where(col("lbl") =!= col("old")).count()
-        persisted.unpersist()
-        persisted = next
         labels = next.select(col("id"), col("lbl"))
         iter += 1
       }
       edges.unpersist()
-      // the final loop frame backs the returned plan — ownership of its
-      // cached blocks transfers to the caller via the registry
-      OpCaches.register(persisted)
+      require(changed == 0,
+        s"clusters: min-label loop did not converge in $maxIters rounds " +
+          s"($changed labels still moving) — component diameter exceeds " +
+          s"2^$maxIters; raise maxIters")
       labels.select(col("id"), col("lbl").as("cluster_id"))
     } finally {
       // every loop shuffle has executed (each iteration ends in a count on

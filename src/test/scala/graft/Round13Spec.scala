@@ -148,6 +148,32 @@ class Round13Spec extends SparkSpecBase {
     assert(clash.getMessage.contains("tok"), clash.getMessage)
   }
 
+  test("clusters pointer jumping (r13 cap audit): a 300-diameter path " +
+    "component converges on the distributed loop within maxIters = 20 " +
+    "(one-hop propagation silently mislabeled it); non-convergence is " +
+    "loud, and the driver/distributed paths still agree") {
+    import graft.ext.Dedup
+    val path = spark.range(299).select(col("id").as("id_a"),
+      (col("id") + 1).as("id_b"))
+    // distributed loop forced (maxDriverEdges = 0): 2^20 ≫ 299 reach
+    val dist = Dedup.clusters(path, maxDriverEdges = 0L)
+      .agg(countDistinct(col("cluster_id")).as("k"),
+        max(col("cluster_id")).as("mx")).collect()(0)
+    assert(dist.getLong(0) == 1L && dist.getLong(1) == 0L,
+      s"path component split: $dist")
+    // the driver union-find answers identically
+    val drv = Dedup.clusters(path).agg(countDistinct(col("cluster_id")),
+      max(col("cluster_id"))).collect()(0)
+    assert(drv.getLong(0) == 1L && drv.getLong(1) == 0L)
+    // a genuinely insufficient round budget fails LOUD (reach 2^2), not
+    // silently mislabeled
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(path, maxIters = 2, maxDriverEdges = 0L).count()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+    graft.ext.OpCaches.releaseAll()
+  }
+
   test("annTopK excludeSelf (ADVICE r12): distinct id-column names keep " +
     "an equal-valued corpus neighbor by default; Some(true) drops it") {
     val corpus = spark.createDataset(
