@@ -174,6 +174,37 @@ class Round13Spec extends SparkSpecBase {
     graft.ext.OpCaches.releaseAll()
   }
 
+  test("simhashPairsStream capped regime (r13 cap audit): maxPerBucket " +
+    "bounds state to the most-recent window — pair recall degrades to " +
+    "the window exactly as documented, connectivity survives via " +
+    "chaining") {
+    import graft.ext.Dedup
+    val ms = MemoryStream[(Long, String)]
+    val pairs = Dedup.simhashPairsStream(
+      ms.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      maxBits = 3, maxPerBucket = 2)
+    val q = pairs.writeStream.format("memory").queryName("r13_cap")
+      .outputMode("append").start()
+    try {
+      // four identical docs, one batch: each arrival compares against at
+      // most the 2 most recent bucket entries → 2n-3 = 5 of the 6 true
+      // pairs (the (first, last) arrival pair falls off the window)
+      ms.addData((1L, "cap window doc"), (2L, "cap window doc"),
+        (3L, "cap window doc"), (4L, "cap window doc"))
+      q.processAllAvailable()
+      val got = spark.table("r13_cap").collect()
+      assert(got.length == 5, s"expected 5 capped pairs, got ${got.length}")
+      assert(got.forall(_.getAs[Int]("hamming") == 0))
+      // the missed pair is recoverable transitively: one 4-member cluster
+      val comp = Dedup.clusters(
+        spark.table("r13_cap").select(col("id_a"), col("id_b")))
+      assert(comp.select(countDistinct(col("cluster_id")))
+        .collect()(0).getLong(0) == 1L)
+      assert(comp.count() == 4L)
+      graft.ext.OpCaches.releaseAll()
+    } finally q.stop()
+  }
+
   test("annTopK excludeSelf (ADVICE r12): distinct id-column names keep " +
     "an equal-valued corpus neighbor by default; Some(true) drops it") {
     val corpus = spark.createDataset(
