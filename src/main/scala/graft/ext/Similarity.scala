@@ -723,7 +723,13 @@ object Similarity {
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probe(col("qv"))))
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
-    val met = assigned.join(probed, Seq("cell", "__salt"))
+    // PIN the documented shuffle hash join: Catalyst's size estimate for
+    // the exploded, UDF-probed query side is garbage, and at sweep scale
+    // AQE promoted the 10⁷-row probe frame to a BROADCAST (driver OOM —
+    // caught by the r13 sf1 sweep). The hint builds the hash table from
+    // the index side per cell and streams the probe side — the plan this
+    // operator promises at any scale.
+    val met = assigned.hint("shuffle_hash").join(probed, Seq("cell", "__salt"))
     val paired = if (excludeSelf)
       met.where(col("neighbor_id") =!= col("query_id")) else met
     rankTopK(

@@ -125,8 +125,13 @@ private[queries] object ExtSimQueries {
       // convention); the probe twin runs the approximate parameters
       val e = emb(s, d)
       val m = ivf2Model(s, d)
+      // query side bounded at vec_id < 4000: a NO-OP at driver scales
+      // (the whole sf0.1 corpus is 2000 vectors) that keeps the exact
+      // all-cells probe explosion affordable at the 10x sweep (the
+      // sim_ann_* bounded-query precedent; the corpus side stays full)
       Similarity.ivfKnnJoinTwoLevel(
-          Similarity.ivfIndexTwoLevel(e, m), e, k = 5, m,
+          Similarity.ivfIndexTwoLevel(e, m),
+          e.where(col("vec_id") < 4000), k = 5, m,
           nprobeShards = m.nshards, nprobe = 4, salt = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
                 col("neighbor_id"), round(col("cos"), 6).as("cos"))
@@ -464,7 +469,8 @@ private[queries] object ExtSimQueries {
                CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                list_cosine_similarity(q.e, c.e) AS cos
-             FROM v q, v c WHERE c.vec_id <> q.vec_id),
+             FROM v q, v c
+             WHERE c.vec_id <> q.vec_id AND q.vec_id < 4000),
          ranked AS (SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, neighbor_id) AS rank
