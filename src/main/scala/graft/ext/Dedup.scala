@@ -713,6 +713,13 @@ object Dedup {
       // round — the measured iterative-self-join analysis blowup. The
       // eager checkpoint truncates lineage to a LogicalRDD (blocks are
       // weak-referenced; the ContextCleaner reclaims superseded rounds).
+      // Stated trade: truncated lineage is NOT recomputable — on a
+      // cluster, losing an executor holding checkpoint blocks fails the
+      // query instead of recomputing (rerun-on-failure, the standard
+      // localCheckpoint contract). The driver union-find path above
+      // covers every graph ≤ maxDriverEdges with no such exposure; this
+      // loop is the >5M-edge escape where O(log d) rounds beat both the
+      // recompute risk and the exponential analysis tree.
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
         .localCheckpoint(true)

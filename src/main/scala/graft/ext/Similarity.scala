@@ -625,11 +625,13 @@ object Similarity {
   /** Train the two-level quantizer (see [[IvfTwoLevelModel]]). With
     * nshards = 1 (corpus under the clamp) this degenerates to the
     * single-level [[fitIvfAuto]] policy through the identical plan.
-    * `idCol` seeds the deterministic stratified sample.
+    * Deterministic given the corpus and seed: the stratified sample is
+    * seed-fixed and each shard's training points are SORTED before the
+    * seeded Lloyd fit, so shuffle-fetch order (which mapGroups does not
+    * guarantee) cannot change the codebook.
     */
   def fitIvfTwoLevel(corpus: DataFrame, targetCellSize: Int = 128,
-                     vecCol: String = "embedding",
-                     idCol: String = "vec_id", seed: Long = 42L,
+                     vecCol: String = "embedding", seed: Long = 42L,
                      maxTrainPerShard: Long = 20000L, minNlist: Int = 16,
                      maxNlist: Int = 1 << 14): IvfTwoLevelModel = {
     require(targetCellSize >= 1 && minNlist >= 1 && maxNlist >= 1)
@@ -644,11 +646,15 @@ object Similarity {
     val coarse = IvfModel(
       lloydFit(coarseSample, nshards, new scala.util.Random(seed),
         iters = 5))
-    // shard assignment is the same narrow map the index build runs
+    // shard assignment is the same narrow map the index build runs;
+    // persisted fit-scoped: the nshards-distance UDF is the dominant
+    // fit cost and BOTH the count aggregate and the stratified sample
+    // read it (unpersisted before return)
     val shardOf = udf { (v: Seq[Double]) => nearestOf(coarse.centers)(v) }
     val assigned = corpus
       .select(shardOf(col(vecCol).cast("array<double>")).as("shard"),
         col(vecCol).cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-shard row counts: ≤ nshards rows collected (sizes the sub
     // quantizers from TRUE shard populations, not sample sizes)
     val counts = assigned.groupBy("shard").count().collect()
@@ -663,7 +669,24 @@ object Similarity {
       .as[(Int, Seq[Double])]
       .groupByKey(_._1)
       .mapGroups { (sh, it) =>
-        val pts = it.map(_._2.toArray).take(maxTrainPerShard.toInt).toArray
+        // mapGroups gives no iterator-order guarantee (shuffle fetch
+        // order varies run-to-run): materialize the bounded sample,
+        // SORT it lexicographically, then truncate — the seeded init
+        // now sees an order that is a pure function of the sampled SET
+        val all = it.map(_._2.toArray).toArray
+        java.util.Arrays.sort(all, new java.util.Comparator[Array[Double]] {
+          def compare(a: Array[Double], b: Array[Double]): Int = {
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = java.lang.Double.compare(a(i), b(i))
+              if (c != 0) return c
+              i += 1
+            }
+            java.lang.Integer.compare(a.length, b.length)
+          }
+        })
+        val pts = all.take(maxTrainPerShard.toInt)
         val subNlist = math.max(1, math.min(
           autoNlist(counts.getOrElse(sh, 0L), targetCellSize,
             math.min(minNlist, pts.length), maxNlist),
@@ -675,6 +698,7 @@ object Similarity {
       .collect()
       .map { case (sh, cs) => sh -> IvfModel(cs.map(_.toArray).toArray) }
       .toMap
+    assigned.unpersist()
     // a shard the corpus never hit (empty Voronoi region of the coarse
     // fit) degenerates to one cell at the coarse center
     val subs = Array.tabulate(coarse.nlist)(sh =>

@@ -188,8 +188,11 @@ object ExtQueries {
                name: org.apache.spark.sql.Column) = dd.select(rid.as("rid"),
         name.as("name"), col("lang"),
         pmod(col("doc_id"), lit(7)).as("grp"))
+      // variant offset 1e12, NOT the gate rows' 1e6: this row has no
+      // oracle pinning the constant, and 1e6 collides with real doc_ids
+      // at a ~200x sweep (the fixed-constant class the cap audit hunts)
       val recs = side(col("doc_id"), col("text")).union(
-        side(col("doc_id") + 1000000,
+        side(col("doc_id") + 1000000000000L,
           concat(col("text"), lit(" zzvariant"))))
       Dedup.recordLinkage(recs, "rid", blockCols = Seq("lang"),
           fuzzyFields = Seq("name" -> 0.75),

@@ -60,7 +60,7 @@ class Round12Spec extends SparkSpecBase {
     val pre = Compiler.compile(enriched, env).df
     val dropExpected = graft.ext.Dedup
       .semanticPairs(pre, "embedding", "doc_id", nclusters = 1,
-        threshold = 0.95)
+        threshold = 0.95, cap = Int.MaxValue)
       .select("id_b").distinct().collect().map(_.getLong(0)).toSet
     val preIds = pre.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out.map(_.getAs[Long]("doc_id")).toSet == preIds -- dropExpected)
