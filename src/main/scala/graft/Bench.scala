@@ -114,7 +114,15 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // Scale-dependent (guide §1.2 step 3, measured r13): AQE executes
+      // every exchange as its own stage-job with a driver re-plan round
+      // trip (~40 ms each here) — at bench SFs, where shuffles are KBs,
+      // that is 30-50% of most queries' wall; at TB scale AQE's skew
+      // splitting and partition coalescing dominate instead. Parameterised
+      // with the local-scale default; production sessions set
+      // SPARK_GRAFT_AQE=true (the sf1 sweep runbook does).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // big-SF sweeps: split multi-row-group fixture files across tasks

@@ -182,7 +182,10 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val idIdx = docs.schema.fieldIndex(idCol)
     implicit val enc = Encoders.row(outSchema)
-    docs.mapPartitions { it =>
+    // per-row ImageIO encode is seconds of CPU on an unsplittable
+    // single-task scan — fan the small input rows out first (no-op on
+    // already-parallel inputs; see Par.fanOut)
+    Par.fanOut(docs).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
         val w = (id % 30).toInt + 2; val h = (id % 19).toInt + 2
@@ -221,7 +224,7 @@ object Multimodal {
       StructField("payload", BinaryType)))
     val idIdx = docs.schema.fieldIndex(idCol)
     implicit val enc = Encoders.row(outSchema)
-    docs.mapPartitions { it =>
+    Par.fanOut(docs).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
         Row(id, nearDupPpm(id))

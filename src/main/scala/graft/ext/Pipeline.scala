@@ -1990,8 +1990,13 @@ object Pipeline {
     // Poisson(1) CDF · 1e6, floored — the fixed grid both engines share
     val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
       999917L, 999990L)
-    val rep = df.select(col(idCol).cast("string").as("id"),
-        col(metricCol).cast("long").as("v"),
+    // fan out BEFORE the ×b replicate explode: the b hash draws per row
+    // run where the input sits, and a single-row-group scan would price
+    // all b·n md5s on one core (Par.fanOut is a no-op on already-parallel
+    // inputs)
+    val rep = Par.fanOut(df.select(col(idCol).cast("string").as("id"),
+        col(metricCol).cast("long").as("v")))
+      .select(col("id"), col("v"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
     val h = pmod(portableHash60(concat(col("id"), lit(":"),
       col("rep").cast("string"), lit(s":bs:$salt"))), lit(1000000L))
@@ -2047,9 +2052,11 @@ object Pipeline {
       when(a >= 0, floorDivNN(a, bb)).otherwise(-floorDivNN(-a, bb))
     val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L,
       999917L, 999990L)
-    val rep = df.select(col(groupCol).as("g"),
+    // same pre-explode fan-out as the global face
+    val rep = Par.fanOut(df.select(col(groupCol).as("g"),
         col(idCol).cast("string").as("id"),
-        col(metricCol).cast("long").as("v"),
+        col(metricCol).cast("long").as("v")))
+      .select(col("g"), col("id"), col("v"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
     val h = pmod(portableHash60(concat(col("id"), lit(":"),
       col("rep").cast("string"), lit(s":bs:$salt"))), lit(1000000L))

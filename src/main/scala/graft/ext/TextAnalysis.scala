@@ -1070,28 +1070,30 @@ object TextAnalysis {
     * (no cross-document grams; a text shorter than n contributes
     * nothing).
     *
-    * Shape — TWO-LEVEL, neither side shuffles token volume (the r11 sf1
-    * sweep measured the one-exchange (group, gram) count at 22× wall for
-    * 10× data once distinct-gram cardinality outgrew the partial-agg hash
-    * budget and the exchange fell back to sorting raw gram volume):
-    *  - `total` is computed NARROWLY — Σ per-document gram counts, a
-    *    fixed-width (group, long) aggregation; no gram ever leaves its
-    *    scan task.
-    *  - `distinct` dedups at the document level first (`array_distinct`
-    *    per text — the skew case is repetition WITHIN a collapsed pool,
-    *    which this collapses before the explode), so the single exchange
-    *    carries per-partition-distinct (group, gram) pairs, not token
-    *    volume.
-    * Both reduce to one row per group and meet in a trivially small join.
-    * Exact integers throughout; results identical to the one-exchange
-    * form by construction (count of distinct grams / count of grams).
+    * Shape — per-doc dedup, ONE gram build, ONE gram exchange, no join
+    * (r13 rework; results identical):
+    *  - grams dedup at the DOCUMENT level first (`array_distinct` per
+    *    text), so the exchange carries per-partition-distinct (group,
+    *    gram) pairs, never token volume — the r11 sf1 sweep measured the
+    *    naive one-exchange (group, gram) occurrence count at 22× wall for
+    *    10× data once distinct-gram cardinality outgrew the partial-agg
+    *    hash budget and the exchange fell back to sorting raw gram
+    *    volume; per-doc dedup is what fixed it (r12) and it stays.
+    *  - each doc's TOTAL gram count rides the same exchange attached to
+    *    the doc's first exploded gram (0 elsewhere), so `total` = Σ of
+    *    that column and `distinct` = the row count fall out of one
+    *    (group) aggregation — where the r12 two-level form built the gram
+    *    arrays twice (narrow totals + distinct'd explode) and joined two
+    *    aggregates.
+    * Exact integers throughout; a group whose texts yield zero grams
+    * explodes to no rows and is absent (the old inner-join semantics).
     */
   def distinctNgrams(df: DataFrame, textCol: String, groupCol: String,
                      n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     def floorDivNN(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
-    val toks = split(col(textCol), " ")
+    val toks = split(col("__t"), " ")
     // guard short texts explicitly: Spark's sequence(0, -1) would emit a
     // DESCENDING [0, -1], not an empty list
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
@@ -1100,16 +1102,21 @@ object TextAnalysis {
       if (n == 1) filter(toks, x => x =!= "")
       else filter(transform(idx,
         i => array_join(slice(toks, i + 1, lit(n)), " ")), g => g =!= "")
-    val perDoc = df.select(col(groupCol).as("g"), gramsArr.as("ga"))
-    val totals = perDoc.groupBy(col("g"))
-      .agg(sum(size(col("ga")).cast("long")).as("total"))
-    val dist = perDoc
-      .select(col("g"), explode(array_distinct(col("ga"))).as("gram"))
-      .distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("distinct"))
-    // inner join: a group whose texts yield zero grams has no distinct
-    // row and is absent from the result, matching the one-exchange form
-    totals.join(dist, Seq("g"))
+    // ONE pass (see the scaladoc shape note): per-doc dedup stays (the
+    // r12 sf1 fix), each doc's total count rides its first exploded
+    // distinct gram, and both group statistics fall out of one (g, gram)
+    // partial agg + one tiny (g) aggregation — no second gram build, no
+    // join. Fan-out first: gram building is the amplified per-row work
+    // (Par.fanOut is a no-op on already-parallel inputs).
+    graft.ext.Par.fanOut(
+        df.select(col(groupCol).as("g"), col(textCol).as("__t")))
+      .select(col("g"), size(gramsArr).cast("long").as("cnt"),
+        posexplode(array_distinct(gramsArr)))
+      .select(col("g"), col("col").as("gram"),
+        when(col("pos") === 0, col("cnt")).otherwise(0L).as("c"))
+      .groupBy(col("g"), col("gram")).agg(sum(col("c")).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct"))
       .select(col("g").as(groupCol), col("total"), col("distinct"),
         floorDivNN(col("distinct") * 1000000L, col("total"))
           .as("distinct_ppm"))
@@ -1743,38 +1750,43 @@ object TextAnalysis {
     * before ranking (ties → doc asc) — `ln` is not bit-specified; the
     * tf-idf determinism rule. Returns (qid, rk, doc, score).
     *
-    * 100 TB shape: ONE token-volume (id, term) partial-agg shuffle builds
-    * tf, persisted and shared by the doc-length rollup and the scoring
-    * path (the [[tfidfTopTerms]] pattern). The query set broadcasts and
-    * SEMI-FILTERS tf before df/scoring — document frequency and scores
-    * are computed over query-term postings only, never the full
-    * vocabulary. N and avgdl broadcast as one row. The final ranking is
-    * the bounded CollectTopK heap: each map task ships ≤ k (score, doc)
-    * pairs per query, not every matching posting.
+    * 100 TB shape: the token explode SEMI-FILTERS to the query terms
+    * BEFORE its aggregation exchange (guide §2.3 / §3.2 — the shuffle
+    * carries query-term hits only, never the corpus vocabulary), so tf,
+    * df and the scores all derive from the pruned posting volume. Doc
+    * length is a NARROW tokenCount map over the same scan (Σ_t tf(t,d)
+    * ≡ the whitespace token count — one extra codegen'd pass instead of
+    * persisting the full (id, term) aggregate, which at corpus scale is
+    * a token-volume cache). N and avgdl come from ONE scalar aggregate
+    * over the documents scan and broadcast as a single row. The final
+    * ranking is the bounded CollectTopK heap: each map task ships ≤ k
+    * (score, doc) pairs per query, not every matching posting.
+    * (r13 rework: the previous shape shuffled and persisted the FULL
+    * vocabulary tf and re-aggregated it for dl/avgdl — 21 sequential
+    * stage-jobs at bench scale, and a token-volume persist at 100 TB.)
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: Seq[(Long, Seq[String])], k: Int = 10,
                k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = OpCaches.register(docs.select(col(idCol).as("doc"),
+    val qterms = queries.flatMap(_._2).distinct
+    val tfq = docs.select(col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("term"))
-      .where(col("term") =!= "")
+      .where(col("term").isin(qterms.map(x => x: Any): _*))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
-      .crossJoin(tf.agg(sum(col("tf")).as("__toks")))
+    val dl = docs.select(col(idCol).as("doc"),
+      tokenCount(col(textCol)).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+        sum(tokenCount(col(textCol))).cast("double").as("__toks"))
       .withColumn("__avgdl", col("__toks") / col("__n"))
     val qdf = broadcast(
       queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
         .toDF("qid", "term"))
-    val tfq = tf.join(broadcast(qdf.select(col("term")).distinct()),
-      Seq("term"))
     val df_ = tfq.groupBy(col("term")).agg(count(lit(1)).cast("double")
       .as("df"))
-    bm25Rank(tfq.join(df_, Seq("term"))
+    bm25Rank(tfq.join(broadcast(df_), Seq("term"))
       .join(dl, Seq("doc"))
       .join(qdf, Seq("term"))
       .crossJoin(broadcast(stats)), k, k1, b)
