@@ -111,18 +111,35 @@ object Bench {
     // contended so it is never silently trusted)
     val maxAttempts =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+    // Wall budget for the whole measurement (VERDICT r13 #1): the r13
+    // driver bench timed out (rc=124, no JSON) because a contended first
+    // pass triggered a full re-run and one retry doubled the wall past
+    // the driver's window. A retry is now taken ONLY if it can plausibly
+    // finish inside the budget (elapsed + 1.15 × the last pass's wall);
+    // otherwise the contended pass is recorded, flagged `contended:true`
+    // + `retry_skipped_budget:true`, and the one-line JSON always prints.
+    // 1500 s default: the slowest completed driver run on record (8-core
+    // r13, two full passes) fit a 1931 s sbt window, so one pass plus
+    // warm-up at 32 cores sits well inside this.
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    val tJvm0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tJvm0) / 1e9
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Scale-dependent (guide §1.2 step 3, measured r13): AQE executes
-      // every exchange as its own stage-job with a driver re-plan round
-      // trip (~40 ms each here) — at bench SFs, where shuffles are KBs,
-      // that is 30-50% of most queries' wall; at TB scale AQE's skew
-      // splitting and partition coalescing dominate instead. Parameterised
-      // with the local-scale default; production sessions set
-      // SPARK_GRAFT_AQE=true (the sf1 sweep runbook does).
+      // Default restored to `true` (VERDICT r13 #2): r13 flipped this to
+      // false (AQE's per-exchange driver re-plan is ~40 ms — real wall at
+      // KB-sized bench shuffles, irrelevant at TB where its skew splitting
+      // and coalescing are wanted) — but the flip was a NON-ADDITIVE
+      // harness change: every historical bench row and committed floor was
+      // measured with AQE on, so future rows would conflate "algorithm got
+      // faster" with "planner overhead removed". The default stays `true`
+      // for round-over-round comparability; SPARK_GRAFT_AQE=false remains
+      // available as a diagnostics opt-out, and the one-time dual-mode
+      // measurement lives in plans/r14/aqe_ab.md.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // big-SF sweeps: split multi-row-group fixture files across tasks
@@ -297,17 +314,33 @@ object Bench {
         samples, miniSentinels.toSeq, streamRows, streamingSecs)
     }
     val ratios = scala.collection.mutable.ArrayBuffer[Double]()
+    var passT0 = elapsedS
     var pass = runPass()
+    var lastPassWall = elapsedS - passT0
     ratios += pass.sentinelRatio
     var attempts = 1
-    while (pass.contended && attempts < maxAttempts) {
-      System.err.println(
-        f"[bench] pass $attempts REJECTED: sentinel |ln(end/start)| " +
-          f"ratio ${pass.sentinelRatio}%.2f outside [1/1.3, 1.3] — " +
-          "re-running the full measurement pass")
-      pass = runPass()
-      ratios += pass.sentinelRatio
-      attempts += 1
+    var retrySkippedBudget = false
+    while (pass.contended && attempts < maxAttempts &&
+           !retrySkippedBudget) {
+      if (elapsedS + 1.15 * lastPassWall > budgetS) {
+        retrySkippedBudget = true
+        System.err.println(
+          f"[bench] pass $attempts contended (ratio " +
+            f"${pass.sentinelRatio}%.2f) but retry SKIPPED: " +
+            f"${elapsedS}%.0f s elapsed + ~${lastPassWall}%.0f s pass " +
+            f"would exceed the $budgetS%.0f s wall budget — recording " +
+            "the contended pass, flagged")
+      } else {
+        System.err.println(
+          f"[bench] pass $attempts REJECTED: sentinel |ln(end/start)| " +
+            f"ratio ${pass.sentinelRatio}%.2f outside [1/1.3, 1.3] — " +
+            "re-running the full measurement pass")
+        passT0 = elapsedS
+        pass = runPass()
+        lastPassWall = elapsedS - passT0
+        ratios += pass.sentinelRatio
+        attempts += 1
+      }
     }
     if (pass.contended)
       System.err.println(
@@ -368,6 +401,8 @@ object Bench {
       f""""sentinel_ratio":${pass.sentinelRatio}%.3f,""" +
       f""""contended":${pass.contended},"attempts":$attempts,""" +
       f""""attempt_ratios":$ratiosJson,""" +
+      f""""budget_s":$budgetS%.0f,"retry_skipped_budget":$retrySkippedBudget,""" +
+      f""""wall_s":$elapsedS%.1f,""" +
       f""""suspect_rows":${suspectRows.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       f""""mini_sentinels":${pass.miniSentinels.map(x => f"$x%.3f").mkString("[", ",", "]")},""" +
       f""""mini_ratio_max":$miniRatioMax%.2f,"mid_contended":$midContended,""" +

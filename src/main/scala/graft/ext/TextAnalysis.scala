@@ -1770,7 +1770,11 @@ object TextAnalysis {
                k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val qterms = queries.flatMap(_._2).distinct
+    // "" is excluded up front (ADVICE r13): the pre-r13 full-vocab tf
+    // carried a `term =!= ""` guard, so empty tokens from consecutive
+    // spaces never scored — a query list containing "" must not start
+    // matching them now that the filter is isin(qterms).
+    val qterms = queries.flatMap(_._2).filter(_.nonEmpty).distinct
     val tfq = docs.select(col(idCol).as("doc"),
         explode(split(col(textCol), " ")).as("term"))
       .where(col("term").isin(qterms.map(x => x: Any): _*))

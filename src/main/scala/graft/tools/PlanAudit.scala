@@ -86,8 +86,9 @@ object PlanAudit {
         } catch { case e: Throwable => s"explain failed: $e" }
         val exch = "(?m)^\\s*\\+?- Exchange|^Exchange".r
           .findAllIn(plan).length
+        val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$outDir/${n}_before.txt"),
+          java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"),
           explained.getBytes("UTF-8"))
         println(f"$n%-28s $dt%7.2f ${jobs.get}%5d ${stages.get}%7d " +
           f"${tasks.get}%6d ${shufW.get / 1e6}%7.2f $exch%4d")
