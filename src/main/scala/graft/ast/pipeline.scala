@@ -52,9 +52,22 @@ object pipeline {
             .dropDuplicatesWithinWatermark("__text_hash")
             .drop("__text_hash")
         else {
-          val keep = Dedup.exact(df, textCol, idCol)
-            .select(col("keep_id").as(idCol))
-          df.join(keep, Seq(idCol), "left_semi")
+          // r14 (§2.4): keep the min-id row per text hash in ONE
+          // aggregation — `min_by` over the whole row, grouped by the
+          // 8-byte hash — instead of the r13 shape (hash groupBy to a
+          // keep set + a LEFT SEMI join back), which cost a second scan
+          // of the documents, an extra exchange, and a join. Survivor
+          // set is identical (smallest idCol per identical text; ids
+          // are unique so min_by has no ties). At 100 TB this is also
+          // strictly fewer payload moves: partial aggregation keeps one
+          // candidate row per (hash, map task), so duplicate documents
+          // collapse map-side BEFORE the single full shuffle, where the
+          // old shape shuffled every surviving document through the
+          // semi join anyway.
+          val cols = df.columns.toSeq
+          df.groupBy(xxhash64(col(textCol)).as("__text_hash"))
+            .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+            .select(cols.map(c => col("__r").getField(c).as(c)): _*)
         }
       })
 

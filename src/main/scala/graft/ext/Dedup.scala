@@ -135,7 +135,8 @@ object Dedup {
     * window's partitioning, hot rows stream narrow star pairs.
     */
   private[graft] def bucketPairs(bucketed: DataFrame, keyCols: Seq[String],
-                                 cap: Int = maxBucketFanout): DataFrame = {
+                                 cap: Int = maxBucketFanout,
+                                 dedupe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
     val tagged = bucketed
@@ -153,7 +154,18 @@ object Dedup {
     val starPairs = tagged
       .where(col("__bn") > cap && col("id") =!= col("__bmin"))
       .select(col("__bmin").as("id_a"), col("id").as("id_b"))
-    smallPairs.union(starPairs).distinct()
+    val all = smallPairs.union(starPairs)
+    // `dedupe = false` (r14, §2.4): when every id occupies AT MOST ONE
+    // bucket — Voronoi cell assignment (semanticPairs), a single
+    // blocking-key tuple per record (recordLinkage KeyBlocking) — a pair
+    // can only be emitted by one bucket, so the distinct is a full
+    // shuffle of the LARGEST intermediate in the operator (the candidate
+    // stream, quadratic per sub-cap bucket) that removes nothing.
+    // Banded callers (minhash bands, multi-table hyperplane LSH), where
+    // one id sits in `bands`/`tables` buckets and true near-dups collide
+    // in several of them, keep the default. Requires unique ids per
+    // bucket row (every caller's id column is a record id).
+    if (dedupe) all.distinct() else all
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets
@@ -1417,7 +1429,10 @@ object Dedup {
                           col(vecCol).cast("array<double>").as("v"))
     val cell = udf(Similarity.nearestOf(model.centers) _)
     val assigned = vecs.select(col("id"), cell(col("v")).as("cell"))
-    val cand = bucketPairs(assigned, Seq("cell"), cap)
+    // dedupe off: each vector lives in exactly ONE Voronoi cell, so the
+    // candidate stream is duplicate-free by construction (§2.4 — the
+    // distinct was a full shuffle of the quadratic within-cell pairs)
+    val cand = bucketPairs(assigned, Seq("cell"), cap, dedupe = false)
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -1684,21 +1699,34 @@ object Dedup {
         // null blocking keys match nothing; without the filter Spark's
         // groupBy would treat NULL as a regular value and pool EVERY
         // null-key record into one shared block — O(b²) pairs among
-        // records that share no key at all
+        // records that share no key at all.
+        // dedupe off (r14, §2.4): a record carries ONE blocking-key
+        // tuple, so a pair shares at most one block — bucketPairs'
+        // distinct was a full shuffle of the quadratic candidate stream
+        // with nothing to remove; cross-pass overlap is handled below.
         bucketPairs(
           sidePruned.select(col("id") +: cs.map(col): _*)
             .where(cs.map(c => col(c).isNotNull).reduce(_ && _)),
-          cs)
+          cs, dedupe = false)
           .select(col("id_a"), col("id_b"))
       case NeighborhoodBlocking(sortKey, w) =>
         sortedNeighborhoodIdPairs(records.select(col(idCol), col(sortKey)),
           idCol, sortKey, w)
     }
-    val cand = candByPass.reduce(_ union _)
+    val normalized = candByPass.reduce(_ union _)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
-      .distinct()
+    // single-KeyBlocking callers ([[recordLinkage]]) need no distinct at
+    // all: in-bucket pairs are already unique and normalized (ordered
+    // generation, star pairs anchored at the block min). Any pass mix
+    // that can overlap — several passes, or a sorted-neighborhood window
+    // (whose id order is unrelated to id_a < id_b normalization) — pays
+    // the one candidate dedup exchange it actually needs.
+    val cand = passes match {
+      case Seq(KeyBlocking(_)) => normalized
+      case _ => normalized.distinct()
+    }
     def renamed(suffix: String) = sidePruned.select(
       col("id").as(s"id$suffix") +:
         (fz.map { case (_, i) => col(s"fz$i").as(s"fz$i$suffix") } ++

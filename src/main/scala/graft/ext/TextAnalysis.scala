@@ -1335,16 +1335,21 @@ object TextAnalysis {
       .select(col(idCol), col("isl"),
         array_join(col("ws"), " ").as("phrase"),
         size(col("ws")).cast("long").as("len"), col("ws"))
-    // two consumers (the per-word stats aggregate and the scoring join)
-    // — persist the island-member rows once; lifecycle transfers to the
-    // caller via OpCaches, the marginScore convention
-    val words = OpCaches.register(phrases
+    // r14 (§2.4): per-word stats as WINDOW functions over (doc, word)
+    // instead of the r13 shape (a separate groupBy aggregate joined back
+    // onto a persisted copy of the island-member rows). freq/deg per
+    // (doc, word) are the same counts either way — a window computes the
+    // group statistic and keeps the member rows in one pass, which is
+    // exactly the join's 1:n re-attach — but the join, its second
+    // aggregate, one exchange and the MEMORY persist of the exploded
+    // word rows (token-volume state at corpus scale) all disappear.
+    val words = phrases
       .select(col(idCol), col("isl"), col("phrase"), col("len"),
         explode(col("ws")).as("w"))
-      .persist())
-    val stats = words.groupBy(col(idCol), col("w"))
-      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
-    val scored = words.join(stats, Seq(idCol, "w"))
+    val wStats = Window.partitionBy(col(idCol), col("w"))
+    val scored = words
+      .withColumn("freq", count(lit(1)).over(wStats))
+      .withColumn("deg", sum(col("len")).over(wStats))
       .groupBy(col(idCol), col("isl"), col("phrase"))
       .agg(sum(col("deg") / col("freq")).as("score"))
       // same phrase text recurring as several islands scores identically

@@ -441,7 +441,12 @@ private[queries] object ExtStatsQueries {
         val q = out.writeStream.format("memory").queryName(qn)
           .outputMode("update").start()
         try q.processAllAvailable() finally q.stop()
-        val res = s.table(qn).localCheckpoint(eager = true)
+        // registerCheckpoint: a localCheckpoint block lives OUTSIDE the
+        // CacheManager — without the registration it survived every
+        // bench releaseAll (the r12→r13 `cache_leaked_blocks: 1` row,
+        // VERDICT r13 #9/minor)
+        val res = graft.ext.OpCaches.registerCheckpoint(
+          s.table(qn).localCheckpoint(eager = true))
         s.catalog.dropTempView(qn)
         res.withColumnRenamed("g", "lang").orderBy(col("lang"))
       } finally prev match {
