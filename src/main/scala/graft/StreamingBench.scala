@@ -98,10 +98,19 @@ object StreamingBench {
       val (warm, main) = replayed.splitAt(math.max(1, replayed.length / 100))
       ms.addData(warm.toSeq)
       q.processAllAvailable()
+      // each addData call is ONE MemoryStream block = one partition of the
+      // micro-batch's source scan: feeding a 124k-row batch as a single
+      // block serializes the row decode + shuffle write on one task.
+      // feedBlocks > 1 splits each micro-batch across that many blocks
+      // (diagnostic knob; default 1 = historical feed shape)
+      val feedBlocks =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_FEED_BLOCKS", "1").toInt
       val t0 = System.nanoTime()
       var ingested = 0L
       main.grouped(math.max(1, main.length / batches)).foreach { batch =>
-        ms.addData(batch.toSeq)
+        if (feedBlocks <= 1) ms.addData(batch.toSeq)
+        else batch.grouped(math.max(1, batch.length / feedBlocks))
+          .foreach(b => ms.addData(b.toSeq))
         q.processAllAvailable()
       }
       ingested = q.recentProgress.map(_.numInputRows).sum

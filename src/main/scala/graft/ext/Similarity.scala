@@ -310,6 +310,15 @@ object Similarity {
   def fitIvf(corpus: DataFrame, nlist: Int = 16,
              vecCol: String = "embedding", seed: Long = 42L,
              maxTrain: Long = 20000L): IvfModel = {
+    // nlist == 1: nearest-of-one assignment ignores the centroid value, so
+    // skip the sample-collect job (the count stays — an empty corpus must
+    // still fail loud exactly like the trained path). r14 §5; every
+    // downstream cell id, and therefore pair, is unchanged by construction.
+    if (nlist == 1) {
+      require(corpus.select(col(vecCol)).count() > 0,
+        "IVF training sample is empty")
+      return IvfModel(Array(Array(0.0)))
+    }
     val (_, sample) = trainSample(corpus, vecCol, seed, maxTrain)
     IvfModel(lloydFit(sample, nlist, new scala.util.Random(seed), iters = 5))
   }
@@ -319,11 +328,12 @@ object Similarity {
     * by `maxTrain` by construction.
     */
   private def trainSample(corpus: DataFrame, vecCol: String, seed: Long,
-                          maxTrain: Long): (Long, Array[Array[Double]]) = {
+                          maxTrain: Long,
+                          knownN: Option[Long] = None): (Long, Array[Array[Double]]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("cv"))
-    val n = vecs.count()
+    val n = knownN.getOrElse(vecs.count())
     val frac = math.min(1.0, maxTrain.toDouble / math.max(1L, n))
     val sample = vecs.sample(withReplacement = false, frac, seed)
       .as[Seq[Double]].collect().map(_.toArray)
@@ -366,7 +376,22 @@ object Similarity {
   def fitIvfAuto(corpus: DataFrame, targetCellSize: Int = 128,
                  vecCol: String = "embedding", seed: Long = 42L,
                  maxTrain: Long = 20000L, minNlist: Int = 16): IvfModel = {
-    val (n, sample) = trainSample(corpus, vecCol, seed, maxTrain)
+    // nlist == 1 needs no training at all: nearest-of-one assignment is
+    // constant regardless of the centroid value, so when the policy
+    // provably resolves to one cell (corpus fits targetCellSize, floor
+    // allows 1) skip the sample-collect job and return a fixed centroid.
+    // The exact-pair gate configs (targetCellSize = MaxValue, minNlist =
+    // 1) hit this on every run; production sizings never do. (r14 §5 —
+    // one fewer eager job per fit; assignment, and therefore every
+    // downstream pair, is unchanged by construction.)
+    val preN: Option[Long] =
+      if (minNlist <= 1) {
+        val n0 = corpus.select(col(vecCol)).count()
+        val want = (n0 + targetCellSize - 1) / targetCellSize
+        if (n0 > 0 && want <= 1L) return IvfModel(Array(Array(0.0)))
+        Some(n0)
+      } else None
+    val (n, sample) = trainSample(corpus, vecCol, seed, maxTrain, preN)
     // the sample-size cap wins over the floor: a tiny corpus must not
     // mint more centroids than it has training vectors
     val cap = math.min(1 << 14, sample.length)

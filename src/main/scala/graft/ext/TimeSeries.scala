@@ -67,17 +67,26 @@ object TimeSeries {
       .groupBy(col("key"), col("bucket"))
       .agg(max(struct(col("__ts"), col("__v"))).as("__last"))
       .select(col("key"), col("bucket"), col("__last.__v").as("v_obs"))
-    val grid = obs.groupBy("key")
-      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
-      .select(col("key"),
-        explode(sequence(col("lo"), col("hi"))).as("bucket"))
-    val carry = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("key", "bucket"), "left")
+    // r14 (§2.4): the gap grid is generated per SEGMENT — each observation
+    // looks one row ahead (lead) and emits the buckets up to (excluding)
+    // the next observation, carrying its own value. Replaces the r10 shape
+    // (per-key lo/hi aggregate → exploded grid → left join back onto obs →
+    // running-last window), which computed `obs` twice and paid three more
+    // exchanges plus a join for rows this form emits directly. Row set,
+    // values and types are identical by construction: every grid bucket in
+    // [lo, hi] lies in exactly one inter-observation segment, and LOCF's
+    // carried value IS the segment start's value. Per-segment sequence()
+    // arrays are also bounded by the largest gap, not the key's full span.
+    val nxt = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    obs
+      .withColumn("__nb", lead(col("bucket"), 1).over(nxt))
+      .select(col("key"), col("v_obs"), col("bucket").as("__pb"),
+        explode(sequence(col("bucket"),
+          coalesce(col("__nb") - 1L, col("bucket")))).as("bucket"))
       .select(col("key"),
         (col("bucket") * bucketSeconds).as("bucket_start"),
-        last(col("v_obs"), ignoreNulls = true).over(carry).as("v"),
-        col("v_obs").isNotNull.as("observed"))
+        col("v_obs").as("v"),
+        (col("bucket") === col("__pb")).as("observed"))
   }
 
   /** Rolling sum of the last `window` buckets (current included) over an
@@ -521,29 +530,32 @@ object TimeSeries {
       .groupBy(col("key"), col("bucket"))
       .agg(max(struct(col("__ts"), col("__v"))).as("__last"))
       .select(col("key"), col("bucket"), col("__last.__v").as("v_obs"))
-    val grid = obs.groupBy("key")
-      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    // r14 (§2.4): same segment rewrite as [[resampleLocf]] — each
+    // observation leads to its successor and emits the gap buckets
+    // between them, interpolating inline. The r10 shape built the grid
+    // from a per-key lo/hi aggregate, left-joined obs back, and ran TWO
+    // unbounded windows (running-last backward, running-first forward)
+    // to rediscover exactly the segment endpoints the lead() already
+    // knows: 3 more exchanges, a join, and a double computation of
+    // `obs`, all for identical rows. The interpolation expression is
+    // UNCHANGED term-for-term (pv/pb = segment start value/bucket,
+    // nv/nb = lead value/bucket), so the doubles are bit-identical.
+    val nxt = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    obs
+      .withColumn("__nb", lead(col("bucket"), 1).over(nxt))
+      .withColumn("__nv", lead(col("v_obs"), 1).over(nxt))
+      .select(col("key"), col("v_obs"), col("__nb"), col("__nv"),
+        col("bucket").as("__pb"),
+        explode(sequence(col("bucket"),
+          coalesce(col("__nb") - 1L, col("bucket")))).as("bucket"))
       .select(col("key"),
-        explode(sequence(col("lo"), col("hi"))).as("bucket"))
-    val back = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val withObsBucket = grid.join(obs, Seq("key", "bucket"), "left")
-      .withColumn("ob", when(col("v_obs").isNotNull, col("bucket")))
-    val j = withObsBucket
-      .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(back))
-      .withColumn("pb", last(col("ob"), ignoreNulls = true).over(back))
-      .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(fwd))
-      .withColumn("nb", first(col("ob"), ignoreNulls = true).over(fwd))
-    j.select(col("key"),
-      (col("bucket") * bucketSeconds).as("bucket_start"),
-      when(col("v_obs").isNotNull, col("v_obs").cast("double"))
-        .otherwise(col("pv").cast("double") +
-          (col("nv").cast("double") - col("pv").cast("double")) *
-            (col("bucket") - col("pb")).cast("double") /
-            (col("nb") - col("pb")).cast("double")).as("v"),
-      col("v_obs").isNotNull.as("observed"))
+        (col("bucket") * bucketSeconds).as("bucket_start"),
+        when(col("bucket") === col("__pb"), col("v_obs").cast("double"))
+          .otherwise(col("v_obs").cast("double") +
+            (col("__nv").cast("double") - col("v_obs").cast("double")) *
+              (col("bucket") - col("__pb")).cast("double") /
+              (col("__nb") - col("__pb")).cast("double")).as("v"),
+        (col("bucket") === col("__pb")).as("observed"))
   }
 
   /** Robust variant of [[anomalousWindows]]: median/MAD instead of

@@ -20,6 +20,11 @@ object TimeOne {
       val t0 = System.nanoTime()
       all(name)(spark, sfDir).count()
       println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // mirror Bench's per-rep release: operator-internal persists
+      // self-register in OpCaches; without releaseAll() they accumulate
+      // across reps (MEMORY_AND_DISK pressure inflates later reps) and
+      // the numbers stop being comparable to bench rows
+      graft.ext.OpCaches.releaseAll()
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -2,10 +2,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object TimeStreaming {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // diagnostic A/B for the Spark 4.1 checkpoint checksum layer (each
+    // state commit writes twin checksum files); production default stays ON
+    sys.env.get("SPARK_GRAFT_STREAM_CKSUM").foreach(v =>
+      builder.config("spark.sql.streaming.checkpoint.fileChecksum.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = args.headOption.map(_.toInt).getOrElse(2)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(8)

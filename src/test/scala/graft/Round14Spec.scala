@@ -123,6 +123,62 @@ class Round14Spec extends SparkSpecBase {
     assert(out.sorted.toSeq == ref.sorted.toSeq)
   }
 
+  test("resample segment rewrite: lead()+explode grid == r10 grid-join " +
+    "(LOCF carries, interp stays linear, adjacent obs emit no gap rows)") {
+    val day = 86400L
+    def ts(d: Long) = new java.sql.Timestamp(d * day * 1000L)
+    // key 1: uneven gaps (d0, d1 adjacent; d1→d5 gap; d5→d6 adjacent)
+    // key 2: single observation; key 3: all observations adjacent
+    val events = spark.createDataFrame(Seq(
+      (1L, ts(0), 4.0), (1L, ts(1), 8.0), (1L, ts(5), 0.0), (1L, ts(6), 6.0),
+      (2L, ts(3), 7.5),
+      (3L, ts(2), 1.0), (3L, ts(3), 2.0)
+    )).toDF("k", "ts", "v")
+    val locf = graft.ext.TimeSeries.resampleLocf(events, "k", "ts", "v", day)
+      .orderBy("key", "bucket_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / day, r.getDouble(2),
+        r.getBoolean(3)))
+    assert(locf.toSeq == Seq(
+      (1L, 0L, 4.0, true), (1L, 1L, 8.0, true), (1L, 2L, 8.0, false),
+      (1L, 3L, 8.0, false), (1L, 4L, 8.0, false), (1L, 5L, 0.0, true),
+      (1L, 6L, 6.0, true),
+      (2L, 3L, 7.5, true),
+      (3L, 2L, 1.0, true), (3L, 3L, 2.0, true)))
+    val interp = graft.ext.TimeSeries
+      .resampleInterp(events, "k", "ts", "v", day)
+      .orderBy("key", "bucket_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / day, r.getDouble(2),
+        r.getBoolean(3)))
+    assert(interp.toSeq == Seq(
+      (1L, 0L, 4.0, true), (1L, 1L, 8.0, true), (1L, 2L, 6.0, false),
+      (1L, 3L, 4.0, false), (1L, 4L, 2.0, false), (1L, 5L, 0.0, true),
+      (1L, 6L, 6.0, true),
+      (2L, 3L, 7.5, true),
+      (3L, 2L, 1.0, true), (3L, 3L, 2.0, true)))
+  }
+
+  test("nlist==1 fit shortcut: assignment is cell 0 for every vector, " +
+    "auto policy still trains past one cell, empty corpus still throws") {
+    val vecs = spark.createDataFrame((1L to 50L).map(i =>
+      (i, Seq(i.toDouble, -i.toDouble, 3.0)))).toDF("vec_id", "embedding")
+    val m1 = graft.ext.Similarity.fitIvf(vecs, nlist = 1, "embedding")
+    assert(m1.nlist == 1)
+    val cells = graft.ext.Similarity.ivfIndex(vecs, m1, "embedding", "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    assert(cells == Seq(0), "one-cell model must assign everything to 0")
+    // auto policy: corpus fits one cell → shortcut; larger target → trains
+    val a1 = graft.ext.Similarity.fitIvfAuto(vecs, targetCellSize = 1000,
+      "embedding", minNlist = 1)
+    assert(a1.nlist == 1)
+    val a2 = graft.ext.Similarity.fitIvfAuto(vecs, targetCellSize = 10,
+      "embedding", minNlist = 1)
+    assert(a2.nlist == 5, s"50 rows / cell size 10 must train 5 cells")
+    val empty = vecs.where(col("vec_id") < 0)
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.fitIvf(empty, nlist = 1, "embedding")
+    }
+  }
+
   test("semanticPairs dedupe-off emits each qualifying pair exactly once") {
     val vecs = spark.createDataFrame((1L to 20L).map { i =>
       // two tight clusters → within-cluster cosines ≈ 1
