@@ -1692,6 +1692,59 @@ object Dedup {
           graft.functions.VectorFunctions
             .word_shingle_hashes(col(f), 1).as(s"fz$i") } ++
         ex.map { case ((f, _), i) => col(f).as(s"ex$i") }: _*)
+    // Single-KeyBlocking callers ([[recordLinkage]], the gate rows) score
+    // IN the block stage (r14, guide §8 "decide inline, move payloads
+    // once"): the scoring payload (id, token-hash sets, exact fields)
+    // rides the ONE blocking-key exchange, in-block pairs stream from the
+    // collected (id-sorted) payload array through the same OrderedPairs
+    // generator bucketPairs uses — the element type is generic — and the
+    // threshold filter runs before anything else moves. The join shape
+    // shuffled the payload through BOTH per-side scoring joins (2R) and
+    // pushed the quadratic candidate stream through two more exchanges
+    // (P id-pairs into the first join, P full a-side payloads into the
+    // second) — the sf1-quadratic rows paid those two exchanges on their
+    // largest intermediate. Pair set, scores and normalization are
+    // identical: ids are unique per block (operator contract), the
+    // id-first struct sort makes position order = id order (so id_a <
+    // id_b exactly as before), past-cap blocks emit the same star pairs
+    // anchored at the block-min id, and the score expression is
+    // term-for-term the one the join path evaluated.
+    passes match {
+      case Seq(KeyBlocking(cs)) =>
+        import org.apache.spark.sql.expressions.Window
+        val pay = struct(col("id") +:
+          (fz.map { case (_, i) => col(s"fz$i") } ++
+           ex.map { case (_, i) => col(s"ex$i") }): _*)
+        val w = Window.partitionBy(cs.map(col): _*)
+        val base = side
+          .where(cs.map(c => col(c).isNotNull).reduce(_ && _) &&
+            col("id").isNotNull)
+          .withColumn("__p", pay)
+          .withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__anchor", min(col("__p")).over(w))
+        val smallPairs = base.where(col("__bn") <= maxBucketFanout)
+          .groupBy(cs.map(col): _*)
+          .agg(array_sort(collect_list(col("__p"))).as("arr"))
+          .where(size(col("arr")) > 1)
+          .select(graft.functions.VectorFunctions.ordered_pairs(col("arr")))
+          .select(col("id_a").as("pa"), col("id_b").as("pb"))
+        val starPairs = base
+          .where(col("__bn") > maxBucketFanout &&
+            col("id") =!= col("__anchor.id"))
+          .select(col("__anchor").as("pa"), col("__p").as("pb"))
+        val inlineScore = (
+          fz.map { case ((_, wt), i) =>
+            graft.functions.VectorFunctions.sorted_jaccard(
+              col(s"pa.fz$i"), col(s"pb.fz$i")) * wt } ++
+          ex.map { case ((_, wt), i) =>
+            when(col(s"pa.ex$i") <=> col(s"pb.ex$i"), wt).otherwise(0.0) })
+          .reduce(_ + _)
+        return smallPairs.union(starPairs)
+          .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+            round(inlineScore, 6).as("score"))
+          .where(col("score") >= threshold)
+      case _ => ()
+    }
     val sidePruned = OpCaches.register(
       side.persist(StorageLevel.MEMORY_AND_DISK))
     val candByPass = passes.map {
@@ -1717,16 +1770,12 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
-    // single-KeyBlocking callers ([[recordLinkage]]) need no distinct at
-    // all: in-bucket pairs are already unique and normalized (ordered
-    // generation, star pairs anchored at the block min). Any pass mix
-    // that can overlap — several passes, or a sorted-neighborhood window
-    // (whose id order is unrelated to id_a < id_b normalization) — pays
-    // the one candidate dedup exchange it actually needs.
-    val cand = passes match {
-      case Seq(KeyBlocking(_)) => normalized
-      case _ => normalized.distinct()
-    }
+    // only overlap-capable pass mixes reach here (the single-KeyBlocking
+    // case returned from the inline-scored path above): several passes,
+    // or a sorted-neighborhood window (whose id order is unrelated to
+    // id_a < id_b normalization), pay the one candidate dedup exchange
+    // they actually need before the shared scoring joins.
+    val cand = normalized.distinct()
     def renamed(suffix: String) = sidePruned.select(
       col("id").as(s"id$suffix") +:
         (fz.map { case (_, i) => col(s"fz$i").as(s"fz$i$suffix") } ++
